@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Canonical access to the star-schema tables (TPC-H-ish, see TESTDATA.md).
+  *
+  * The reference loads its dims over JDBC with inferred types
+  * (`/root/reference/src/utils/utility.py:56-60`) and its fact CSVs with
+  * `inferSchema` (`/root/reference/src/transform/transform.py:31-34`). Here every
+  * table has one canonical parquet location per scale-factor directory and explicit
+  * schemas are used wherever text formats are involved (SURVEY §1.2: inference is
+  * nondeterministic at scale — one extra pass over 100 TB just to guess types).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame    = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Explicit lineitem schema, used by the CSV ingest path (SURVEY §2.1 S1: the
+    * reference infers; we declare). Matches the driver parquet exactly.
+    */
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampNTZType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderpriority", StringType)))
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{Num, Tables}
+import graft.ingest.CsvBatchReader
+
+/** The reference's relational operator surface (SURVEY §2) re-expressed as
+  * standalone queries over the driver testdata. Each method here backs one
+  * `SparkEntry.queries` entry with a DuckDB-oracle SQL twin.
+  *
+  * Scale notes are attached per operator; the common thread: filters and narrow
+  * selects sit directly on the parquet scans (pushdown + pruning verified via
+  * `.explain`), aggregates use map-side partial aggregation, and nothing ever
+  * collects to the driver.
+  */
+object Relational {
+
+  // ------------------------------------------------------------------ S1: CSV scan
+
+  /** One-time materialization of lineitem as CSV (scratch under target/tmp), so the
+    * CSV ingest path is exercised against real files. Deterministic: content derives
+    * only from the source parquet.
+    */
+  private def csvCopyOfLineitem(spark: SparkSession, sfDir: String): String = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dest = s"/root/repo/target/tmp/csv/$sfName/lineitem"
+    if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {
+      Tables.lineitem(spark, sfDir)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(dest)
+    }
+    dest
+  }
+
+  /** S1 + P1–P3 + U1: validated CSV ingest of the lineitem CSV drop, explicit
+    * schema, canonical projection. Round-trips exactly (2-decimal doubles and
+    * microsecond timestamps survive text form losslessly), so the oracle is a plain
+    * SELECT over the source parquet.
+    */
+  def csvIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = csvCopyOfLineitem(spark, sfDir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".csv")).map(_.getAbsolutePath).sorted.toSeq
+    val result = CsvBatchReader.validateAndLoad(
+      spark, files, Tables.lineitemSchema.fieldNames.toSeq, Some(Tables.lineitemSchema))
+    result.data.getOrElse(spark.emptyDataFrame)
+      .drop(CsvBatchReader.AdditionalColumn)
+  }
+
+  // ------------------------------------------------------------------ P7: filter
+
+  /** Row filter + narrow projection; predicate and column set push into the scan
+    * (`PushedFilters` / `ReadSchema` in the formatted plan).
+    */
+  def filterShipments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1999-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 25.0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+
+  // ------------------------------------------------------------------ A: aggregate
+
+  /** Idiomatic grouped aggregation (the reference's A1/A2 class, groupBy mode):
+    * pricing summary à la TPC-H Q1 — partial/final hash aggregate, exact decimal
+    * sums, IEEE-deterministic derived mean.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") < to_timestamp(lit("2001-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Num.sumMoney(col("l_quantity")).as("sum_qty"),
+        Num.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        Num.sum4(Num.revenue).as("sum_disc_price"),
+        Num.avgMoney(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  // ------------------------------------------------------------------ A3: distinct
+
+  def distinctFlags(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  // ------------------------------------------------------------------ U1: union
+
+  /** Duplicate-preserving by-name union of two disjoint slices (the reference's
+    * per-file positional union fold, done safely).
+    */
+  def unionSlices(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val open = o.filter(col("o_orderstatus") === "O")
+    val rest = o.filter(col("o_orderstatus") =!= "O")
+    open.unionByName(rest)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  // ------------------------------------------------------------------ W: windows
+
+  /** W1-class: running per-customer spend over order time. Deterministic frame:
+    * full tiebreak on (o_orderdate, o_orderkey), exact decimal running sum.
+    */
+  def runningCustomerSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_spend"))
+  }
+
+  /** W3-class: rank within group with ties (reference incentive rank semantics). */
+  def rankCustomersByBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("balance_rank"))
+      .filter(col("balance_rank") <= 3)
+  }
+
+  /** §2.6 top-k per group: single top order per customer via row_number with a full
+    * deterministic tiebreak.
+    */
+  def topOrderPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ------------------------------------------------------------------ §2.8 scalars
+
+  /** The reference's complete scalar-function surface (substring, concat,
+    * concat_ws, lit, when/otherwise, round, ·×0.01) in one projection. Percentage
+    * and rounding stay in the decimal domain for cross-engine determinism.
+    */
+  def scalarShowcase(spark: SparkSession, sfDir: String): DataFrame = {
+    val pct = lit(new java.math.BigDecimal("0.02"))
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey"),
+      concat(col("c_name"), lit(" / "), col("c_mktsegment")).as("display_name"),
+      concat_ws("-", substring(col("c_name"), 1, 8), col("c_mktsegment")).as("name_key"),
+      when(col("c_acctbal") < 0, lit("NEGATIVE"))
+        .when(col("c_acctbal") < 5000, lit("MID"))
+        .otherwise(lit("HIGH")).as("balance_band"),
+      round(col("c_acctbal").cast(DecimalType(18, 2)) * pct, 2)
+        .cast("double").as("service_fee"))
+  }
+}
