@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.{Marts, Metrics}
-import graft.ops.Relational
+import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +34,24 @@ object SparkEntry {
     "q10_customer_mart"    -> ((s, d) => Marts.customerMart(s, d)),
     "q11_sales_mart"       -> ((s, d) => Marts.salesTeamMart(s, d)),
     "q12_customer_monthly" -> ((s, d) => Metrics.customerMonthly(s, d)),
-    "q13_sales_incentive"  -> ((s, d) => Metrics.salesIncentive(s, d)))
+    "q13_sales_incentive"  -> ((s, d) => Metrics.salesIncentive(s, d)),
+    "q14_hourly_rollup"    -> ((s, d) => Events.hourlyRollup(s, d)),
+    "q15_sessionize"       -> ((s, d) => Events.sessionize(s, d)),
+    "q16_dedup_exact"      -> ((s, d) => Dedup.exact(s, d)),
+    "q17_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q18_minhash_sig"      -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "q19_lsh_pairs"        -> ((s, d) => Dedup.lshCandidatePairs(s, d)),
+    "q20_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
+    "q21_token_stats"      -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "q22_text_quality"     -> ((s, d) => TextAnalysis.textQuality(s, d)),
+    "q23_lang_id"          -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q24_fingerprint"      -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "q25_cosine_topk"      -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "q26_ann_topk"         -> ((s, d) => Similarity.annBucketTopK(s, d)),
+    "q27_embed_neardup"    -> ((s, d) => Similarity.nearDupPairs(s, d)),
+    "q28_binary_features"  -> ((s, d) => Multimodal.binaryFeatures(s, d)),
+    "q29_media_decode"     -> ((s, d) => Multimodal.decodeFeatures(s, d).toDF()),
+    "q30_stream_hourly"    -> ((s, d) => EventStream.hourlyRollupAvailableNow(s, d)))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val enrichJoin: String =
@@ -44,6 +62,55 @@ object SparkEntry {
       |JOIN nation   ON s_nationkey = n_nationkey""".stripMargin
 
   private val totalCost = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
+
+  /** DuckDB twin of [[graft.ops.TextAnalysis.normText]]: whitespace-normalized
+    * lowercase text. DuckDB regexp_replace needs the explicit 'g' flag (Spark's
+    * is always global).
+    */
+  private val normText = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+  /** DuckDB twin of Dedup.shingles(text, q): distinct character q-grams of the
+    * normalized text. `range(1, n+1-q)` = Spark `sequence(1, n-(q-1))`.
+    */
+  private def shingles(q: Int): String =
+    s"list_distinct(list_transform(range(1, length($normText) - ${q - 2}), " +
+      s"i -> substr($normText, CAST(i AS INT), $q)))"
+
+  /** DuckDB twin of the 16-function MinHash signature (Dedup.minhashSignatures). */
+  private val minhashSigs: String =
+    s"""docs AS (SELECT doc_id, ${shingles(4)} AS grams FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, h.i AS h_idx,
+       |    list_min(list_transform(grams, s -> substr(md5(concat(h.i, ':', s)), 1, 8))) AS minhash
+       |  FROM docs CROSS JOIN (SELECT unnest(range(0, 16)) AS i) h)""".stripMargin
+
+  /** DuckDB twin of Similarity's integer-scaled vectors + exact int64 norms. */
+  private val scaledVecs: String =
+    """v AS (SELECT vec_id,
+      |        list_transform(embedding, x -> CAST(floor(x * 1e8) AS BIGINT)) AS svec
+      |      FROM embeddings),
+      |w AS (SELECT vec_id, svec,
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(svec, x -> x * x)), (a, b) -> a + b) AS norm2
+      |      FROM v)""".stripMargin
+
+  /** Exact int64 dot product of two scaled 64-dim vectors (DuckDB twin of idot). */
+  private def idot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  private def cosine(a: String, b: String, na2: String, nb2: String): String =
+    s"CAST(${idot(a, b)} AS DOUBLE) / (sqrt(CAST($na2 AS DOUBLE)) * sqrt(CAST($nb2 AS DOUBLE)))"
+
+  /** Sign-LSH bucket key over the scaled vector (Similarity.signBucket, 4 bits). */
+  private def signBucket(vec: String): String =
+    (0 until 4).map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Parse hex char pair (1-indexed positions p, p+1 of hex string h) to a byte. */
+  private def hexByte(h: String, p: Int): String =
+    s"((strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * 16 + " +
+      s"strpos('0123456789abcdef', substr($h, ${p + 1}, 1)) - 1)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -147,5 +214,189 @@ object SparkEntry {
          |  CAST(total_dec AS DOUBLE) AS total_sales_every_month,
          |  CASE WHEN rnk = 1 THEN CAST(round(total_dec * 0.01, 2) AS DOUBLE)
          |       ELSE CAST(0 AS DOUBLE) END AS incentive
-         |FROM r""".stripMargin)
+         |FROM r""".stripMargin,
+
+    "q14_hourly_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q15_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "q16_dedup_exact" ->
+      s"""SELECT md5($normText) AS fingerprint,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q17_ngram_jaccard" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+         |  FROM docs a JOIN docs b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |   AND abs(a.n_chars - b.n_chars) <= 20)
+         |SELECT * FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
+    "q18_minhash_sig" ->
+      s"""WITH $minhashSigs
+         |SELECT doc_id, CAST(h_idx AS INTEGER) AS h_idx, minhash FROM sigs""".stripMargin,
+
+    "q19_lsh_pairs" ->
+      s"""WITH $minhashSigs,
+         |bands AS (
+         |  SELECT doc_id, h_idx // 4 AS band_idx,
+         |    string_agg(minhash, '|' ORDER BY h_idx) AS band_key
+         |  FROM sigs GROUP BY 1, 2)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         | AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q20_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(range(1, length(t) + 1),
+        |               j -> CAST(ascii(substr(t, CAST(j AS INT), 1)) AS BIGINT))),
+        |             (acc, c) -> (acc * 131 + c) % 281474976710656)) AS hashes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 48),
+        |    b -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                     list_transform(hashes, v -> (v >> CAST(b AS INT)) % 2 * 2 - 1)),
+        |                     (s, x) -> s + x) > 0
+        |         THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)),
+        |    (acc, x) -> acc + x) AS simhash
+        |FROM h""".stripMargin,
+
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS distinct_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token
+        |FROM documents""".stripMargin,
+
+    "q22_text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  stop_ratio AS stopword_ratio,
+        |  punct_per_char,
+        |  mean_word_len,
+        |  stop_ratio * 0.5 + punct_per_char * 0.2 + mean_word_len * 0.05 AS quality_score
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / n_chars AS punct_per_char,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len
+        |  FROM documents)""".stripMargin,
+
+    "q23_lang_id" ->
+      """SELECT doc_id, labeled_lang,
+        |  hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |  CASE WHEN mx = 0 THEN 'und'
+        |       WHEN hits_en = mx THEN 'en' WHEN hits_de = mx THEN 'de'
+        |       WHEN hits_es = mx THEN 'es' WHEN hits_fr = mx THEN 'fr'
+        |       ELSE 'zh' END AS guessed_lang
+        |FROM (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that)\b')) AS BIGINT) AS hits_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')) AS BIGINT) AS hits_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|es)\b')) AS BIGINT) AS hits_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|est|une)\b')) AS BIGINT) AS hits_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '(的|是|不|了|在|人|有)')) AS BIGINT) AS hits_zh,
+        |    greatest(
+        |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that)\b')),
+        |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')),
+        |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|es)\b')),
+        |      len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|est|une)\b')),
+        |      len(regexp_extract_all(lower(text), '(的|是|不|了|在|人|有)'))) AS mx
+        |  FROM documents)""".stripMargin,
+
+    "q24_fingerprint" ->
+      s"""SELECT doc_id, md5($normText) AS fingerprint,
+         |  CAST(length($normText) AS BIGINT) AS norm_len
+         |FROM documents""".stripMargin,
+
+    "q25_cosine_topk" ->
+      s"""WITH $scaledVecs,
+         |q AS (SELECT vec_id AS query_id, svec AS qvec, norm2 AS qnorm2 FROM w WHERE vec_id < 20),
+         |c AS (SELECT query_id, vec_id,
+         |        ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |      FROM q, w WHERE query_id <> vec_id)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk,
+         |  cosine
+         |FROM c QUALIFY rk <= 5""".stripMargin,
+
+    "q26_ann_topk" ->
+      s"""WITH $scaledVecs,
+         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec")} AS bucket FROM w),
+         |q AS (SELECT vec_id AS query_id, svec AS qvec, norm2 AS qnorm2, bucket AS qbucket
+         |      FROM vb WHERE vec_id < 20),
+         |c AS (SELECT query_id, vec_id,
+         |        ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |      FROM q JOIN vb ON qbucket = bucket AND query_id <> vec_id)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk,
+         |  cosine
+         |FROM c QUALIFY rk <= 3""".stripMargin,
+
+    "q27_embed_neardup" ->
+      s"""WITH $scaledVecs,
+         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec")} AS bucket FROM w)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosine("a.svec", "b.svec", "a.norm2", "b.norm2")} AS cosine
+         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |QUALIFY cosine >= 0.3""".stripMargin,
+
+    "q28_binary_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS n_bytes,
+        |  to_base64(from_hex(md5(text))) AS payload_b64,
+        |  md5(to_base64(from_hex(md5(text)))) AS checksum_hex
+        |FROM documents""".stripMargin,
+
+    "q29_media_decode" ->
+      s"""SELECT doc_id, 'image/fake' AS media_type,
+         |  CAST(octet_length(from_hex(h)) AS INTEGER) AS n_bytes,
+         |  md5(to_base64(from_hex(h))) AS checksum_hex,
+         |  CAST(1 + ${hexByte("h", 1)} % 128 AS INTEGER) AS fake_width,
+         |  CAST(1 + ${hexByte("h", 31)} % 128 AS INTEGER) AS fake_height
+         |FROM (SELECT doc_id, md5(text) AS h FROM documents)""".stripMargin,
+
+    "q30_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

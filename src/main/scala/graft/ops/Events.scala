@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Event-stream analytics over the `events` table, batch form. The same logical
+  * shapes run as Structured Streaming in [[graft.streaming.EventStream]] —
+  * tumbling windows map to `groupBy(window($"ts", …))` with a watermark, and
+  * sessionization maps to `flatMapGroupsWithState` — the batch versions double as
+  * the oracle-checkable semantics contract.
+  */
+object Events {
+
+  /** Tumbling one-hour windows per event type: count + exact sum. At scale this
+    * is a single partial/final hash aggregate keyed by (hour, type).
+    */
+  def hourlyRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Gap-based sessionization: a new session starts after >30 min of inactivity.
+    * Classic lag → flag → running-sum-of-flags; one shuffle on user_id, then all
+    * window work is within-partition.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES") ||
+        lag(col("ts"), 1).over(byUser).isNull,
+      lit(1L)).otherwise(lit(0L))
+    Tables.events(spark, sfDir)
+      .withColumn("session_seq", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Vector similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - [[cosineTopK]]: brute-force exact top-k — the correctness baseline. The
+  *    query set is broadcast; the corpus is scanned once, fully parallel.
+  *  - [[annBucketTopK]]: sign-LSH bucketed ANN — the 100 TB path. Vectors are
+  *    bucketed by the sign pattern of their leading dimensions (a random-
+  *    projection LSH with axis-aligned planes); search touches only the query's
+  *    bucket, an equi-join on the bucket key instead of a cross join.
+  *  - [[nearDupPairs]]: embedding-cosine near-duplicate detection, LSH-blocked.
+  *
+  * Numeric determinism: cosine math runs on integer-scaled vectors —
+  * floor(x·10^8) per component, exact int64 dot products / norms — and converts
+  * to double only for the final sqrt/division (IEEE-identical everywhere). This
+  * keeps every stage oracle-checkable. (A double-precision fast path would be
+  * ~2× quicker but loses cross-engine bit equality; at cluster scale the scan,
+  * not the multiply, dominates.)
+  */
+object Similarity {
+
+  private val Scale = 1e8
+
+  /** Integer-scaled copy of a float vector: exact int64 components. */
+  private def scaled(c: Column): Column =
+    transform(c, x => floor(x * lit(Scale)).cast("long"))
+
+  /** Exact int64 dot product of two scaled vectors. */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** cos(a,b) from scaled vectors + precomputed squared norms. */
+  private def cosine(a: Column, b: Column, na2: Column, nb2: Column): Column =
+    idot(a, b).cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+
+  private def withScaled(df: DataFrame): DataFrame =
+    df.select(
+      col("vec_id"),
+      scaled(col("embedding")).as("svec"))
+      .withColumn("norm2", idot(col("svec"), col("svec")))
+
+  /** Brute-force exact cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest corpus vectors. Query side is tiny → broadcast; corpus side
+    * streams through one scan, then a per-query top-k window.
+    */
+  def cosineTopK(spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("svec").as("qvec"), col("norm2").as("qnorm2"))
+    val cos = cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(q).join(vecs, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
+  /** Sign-LSH bucket key: bit i set iff component i+1 is non-negative. */
+  private def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via sign-LSH buckets: search only within the query's bucket. Recall is
+    * tunable by bucket bits (fewer bits → bigger buckets → higher recall); the
+    * scale path adds multi-probe (flip one bit) without changing the join shape.
+    */
+  def annBucketTopK(spark: SparkSession, sfDir: String, nQueries: Int = 20,
+      k: Int = 3, bits: Int = 4): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+      .withColumn("bucket", signBucket(col("svec"), bits))
+    val q = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("svec").as("qvec"),
+        col("norm2").as("qnorm2"), col("bucket").as("qbucket"))
+    val cos = cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(q).join(vecs,
+        col("qbucket") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-blocked: candidate pairs share a sign
+    * bucket; survivors exceed the cosine threshold. (Threshold 0.3 on this
+    * corpus — unit-norm random vectors, max off-diagonal cosine ≈ 0.51.)
+    */
+  def nearDupPairs(spark: SparkSession, sfDir: String,
+      bits: Int = 4, threshold: Double = 0.3): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+      .withColumn("bucket", signBucket(col("svec"), bits))
+    val a = vecs.as("a")
+    val b = vecs.as("b")
+    val cos = cosine(col("a.svec"), col("b.svec"), col("a.norm2"), col("b.norm2"))
+    a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

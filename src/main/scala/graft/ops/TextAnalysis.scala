@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators over the `documents` table — the LLM-data-pipeline
+  * surface (BASELINE.json north star): token statistics, quality scoring,
+  * language ID, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (`regexp_extract_all`, `split`,
+  * higher-order array functions) — no UDFs, so the hot path stays inside
+  * whole-stage codegen and scales linearly with executors; all per-document, no
+  * shuffle at all (embarrassingly parallel over 100 TB).
+  *
+  * Determinism: outputs are integers, strings, or IEEE arithmetic on integers —
+  * bit-reproducible across engines (see graft.core.Num's rationale).
+  */
+object TextAnalysis {
+
+  /** Whitespace-normalized lowercase text — the canonical form all analyses use. */
+  def normText(c: Column): Column = regexp_replace(lower(c), "\\s+", " ")
+
+  private def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  private def alphaTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Token statistics: whitespace tokens, regex word tokens, distinct words,
+    * characters-per-token. A BPE-ish proxy count (`bpe_ish_tokens`) splits on
+    * word/number/punct boundaries the way byte-pair tokenizers roughly segment.
+    */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
+      size(alphaTokens(col("text"))).cast("long").as("word_tokens"),
+      size(array_distinct(alphaTokens(col("text")))).cast("long").as("distinct_words"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_ish_tokens"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        size(wsTokens(col("text")))).as("chars_per_token"))
+
+  /** Quality scoring: stopword ratio, punctuation density, mean word length,
+    * and a combined score. All ratios are int/int IEEE divisions.
+    */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = "\\b(the|a|and|of|to|in|is|it|that|for)\\b"
+    val nTok = size(wsTokens(col("text")))
+    val nStop = size(regexp_extract_all(lower(col("text")), lit(stops), lit(0)))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val nAlnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+    val stopRatio = nStop.cast("double") / nTok
+    val punctPerChar = nPunct.cast("double") / col("n_chars")
+    val meanWordLen = nAlnum.cast("double") / nTok
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      stopRatio.as("stopword_ratio"),
+      punctPerChar.as("punct_per_char"),
+      meanWordLen.as("mean_word_len"),
+      (stopRatio * lit(0.5) + punctPerChar * lit(0.2) + meanWordLen * lit(0.05))
+        .as("quality_score"))
+  }
+
+  /** Language ID by stopword-hit counting — the classic n-gram/function-word
+    * heuristic. Deterministic argmax: first language in a fixed order whose count
+    * equals the maximum.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    def hits(pattern: String): Column =
+      size(regexp_extract_all(lower(col("text")), lit(pattern), lit(0))).cast("long")
+    val en = hits("\\b(the|and|of|to|is|in|that)\\b")
+    val de = hits("\\b(der|die|und|das|ist|nicht|ein)\\b")
+    val es = hits("\\b(el|la|de|que|y|los|es)\\b")
+    val fr = hits("\\b(le|la|de|et|les|est|une)\\b")
+    val zh = hits("(的|是|不|了|在|人|有)")
+    val mx = greatest(en, de, es, fr, zh)
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      en.as("hits_en"), de.as("hits_de"), es.as("hits_es"),
+      fr.as("hits_fr"), zh.as("hits_zh"),
+      when(mx === 0, lit("und"))
+        .when(en === mx, "en").when(de === mx, "de").when(es === mx, "es")
+        .when(fr === mx, "fr").otherwise("zh").as("guessed_lang"))
+  }
+
+  /** Document fingerprint: md5 over the whitespace-normalized lowercase text —
+    * the exact-dedup key. md5 is content-addressed and engine-portable (same hex
+    * in Spark, DuckDB, and any object store's ETag tooling).
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fingerprint"),
+      length(normText(col("text"))).cast("long").as("norm_len"))
+}
