@@ -373,11 +373,12 @@ object SparkEntry {
 
     "q27_embed_neardup" ->
       s"""WITH $scaledVecs,
-         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec")} AS bucket FROM w)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${cosine("a.svec", "b.svec", "a.norm2", "b.norm2")} AS cosine
-         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |QUALIFY cosine >= 0.3""".stripMargin,
+         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec")} AS bucket FROM w),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosine("a.svec", "b.svec", "a.norm2", "b.norm2")} AS cosine
+         |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT * FROM pairs WHERE cosine >= 0.3""".stripMargin,
 
     "q28_binary_features" ->
       """SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import org.apache.spark.sql.types._
 
 /** Canonical access to the star-schema tables (TPC-H-ish, see TESTDATA.md).
@@ -28,7 +28,23 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
-  def events(spark: SparkSession, d: String): DataFrame    = load(spark, d, "events")
+
+  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which Spark 4
+    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read the raw nanos as
+    * a long (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
+    * TIMESTAMP_NTZ — lossless for this data (all values are whole microseconds)
+    * and matching DuckDB's own read of the same file (plain TIMESTAMP).
+    *
+    * The TimestampType→NTZ cast is wall-clock identity only under a UTC session
+    * timezone, which every entry point ([[graft.Verify]], [[graft.Bench]], tests)
+    * sets explicitly.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events")
+      .withColumn("ts",
+        functions.timestamp_micros(functions.expr("ts div 1000")).cast(TimestampNTZType))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 

@@ -1,9 +1,13 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
+
+import graft.core.Tables
 
 /** Structured Streaming surface. The reference has no streaming (its
   * "incremental" behavior is the file-granularity staging ledger,
@@ -12,9 +16,19 @@ import org.apache.spark.sql.types._
   * `Trigger.AvailableNow` gives exactly-once file-granularity micro-batching
   * with checkpoint-based recovery, replacing the hand-rolled MySQL ledger for
   * the streaming-shaped half of the problem.
+  *
+  * The memory sink + complete output mode below accumulate state in the driver
+  * — appropriate for this bounded AvailableNow demo and its oracle check, NOT
+  * for an unbounded production stream. The production shape is the same plan
+  * with a watermark (`withWatermark("ts", "2 hours")`), `update`/`append` mode,
+  * and a kafka/parquet sink; state then lives in the executors' state store and
+  * is bounded by the watermark horizon.
   */
 object EventStream {
 
+  /** Post-conversion schema: ts is microsecond TIMESTAMP_NTZ (see
+    * [[graft.core.Tables.events]] for the nanos handling).
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampNTZType),
@@ -22,6 +36,20 @@ object EventStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** FileStreamSource needs a *directory* (and can't apply the nanos-as-long
+    * conversion), so materialize a scratch directory of micro-timestamped
+    * events once per scale factor. Deterministic: content derives only from the
+    * source parquet.
+    */
+  private def eventsDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dest = s"/root/repo/target/tmp/events/$sfName"
+    if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {
+      Tables.events(spark, sfDir).write.mode("overwrite").parquet(dest)
+    }
+    dest
+  }
 
   /** Streaming tumbling-hour rollup, run to completion over whatever is in the
     * directory (AvailableNow) and returned as a batch DataFrame. Semantics match
@@ -31,7 +59,7 @@ object EventStream {
   def hourlyRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = spark.readStream
       .schema(eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+      .parquet(eventsDir(spark, sfDir))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
