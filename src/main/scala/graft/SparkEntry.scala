@@ -76,13 +76,23 @@ object SparkEntry {
     s"list_distinct(list_transform(range(1, length($normText) - ${q - 2}), " +
       s"i -> substr($normText, CAST(i AS INT), $q)))"
 
-  /** DuckDB twin of the 16-function MinHash signature (Dedup.minhashSignatures). */
-  private val minhashSigs: String =
+  /** DuckDB twin of the 16-function MinHash signature (Dedup.minhashSignatures):
+    * one md5 per shingle parsed to a 32-bit int, then the same fixed affine
+    * family (A(i)·v + B(i)) mod P embedded as literals from [[graft.ops.Dedup]].
+    */
+  private val minhashSigs: String = {
+    val aList = graft.ops.Dedup.hashA.mkString("[", ", ", "]")
+    val bList = graft.ops.Dedup.hashB.mkString("[", ", ", "]")
     s"""docs AS (SELECT doc_id, ${shingles(4)} AS grams FROM documents),
+       |hg AS (SELECT doc_id,
+       |         list_transform(grams, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hgrams
+       |       FROM docs),
        |sigs AS (
        |  SELECT doc_id, h.i AS h_idx,
-       |    list_min(list_transform(grams, s -> substr(md5(concat(h.i, ':', s)), 1, 8))) AS minhash
-       |  FROM docs CROSS JOIN (SELECT unnest(range(0, 16)) AS i) h)""".stripMargin
+       |    list_min(list_transform(hgrams,
+       |      v -> ($aList[CAST(h.i AS INT) + 1] * v + $bList[CAST(h.i AS INT) + 1]) % ${graft.ops.Dedup.HashP})) AS minhash
+       |  FROM hg CROSS JOIN (SELECT unnest(range(0, 16)) AS i) h)""".stripMargin
+  }
 
   /** DuckDB twin of Similarity's integer-scaled vectors + exact int64 norms. */
   private val scaledVecs: String =
@@ -248,16 +258,27 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "q17_ngram_jaccard" ->
-      s"""WITH docs AS (
+      s"""WITH $minhashSigs,
+         |bands AS (
+         |  SELECT doc_id, h_idx // 4 AS band_idx,
+         |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
+         |  FROM sigs GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |docs3 AS (
          |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
          |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
-         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         |      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
-         |  FROM docs a JOIN docs b
-         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |   AND abs(a.n_chars - b.n_chars) <= 20)
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_common,
+         |    CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+         |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) AS jaccard
+         |  FROM cand c
+         |  JOIN docs3 x ON c.doc_a = x.doc_id
+         |  JOIN docs3 y ON c.doc_b = y.doc_id
+         |  WHERE x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 20)
          |SELECT * FROM pairs WHERE jaccard >= 0.5""".stripMargin,
 
     "q18_minhash_sig" ->
@@ -268,7 +289,7 @@ object SparkEntry {
       s"""WITH $minhashSigs,
          |bands AS (
          |  SELECT doc_id, h_idx // 4 AS band_idx,
-         |    string_agg(minhash, '|' ORDER BY h_idx) AS band_key
+         |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
          |  FROM sigs GROUP BY 1, 2)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b

@@ -5,24 +5,29 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Deduplication operators over `documents`: exact, n-gram Jaccard, MinHash+LSH,
-  * SimHash. The near-dup family is the canonical LLM-corpus pipeline
-  * (shingle → signature → band → bucket-join → verify).
+/** Deduplication operators over `documents`: exact, MinHash+LSH with exact
+  * Jaccard verification, SimHash. The near-dup family is the canonical
+  * LLM-corpus pipeline: shingle → signature → band → bucket-join → verify.
   *
   * Scale design:
   *  - Exact dedup is one hash-aggregate on a 32-char key — shuffle carries the
   *    md5 + doc_id only, never the document body.
-  *  - Pairwise Jaccard is NEVER all-pairs: candidates are blocked (same lang,
-  *    close length) so the join is an equi-join on the block key plus a cheap
-  *    residual predicate. At 100 TB, blocking is what turns O(n²) into O(n·k).
+  *  - Pairwise Jaccard is NEVER all-pairs: candidate pairs come from LSH
+  *    banding, so pair generation is O(n·k) — each document meets only the
+  *    handful of documents sharing one of its band keys. The exact verify then
+  *    touches |candidates| pairs, not O(n²). At 100 TB this is the only shape
+  *    that terminates; any blocking scheme with data-independent key
+  *    cardinality (language, length bucket) degenerates to quadratic as the
+  *    corpus grows.
   *  - MinHash signatures are computed per-document with array HOFs (no explode
-  *    of shingles through a shuffle); only the 16-value signature — constant
-  *    size, independent of document length — moves to the LSH band join.
+  *    of shingles through a shuffle); one md5 per shingle feeds 16 affine
+  *    integer mixes (16× fewer digest calls than hashing per-function). Only
+  *    the constant-size signature moves to the LSH band join.
   *  - SimHash packs a document into one 48-bit integer; near-dup candidates are
   *    equal fingerprints (or low Hamming distance at scale).
   *
-  * All hashes derive from md5 / integer polynomial arithmetic — deterministic and
-  * portable across engines, so every stage is oracle-checkable.
+  * All hashes derive from md5 / integer arithmetic below 2^62 — deterministic
+  * and portable across engines, so every stage is oracle-checkable.
   */
 object Dedup {
 
@@ -36,65 +41,62 @@ object Dedup {
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct character shingles (q-grams) of the normalized text. */
-  private def shingles(c: Column, q: Int): Column = {
-    val t = TextAnalysis.normText(c)
-    array_distinct(transform(
-      sequence(lit(1), length(t) - lit(q - 1)),
-      i => t.substr(i, lit(q))))
-  }
-
-  /** N-gram Jaccard near-dup pairs: distinct 3-gram sets, |∩|/|∪|, blocked by
-    * (lang, |length delta| ≤ 20), emitted when similarity ≥ 0.5.
+  /** Distinct character shingles (q-grams) of the normalized text. Guarded for
+    * sub-q-length texts: Spark's `sequence(1, n-(q-1))` REVERSES when the stop
+    * is below the start (sequence(1,0) = [1,0]), which would fabricate grams —
+    * short docs must yield an empty set, like the oracle's `range`.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        shingles(col("text"), 3).as("grams"))
-    val a = docs.as("a")
-    val b = docs.as("b")
-    val inter = size(array_intersect(col("a.grams"), col("b.grams")))
-    val uni = size(col("a.grams")) + size(col("b.grams")) - inter
-    a.join(b,
-        col("a.lang") === col("b.lang") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        abs(col("a.n_chars") - col("b.n_chars")) <= 20)
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        inter.cast("long").as("n_common"),
-        (inter.cast("double") / uni).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+  private[ops] def shingles(c: Column, q: Int): Column = {
+    val t = TextAnalysis.normText(c)
+    when(length(t) >= q,
+      array_distinct(transform(
+        sequence(lit(1), length(t) - lit(q - 1)),
+        i => t.substr(i, lit(q)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   val MinhashFuncs = 16
   val BandSize = 4
 
-  /** MinHash signatures, long form: (doc_id, h_idx, minhash). Hash family i is
-    * "first 8 hex chars of md5(i ++ ':' ++ shingle)"; the signature entry is the
-    * lexicographic minimum over the document's distinct 4-gram shingles.
+  /** Universal-hash family over 32-bit shingle hashes: h_i(v) = (A(i)·v + B(i))
+    * mod P. P = 2^31-1 (Mersenne prime); A < 2^30 keeps A·v < 2^62 — exact in
+    * int64 on every engine, no overflow semantics in play. Constants are
+    * arbitrary but FIXED: the DuckDB oracle embeds these exact values.
+    */
+  val HashP = 2147483647L
+  val hashA: IndexedSeq[Long] = (0 until MinhashFuncs).map(i => (1103515245L * (i + 1)) % (1L << 30))
+  val hashB: IndexedSeq[Long] = (0 until MinhashFuncs).map(i => (12345L + 2654435761L * i) % HashP)
+
+  /** 32-bit integer hash of one shingle: first 8 hex chars of its md5. */
+  private def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signatures, long form: (doc_id, h_idx, minhash). One md5 per
+    * distinct shingle, then 16 affine integer mixes; the signature entry is the
+    * minimum over the document's distinct 4-gram shingles.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = transform(
-      sequence(lit(0), lit(MinhashFuncs - 1)),
-      i => array_min(transform(
-        col("grams"),
-        s => substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 8))))
+    val sigEntries = (0 until MinhashFuncs).map { i =>
+      array_min(transform(
+        col("hgrams"),
+        v => (lit(hashA(i)) * v + lit(hashB(i))) % lit(HashP)))
+    }
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), shingles(col("text"), 4).as("grams"))
-      .select(col("doc_id"), posexplode(sigs).as(Seq("h_idx", "minhash")))
+      .select(col("doc_id"), transform(col("grams"), shingleHash(_)).as("hgrams"))
+      .select(col("doc_id"), posexplode(array(sigEntries: _*)).as(Seq("h_idx", "minhash")))
   }
 
   /** LSH banding over the MinHash signature: 4 bands × 4 rows; documents sharing
-    * any full band value become a candidate pair. Only (band_idx, 35-char band
-    * key) travels through the shuffle.
+    * any full band value become a candidate pair. Only (band_idx, band key)
+    * travels through the shuffle — constant bytes per document per band.
     */
   def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = minhashSignatures(spark, sfDir)
       .groupBy(col("doc_id"), floor(col("h_idx") / BandSize).as("band_idx"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("h_idx"), col("minhash")))),
-        s => s.getField("minhash")), "|").as("band_key"))
+        s => s.getField("minhash").cast("string")), "|").as("band_key"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -103,6 +105,36 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Near-dup pairs with exact 3-gram Jaccard, LSH-driven: candidate pairs come
+    * from [[lshCandidatePairs]] (O(n·k), never all-pairs), then the exact
+    * verify computes |∩|/|∪| over distinct 3-gram sets and keeps pairs with
+    * similarity ≥ 0.5 in the same language within a ±20-char length window.
+    *
+    * This closes the canonical shingle → signature → band → verify loop: the
+    * expensive `array_intersect` runs on |candidates| pairs only. The two
+    * doc_id equi-joins hydrating gram arrays are linear shuffles.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        shingles(col("text"), 3).as("grams"))
+    val cands = lshCandidatePairs(spark, sfDir)
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("n_chars").as("nc_a"), col("grams").as("grams_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"), col("grams").as("grams_b"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
+    val uni = size(col("grams_a")) + size(col("grams_b")) - inter
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("lang_a") === col("lang_b") &&
+        abs(col("nc_a") - col("nc_b")) <= 20)
+      .select(
+        col("doc_a"), col("doc_b"),
+        inter.cast("long").as("n_common"),
+        (inter.cast("double") / uni).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
   }
 
   /** 48-bit polynomial token hash, Horner form: acc·131 + ascii(ch) mod 2^48.
