@@ -112,9 +112,9 @@ object SparkEntry {
   private def cosine(a: String, b: String, na2: String, nb2: String): String =
     s"CAST(${idot(a, b)} AS DOUBLE) / (sqrt(CAST($na2 AS DOUBLE)) * sqrt(CAST($nb2 AS DOUBLE)))"
 
-  /** Sign-LSH bucket key over the scaled vector (Similarity.signBucket, 4 bits). */
-  private def signBucket(vec: String): String =
-    (0 until 4).map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+  /** Sign-LSH bucket key over the scaled vector (Similarity.signBucket). */
+  private def signBucket(vec: String, bits: Int = 4): String =
+    (0 until bits).map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
   /** Parse hex char pair (1-indexed positions p, p+1 of hex string h) to a byte. */
@@ -394,11 +394,16 @@ object SparkEntry {
 
     "q27_embed_neardup" ->
       s"""WITH $scaledVecs,
-         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec")} AS bucket FROM w),
+         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec", 6)} AS bucket FROM w),
+         |pr AS (
+         |  SELECT vec_id, svec, norm2,
+         |    CASE WHEN h.i = 6 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(h.i AS INT)) END AS probe
+         |  FROM vb CROSS JOIN (SELECT unnest(range(0, 7)) AS i) h),
          |pairs AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ${cosine("a.svec", "b.svec", "a.norm2", "b.norm2")} AS cosine
-         |  FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  FROM vb a JOIN pr b ON a.bucket = b.probe AND a.vec_id < b.vec_id)
          |SELECT * FROM pairs WHERE cosine >= 0.3""".stripMargin,
 
     "q28_binary_features" ->

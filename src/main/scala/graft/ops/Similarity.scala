@@ -93,19 +93,27 @@ object Similarity {
         col("rk").cast("long").as("rk"), col("cosine"))
   }
 
-  /** Embedding-cosine near-dup pairs, LSH-blocked: candidate pairs share a sign
-    * bucket; survivors exceed the cosine threshold. (Threshold 0.3 on this
-    * corpus — unit-norm random vectors, max off-diagonal cosine ≈ 0.51.)
+  /** Embedding-cosine near-dup pairs, LSH-blocked with multi-probe: candidate
+    * pairs have sign buckets within Hamming distance 1 (6 bits → 64 buckets, so
+    * per-bucket population is n/64 and within-bucket pair work is (n/64)²·64 =
+    * n²/64 — the bits knob trades candidate volume against recall, and the
+    * 1-bit probe ring recovers most of the recall lost to the finer buckets).
+    * Survivors exceed the cosine threshold. (Threshold 0.3 on this corpus —
+    * unit-norm random vectors, max off-diagonal cosine ≈ 0.51.)
+    *
+    * The probe explode sits on one join side only, and a pair's buckets match
+    * exactly one probe — no duplicate pairs, no post-join distinct.
     */
   def nearDupPairs(spark: SparkSession, sfDir: String,
-      bits: Int = 4, threshold: Double = 0.3): DataFrame = {
+      bits: Int = 6, threshold: Double = 0.3): DataFrame = {
     val vecs = withScaled(Tables.embeddings(spark, sfDir))
       .withColumn("bucket", signBucket(col("svec"), bits))
+    val probes = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket")
     val a = vecs.as("a")
-    val b = vecs.as("b")
+    val b = vecs.withColumn("probe", explode(array(probes: _*))).as("b")
     val cos = cosine(col("a.svec"), col("b.svec"), col("a.norm2"), col("b.norm2"))
     a.join(b,
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        col("a.bucket") === col("b.probe") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
