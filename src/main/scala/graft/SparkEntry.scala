@@ -51,7 +51,10 @@ object SparkEntry {
     "q27_embed_neardup"    -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "q28_binary_features"  -> ((s, d) => Multimodal.binaryFeatures(s, d)),
     "q29_media_decode"     -> ((s, d) => Multimodal.decodeFeatures(s, d).toDF()),
-    "q30_stream_hourly"    -> ((s, d) => EventStream.hourlyRollupAvailableNow(s, d)))
+    "q30_stream_hourly"    -> ((s, d) => EventStream.hourlyRollupAvailableNow(s, d)),
+    "q31_jdbc_roundtrip"   -> ((s, d) => graft.io.IoQueries.jdbcRoundtrip(s, d)),
+    "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
+    "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val enrichJoin: String =
@@ -425,5 +428,28 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q31_jdbc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    // identical to q11: the partitioned write + partition-discovery read must
+    // be lossless down to the partition-key values
+    "q32_sink_roundtrip" ->
+      s"""SELECT n_nationkey AS store_id, n_name AS store_name,
+         |  s_suppkey AS sales_person_id, s_name AS sales_person_name,
+         |  o_orderkey AS order_id,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS sales_date,
+         |  $totalCost AS total_cost,
+         |  strftime(o_orderdate, '%Y-%m') AS sales_month
+         |$enrichJoin""".stripMargin,
+
+    // identical to q12: the full CSV-drop → validate → enrich → aggregate →
+    // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric
+    "q33_pipeline_e2e" ->
+      s"""SELECT c_custkey AS customer_id, c_name AS full_name,
+         |  strftime(o_orderdate, '%Y-%m') AS sales_month,
+         |  CAST(SUM(CAST($totalCost AS DECIMAL(22,4))) AS DOUBLE) AS total_sales
+         |$enrichJoin
+         |GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -25,8 +25,13 @@ import graft.core.{Num, Tables}
 object Enrich {
 
   /** The sales "fact": one row per lineitem with its order context. */
-  def salesFact(spark: SparkSession, sfDir: String): DataFrame = {
-    val li  = Tables.lineitem(spark, sfDir)
+  def salesFact(spark: SparkSession, sfDir: String): DataFrame =
+    salesFactFrom(Tables.lineitem(spark, sfDir), spark, sfDir)
+
+  /** Same join, but over a caller-supplied lineitem frame (e.g. the validated
+    * CSV batch in [[graft.pipeline.SalesEtlJob]] rather than the parquet table).
+    */
+  def salesFactFrom(li: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
     // orders is ~4x smaller than lineitem but both scale with SF: this is the one
     // genuinely large join — leave strategy to Catalyst/AQE (sort-merge at scale,
@@ -39,8 +44,11 @@ object Enrich {
     * qualified-string `.drop` bug (SURVEY §2.3 hazard) is avoided by selecting
     * through the dim DataFrames' own column references.
     */
-  def enriched(spark: SparkSession, sfDir: String): DataFrame = {
-    val fact = salesFact(spark, sfDir)
+  def enriched(spark: SparkSession, sfDir: String): DataFrame =
+    enrichedFromFact(salesFact(spark, sfDir), spark, sfDir)
+
+  /** J1–J3 over a caller-supplied fact (already joined to orders). */
+  def enrichedFromFact(fact: DataFrame, spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val supp = Tables.supplier(spark, sfDir)
     val nat  = Tables.nation(spark, sfDir)

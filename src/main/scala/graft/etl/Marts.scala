@@ -19,7 +19,11 @@ object Marts {
     * address, pincode, phone_number, sales_date, total_cost)`.
     */
   def customerMart(spark: SparkSession, sfDir: String): DataFrame =
-    Enrich.enriched(spark, sfDir).select(
+    customerMartFrom(Enrich.enriched(spark, sfDir))
+
+  /** Same projection over a caller-supplied (typically cached) enriched frame. */
+  def customerMartFrom(enriched: DataFrame): DataFrame =
+    enriched.select(
       col("c_custkey").as("customer_id"),
       col("c_name").as("customer_name"),
       col("n_name").as("nation_name"),
@@ -31,7 +35,11 @@ object Marts {
     * (`main_1.py:498` + partitioned write at `:523-529`).
     */
   def salesTeamMart(spark: SparkSession, sfDir: String): DataFrame =
-    Enrich.enriched(spark, sfDir).select(
+    salesTeamMartFrom(Enrich.enriched(spark, sfDir))
+
+  /** Same projection over a caller-supplied (typically cached) enriched frame. */
+  def salesTeamMartFrom(enriched: DataFrame): DataFrame =
+    enriched.select(
       col("n_nationkey").as("store_id"),
       col("n_name").as("store_name"),
       col("s_suppkey").as("sales_person_id"),

@@ -30,7 +30,11 @@ object Metrics {
     * Output: customer_id, full_name, sales_month, total_sales.
     */
   def customerMonthly(spark: SparkSession, sfDir: String): DataFrame =
-    Enrich.enriched(spark, sfDir)
+    customerMonthlyFrom(Enrich.enriched(spark, sfDir))
+
+  /** Same metric over a caller-supplied (typically cached) enriched frame. */
+  def customerMonthlyFrom(enriched: DataFrame): DataFrame =
+    enriched
       .groupBy(
         col("c_custkey").as("customer_id"),
         col("c_name").as("full_name"),
@@ -59,7 +63,11 @@ object Metrics {
     * salesperson, the supplier's nation plays the store.
     */
   def salesPersonMonthly(spark: SparkSession, sfDir: String): DataFrame =
-    Enrich.enriched(spark, sfDir)
+    salesPersonMonthlyFrom(Enrich.enriched(spark, sfDir))
+
+  /** Same metric over a caller-supplied (typically cached) enriched frame. */
+  def salesPersonMonthlyFrom(enriched: DataFrame): DataFrame =
+    enriched
       .groupBy(
         col("n_nationkey").as("store_id"),
         col("s_suppkey").as("sales_person_id"),
@@ -75,7 +83,14 @@ object Metrics {
     * Output: store_id, sales_person_id, full_name, sales_month,
     * total_sales_every_month, incentive.
     */
-  def salesIncentive(spark: SparkSession, sfDir: String): DataFrame = {
+  def salesIncentive(spark: SparkSession, sfDir: String): DataFrame =
+    salesIncentiveFromMonthly(salesPersonMonthly(spark, sfDir))
+
+  /** Same metric over a caller-supplied (typically cached) enriched frame. */
+  def salesIncentiveFrom(enriched: DataFrame): DataFrame =
+    salesIncentiveFromMonthly(salesPersonMonthlyFrom(enriched))
+
+  private def salesIncentiveFromMonthly(monthly: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("store_id"), col("sales_month"))
       .orderBy(col("total_dec").desc)
     // 1% and the rounding both stay in the exact decimal domain: round() on a
@@ -83,7 +98,7 @@ object Metrics {
     // rendering, C-family engines round the binary value), while decimal round is
     // HALF_UP on positives everywhere.
     val pct = lit(new java.math.BigDecimal("0.01"))
-    salesPersonMonthly(spark, sfDir)
+    monthly
       .withColumn("rnk", rank().over(w))
       .withColumn(
         "incentive",

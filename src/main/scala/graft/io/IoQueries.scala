@@ -1,0 +1,88 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.Tables
+import graft.etl.Marts
+import graft.ledger.JdbcLedger
+import graft.pipeline.{PipelineConfig, SalesEtlJob}
+
+/** Oracle-checkable drivers for the I/O + control-plane surface. Sinks and the
+  * orchestrator are side-effecting, so each query here performs the effect into
+  * a per-scale-factor scratch area and returns the READ-BACK data — the oracle
+  * then checks the round trip end-to-end (write fidelity, not just plan
+  * shape).
+  */
+object IoQueries {
+
+  private def scratch(sub: String, sfDir: String): String = {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    s"/root/repo/target/tmp/$sub/$sfName"
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]()).forEach(f => Files.delete(f))
+  }
+
+  /** S2+S6: write `customer` over JDBC (embedded Derby), read it back. */
+  def jdbcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val conn = JdbcConn(s"jdbc:derby:${scratch("derby_rt", sfDir)};create=true")
+    Jdbc.write(Tables.customer(spark, sfDir), conn, "customer_rt", SaveMode.Overwrite)
+    Jdbc.read(spark, conn, "customer_rt")
+  }
+
+  /** S4: partitioned parquet sink of the sales mart, read back through the
+    * partition-discovery path. Partition columns come back as path-inferred
+    * types, so they are cast back to the mart's declared types for the compare.
+    */
+  def partitionedSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val base = scratch("sink_rt", sfDir)
+    val path = ParquetSink.writePartitioned(
+      Marts.salesTeamMart(spark, sfDir), base, "run", Seq("sales_month", "store_id"))
+    spark.read.parquet(path)
+      .withColumn("store_id", col("store_id").cast("int"))
+      .withColumn("sales_month", col("sales_month").cast("string"))
+      .select("store_id", "store_name", "sales_person_id", "sales_person_name",
+        "order_id", "sales_date", "total_cost", "sales_month")
+  }
+
+  /** The whole pipeline (C1–C7 + ingest + enrich + marts + metrics) end to end:
+    * stage the lineitem CSV drop into a fresh scratch input dir, run
+    * [[SalesEtlJob]] with a Derby ledger and Derby metric sink, and return the
+    * customer metric read back over JDBC — the oracle recomputes it straight
+    * from the source tables, so ingest→enrich→aggregate→JDBC-write→JDBC-read
+    * must all be lossless for this to match.
+    */
+  def pipelineEndToEnd(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val root = scratch("pipeline", sfDir)
+    deleteRecursively(root)
+    val inputDir = s"$root/input"
+    Files.createDirectories(Paths.get(inputDir))
+
+    // stage the CSV drop: the same lineitem CSV parts the ingest query uses,
+    // plus a wrong-type file that must be quarantined, not processed
+    val csvDir = graft.ops.Relational.csvCopyOfLineitem(spark, sfDir)
+    new java.io.File(csvDir).listFiles().filter(_.getName.endsWith(".csv")).foreach { f =>
+      Files.copy(f.toPath, Paths.get(inputDir, f.getName))
+    }
+    Files.writeString(Paths.get(inputDir, "notes.txt"), "not a csv")
+
+    val metricsConn = JdbcConn(s"jdbc:derby:$root/metricsdb;create=true")
+    val cfg = PipelineConfig(
+      inputDir = inputDir,
+      stagingBase = s"$root/staging",
+      martBase = s"$root/marts",
+      sfDir = sfDir,
+      runId = "run_0001",
+      runDate = java.time.LocalDate.of(2026, 1, 1))
+    SalesEtlJob.run(spark, cfg, JdbcLedger.derby(s"$root/ledgerdb"),
+      (df, table) => Jdbc.write(df, metricsConn, table))
+    Jdbc.read(spark, metricsConn, "customer_monthly_purchase")
+  }
+}

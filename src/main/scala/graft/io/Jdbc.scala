@@ -1,0 +1,42 @@
+package graft.io
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC source/sink — the reference reads every dimension table and writes both
+  * metric tables over JDBC (`/root/reference/src/utils/utility.py:51-60` reader,
+  * `:63-77` writer). Re-expressed as thin wrappers over Spark's JDBC data
+  * source, with two deliberate fixes:
+  *
+  *  - Errors PROPAGATE. The reference's writer swallows every exception into a
+  *    returned message set (`utility.py:75-77`), so a failed metrics write looks
+  *    like success and the ledger still flips to COMPLETED. Here a failed write
+  *    throws and the pipeline aborts before finalizing.
+  *  - Connection details travel as a value ([[JdbcConn]]), not module globals.
+  *
+  * Tests and the correctness gate run against embedded Derby (in the Spark
+  * distribution); against a real warehouse the same code takes a MySQL/Postgres
+  * URL. Reads are executor-side (each partition opens its own connection);
+  * `partitionColumn` options can be layered on for large tables.
+  */
+final case class JdbcConn(url: String, user: Option[String] = None, password: Option[String] = None) {
+  def properties: Properties = {
+    val p = new Properties()
+    user.foreach(p.setProperty("user", _))
+    password.foreach(p.setProperty("password", _))
+    p
+  }
+}
+
+object Jdbc {
+
+  /** S2: load a table over JDBC. */
+  def read(spark: SparkSession, conn: JdbcConn, table: String): DataFrame =
+    spark.read.jdbc(conn.url, table, conn.properties)
+
+  /** S6: append a DataFrame to a JDBC table (created on first write). */
+  def write(df: DataFrame, conn: JdbcConn, table: String,
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).jdbc(conn.url, table, conn.properties)
+}

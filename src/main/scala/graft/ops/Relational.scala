@@ -27,7 +27,7 @@ object Relational {
     * CSV ingest path is exercised against real files. Deterministic: content derives
     * only from the source parquet.
     */
-  private def csvCopyOfLineitem(spark: SparkSession, sfDir: String): String = synchronized {
+  private[graft] def csvCopyOfLineitem(spark: SparkSession, sfDir: String): String = synchronized {
     val sfName = Paths.get(sfDir).getFileName.toString
     val dest = s"/root/repo/target/tmp/csv/$sfName/lineitem"
     if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {

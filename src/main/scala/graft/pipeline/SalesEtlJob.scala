@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.Tables
+import graft.etl.{Enrich, Marts, Metrics}
+import graft.ingest.CsvBatchReader
+import graft.io.{ArchiveService, ParquetSink}
+import graft.ledger.Ledger
+
+/** The end-to-end ETL orchestrator — the Scala `run_pipeline`
+  * (`/root/reference/src/main_1.py:683-829`, SURVEY §3.1), chaining
+  *
+  *   C1 inflight check → C2 quarantine unknowns → C3 type gate →
+  *   C4 idempotency filter → ingest/validate → C5 ledger START →
+  *   enrich (cached) → marts (parquet sinks) → metrics (caller's sink) →
+  *   C7 archive → C6 ledger COMPLETED.
+  *
+  * Reference bugs fixed here by design (SURVEY §2.10):
+  *  - "nothing left to process" raises [[NoWorkException]] instead of passing
+  *    `None` into the validator (`main_1.py:242-247` → crash at `:764`);
+  *  - the enriched frame is persisted once and every mart/metric reuses it —
+  *    the reference recomputes the scan+join lineage ≥6× (`main_1.py:784-795`);
+  *  - metric-write failures propagate (see [[graft.io.Jdbc]]), so the ledger
+  *    can never flip to COMPLETED after a half-failed run;
+  *  - one run stamp for the whole run (`cfg.runId`), not one `datetime.now()`
+  *    per helper call.
+  */
+final case class PipelineConfig(
+    inputDir: String,
+    stagingBase: String, // wrong_files/, already_processed/, processed/ land under here
+    martBase: String,    // customer_mart/, sales_mart/ land under here
+    sfDir: String,       // dimension + orders tables (parquet)
+    runId: String,
+    runDate: java.time.LocalDate)
+
+final case class RunReport(
+    validFiles: Seq[String],
+    wrongTypeFiles: Seq[String],
+    badSchemaFiles: Seq[String],
+    emptyFiles: Seq[String],
+    skippedAlreadyProcessed: Seq[String],
+    customerMartPath: String,
+    salesMartPath: String,
+    customerMetricRows: Long,
+    incentiveRows: Long)
+
+final class NoWorkException(msg: String) extends RuntimeException(msg)
+
+object SalesEtlJob {
+
+  private def baseName(p: String): String = new Path(p).getName
+
+  /** Run the pipeline once. `writeMetrics(df, tableName)` is the metric sink —
+    * JDBC append in production (`graft.io.Jdbc.write(df, conn, table)`), a
+    * test-local sink in specs.
+    */
+  def run(
+      spark: SparkSession,
+      cfg: PipelineConfig,
+      ledger: Ledger,
+      writeMetrics: (DataFrame, String) => Unit): RunReport = {
+
+    val archive = new ArchiveService(spark.sparkContext.hadoopConfiguration)
+
+    // C1: refuse to start over a half-finished previous run.
+    val present = archive.list(cfg.inputDir)
+    val stuck = ledger.inflight(present.map(baseName))
+    if (stuck.nonEmpty)
+      throw new IllegalStateException(
+        s"previous run left ${stuck.size} file(s) in START state (${stuck.take(3).mkString(", ")}…); " +
+          "manual intervention required")
+
+    // C3: only CSVs proceed; everything else is quarantined.
+    val (csvs, wrongType) = CsvBatchReader.partitionByExtension(present)
+    archive.moveInto(wrongType, s"${cfg.stagingBase}/wrong_files/${cfg.runId}")
+
+    // C4: drop files a previous run already completed.
+    val done = ledger.completed(csvs.map(baseName)).toSet
+    val (skip, todo) = csvs.partition(f => done.contains(baseName(f)))
+    archive.moveInto(skip, s"${cfg.stagingBase}/already_processed/${cfg.runId}")
+    if (todo.isEmpty)
+      throw new NoWorkException(s"no files left to process in ${cfg.inputDir}")
+
+    // Ingest + validate (P1-P3, U1); bad/empty files quarantined.
+    val load = CsvBatchReader.validateAndLoad(
+      spark, todo, Tables.lineitemSchema.fieldNames.toSeq, Some(Tables.lineitemSchema))
+    archive.moveInto(load.badSchemaFiles, s"${cfg.stagingBase}/wrong_files/${cfg.runId}")
+    archive.moveInto(load.emptyFiles, s"${cfg.stagingBase}/wrong_files/${cfg.runId}")
+    val fact = load.data.getOrElse(
+      throw new NoWorkException("every remaining file failed validation"))
+
+    // C5: evidence in the ledger BEFORE any data write.
+    ledger.insertStart(load.validFiles.map(baseName), cfg.inputDir, cfg.runDate)
+
+    // Enrich once, reuse everywhere (marts + both metrics = 4 consumers).
+    val enriched = Enrich.enrichedFromFact(
+      Enrich.salesFactFrom(fact.drop(CsvBatchReader.AdditionalColumn), spark, cfg.sfDir),
+      spark, cfg.sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val customerMart = Marts.customerMartFrom(enriched)
+      val salesMart = Marts.salesTeamMartFrom(enriched)
+
+      val customerMartPath =
+        ParquetSink.writeRunStamped(customerMart, s"${cfg.martBase}/customer_mart", cfg.runId)
+      val salesMartPath = ParquetSink.writePartitioned(
+        salesMart, s"${cfg.martBase}/sales_mart", cfg.runId, Seq("sales_month", "store_id"))
+
+      val customerMetric = Metrics.customerMonthlyFrom(enriched)
+      val incentive = Metrics.salesIncentiveFrom(enriched)
+      writeMetrics(customerMetric, "customer_monthly_purchase")
+      writeMetrics(incentive, "sales_team_incentive")
+
+      // C7 then C6: archive first, finalize last — a crash between the two
+      // leaves START rows, which C1 catches next run (reference order,
+      // `main_1.py:620-676`).
+      archive.moveInto(load.validFiles, s"${cfg.stagingBase}/processed/${cfg.runId}")
+      ledger.markCompleted(load.validFiles.map(baseName))
+
+      RunReport(
+        validFiles = load.validFiles,
+        wrongTypeFiles = wrongType,
+        badSchemaFiles = load.badSchemaFiles,
+        emptyFiles = load.emptyFiles,
+        skippedAlreadyProcessed = skip,
+        customerMartPath = customerMartPath,
+        salesMartPath = salesMartPath,
+        customerMetricRows = customerMetric.count(),
+        incentiveRows = incentive.count())
+    } finally enriched.unpersist()
+  }
+}
