@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Near-dup pipeline invariants that the oracle can't see: the short-text
+  * shingle guard (Spark's sequence() reverses when start > stop) and the
+  * survivor choice in exact dedup.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("shingle guard: texts shorter than q yield empty gram sets, not fabricated grams") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "abcd"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = docs
+      .select($"doc_id", DedupTestHook.shingles($"text", 3).as("grams"))
+      .selectExpr("doc_id", "size(grams) AS n")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out(1L) == 0) // "ab" shorter than 3 → empty, NOT [positions 1,0]
+    assert(out(2L) == 2) // "abcd" → abc, bcd
+    assert(out(3L) == 0)
+  }
+
+  test("exact dedup keeps the lowest doc_id as survivor and counts copies") {
+    import spark.implicits._
+    Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents_fixture")
+    val out = spark.table("documents_fixture")
+      .groupBy(org.apache.spark.sql.functions.md5(
+        TextAnalysis.normText(org.apache.spark.sql.functions.col("text"))).as("fp"))
+      .agg(
+        org.apache.spark.sql.functions.min("doc_id").as("keep_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_copies"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("LSH candidate generation finds exact duplicates and the verify confirms them") {
+    import spark.implicits._
+    val d = tmpDir("deduptest")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", 59),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "en", 59),
+      (3L, "completely different content with no overlap to speak of at all", "en", 63))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = Dedup.ngramJaccard(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // identical docs found; unrelated doc not paired
+  }
+}
+
+/** Test access to the package-private shingle builder. */
+object DedupTestHook {
+  def shingles(c: org.apache.spark.sql.Column, q: Int): org.apache.spark.sql.Column =
+    graft.ops.Dedup.shingles(c, q)
+}
