@@ -72,10 +72,20 @@ object Dedup {
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /** MinHash signatures, long form: (doc_id, h_idx, minhash). One md5 per
-    * distinct shingle, then 16 affine integer mixes; the signature entry is the
-    * minimum over the document's distinct 4-gram shingles.
+    * shingle, then 16 affine integer mixes; the signature entry is the minimum
+    * over the document's 4-gram shingles. Evaluated by the native
+    * [[graft.functions.MinhashSigExpr]] — one JVM loop per document.
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinhashSigExpr(TextAnalysis.normText(col("text"))))
+          .as(Seq("h_idx", "minhash")))
+
+  /** The same signature as pure built-in HOFs (`transform`/`array_min`), kept
+    * as the executable specification the native expression is tested against.
+    */
+  private[graft] def minhashSignaturesHof(spark: SparkSession, sfDir: String): DataFrame = {
     val sigEntries = (0 until MinhashFuncs).map { i =>
       array_min(transform(
         col("hgrams"),
@@ -112,11 +122,35 @@ object Dedup {
     * verify computes |∩|/|∪| over distinct 3-gram sets and keeps pairs with
     * similarity ≥ 0.5 in the same language within a ±20-char length window.
     *
-    * This closes the canonical shingle → signature → band → verify loop: the
-    * expensive `array_intersect` runs on |candidates| pairs only. The two
-    * doc_id equi-joins hydrating gram arrays are linear shuffles.
+    * This closes the canonical shingle → signature → band → verify loop. The
+    * two doc_id equi-joins hydrate the NORMALIZED TEXT (not gram arrays) of
+    * candidate docs — linear shuffles of compact strings — and the per-pair
+    * set intersection runs natively in [[graft.functions.NgramJaccardExpr]].
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.normText(col("text")).as("norm"))
+    val cands = lshCandidatePairs(spark, sfDir)
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+      col("n_chars").as("nc_a"), col("norm").as("norm_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"), col("norm").as("norm_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .filter(col("lang_a") === col("lang_b") &&
+        abs(col("nc_a") - col("nc_b")) <= 20)
+      .withColumn("jc", graft.functions.NgramJaccardExpr(col("norm_a"), col("norm_b"), 3))
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("jc.n_common").as("n_common"),
+        col("jc.jaccard").as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** The same verify as pure built-ins (gram arrays + `array_intersect`), kept
+    * as the executable specification the native expression is tested against.
+    */
+  private[graft] def ngramJaccardHof(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         shingles(col("text"), 3).as("grams"))
