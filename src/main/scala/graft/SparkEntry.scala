@@ -53,6 +53,7 @@ object SparkEntry {
     "q29_media_decode"     -> ((s, d) => Multimodal.decodeFeatures(s, d).toDF()),
     "q30_stream_hourly"    -> ((s, d) => EventStream.hourlyRollupAvailableNow(s, d)),
     "q31_jdbc_roundtrip"   -> ((s, d) => graft.io.IoQueries.jdbcRoundtrip(s, d)),
+    "q34_stream_sessionize" -> ((s, d) => graft.streaming.SessionStream.sessionizeAvailableNow(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -432,6 +433,27 @@ object SparkEntry {
 
     "q31_jdbc_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+
+    // identical to q15: one AvailableNow batch through the stateful
+    // sessionizer must reproduce the batch sessionization
+    "q34_stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
 
     // identical to q11: the partitioned write + partition-discovery read must
     // be lossless down to the partition-key values

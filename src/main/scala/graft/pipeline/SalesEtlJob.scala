@@ -31,11 +31,12 @@ import graft.ledger.Ledger
   */
 final case class PipelineConfig(
     inputDir: String,
-    stagingBase: String, // wrong_files/, already_processed/, processed/ land under here
+    stagingBase: String, // wrong_files/, unknown/, already_processed/, processed/ land under here
     martBase: String,    // customer_mart/, sales_mart/ land under here
     sfDir: String,       // dimension + orders tables (parquet)
     runId: String,
-    runDate: java.time.LocalDate)
+    runDate: java.time.LocalDate,
+    workDir: Option[String] = None) // scratch dir swept for unknown leftovers (C2)
 
 final case class RunReport(
     validFiles: Seq[String],
@@ -73,6 +74,12 @@ object SalesEtlJob {
       throw new IllegalStateException(
         s"previous run left ${stuck.size} file(s) in START state (${stuck.take(3).mkString(", ")}…); " +
           "manual intervention required")
+
+    // C2: leftovers of unknown origin in the work area are quarantined, never
+    // silently reprocessed (`main_1.py:89-105`).
+    cfg.workDir.foreach { wd =>
+      archive.moveInto(archive.list(wd), s"${cfg.stagingBase}/unknown/${cfg.runId}")
+    }
 
     // C3: only CSVs proceed; everything else is quarantined.
     val (csvs, wrongType) = CsvBatchReader.partitionByExtension(present)

@@ -42,7 +42,7 @@ object EventStream {
     * events once per scale factor. Deterministic: content derives only from the
     * source parquet.
     */
-  private def eventsDir(spark: SparkSession, sfDir: String): String = synchronized {
+  private[streaming] def eventsDir(spark: SparkSession, sfDir: String): String = synchronized {
     val sfName = Paths.get(sfDir).getFileName.toString
     val dest = s"/root/repo/target/tmp/events/$sfName"
     if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {

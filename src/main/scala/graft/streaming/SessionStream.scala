@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.time.{Duration, LocalDateTime}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Event coming off the stream (ts is microsecond TIMESTAMP_NTZ). */
+final case class SessionEvent(
+    event_id: Long, ts: LocalDateTime, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** The in-flight session kept in the state store per user. */
+final case class OpenSession(start: LocalDateTime, end: LocalDateTime, n: Long, cents: Long)
+final case class UserSessionState(nextSeq: Long, open: Option[OpenSession])
+
+/** One emitted (possibly still-open) session. */
+final case class SessionRow(
+    user_id: Long, session_seq: Long,
+    session_start: LocalDateTime, session_end: LocalDateTime,
+    n_events: Long, session_value: Double)
+
+/** Stateful streaming sessionization — `flatMapGroupsWithState` over
+  * `groupByKey(user_id)`, the custom-state tier of the Structured Streaming
+  * surface (SURVEY §2.9). Gap rule identical to the batch
+  * [[graft.ops.Events.sessionize]], which is the oracle contract: a new
+  * session starts when an event arrives more than 30 minutes after the
+  * previous one.
+  *
+  * State per user is ONE open session + a sequence counter — constant bytes
+  * per user in the executors' state store, never the event history. Each
+  * micro-batch emits every session it touched (update semantics): closed
+  * sessions are final, the open session is re-emitted with its latest extent
+  * on each batch that extends it. Money is carried as exact integer cents and
+  * converted to double once on emit, matching the batch query's
+  * decimal-domain sum.
+  *
+  * Production notes: add `withWatermark` + `GroupStateTimeout.EventTimeTimeout`
+  * to close idle sessions and bound state; the in-batch sort below is per
+  * (user, batch) — fine when one user's events per micro-batch fit in memory,
+  * which a time-based trigger guarantees in practice.
+  */
+object SessionStream {
+
+  val GapMinutes = 30L
+
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  private def emit(userId: Long, seq: Long, o: OpenSession): SessionRow =
+    SessionRow(userId, seq, o.start, o.end, o.n,
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(o.cents), 2).doubleValue())
+
+  private[streaming] def updateUser(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[UserSessionState]): Iterator[SessionRow] = {
+    val evs = events.toArray.sortBy(e => (e.ts, e.event_id))
+    val st = state.getOption.getOrElse(UserSessionState(1L, None))
+    var seq = st.nextSeq
+    var open = st.open
+    val out = ArrayBuffer.empty[SessionRow]
+    evs.foreach { e =>
+      open match {
+        case Some(o) if Duration.between(o.end, e.ts).compareTo(Duration.ofMinutes(GapMinutes)) <= 0 =>
+          open = Some(OpenSession(o.start, e.ts, o.n + 1, o.cents + cents(e.value)))
+        case Some(o) =>
+          out += emit(userId, seq, o) // closed by the gap — final
+          seq += 1
+          open = Some(OpenSession(e.ts, e.ts, 1, cents(e.value)))
+        case None =>
+          open = Some(OpenSession(e.ts, e.ts, 1, cents(e.value)))
+      }
+    }
+    open.foreach(o => out += emit(userId, seq, o)) // still-open session, update semantics
+    state.update(UserSessionState(seq, open))
+    out.iterator
+  }
+
+  /** Run the sessionizer over the events directory to completion
+    * (AvailableNow) and return the final per-session rows. With the whole
+    * input in one batch this equals the batch sessionize — the oracle checks
+    * exactly that.
+    */
+  def sessionizeAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .parquet(EventStream.eventsDir(spark, sfDir))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateUser)
+    val name = s"graft_stream_sessions_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select(
+      col("user_id"), col("session_seq"),
+      col("session_start"), col("session_end"),
+      col("n_events"), col("session_value"))
+  }
+}

@@ -82,6 +82,17 @@ class SalesEtlJobSpec extends SparkSpec {
       report.validFiles.map(f => Paths.get(f).getFileName.toString).sorted)
   }
 
+  test("unknown leftovers in the work dir are quarantined before processing (C2)") {
+    val (root, cfg0, ledger, metricRows) = setup()
+    val workDir = s"$root/work"
+    Files.createDirectories(Paths.get(workDir))
+    Files.writeString(Paths.get(workDir, "leftover.bin"), "who knows")
+    val cfg = cfg0.copy(workDir = Some(workDir))
+    SalesEtlJob.run(spark, cfg, ledger, metricSink(metricRows))
+    assert(Files.exists(Paths.get(s"${cfg.stagingBase}/unknown/r1/leftover.bin")))
+    assert(!Files.exists(Paths.get(workDir, "leftover.bin")))
+  }
+
   test("a file stuck in START from a crashed run aborts the next run (C1)") {
     val (_, cfg, ledger, metricRows) = setup()
     val firstCsv = new java.io.File(cfg.inputDir).listFiles()
