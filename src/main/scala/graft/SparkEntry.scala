@@ -54,6 +54,8 @@ object SparkEntry {
     "q30_stream_hourly"    -> ((s, d) => EventStream.hourlyRollupAvailableNow(s, d)),
     "q31_jdbc_roundtrip"   -> ((s, d) => graft.io.IoQueries.jdbcRoundtrip(s, d)),
     "q34_stream_sessionize" -> ((s, d) => graft.streaming.SessionStream.sessionizeAvailableNow(s, d)),
+    "q35_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q36_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -97,6 +99,28 @@ object SparkEntry {
        |      v -> ($aList[CAST(h.i AS INT) + 1] * v + $bList[CAST(h.i AS INT) + 1]) % ${graft.ops.Dedup.HashP})) AS minhash
        |  FROM hg CROSS JOIN (SELECT unnest(range(0, 16)) AS i) h)""".stripMargin
   }
+
+  /** DuckDB twin of the SimHash fingerprint (Dedup.simhash): token hashes via
+    * the 48-bit Horner polynomial, ±1 votes per bit, bit set iff positive.
+    */
+  private val simhashCte: String =
+    """h AS (
+      |  SELECT doc_id,
+      |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, length(t) + 1),
+      |               j -> CAST(ascii(substr(t, CAST(j AS INT), 1)) AS BIGINT))),
+      |             (acc, c) -> (acc * 131 + c) % 281474976710656)) AS hashes
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 48),
+      |      b -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                       list_transform(hashes, v -> (v >> CAST(b AS INT)) % 2 * 2 - 1)),
+      |                       (s, x) -> s + x) > 0
+      |           THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)),
+      |      (acc, x) -> acc + x) AS simhash
+      |  FROM h)""".stripMargin
 
   /** DuckDB twin of Similarity's integer-scaled vectors + exact int64 norms. */
   private val scaledVecs: String =
@@ -301,22 +325,41 @@ object SparkEntry {
          | AND a.doc_id < b.doc_id""".stripMargin,
 
     "q20_simhash" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(range(1, length(t) + 1),
-        |               j -> CAST(ascii(substr(t, CAST(j AS INT), 1)) AS BIGINT))),
-        |             (acc, c) -> (acc * 131 + c) % 281474976710656)) AS hashes
-        |  FROM documents)
-        |SELECT doc_id,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 48),
-        |    b -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |                     list_transform(hashes, v -> (v >> CAST(b AS INT)) % 2 * 2 - 1)),
-        |                     (s, x) -> s + x) > 0
-        |         THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE CAST(0 AS BIGINT) END)),
-        |    (acc, x) -> acc + x) AS simhash
-        |FROM h""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+
+    "q35_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, b.i AS band_idx,
+         |    (simhash >> CAST(b.i * 12 AS INT)) & 4095 AS band_val
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin,
+
+    "q36_ivf_topk" ->
+      s"""WITH $scaledVecs,
+         |c AS (SELECT vec_id AS cent_id, svec AS cvec, norm2 AS cnorm2 FROM w WHERE vec_id < 16),
+         |ac AS (SELECT w.vec_id, w.svec, w.norm2, c.cent_id,
+         |         row_number() OVER (PARTITION BY w.vec_id
+         |           ORDER BY ${cosine("w.svec", "cvec", "w.norm2", "cnorm2")} DESC, c.cent_id ASC) AS rn
+         |       FROM w CROSS JOIN c),
+         |asg AS (SELECT vec_id, svec, norm2, cent_id AS cell FROM ac WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, svec AS qvec, norm2 AS qnorm2, cell AS qcell
+         |      FROM asg WHERE vec_id < 20),
+         |cand AS (SELECT query_id, vec_id,
+         |           ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |         FROM q JOIN asg ON qcell = cell AND query_id <> vec_id)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk,
+         |  cosine
+         |FROM cand QUALIFY rk <= 3""".stripMargin,
 
     "q21_token_stats" ->
       """SELECT doc_id,

@@ -200,4 +200,37 @@ object Dedup {
       .select(col("doc_id"), hashes.as("hashes"))
       .select(col("doc_id"), sim.as("simhash"))
   }
+
+  val SimhashBands = 4
+  val SimhashBandBits = 12
+
+  /** SimHash near-dup pairs within Hamming distance ≤ `maxHamming`, found by
+    * banding: the 48-bit fingerprint splits into 4 bands of 12 bits, and a pair
+    * within Hamming 3 must agree on at least one full band (pigeonhole — 3
+    * differing bits cannot touch all 4 bands), so the band equi-join has
+    * COMPLETE recall, not probabilistic. Only (band_idx, 12-bit value) keys
+    * shuffle; the popcount filter runs on candidates only. This closes the
+    * SimHash pipeline the same way LSH closes MinHash: fingerprint → band →
+    * bucket-join → verify.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    val mask = (1L << SimhashBandBits) - 1
+    val bandVals = (0 until SimhashBands).map(b =>
+      shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(lit(mask)))
+    val bands = simhash(spark, sfDir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

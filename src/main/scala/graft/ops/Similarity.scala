@@ -93,6 +93,43 @@ object Similarity {
         col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** IVF-style ANN: a fixed coarse quantizer (the first `nCentroids` vectors
+    * serve as deterministic centroids) assigns every vector to its nearest
+    * cell in ONE broadcast pass (n·k cosines, linear); a query then searches
+    * only its own cell via an equi-join on the cell id. This is the inverted-
+    * file shape — quantize, route, search-within-cell — with the k-means
+    * training step replaced by fixed seeds so every stage stays deterministic
+    * and oracle-checkable. Recall improves with multi-cell probing exactly
+    * like [[nearDupPairs]]'s probe ring; the join shape is unchanged.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, nCentroids: Int = 16,
+      nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+    val cents = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("svec").as("cvec"), col("norm2").as("cnorm2"))
+    val toCent = cosine(col("svec"), col("cvec"), col("norm2"), col("cnorm2"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val assigned = vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("svec"), col("norm2"), col("cent_id"), toCent.as("cent_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("svec"), col("norm2"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("svec").as("qvec"),
+        col("norm2").as("qnorm2"), col("cell").as("qcell"))
+    val cos = cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(q).join(assigned,
+        col("qcell") === col("cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-blocked with multi-probe: candidate
     * pairs have sign buckets within Hamming distance 1 (6 bits → 64 buckets, so
     * per-bucket population is n/64 and within-bucket pair work is (n/64)²·64 =

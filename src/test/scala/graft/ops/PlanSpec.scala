@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.etl.{Enrich, Metrics}
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100× scale-up are asserted here so a refactor cannot silently lose them
+  * — filter/column pushdown into the parquet scans, broadcast joins on the
+  * dims, partial (map-side) aggregation, and no cartesian products.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 filter pushes predicates and column pruning into the parquet scan") {
+    val p = plan(Relational.filterShipments(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // pruned read schema: 6 projected + 1 filter-only column, not all 11
+    assert(!p.contains("l_tax"))
+  }
+
+  test("enrichment broadcasts every dimension (zero dim-side shuffles)") {
+    val p = plan(Enrich.enriched(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3) // customer, supplier, nation
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("customer monthly metric aggregates map-side before the shuffle") {
+    val p = plan(Metrics.customerMonthly(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+    // the idiomatic groupBy form must not materialize a Window
+    assert(!p.contains("Window"))
+  }
+
+  test("LSH candidate join is an equi-join on band keys, never a cross join") {
+    val p = plan(Dedup.lshCandidatePairs(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("embedding near-dup join is an equi-join on probe buckets") {
+    val p = plan(Similarity.nearDupPairs(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the scalar surface") {
+    // "*(1)" marks a WholeStageCodegen stage in the executed-plan rendering
+    val p = plan(Relational.scalarShowcase(spark, sf))
+    assert(p.contains("*(1)"))
+  }
+}
