@@ -56,6 +56,8 @@ object SparkEntry {
     "q34_stream_sessionize" -> ((s, d) => graft.streaming.SessionStream.sessionizeAvailableNow(s, d)),
     "q35_simhash_pairs"    -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q36_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q37_media_resize"     -> ((s, d) => Multimodal.resizeFeatures(s, d).toDF()),
+    "q38_frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d).toDF()),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -467,6 +469,29 @@ object SparkEntry {
          |  CAST(1 + ${hexByte("h", 1)} % 128 AS INTEGER) AS fake_width,
          |  CAST(1 + ${hexByte("h", 31)} % 128 AS INTEGER) AS fake_height
          |FROM (SELECT doc_id, md5(text) AS h FROM documents)""".stripMargin,
+
+    "q37_media_resize" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, 'image/fake' AS media_type,
+         |    CAST(1 + ${hexByte("h", 1)} % 128 AS INTEGER) AS orig_width,
+         |    CAST(1 + ${hexByte("h", 31)} % 128 AS INTEGER) AS orig_height
+         |  FROM (SELECT doc_id, md5(text) AS h FROM documents)),
+         |s AS (
+         |  SELECT *, least(CAST(1.0 AS DOUBLE),
+         |    CAST(32.0 AS DOUBLE) / orig_width,
+         |    CAST(32.0 AS DOUBLE) / orig_height) AS scale
+         |  FROM dims)
+         |SELECT doc_id, media_type, orig_width, orig_height,
+         |  CAST(greatest(1, floor(orig_width * scale)) AS INTEGER) AS width,
+         |  CAST(greatest(1, floor(orig_height * scale)) AS INTEGER) AS height,
+         |  scale
+         |FROM s""".stripMargin,
+
+    "q38_frame_sample" ->
+      """SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+        |  CAST(f.i * 1000 AS BIGINT) AS frame_ms,
+        |  md5(concat(to_base64(from_hex(md5(text))), ':', f.i)) AS frame_checksum
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS i) f""".stripMargin,
 
     "q30_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

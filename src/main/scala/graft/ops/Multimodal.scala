@@ -77,4 +77,50 @@ object Multimodal {
     mediaTable(spark, sfDir).as[MediaRow]
       .mapPartitions(_.map(FakeCodec.decode))
   }
+
+  /** A decoded-and-resized media row. `scale` is the applied factor. */
+  final case class ResizedMedia(
+      doc_id: Long, media_type: String,
+      orig_width: Int, orig_height: Int,
+      width: Int, height: Int, scale: Double)
+
+  /** Resize to fit a `box`×`box` bounding box preserving aspect ratio — the
+    * standard pre-embedding normalization step. Arithmetic is plain IEEE
+    * double division + floor, identical across engines, so the stubbed
+    * "decode" stays oracle-checkable; a real codec swaps into the same
+    * partition-local map.
+    */
+  def resizeFeatures(spark: SparkSession, sfDir: String, box: Int = 32): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    decodeFeatures(spark, sfDir).mapPartitions(_.map { f =>
+      val scale = math.min(1.0, math.min(box.toDouble / f.fake_width, box.toDouble / f.fake_height))
+      ResizedMedia(f.doc_id, f.media_type, f.fake_width, f.fake_height,
+        width = math.max(1, math.floor(f.fake_width * scale).toInt),
+        height = math.max(1, math.floor(f.fake_height * scale).toInt),
+        scale = scale)
+    })
+  }
+
+  /** One sampled "video" frame: deterministic per (payload, index). */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_ms: Long, frame_checksum: String)
+
+  /** Frame sampling: a 1→N generator over the payload (flatMap — the
+    * explode-shaped media op). Only frame keys + checksums leave the executor;
+    * the payload itself is read once per partition and never shuffled. The
+    * stub derives each frame's checksum from the transport form + index; a
+    * real video codec would seek and decode keyframes in the same loop.
+    */
+  def frameSample(spark: SparkSession, sfDir: String, nFrames: Int = 3): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow].flatMap { r =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(r.payload)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until nFrames).map { i =>
+        val hex = md.digest(s"$b64:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        md.reset()
+        Frame(r.doc_id, i, i * 1000L, hex)
+      }
+    }
+  }
 }
