@@ -35,9 +35,25 @@ object Similarity {
   private def idot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** cos(a,b) from scaled vectors + precomputed squared norms. */
+  /** cos(a,b) over scaled vectors — evaluated natively by
+    * [[graft.functions.CosineSimExpr]] (one loop per pair). The norms are
+    * recomputed inline from the exact integer vectors, which yields the
+    * IDENTICAL double as the precomputed-norm formulation (same int64 values
+    * into the same sqrt/division), so the `na2`/`nb2` arguments exist only to
+    * keep call sites self-documenting; Catalyst prunes the unused columns.
+    */
   private def cosine(a: Column, b: Column, na2: Column, nb2: Column): Column =
-    idot(a, b).cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+    graft.functions.CosineSimExpr(a, b)
+
+  /** HOF formulation (zip_with + aggregate), the executable spec the native
+    * expression is tested against.
+    */
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    idot(a, b).cast("double") / (sqrt(idot(a, a).cast("double")) * sqrt(idot(b, b).cast("double")))
+
+  /** Test access to the scaled-vector projection. */
+  private[graft] def scaledVecs(spark: SparkSession, sfDir: String): DataFrame =
+    withScaled(Tables.embeddings(spark, sfDir))
 
   private def withScaled(df: DataFrame): DataFrame =
     df.select(

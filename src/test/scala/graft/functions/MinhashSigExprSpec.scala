@@ -36,6 +36,21 @@ class MinhashSigExprSpec extends SparkSpec {
     assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
   }
 
+  test("native cosine ≡ HOF formulation on sf0.001 embeddings") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.ops.Similarity.scaledVecs(spark, "/root/testdata/sf0.001")
+    val a = vecs.select(col("vec_id").as("id_a"), col("svec").as("va"))
+      .filter(col("id_a") < 30)
+    val b = vecs.select(col("vec_id").as("id_b"), col("svec").as("vb"))
+      .filter(col("id_b") >= 30 && col("id_b") < 60)
+    val pairs = a.crossJoin(b)
+    val diff = pairs.select(
+      CosineSimExpr(col("va"), col("vb")).as("fast"),
+      graft.ops.Similarity.cosineHof(col("va"), col("vb")).as("ref"))
+      .filter(col("fast") =!= col("ref")) // bit-exact, not approximate
+    assert(diff.count() == 0)
+  }
+
   test("multi-byte text shingles by code point, not byte") {
     import spark.implicits._
     // 4 CJK chars = 1 gram; byte-based shingling would see 12 bytes = 9 grams
