@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for the one join shape AQE cannot always save: a large
+  * probe side whose key distribution is dominated by a few hot keys, joined to
+  * a build side too big to broadcast. Hash-partitioning sends every hot-key row
+  * to one task; salting fans each key out over `nSalts` sub-keys.
+  *
+  * Probe rows get a per-row salt (row identity, NOT the key — salting by key
+  * would re-concentrate the hot key); build rows replicate once per salt value.
+  * The join result is salt-invariant, so correctness is deterministic even
+  * though salt assignment is not. Cost: build side shuffles nSalts× — worth it
+  * exactly when the hot key's single-task time exceeds that. For aggregations
+  * this is unnecessary (partial aggregation already combines map-side), and
+  * small dims should broadcast instead; this covers the remaining case.
+  */
+object Skew {
+
+  val SaltCol = "__graft_salt"
+
+  /** Inner equi-join `probe.key = build.key`, salted `nSalts` ways. Column set
+    * of the result = probe columns ++ build columns (as a plain inner join).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, nSalts: Int): DataFrame = {
+    require(nSalts > 0)
+    val saltedProbe = probe.withColumn(SaltCol, pmod(monotonically_increasing_id(), lit(nSalts)))
+    val replicatedBuild = build.withColumn(SaltCol,
+      explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+    saltedProbe.join(replicatedBuild,
+        saltedProbe(probeKey) === replicatedBuild(buildKey) &&
+        saltedProbe(SaltCol) === replicatedBuild(SaltCol))
+      .drop(SaltCol)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Scale-technique proofs: salted joins produce exactly the plain-join result
+  * while spreading hot keys, and bucketed tables co-locate their join with no
+  * shuffle exchange on either side.
+  */
+class SkewSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted join ≡ plain join on a skewed key distribution") {
+    import spark.implicits._
+    // hot key: 9000 of 10010 rows share key 1
+    val probe = ((1 to 9000).map(i => (1L, i)) ++ (1 to 1010).map(i => (i.toLong % 100 + 2, i)))
+      .toDF("k", "v")
+    val build = (1 to 120).map(i => (i.toLong, s"dim_$i")).toDF("bk", "name")
+    val plain = probe.join(build, probe("k") === build("bk"))
+    val salted = Skew.saltedJoin(probe, build, "k", "bk", nSalts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the physical join really is keyed on (key, salt)
+    val keys = salted.queryExecution.executedPlan.toString
+    assert(keys.contains(Skew.SaltCol))
+  }
+
+  test("bucketed tables join with zero shuffle exchanges (co-located)") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.core.Tables.orders(spark, sf)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    graft.core.Tables.lineitem(spark, sf)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange")) // bucket layout replaces both shuffles
+      assert(joined.count() == Enrichish.factCount(spark, sf))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
+
+private object Enrichish {
+  def factCount(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
+    graft.etl.Enrich.salesFact(spark, sf).count()
+}
