@@ -185,9 +185,17 @@ object Dedup {
 
   /** SimHash document fingerprint: for each of 48 bits, sum ±1 votes across all
     * token hashes (occurrences weighted); bit set iff the vote is positive.
-    * Near-dups share fingerprints (or differ in few bits).
+    * Near-dups share fingerprints (or differ in few bits). Evaluated by the
+    * native [[graft.functions.SimhashExpr]].
     */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.SimhashExpr(col("text")).as("simhash"))
+
+  /** The same fingerprint as pure built-in HOFs, kept as the executable
+    * specification the native expression is tested against.
+    */
+  private[graft] def simhashHof(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val hashes = transform(toks, t => tokenHash(t))
     // bit positions unrolled at plan-build time (shiftright needs a literal count)

@@ -36,6 +36,13 @@ class MinhashSigExprSpec extends SparkSpec {
     assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
   }
 
+  test("native simhash ≡ HOF formulation on sf0.001 documents") {
+    val sf = "/root/testdata/sf0.001"
+    val fast = Dedup.simhash(spark, sf)
+    val ref = Dedup.simhashHof(spark, sf)
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+
   test("native cosine ≡ HOF formulation on sf0.001 embeddings") {
     import org.apache.spark.sql.functions._
     val vecs = graft.ops.Similarity.scaledVecs(spark, "/root/testdata/sf0.001")
