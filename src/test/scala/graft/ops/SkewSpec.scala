@@ -26,9 +26,18 @@ class SkewSpec extends SparkSpec {
   }
 
   test("bucketed tables join with zero shuffle exchanges (co-located)") {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // drop catalog entries AND leftover physical locations from prior JVMs
+    // (a fresh in-memory catalog doesn't know about on-disk leftovers)
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(warehouse, t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
     graft.core.Tables.orders(spark, sf)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
     graft.core.Tables.lineitem(spark, sf)
