@@ -16,6 +16,8 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // pay JVM/codegen warmup before the clock starts, not inside the first query
+    spark.range(1000).selectExpr("sum(id)").collect()
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

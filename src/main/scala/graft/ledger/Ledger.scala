@@ -113,3 +113,16 @@ object JdbcLedger {
     new JdbcLedger(conn, table)
   }
 }
+
+/** No idempotency at all — the reference's earlier orchestrator generation
+  * (`/root/reference/src/main_0.py`: same flow, no staging-table checks).
+  * Running [[graft.pipeline.SalesEtlJob]] with this ledger reproduces that
+  * behavior: every delivered file processes every time.
+  */
+object NullLedger extends Ledger {
+  override def insertStart(fileNames: Seq[String], location: String,
+      createdDate: java.time.LocalDate): Unit = ()
+  override def markCompleted(fileNames: Seq[String]): Unit = ()
+  override def inflight(fileNames: Seq[String]): Seq[String] = Seq.empty
+  override def completed(fileNames: Seq[String]): Seq[String] = Seq.empty
+}

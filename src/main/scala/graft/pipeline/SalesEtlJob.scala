@@ -118,8 +118,12 @@ object SalesEtlJob {
       val salesMartPath = ParquetSink.writePartitioned(
         salesMart, s"${cfg.martBase}/sales_mart", cfg.runId, Seq("sales_month", "store_id"))
 
+      // persisted: each metric is consumed twice (sink + report count) and
+      // must not re-aggregate the enriched frame both times
       val customerMetric = Metrics.customerMonthlyFrom(enriched)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val incentive = Metrics.salesIncentiveFrom(enriched)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       writeMetrics(customerMetric, "customer_monthly_purchase")
       writeMetrics(incentive, "sales_team_incentive")
 
@@ -129,7 +133,7 @@ object SalesEtlJob {
       archive.moveInto(load.validFiles, s"${cfg.stagingBase}/processed/${cfg.runId}")
       ledger.markCompleted(load.validFiles.map(baseName))
 
-      RunReport(
+      val report = RunReport(
         validFiles = load.validFiles,
         wrongTypeFiles = wrongType,
         badSchemaFiles = load.badSchemaFiles,
@@ -139,6 +143,9 @@ object SalesEtlJob {
         salesMartPath = salesMartPath,
         customerMetricRows = customerMetric.count(),
         incentiveRows = incentive.count())
+      customerMetric.unpersist()
+      incentive.unpersist()
+      report
     } finally enriched.unpersist()
   }
 }
