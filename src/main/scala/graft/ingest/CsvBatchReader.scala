@@ -49,6 +49,29 @@ object CsvBatchReader {
 
   private final case class Probe(header: Seq[String], hasData: Boolean)
 
+  /** RFC-4180-style header split: commas inside double quotes don't separate,
+    * doubled quotes escape. Matches what Spark's CSV parser will read as the
+    * header so group schemas line up positionally.
+    */
+  private[ingest] def parseHeader(line: String): Seq[String] = {
+    val fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '"' if inQuotes && i + 1 < line.length && line.charAt(i + 1) == '"' =>
+          cur += '"'; i += 1
+        case '"' => inQuotes = !inQuotes
+        case ',' if !inQuotes => fields += cur.result().trim; cur.clear()
+        case c => cur += c
+      }
+      i += 1
+    }
+    fields += cur.result().trim
+    fields.result()
+  }
+
   /** Read the header line + an any-data probe straight from the file (Hadoop
     * FS, so `file://`, `hdfs://`, `s3a://` all work). Reads at most two lines.
     */
@@ -62,7 +85,7 @@ object CsvBatchReader {
         throw new java.io.IOException(s"no header line in $path"))
       var line = in.readLine()
       while (line != null && line.trim.isEmpty) line = in.readLine()
-      Probe(headerLine.split(",", -1).map(_.trim).toSeq, hasData = line != null)
+      Probe(parseHeader(headerLine), hasData = line != null)
     } finally in.close()
   }
 

@@ -85,6 +85,13 @@ class CsvBatchReaderSpec extends SparkSpec {
     assert(r.data.get.count() == 3) // union row count = sum of file row counts
   }
 
+  test("quoted header fields parse like Spark's CSV reader would") {
+    assert(CsvBatchReader.parseHeader("a,b,c") == Seq("a", "b", "c"))
+    assert(CsvBatchReader.parseHeader("\"x,y\",z") == Seq("x,y", "z"))
+    assert(CsvBatchReader.parseHeader("\"say \"\"hi\"\"\",b") == Seq("say \"hi\"", "b"))
+    assert(CsvBatchReader.parseHeader("one") == Seq("one"))
+  }
+
   test("file-type gate (C3) splits on extension, case-insensitively") {
     val (csv, other) = CsvBatchReader.partitionByExtension(
       Seq("a.csv", "b.CSV", "c.txt", "d.parquet"))
