@@ -1,0 +1,28 @@
+package graft.tools
+
+/** Ad-hoc plan audit main: prints executed plans (or summary flags) for the
+  * queries whose physical shape matters most at scale. Not part of the driver
+  * contract; used interactively alongside PlanSpec.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.core.SessionFactory.local(8, "graft-explain")
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      println(s"== $name: exchanges=${"Exchange".r.findAllIn(p).size}" +
+        s" reused=${p.contains("ReusedExchange")}" +
+        s" bhj=${"BroadcastHashJoin".r.findAllIn(p).size}" +
+        s" smj=${"SortMergeJoin".r.findAllIn(p).size}" +
+        s" cartesian=${p.contains("CartesianProduct")}")
+      if (sys.env.contains("GRAFT_EXPLAIN_FULL")) println(p)
+    }
+    audit("q17_ngram_jaccard", graft.ops.Dedup.ngramJaccard(spark, sf))
+    audit("q19_lsh_pairs", graft.ops.Dedup.lshCandidatePairs(spark, sf))
+    audit("q35_simhash_pairs", graft.ops.Dedup.simhashPairs(spark, sf))
+    audit("q27_embed_neardup", graft.ops.Similarity.nearDupPairs(spark, sf))
+    audit("q36_ivf_topk", graft.ops.Similarity.ivfTopK(spark, sf))
+    audit("q12_customer_monthly", graft.etl.Metrics.customerMonthly(spark, sf))
+    spark.stop()
+  }
+}

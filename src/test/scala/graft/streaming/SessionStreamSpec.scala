@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.streaming.TestGroupState
+
+import graft.SparkSpec
+
+/** Cross-micro-batch state semantics — the part the single-batch AvailableNow
+  * oracle (q34) cannot exercise: sessions must continue, close, and renumber
+  * correctly when a user's events arrive split across batches.
+  */
+class SessionStreamSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, v: Double) =
+    SessionEvent(id, LocalDateTime.parse(t), user_id = 7L, event_type = "click", v, "")
+
+  private def freshState(): TestGroupState[UserSessionState] =
+    TestGroupState.create[UserSessionState](
+      org.apache.spark.api.java.Optional.empty[UserSessionState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[Long](), false)
+
+  private def run(state: TestGroupState[UserSessionState], events: SessionEvent*) =
+    SessionStream.updateUser(7L, events.iterator, state).toSeq
+
+  test("a session spanning two batches continues, then closes on the gap") {
+    val state = freshState()
+
+    // batch 1: two events 10 min apart -> one open session
+    val out1 = run(state, ev(1, "2024-01-01T10:00:00", 1.0), ev(2, "2024-01-01T10:10:00", 2.0))
+    assert(out1.map(_.session_seq) == Seq(1L))
+    assert(out1.head.n_events == 2 && out1.head.session_value == 3.0)
+
+    // batch 2: 20 min later (within gap) extends it; then a 2h jump opens #2
+    val out2 = run(state,
+      ev(3, "2024-01-01T10:30:00", 4.0), ev(4, "2024-01-01T12:30:00", 8.0))
+    assert(out2.map(_.session_seq) == Seq(1L, 2L))
+    val closed = out2.head
+    assert(closed.n_events == 3 && closed.session_value == 7.0) // batch-1 state carried
+    assert(closed.session_start == LocalDateTime.parse("2024-01-01T10:00:00"))
+    assert(closed.session_end == LocalDateTime.parse("2024-01-01T10:30:00"))
+    assert(out2(1).n_events == 1 && out2(1).session_value == 8.0)
+
+    // state now holds session #2 open with nextSeq = 2
+    assert(state.get.nextSeq == 2L && state.get.open.get.n == 1L)
+  }
+
+  test("exactly 30 minutes is the same session; 30m01s is a new one") {
+    val s1 = freshState()
+    val boundary = run(s1, ev(1, "2024-01-01T10:00:00", 1.0), ev(2, "2024-01-01T10:30:00", 1.0))
+    assert(boundary.map(_.n_events) == Seq(2L))
+
+    val s2 = freshState()
+    val over = run(s2, ev(1, "2024-01-01T10:00:00", 1.0), ev(2, "2024-01-01T10:30:01", 1.0))
+    assert(over.map(_.n_events) == Seq(1L, 1L))
+  }
+}
