@@ -32,8 +32,10 @@ object Tables {
   /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which Spark 4
     * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read the raw nanos as
     * a long (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-    * TIMESTAMP_NTZ — lossless for this data (all values are whole microseconds)
-    * and matching DuckDB's own read of the same file (plain TIMESTAMP).
+    * TIMESTAMP_NTZ. The data DOES carry sub-microsecond digits; `div 1000`
+    * truncates toward zero, which matches DuckDB's own ns→µs truncation when it
+    * reads the same file as plain TIMESTAMP — for the positive epochs in this
+    * data the two agree exactly (a pre-1970 dataset would need floor, not div).
     *
     * The TimestampType→NTZ cast is wall-clock identity only under a UTC session
     * timezone, which every entry point ([[graft.Verify]], [[graft.Bench]], tests)

@@ -104,38 +104,50 @@ object CsvBatchReader {
       mandatory: Seq[String],
       schema: Option[StructType] = None): LoadResult = {
 
-    // driver-side metadata pass: header + emptiness, no Spark jobs
+    // driver-side metadata pass: header + emptiness, no Spark jobs.
+    // Duplicate header names are rejected up front — they would make the
+    // canonical select ambiguous later.
+    def headerOk(pr: Probe): Boolean =
+      (mandatory.toSet -- pr.header.toSet).isEmpty && pr.header.distinct.size == pr.header.size
+
     val probed: Seq[(String, Try[Probe])] = files.map(f => f -> Try(probe(spark, f)))
 
-    val bad = probed.collect {
+    var bad = probed.collect {
       case (f, t) if t.isFailure => f
-      case (f, scala.util.Success(pr)) if (mandatory.toSet -- pr.header.toSet).nonEmpty => f
-    }
+      case (f, scala.util.Success(pr)) if !headerOk(pr) => f
+    }.toVector
     val empty = probed.collect {
-      case (f, scala.util.Success(pr))
-        if (mandatory.toSet -- pr.header.toSet).isEmpty && !pr.hasData => f
+      case (f, scala.util.Success(pr)) if headerOk(pr) && !pr.hasData => f
     }
-    val valid = probed.collect {
-      case (f, scala.util.Success(pr))
-        if (mandatory.toSet -- pr.header.toSet).isEmpty && pr.hasData => (f, pr.header)
-    }
+    var valid = probed.collect {
+      case (f, scala.util.Success(pr)) if headerOk(pr) && pr.hasData => (f, pr.header)
+    }.toVector
 
-    // one multi-path scan per distinct header layout
-    val frames = valid.groupBy(_._2).toSeq.sortBy(_._1.mkString(",")).map {
+    // one multi-path scan per distinct header layout; a group whose frame
+    // fails analysis (reference behavior: broad except per file,
+    // `transform.py:66-68`) is quarantined, not allowed to sink the batch
+    val frames = valid.groupBy(_._2).toSeq.sortBy(_._1.mkString(",")).flatMap {
       case (header, group) =>
         val paths = group.map(_._1)
-        val base = spark.read
-          .option("header", "true")
-          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-        val df = schema match {
-          case Some(_) => base.schema(groupSchema(header, schema)).csv(paths: _*)
-          case None    => base.option("inferSchema", "true").csv(paths: _*)
+        try {
+          val base = spark.read
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          val df = schema match {
+            case Some(_) => base.schema(groupSchema(header, schema)).csv(paths: _*)
+            case None    => base.option("inferSchema", "true").csv(paths: _*)
+          }
+          val extras = header.filterNot(mandatory.contains)
+          val withExtra =
+            if (extras.isEmpty) df.withColumn(AdditionalColumn, lit(null).cast("string"))
+            else df.withColumn(AdditionalColumn, concat_ws(", ", extras.map(col): _*))
+          Some(withExtra.select((mandatory :+ AdditionalColumn).map(col): _*))
+        } catch {
+          case NonFatal(_) =>
+            bad ++= paths
+            valid = valid.filterNot(v => paths.contains(v._1))
+            None
         }
-        val extras = header.filterNot(mandatory.contains)
-        val withExtra =
-          if (extras.isEmpty) df.withColumn(AdditionalColumn, lit(null).cast("string"))
-          else df.withColumn(AdditionalColumn, concat_ws(", ", extras.map(col): _*))
-        withExtra.select((mandatory :+ AdditionalColumn).map(col): _*)
     }
 
     val data =

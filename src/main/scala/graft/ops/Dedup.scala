@@ -76,11 +76,17 @@ object Dedup {
     * over the document's 4-gram shingles. Evaluated by the native
     * [[graft.functions.MinhashSigExpr]] — one JVM loop per document.
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    // NULL text must still yield 16 (null) signature rows — the expression
+    // returns NULL for NULL input and posexplode would silently drop the
+    // document, where the HOF spec and the oracle both keep it
+    val allNull = array((0 until MinhashFuncs).map(_ => lit(null).cast("long")): _*)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        posexplode(graft.functions.MinhashSigExpr(TextAnalysis.normText(col("text"))))
+        posexplode(coalesce(
+          graft.functions.MinhashSigExpr(TextAnalysis.normText(col("text"))), allNull))
           .as(Seq("h_idx", "minhash")))
+  }
 
   /** The same signature as pure built-in HOFs (`transform`/`array_min`), kept
     * as the executable specification the native expression is tested against.
@@ -102,7 +108,13 @@ object Dedup {
     * travels through the shuffle — constant bytes per document per band.
     */
   def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // null signature entries (texts shorter than the shingle width) must not
+    // band: array_join would silently collapse them all to the SAME empty
+    // band key, pairing every short doc with every other — the exact O(m²)
+    // blowup banding exists to prevent. Dropping the rows matches the oracle,
+    // where string_agg over all-NULL yields NULL and NULL keys never equi-join.
     val bands = minhashSignatures(spark, sfDir)
+      .filter(col("minhash").isNotNull)
       .groupBy(col("doc_id"), floor(col("h_idx") / BandSize).as("band_idx"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("h_idx"), col("minhash")))),

@@ -124,28 +124,36 @@ object SalesEtlJob {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val incentive = Metrics.salesIncentiveFrom(enriched)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      writeMetrics(customerMetric, "customer_monthly_purchase")
-      writeMetrics(incentive, "sales_team_incentive")
+      try {
+        writeMetrics(customerMetric, "customer_monthly_purchase")
+        writeMetrics(incentive, "sales_team_incentive")
 
-      // C7 then C6: archive first, finalize last — a crash between the two
-      // leaves START rows, which C1 catches next run (reference order,
-      // `main_1.py:620-676`).
-      archive.moveInto(load.validFiles, s"${cfg.stagingBase}/processed/${cfg.runId}")
-      ledger.markCompleted(load.validFiles.map(baseName))
+        // counts BEFORE the archive step: if a cached partition is lost the
+        // recompute still finds its source files; after moveInto the lineage's
+        // CSV paths no longer exist
+        val customerMetricRows = customerMetric.count()
+        val incentiveRows = incentive.count()
 
-      val report = RunReport(
-        validFiles = load.validFiles,
-        wrongTypeFiles = wrongType,
-        badSchemaFiles = load.badSchemaFiles,
-        emptyFiles = load.emptyFiles,
-        skippedAlreadyProcessed = skip,
-        customerMartPath = customerMartPath,
-        salesMartPath = salesMartPath,
-        customerMetricRows = customerMetric.count(),
-        incentiveRows = incentive.count())
-      customerMetric.unpersist()
-      incentive.unpersist()
-      report
+        // C7 then C6: archive first, finalize last — a crash between the two
+        // leaves START rows, which C1 catches next run (reference order,
+        // `main_1.py:620-676`).
+        archive.moveInto(load.validFiles, s"${cfg.stagingBase}/processed/${cfg.runId}")
+        ledger.markCompleted(load.validFiles.map(baseName))
+
+        RunReport(
+          validFiles = load.validFiles,
+          wrongTypeFiles = wrongType,
+          badSchemaFiles = load.badSchemaFiles,
+          emptyFiles = load.emptyFiles,
+          skippedAlreadyProcessed = skip,
+          customerMartPath = customerMartPath,
+          salesMartPath = salesMartPath,
+          customerMetricRows = customerMetricRows,
+          incentiveRows = incentiveRows)
+      } finally {
+        customerMetric.unpersist()
+        incentive.unpersist()
+      }
     } finally enriched.unpersist()
   }
 }

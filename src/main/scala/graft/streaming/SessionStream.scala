@@ -101,9 +101,20 @@ object SessionStream {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).select(
-      col("user_id"), col("session_seq"),
-      col("session_start"), col("session_end"),
-      col("n_events"), col("session_value"))
+    // the update-mode memory sink APPENDS each batch's emissions; if
+    // AvailableNow split the input across micro-batches, a session appears
+    // once per batch that touched it — keep only the final (largest) extent
+    // per (user, session). Re-emissions only ever grow or repeat rows, so
+    // this is deterministic.
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("n_events").desc, col("session_end").desc)
+    spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(latest))
+      .filter(col("__rn") === 1)
+      .select(
+        col("user_id"), col("session_seq"),
+        col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
   }
 }

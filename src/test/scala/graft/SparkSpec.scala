@@ -4,16 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (getOrCreate → one context per
-  * forked test JVM). UTC + small shuffle partitions mirror the Verify/Bench
-  * entry points.
+  * forked test JVM), built by the same [[graft.core.SessionFactory]] as the
+  * Verify/Bench entry points so tests and the gate share one configuration.
   */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.core.SessionFactory.local(4, "graft-test")
 }
 
 abstract class SparkSpec extends AnyFunSuite {

@@ -85,6 +85,16 @@ class CsvBatchReaderSpec extends SparkSpec {
     assert(r.data.get.count() == 3) // union row count = sum of file row counts
   }
 
+  test("a duplicate-column header is quarantined, not allowed to sink the batch") {
+    val d = tmpDir("csv")
+    val dup = write(d, "dup.csv", "customer_id,customer_id,price,quantity", "1,1,2.0,3")
+    val ok = write(d, "ok.csv", "customer_id,price,quantity", "7,1.5,2")
+    val r = load(Seq(dup, ok))
+    assert(r.badSchemaFiles == Seq(dup))
+    assert(r.validFiles == Seq(ok))
+    assert(r.data.get.count() == 1)
+  }
+
   test("quoted header fields parse like Spark's CSV reader would") {
     assert(CsvBatchReader.parseHeader("a,b,c") == Seq("a", "b", "c"))
     assert(CsvBatchReader.parseHeader("\"x,y\",z") == Seq("x,y", "z"))

@@ -36,6 +36,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((2L, 2L), (9L, 1L)))
   }
 
+  test("short and null texts neither band-collide nor drop signature rows") {
+    import spark.implicits._
+    val d = tmpDir("dedupshort")
+    // two sub-4-char docs + a null text + one normal pair of duplicates
+    Seq(
+      (1L, "ab", "en", 2), (2L, "xy", "en", 2), (3L, null.asInstanceOf[String], "en", 0),
+      (4L, "identical content here for the real pair", "en", 40),
+      (5L, "identical content here for the real pair", "en", 40))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // every doc keeps its 16 signature rows (null minhash for 1,2,3)
+    val sigCounts = Dedup.minhashSignatures(spark, d)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(sigCounts == Map(1L -> 16L, 2L -> 16L, 3L -> 16L, 4L -> 16L, 5L -> 16L))
+    // but null signatures never band: only the real duplicate pair appears
+    val pairs = Dedup.lshCandidatePairs(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((4L, 5L)))
+  }
+
   test("LSH candidate generation finds exact duplicates and the verify confirms them") {
     import spark.implicits._
     val d = tmpDir("deduptest")
