@@ -58,6 +58,8 @@ object SparkEntry {
     "q36_ivf_topk"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q37_media_resize"     -> ((s, d) => Multimodal.resizeFeatures(s, d).toDF()),
     "q38_frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d).toDF()),
+    "q39_stream_ingest"    -> ((s, d) => graft.streaming.CsvStreamIngest.ingestLineitemAvailableNow(s, d)),
+    "q40_corpus_filter"    -> ((s, d) => graft.ops.Corpus.trainingFilter(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -533,6 +535,28 @@ object SparkEntry {
          |  $totalCost AS total_cost,
          |  strftime(o_orderdate, '%Y-%m') AS sales_month
          |$enrichJoin""".stripMargin,
+
+    // identical to q01: one AvailableNow drain of the CSV drop through a
+    // checkpointed parquet sink must reproduce the source table exactly
+    "q39_stream_ingest" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "q40_corpus_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) * 0.5
+         |    + CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / n_chars * 0.2
+         |    + CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) * 0.05 AS quality_score,
+         |    row_number() OVER (PARTITION BY md5($normText) ORDER BY doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars, n_tokens, quality_score
+         |FROM q
+         |WHERE rn = 1 AND n_chars BETWEEN 50 AND 100000 AND quality_score >= 0.05""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric
