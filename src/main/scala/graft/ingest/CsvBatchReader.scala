@@ -123,30 +123,41 @@ object CsvBatchReader {
       case (f, scala.util.Success(pr)) if headerOk(pr) && pr.hasData => (f, pr.header)
     }.toVector
 
-    // one multi-path scan per distinct header layout; a group whose frame
-    // fails analysis (reference behavior: broad except per file,
-    // `transform.py:66-68`) is quarantined, not allowed to sink the batch
+    // one multi-path scan per distinct header layout. If a GROUP scan fails
+    // (possible eagerly in inference mode, where inferSchema runs a job), fall
+    // back to per-file construction so one bad file quarantines itself — the
+    // reference's broad except is per file (`transform.py:66-68`), and a whole
+    // day's batch usually shares one header layout.
+    def build(header: Seq[String], paths: Seq[String]): DataFrame = {
+      val base = spark.read
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      val df = schema match {
+        case Some(_) => base.schema(groupSchema(header, schema)).csv(paths: _*)
+        case None    => base.option("inferSchema", "true").csv(paths: _*)
+      }
+      val extras = header.filterNot(mandatory.contains)
+      val withExtra =
+        if (extras.isEmpty) df.withColumn(AdditionalColumn, lit(null).cast("string"))
+        else df.withColumn(AdditionalColumn, concat_ws(", ", extras.map(col): _*))
+      withExtra.select((mandatory :+ AdditionalColumn).map(col): _*)
+    }
+
     val frames = valid.groupBy(_._2).toSeq.sortBy(_._1.mkString(",")).flatMap {
       case (header, group) =>
         val paths = group.map(_._1)
-        try {
-          val base = spark.read
-            .option("header", "true")
-            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          val df = schema match {
-            case Some(_) => base.schema(groupSchema(header, schema)).csv(paths: _*)
-            case None    => base.option("inferSchema", "true").csv(paths: _*)
-          }
-          val extras = header.filterNot(mandatory.contains)
-          val withExtra =
-            if (extras.isEmpty) df.withColumn(AdditionalColumn, lit(null).cast("string"))
-            else df.withColumn(AdditionalColumn, concat_ws(", ", extras.map(col): _*))
-          Some(withExtra.select((mandatory :+ AdditionalColumn).map(col): _*))
-        } catch {
+        try Seq(build(header, paths))
+        catch {
           case NonFatal(_) =>
-            bad ++= paths
-            valid = valid.filterNot(v => paths.contains(v._1))
-            None
+            paths.flatMap { path =>
+              try Some(build(header, Seq(path)))
+              catch {
+                case NonFatal(_) =>
+                  bad :+= path
+                  valid = valid.filterNot(_._1 == path)
+                  None
+              }
+            }
         }
     }
 

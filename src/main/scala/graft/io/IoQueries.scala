@@ -19,15 +19,19 @@ import graft.pipeline.{PipelineConfig, SalesEtlJob}
   */
 object IoQueries {
 
-  private def scratch(sub: String, sfDir: String): String = {
+  /** Per-scale-factor scratch path (shared with the streaming ingest query). */
+  private[graft] def scratch(sub: String, sfDir: String): String = {
     val sfName = Paths.get(sfDir).getFileName.toString
     s"/root/repo/target/tmp/$sub/$sfName"
   }
 
-  private def deleteRecursively(dir: String): Unit = {
+  private[graft] def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
   }
 
   /** S2+S6: write `customer` over JDBC (embedded Derby), read it back. */

@@ -24,20 +24,13 @@ object Corpus {
   def trainingFilter(spark: SparkSession, sfDir: String,
       minChars: Int = 50, maxChars: Int = 100000,
       minQuality: Double = 0.05): DataFrame = {
-    val stops = "\\b(the|a|and|of|to|in|is|it|that|for)\\b"
-    val nTok = size(split(trim(col("text")), "\\s+"))
-    val nStop = size(regexp_extract_all(lower(col("text")), lit(stops), lit(0)))
-    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
-    val nAlnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
-    val score = nStop.cast("double") / nTok * lit(0.5) +
-      nPunct.cast("double") / col("n_chars") * lit(0.2) +
-      nAlnum.cast("double") / nTok * lit(0.05)
     val byFingerprint = Window
       .partitionBy(md5(TextAnalysis.normText(col("text"))))
       .orderBy(col("doc_id"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        nTok.cast("long").as("n_tokens"), score.as("quality_score"),
+        TextAnalysis.qualityTokens.cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore.as("quality_score"),
         row_number().over(byFingerprint).as("rn"))
       .filter(col("rn") === 1 &&
         col("n_chars").between(minChars, maxChars) &&

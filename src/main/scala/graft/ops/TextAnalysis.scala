@@ -42,28 +42,31 @@ object TextAnalysis {
       (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
         size(wsTokens(col("text")))).as("chars_per_token"))
 
+  // quality building blocks over the raw `text`/`n_chars` columns — shared
+  // with Corpus.trainingFilter so q22 and q40 can never desynchronize
+  private val stops = "\\b(the|a|and|of|to|in|is|it|that|for)\\b"
+  private[ops] def qualityTokens: Column = size(wsTokens(col("text")))
+  private[ops] def stopwordRatio: Column =
+    size(regexp_extract_all(lower(col("text")), lit(stops), lit(0))).cast("double") / qualityTokens
+  private[ops] def punctPerChar: Column =
+    size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("double") / col("n_chars")
+  private[ops] def meanWordLen: Column =
+    length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("double") / qualityTokens
+  private[ops] def qualityScore: Column =
+    stopwordRatio * lit(0.5) + punctPerChar * lit(0.2) + meanWordLen * lit(0.05)
+
   /** Quality scoring: stopword ratio, punctuation density, mean word length,
     * and a combined score. All ratios are int/int IEEE divisions.
     */
-  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val stops = "\\b(the|a|and|of|to|in|is|it|that|for)\\b"
-    val nTok = size(wsTokens(col("text")))
-    val nStop = size(regexp_extract_all(lower(col("text")), lit(stops), lit(0)))
-    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
-    val nAlnum = length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
-    val stopRatio = nStop.cast("double") / nTok
-    val punctPerChar = nPunct.cast("double") / col("n_chars")
-    val meanWordLen = nAlnum.cast("double") / nTok
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       col("n_chars"),
-      nTok.cast("long").as("n_tokens"),
-      stopRatio.as("stopword_ratio"),
+      qualityTokens.cast("long").as("n_tokens"),
+      stopwordRatio.as("stopword_ratio"),
       punctPerChar.as("punct_per_char"),
       meanWordLen.as("mean_word_len"),
-      (stopRatio * lit(0.5) + punctPerChar * lit(0.2) + meanWordLen * lit(0.05))
-        .as("quality_score"))
-  }
+      qualityScore.as("quality_score"))
 
   /** Language ID by stopword-hit counting — the classic n-gram/function-word
     * heuristic. Deterministic argmax: first language in a fixed order whose count

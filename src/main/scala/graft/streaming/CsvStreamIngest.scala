@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-import java.util.Comparator
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -44,11 +41,8 @@ object CsvStreamIngest {
     * drop, read the sink back — must equal the source table exactly.
     */
   def ingestLineitemAvailableNow(spark: SparkSession, sfDir: String): DataFrame = synchronized {
-    val sfName = Paths.get(sfDir).getFileName.toString
-    val root = s"/root/repo/target/tmp/stream_ingest/$sfName"
-    val p = Paths.get(root)
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]()).forEach(f => Files.delete(f))
+    val root = graft.io.IoQueries.scratch("stream_ingest", sfDir)
+    graft.io.IoQueries.deleteRecursively(root)
     val src = graft.ops.Relational.csvCopyOfLineitem(spark, sfDir)
     drain(spark, src, s"$root/out", s"$root/chk", Tables.lineitemSchema)
     spark.read.schema(Tables.lineitemSchema).parquet(s"$root/out")

@@ -5,6 +5,7 @@ import java.time.{Duration, LocalDateTime}
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -67,7 +68,10 @@ object SessionStream {
     evs.foreach { e =>
       open match {
         case Some(o) if Duration.between(o.end, e.ts).compareTo(Duration.ofMinutes(GapMinutes)) <= 0 =>
-          open = Some(OpenSession(o.start, e.ts, o.n + 1, o.cents + cents(e.value)))
+          // max-extent: a cross-batch straggler may carry ts < o.end; the
+          // session end must never move backwards
+          val end = if (e.ts.isAfter(o.end)) e.ts else o.end
+          open = Some(OpenSession(o.start, end, o.n + 1, o.cents + cents(e.value)))
         case Some(o) =>
           out += emit(userId, seq, o) // closed by the gap — final
           seq += 1
@@ -103,14 +107,15 @@ object SessionStream {
     try q.processAllAvailable() finally q.stop()
     // the update-mode memory sink APPENDS each batch's emissions; if
     // AvailableNow split the input across micro-batches, a session appears
-    // once per batch that touched it — keep only the final (largest) extent
-    // per (user, session). Re-emissions only ever grow or repeat rows, so
-    // this is deterministic.
-    val latest = org.apache.spark.sql.expressions.Window
+    // once per batch that touched it — keep only the final emission per
+    // (user, session). n_events strictly grows with each re-emission (a
+    // closing emission duplicates the last open one exactly), so the max
+    // row is the final state and the dedup is deterministic.
+    val latest = Window
       .partitionBy(col("user_id"), col("session_seq"))
       .orderBy(col("n_events").desc, col("session_end").desc)
     spark.table(name)
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(latest))
+      .withColumn("__rn", row_number().over(latest))
       .filter(col("__rn") === 1)
       .select(
         col("user_id"), col("session_seq"),
