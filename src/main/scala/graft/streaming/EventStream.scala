@@ -51,6 +51,22 @@ object EventStream {
     dest
   }
 
+  /** The PRODUCTION shape of the hourly rollup: event-time watermark + append
+    * output. Only windows the watermark has passed are emitted (exactly once,
+    * final), and executor state is bounded by the watermark horizon instead of
+    * growing forever like the complete-mode demo below. Pure streaming
+    * transform: plug between `readStream` and any append-mode sink.
+    */
+  def hourlyRollupWatermarked(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Streaming tumbling-hour rollup, run to completion over whatever is in the
     * directory (AvailableNow) and returned as a batch DataFrame. Semantics match
     * [[graft.ops.Events.hourlyRollup]] — the batch query is the oracle contract

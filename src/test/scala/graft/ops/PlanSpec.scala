@@ -46,6 +46,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("partitioned mart reads prune partitions from the path filter") {
+    val base = java.nio.file.Files.createTempDirectory("prune").toString
+    val path = graft.io.ParquetSink.writePartitioned(
+      graft.etl.Marts.salesTeamMart(spark, sf), base, "r", Seq("sales_month", "store_id"))
+    val pruned = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("sales_month") === "1995-01")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(sales_month"))
+    // the scan must touch only the selected month's partitions, not the mart's
+    def partCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount.toLong
+      }.get
+    val prunedParts = partCount(pruned)
+    val allParts = partCount(spark.read.parquet(path))
+    assert(prunedParts > 0 && prunedParts < allParts)
+  }
+
   test("whole-stage codegen covers the scalar surface") {
     // "*(1)" marks a WholeStageCodegen stage in the executed-plan rendering
     val p = plan(Relational.scalarShowcase(spark, sf))

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Watermark semantics for the production-shape rollup: append mode emits a
+  * window exactly once, only after the watermark passes its end, and late
+  * windows stay unemitted until the event-time high-water mark advances.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def writeBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, rows: Seq[(String, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.map { case (t, e, v) => (Timestamp.valueOf(t), e, v) }
+      .toDF("ts", "event_type", "value")
+      .coalesce(1).write.parquet(s"$dir/$name")
+    // file source watches one directory level; move part files up
+    val part = new java.io.File(s"$dir/$name").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.move(part.toPath, Paths.get(dir, s"$name.parquet"))
+    graft.io.IoQueries.deleteRecursively(s"$dir/$name")
+  }
+
+  private def drain(src: String, out: String, chk: String): Unit = {
+    val q = EventStream.hourlyRollupWatermarked(
+      spark.readStream.schema(schema).parquet(src))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("append mode emits a window once, only after the watermark passes it") {
+    val root = tmpDir("wm")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val out = s"$root/out"; val chk = s"$root/chk"
+
+    // batch 1: events in the 10:00 and 11:00 windows → nothing finalized yet
+    writeBatch(spark, src, "b1", Seq(
+      ("2024-01-01 10:05:00", "click", 1.0),
+      ("2024-01-01 10:45:00", "click", 2.0),
+      ("2024-01-01 11:00:30", "view", 4.0)))
+    drain(src, out, chk)
+    assert(spark.read.schema(EventStream.eventsSchema).parquet(out).isEmpty
+      || spark.read.parquet(out).isEmpty)
+
+    // batch 2 advances event time to 15:00 (watermark → 13:00 after it)
+    writeBatch(spark, src, "b2", Seq(("2024-01-01 15:00:00", "click", 8.0)))
+    drain(src, out, chk)
+
+    // batch 3 advances event time to 20:00; after the AvailableNow flush the
+    // watermark is 18:00, so windows ending ≤ 18:00 (10, 11, 15) are final —
+    // and the 20:00 window is still HELD BACK, which is the point
+    writeBatch(spark, src, "b3", Seq(("2024-01-01 20:00:00", "view", 16.0)))
+    drain(src, out, chk)
+
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 4.0),
+      ("2024-01-01 15:00:00.0", "click", 1L, 8.0)))
+  }
+}
