@@ -60,6 +60,7 @@ object SparkEntry {
     "q38_frame_sample"     -> ((s, d) => Multimodal.frameSample(s, d).toDF()),
     "q39_stream_ingest"    -> ((s, d) => graft.streaming.CsvStreamIngest.ingestLineitemAvailableNow(s, d)),
     "q40_corpus_filter"    -> ((s, d) => graft.ops.Corpus.trainingFilter(s, d)),
+    "q41_monthly_bitcompat" -> ((s, d) => Metrics.customerMonthlyBitCompat(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -535,6 +536,15 @@ object SparkEntry {
          |  $totalCost AS total_cost,
          |  strftime(o_orderdate, '%Y-%m') AS sales_month
          |$enrichJoin""".stripMargin,
+
+    // identical to q12: the reference-shaped window+distinct formulation must
+    // produce the same rows as the idiomatic groupBy (SURVEY §2.4 equivalence)
+    "q41_monthly_bitcompat" ->
+      s"""SELECT c_custkey AS customer_id, c_name AS full_name,
+         |  strftime(o_orderdate, '%Y-%m') AS sales_month,
+         |  CAST(SUM(CAST($totalCost AS DECIMAL(22,4))) AS DOUBLE) AS total_sales
+         |$enrichJoin
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // identical to q01: one AvailableNow drain of the CSV drop through a
     // checkpointed parquet sink must reproduce the source table exactly
