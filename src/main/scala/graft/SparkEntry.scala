@@ -61,6 +61,11 @@ object SparkEntry {
     "q39_stream_ingest"    -> ((s, d) => graft.streaming.CsvStreamIngest.ingestLineitemAvailableNow(s, d)),
     "q40_corpus_filter"    -> ((s, d) => graft.ops.Corpus.trainingFilter(s, d)),
     "q41_monthly_bitcompat" -> ((s, d) => Metrics.customerMonthlyBitCompat(s, d)),
+    "q42_rollup"           -> ((s, d) => Relational.pricingRollup(s, d)),
+    "q43_semi_join"        -> ((s, d) => Relational.ordersFromSegment(s, d)),
+    "q44_outer_join"       -> ((s, d) => Relational.customerOrderCounts(s, d)),
+    "q45_pivot"            -> ((s, d) => Relational.quantityPivot(s, d)),
+    "q46_anti_join"        -> ((s, d) => Relational.ordersFullyShippedBefore(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -536,6 +541,39 @@ object SparkEntry {
          |  $totalCost AS total_cost,
          |  strftime(o_orderdate, '%Y-%m') AS sales_month
          |$enrichJoin""".stripMargin,
+
+    "q42_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q43_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "q46_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_shipdate >= TIMESTAMP '1998-01-01')""".stripMargin,
+
+    "q44_outer_join" ->
+      """SELECT c_custkey, coalesce(n.cnt, 0) AS n_orders
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) n
+        |  ON c.c_custkey = n.o_custkey""".stripMargin,
+
+    "q45_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // identical to q12: the reference-shaped window+distinct formulation must
     // produce the same rows as the idiomatic groupBy (SURVEY §2.4 equivalence)

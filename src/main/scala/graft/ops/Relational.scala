@@ -147,6 +147,73 @@ object Relational {
       .drop("rn")
   }
 
+  // ---------------------------------------------------- beyond-reference breadth
+  // The reference's only join is inner and its only grouping is flat (SURVEY
+  // §2.3/§2.4); a user switching a general analytics workload also needs the
+  // rest of the standard relational algebra. Each op below is a single
+  // partial/final aggregate or one equi-join — nothing here changes the
+  // shuffle story.
+
+  /** Hierarchical subtotals (ROLLUP): per (flag, status), per flag, grand
+    * total — one pass, Expand + partial/final hash aggregate.
+    */
+  def pricingRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Num.sumMoney(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Semi join: orders placed by BUILDING-segment customers. The probe side
+    * keeps its own columns only — no dim payload rides through the shuffle,
+    * and the filter side deduplicates for free.
+    */
+  def ordersFromSegment(spark: SparkSession, sfDir: String, segment: String = "BUILDING"): DataFrame = {
+    val custs = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === segment)
+    Tables.orders(spark, sfDir)
+      .join(broadcast(custs), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** Anti join: orders none of whose lineitems shipped on/after the cutoff.
+    * The pushed-down date filter shrinks the build side BEFORE the join — the
+    * anti join never sees lineitems that can't disqualify an order.
+    */
+  def ordersFullyShippedBefore(spark: SparkSession, sfDir: String,
+      cutoff: String = "1998-01-01 00:00:00"): DataFrame = {
+    val late = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= to_timestamp(lit(cutoff)))
+      .select(col("l_orderkey"))
+    Tables.orders(spark, sfDir)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** Left outer join + null repair: every customer with their order count,
+    * zero for the never-ordered. Aggregate-then-join keeps the outer side's
+    * multiplicity honest.
+    */
+  def customerOrderCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, sfDir)
+      .join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+  }
+
+  /** Pivot: quantity by line status across the return-flag domain. The pivot
+    * values are EXPLICIT — at scale an implicit pivot means a blocking
+    * distinct-scan over the fact table just to discover column names.
+    */
+  def quantityPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Num.sumMoney(col("l_quantity")))
+      .select(col("l_linestatus"),
+        col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
+
   // ------------------------------------------------------------------ §2.8 scalars
 
   /** The reference's complete scalar-function surface (substring, concat,
