@@ -66,6 +66,8 @@ object SparkEntry {
     "q44_outer_join"       -> ((s, d) => Relational.customerOrderCounts(s, d)),
     "q45_pivot"            -> ((s, d) => Relational.quantityPivot(s, d)),
     "q46_anti_join"        -> ((s, d) => Relational.ordersFullyShippedBefore(s, d)),
+    "q47_asof_join"        -> ((s, d) => graft.ops.Joins.eventPrevClick(s, d)),
+    "q48_range_join"       -> ((s, d) => graft.ops.Joins.partPriceBands(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -574,6 +576,33 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q47_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, ts, event_id, event_type, 1 AS is_l, CAST(NULL AS BIGINT) AS click_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts, NULL, NULL, 0, click_id FROM clicks),
+        |f AS (
+        |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, is_l DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+        |  FROM u)
+        |SELECT event_id, ts, user_id, event_type, asof_click_id
+        |FROM f WHERE is_l = 1""".stripMargin,
+
+    "q48_range_join" ->
+      """SELECT p_partkey, p_retailprice, band_id, lo, hi
+        |FROM part
+        |JOIN (VALUES
+        |  (0, CAST(900.0 AS DOUBLE), CAST(905.0 AS DOUBLE)),
+        |  (1, CAST(905.0 AS DOUBLE), CAST(910.0 AS DOUBLE)),
+        |  (2, CAST(910.0 AS DOUBLE), CAST(915.0 AS DOUBLE)),
+        |  (3, CAST(915.0 AS DOUBLE), CAST(920.0 AS DOUBLE))) b(band_id, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi""".stripMargin,
 
     // identical to q12: the reference-shaped window+distinct formulation must
     // produce the same rows as the idiomatic groupBy (SURVEY §2.4 equivalence)

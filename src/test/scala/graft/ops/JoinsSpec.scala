@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Edge semantics of the composed as-of and range joins that the oracle's
+  * bulk comparison can't isolate: strictness at equal instants, null when no
+  * prior row exists, and bucket-boundary exactness.
+  */
+class JoinsSpec extends SparkSpec {
+
+  test("as-of join is strict: a same-instant right row is NOT visible") {
+    import spark.implicits._
+    val left = Seq((1, 1L, 100L), (1, 2L, 200L), (1, 3L, 200L)).toDF("k", "id", "t")
+    val right = Seq((1, 100L, "r@100"), (1, 200L, "r@200")).toDF("k", "t", "payload")
+    val rows = Joins.asofJoin(left, right, "k", "k", "t", "t", Seq("payload"))
+      .select("id", "asof_payload").as[(Long, Option[String])].collect().toMap
+    assert(rows(1L).isEmpty)           // r@100 is same-instant, not prior
+    assert(rows(2L).contains("r@100")) // strictly-before row carried forward
+    assert(rows(3L).contains("r@100")) // r@200 is same-instant for both lefts
+  }
+
+  test("as-of join yields null payloads before any right row") {
+    import spark.implicits._
+    val left = Seq((1L, 1, 50L), (1L, 2, 500L)).toDF("k", "id", "t")
+    val right = Seq((1L, 100L, "x")).toDF("k", "t", "payload")
+    val rows = Joins.asofJoin(left, right, "k", "k", "t", "t", Seq("payload"))
+      .select("id", "asof_payload")
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(rows(1).isEmpty && rows(2).contains("x"))
+  }
+
+  test("range join is exact at interval boundaries (lo inclusive, hi exclusive)") {
+    import spark.implicits._
+    val values = Seq((1L, 899.99), (2L, 900.0), (3L, 904.999), (4L, 905.0), (5L, 920.0))
+      .toDF("id", "v")
+    val bands = Seq((0, 900.0, 905.0), (1, 905.0, 920.0)).toDF("band_id", "lo", "hi")
+    val out = Joins.bandedRangeJoin(values, "v", bands, "lo", "hi", bucket = 2.5)
+      .select("id", "band_id").as[(Long, Int)].collect().toSet
+    assert(out == Set((2L, 0), (3L, 0), (4L, 1))) // 899.99 below, 920.0 at excluded hi
+  }
+}
