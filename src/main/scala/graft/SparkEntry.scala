@@ -68,6 +68,7 @@ object SparkEntry {
     "q46_anti_join"        -> ((s, d) => Relational.ordersFullyShippedBefore(s, d)),
     "q47_asof_join"        -> ((s, d) => graft.ops.Joins.eventPrevClick(s, d)),
     "q48_range_join"       -> ((s, d) => graft.ops.Joins.partPriceBands(s, d)),
+    "q49_quantiles"        -> ((s, d) => Relational.priceQuantiles(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -603,6 +604,13 @@ object SparkEntry {
         |  (2, CAST(910.0 AS DOUBLE), CAST(915.0 AS DOUBLE)),
         |  (3, CAST(915.0 AS DOUBLE), CAST(920.0 AS DOUBLE))) b(band_id, lo, hi)
         |  ON p_retailprice >= lo AND p_retailprice < hi""".stripMargin,
+
+    "q49_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // identical to q12: the reference-shaped window+distinct formulation must
     // produce the same rows as the idiomatic groupBy (SURVEY §2.4 equivalence)

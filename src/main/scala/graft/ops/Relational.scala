@@ -202,6 +202,20 @@ object Relational {
         coalesce(col("cnt"), lit(0L)).as("n_orders"))
   }
 
+  /** Exact distribution statistics per group: interpolated median/p95 plus a
+    * distinct count. `percentile` (exact) is used so the result is engine-
+    * portable and hash-checkable; at 100 TB the same query swaps in
+    * `approx_percentile`/`approx_count_distinct` for one-pass sketches —
+    * same plan shape, bounded error instead of a full sort per group.
+    */
+  def priceQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+
   /** Pivot: quantity by line status across the return-flag domain. The pivot
     * values are EXPLICIT — at scale an implicit pivot means a blocking
     * distinct-scan over the fact table just to discover column names.
