@@ -44,9 +44,13 @@ object IoQueries {
   /** S4: partitioned parquet sink of the sales mart, read back through the
     * partition-discovery path. Partition columns come back as path-inferred
     * types, so they are cast back to the mart's declared types for the compare.
+    * The scratch is cleared first: Spark's overwrite of an existing ~2100-dir
+    * partition tree deletes it directory-by-directory inside the write, which
+    * is both slow and noisy to measure.
     */
   def partitionedSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     val base = scratch("sink_rt", sfDir)
+    deleteRecursively(base)
     val path = ParquetSink.writePartitioned(
       Marts.salesTeamMart(spark, sfDir), base, "run", Seq("sales_month", "store_id"))
     spark.read.parquet(path)
