@@ -581,7 +581,7 @@ object SparkEntry {
     "q47_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max(event_id) AS click_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2),
         |u AS (
         |  SELECT user_id, ts, event_id, event_type, 1 AS is_l, CAST(NULL AS BIGINT) AS click_id
         |  FROM events
@@ -589,7 +589,7 @@ object SparkEntry {
         |  SELECT user_id, ts, NULL, NULL, 0, click_id FROM clicks),
         |f AS (
         |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
-        |    PARTITION BY user_id ORDER BY ts ASC, is_l DESC
+        |    PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, is_l DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
         |  FROM u)
         |SELECT event_id, ts, user_id, event_type, asof_click_id

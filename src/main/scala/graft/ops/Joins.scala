@@ -23,7 +23,14 @@ object Joins {
     * times" is not a deterministic contract any engine can hash-check.
     *
     * `payload` columns are returned as `asof_<name>`, null when no prior right
-    * row exists.
+    * row exists. The payload travels as ONE struct per right row, so the
+    * result is row-atomic — all `asof_*` values come from the same (latest
+    * prior) right row, including that row's own nulls; per-column carries
+    * would stitch together values from different right rows.
+    *
+    * Null times: right rows with a null time are dropped (they are "before"
+    * nothing), left rows with a null time get null payloads (they have no
+    * defined prior) — pinned on both engines via NULLS FIRST ordering.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -31,13 +38,15 @@ object Joins {
       payload: Seq[String]): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    val lSide = payload.foldLeft(
-      left.withColumn("__is_l", lit(1))) { (df, c) =>
-        df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType))
-      }
+    val payloadStruct = struct(payload.map(col): _*)
+    val rStructType = right.select(payloadStruct).schema.head.dataType
+    val lSide = left
+      .withColumn("__is_l", lit(1))
+      .withColumn("__asof", lit(null).cast(rStructType))
     val rSide = leftCols.foldLeft(
-      right.select((Seq(col(rightKey).as(leftKey), col(rightTime).as(leftTime),
-        lit(0).as("__is_l")) ++ payload.map(c => col(c).as(s"asof_$c"))): _*)) { (df, c) =>
+      right.filter(col(rightTime).isNotNull)
+        .select(col(rightKey).as(leftKey), col(rightTime).as(leftTime),
+          lit(0).as("__is_l"), payloadStruct.as("__asof"))) { (df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
@@ -45,13 +54,13 @@ object Joins {
     // at equal times, left rows sort FIRST (is_l desc) so they cannot see a
     // same-instant right row — that is what makes the join strict
     val w = Window.partitionBy(col(leftKey))
-      .orderBy(col(leftTime).asc, col("__is_l").desc)
+      .orderBy(col(leftTime).asc_nulls_first, col("__is_l").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lSide.unionByName(rSide)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__is_l") === 1)
-      .select((leftCols ++ payload.map(c => s"asof_$c")).map(col): _*)
+    lSide.unionByName(rSide)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+      .select((leftCols.map(col) ++
+        payload.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 
   /** q47 driver: each event matched to the same user's most recent PRIOR

@@ -71,8 +71,11 @@ object WindowDistinctToAggregate extends Rule[LogicalPlan] {
     }
     if (winProjs.isEmpty) return None
 
-    // two-way containment: projected keys == window partition keys
+    // two-way containment: projected keys == window partition keys. The
+    // partition must be NON-EMPTY: a global window over an empty input emits
+    // zero rows, a global aggregate emits one — not identity-preserving.
     val partExprs = w.partitionSpec
+    if (partExprs.isEmpty) return None
     val keyExprs: Seq[Expression] = keyProjs.map {
       case a: Alias => a.child
       case e => e

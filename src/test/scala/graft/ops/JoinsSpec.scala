@@ -29,6 +29,19 @@ class JoinsSpec extends SparkSpec {
     assert(rows(1).isEmpty && rows(2).contains("x"))
   }
 
+  test("as-of payloads are row-atomic: a null in the matched row stays null") {
+    import spark.implicits._
+    val left = Seq((1, 1L, 300L)).toDF("k", "id", "t")
+    val right = Seq(
+      (1, 100L, Some(1L), Some("x")),
+      (1, 200L, Some(2L), None)) // the LATEST prior row carries b = null
+      .toDF("k", "t", "a", "b")
+    val row = Joins.asofJoin(left, right, "k", "k", "t", "t", Seq("a", "b"))
+      .select("asof_a", "asof_b").collect().head
+    assert(row.getLong(0) == 2L)
+    assert(row.isNullAt(1)) // NOT "x" stitched in from the older row
+  }
+
   test("range join is exact at interval boundaries (lo inclusive, hi exclusive)") {
     import spark.implicits._
     val values = Seq((1L, 899.99), (2L, 900.0), (3L, 904.999), (4L, 905.0), (5L, 920.0))

@@ -40,6 +40,17 @@ class WindowDistinctToAggregateSpec extends SparkSpec {
     assert(shaped.queryExecution.optimizedPlan.toString.contains("Window"))
   }
 
+  test("a global (empty-partition) window is NOT rewritten") {
+    // over an empty input the window emits 0 rows but a global aggregate
+    // emits 1 — the rule must refuse
+    val shaped = orders.filter(lit(false))
+      .select(sum(col("o_totalprice")).over(W.partitionBy()).as("total"))
+      .distinct()
+    assert(shaped.queryExecution.optimizedPlan.toString.contains("Window") ||
+      shaped.count() == 0)
+    assert(shaped.count() == 0)
+  }
+
   test("ordered windows (running totals) are NOT rewritten") {
     val w = W.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
