@@ -33,6 +33,13 @@ object SessionFactory {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Commit algorithm 2: task commit renames straight into the destination,
+      // so committing a many-partition write parallelizes across tasks instead
+      // of serializing through the driver's job commit (v1 walks every
+      // partition directory one rename at a time — minutes at 10k dirs).
+      // Tradeoff: a job that dies mid-commit can leave partial output; the
+      // pipeline's run-stamped paths + ledger make reruns safe (SURVEY §2.10).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -69,6 +69,11 @@ object IoQueries {
     */
   def pipelineEndToEnd(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     val root = scratch("pipeline", sfDir)
+    // shut down any Derby instance booted over these paths in this JVM before
+    // deleting — a booted instance would resurrect run-1 ledger state over the
+    // recreated directory and poison the idempotency filter (C4)
+    JdbcLedger.shutdownDerby(s"$root/ledgerdb")
+    JdbcLedger.shutdownDerby(s"$root/metricsdb")
     deleteRecursively(root)
     val inputDir = s"$root/input"
     Files.createDirectories(Paths.get(inputDir))
@@ -89,8 +94,9 @@ object IoQueries {
       sfDir = sfDir,
       runId = "run_0001",
       runDate = java.time.LocalDate.of(2026, 1, 1))
-    SalesEtlJob.run(spark, cfg, JdbcLedger.derby(s"$root/ledgerdb"),
-      (df, table) => Jdbc.write(df, metricsConn, table))
+    val ledger = JdbcLedger.derby(s"$root/ledgerdb")
+    try SalesEtlJob.run(spark, cfg, ledger, (df, table) => Jdbc.write(df, metricsConn, table))
+    finally ledger.close()
     Jdbc.read(spark, metricsConn, "customer_monthly_purchase")
   }
 }

@@ -29,11 +29,21 @@ object ParquetSink {
     path
   }
 
-  /** Partitioned overwrite write (S4), run-stamped; returns the path. */
+  /** Partitioned overwrite write (S4), run-stamped; returns the path.
+    *
+    * The repartition count is pinned explicitly: a bare `repartition(cols)`
+    * is an AQE-coalescible exchange, and on a small-relative-to-cluster write
+    * AQE collapses it to ONE task that then opens every partition directory's
+    * file serially (~10ms of writer setup each — observed 18s for a 1.5k-dir
+    * mart that writes in ~2s when spread). Pinning keeps file-open cost
+    * parallel while still clustering rows so each directory gets exactly one
+    * file.
+    */
   def writePartitioned(
       df: DataFrame, base: String, runId: String, partitionCols: Seq[String]): String = {
     val path = s"$base/$runId"
-    df.repartition(partitionCols.map(col): _*)
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, partitionCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)

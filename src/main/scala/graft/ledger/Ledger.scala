@@ -104,6 +104,8 @@ final class JdbcLedger(conn: Connection, table: String = "staging_table") extend
 
   override def inflight(fileNames: Seq[String]): Seq[String] = withStatus(fileNames, "START")
   override def completed(fileNames: Seq[String]): Seq[String] = withStatus(fileNames, "COMPLETED")
+
+  def close(): Unit = conn.close()
 }
 
 object JdbcLedger {
@@ -112,6 +114,17 @@ object JdbcLedger {
     val conn = DriverManager.getConnection(s"jdbc:derby:$dbDir;create=true")
     new JdbcLedger(conn, table)
   }
+
+  /** Cleanly shut down one embedded Derby database. Required before deleting
+    * a db directory that may have been booted in this JVM: the engine keeps
+    * booted instances alive, so a delete-then-recreate at the same path
+    * otherwise resurrects the old database's state over the fresh files.
+    * Derby signals successful shutdown via SQLException (SQLState 08006);
+    * "database not booted" is equally fine — both are swallowed.
+    */
+  def shutdownDerby(dbDir: String): Unit =
+    try { DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true"); () }
+    catch { case _: java.sql.SQLException => () }
 }
 
 /** No idempotency at all — the reference's earlier orchestrator generation

@@ -29,15 +29,47 @@ class WindowDistinctToAggregateSpec extends SparkSpec {
     assert(shaped.exceptAll(expected).isEmpty && expected.exceptAll(shaped).isEmpty)
   }
 
-  test("a projection beyond the partition keys is NOT rewritten") {
-    // o_orderstatus is not a partition key and not provably dependent on one —
-    // rewriting would change results; the rule must leave the Window in place
+  test("extra projected columns decompose into aggregate + window-over-groups") {
+    // o_orderstatus is NOT a partition key (and not functionally dependent on
+    // one) — the decomposed rewrite is still exact: partials per
+    // (custkey, status) group, re-summed per custkey over |groups| rows
     val w = W.partitionBy(col("o_custkey"))
     val shaped = orders
       .select(col("o_custkey"), col("o_orderstatus"),
         sum(col("o_totalprice")).over(w).as("total"))
       .distinct()
-    assert(shaped.queryExecution.optimizedPlan.toString.contains("Window"))
+    val optimized = shaped.queryExecution.optimizedPlan
+    // the Window survives but must now sit over an Aggregate, not the scan
+    val winNodes = optimized.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
+    }
+    assert(winNodes.nonEmpty)
+    assert(winNodes.forall(_.collectFirst {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+    }.nonEmpty), optimized.toString)
+    // identity proof against an independently-computed expected result
+    val totals = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("total"))
+    val expected = orders.select(col("o_custkey"), col("o_orderstatus")).distinct()
+      .join(totals, "o_custkey")
+    assert(shaped.schema == expected.schema,
+      s"${shaped.schema} != ${expected.schema}")
+    assert(shaped.exceptAll(expected).isEmpty && expected.exceptAll(shaped).isEmpty)
+  }
+
+  test("decomposed rewrite groups null partition keys like the window does") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), "a", 10L), (Some(1), "b", 5L), (None: Option[Int], "a", 7L),
+      (None, "a", 3L), (None, "c", 1L))
+      .toDF("k", "e", "x")
+    val shaped = df
+      .select(col("k"), col("e"), sum(col("x")).over(W.partitionBy(col("k"))).as("total"))
+      .distinct()
+    val got = shaped.collect().map(r => (Option(r.get(0)), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (Some(1), "a", 15L), (Some(1), "b", 15L),
+      (None, "a", 11L), (None, "c", 11L)))
   }
 
   test("a global (empty-partition) window is NOT rewritten") {
