@@ -69,6 +69,16 @@ object SparkEntry {
     "q47_asof_join"        -> ((s, d) => graft.ops.Joins.eventPrevClick(s, d)),
     "q48_range_join"       -> ((s, d) => graft.ops.Joins.partPriceBands(s, d)),
     "q49_quantiles"        -> ((s, d) => Relational.priceQuantiles(s, d)),
+    "q50_hash_split"       -> ((s, d) => graft.ops.Corpus.hashSplit(s, d)),
+    "q51_shuffle_shards"   -> ((s, d) => graft.ops.Corpus.shuffleShards(s, d)),
+    "q52_doc_chunks"       -> ((s, d) => graft.ops.Corpus.docChunks(s, d)),
+    "q53_pii_redact"       -> ((s, d) => graft.ops.Corpus.piiRedact(s, d)),
+    "q54_stratified_sample" -> ((s, d) => graft.ops.Corpus.stratifiedSample(s, d)),
+    "q55_dup_clusters"     -> ((s, d) => graft.ops.Graph.dupClusters(s, d)),
+    "q56_term_topk"        -> ((s, d) => graft.ops.TermStats.topTermsPerLang(s, d)),
+    "q57_tfidf"            -> ((s, d) => graft.ops.TermStats.tfidfTopTerms(s, d)),
+    "q58_revenue_deltas"   -> ((s, d) => Relational.dailyRevenueDeltas(s, d)),
+    "q59_cube"             -> ((s, d) => Relational.pricingCube(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -642,6 +652,134 @@ object SparkEntry {
          |SELECT doc_id, lang, n_chars, n_tokens, quality_score
          |FROM q
          |WHERE rn = 1 AND n_chars BETWEEN 50 AND 100000 AND quality_score >= 0.05""".stripMargin,
+
+    // content-addressed 0..999 bucket shared by q50/q51/q54 — the Spark twin
+    // is Corpus.hashBucket
+    "q50_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CAST('0x' || substr(md5(doc_id || ':split_v1'), 1, 8) AS BIGINT) % 1000 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(doc_id || ':split_v1'), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(doc_id || ':split_v1'), 1, 8) AS BIGINT) % 1000 < 950 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q51_shuffle_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':shuffle_v1'), 1, 8) AS BIGINT) % 1000 % 8 AS shard,
+        |    md5(doc_id || '#shuffle_v1') AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shard, shuffle_key,
+        |  row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos_in_shard
+        |FROM s""".stripMargin,
+
+    "q52_doc_chunks" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, greatest(length(text), 1), 224)) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (i - 1) // 224 AS chunk_idx,
+        |  i AS start,
+        |  CAST(length(substr(text, CAST(i AS INT), 256)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(i AS INT), 256)) AS chunk_md5
+        |FROM g""".stripMargin,
+
+    "q53_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.ops.Corpus.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.ops.Corpus.UrlRe}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '${graft.ops.Corpus.LongNumRe}')) AS BIGINT) AS n_longnums,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${graft.ops.Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.ops.Corpus.UrlRe}', '<URL>', 'g'),
+         |    '${graft.ops.Corpus.LongNumRe}', '<NUM>', 'g')) AS BIGINT) AS redacted_len,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${graft.ops.Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |    '${graft.ops.Corpus.UrlRe}', '<URL>', 'g'),
+         |    '${graft.ops.Corpus.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
+         |FROM documents""".stripMargin,
+
+    "q54_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(doc_id || ':sample_v1'), 1, 8) AS BIGINT) % 1000 AS bucket,
+        |    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 300 ELSE 100 END AS keep_permille
+        |  FROM documents)
+        |SELECT * FROM s WHERE bucket < keep_permille""".stripMargin,
+
+    // connected components of the q19 LSH candidate graph: min reachable id
+    // per document via a recursive transitive closure (components are small,
+    // so the closure is cheap for the oracle; the engine side is iterative
+    // min-label propagation)
+    "q55_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashSigs,
+         |bands AS (
+         |  SELECT doc_id, h_idx // 4 AS band_idx,
+         |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
+         |  FROM sigs GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id,
+         |  (id = min(lbl)) AS is_representative
+         |FROM reach GROUP BY id""".stripMargin,
+
+    "q56_term_topk" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS n_occurrences FROM t GROUP BY 1, 2)
+        |SELECT lang, term, n_occurrences, rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_occurrences DESC, term) AS rnk
+        |  FROM c)
+        |WHERE rnk <= 20""".stripMargin,
+
+    "q57_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score, rnk FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q58_revenue_deltas" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT priority, CAST(day AS VARCHAR) AS day,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(lag(rev_dec) OVER w AS DOUBLE) AS prev_revenue,
+        |  CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE) AS delta
+        |FROM d WINDOW w AS (PARTITION BY priority ORDER BY day)""".stripMargin,
+
+    "q59_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

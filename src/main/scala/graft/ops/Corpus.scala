@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,5 +36,115 @@ object Corpus {
         col("n_chars").between(minChars, maxChars) &&
         col("quality_score") >= minQuality)
       .drop("rn")
+  }
+
+  /** Deterministic 0..999 hash bucket of a document id under a salt. Content-
+    * addressed (md5 of "id:salt"), so the assignment is a pure function of the
+    * row — stable across runs, engines, partitionings, and data order, which
+    * is what makes splits/samples reproducible on a cluster. Per-row, no
+    * shuffle, codegen'd.
+    */
+  private def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long") % 1000
+
+  /** Train/valid/test split by deterministic hash bucket (900/50/50 ‰).
+    * The classic leakage-safe corpus split: membership depends only on
+    * doc_id + salt, so re-running over a grown corpus never moves an old
+    * document between splits.
+    */
+  def hashSplit(spark: SparkSession, sfDir: String, salt: String = "split_v1"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), hashBucket(col("doc_id"), salt).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "valid")
+          .otherwise("test"))
+
+  /** Deterministic corpus shuffle, sharded: documents are dealt into
+    * `nShards` pseudo-random shards by content-addressed hash and ordered
+    * within each shard by a second hash. This is the scale-correct way to
+    * "shuffle" a 100 TB corpus for training: a global `ORDER BY random()`
+    * needs a total order (range exchange + global row numbering); sharding
+    * needs one hash partition per shard and a partition-local sort, and each
+    * shard is an independently writable training file. The within-shard
+    * position is a window partitioned BY SHARD — parallel, never a
+    * single-task global window.
+    */
+  def shuffleShards(spark: SparkSession, sfDir: String, nShards: Int = 8,
+      salt: String = "shuffle_v1"): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit("#" + salt)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (hashBucket(col("doc_id"), salt) % nShards).as("shard"),
+        key.as("shuffle_key"))
+      .withColumn("pos_in_shard",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id")))
+          .cast("long"))
+  }
+
+  /** Fixed-width character chunking with overlap — context-window packing's
+    * first half: every document becomes ⌈n/stride⌉ windows of `width` chars
+    * starting every `stride` chars. One generate-and-explode per document,
+    * no shuffle; only (doc_id, offsets, md5) leave the scan, never chunk
+    * text.
+    */
+  def docChunks(spark: SparkSession, sfDir: String,
+      width: Int = 256, stride: Int = 224): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(t), lit(1)), lit(stride))).as("start"),
+        t.as("t"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        length(col("t").substr(col("start"), lit(width))).cast("long").as("chunk_len"),
+        md5(col("t").substr(col("start"), lit(width))).as("chunk_md5"))
+  }
+
+  // Redaction patterns: RE2-compatible (no backrefs/lookaround), so the same
+  // pattern strings run identically in Spark (java.util.regex) and DuckDB (RE2).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII/URL scrubbing: emails, URLs, then long digit runs are replaced by
+    * typed placeholder tags, in that fixed order (emails and URLs may contain
+    * digit runs — applying the most specific pattern first makes the
+    * composition deterministic). Per-row regex work, zero shuffle; emits
+    * counts + the redacted text's md5/length, never the text.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        LongNumRe, "<NUM>")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+      length(redacted).cast("long").as("redacted_len"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** Stratified deterministic sampling: per-language keep-rates (‰), applied
+    * through the content-addressed bucket — the standard way to rebalance a
+    * multilingual corpus (downsample the dominant language) while staying
+    * reproducible. A pure per-row filter: no shuffle, no `rand()` (whose
+    * sample changes with partitioning), fully pushdown-able.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      salt: String = "sample_v1"): DataFrame = {
+    val rate = when(col("lang") === "en", 500)
+      .when(col("lang") === "de", 300)
+      .otherwise(100)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id"), salt).as("bucket"), rate.as("keep_permille"))
+      .filter(col("bucket") < col("keep_permille"))
   }
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components — the cluster-assignment stage of the
+  * near-dup pipeline: LSH candidate pairs ([[Dedup.lshCandidatePairs]]) are
+  * edges, and every document must learn its duplicate family so exactly one
+  * representative per family survives into the training set.
+  *
+  * Algorithm: iterative min-label propagation. Each round every vertex takes
+  * the minimum label among itself and its neighbors (one equi-join on vertex
+  * id + one partial-agged min), until a fixpoint. Rounds ≤ graph diameter;
+  * duplicate families are near-cliques (diameter 1–2), so 2–3 rounds close a
+  * corpus of any size. Each round is a pair of narrow shuffles keyed by
+  * doc_id — nothing quadratic, nothing driver-side except the fixpoint test
+  * (a count of changed labels, one scalar per round). For adversarial
+  * long-chain graphs the round count grows with the diameter; the classic
+  * fix (large-star/small-star rewiring, which squashes diameter
+  * logarithmically) plugs into the same loop, but plain propagation is the
+  * right default for dedup-shaped graphs.
+  *
+  * Each round's labels are eagerly `localCheckpoint`ed: an iterative
+  * DataFrame recurrence otherwise DOUBLES its logical plan every round
+  * (labels_{k+1} references labels_k twice), and the analyzer re-walks the
+  * exponentially-growing plan until it OOMs — caching alone does not cut
+  * lineage. The checkpoint truncates the plan to the materialized rows;
+  * dropped round RDDs are reclaimed by the ContextCleaner. On a cluster
+  * where executor loss matters, swap `localCheckpoint` for a reliable
+  * `checkpoint` (HDFS-backed) — same loop.
+  */
+object Graph {
+
+  /** Connected components of an undirected edge list. `edges` needs columns
+    * (src, dst); `vertices` one column (id) — isolated vertices become
+    * singleton components. Returns (id, component) where component = min id
+    * in the vertex's component.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    // symmetric closure once; reused every round
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // neighbor labels flow along edges; each vertex keeps the global min.
+      // Explicit aliases throughout: labels and sym share scan lineage
+      // (vertices and edges usually derive from the same table), which
+      // otherwise trips Spark's ambiguous-self-join detection.
+      val viaNeighbors = labels.as("l").join(sym.as("e"), col("l.id") === col("e.src"))
+        .select(col("e.dst").as("id"), col("l.component").as("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint(true) // eager: truncates lineage, one job per round
+      val changed = next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.component") =!= col("p.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Duplicate families over the LSH candidate graph: (doc_id, cluster_id,
+    * cluster representative flag). Every document appears; documents with no
+    * near-dup candidate form singleton clusters.
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.core.Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+    val edges = Dedup.lshCandidatePairs(spark, sfDir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs, edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_representative"))
+  }
+}

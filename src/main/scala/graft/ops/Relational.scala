@@ -228,6 +228,40 @@ object Relational {
       .select(col("l_linestatus"),
         col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
 
+  /** Day-over-day deltas (lag): daily revenue per order priority with the
+    * previous day's figure and the change. The window partitions by priority
+    * and orders by day AFTER aggregation — |days × priorities| rows through
+    * the window, never the fact rows. Differences are taken in the exact
+    * decimal domain and cast out once.
+    */
+  def dailyRevenueDeltas(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDay = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+    byDay
+      .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+      .select(
+        col("priority"), col("day").cast("string").as("day"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("prev_dec").cast("double").as("prev_revenue"),
+        (col("rev_dec") - col("prev_dec")).cast("double").as("delta"))
+  }
+
+  /** Multi-dimensional totals (CUBE): every subset of (returnflag,
+    * linestatus) with a grouping id to tell the levels apart. Same Expand +
+    * one partial/final aggregate shape as ROLLUP — 4× the map-side rows, one
+    * shuffle.
+    */
+  def pricingCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        Num.sumMoney(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
   // ------------------------------------------------------------------ §2.8 scalars
 
   /** The reference's complete scalar-function surface (substring, concat,
