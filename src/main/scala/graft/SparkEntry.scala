@@ -79,6 +79,7 @@ object SparkEntry {
     "q57_tfidf"            -> ((s, d) => graft.ops.TermStats.tfidfTopTerms(s, d)),
     "q58_revenue_deltas"   -> ((s, d) => Relational.dailyRevenueDeltas(s, d)),
     "q59_cube"             -> ((s, d) => Relational.pricingCube(s, d)),
+    "q60_stream_join"      -> ((s, d) => EventStream.purchaseClickJoinAvailableNow(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -780,6 +781,18 @@ object SparkEntry {
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // batch twin of the stream-stream attribution join: purchases × same-user
+    // clicks within the 10 minutes before the purchase. ts is cast to
+    // microsecond TIMESTAMP to mirror the engine's ns→µs truncation — the
+    // 10-minute boundary must compare at the same precision on both sides.
+    "q60_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

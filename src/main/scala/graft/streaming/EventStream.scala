@@ -91,4 +91,47 @@ object EventStream {
       col("window.start").as("hour"),
       col("event_type"), col("n_events"), col("total_value"))
   }
+
+  /** Stream-stream INNER join: every purchase paired with the same user's
+    * clicks in the 10 minutes leading up to it — the canonical attribution
+    * join, as two live streams rather than stream-vs-static.
+    *
+    * Scale shape: both sides carry an event-time watermark and the join
+    * condition bounds click_ts to a window around purchase_ts, so the state
+    * store retains only the watermark horizon per side, keyed (and
+    * co-partitioned) by user_id — state is bounded and the join is a hash
+    * equi-join per micro-batch, never a replay. Inner joins emit matches as
+    * they arrive, so append mode + AvailableNow drains to the complete,
+    * deterministic pair set (an OUTER stream-stream join would additionally
+    * need the watermark to pass to finalize null-padded rows).
+    */
+  def purchaseClickJoinAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = eventsDir(spark, sfDir)
+    def side(eventType: String): DataFrame = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .filter(col("event_type") === eventType)
+    // watermarks require TimestampType (not NTZ); under the UTC session the
+    // cast is wall-clock identity, and neither ts reaches the output
+    val purchases = side("purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("timestamp").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").cast("timestamp").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+    val name = s"graft_stream_join_${System.nanoTime()}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
 }

@@ -73,4 +73,22 @@ class EventStreamSpec extends SparkSpec {
       ("2024-01-01 11:00:00.0", "view", 1L, 4.0),
       ("2024-01-01 15:00:00.0", "click", 1L, 8.0)))
   }
+
+  test("stream-stream join matches its batch twin exactly") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = EventStream.purchaseClickJoinAvailableNow(spark, sf)
+    val ev = graft.core.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = p.join(c,
+        col("cu") === col("user_id") &&
+          col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+          col("cts") <= col("pts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
