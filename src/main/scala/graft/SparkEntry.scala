@@ -80,6 +80,10 @@ object SparkEntry {
     "q58_revenue_deltas"   -> ((s, d) => Relational.dailyRevenueDeltas(s, d)),
     "q59_cube"             -> ((s, d) => Relational.pricingCube(s, d)),
     "q60_stream_join"      -> ((s, d) => EventStream.purchaseClickJoinAvailableNow(s, d)),
+    // q61 has NO oracleSql on purpose: the HLL sketch value is engine-specific
+    // (rows-only gate); its error bound is pinned by EventsSpec instead
+    "q61_approx_distinct"  -> ((s, d) => Events.approxDistinctUsers(s, d)),
+    "q62_minhash_est"      -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -793,6 +797,39 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
         | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)""".stripMargin,
+
+    // MinHash estimate vs exact Jaccard on the LSH candidates; est = matching
+    // signature entries / 16, exact = q17's 3-gram Jaccard
+    "q62_minhash_est" ->
+      s"""WITH $minhashSigs,
+         |bands AS (
+         |  SELECT doc_id, h_idx // 4 AS band_idx,
+         |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
+         |  FROM sigs GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 16
+         |      AS est_jaccard
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.doc_a
+         |  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.h_idx = sa.h_idx
+         |  GROUP BY 1, 2),
+         |docs3 AS (
+         |  SELECT doc_id, ${shingles(3)} AS grams FROM documents),
+         |ex AS (
+         |  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         |    CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+         |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) AS jaccard
+         |  FROM est e
+         |  JOIN docs3 x ON e.doc_a = x.doc_id
+         |  JOIN docs3 y ON e.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard, abs(est_jaccard - jaccard) AS abs_err
+         |FROM ex""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

@@ -183,6 +183,37 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** MinHash quality probe: for every LSH candidate pair, the signature-
+    * agreement estimate of Jaccard (matching entries / 16) next to the exact
+    * 3-gram Jaccard, with the absolute error. This is the loop that justifies
+    * the sketch: at scale you tune bands/rows against exactly this error
+    * distribution on a sample, then trust the estimate. Costs |candidates|×16
+    * narrow rows through one aggregate plus the q17-style text hydration —
+    * still O(n·k), never all-pairs.
+    */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir)
+    val cands = lshCandidatePairs(spark, sfDir)
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("h_idx"), col("minhash").as("mh_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b2"), col("h_idx").as("h_idx_b"),
+      col("minhash").as("mh_b"))
+    val est = cands
+      .join(sa, "doc_a")
+      .join(sb, col("doc_b") === col("doc_b2") && col("h_idx") === col("h_idx_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).cast("double") /
+        MinhashFuncs).as("est_jaccard"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
+    est
+      .join(docs.select(col("doc_id").as("doc_a"), col("norm").as("norm_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("norm").as("norm_b")), "doc_b")
+      .withColumn("jc", graft.functions.NgramJaccardExpr(col("norm_a"), col("norm_b"), 3))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("jc.jaccard").as("jaccard"),
+        abs(col("est_jaccard") - col("jc.jaccard")).as("abs_err"))
+  }
+
   /** 48-bit polynomial token hash, Horner form: acc·131 + ascii(ch) mod 2^48.
     * Stays within int64 (2^48·131 < 2^63) and is expressible in any engine with
     * integer arithmetic — no dependence on a specific hash builtin.

@@ -48,4 +48,20 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
   }
+
+  /** Distinct users per event type, exact AND HyperLogLog++. At 100 TB the
+    * exact form is the expensive one (distinct forces the full key set
+    * through the shuffle); the sketch aggregates partial HLL registers
+    * map-side, shuffling constant bytes per group, at bounded relative error.
+    * Both are emitted so the gate can check the exact column; the sketch's
+    * error bound is pinned by `EventsSpec`. No cross-engine oracle exists for
+    * the sketch value itself (HLL implementations differ), so this query is
+    * registered rows-only.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
 }
