@@ -717,6 +717,12 @@ object SparkEntry {
     // per document via a recursive transitive closure (components are small,
     // so the closure is cheap for the oracle; the engine side is iterative
     // min-label propagation)
+    // Connected components over the VERIFIED near-dup pairs (q17's output,
+    // jaccard >= 0.5). `edges` is MATERIALIZED — DuckDB 1.0 otherwise inlines
+    // the whole MinHash/verify chain into the recursive member and recomputes
+    // it every fixpoint iteration. The recursive member also prunes labels
+    // that can never win (`r.lbl < e.dst`): a node's own id is already its
+    // upper bound, so only smaller labels need to flow.
     "q55_dup_clusters" ->
       s"""WITH RECURSIVE $minhashSigs,
          |bands AS (
@@ -728,13 +734,24 @@ object SparkEntry {
          |  FROM bands a JOIN bands b
          |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          |   AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |docs3 AS (
+         |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
+         |verified AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN docs3 x ON c.doc_a = x.doc_id
+         |  JOIN docs3 y ON c.doc_b = y.doc_id
+         |  WHERE x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 20
+         |    AND CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+         |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM verified
+         |  UNION ALL SELECT doc_b, doc_a FROM verified),
          |reach(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src)
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+         |  WHERE r.lbl < e.dst)
          |SELECT id AS doc_id, min(lbl) AS cluster_id,
          |  (id = min(lbl)) AS is_representative
          |FROM reach GROUP BY id""".stripMargin,

@@ -37,7 +37,8 @@ object IoQueries {
   /** S2+S6: write `customer` over JDBC (embedded Derby), read it back. */
   def jdbcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     val conn = JdbcConn(s"jdbc:derby:${scratch("derby_rt", sfDir)};create=true")
-    Jdbc.write(Tables.customer(spark, sfDir), conn, "customer_rt", SaveMode.Overwrite)
+    Jdbc.write(Tables.customer(spark, sfDir), conn, "customer_rt", SaveMode.Overwrite,
+      maxConnections = Some(1))
     Jdbc.read(spark, conn, "customer_rt")
   }
 
@@ -95,7 +96,8 @@ object IoQueries {
       runId = "run_0001",
       runDate = java.time.LocalDate.of(2026, 1, 1))
     val ledger = JdbcLedger.derby(s"$root/ledgerdb")
-    try SalesEtlJob.run(spark, cfg, ledger, (df, table) => Jdbc.write(df, metricsConn, table))
+    try SalesEtlJob.run(spark, cfg, ledger,
+      (df, table) => Jdbc.write(df, metricsConn, table, maxConnections = Some(1)))
     finally ledger.close()
     Jdbc.read(spark, metricsConn, "customer_monthly_purchase")
   }

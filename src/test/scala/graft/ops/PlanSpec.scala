@@ -70,4 +70,30 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.scalarShowcase(spark, sf))
     assert(p.contains("*(1)"))
   }
+
+  test("per-row corpus ops (split, chunks, redact, sample) never shuffle") {
+    for (df <- Seq(
+        Corpus.hashSplit(spark, sf),
+        Corpus.docChunks(spark, sf),
+        Corpus.piiRedact(spark, sf),
+        Corpus.stratifiedSample(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p.linesIterator.take(3).mkString("\n"))
+    }
+  }
+
+  test("term top-k aggregates map-side and windows only aggregated rows") {
+    val p = plan(TermStats.topTermsPerLang(spark, sf))
+    // partial agg before the exchange: the token explosion must collapse
+    // map-side so the shuffle carries (lang, term) groups, not occurrences
+    assert(p.contains("partial_count") || p.contains("partial"))
+    // exactly the agg exchange + the window's repartition on lang
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("tfidf joins on term without a cartesian product; N is broadcast") {
+    val p = plan(TermStats.tfidfTopTerms(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
 }
