@@ -84,6 +84,9 @@ object SparkEntry {
     // (rows-only gate); its error bound is pinned by EventsSpec instead
     "q61_approx_distinct"  -> ((s, d) => Events.approxDistinctUsers(s, d)),
     "q62_minhash_est"      -> ((s, d) => Dedup.minhashEstimate(s, d)),
+    "q63_moving_avg"       -> ((s, d) => Relational.movingRevenueAvg(s, d)),
+    "q64_deciles"          -> ((s, d) => Relational.customerBalanceDeciles(s, d)),
+    "q65_json_props"       -> ((s, d) => Events.propsFieldStats(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -794,6 +797,40 @@ object SparkEntry {
         |  CAST(lag(rev_dec) OVER w AS DOUBLE) AS prev_revenue,
         |  CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE) AS delta
         |FROM d WINDOW w AS (PARTITION BY priority ORDER BY day)""".stripMargin,
+
+    "q63_moving_avg" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT *, day - DATE '1970-01-01' AS epoch_day FROM d)
+        |SELECT priority, CAST(day AS VARCHAR) AS day,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS moving_avg7,
+        |  COUNT(*) OVER w AS win_days
+        |FROM e WINDOW w AS (
+        |  PARTITION BY priority ORDER BY epoch_day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q64_deciles" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
+
+    // NULLIF: a props row without "k" extracts '' (Spark's from_json yields
+    // NULL); SUM over BIGINT widens to HUGEINT in DuckDB, so cast it back
+    "q65_json_props" ->
+      """SELECT event_type,
+        |  count(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY 1""".stripMargin,
 
     "q59_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -64,4 +64,22 @@ object Events {
       .agg(
         countDistinct(col("user_id")).as("n_users_exact"),
         approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
+  /** Semi-structured payloads: parse the JSON `props` column with an explicit
+    * schema (`from_json` — codegen'd, no UDF, malformed rows become NULL
+    * rather than failures) and aggregate the extracted field. The parse is
+    * per-row before the aggregate's map-side combine, so the shuffle carries
+    * |event_type| rows.
+    */
+  def propsFieldStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
 }

@@ -249,6 +249,47 @@ object Relational {
         (col("rev_dec") - col("prev_dec")).cast("double").as("delta"))
   }
 
+  /** Seven-day trailing revenue average per priority: a RANGE window frame
+    * over epoch-days, so gaps in the calendar shrink the frame (a ROWS frame
+    * would silently average the last 7 *present* days). Window runs on the
+    * aggregated |days × priorities| rows; the ratio is one IEEE division of
+    * the exact decimal frame total.
+    */
+  def movingRevenueAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDay = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, Window.currentRow)
+    byDay
+      .withColumn("win_total", sum(col("rev_dec")).over(w))
+      .withColumn("win_days", count(lit(1)).over(w))
+      .select(
+        col("priority"), col("day").cast("string").as("day"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("win_total").cast("double") / col("win_days")).as("moving_avg7"),
+        col("win_days"))
+  }
+
+  /** Distribution-position windows per market segment: decile (ntile),
+    * percent_rank, cume_dist over account balance. Partitioned by segment so
+    * every window is parallel — a GLOBAL ntile would funnel the table through
+    * one task; if a global decile is ever needed at scale, approximate via
+    * percentile sketch cutpoints instead. Fully deterministic: the order key
+    * (balance, custkey) is a total order.
+    */
+  def customerBalanceDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir).select(
+      col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+      ntile(10).over(w).cast("long").as("decile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
   /** Multi-dimensional totals (CUBE): every subset of (returnflag,
     * linestatus) with a grouping id to tell the levels apart. Same Expand +
     * one partial/final aggregate shape as ROLLUP — 4× the map-side rows, one
