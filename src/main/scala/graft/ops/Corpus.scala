@@ -90,9 +90,13 @@ object Corpus {
     * text.
     */
   def docChunks(spark: SparkSession, sfDir: String,
-      width: Int = 256, stride: Int = 224): DataFrame = {
+      width: Int = 256, stride: Int = 224): DataFrame =
+    docChunksFrom(Tables.documents(spark, sfDir), width, stride)
+
+  /** Same over any (doc_id, text) frame — separated for edge-case tests. */
+  private[graft] def docChunksFrom(docs: DataFrame, width: Int, stride: Int): DataFrame = {
     val t = col("text")
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(length(t), lit(1)), lit(stride))).as("start"),
         t.as("t"))

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Edge cases of the corpus-curation ops that the sf datasets don't contain:
+  * empty/short texts through the chunker, overlap determinism of the chunk
+  * grid, redaction ordering, and split-fraction sanity.
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("chunking: empty text yields one empty chunk; short text one short chunk") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "abc"), (3L, "x" * 500)).toDF("doc_id", "text")
+    val chunks = Corpus.docChunksFrom(docs, width = 256, stride = 224)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(chunks.toSeq == Seq(
+      (1L, 0L, 1L, 0L),        // empty doc: one zero-length chunk
+      (2L, 0L, 1L, 3L),        // sub-width doc: one short chunk
+      (3L, 0L, 1L, 256L),      // 500 chars: full chunk at 1,
+      (3L, 1L, 225L, 256L),    // full chunk at 225 (224 overlap window),
+      (3L, 2L, 449L, 52L)))    // tail chunk of 52
+  }
+
+  test("adjacent chunks overlap by width - stride") {
+    import spark.implicits._
+    val text = (0 until 600).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = Corpus.docChunksFrom(docs, width = 256, stride = 224)
+      .orderBy("chunk_idx").collect()
+    val starts = rows.map(_.getAs[Long]("start"))
+    assert(starts.toSeq == Seq(1L, 225L, 449L))
+    // consecutive chunks share exactly width - stride = 32 characters
+    starts.sliding(2).foreach { case Array(a, b) => assert(b - a == 224) }
+  }
+
+  test("redaction replaces emails before their digit runs can be hit") {
+    import spark.implicits._
+    // staged via a scratch-free path: run the same expressions on a literal
+    val df = Seq(("user1234567@example.com visits https://x.io/a?id=9999999 code 12345678"))
+      .toDF("text")
+    val out = df.select(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), Corpus.EmailRe, "<EMAIL>"),
+          Corpus.UrlRe, "<URL>"),
+        Corpus.LongNumRe, "<NUM>").as("redacted"))
+      .head().getString(0)
+    assert(out == "<EMAIL> visits <URL> code <NUM>")
+  }
+
+  test("hash split fractions land near 90/5/5 and are disjoint + exhaustive") {
+    val split = Corpus.hashSplit(spark, "/root/testdata/sf0.001")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == 500)
+    assert(counts("train") > 400 && counts("train") < 480)
+    assert(counts.getOrElse("valid", 0L) + counts.getOrElse("test", 0L) == total - counts("train"))
+    // determinism: the same salt reproduces the same assignment
+    val again = Corpus.hashSplit(spark, "/root/testdata/sf0.001")
+    assert(split.exceptAll(again).isEmpty)
+  }
+}
