@@ -38,7 +38,7 @@ object Graph {
     * in the vertex's component.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 50): DataFrame = {
     // symmetric closure once; reused every round
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -48,21 +48,43 @@ object Graph {
       .localCheckpoint(true)
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
-      // neighbor labels flow along edges; each vertex keeps the global min.
-      // Explicit aliases throughout: labels and sym share scan lineage
-      // (vertices and edges usually derive from the same table), which
-      // otherwise trips Spark's ambiguous-self-join detection.
-      val viaNeighbors = labels.as("l").join(sym.as("e"), col("l.id") === col("e.src"))
+    // One min-label propagation step (plan only — nothing materialized).
+    // Explicit aliases throughout: labels and sym share scan lineage
+    // (vertices and edges usually derive from the same table), which
+    // otherwise trips Spark's ambiguous-self-join detection.
+    def propagate(cur: DataFrame): DataFrame = {
+      val viaNeighbors = cur.as("l").join(sym.as("e"), col("l.id") === col("e.src"))
         .select(col("e.dst").as("id"), col("l.component").as("component"))
-      val next = labels.select(col("id"), col("component"))
+      cur.select(col("id"), col("component"))
         .union(viaNeighbors)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
+    }
+    // Pointer jump (path halving): component(id) ← component(component(id)).
+    // A label always names a vertex of the same component, so the jump stays
+    // within the component while compressing label chains — on id-ordered
+    // chains it is geometric, on adversarial id placement it degrades toward
+    // ~diameter/2 rounds (the label acts as a teleport that may not point
+    // toward the component minimum). One self-join per round; at most
+    // single-level (nested self-joins of one un-materialized plan break
+    // attribute deduplication), so `prop` feeds both jump sides directly.
+    def jump(cur: DataFrame): DataFrame = {
+      val lookup = cur.select(col("id").as("j_id"), col("component").as("j_comp"))
+      cur.join(lookup, col("component") === col("j_id"))
+        .select(col("id"), col("j_comp").as("component"))
+    }
+    while (!converged && round < maxRounds) {
+      val next = jump(propagate(labels))
         .localCheckpoint(true) // eager: truncates lineage, one job per round
-      val changed = next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.component") =!= col("p.component"))
-        .limit(1).count()
+      // fixpoint probe every second round: a converged graph just recomputes
+      // identical labels on the extra round, which is cheaper than probing
+      // every time
+      val probe = round % 2 == 1 || round >= maxRounds - 2
+      val changed =
+        if (!probe) 1L
+        else next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.component") =!= col("p.component"))
+          .limit(1).count()
       labels = next
       converged = changed == 0
       round += 1
