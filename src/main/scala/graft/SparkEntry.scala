@@ -87,6 +87,8 @@ object SparkEntry {
     "q63_moving_avg"       -> ((s, d) => Relational.movingRevenueAvg(s, d)),
     "q64_deciles"          -> ((s, d) => Relational.customerBalanceDeciles(s, d)),
     "q65_json_props"       -> ((s, d) => Events.propsFieldStats(s, d)),
+    "q66_sequence_pack"    -> ((s, d) => graft.ops.Corpus.sequencePack(s, d)),
+    "q67_deduped_corpus"   -> ((s, d) => graft.ops.Corpus.dedupedCorpus(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -130,6 +132,60 @@ object SparkEntry {
        |      v -> ($aList[CAST(h.i AS INT) + 1] * v + $bList[CAST(h.i AS INT) + 1]) % ${graft.ops.Dedup.HashP})) AS minhash
        |  FROM hg CROSS JOIN (SELECT unnest(range(0, 16)) AS i) h)""".stripMargin
   }
+
+  /** Shared CTE chain for the near-dup connected-components oracles (q55,
+    * q67): MinHash sigs → bands → candidates → exact-Jaccard verify → edges →
+    * recursive min-label closure. `edges` is MATERIALIZED — DuckDB 1.0
+    * otherwise inlines the whole chain into the recursive member and
+    * recomputes it every fixpoint iteration. The recursive member prunes
+    * labels that can never win (`r.lbl < e.dst`): a node's own id is already
+    * its upper bound, so only smaller labels need to flow.
+    */
+  private lazy val dupCcCtes: String =
+    s"""$minhashSigs,
+       |bands AS (
+       |  SELECT doc_id, h_idx // 4 AS band_idx,
+       |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
+       |  FROM sigs GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |docs3 AS (
+       |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN docs3 x ON c.doc_a = x.doc_id
+       |  JOIN docs3 y ON c.doc_b = y.doc_id
+       |  WHERE x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 20
+       |    AND CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+       |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL SELECT doc_b, doc_a FROM verified),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+       |  WHERE r.lbl < e.dst)""".stripMargin
+
+  /** DuckDB twin of Corpus.trainingFilter, shared by q40 and q67. */
+  private lazy val trainingFilterSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS DOUBLE)
+       |      / len(regexp_split_to_array(trim(text), '\\s+')) * 0.5
+       |    + CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / n_chars * 0.2
+       |    + CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+       |      / len(regexp_split_to_array(trim(text), '\\s+')) * 0.05 AS quality_score,
+       |    row_number() OVER (PARTITION BY md5($normText) ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, n_tokens, quality_score
+       |FROM q
+       |WHERE rn = 1 AND n_chars BETWEEN 50 AND 100000 AND quality_score >= 0.05""".stripMargin
 
   /** DuckDB twin of the SimHash fingerprint (Dedup.simhash): token hashes via
     * the 48-bit Horner polynomial, ±1 votes per bit, bit set iff positive.
@@ -646,20 +702,7 @@ object SparkEntry {
         |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem""".stripMargin,
 
-    "q40_corpus_filter" ->
-      s"""WITH q AS (
-         |  SELECT doc_id, lang, n_chars,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS DOUBLE)
-         |      / len(regexp_split_to_array(trim(text), '\\s+')) * 0.5
-         |    + CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / n_chars * 0.2
-         |    + CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
-         |      / len(regexp_split_to_array(trim(text), '\\s+')) * 0.05 AS quality_score,
-         |    row_number() OVER (PARTITION BY md5($normText) ORDER BY doc_id) AS rn
-         |  FROM documents)
-         |SELECT doc_id, lang, n_chars, n_tokens, quality_score
-         |FROM q
-         |WHERE rn = 1 AND n_chars BETWEEN 50 AND 100000 AND quality_score >= 0.05""".stripMargin,
+    "q40_corpus_filter" -> trainingFilterSql,
 
     // content-addressed 0..999 bucket shared by q50/q51/q54 — the Spark twin
     // is Corpus.hashBucket
@@ -721,43 +764,37 @@ object SparkEntry {
     // so the closure is cheap for the oracle; the engine side is iterative
     // min-label propagation)
     // Connected components over the VERIFIED near-dup pairs (q17's output,
-    // jaccard >= 0.5). `edges` is MATERIALIZED — DuckDB 1.0 otherwise inlines
-    // the whole MinHash/verify chain into the recursive member and recomputes
-    // it every fixpoint iteration. The recursive member also prunes labels
-    // that can never win (`r.lbl < e.dst`): a node's own id is already its
-    // upper bound, so only smaller labels need to flow.
+    // jaccard >= 0.5); shared CTE chain in `dupCcCtes` above.
     "q55_dup_clusters" ->
-      s"""WITH RECURSIVE $minhashSigs,
-         |bands AS (
-         |  SELECT doc_id, h_idx // 4 AS band_idx,
-         |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
-         |  FROM sigs GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id),
-         |docs3 AS (
-         |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
-         |verified AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c
-         |  JOIN docs3 x ON c.doc_a = x.doc_id
-         |  JOIN docs3 y ON c.doc_b = y.doc_id
-         |  WHERE x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 20
-         |    AND CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
-         |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) >= 0.5),
-         |edges AS MATERIALIZED (
-         |  SELECT doc_a AS src, doc_b AS dst FROM verified
-         |  UNION ALL SELECT doc_b, doc_a FROM verified),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
-         |  WHERE r.lbl < e.dst)
+      s"""WITH RECURSIVE $dupCcCtes
          |SELECT id AS doc_id, min(lbl) AS cluster_id,
          |  (id = min(lbl)) AS is_representative
          |FROM reach GROUP BY id""".stripMargin,
+
+    // the full dedup loop closed: training filter ∩ near-dup representatives
+    "q67_deduped_corpus" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |labels AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         |reps AS (SELECT id FROM labels WHERE id = comp),
+         |filtered AS ($trainingFilterSql)
+         |SELECT f.doc_id, f.lang, f.n_chars, f.n_tokens, f.quality_score
+         |FROM filtered f JOIN reps ON f.doc_id = reps.id""".stripMargin,
+
+    "q66_sequence_pack" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':shuffle_v1'), 1, 8) AS BIGINT) % 1000 % 8 AS shard,
+        |    md5(doc_id || '#shuffle_v1') AS shuffle_key,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY shuffle_key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY shuffle_key, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 4096 AS pack_id
+        |FROM s""".stripMargin,
 
     "q56_term_topk" ->
       """WITH t AS (

@@ -135,6 +135,47 @@ object Corpus {
       md5(redacted).as("redacted_md5"))
   }
 
+  /** Deterministic sequence packing: documents are dealt into shards
+    * ([[shuffleShards]]' scheme), ordered pseudo-randomly within each shard,
+    * and assigned to fixed token-budget packs by exclusive running token
+    * count — pack k holds the docs whose preceding in-shard tokens total
+    * [k·budget, (k+1)·budget). This is streaming-order packing (each pack
+    * fills to the budget with at most one doc of spillover), not bin-packing
+    * — but it is a pure function of the corpus, reproducible on any cluster,
+    * and each shard's window is parallel. The running sum is the only state,
+    * so the same pass works incrementally as new documents arrive.
+    */
+  def sequencePack(spark: SparkSession, sfDir: String, nShards: Int = 8,
+      tokenBudget: Int = 4096, salt: String = "shuffle_v1"): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit("#" + salt)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (hashBucket(col("doc_id"), salt) % nShards).as("shard"),
+        key.as("shuffle_key"),
+        TextAnalysis.qualityTokens.cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("pack_id", floor(col("tokens_before") / tokenBudget).cast("long"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("tokens_before"), col("pack_id"))
+  }
+
+  /** The final training manifest: exact-dedup survivors within length/quality
+    * bounds ([[trainingFilter]]) that are ALSO their near-dup family's
+    * representative ([[Graph.dupClusters]]) — the composition every stage in
+    * the dedup suite exists to feed. One semi join on doc_id; the CC label
+    * table carries two longs per doc.
+    */
+  def dedupedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = Graph.dupClusters(spark, sfDir)
+      .filter(col("is_representative"))
+      .select(col("doc_id"))
+    trainingFilter(spark, sfDir)
+      .join(reps, Seq("doc_id"), "left_semi")
+  }
+
   /** Stratified deterministic sampling: per-language keep-rates (‰), applied
     * through the content-addressed bucket — the standard way to rebalance a
     * multilingual corpus (downsample the dominant language) while staying
