@@ -89,6 +89,10 @@ object SparkEntry {
     "q65_json_props"       -> ((s, d) => Events.propsFieldStats(s, d)),
     "q66_sequence_pack"    -> ((s, d) => graft.ops.Corpus.sequencePack(s, d)),
     "q67_deduped_corpus"   -> ((s, d) => graft.ops.Corpus.dedupedCorpus(s, d)),
+    "q68_native_topk"      -> ((s, d) => graft.plans.TopKPerGroup.topK(
+      graft.core.Tables.orders(s, d),
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+      .select("o_orderkey", "o_custkey", "o_totalprice")),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -868,6 +872,16 @@ object SparkEntry {
         |    CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS k
         |  FROM events)
         |GROUP BY 1""".stripMargin,
+
+    // the native two-phase top-k operator must agree with the window spelling
+    "q68_native_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
 
     "q59_cube" ->
       """SELECT l_returnflag, l_linestatus,

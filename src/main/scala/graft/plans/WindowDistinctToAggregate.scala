@@ -168,6 +168,8 @@ object WindowDistinctToAggregate extends Rule[LogicalPlan] {
   * session optimizes the window+distinct shape automatically.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => WindowDistinctToAggregate)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
 }
