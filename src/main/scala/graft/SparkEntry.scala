@@ -93,6 +93,11 @@ object SparkEntry {
       graft.core.Tables.orders(s, d),
       Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
       .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "q69_stream_dedup"     -> ((s, d) => EventStream.dedupRedeliveredAvailableNow(s, d)),
+    "q70_salted_join"      -> ((s, d) => Relational.saltedOrderCustomerJoin(s, d)),
+    // q71 has NO oracleSql on purpose: sketch values are engine-specific
+    // (rows-only gate); the error bound is pinned by RelationalSketchSpec
+    "q71_approx_quantiles" -> ((s, d) => Relational.approxPriceQuantiles(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -872,6 +877,15 @@ object SparkEntry {
         |    CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS k
         |  FROM events)
         |GROUP BY 1""".stripMargin,
+
+    // the redelivered-and-deduplicated stream must reproduce the source table
+    "q69_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events""".stripMargin,
+
+    // the salt is an execution detail: result == the plain inner join
+    "q70_salted_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     // the native two-phase top-k operator must agree with the window spelling
     "q68_native_topk" ->

@@ -216,6 +216,35 @@ object Relational {
         expr("percentile(l_extendedprice, 0.95)").as("p95"),
         countDistinct(col("l_suppkey")).as("n_supp"))
 
+  /** The salted join surfaced as an oracle-checked query: orders (probe)
+    * joined to customer (build) salted 8 ways must produce exactly the plain
+    * inner join's rows — the salt is an execution detail, invisible in the
+    * result. See [[Skew.saltedJoin]] for when this shape beats hash
+    * partitioning.
+    */
+  def saltedOrderCustomerJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Skew.saltedJoin(
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment")),
+      "o_custkey", "c_custkey", nSalts = 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("c_mktsegment"))
+
+  /** Percentiles as one-pass mergeable sketches next to their exact values.
+    * The exact form sorts every group; the sketch (`approx_percentile`,
+    * Greenwald-Khanna summaries) aggregates map-side in bounded memory and
+    * merges associatively — the only shape that scales to 100 TB groups. The
+    * sketch values are engine-specific, so this query is gated rows-only;
+    * `RelationalSketchSpec` pins the error bound against the exact values.
+    */
+  def approxPriceQuantiles(spark: SparkSession, sfDir: String, accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)").as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+        expr(s"approx_percentile(l_extendedprice, 0.95, $accuracy)").as("p95_approx"))
+
   /** Pivot: quantity by line status across the return-flag domain. The pivot
     * values are EXPLICIT — at scale an implicit pivot means a blocking
     * distinct-scan over the fact table just to discover column names.

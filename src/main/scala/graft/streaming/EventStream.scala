@@ -134,4 +134,34 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
     spark.table(name).select(col("purchase_id"), col("user_id"), col("click_id"))
   }
+
+  /** Streaming dedup under redelivery: the event stream unioned with a full
+    * replay of itself (every event delivered twice — the at-least-once
+    * delivery failure mode), deduplicated on event_id with
+    * `dropDuplicatesWithinWatermark`. State holds only ids inside the
+    * watermark horizon, so unlike a batch `distinct` the state store never
+    * grows with the stream's lifetime — redeliveries outside the horizon
+    * would pass, which is the documented contract (pair it with an idempotent
+    * sink for those). The drained result must equal the original table
+    * exactly: every duplicate eliminated, no original lost.
+    */
+  def dedupRedeliveredAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = eventsDir(spark, sfDir)
+    def src: DataFrame = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts_wm", col("ts").cast("timestamp"))
+    val redelivered = src.union(src) // two source instances: every event twice
+      .withWatermark("ts_wm", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_stream_dedup_${System.nanoTime()}"
+    val q = redelivered.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+  }
 }
