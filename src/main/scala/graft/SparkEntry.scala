@@ -142,6 +142,21 @@ object SparkEntry {
        |  FROM hg CROSS JOIN (SELECT unnest(range(0, 16)) AS i) h)""".stripMargin
   }
 
+  /** DuckDB twin of the LSH banding + candidate pairing (Dedup
+    * .lshCandidatePairs), shared by the q17/q19/q55/q62/q67 oracles so the
+    * banding scheme exists in exactly one place.
+    */
+  private lazy val bandsCandCtes: String =
+    """bands AS (
+      |  SELECT doc_id, h_idx // 4 AS band_idx,
+      |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
+      |  FROM sigs GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Shared CTE chain for the near-dup connected-components oracles (q55,
     * q67): MinHash sigs → bands → candidates → exact-Jaccard verify → edges →
     * recursive min-label closure. `edges` is MATERIALIZED — DuckDB 1.0
@@ -152,15 +167,7 @@ object SparkEntry {
     */
   private lazy val dupCcCtes: String =
     s"""$minhashSigs,
-       |bands AS (
-       |  SELECT doc_id, h_idx // 4 AS band_idx,
-       |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
-       |  FROM sigs GROUP BY 1, 2),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id),
+       |$bandsCandCtes,
        |docs3 AS (
        |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
        |verified AS (
@@ -383,15 +390,7 @@ object SparkEntry {
 
     "q17_ngram_jaccard" ->
       s"""WITH $minhashSigs,
-         |bands AS (
-         |  SELECT doc_id, h_idx // 4 AS band_idx,
-         |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
-         |  FROM sigs GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id),
+         |$bandsCandCtes,
          |docs3 AS (
          |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
          |pairs AS (
@@ -921,15 +920,7 @@ object SparkEntry {
     // signature entries / 16, exact = q17's 3-gram Jaccard
     "q62_minhash_est" ->
       s"""WITH $minhashSigs,
-         |bands AS (
-         |  SELECT doc_id, h_idx // 4 AS band_idx,
-         |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
-         |  FROM sigs GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id),
+         |$bandsCandCtes,
          |est AS (
          |  SELECT c.doc_a, c.doc_b,
          |    CAST(SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 16

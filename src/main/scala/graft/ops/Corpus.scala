@@ -71,17 +71,23 @@ object Corpus {
     * position is a window partitioned BY SHARD — parallel, never a
     * single-task global window.
     */
+  /** The (shard, shuffle_key) pair shared by [[shuffleShards]] and
+    * [[sequencePack]] — one derivation, so packs always align with shards.
+    */
+  private def shardCol(salt: String, nShards: Int): Column =
+    hashBucket(col("doc_id"), salt) % nShards
+  private def shuffleKeyCol(salt: String): Column =
+    md5(concat(col("doc_id").cast("string"), lit("#" + salt)))
+
   def shuffleShards(spark: SparkSession, sfDir: String, nShards: Int = 8,
-      salt: String = "shuffle_v1"): DataFrame = {
-    val key = md5(concat(col("doc_id").cast("string"), lit("#" + salt)))
+      salt: String = "shuffle_v1"): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), (hashBucket(col("doc_id"), salt) % nShards).as("shard"),
-        key.as("shuffle_key"))
+      .select(col("doc_id"), shardCol(salt, nShards).as("shard"),
+        shuffleKeyCol(salt).as("shuffle_key"))
       .withColumn("pos_in_shard",
         row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id")))
           .cast("long"))
-  }
 
   /** Fixed-width character chunking with overlap — context-window packing's
     * first half: every document becomes ⌈n/stride⌉ windows of `width` chars
@@ -147,12 +153,11 @@ object Corpus {
     */
   def sequencePack(spark: SparkSession, sfDir: String, nShards: Int = 8,
       tokenBudget: Int = 4096, salt: String = "shuffle_v1"): DataFrame = {
-    val key = md5(concat(col("doc_id").cast("string"), lit("#" + salt)))
     val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        (hashBucket(col("doc_id"), salt) % nShards).as("shard"),
-        key.as("shuffle_key"),
+        shardCol(salt, nShards).as("shard"),
+        shuffleKeyCol(salt).as("shuffle_key"),
         TextAnalysis.qualityTokens.cast("long").as("n_tokens"))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),

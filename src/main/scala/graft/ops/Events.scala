@@ -74,8 +74,8 @@ object Events {
   def propsFieldStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_type"),
-        from_json(col("props"), "k INT", Map.empty[String, String])
-          .getField("k").cast("long").as("k"))
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
       .groupBy(col("event_type"))
       .agg(
         count(col("k")).as("n_with_k"),

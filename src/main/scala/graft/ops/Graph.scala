@@ -90,6 +90,12 @@ object Graph {
       round += 1
     }
     sym.unpersist()
+    // un-converged labels are silently WRONG (one family reported as several
+    // clusters, each electing its own representative) — fail instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds; " +
+          "the graph has a deeper chain structure than expected — raise maxRounds")
     labels
   }
 

@@ -119,10 +119,18 @@ object TopKPerGroup {
     */
   def topK(df: DataFrame, groupCols: Seq[String], orderCols: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "topK needs at least one group column")
     val child = df.queryExecution.analyzed
-    def attr(name: String): Attribute = child.output.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $name not in ${child.output.map(_.name).mkString(", ")}"))
+    // honor the session's name resolution (case-insensitive by default) and
+    // refuse ambiguity instead of silently binding the first match
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    def attr(name: String): Attribute = child.output.filter(a => resolver(a.name, name)) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column $name not in ${child.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"column $name is ambiguous: matches ${many.map(_.name).mkString(", ")}")
+    }
     val sortOrders = orderCols.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }

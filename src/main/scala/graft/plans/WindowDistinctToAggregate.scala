@@ -95,6 +95,11 @@ object WindowDistinctToAggregate extends Rule[LogicalPlan] {
       case e => e
     }
     if (!partExprs.forall(p => keyExprs.exists(_.semanticEquals(p)))) return None
+    // every plain projected expression must be computable from the window's
+    // CHILD — a projection derived from the window output itself (e.g. an
+    // alias or function of the windowed sum) cannot move into an aggregate
+    // over w.child; rewriting would reference attributes the child lacks
+    if (!keyExprs.forall(_.references.subsetOf(w.child.outputSet))) return None
 
     val extrasExist = !keyExprs.forall(k => partExprs.exists(_.semanticEquals(k)))
     if (!extrasExist) {

@@ -57,6 +57,21 @@ class WindowDistinctToAggregateSpec extends SparkSpec {
     assert(shaped.exceptAll(expected).isEmpty && expected.exceptAll(shaped).isEmpty)
   }
 
+  test("projections derived from the window output do not rewrite (or crash)") {
+    // t2 is computed FROM the windowed sum — no aggregate over the window's
+    // child can express it; the rule must leave the plan alone, not emit a
+    // plan referencing attributes the child lacks
+    val w = W.partitionBy(col("o_custkey"))
+    val shaped = orders
+      .select(col("o_custkey"), sum(col("o_totalprice")).over(w).as("total"))
+      .select(col("o_custkey"), col("total"), (col("total") * 2).as("t2"))
+      .distinct()
+    val expected = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("total"))
+      .select(col("o_custkey"), col("total"), (col("total") * 2).as("t2"))
+    assert(shaped.exceptAll(expected).isEmpty && expected.exceptAll(shaped).isEmpty)
+  }
+
   test("decomposed rewrite groups null partition keys like the window does") {
     import spark.implicits._
     val df = Seq(
