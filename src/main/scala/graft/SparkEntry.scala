@@ -98,6 +98,9 @@ object SparkEntry {
     // q71 has NO oracleSql on purpose: sketch values are engine-specific
     // (rows-only gate); the error bound is pinned by RelationalSketchSpec
     "q71_approx_quantiles" -> ((s, d) => Relational.approxPriceQuantiles(s, d)),
+    "q72_grouping_sets"    -> ((s, d) => Relational.pricingGroupingSets(s, d)),
+    "q73_set_ops"          -> ((s, d) => Relational.orderKeySetOps(s, d)),
+    "q74_string_funcs"     -> ((s, d) => Relational.stringShowcase(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -876,6 +879,37 @@ object SparkEntry {
         |    CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS k
         |  FROM events)
         |GROUP BY 1""".stripMargin,
+
+    "q72_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "q73_set_ops" ->
+      """WITH early AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |late AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00')
+        |SELECT l_orderkey, 'both' AS set_op
+        |FROM (SELECT l_orderkey FROM early INTERSECT SELECT l_orderkey FROM late)
+        |UNION ALL
+        |SELECT l_orderkey, 'early_only' AS set_op
+        |FROM (SELECT l_orderkey FROM early EXCEPT SELECT l_orderkey FROM late)""".stripMargin,
+
+    "q74_string_funcs" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, translate(c_name, 'aeiou', 'AEIOU')) AS BIGINT) AS edit_dist,
+        |  reverse(c_name) AS rev_name,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |  repeat(substr(c_mktsegment, 1, 2), 3) AS seg_echo,
+        |  split_part(c_name, '#', 2) AS name_part,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels
+        |FROM customer""".stripMargin,
 
     // the redelivered-and-deduplicated stream must reproduce the source table
     "q69_stream_dedup" ->

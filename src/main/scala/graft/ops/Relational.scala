@@ -332,6 +332,54 @@ object Relational {
         Num.sumMoney(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** Explicit GROUPING SETS — the general form ROLLUP and CUBE specialize:
+    * per-flag totals and per-status totals in ONE pass (one Expand + one
+    * partial/final aggregate), where the naive spelling runs two aggregates
+    * and a union.
+    */
+  def pricingGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        Num.sumMoney(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Set operations: order keys present in BOTH halves of a date-split
+    * (INTERSECT) and in the early half ONLY (EXCEPT) — distinct set
+    * semantics, not the bag semantics of unionAll. Both are one
+    * shuffle-on-key each; Spark plans them as aggregates/joins on the key.
+    */
+  def orderKeySetOps(spark: SparkSession, sfDir: String,
+      cutoff: String = "1996-01-01 00:00:00"): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val early = li.filter(col("l_shipdate") < to_timestamp(lit(cutoff)))
+      .select(col("l_orderkey"))
+    val late = li.filter(col("l_shipdate") >= to_timestamp(lit(cutoff)))
+      .select(col("l_orderkey"))
+    early.intersect(late).withColumn("set_op", lit("both"))
+      .unionByName(early.except(late).withColumn("set_op", lit("early_only")))
+  }
+
+  /** Second scalar showcase: the string-function breadth beyond §2.8's
+    * reference surface (edit distance, reversal, padding, repetition,
+    * field splitting, character translation) — all codegen'd built-ins with
+    * cross-engine-identical semantics.
+    */
+  def stringShowcase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey"),
+      levenshtein(col("c_name"), translate(col("c_name"), "aeiou", "AEIOU"))
+        .cast("long").as("edit_dist"),
+      reverse(col("c_name")).as("rev_name"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+      repeat(substring(col("c_mktsegment"), 1, 2), 3).as("seg_echo"),
+      split(col("c_name"), "#").getItem(1).as("name_part"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lower_vowels"))
+
   // ------------------------------------------------------------------ §2.8 scalars
 
   /** The reference's complete scalar-function surface (substring, concat,
