@@ -413,14 +413,8 @@ object SparkEntry {
 
     "q19_lsh_pairs" ->
       s"""WITH $minhashSigs,
-         |bands AS (
-         |  SELECT doc_id, h_idx // 4 AS band_idx,
-         |    string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h_idx) AS band_key
-         |  FROM sigs GROUP BY 1, 2)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         | AND a.doc_id < b.doc_id""".stripMargin,
+         |$bandsCandCtes
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
 
     "q20_simhash" ->
       s"""WITH $simhashCte

@@ -61,6 +61,14 @@ object Corpus {
           .when(col("bucket") < 950, "valid")
           .otherwise("test"))
 
+  /** The (shard, shuffle_key) pair shared by [[shuffleShards]] and
+    * [[sequencePack]] — one derivation, so packs always align with shards.
+    */
+  private def shardCol(salt: String, nShards: Int): Column =
+    hashBucket(col("doc_id"), salt) % nShards
+  private def shuffleKeyCol(salt: String): Column =
+    md5(concat(col("doc_id").cast("string"), lit("#" + salt)))
+
   /** Deterministic corpus shuffle, sharded: documents are dealt into
     * `nShards` pseudo-random shards by content-addressed hash and ordered
     * within each shard by a second hash. This is the scale-correct way to
@@ -71,14 +79,6 @@ object Corpus {
     * position is a window partitioned BY SHARD — parallel, never a
     * single-task global window.
     */
-  /** The (shard, shuffle_key) pair shared by [[shuffleShards]] and
-    * [[sequencePack]] — one derivation, so packs always align with shards.
-    */
-  private def shardCol(salt: String, nShards: Int): Column =
-    hashBucket(col("doc_id"), salt) % nShards
-  private def shuffleKeyCol(salt: String): Column =
-    md5(concat(col("doc_id").cast("string"), lit("#" + salt)))
-
   def shuffleShards(spark: SparkSession, sfDir: String, nShards: Int = 8,
       salt: String = "shuffle_v1"): DataFrame =
     Tables.documents(spark, sfDir)
