@@ -1,19 +1,26 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 
 /** Connected components: correctness on shapes the LSH dedup graph can take
-  * (cliques, chains that force multiple propagation rounds, isolated docs),
-  * and the representative flag derived from it.
+  * (cliques, chains that force multiple rounds, isolated docs), equivalence
+  * of the star-rewiring and label-propagation algorithms, and the
+  * representative flag derived from them.
   */
 class GraphSpec extends SparkSpec {
 
-  private def cc(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def frames(vs: Seq[Long], es: Seq[(Long, Long)]): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val vertices = vs.toDF("id")
-    val edges = es.toDF("src", "dst")
-    Graph.connectedComponents(vertices, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (vs.toDF("id"), es.toDF("src", "dst"))
+  }
+
+  private def toMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def cc(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val (vertices, edges) = frames(vs, es)
+    toMap(Graph.connectedComponents(vertices, edges))
   }
 
   test("chain, clique, and singleton components all collapse to their min id") {
@@ -32,6 +39,34 @@ class GraphSpec extends SparkSpec {
     // edge given high→low only; symmetric closure must still pull 7 down
     val labels = cc(Seq(3L, 7L), Seq((7L, 3L)))
     assert(labels == Map(3L -> 3L, 7L -> 3L))
+  }
+
+  test("edge-free graph and duplicate/self edges are handled") {
+    val labels = cc(Seq(1L, 2L, 3L), Seq((2L, 2L), (2L, 3L), (3L, 2L), (2L, 3L)))
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+    assert(cc(Seq(5L, 6L), Seq.empty) == Map(5L -> 5L, 6L -> 6L))
+  }
+
+  test("star rewiring converges on a long adversarially-numbered chain") {
+    // A 40-link chain whose ids alternate ends (0,39,1,38,…) so neither label
+    // propagation direction is favored; star rewiring must still finish well
+    // under the round cap that plain propagation would exhaust.
+    val order = (0 until 40).map(i => if (i % 2 == 0) i / 2 else 39 - i / 2).map(_.toLong)
+    val es = order.sliding(2).map(p => (p(0), p(1))).toSeq
+    val labels = cc(order, es)
+    assert(labels.values.toSet == Set(0L))
+  }
+
+  test("star and propagation algorithms agree on a mixed graph") {
+    val vs = (1L to 30L)
+    // two chains, one clique, several singletons
+    val es = (1L to 9L).map(i => (i, i + 1)) ++
+      (20L to 24L).map(i => (i + 1, i)) ++
+      Seq((12L, 13L), (13L, 14L), (12L, 14L))
+    val (vertices, edges) = frames(vs, es)
+    val star = toMap(Graph.connectedComponents(vertices, edges))
+    val prop = toMap(Graph.connectedComponentsPropagate(vertices, edges))
+    assert(star == prop)
   }
 
   test("dupClusters marks exactly one representative per cluster") {
