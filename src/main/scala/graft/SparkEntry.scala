@@ -101,6 +101,13 @@ object SparkEntry {
     "q72_grouping_sets"    -> ((s, d) => Relational.pricingGroupingSets(s, d)),
     "q73_set_ops"          -> ((s, d) => Relational.orderKeySetOps(s, d)),
     "q74_string_funcs"     -> ((s, d) => Relational.stringShowcase(s, d)),
+    "q75_decontaminate"    -> ((s, d) => graft.ops.Curation.decontaminate(s, d)),
+    "q76_repetition"       -> ((s, d) => graft.ops.Curation.repetitionStats(s, d)),
+    "q77_kmeans_step"      -> ((s, d) => Similarity.kmeansStep(s, d)),
+    "q78_session_paths"    -> ((s, d) => Events.sessionPaths(s, d)),
+    "q79_stream_segment"   -> ((s, d) => EventStream.segmentRollupAvailableNow(s, d)),
+    "q80_scd2"             -> ((s, d) => Relational.orderPriorityScd2(s, d)),
+    "q81_quality_reps"     -> ((s, d) => graft.ops.Curation.qualityRepresentatives(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -190,16 +197,20 @@ object SparkEntry {
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
        |  WHERE r.lbl < e.dst)""".stripMargin
 
+  /** DuckDB twin of TextAnalysis.qualityScore, shared by q40/q67/q81. */
+  private lazy val qualityScoreSql: String =
+    """CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+      |      / len(regexp_split_to_array(trim(text), '\s+')) * 0.5
+      |    + CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / n_chars * 0.2
+      |    + CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+      |      / len(regexp_split_to_array(trim(text), '\s+')) * 0.05""".stripMargin
+
   /** DuckDB twin of Corpus.trainingFilter, shared by q40 and q67. */
   private lazy val trainingFilterSql: String =
     s"""WITH q AS (
        |  SELECT doc_id, lang, n_chars,
        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS DOUBLE)
-       |      / len(regexp_split_to_array(trim(text), '\\s+')) * 0.5
-       |    + CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / n_chars * 0.2
-       |    + CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
-       |      / len(regexp_split_to_array(trim(text), '\\s+')) * 0.05 AS quality_score,
+       |    $qualityScoreSql AS quality_score,
        |    row_number() OVER (PARTITION BY md5($normText) ORDER BY doc_id) AS rn
        |  FROM documents)
        |SELECT doc_id, lang, n_chars, n_tokens, quality_score
@@ -968,6 +979,132 @@ object SparkEntry {
          |  JOIN docs3 y ON e.doc_b = y.doc_id)
          |SELECT doc_a, doc_b, est_jaccard, jaccard, abs(est_jaccard - jaccard) AS abs_err
          |FROM ex""".stripMargin,
+
+    // eval/train decontamination by 5-word-gram overlap; the eval slice is the
+    // 200‰ hash split under salt eval_v1 (Corpus.hashBucket twin)
+    "q75_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_eval,
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END AS grams
+        |  FROM d),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
+        |t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_grams, count(e.gram) AS n_hits
+        |  FROM t LEFT JOIN e ON t.gram = e.gram GROUP BY t.doc_id)
+        |SELECT g.doc_id,
+        |  CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+        |FROM g LEFT JOIN hits h USING (doc_id)
+        |WHERE NOT g.is_eval""".stripMargin,
+
+    // Gopher-style repetition signals: repeated-token fraction + share of the
+    // most frequent bigram. [NULL] keeps zero-bigram docs in the output with
+    // counts of 0 (count(bigram) skips the null).
+    "q76_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(toks) > 0
+        |         THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |         ELSE CAST(0 AS DOUBLE) END AS dup_token_frac,
+        |    unnest(CASE WHEN len(toks) >= 2 THEN
+        |        list_transform(range(1, len(toks)),
+        |          i -> array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 1 AS INT)), ' '))
+        |      ELSE [NULL] END) AS bigram
+        |  FROM b),
+        |c AS (SELECT doc_id, n_tokens, dup_token_frac, bigram, count(bigram) AS n
+        |      FROM s GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, n_tokens, dup_token_frac,
+        |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+        |  CASE WHEN SUM(n) > 0 THEN CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    // one Lloyd iteration: assign to seed centroids (vec_id < 16), recompute
+    // centroids as floor(mean) over the exact int64-scaled components, reassign
+    "q77_kmeans_step" ->
+      s"""WITH $scaledVecs,
+         |c0 AS (SELECT vec_id AS cent_id, svec AS cvec, norm2 AS cnorm2 FROM w WHERE vec_id < 16),
+         |a0r AS (SELECT w.vec_id, w.svec, w.norm2, c0.cent_id,
+         |         row_number() OVER (PARTITION BY w.vec_id
+         |           ORDER BY ${cosine("w.svec", "cvec", "w.norm2", "cnorm2")} DESC, c0.cent_id ASC) AS rn
+         |       FROM w CROSS JOIN c0),
+         |a0 AS (SELECT vec_id, svec, norm2, cent_id AS cell0 FROM a0r WHERE rn = 1),
+         |ex AS (SELECT cell0, d.i, svec[CAST(d.i AS INT)] AS val
+         |       FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+         |cm AS (SELECT cell0, i, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+         |       FROM ex GROUP BY 1, 2),
+         |c1 AS (SELECT cell0 AS cent_id, array_agg(comp ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |c1n AS (SELECT cent_id, cvec,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(cvec, x -> x * x)), (a, b) -> a + b) AS cnorm2
+         |        FROM c1),
+         |a1r AS (SELECT a0.vec_id, a0.cell0, c1n.cent_id,
+         |         row_number() OVER (PARTITION BY a0.vec_id
+         |           ORDER BY ${cosine("a0.svec", "c1n.cvec", "a0.norm2", "c1n.cnorm2")} DESC, c1n.cent_id ASC) AS rn
+         |       FROM a0 CROSS JOIN c1n)
+         |SELECT vec_id, cell0, cent_id AS cell1 FROM a1r WHERE rn = 1""".stripMargin,
+
+    // q15's session assignment, then the in-session type path in (ts, event_id)
+    // order — string_agg's ORDER BY is the array_sort twin
+    "q78_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // batch twin of the stream-static enrichment rollup
+    "q79_stream_segment" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q80_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // quality-aware representative per near-dup family: argmax quality_score
+    // (ties → lowest id) over the q55 component labels
+    "q81_quality_reps" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, $qualityScoreSql AS quality_score FROM documents),
+         |j AS (SELECT l.id AS doc_id, l.cluster_id, q.quality_score,
+         |        row_number() OVER (PARTITION BY l.cluster_id
+         |          ORDER BY q.quality_score DESC, l.id ASC) AS rn,
+         |        count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |      FROM labels l JOIN q ON l.id = q.doc_id)
+         |SELECT cluster_id, doc_id, quality_score, n_members FROM j WHERE rn = 1""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-curation operators beyond dedup: eval-set decontamination,
+  * repetition-based quality signals, and quality-aware duplicate-family
+  * representative selection. These are the remaining standard stages of a
+  * training-data pipeline (the Gopher/MassiveText-style rule family) that
+  * [[Corpus]]/[[Dedup]]/[[Graph]] don't already cover.
+  *
+  * Scale notes per operator are on the methods; the common theme is that
+  * per-document token/gram work happens before any exchange, and the only
+  * things that shuffle are narrow keys (gram hashes, doc ids, cluster ids).
+  */
+object Curation {
+
+  /** Train/eval decontamination by word n-gram overlap — the standard guard
+    * against benchmark leakage: a training document is contaminated if it
+    * shares any word n-gram with the held-out eval slice. The eval slice is
+    * the deterministic `evalPermille`‰ hash split of the corpus (stand-in for
+    * a real benchmark suite).
+    *
+    * Output: one row per NON-eval document — doc_id, n_grams (distinct word
+    * n-grams), n_hits (grams also present in the eval slice),
+    * is_contaminated.
+    *
+    * Scale shape: grams are md5'd per document inside the scan (text never
+    * shuffles), the eval-side gram set is DISTINCT and broadcast — an eval
+    * suite stays small (thousands of documents) no matter how big the
+    * training corpus grows, so the contaminating join is a broadcast hash
+    * join against every training gram, embarrassingly parallel. If the eval
+    * side ever outgrew broadcast, dropping the hint turns it into a shuffle
+    * equi-join on the gram hash with the same semantics.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val toks = TextAnalysis.alphaTokens(col("text"))
+    // guard: Spark sequence(1, k) REVERSES for k < 1, so short docs must
+    // short-circuit to an empty gram set (matches the oracle's empty range)
+    val grams = when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
+      .otherwise(array().cast("array<string>"))
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      (Corpus.hashBucket(col("doc_id"), salt) < evalPermille).as("is_eval"),
+      grams.as("grams"))
+    val evalGrams = base.filter(col("is_eval"))
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    base.filter(!col("is_eval"))
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gram")).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("is_contaminated", col("n_hits") > 0)
+  }
+
+  /** Repetition-based quality signals (the Gopher rule family, adapted to a
+    * single-line corpus): fraction of repeated word tokens, and the share of
+    * the document's bigrams taken by its single most frequent bigram.
+    * Heavily repetitive documents (boilerplate, keyword stuffing, generation
+    * loops) score high on both and get filtered before training.
+    *
+    * Output: doc_id, n_tokens, dup_token_frac, n_bigrams, top_bigram_n,
+    * top_bigram_frac.
+    *
+    * Scale shape: token counts are per-row array expressions; the bigram
+    * mode needs a per-(doc, bigram) count, which is a two-level hash
+    * aggregate keyed by doc_id — bigram strings shuffle once, document text
+    * never does. All ratios are int/int IEEE divisions (cross-engine exact).
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextAnalysis.alphaTokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array(lit(null).cast("string")))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        when(size(toks) > 0,
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+          .otherwise(lit(0.0)).as("dup_token_frac"),
+        explode(bigrams).as("bigram"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("dup_token_frac"), col("bigram"))
+      .agg(count(col("bigram")).as("n"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("dup_token_frac"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Quality-aware representative selection: within each near-dup family
+    * ([[Graph.dupClusters]]'s components), keep the HIGHEST-QUALITY member
+    * (ties → lowest doc_id) instead of the lowest-id member — the policy a
+    * real pipeline wants, since duplicate families often mix clean and
+    * boilerplate-wrapped copies of the same content.
+    *
+    * Output: one row per family — cluster_id, doc_id (the chosen
+    * representative), quality_score, n_members.
+    *
+    * Scale shape: the cluster label table is two longs per document; joining
+    * it to the per-row quality projection is one equi-join on doc_id, and
+    * the argmax is a window partitioned by cluster_id (families are small,
+    * so no skew). Nothing quadratic in family size.
+    */
+  def qualityRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.qualityScore.as("quality_score"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    Graph.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byCluster))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("quality_score"), col("n_members"))
+  }
+}

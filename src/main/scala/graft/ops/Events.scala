@@ -32,22 +32,47 @@ object Events {
     * Classic lag → flag → running-sum-of-flags; one shuffle on user_id, then all
     * window work is within-partition.
     */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val newSession = when(
-      col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES") ||
-        lag(col("ts"), 1).over(byUser).isNull,
-      lit(1L)).otherwise(lit(0L))
-    Tables.events(spark, sfDir)
-      .withColumn("session_seq", sum(newSession).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    withSessionSeq(Tables.events(spark, sfDir))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+
+  /** The shared session assignment: a new session starts after >30 min of
+    * inactivity (lag → flag → running flag sum). One shuffle on user_id; all
+    * window work is within-partition.
+    */
+  private def withSessionSeq(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts") > lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES") ||
+        lag(col("ts"), 1).over(byUser).isNull,
+      lit(1L)).otherwise(lit(0L))
+    events.withColumn("session_seq", sum(newSession).over(
+      byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Per-session event paths — the funnel/journey primitive: each session's
+    * event types in time order, joined into one `a>b>c` path string. Uses
+    * [[sessionize]]'s exact session assignment, then one hash aggregate per
+    * session whose in-session order comes from `array_sort` over
+    * (ts, event_id, type) structs — deterministic under any partitioning, no
+    * second window pass. Paths are bounded by session length; the text-heavy
+    * column never exceeds one row per session.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String): DataFrame =
+    withSessionSeq(Tables.events(spark, sfDir))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"),
+        count(lit(1)).as("n_events"))
 
   /** Distinct users per event type, exact AND HyperLogLog++. At 100 TB the
     * exact form is the expensive one (distinct forces the full key set

@@ -369,6 +369,22 @@ object Relational {
     * field splitting, character translation) — all codegen'd built-ins with
     * cross-engine-identical semantics.
     */
+  /** Slowly-changing-dimension (type 2) build: each customer's order-priority
+    * "state changes" become validity intervals — valid_from = the change's
+    * order date, valid_to = the next change's date (NULL while current),
+    * via `lead()` per customer. The standard warehouse dimension-history
+    * shape: one shuffle on the dimension key, then all interval derivation
+    * is within-partition window work; no self-join, no correlated subquery.
+    */
+  def orderPriorityScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def stringShowcase(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(
       col("c_custkey"),

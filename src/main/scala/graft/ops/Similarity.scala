@@ -146,6 +146,96 @@ object Similarity {
         col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** One Lloyd iteration of k-means over the embedding corpus — the training
+    * step [[ivfTopK]]'s fixed quantizer deliberately skips. Seeds are the
+    * first `k` vectors; every vector is assigned to its max-cosine seed
+    * (`cell0`), centroids are recomputed as the component-wise mean of each
+    * cell, and vectors are reassigned (`cell1`). Iterating this to a fixpoint
+    * is full k-means ([[kmeans]]); ONE step is emitted here because it is
+    * exactly SQL-expressible for the oracle gate.
+    *
+    * Determinism: centroid components are floor(Σ svec_i / n) — exact int64
+    * sums, one IEEE double division, floor back to int64 — so the recomputed
+    * centroid is bit-identical across engines and partitionings, and cosine
+    * against it reuses the exact integer dot product. (Components are ≤1e8 in
+    * magnitude, so a 64-dim dot against a floored-mean centroid stays far
+    * from int64 overflow; cosine against the raw SUM vector would not.)
+    *
+    * Scale shape: assignment is a broadcast of k centroids against one corpus
+    * scan (n·k cosines); the recompute is a two-level hash aggregate keyed by
+    * (cell, dim) — 64·k rows through the shuffle, never vectors. This is the
+    * standard distributed-k-means round.
+    */
+  def kmeansStep(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+    val assigned0 = assignCells(
+      vecs,
+      vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("svec").as("cvec"), col("norm2").as("cnorm2")),
+      "cell0")
+    val cents1 = assigned0
+      .select(col("cell0"), posexplode(col("svec")).as(Seq("pos", "v")))
+      .groupBy(col("cell0"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .select(col("cell0"),  col("pos"),
+        floor(col("s").cast("double") / col("c")).cast("long").as("comp"))
+      .groupBy(col("cell0"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cvec"))
+      .select(col("cell0").as("cent_id"), col("cvec"),
+        idot(col("cvec"), col("cvec")).as("cnorm2"))
+    assignCells(assigned0, cents1, "cell1")
+      .select(col("vec_id"), col("cell0"), col("cell1"))
+  }
+
+  /** Assign every row of `vecs` (vec_id, svec, norm2, …) to its max-cosine
+    * centroid (ties → lowest cent_id); the assignment lands in `cellCol`.
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame, cellCol: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    vecs.join(broadcast(cents))
+      .withColumn("cent_cos", cosine(col("svec"), col("cvec"), col("norm2"), col("cnorm2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("cvec", "cnorm2", "cent_cos", "rn")
+      .withColumnRenamed("cent_id", cellCol)
+  }
+
+  /** Full k-means: [[kmeansStep]]'s round iterated `maxIters` times (or until
+    * no assignment changes). Not oracle-gated (SQL has no fixpoint); the
+    * convergence behavior is pinned by SimilaritySpec instead.
+    */
+  def kmeans(spark: SparkSession, sfDir: String, k: Int = 16, maxIters: Int = 10): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir)).localCheckpoint(true)
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("svec").as("cvec"), col("norm2").as("cnorm2"))
+    var assigned = assignCells(vecs, cents, "cell").localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      cents = assigned
+        .select(col("cell"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .select(col("cell"), col("pos"),
+          floor(col("s").cast("double") / col("c")).cast("long").as("comp"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("cvec"))
+        .select(col("cell").as("cent_id"), col("cvec"),
+          idot(col("cvec"), col("cvec")).as("cnorm2"))
+      val next = assignCells(vecs, cents, "cell").localCheckpoint(true)
+      converged = next.as("n")
+        .join(assigned.as("p"), col("n.vec_id") === col("p.vec_id"))
+        .filter(col("n.cell") =!= col("p.cell"))
+        .limit(1).count() == 0
+      assigned = next
+      iter += 1
+    }
+    assigned.select(col("vec_id"), col("cell"))
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-blocked with multi-probe: candidate
     * pairs have sign buckets within Hamming distance 1 (6 bits → 64 buckets, so
     * per-bucket population is n/64 and within-bucket pair work is (n/64)²·64 =

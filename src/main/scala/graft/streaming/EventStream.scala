@@ -135,6 +135,39 @@ object EventStream {
     spark.table(name).select(col("purchase_id"), col("user_id"), col("click_id"))
   }
 
+  /** Stream-static enrichment: the live event stream joined to the (batch)
+    * customer dimension on user_id, then rolled up per (market segment,
+    * event type) — the canonical "enrich the stream against a dim table"
+    * shape. The static side is re-read per micro-batch (so dim updates are
+    * picked up) and BROADCAST: stream-static joins need no state store at
+    * all — unlike the stream-stream join, nothing is buffered, because the
+    * static side is always completely available. Complete-mode memory sink
+    * is the bounded AvailableNow demo form; production swaps in
+    * watermark + append exactly like [[hourlyRollupWatermarked]].
+    */
+  def segmentRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val customers = broadcast(
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+    val rollup = spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir(spark, sfDir))
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    val name = s"graft_stream_segment_${System.nanoTime()}"
+    val q = rollup.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("c_mktsegment"), col("event_type"), col("n_events"), col("total_value"))
+  }
+
   /** Streaming dedup under redelivery: the event stream unioned with a full
     * replay of itself (every event delivered twice — the at-least-once
     * delivery failure mode), deduplicated on event_id with
