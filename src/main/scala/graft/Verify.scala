@@ -8,11 +8,26 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.SessionFactory.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A crashing query must surface as a RED row in the driver's
+        // correctness report, not silently vanish (round-4 lesson: q80
+        // crashed at analysis and was absent from CORRECTNESS_r04). Write
+        // a one-row parquet whose schema is just `err` — the DuckDB
+        // compare then fails schema/rows/hash loudly for this query.
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+        failed(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name could not write err marker: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -30,6 +45,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // Loud invariant: every registered query must have produced an output
+    // directory (real result or err marker) — a missing one is a harness bug.
+    val missing = SparkEntry.queries.keySet
+      .filterNot(n => Files.exists(Paths.get(s"$outDir/$n")))
+    if (missing.nonEmpty)
+      System.err.println(s"[verify] HARNESS BUG — no output for: ${missing.mkString(", ")}")
     spark.stop()
   }
 }

@@ -25,7 +25,7 @@ object IoQueries {
     s"/root/repo/target/tmp/$sub/$sfName"
   }
 
-  private[graft] def deleteRecursively(dir: String): Unit = {
+  private[graft] def deleteRecursively(dir: String): Unit = graft.core.StagingClock.timed {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
       val walk = Files.walk(p)
@@ -70,22 +70,29 @@ object IoQueries {
     */
   def pipelineEndToEnd(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     val root = scratch("pipeline", sfDir)
-    // shut down any Derby instance booted over these paths in this JVM before
-    // deleting — a booted instance would resurrect run-1 ledger state over the
-    // recreated directory and poison the idempotency filter (C4)
-    JdbcLedger.shutdownDerby(s"$root/ledgerdb")
-    JdbcLedger.shutdownDerby(s"$root/metricsdb")
-    deleteRecursively(root)
-    val inputDir = s"$root/input"
-    Files.createDirectories(Paths.get(inputDir))
-
-    // stage the CSV drop: the same lineitem CSV parts the ingest query uses,
-    // plus a wrong-type file that must be quarantined, not processed
-    val csvDir = graft.ops.Relational.csvCopyOfLineitem(spark, sfDir)
-    new java.io.File(csvDir).listFiles().filter(_.getName.endsWith(".csv")).foreach { f =>
-      Files.copy(f.toPath, Paths.get(inputDir, f.getName))
+    // Driver-side staging (Derby shutdown, scratch delete, CSV drop copy) is
+    // timed separately via StagingClock so the bench can attribute wall time
+    // to staging vs the measured pipeline run.
+    graft.core.StagingClock.timed {
+      // shut down any Derby instance booted over these paths in this JVM before
+      // deleting — a booted instance would resurrect run-1 ledger state over the
+      // recreated directory and poison the idempotency filter (C4)
+      JdbcLedger.shutdownDerby(s"$root/ledgerdb")
+      JdbcLedger.shutdownDerby(s"$root/metricsdb")
+      deleteRecursively(root)
     }
-    Files.writeString(Paths.get(inputDir, "notes.txt"), "not a csv")
+    val inputDir = s"$root/input"
+    graft.core.StagingClock.timed {
+      Files.createDirectories(Paths.get(inputDir))
+
+      // stage the CSV drop: the same lineitem CSV parts the ingest query uses,
+      // plus a wrong-type file that must be quarantined, not processed
+      val csvDir = graft.ops.Relational.csvCopyOfLineitem(spark, sfDir)
+      new java.io.File(csvDir).listFiles().filter(_.getName.endsWith(".csv")).foreach { f =>
+        Files.copy(f.toPath, Paths.get(inputDir, f.getName))
+      }
+      Files.writeString(Paths.get(inputDir, "notes.txt"), "not a csv")
+    }
 
     val metricsConn = JdbcConn(s"jdbc:derby:$root/metricsdb;create=true")
     val cfg = PipelineConfig(
@@ -95,7 +102,7 @@ object IoQueries {
       sfDir = sfDir,
       runId = "run_0001",
       runDate = java.time.LocalDate.of(2026, 1, 1))
-    val ledger = JdbcLedger.derby(s"$root/ledgerdb")
+    val ledger = graft.core.StagingClock.timed { JdbcLedger.derby(s"$root/ledgerdb") }
     try SalesEtlJob.run(spark, cfg, ledger,
       (df, table) => Jdbc.write(df, metricsConn, table, maxConnections = Some(1)))
     finally ledger.close()

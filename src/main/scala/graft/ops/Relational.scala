@@ -27,7 +27,8 @@ object Relational {
     * CSV ingest path is exercised against real files. Deterministic: content derives
     * only from the source parquet.
     */
-  private[graft] def csvCopyOfLineitem(spark: SparkSession, sfDir: String): String = synchronized {
+  private[graft] def csvCopyOfLineitem(spark: SparkSession, sfDir: String): String =
+      synchronized { graft.core.StagingClock.timed {
     val sfName = Paths.get(sfDir).getFileName.toString
     val dest = s"/root/repo/target/tmp/csv/$sfName/lineitem"
     if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {
@@ -38,7 +39,7 @@ object Relational {
         .csv(dest)
     }
     dest
-  }
+  } }
 
   /** S1 + P1–P3 + U1: validated CSV ingest of the lineitem CSV drop, explicit
     * schema, canonical projection. Round-trips exactly (2-decimal doubles and
@@ -369,15 +370,17 @@ object Relational {
     * field splitting, character translation) — all codegen'd built-ins with
     * cross-engine-identical semantics.
     */
-  /** Slowly-changing-dimension (type 2) build: each customer's order-priority
-    * "state changes" become validity intervals — valid_from = the change's
-    * order date, valid_to = the next change's date (NULL while current),
-    * via `lead()` per customer. The standard warehouse dimension-history
-    * shape: one shuffle on the dimension key, then all interval derivation
+  /** Slowly-changing-dimension (type 2) build: each customer's orders become
+    * validity intervals — valid_from = the order date, valid_to = the next
+    * order's date (NULL while current), via `lead()` per customer. Each order
+    * emits an interval regardless of whether the priority actually changed
+    * (runs of equal priority are NOT collapsed — the interval-per-row lead
+    * shape, matching the oracle). The standard warehouse dimension-history
+    * build: one shuffle on the dimension key, then all interval derivation
     * is within-partition window work; no self-join, no correlated subquery.
     */
   def orderPriorityScd2(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("valid_from"), col("o_orderkey"))
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
         col("o_orderdate").as("valid_from"))
