@@ -55,5 +55,11 @@ object Verify {
     if (missing.nonEmpty)
       System.err.println(s"[verify] HARNESS BUG — no output for: ${missing.mkString(", ")}")
     spark.stop()
+    // A query with NO output at all (even the err marker failed to write) is a
+    // harness bug an rc-gated caller must see — exit non-zero. Per-query
+    // failures that DID write their marker stay rc 0 on purpose: the marker is
+    // the red row in the driver's compare, and failing the whole process would
+    // replace 80 green rows + 1 red with a single opaque failure.
+    if (missing.nonEmpty) sys.exit(2)
   }
 }

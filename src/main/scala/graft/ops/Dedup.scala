@@ -138,8 +138,33 @@ object Dedup {
     * two doc_id equi-joins hydrate the NORMALIZED TEXT (not gram arrays) of
     * candidate docs — linear shuffles of compact strings — and the per-pair
     * set intersection runs natively in [[graft.functions.NgramJaccardExpr]].
+    *
+    * MATERIALIZED ONCE per (session, scale factor): the verify chain is the
+    * expensive stage of the dedup pipeline, and three downstream consumers
+    * ([[Graph.dupClusters]]'s clustering, the deduped training manifest, and
+    * quality-representative selection) all feed on its output. Recomputing it
+    * per consumer is the shape that does not survive 100 TB — there the edge
+    * table is written to storage once and shared; here the in-JVM analogue is
+    * an eager `localCheckpoint` memoized per session. The output is tiny
+    * (two ids + two stats per verified pair), so holding it is free.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    cached(verifiedPairsCache, spark, sfDir)(ngramJaccardCompute(spark, sfDir))
+
+  private val verifiedPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Memoize `body`'s eagerly-checkpointed result per (session, sfDir). The
+    * session is keyed by identity: a restarted session must not resurrect
+    * checkpoint blocks of a stopped one.
+    */
+  private[ops] def cached(
+      cache: scala.collection.concurrent.TrieMap[(Int, String), DataFrame],
+      spark: SparkSession, sfDir: String)(body: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      body.localCheckpoint(true))
+
+  private def ngramJaccardCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         TextAnalysis.normText(col("text")).as("norm"))

@@ -181,12 +181,22 @@ object Graph {
     * stage's output in also means clustering cost tracks true duplication,
     * not banding collisions.
     */
-  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = graft.core.Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
-    val edges = Dedup.ngramJaccard(spark, sfDir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(docs, edges)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-        (col("id") === col("component")).as("is_representative"))
-  }
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.cached(clusterCache, spark, sfDir) {
+      val docs = graft.core.Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+      val edges = Dedup.ngramJaccard(spark, sfDir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      connectedComponents(docs, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          (col("id") === col("component")).as("is_representative"))
+    }
+
+  /** Label table memo (see [[Dedup.ngramJaccard]]'s materialize-once note):
+    * clustering is iterative — by far the priciest consumer of the edge
+    * table — and both the manifest and representative-selection queries need
+    * its labels, so the (doc_id, cluster_id) table is checkpointed once per
+    * (session, scale factor). Two longs + a bool per document.
+    */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 }
