@@ -28,13 +28,21 @@ object Bench {
     }
     // pay JVM/codegen warmup before the clock starts, not inside the first query
     spark.range(1000).selectExpr("sum(id)").collect()
-    // force the one-time lineitem CSV materialization (used by q01/q33) now,
-    // so per-query staging numbers are cache-independent
-    graft.ops.Relational.csvCopyOfLineitem(spark, sfDir)
-    val prestage = graft.core.StagingClock.drainSeconds()
     var errors = Map.empty[String, String]
+    // force the one-time lineitem CSV materialization (used by q01/q33) now,
+    // so per-query staging numbers are cache-independent. A prestage failure
+    // must not kill the bench line: record it and let the CSV-consuming
+    // queries fail individually.
+    try graft.ops.Relational.csvCopyOfLineitem(spark, sfDir) catch {
+      case e: Throwable =>
+        errors += "_prestage" -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+    }
+    val prestage = graft.core.StagingClock.drainSeconds()
     var staging = Map.empty[String, Double]
+    var paid = List.empty[String]   // queries that materialized the dedup chain
+    var rode = List.empty[String]   // queries that hit the memoized chain
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (h0, m0) = (graft.ops.Dedup.cacheHits.get, graft.ops.Dedup.cacheMisses.get)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -43,6 +51,8 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val stg = graft.core.StagingClock.drainSeconds()
       if (stg > 0) staging += name -> stg
+      if (graft.ops.Dedup.cacheMisses.get > m0) paid ::= name
+      else if (graft.ops.Dedup.cacheHits.get > h0) rode ::= name
       name -> sec
     }
     def numMap(m: Iterable[(String, Double)]): String =
@@ -50,7 +60,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"staging":${numMap(staging)},"prestage":$prestage,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    def strList(xs: List[String]): String =
+      xs.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"staging":${numMap(staging)},"prestage":$prestage,"cache_paid":${strList(paid)},"cache_hit":${strList(rode)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -152,19 +152,40 @@ object Dedup {
     cached(verifiedPairsCache, spark, sfDir)(ngramJaccardCompute(spark, sfDir))
 
   private val verifiedPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Memoize `body`'s eagerly-checkpointed result per (session, sfDir). The
-    * session is keyed by identity: a restarted session must not resurrect
-    * checkpoint blocks of a stopped one.
+  /** Cache traffic counters, drained by [[graft.Bench]] to attribute which
+    * queries PAID the materialization (miss) vs rode it for free (hit) — the
+    * round-over-round per-query diff is unreadable without that annotation.
+    */
+  private[graft] val cacheMisses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val cacheHits = new java.util.concurrent.atomic.AtomicLong
+
+  /** Memoize `body`'s eagerly-checkpointed result per (session, sfDir). The key
+    * holds the session REFERENCE — `SparkSession` keeps default identity
+    * equality, so this is the intended per-instance memo without the collision
+    * risk of `identityHashCode` (hashes are not unique, and a post-GC session
+    * could alias a stale entry bound to a dead SparkContext). Entries of
+    * stopped sessions are evicted on every access: their checkpoint blocks are
+    * gone with the context, and dropping the key is what lets the session be
+    * collected at all.
     */
   private[ops] def cached(
-      cache: scala.collection.concurrent.TrieMap[(Int, String), DataFrame],
-      spark: SparkSession, sfDir: String)(body: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
-      body.localCheckpoint(true))
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      spark: SparkSession, sfDir: String)(body: => DataFrame): DataFrame = {
+    cache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) cache.remove(k)
+    }
+    var miss = false
+    val df = cache.getOrElseUpdate((spark, sfDir), {
+      miss = true
+      body.localCheckpoint(true)
+    })
+    (if (miss) cacheMisses else cacheHits).incrementAndGet()
+    df
+  }
 
-  private def ngramJaccardCompute(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ngramJaccardCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         TextAnalysis.normText(col("text")).as("norm"))

@@ -198,5 +198,5 @@ object Graph {
     * (session, scale factor). Two longs + a bool per document.
     */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 }

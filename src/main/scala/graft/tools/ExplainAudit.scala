@@ -17,7 +17,10 @@ object ExplainAudit {
         s" cartesian=${p.contains("CartesianProduct")}")
       if (sys.env.contains("GRAFT_EXPLAIN_FULL")) println(p)
     }
-    audit("q17_ngram_jaccard", graft.ops.Dedup.ngramJaccard(spark, sf))
+    // audit the UN-CACHED compute: ngramJaccard returns an eager localCheckpoint
+    // whose executedPlan is a bare Scan ExistingRDD — auditing that would make
+    // every flag vacuously zero (and silently pay the full dedup chain).
+    audit("q17_ngram_jaccard", graft.ops.Dedup.ngramJaccardCompute(spark, sf))
     audit("q19_lsh_pairs", graft.ops.Dedup.lshCandidatePairs(spark, sf))
     audit("q35_simhash_pairs", graft.ops.Dedup.simhashPairs(spark, sf))
     audit("q27_embed_neardup", graft.ops.Similarity.nearDupPairs(spark, sf))
