@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants of the curation operators the oracle gate can't see: the
+  * short-document guards in decontamination and repetition stats (Spark's
+  * `sequence(1, k)` reverses for k < 1), eval-slice exclusion, and the
+  * argmax policy of quality-representative selection (highest quality wins,
+  * ties break to the lowest doc_id).
+  */
+class CurationSpec extends SparkSpec {
+
+  /** Pick fixture ids on the right side of the eval hash split: membership is
+    * a pure function of doc_id + salt, so the test probes it up front instead
+    * of hard-coding ids that silently drift if the salt changes.
+    */
+  private def splitIds(n: Int): (Seq[Long], Seq[Long]) = {
+    import spark.implicits._
+    val buckets = (1L to n.toLong).toDF("doc_id")
+      .select($"doc_id", Corpus.hashBucket($"doc_id", "eval_v1").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (buckets.filter(_._2 < 200).map(_._1).toSeq,
+      buckets.filter(_._2 >= 200).map(_._1).toSeq)
+  }
+
+  test("decontaminate flags n-gram overlap with the eval slice and guards short docs") {
+    import spark.implicits._
+    val (evalIds, trainIds) = splitIds(50)
+    assert(evalIds.nonEmpty && trainIds.size >= 3)
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d = tmpDir("decon")
+    Seq(
+      (evalIds.head, shared, "en", shared.length),                     // eval member
+      (trainIds(0), "prefix words then " + shared, "en", 60),          // shares 5-grams
+      (trainIds(1), "completely unrelated astronomy text about orbital mechanics and stars", "en", 70),
+      (trainIds(2), "too short doc", "en", 13))                        // < 5 tokens
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Curation.decontaminate(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(!out.contains(evalIds.head))              // eval docs never emitted
+    val (gContam, hContam, contam) = out(trainIds(0))
+    assert(contam && hContam >= 1 && gContam >= hContam)
+    val (gClean, hClean, clean) = out(trainIds(1))
+    assert(!clean && hClean == 0 && gClean > 0)
+    assert(out(trainIds(2)) == ((0L, 0L, false)))    // short doc: no fabricated grams
+  }
+
+  test("repetitionStats is a pure per-row map with exact counts and guarded edges") {
+    import spark.implicits._
+    val d = tmpDir("repet")
+    Seq(
+      (1L, "spam spam spam spam", "en", 19),  // one token repeated
+      (2L, "alpha beta gamma delta", "en", 22),  // all distinct
+      (3L, "x y x y x", "en", 9),  // alternating: "x y" appears twice
+      (4L, "single", "en", 6),  // no bigrams
+      (5L, "", "en", 0))  // empty
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Curation.repetitionStats(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((4L, 0.75, 3L, 3L, 1.0)))           // dup 1-1/4; "spam spam" ×3
+    assert(out(2L) == ((4L, 0.0, 3L, 1L, 1.0 / 3.0)))      // distinct bigrams
+    assert(out(3L) == ((5L, 1.0 - 2.0 / 5.0, 4L, 2L, 0.5))) // "x y" ×2 of 4
+    assert(out(4L) == ((1L, 0.0, 0L, 0L, 0.0)))
+    assert(out(5L) == ((0L, 0.0, 0L, 0L, 0.0)))
+  }
+
+  test("qualityRepresentatives picks the per-cluster quality argmax, ties to lowest id") {
+    val sf = "/root/testdata/sf0.001"
+    val reps = Curation.qualityRepresentatives(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val members = Graph.dupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(graft.core.Tables.documents(spark, sf)
+        .select(col("doc_id"), TextAnalysis.qualityScore.as("q")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+    val expected = members.groupBy(_._1).map { case (cl, ms) =>
+      val best = ms.minBy(m => (-m._3, m._2))  // quality desc, doc_id asc
+      cl -> ((best._2, ms.length.toLong))
+    }
+    assert(reps.nonEmpty && reps == expected)
+  }
+}

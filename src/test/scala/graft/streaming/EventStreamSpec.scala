@@ -74,6 +74,22 @@ class EventStreamSpec extends SparkSpec {
       ("2024-01-01 15:00:00.0", "click", 1L, 8.0)))
   }
 
+  test("stream-static segment rollup matches its batch twin exactly") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = EventStream.segmentRollupAvailableNow(spark, sf)
+    val batch = graft.core.Tables.events(spark, sf)
+      .join(graft.core.Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("c_mktsegment"), col("event_type"), col("n_events"), col("total_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-stream join matches its batch twin exactly") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
