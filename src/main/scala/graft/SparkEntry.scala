@@ -108,6 +108,8 @@ object SparkEntry {
     "q79_stream_segment"   -> ((s, d) => EventStream.segmentRollupAvailableNow(s, d)),
     "q80_scd2"             -> ((s, d) => Relational.orderPriorityScd2(s, d)),
     "q81_quality_reps"     -> ((s, d) => graft.ops.Curation.qualityRepresentatives(s, d)),
+    "q82_sessionize_rocksdb" -> ((s, d) => graft.streaming.SessionStream.sessionizeRocksDbAvailableNow(s, d)),
+    "q83_decontam_external" -> ((s, d) => graft.ops.Curation.decontaminateExternal(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1105,6 +1107,55 @@ object SparkEntry {
          |        count(*) OVER (PARTITION BY l.cluster_id) AS n_members
          |      FROM labels l JOIN q ON l.id = q.doc_id)
          |SELECT cluster_id, doc_id, quality_score, n_members FROM j WHERE rn = 1""".stripMargin,
+
+    // identical to q15/q34: the RocksDB state store provider is an execution
+    // detail — one AvailableNow pass through the stateful sessionizer with
+    // off-heap state must still reproduce the batch sessionization
+    "q82_sessionize_rocksdb" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // external-suite decontamination: the "benchmark suite" is the 50‰ hash
+    // slice under salt suite_v2; training docs are everything else
+    "q83_decontam_external" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':suite_v2'), 1, 8) AS BIGINT) % 1000 < 50 AS in_suite,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, in_suite,
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END AS grams
+        |  FROM d),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE in_suite),
+        |t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT in_suite),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_grams, count(e.gram) AS n_hits
+        |  FROM t LEFT JOIN e ON t.gram = e.gram GROUP BY t.doc_id)
+        |SELECT g.doc_id,
+        |  CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+        |FROM g LEFT JOIN hits h USING (doc_id)
+        |WHERE NOT g.in_suite""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

@@ -37,19 +37,24 @@ object Curation {
     * the un-hinted plan degrades to a shuffle equi-join on the gram hash
     * with identical semantics.
     */
-  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
-      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
-    val toks = TextAnalysis.alphaTokens(col("text"))
-    // guard: Spark sequence(1, k) REVERSES for k < 1, so short docs must
-    // short-circuit to an empty gram set (matches the oracle's empty range)
-    val grams = when(size(toks) >= n,
+  /** Distinct md5'd word n-grams of a text column. Guard: Spark
+    * `sequence(1, k)` REVERSES for k < 1, so short docs must short-circuit to
+    * an empty gram set (matches the oracle's empty range).
+    */
+  private def wordGrams(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val toks = TextAnalysis.alphaTokens(text)
+    when(size(toks) >= n,
         array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
           i => md5(concat_ws(" ", slice(toks, i, lit(n)))))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
     val base = Tables.documents(spark, sfDir).select(
       col("doc_id"),
       (Corpus.hashBucket(col("doc_id"), salt) < evalPermille).as("is_eval"),
-      grams.as("grams"))
+      wordGrams(col("text"), n).as("grams"))
     val evalGrams = base.filter(col("is_eval"))
       .select(explode(col("grams")).as("gram")).distinct()
       .withColumn("hit", lit(1L))
@@ -61,6 +66,46 @@ object Curation {
         count(col("gram")).as("n_grams"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
       .withColumn("is_contaminated", col("n_hits") > 0)
+  }
+
+  /** Decontamination against an EXTERNAL eval suite — the production form:
+    * `evalTexts` is any relation with a `text` column (a real benchmark
+    * suite's prompts/completions), entirely decoupled from the training
+    * corpus, and every training document is scored against it. Same contract
+    * as [[decontaminate]]: doc_id, n_grams, n_hits, is_contaminated.
+    *
+    * Scale shape: identical to [[decontaminate]] — grams are md5'd inside
+    * each side's scan, only 16-byte gram hashes meet at the join, and AQE
+    * broadcasts the eval side when it measures small (the usual case for a
+    * benchmark suite) without a hint that would OOM if it ever isn't.
+    */
+  def decontaminateAgainst(docs: DataFrame, evalTexts: DataFrame, n: Int = 5): DataFrame = {
+    val evalGrams = evalTexts
+      .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    docs
+      .select(col("doc_id"), explode_outer(wordGrams(col("text"), n)).as("gram"))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gram")).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("is_contaminated", col("n_hits") > 0)
+  }
+
+  /** The oracle-gated instantiation of [[decontaminateAgainst]]: the "external
+    * suite" is the 50‰ hash slice of the corpus under an independent salt —
+    * small like a real benchmark, and expressible in ANSI SQL for the gate.
+    * Exercises exactly the external-table code path (the operator never sees
+    * how the suite was selected).
+    */
+  def decontaminateExternal(spark: SparkSession, sfDir: String, n: Int = 5,
+      suitePermille: Int = 50, salt: String = "suite_v2"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val inSuite = Corpus.hashBucket(col("doc_id"), salt) < suitePermille
+    decontaminateAgainst(
+      docs.filter(!inSuite).select(col("doc_id"), col("text")),
+      docs.filter(inSuite).select(col("text")), n)
   }
 
   /** Repetition-based quality signals (the Gopher rule family, adapted to a

@@ -85,6 +85,34 @@ object SessionStream {
     out.iterator
   }
 
+  /** [[sessionizeAvailableNow]] with the RocksDB state store provider — the
+    * 100 TB state path. The default HDFS-backed provider keeps every user's
+    * state as JVM heap objects, so executor memory bounds total state; RocksDB
+    * keeps state off-heap on local SSD with incremental (changelog-capable)
+    * checkpointing, so per-executor state is bounded by disk, not heap — the
+    * only shape that survives hundreds of millions of session keys. Same
+    * query, same oracle: the provider is an execution detail, the result is
+    * bit-identical.
+    */
+  def sessionizeRocksDbAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      sessionizeAvailableNow(spark, sfDir)
+    }
+
+  /** Set a session conf for the duration of `body`, restoring the prior value
+    * after — streaming state store confs are read at query START, so scoping
+    * the conf around `.start()`+drain pins it to exactly one query.
+    */
+  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Run the sessionizer over the events directory to completion
     * (AvailableNow) and return the final per-session rows. With the whole
     * input in one batch this equals the batch sessionize — the oracle checks

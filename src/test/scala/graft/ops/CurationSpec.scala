@@ -70,6 +70,23 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0.0, 0L, 0L, 0.0)))
   }
 
+  test("decontaminateAgainst scores docs against a genuinely external suite") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely unrelated sentence about glacier formation and erosion"),
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val suite = Seq("benchmark prompt the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+    val out = Curation.decontaminateAgainst(docs, suite)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._3 && out(1L)._2 >= 1)              // shares the fox 5-grams
+    assert(out(2L) == ((4L, 0L, false)))               // 8 tokens → 4 grams, no hits
+    assert(out(3L) == ((0L, 0L, false)))               // short-doc guard
+  }
+
   test("qualityRepresentatives picks the per-cluster quality argmax, ties to lowest id") {
     val sf = "/root/testdata/sf0.001"
     val reps = Curation.qualityRepresentatives(spark, sf).collect()

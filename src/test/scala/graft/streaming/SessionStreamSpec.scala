@@ -46,6 +46,20 @@ class SessionStreamSpec extends SparkSpec {
     assert(state.get.nextSeq == 2L && state.get.open.get.n == 1L)
   }
 
+  test("RocksDB state store provider yields the identical session table and restores conf") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val rocks = SessionStream.sessionizeRocksDbAvailableNow(spark, sf)
+    assert(spark.conf.getOption(key) == before) // conf scoped to the one query
+    val batch = graft.ops.Events.sessionize(spark, sf)
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"), col("session_value"))
+    assert(rocks.count() > 0)
+    assert(rocks.exceptAll(batch).isEmpty && batch.exceptAll(rocks).isEmpty)
+  }
+
   test("exactly 30 minutes is the same session; 30m01s is a new one") {
     val s1 = freshState()
     val boundary = run(s1, ev(1, "2024-01-01T10:00:00", 1.0), ev(2, "2024-01-01T10:30:00", 1.0))
