@@ -110,6 +110,7 @@ object SparkEntry {
     "q81_quality_reps"     -> ((s, d) => graft.ops.Curation.qualityRepresentatives(s, d)),
     "q82_sessionize_rocksdb" -> ((s, d) => graft.streaming.SessionStream.sessionizeRocksDbAvailableNow(s, d)),
     "q83_decontam_external" -> ((s, d) => graft.ops.Curation.decontaminateExternal(s, d)),
+    "q84_sessionize_tws"   -> ((s, d) => graft.streaming.SessionStream.sessionizeTwsAvailableNow(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1112,6 +1113,27 @@ object SparkEntry {
     // detail — one AvailableNow pass through the stateful sessionizer with
     // off-heap state must still reproduce the batch sessionization
     "q82_sessionize_rocksdb" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // identical to q15/q34/q82: the transformWithState (arbitrary-state v2)
+    // sessionizer runs the same advance core against a named ValueState slot
+    "q84_sessionize_tws" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -7,7 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Event coming off the stream (ts is microsecond TIMESTAMP_NTZ). */
 final case class SessionEvent(
@@ -56,12 +57,16 @@ object SessionStream {
     SessionRow(userId, seq, o.start, o.end, o.n,
       new java.math.BigDecimal(java.math.BigInteger.valueOf(o.cents), 2).doubleValue())
 
-  private[streaming] def updateUser(
+  /** Pure session-advance core shared by both stateful APIs
+    * (`flatMapGroupsWithState` and `transformWithState`): fold one batch of a
+    * user's events into the carried state, emitting closed sessions finally
+    * and the open session with update semantics.
+    */
+  private[streaming] def advance(
       userId: Long,
-      events: Iterator[SessionEvent],
-      state: GroupState[UserSessionState]): Iterator[SessionRow] = {
-    val evs = events.toArray.sortBy(e => (e.ts, e.event_id))
-    val st = state.getOption.getOrElse(UserSessionState(1L, None))
+      st: UserSessionState,
+      events: Array[SessionEvent]): (Seq[SessionRow], UserSessionState) = {
+    val evs = events.sortBy(e => (e.ts, e.event_id))
     var seq = st.nextSeq
     var open = st.open
     val out = ArrayBuffer.empty[SessionRow]
@@ -81,7 +86,16 @@ object SessionStream {
       }
     }
     open.foreach(o => out += emit(userId, seq, o)) // still-open session, update semantics
-    state.update(UserSessionState(seq, open))
+    (out.toSeq, UserSessionState(seq, open))
+  }
+
+  private[streaming] def updateUser(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[UserSessionState]): Iterator[SessionRow] = {
+    val (out, next) =
+      advance(userId, state.getOption.getOrElse(UserSessionState(1L, None)), events.toArray)
+    state.update(next)
     out.iterator
   }
 
@@ -126,6 +140,43 @@ object SessionStream {
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateUser)
+    drainSessions(spark, sessions)
+  }
+
+  /** The sessionizer on `transformWithState` — Structured Streaming's
+    * arbitrary-state API v2 (Spark 4): explicit named state slots on a
+    * [[StatefulProcessorHandle]] instead of one opaque `GroupState` blob.
+    * The same [[advance]] core runs against a `ValueState[UserSessionState]`,
+    * so this and [[sessionizeAvailableNow]] are the same algorithm under two
+    * state APIs — and the oracle holds for both. The API requires the RocksDB
+    * provider (it refuses the HDFS-backed one), which is also the scale
+    * choice: v2 unlocks per-slot TTL, timers, and schema evolution on
+    * off-heap state.
+    */
+  def sessionizeTwsAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      import spark.implicits._
+      val sessions = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .parquet(EventStream.eventsDir(spark, sfDir))
+        .as[SessionEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionizeProcessor, TimeMode.None(), OutputMode.Update())
+      drainSessions(spark, sessions)
+    }
+
+  /** Drain an update-mode session stream to completion (AvailableNow) and keep
+    * each session's FINAL emission. The update-mode memory sink APPENDS each
+    * batch's emissions; if AvailableNow split the input across micro-batches,
+    * a session appears once per batch that touched it. n_events strictly
+    * grows with each re-emission (a closing emission duplicates the last open
+    * one exactly), so the max row is the final state and the dedup is
+    * deterministic.
+    */
+  private def drainSessions(
+      spark: SparkSession,
+      sessions: org.apache.spark.sql.Dataset[SessionRow]): DataFrame = {
     val name = s"graft_stream_sessions_${System.nanoTime()}"
     val q = sessions.writeStream
       .format("memory").queryName(name)
@@ -133,12 +184,6 @@ object SessionStream {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.processAllAvailable() finally q.stop()
-    // the update-mode memory sink APPENDS each batch's emissions; if
-    // AvailableNow split the input across micro-batches, a session appears
-    // once per batch that touched it — keep only the final emission per
-    // (user, session). n_events strictly grows with each re-emission (a
-    // closing emission duplicates the last open one exactly), so the max
-    // row is the final state and the dedup is deterministic.
     val latest = Window
       .partitionBy(col("user_id"), col("session_seq"))
       .orderBy(col("n_events").desc, col("session_end").desc)
@@ -149,5 +194,27 @@ object SessionStream {
         col("user_id"), col("session_seq"),
         col("session_start"), col("session_end"),
         col("n_events"), col("session_value"))
+  }
+}
+
+/** [[SessionStream.advance]] as a `transformWithState` processor: the carried
+  * per-user state lives in a NAMED ValueState slot (the v2 API's explicit
+  * state model). Stateless wrapper — all session logic is in `advance`.
+  */
+class SessionizeProcessor extends StatefulProcessor[Long, SessionEvent, SessionRow] {
+  @transient private var state: ValueState[UserSessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserSessionState]("session",
+      org.apache.spark.sql.Encoders.product[UserSessionState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[SessionEvent],
+      timerValues: TimerValues): Iterator[SessionRow] = {
+    val cur = if (state.exists()) state.get() else UserSessionState(1L, None)
+    val (out, next) = SessionStream.advance(key, cur, rows.toArray)
+    state.update(next)
+    out.iterator
   }
 }

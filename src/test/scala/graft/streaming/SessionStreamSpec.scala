@@ -60,6 +60,17 @@ class SessionStreamSpec extends SparkSpec {
     assert(rocks.exceptAll(batch).isEmpty && batch.exceptAll(rocks).isEmpty)
   }
 
+  test("transformWithState sessionizer equals the batch sessionize") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val tws = SessionStream.sessionizeTwsAvailableNow(spark, sf)
+    val batch = graft.ops.Events.sessionize(spark, sf)
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"), col("session_value"))
+    assert(tws.count() > 0)
+    assert(tws.exceptAll(batch).isEmpty && batch.exceptAll(tws).isEmpty)
+  }
+
   test("exactly 30 minutes is the same session; 30m01s is a new one") {
     val s1 = freshState()
     val boundary = run(s1, ev(1, "2024-01-01T10:00:00", 1.0), ev(2, "2024-01-01T10:30:00", 1.0))
