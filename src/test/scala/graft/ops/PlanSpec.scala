@@ -82,6 +82,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats is a pure per-row map: zero exchanges, whole-stage codegen") {
+    val p = plan(Curation.repetitionStats(spark, sf))
+    assert(!p.contains("Exchange"), p.linesIterator.take(3).mkString("\n"))
+    assert(p.contains("*(1)"))
+  }
+
+  test("session paths shuffle once on user_id, then stay within-partition") {
+    val p = plan(Events.sessionPaths(spark, sf))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("term top-k aggregates map-side and windows only aggregated rows") {
     val p = plan(TermStats.topTermsPerLang(spark, sf))
     // partial agg before the exchange: the token explosion must collapse
