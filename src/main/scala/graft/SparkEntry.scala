@@ -115,6 +115,30 @@ object SparkEntry {
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
   /** Shared oracle fragments (DuckDB SQL). */
+  /** The gap-sessionization oracle, shared verbatim by q15 (batch), q34
+    * (flatMapGroupsWithState), q82 (RocksDB provider), and q84
+    * (transformWithState): all four are the same semantics by design, and one
+    * fragment keeps them from silently diverging.
+    */
+  private val sessionizeOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sess GROUP BY 1, 2""".stripMargin
+
   private val enrichJoin: String =
     """FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
@@ -382,23 +406,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q15_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT *, CAST(SUM(new_session) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |  FROM flagged)
-        |SELECT user_id, session_seq,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY 1, 2""".stripMargin,
+      sessionizeOracle,
 
     "q16_dedup_exact" ->
       s"""SELECT md5($normText) AS fingerprint,
@@ -609,23 +617,7 @@ object SparkEntry {
     // identical to q15: one AvailableNow batch through the stateful
     // sessionizer must reproduce the batch sessionization
     "q34_stream_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT *, CAST(SUM(new_session) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |  FROM flagged)
-        |SELECT user_id, session_seq,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY 1, 2""".stripMargin,
+      sessionizeOracle,
 
     // identical to q11: the partitioned write + partition-discovery read must
     // be lossless down to the partition-key values
@@ -1113,44 +1105,12 @@ object SparkEntry {
     // detail — one AvailableNow pass through the stateful sessionizer with
     // off-heap state must still reproduce the batch sessionization
     "q82_sessionize_rocksdb" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT *, CAST(SUM(new_session) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |  FROM flagged)
-        |SELECT user_id, session_seq,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY 1, 2""".stripMargin,
+      sessionizeOracle,
 
     // identical to q15/q34/q82: the transformWithState (arbitrary-state v2)
     // sessionizer runs the same advance core against a named ValueState slot
     "q84_sessionize_tws" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT *, CAST(SUM(new_session) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |  FROM flagged)
-        |SELECT user_id, session_seq,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY 1, 2""".stripMargin,
+      sessionizeOracle,
 
     // external-suite decontamination: the "benchmark suite" is the 50‰ hash
     // slice under salt suite_v2; training docs are everything else

@@ -18,25 +18,6 @@ import graft.core.Tables
   */
 object Curation {
 
-  /** Train/eval decontamination by word n-gram overlap — the standard guard
-    * against benchmark leakage: a training document is contaminated if it
-    * shares any word n-gram with the held-out eval slice. The eval slice is
-    * the deterministic `evalPermille`‰ hash split of the corpus (stand-in for
-    * a real benchmark suite).
-    *
-    * Output: one row per NON-eval document — doc_id, n_grams (distinct word
-    * n-grams), n_hits (grams also present in the eval slice),
-    * is_contaminated.
-    *
-    * Scale shape: grams are md5'd per document inside the scan (text never
-    * shuffles) and the eval-side gram set is DISTINCT. The join deliberately
-    * carries NO broadcast hint: a real eval suite is small and AQE promotes
-    * the join to broadcast at runtime from its measured size, while the
-    * stand-in here (`evalPermille`‰ of the corpus) grows linearly with the
-    * corpus, where a forced broadcast would OOM at the 100 TB design point —
-    * the un-hinted plan degrades to a shuffle equi-join on the gram hash
-    * with identical semantics.
-    */
   /** Distinct md5'd word n-grams of a text column. Guard: Spark
     * `sequence(1, k)` REVERSES for k < 1, so short docs must short-circuit to
     * an empty gram set (matches the oracle's empty range).
@@ -49,35 +30,38 @@ object Curation {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Train/eval decontamination by word n-gram overlap — the standard guard
+    * against benchmark leakage: a training document is contaminated if it
+    * shares any word n-gram with the held-out eval slice. The eval slice is
+    * the deterministic `evalPermille`‰ hash split of the corpus (stand-in for
+    * a real benchmark suite); the scoring itself is [[decontaminateAgainst]].
+    *
+    * Output: one row per NON-eval document — doc_id, n_grams (distinct word
+    * n-grams), n_hits (grams also present in the eval slice),
+    * is_contaminated.
+    */
   def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
       evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
-    val base = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      (Corpus.hashBucket(col("doc_id"), salt) < evalPermille).as("is_eval"),
-      wordGrams(col("text"), n).as("grams"))
-    val evalGrams = base.filter(col("is_eval"))
-      .select(explode(col("grams")).as("gram")).distinct()
-      .withColumn("hit", lit(1L))
-    base.filter(!col("is_eval"))
-      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-      .join(evalGrams, Seq("gram"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(col("gram")).as("n_grams"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
-      .withColumn("is_contaminated", col("n_hits") > 0)
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    decontaminateAgainst(
+      docs.filter(!isEval).select(col("doc_id"), col("text")),
+      docs.filter(isEval).select(col("text")), n)
   }
 
-  /** Decontamination against an EXTERNAL eval suite — the production form:
-    * `evalTexts` is any relation with a `text` column (a real benchmark
-    * suite's prompts/completions), entirely decoupled from the training
-    * corpus, and every training document is scored against it. Same contract
-    * as [[decontaminate]]: doc_id, n_grams, n_hits, is_contaminated.
+  /** Decontamination scoring core, eval suite as an arbitrary relation:
+    * `evalTexts` is anything with a `text` column (a real benchmark suite's
+    * prompts/completions, or [[decontaminate]]'s hash slice), and every `docs`
+    * row is scored against it. Output: doc_id, n_grams, n_hits,
+    * is_contaminated.
     *
-    * Scale shape: identical to [[decontaminate]] — grams are md5'd inside
-    * each side's scan, only 16-byte gram hashes meet at the join, and AQE
-    * broadcasts the eval side when it measures small (the usual case for a
-    * benchmark suite) without a hint that would OOM if it ever isn't.
+    * Scale shape: grams are md5'd per document inside each side's scan (text
+    * never shuffles) and the eval-side gram set is DISTINCT. The join
+    * deliberately carries NO broadcast hint: a real eval suite is small and
+    * AQE promotes the join to broadcast at runtime from its measured size,
+    * while an eval side that grows with the corpus would OOM under a forced
+    * broadcast at the 100 TB design point — the un-hinted plan degrades to a
+    * shuffle equi-join on the gram hash with identical semantics.
     */
   def decontaminateAgainst(docs: DataFrame, evalTexts: DataFrame, n: Int = 5): DataFrame = {
     val evalGrams = evalTexts

@@ -172,18 +172,27 @@ object Dedup {
     */
   private[ops] def cached(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
-      spark: SparkSession, sfDir: String)(body: => DataFrame): DataFrame = {
-    cache.keySet.foreach { k =>
-      if (k._1.sparkContext.isStopped) cache.remove(k)
+      spark: SparkSession, sfDir: String)(body: => DataFrame): DataFrame =
+    // whole lookup-or-compute under the cache's lock: TrieMap.getOrElseUpdate
+    // evaluates its default on every racing thread, which would run the
+    // expensive chain twice and strand one thread's eagerly-checkpointed
+    // blocks with no handle to unpersist them. The body is minutes of Spark
+    // jobs; serializing the few-microsecond hit path costs nothing.
+    cache.synchronized {
+      cache.keySet.foreach { k =>
+        if (k._1.sparkContext.isStopped) cache.remove(k)
+      }
+      cache.get((spark, sfDir)) match {
+        case Some(df) =>
+          cacheHits.incrementAndGet()
+          df
+        case None =>
+          val df = body.localCheckpoint(true)
+          cache.put((spark, sfDir), df)
+          cacheMisses.incrementAndGet()
+          df
+      }
     }
-    var miss = false
-    val df = cache.getOrElseUpdate((spark, sfDir), {
-      miss = true
-      body.localCheckpoint(true)
-    })
-    (if (miss) cacheMisses else cacheHits).incrementAndGet()
-    df
-  }
 
   private[graft] def ngramJaccardCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

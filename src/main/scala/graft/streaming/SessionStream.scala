@@ -116,16 +116,22 @@ object SessionStream {
 
   /** Set a session conf for the duration of `body`, restoring the prior value
     * after — streaming state store confs are read at query START, so scoping
-    * the conf around `.start()`+drain pins it to exactly one query.
+    * the conf around `.start()`+drain pins it to exactly one query. The conf
+    * is SESSION-global (Spark has no per-query provider API): serialized on
+    * the session so two scoped writers can't interleave set/restore, but a
+    * query started concurrently OUTSIDE this helper on the same session would
+    * still observe the temporary value — callers needing a different provider
+    * concurrently should use separate sessions (`spark.newSession()`).
     */
-  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T =
+    spark.synchronized {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Run the sessionizer over the events directory to completion
     * (AvailableNow) and return the final per-session rows. With the whole
