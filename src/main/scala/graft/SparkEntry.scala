@@ -111,6 +111,7 @@ object SparkEntry {
     "q82_sessionize_rocksdb" -> ((s, d) => graft.streaming.SessionStream.sessionizeRocksDbAvailableNow(s, d)),
     "q83_decontam_external" -> ((s, d) => graft.ops.Curation.decontaminateExternal(s, d)),
     "q84_sessionize_tws"   -> ((s, d) => graft.streaming.SessionStream.sessionizeTwsAvailableNow(s, d)),
+    "q85_upsert_latest"    -> ((s, d) => Relational.customerUpsert(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1138,6 +1139,23 @@ object SparkEntry {
         |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
         |FROM g LEFT JOIN hits h USING (doc_id)
         |WHERE NOT g.in_suite""".stripMargin,
+
+    // SCD1 latest-wins upsert: every 7th customer re-arrives at version 2
+    // with a doubled (exact IEEE) balance; highest version per key survives
+    "q85_upsert_latest" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    CAST(1 AS BIGINT) AS version
+        |  FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal, c_mktsegment,
+        |    CAST(2 AS BIGINT) AS version
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY c_custkey ORDER BY version DESC) AS rn FROM u)
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment, version
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

@@ -388,6 +388,38 @@ object Relational {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** SCD1 / CDC latest-wins upsert (the MERGE-apply shape): union the base
+    * relation with a change set and keep, per key, the row with the highest
+    * version (ties impossible by contract: a version is unique per key). This
+    * is how CDC feeds compact into a dimension without MERGE support — at
+    * scale it is one shuffle on the key, then a within-partition argmax; no
+    * join of base against changes, which matters when the change set is a
+    * large backlog rather than a trickle.
+    */
+  def upsertLatest(base: DataFrame, changes: DataFrame,
+      keys: Seq[String], version: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(version).desc)
+    base.unionByName(changes)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Oracle-gated instantiation of [[upsertLatest]]: the customer dimension
+    * (version 1) upserted with a deterministic change set — every 7th customer
+    * re-arrives with a doubled account balance at version 2. Doubling is an
+    * exact IEEE operation, so the output is cross-engine hashable.
+    */
+  def customerUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val base = cust.withColumn("version", lit(1L))
+    val changes = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("version", lit(2L))
+    upsertLatest(base, changes, Seq("c_custkey"), "version")
+  }
+
   def stringShowcase(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(
       col("c_custkey"),

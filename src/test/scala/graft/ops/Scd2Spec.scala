@@ -9,6 +9,17 @@ import graft.SparkSpec
   */
 class Scd2Spec extends SparkSpec {
 
+  test("upsertLatest keeps the highest-version row per key, passes through others") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+      .toDF("id", "val", "version")
+    val changes = Seq((2L, "b2", 2L), (2L, "b3", 3L), (4L, "d", 2L))
+      .toDF("id", "val", "version")
+    val out = Relational.upsertLatest(base, changes, Seq("id"), "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((1L, "a", 1L), (2L, "b3", 3L), (3L, "c", 1L), (4L, "d", 2L)))
+  }
+
   test("scd2 intervals tile per customer with exactly one current open row") {
     val sf = "/root/testdata/sf0.001"
     val out = Relational.orderPriorityScd2(spark, sf).collect()
