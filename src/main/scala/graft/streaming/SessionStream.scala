@@ -7,8 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Event coming off the stream (ts is microsecond TIMESTAMP_NTZ). */
 final case class SessionEvent(
@@ -172,6 +172,33 @@ object SessionStream {
       drainSessions(spark, sessions)
     }
 
+  /** One AvailableNow drain of the timer-closed sessionizer ([[IdleCloseProcessor]])
+    * over a watched directory into an append-only parquet sink. Called
+    * repeatedly with the same checkpoint it resumes state and timers — the
+    * spec drives batches through it and asserts sessions appear exactly once,
+    * closed either by a same-user gap event or by the watermark-driven timer.
+    */
+  def idleCloseDrain(spark: SparkSession, src: String, out: String, chk: String,
+      watermarkDelay: String = "10 minutes"): Unit =
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      import spark.implicits._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val q = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", watermarkDelay)
+        .as[TimedEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new IdleCloseProcessor(GapMinutes * 60 * 1000L),
+          TimeMode.EventTime(), OutputMode.Append())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
   /** Drain an update-mode session stream to completion (AvailableNow) and keep
     * each session's FINAL emission. The update-mode memory sink APPENDS each
     * batch's emissions; if AvailableNow split the input across micro-batches,
@@ -202,6 +229,80 @@ object SessionStream {
         col("n_events"), col("session_value"))
   }
 }
+
+/** Event coming off the timer-closed stream (ts is a zoned TimestampType —
+  * event-time watermarks require it).
+  */
+final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** A session closed EITHER by a same-key gap or by the event-time timer. */
+final case class ClosedSession(
+    user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+/** The PRODUCTION shape of stateful sessionization: closed-only, append-mode,
+  * timer-driven. The update-mode sessionizers above re-emit the open session
+  * every batch (fine for a serving table, wrong for an append-only sink);
+  * here a session is emitted exactly once — when a same-user event arrives
+  * past the gap, or when the EVENT-TIME TIMER fires because the watermark
+  * passed `session_end + gap` with no further activity. Timers are the v2
+  * API's replacement for `GroupStateTimeout`: per-key, persisted in the state
+  * store, evaluated against the watermark — so an idle user's state is
+  * emitted and freed without waiting for that user to ever appear again,
+  * which is what bounds state on a 10⁸-key stream where most keys go quiet.
+  */
+class IdleCloseProcessor(gapMs: Long) extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+  @transient private var open: ValueState[OpenWindow] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenWindow]("open",
+      org.apache.spark.sql.Encoders.product[OpenWindow], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TimedEvent],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val evs = rows.toArray.sortBy(_.ts.getTime)
+    var cur = if (open.exists()) Option(open.get()) else None
+    var out = List.empty[ClosedSession]
+    evs.foreach { e =>
+      cur match {
+        case Some(o) if e.ts.getTime - o.end <= gapMs =>
+          cur = Some(OpenWindow(o.start, math.max(o.end, e.ts.getTime), o.n + 1))
+        case Some(o) =>
+          out ::= closed(key, o)
+          cur = Some(OpenWindow(e.ts.getTime, e.ts.getTime, 1))
+        case None =>
+          cur = Some(OpenWindow(e.ts.getTime, e.ts.getTime, 1))
+      }
+    }
+    cur.foreach { o =>
+      open.update(o)
+      // one live timer per key: re-arm at the open session's idle deadline
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(o.end + gapMs)
+    }
+    out.reverse.iterator
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
+    if (open.exists() && open.get().end + gapMs <= expiredTimerInfo.getExpiryTimeInMs) {
+      val o = open.get()
+      open.clear()
+      Iterator.single(closed(key, o))
+    } else Iterator.empty // stale timer: the session was extended or re-opened
+
+  private def closed(key: Long, o: OpenWindow): ClosedSession =
+    ClosedSession(key, new java.sql.Timestamp(o.start), new java.sql.Timestamp(o.end), o.n)
+}
+
+/** Open-session aggregate carried in state, epoch-millis domain (timers are
+  * epoch millis, so the comparison never round-trips through a calendar).
+  */
+final case class OpenWindow(start: Long, end: Long, n: Long)
 
 /** [[SessionStream.advance]] as a `transformWithState` processor: the carried
   * per-user state lives in a NAMED ValueState slot (the v2 API's explicit

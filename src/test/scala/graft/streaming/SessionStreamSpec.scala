@@ -71,6 +71,49 @@ class SessionStreamSpec extends SparkSpec {
     assert(tws.exceptAll(batch).isEmpty && batch.exceptAll(tws).isEmpty)
   }
 
+  test("event-time timer closes an idle session once the watermark passes its deadline") {
+    import java.nio.file.{Files, Paths}
+    import java.sql.Timestamp
+    import spark.implicits._
+    val root = tmpDir("idleclose")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val out = s"$root/out"; val chk = s"$root/chk"
+
+    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      rows.map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+    def readOut(): Seq[(Long, String, String, Long)] = {
+      val f = new java.io.File(out)
+      if (!f.exists() || f.listFiles().count(_.getName.endsWith(".parquet")) == 0) Seq.empty
+      else spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSeq
+    }
+
+    // batch 1: user 7's two events — session open, timer armed at 10:40
+    writeBatch("b1", Seq((7L, "2024-01-01 10:00:00", 1.0), (7L, "2024-01-01 10:10:00", 1.0)))
+    SessionStream.idleCloseDrain(spark, src, out, chk)
+    assert(readOut().isEmpty) // nothing closed: watermark still behind the deadline
+
+    // batches 2+3: user 99's activity advances the watermark past 10:40
+    // (12:20 - 10 min delay = 12:10) WITHOUT touching user 7 — only the
+    // timer can close 7's session. 99's own session stays open (deadline
+    // 12:50 > final watermark 12:10), so it must NOT appear.
+    writeBatch("b2", Seq((99L, "2024-01-01 12:00:00", 1.0)))
+    SessionStream.idleCloseDrain(spark, src, out, chk)
+    writeBatch("b3", Seq((99L, "2024-01-01 12:20:00", 1.0)))
+    SessionStream.idleCloseDrain(spark, src, out, chk)
+
+    assert(readOut() ==
+      Seq((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)))
+  }
+
   test("exactly 30 minutes is the same session; 30m01s is a new one") {
     val s1 = freshState()
     val boundary = run(s1, ev(1, "2024-01-01T10:00:00", 1.0), ev(2, "2024-01-01T10:30:00", 1.0))
