@@ -18,11 +18,19 @@ import graft.core.Tables
   */
 object Curation {
 
-  /** Distinct md5'd word n-grams of a text column. Guard: Spark
-    * `sequence(1, k)` REVERSES for k < 1, so short docs must short-circuit to
-    * an empty gram set (matches the oracle's empty range).
+  /** Distinct md5'd word n-grams of a text column — the native expression
+    * ([[graft.functions.WordGramsExpr]], one JVM loop per row). The built-in
+    * HOF formulation below is kept as the executable spec it is
+    * equivalence-tested against.
     */
-  private def wordGrams(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+  private[ops] def wordGrams(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    graft.functions.WordGramsExpr(text, n)
+
+  /** HOF executable spec of [[wordGrams]]. Guard: Spark `sequence(1, k)`
+    * REVERSES for k < 1, so short docs must short-circuit to an empty gram
+    * set (matches the oracle's empty range).
+    */
+  private[ops] def wordGramsHof(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val toks = TextAnalysis.alphaTokens(text)
     when(size(toks) >= n,
         array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),

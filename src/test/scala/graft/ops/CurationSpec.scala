@@ -4,6 +4,14 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Test access to the package-private gram builders. */
+object CurationTestHook {
+  def native(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    Curation.wordGrams(c, n)
+  def hof(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    Curation.wordGramsHof(c, n)
+}
+
 /** Invariants of the curation operators the oracle gate can't see: the
   * short-document guards in decontamination and repetition stats (Spark's
   * `sequence(1, k)` reverses for k < 1), eval-slice exclusion, and the
@@ -85,6 +93,28 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._3 && out(1L)._2 >= 1)              // shares the fox 5-grams
     assert(out(2L) == ((4L, 0L, false)))               // 8 tokens → 4 grams, no hits
     assert(out(3L) == ((0L, 0L, false)))               // short-doc guard
+  }
+
+  test("native word-gram expression ≡ HOF formulation on real corpus and crafted edges") {
+    import spark.implicits._
+    val edges = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "Short",
+      "",
+      "  punctuation, splits!tokens;here and STILL counts one two three  ",
+      "dup dup dup dup dup dup dup",                    // repeated grams → distinct
+      "汉字 mixed 中文 with ascii tokens one two three four", // multi-byte
+      "UPPER case TEXT with five tokens minimum")
+      .toDF("text")
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+    for (df <- Seq(edges, corpus); n <- Seq(2, 5)) {
+      val cmp = df.select(
+        CurationTestHook.native(col("text"), n).as("a"),
+        CurationTestHook.hof(col("text"), n).as("b"))
+      assert(cmp.filter(not(col("a") <=> col("b"))).isEmpty,
+        s"native/HOF divergence at n=$n")
+    }
   }
 
   test("qualityRepresentatives picks the per-cluster quality argmax, ties to lowest id") {
