@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, posexplode}
 
 import graft.etl.{Marts, Metrics}
 import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
@@ -112,6 +113,14 @@ object SparkEntry {
     "q83_decontam_external" -> ((s, d) => graft.ops.Curation.decontaminateExternal(s, d)),
     "q84_sessionize_tws"   -> ((s, d) => graft.streaming.SessionStream.sessionizeTwsAvailableNow(s, d)),
     "q85_upsert_latest"    -> ((s, d) => Relational.customerUpsert(s, d)),
+    "q86_passage_dedup"    -> ((s, d) => graft.ops.Curation.passageDedup(s, d)),
+    "q87_heavy_hitters"    -> ((s, d) => graft.ops.TermStats.heavyTermsPerLang(s, d)),
+    "q88_bloom_join"       -> ((s, d) => graft.ops.Joins.urgentLineitems(s, d)),
+    // exploded to (vec_id, d, qv) for the gate: the hash compare sorts rows,
+    // which an array column defeats (q18 precedent)
+    "q89_quantize_vecs"    -> ((s, d) => Similarity.quantizeVecs(s, d)
+      .select(col("vec_id"), posexplode(col("qvec")).as(Seq("d", "qv")))),
+    "q90_quantized_ann"    -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1156,6 +1165,82 @@ object SparkEntry {
         |  PARTITION BY c_custkey ORDER BY version DESC) AS rn FROM u)
         |SELECT c_custkey, c_name, c_acctbal, c_mktsegment, version
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // passage-level exact dedup: fixed 8-token chunks, a chunk in ≥2 distinct
+    // docs is boilerplate; docs are rewritten with surviving chunks in order
+    "q86_passage_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST((len(toks) + 7) // 8 AS BIGINT)),
+        |      i -> array_to_string(list_slice(toks, CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ')) AS chunks
+        |  FROM d WHERE len(toks) > 0),
+        |s AS (
+        |  SELECT doc_id, unnest(range(0, len(chunks))) AS pos, unnest(chunks) AS chunk
+        |  FROM c),
+        |f AS (SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1),
+        |j AS (SELECT s.doc_id, s.pos, s.chunk, f.n_docs
+        |      FROM s JOIN f ON md5(s.chunk) = f.h)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  COALESCE(string_agg(CASE WHEN n_docs < 2 THEN chunk END, ' ' ORDER BY pos), '') AS cleaned_text
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // native Misra-Gries heavy hitters with k=64 ≥ vocabulary: the summary
+    // never evicts, so the sketch is bit-identical to the exact GROUP BY —
+    // the gate proves update/serialize/merge/eval end to end; the eviction
+    // path is pinned by HeavyHittersAggSpec
+    "q87_heavy_hitters" ->
+      """SELECT lang, term, count(*) AS est_count
+        |FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |      FROM documents)
+        |GROUP BY lang, term""".stripMargin,
+
+    // bloom semi-join reduction: the Bloom prefilter has no false negatives
+    // and the real join eliminates false positives, so the result is exactly
+    // the plain join's — the reduction is an execution detail
+    "q88_bloom_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+        |       o.o_orderpriority, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin,
+
+    // per-dimension int8 scalar quantization in the exact-int domain:
+    // (x−mn)·255 div span, div spelled as floor-div — bit-equal cross-engine
+    "q89_quantize_vecs" ->
+      s"""WITH $scaledVecs,
+         |e AS (SELECT vec_id, unnest(range(0, len(svec))) AS d, unnest(svec) AS x FROM v),
+         |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d)
+         |SELECT e.vec_id, e.d,
+         |  CASE WHEN st.mx > st.mn
+         |    THEN ((e.x - st.mn) * 255) // (st.mx - st.mn)
+         |    ELSE CAST(0 AS BIGINT) END AS qv
+         |FROM e JOIN st USING (d)""".stripMargin,
+
+    // ANN over dequantized int8 codes (mn + q·span div 255 — exact ints), the
+    // same cosine/rank/tie contract as q25; recall vs exact is spec-pinned
+    "q90_quantized_ann" ->
+      s"""WITH $scaledVecs,
+         |e AS (SELECT vec_id, unnest(range(0, len(svec))) AS d, unnest(svec) AS x FROM v),
+         |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+         |qz AS (SELECT e.vec_id, e.d, st.mn, st.mx - st.mn AS span,
+         |        CASE WHEN st.mx > st.mn
+         |          THEN ((e.x - st.mn) * 255) // (st.mx - st.mn)
+         |          ELSE CAST(0 AS BIGINT) END AS qv
+         |      FROM e JOIN st USING (d)),
+         |r AS (SELECT vec_id, list(mn + (qv * span) // 255 ORDER BY d) AS rvec
+         |      FROM qz GROUP BY vec_id),
+         |qq AS (SELECT vec_id AS query_id, rvec AS qv FROM r WHERE vec_id < 20),
+         |c AS (SELECT query_id, vec_id,
+         |        ${cosine("qv", "rvec", idot("qv", "qv"), idot("rvec", "rvec"))} AS cosine
+         |      FROM qq, r WHERE query_id <> vec_id)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk,
+         |  cosine
+         |FROM c QUALIFY rk <= 5""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

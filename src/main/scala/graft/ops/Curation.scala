@@ -153,6 +153,60 @@ object Curation {
           .otherwise(lit(0.0)))
   }
 
+  /** Passage-level exact dedup (the "repeated passage removal" stage of a
+    * web-scale curation pipeline, cf. RefinedWeb/CCNet line dedup — this
+    * corpus is single-line, so the unit is a fixed `w`-token chunk instead of
+    * a newline-delimited line): a chunk that appears in at least `minDocs`
+    * distinct documents is boilerplate, and every document is rewritten with
+    * its boilerplate chunks removed.
+    *
+    * Output: one row per document with ≥1 token — doc_id, n_chunks,
+    * n_dup_chunks, cleaned_text (surviving chunks in original order; empty
+    * string when nothing survives).
+    *
+    * Scale shape: chunking is per-row inside the scan, and the ONLY exploded
+    * thing that shuffles is (doc_id, pos, md5) — 3 narrow values per chunk,
+    * never the chunk text. Global frequency is a hash-agg on the md5 key;
+    * the surviving positions come back as one int array per document, and
+    * the rewrite is a per-row `transform` over the document's own chunk
+    * array. Document text crosses exactly one exchange (the doc_id join of
+    * the chunk arrays against the kept-position lists), which AQE turns into
+    * a broadcast only when the corpus is tiny — at 100 TB it is one linear
+    * co-partitioned join.
+    */
+  def passageDedup(spark: SparkSession, sfDir: String, w: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val toks = TextAnalysis.alphaTokens(col("text"))
+    // guard: sequence(a, b) REVERSES for b < a, so token counts below one
+    // full chunk still yield exactly one (short) chunk via ceil division,
+    // and zero tokens short-circuit to an empty chunk array
+    val nChunks = floor((size(toks) + lit(w - 1)).cast("double") / lit(w)).cast("int")
+    val chunks = when(size(toks) >= 1,
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * w + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    val withChunks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), chunks.as("chunks"))
+    val segs = withChunks
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("pos"), md5(col("chunk")).as("h"))
+    val freq = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val kept = segs.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sort_array(collect_list(when(col("n_docs") < minDocs, col("pos"))))
+          .as("kept_pos"))
+    withChunks.join(kept, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        concat_ws(" ",
+          transform(col("kept_pos"), p => element_at(col("chunks"), p + 1)))
+          .as("cleaned_text"))
+  }
+
   /** Quality-aware representative selection: within each near-dup family
     * ([[Graph.dupClusters]]'s components), keep the HIGHEST-QUALITY member
     * (ties → lowest doc_id) instead of the lowest-id member — the policy a

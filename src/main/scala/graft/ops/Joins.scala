@@ -91,6 +91,72 @@ object Joins {
       .select(col("p_partkey"), col("p_retailprice"), col("band_id"), col("lo"), col("hi"))
   }
 
+  /** Bloom-filter semi-join reduction: build a Bloom filter over the build
+    * side's join keys, broadcast it as a literal, and prune the probe side
+    * BEFORE its shuffle — the classic semi-join reduction for selective
+    * shuffle joins where the build side is too large to broadcast-hash-join
+    * but its key *bloom* (a few MB of bits) is not. False positives are
+    * eliminated by the real join that follows, so the result is exactly the
+    * plain join's (the oracle checks equality, not "approximately fewer
+    * rows").
+    *
+    * The membership probe is Spark's own native
+    * `BloomFilterMightContain` expression (the one AQE's runtime row-level
+    * filtering injects) over a binary literal — codegen'd, no UDF — and the
+    * filter sits between the probe scan and its exchange, so at 100 TB the
+    * shuffle carries only rows whose key might match instead of the whole
+    * fact table. `graft.plans` PlanSpec-style shape: Filter(might_contain)
+    * below the probe-side Exchange.
+    *
+    * The build side pays one extra scan to aggregate the filter
+    * (`df.stat.bloomFilter` is a distributed treeAggregate, not a collect of
+    * keys) — worth it exactly when the reduction removes more shuffle volume
+    * than the scan costs, i.e. selective dims against wide facts.
+    */
+  def bloomPrunedJoin(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    bloomPrefilter(probe, probeKey, build, buildKey, expectedKeys, fpp)
+      .join(build, col(probeKey) === col(buildKey))
+
+  /** The probe-side reduction stage of [[bloomPrunedJoin]], exposed so tests
+    * can measure the pruning itself (survivors = true matches + the bounded
+    * false-positive tail) instead of only the post-join result.
+    */
+  private[graft] def bloomPrefilter(probe: DataFrame, probeKey: String,
+      build: DataFrame, buildKey: String,
+      expectedKeys: Long, fpp: Double): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(probeKey))))
+    probe.filter(mightContain)
+  }
+
+  /** q88 instantiation: urgent-priority orders as the build side against the
+    * lineitem fact. Expected key count is sized from the orders table's row
+    * count at the current scale factor without an extra count() job: a Bloom
+    * filter oversized for the actual insert count only lowers its false
+    * positive rate.
+    */
+  def urgentLineitems(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.core.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val fact = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    bloomPrunedJoin(fact, "l_orderkey", dim, "o_orderkey", expectedKeys = 1L << 20)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("o_orderpriority"), col("o_totalprice"))
+  }
+
   /** Banded range join: left rows matched to right intervals
     * `[lo, hi)` containing `valueCol`. Equi-join on bucket indices of width
     * `bucket` (intervals explode to every bucket they touch), exact residual

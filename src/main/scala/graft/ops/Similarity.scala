@@ -166,6 +166,77 @@ object Similarity {
     * (cell, dim) — 64·k rows through the shuffle, never vectors. This is the
     * standard distributed-k-means round.
     */
+  /** Per-dimension int8 scalar quantization of the embedding corpus — the
+    * compression step a 100 TB vector store runs before ANN (4 bytes/dim →
+    * 1): each dimension maps affinely onto [0, 255] between its corpus-wide
+    * min and max. All arithmetic stays in the exact-int domain of the scaled
+    * vectors (`(x−mn)·255 div span`, the div spelled as subtract-pmod so both
+    * engines produce the identical integer), so the codes are bit-equal
+    * cross-engine and the oracle gate hash-checks them.
+    *
+    * Scale shape: the stats pass explodes to (dim, value) pairs but the
+    * partial hash-agg reduces each partition to 64 rows before the exchange;
+    * the 64-entry min/max arrays then broadcast back over one corpus scan.
+    * Nothing driver-side, nothing quadratic.
+    */
+  def quantizeVecs(spark: SparkSession, sfDir: String): DataFrame =
+    withQuantized(spark, sfDir).select(col("vec_id"), col("qvec"))
+
+  /** ANN over the int8-quantized corpus: codes are dequantized back to the
+    * scaled-int domain (`mn + q·span div 255` — exact ints again) and ranked
+    * with the same native cosine as [[cosineTopK]]. The spec pins recall
+    * against the exact top-k; the oracle gate hash-checks the quantized
+    * ranking itself, which is deterministic because every dot/norm is an
+    * exact int64 into one final sqrt/division.
+    */
+  def quantizedTopK(spark: SparkSession, sfDir: String, nQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val deq = withQuantized(spark, sfDir)
+      .withColumn("rvec", transform(col("qvec"), (q, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val span = element_at(col("mxs"), i + 1) - mn
+        val p = q * span
+        mn + ((p - pmod(p, lit(255L))) / lit(255L)).cast("long")
+      }))
+      .select(col("vec_id"), col("rvec"))
+    val q = deq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("rvec").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(q).join(deq, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.CosineSimExpr(col("qv"), col("rvec")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
+  /** Scaled vectors + their quantization codes + the broadcast per-dim
+    * min/max arrays (needed again for dequantization).
+    */
+  private[graft] def withQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), scaled(col("embedding")).as("svec"))
+    val statsRow = vecs
+      .select(posexplode(col("svec")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        collect_list(struct(col("d"), col("mn"))).as("mns0"),
+        collect_list(struct(col("d"), col("mx"))).as("mxs0"))
+      .select(
+        transform(array_sort(col("mns0")), s => s.getField("mn")).as("mns"),
+        transform(array_sort(col("mxs0")), s => s.getField("mx")).as("mxs"))
+    vecs.crossJoin(broadcast(statsRow))
+      .withColumn("qvec", transform(col("svec"), (x, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val span = element_at(col("mxs"), i + 1) - mn
+        val v = (x - mn) * lit(255L)
+        when(span > 0L, ((v - pmod(v, span)) / span).cast("long"))
+          .otherwise(lit(0L))
+      }))
+  }
+
   def kmeansStep(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
     val vecs = withScaled(Tables.embeddings(spark, sfDir))
     val assigned0 = assignCells(

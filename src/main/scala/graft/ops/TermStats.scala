@@ -37,6 +37,30 @@ object TermStats {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-language term frequencies through the native Misra-Gries
+    * heavy-hitters aggregate ([[graft.functions.HeavyHittersAgg]]) — the
+    * frequent-items member of the mergeable-sketch family beside HLL (q61)
+    * and GK quantiles (q71). Each map partition reduces to ≤ `k` counters
+    * before the exchange, so the shuffle carries constant bytes per language
+    * where the exact `GROUP BY term` shape shuffles one row per distinct
+    * (lang, term).
+    *
+    * Oracle-gated EXACTLY (not rows-only): with `k` ≥ the corpus vocabulary
+    * (31 terms/lang in the synthetic corpus at every scale factor) the
+    * summary never evicts and Misra-Gries degenerates to exact counting, so
+    * the result is bit-identical to the GROUP BY — the gate proves the whole
+    * update/serialize/merge/eval path end to end. The eviction path (k <
+    * vocab) is pinned by `HeavyHittersAggSpec` instead: never overcounts,
+    * undercounts ≤ n/(k+1), and every item above that threshold survives.
+    */
+  def heavyTermsPerLang(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.HeavyHittersAgg(col("term"), k).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e.term").as("term"), col("e.est_count").as("est_count"))
+
   /** Top-`k` TF-IDF terms per document. tf = occurrences in the doc, df =
     * documents containing the term, score = tf · N / df — the log-free
     * rational form so every value is an exact-int product and one IEEE

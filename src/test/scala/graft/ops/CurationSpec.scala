@@ -117,6 +117,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("passageDedup removes cross-doc chunks, keeps order, guards edges") {
+    import spark.implicits._
+    val d = tmpDir("passage")
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"   // exactly one 8-token chunk
+    val uniqA  = "apple banana cherry date elder fig grape honey"
+    val uniqB  = "iris jade kiwi lemon mango nectar olive peach"
+    Seq(
+      (1L, s"$shared $uniqA", "en", 95),      // chunk0 shared, chunk1 unique
+      (2L, s"$shared $uniqB", "en", 95),      // chunk0 shared, chunk1 unique
+      (3L, shared, "en", 47),                 // ALL chunks removed → empty text
+      (4L, "lonely short tail", "en", 17),    // 3 tokens → one short chunk, kept
+      (5L, "", "en", 0))                      // zero tokens → absent from output
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Curation.passageDedup(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, uniqA)))
+    assert(out(2L) == ((2L, 1L, uniqB)))
+    assert(out(3L) == ((1L, 1L, "")))         // nothing survives → empty string
+    assert(out(4L) == ((1L, 0L, "lonely short tail")))
+    assert(!out.contains(5L))
+    // chunk-boundary check: 9 tokens → [8-token chunk, 1-token chunk]
+    val d2 = tmpDir("passage9")
+    Seq((1L, s"$shared iota", "en", 52))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val nine = Curation.passageDedup(spark, d2).collect()
+    assert(nine.length == 1 &&
+      nine(0).getLong(1) == 2L && nine(0).getLong(2) == 0L &&
+      nine(0).getString(3) == s"$shared iota")
+  }
+
   test("qualityRepresentatives picks the per-cluster quality argmax, ties to lowest id") {
     val sf = "/root/testdata/sf0.001"
     val reps = Curation.qualityRepresentatives(spark, sf).collect()

@@ -36,4 +36,40 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(run1.sorted.sameElements(run2.sorted))
   }
+
+  test("int8 quantization: codes in [0,255], roundtrip error ≤ span/255 per dim") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.withQuantized(spark, sf)
+      .select(col("vec_id"), col("svec"), col("qvec"), col("mns"), col("mxs"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sv = r.getSeq[Long](1); val qv = r.getSeq[Long](2)
+      val mns = r.getSeq[Long](3); val mxs = r.getSeq[Long](4)
+      assert(qv.forall(q => q >= 0 && q <= 255))
+      sv.lazyZip(qv).lazyZip(mns.zip(mxs)).foreach { case (x, q, (mn, mx)) =>
+        val span = mx - mn
+        assert(x >= mn && x <= mx)
+        val recon = if (span == 0) mn else mn + (q * span) / 255
+        // dequantized value within one quantization step of the original
+        assert(math.abs(recon - x) <= math.max(span / 255 + 1, 1),
+          s"vec ${r.getLong(0)}: x=$x recon=$recon span=$span")
+      }
+    }
+  }
+
+  test("quantized ANN recall vs exact top-k stays high") {
+    val sf = "/root/testdata/sf0.001"
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = sets(Similarity.cosineTopK(spark, sf))
+    val quant = sets(Similarity.quantizedTopK(spark, sf))
+    assert(exact.keySet == quant.keySet)
+    // keys.map on a Set would collapse equal per-query recalls — keep a Seq
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) & quant(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(recall >= 0.7, f"mean recall@5 over int8 codes = $recall%.2f")
+  }
 }
