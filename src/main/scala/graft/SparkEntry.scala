@@ -121,6 +121,8 @@ object SparkEntry {
     "q89_quantize_vecs"    -> ((s, d) => Similarity.quantizeVecs(s, d)
       .select(col("vec_id"), posexplode(col("qvec")).as(Seq("d", "qv")))),
     "q90_quantized_ann"    -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    "q91_quality_sample"   -> ((s, d) => graft.ops.Corpus.qualitySample(s, d)),
+    "q92_source_mix"       -> ((s, d) => graft.ops.Corpus.sourceMix(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1241,6 +1243,37 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk,
          |  cosine
          |FROM c QUALIFY rk <= 5""".stripMargin,
+
+    // quality-proportional sampling: keep iff bucket < floor(quality·3000),
+    // i.e. p = min(1, 3·quality), content-addressed so reproducible
+    "q91_quality_sample" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    $qualityScoreSql AS quality_score,
+         |    CAST('0x' || substr(md5(doc_id || ':qsample_v1'), 1, 8) AS BIGINT) % 1000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, quality_score, bucket
+         |FROM q
+         |WHERE bucket < least(1000, CAST(floor(quality_score * 3000.0) AS BIGINT))""".stripMargin,
+
+    // source-mix allocation: per-(source, shard) running token sum in
+    // content-addressed shuffle order, admitted while the shard's share of
+    // the 24000-token budget lasts
+    "q92_source_mix" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(doc_id || ':mix_v1'), 1, 8) AS BIGINT) % 1000 % 8 AS shard,
+        |    md5(doc_id || '#mix_v1') AS mix_key
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, shard, mix_key,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source, shard
+        |      ORDER BY mix_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, source, n_tokens, shard, mix_key, cum_tokens
+        |FROM c WHERE cum_tokens <= 3000""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

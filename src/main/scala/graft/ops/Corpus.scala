@@ -181,6 +181,50 @@ object Corpus {
       .join(reps, Seq("doc_id"), "left_semi")
   }
 
+  /** Quality-proportional deterministic sampling: each document survives with
+    * probability min(1, gain·quality) — realized as `bucket <
+    * floor(quality·1000·gain)` over the content-addressed 0..999 bucket, so
+    * higher-quality documents are kept proportionally more often (the
+    * DCLM/FineWeb-style quality-weighted downsampling) while membership stays
+    * a pure function of (doc_id, salt): reproducible across runs, engines,
+    * and partitionings. Per-row filter, no shuffle, no rand().
+    */
+  def qualitySample(spark: SparkSession, sfDir: String, gain: Double = 3.0,
+      salt: String = "qsample_v1"): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore.as("quality_score"),
+        hashBucket(col("doc_id"), salt).as("bucket"))
+      .filter(col("bucket") <
+        least(lit(1000L), floor(col("quality_score") * lit(1000.0 * gain))))
+
+  /** Source-mix allocation ("data mixing"): cap every source at a fixed token
+    * budget by taking documents in content-addressed shuffle order until the
+    * budget fills — the rebalancing step that stops one over-represented
+    * source from dominating an epoch.
+    *
+    * Scale shape: the budget is split evenly across `nShards` hash shards and
+    * the running token sum is computed per (source, shard) — `nShards`
+    * independent bounded windows instead of ONE giant per-source prefix sum
+    * whose single sorted partition would be the straggler at 100 TB. Each
+    * shard admits documents while its share of the budget lasts, so the
+    * global take is within one document per shard of the exact greedy fill,
+    * deterministic, and embarrassingly parallel.
+    */
+  def sourceMix(spark: SparkSession, sfDir: String, tokenBudget: Long = 24000,
+      nShards: Int = 8, salt: String = "mix_v1"): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("mix_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityTokens.cast("long").as("n_tokens"),
+        (hashBucket(col("doc_id"), salt) % nShards).as("shard"),
+        md5(concat(col("doc_id").cast("string"), lit("#" + salt))).as("mix_key"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= tokenBudget / nShards)
+  }
+
   /** Stratified deterministic sampling: per-language keep-rates (‰), applied
     * through the content-addressed bucket — the standard way to rebalance a
     * multilingual corpus (downsample the dominant language) while staying

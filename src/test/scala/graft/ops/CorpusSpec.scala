@@ -63,4 +63,42 @@ class CorpusSpec extends SparkSpec {
     val again = Corpus.hashSplit(spark, "/root/testdata/sf0.001")
     assert(split.exceptAll(again).isEmpty)
   }
+
+  test("quality sample keeps iff bucket clears the quality-scaled threshold") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val kept = Corpus.qualitySample(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    // membership must equal the per-row rule computed independently of the
+    // operator's own filter (score and bucket recomputed from the corpus)
+    val all = graft.core.Tables.documents(spark, sf)
+      .select($"doc_id", TextAnalysis.qualityScore.as("q"),
+        Corpus.hashBucket($"doc_id", "qsample_v1").as("b"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expected = all.filter { case (_, q, b) =>
+      b < math.min(1000L, math.floor(q * 3000.0).toLong)
+    }.map(_._1).toSet
+    assert(kept.keySet == expected)
+    assert(kept.nonEmpty && kept.size < all.length) // sampling actually bites
+    kept.values.foreach { case (q, b) =>
+      assert(b < math.min(1000L, math.floor(q * 3000.0).toLong))
+    }
+  }
+
+  test("source mix honors the per-shard budget and is deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Corpus.sourceMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // every admitted row is within its shard's share of the budget
+    assert(rows.forall(_._5 <= 3000L))
+    // cum_tokens is an internally consistent running sum per (source, shard)
+    rows.groupBy(r => (r._2, r._4)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._3).sum == sorted.last._5)
+    }
+    val again = Corpus.sourceMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
 }

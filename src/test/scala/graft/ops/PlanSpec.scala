@@ -107,4 +107,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("quality sampling is a pure pushdown-able filter: zero exchanges") {
+    val p = plan(Corpus.qualitySample(spark, sf))
+    assert(!p.contains("Exchange"), p.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("passage dedup explodes only narrow keys: chunk text stays out of the frequency shuffle") {
+    val p = plan(Curation.passageDedup(spark, sf))
+    // the (doc_id, pos, md5) explosion feeds a partial agg before its
+    // exchange; the chunk arrays cross exactly the one doc_id join exchange
+    assert(p.contains("partial"), p.linesIterator.take(3).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("heavy-hitters sketch aggregates partially before the exchange") {
+    val p = plan(TermStats.heavyTermsPerLang(spark, sf))
+    // ObjectHashAggregate partial mode: each map partition reduces to <= k
+    // counters per language before the shuffle
+    assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(3).mkString("\n"))
+    assert(p.contains("partial_heavy_hitters") || p.contains("partial"), p)
+  }
+
+  test("bloom-pruned join filters the probe scan below the join") {
+    val p = plan(Joins.urgentLineitems(spark, sf))
+    assert(p.contains("might_contain"), p.linesIterator.take(3).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
