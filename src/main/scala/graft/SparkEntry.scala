@@ -123,6 +123,8 @@ object SparkEntry {
     "q90_quantized_ann"    -> ((s, d) => Similarity.quantizedTopK(s, d)),
     "q91_quality_sample"   -> ((s, d) => graft.ops.Corpus.qualitySample(s, d)),
     "q92_source_mix"       -> ((s, d) => graft.ops.Corpus.sourceMix(s, d)),
+    "q93_zorder"           -> ((s, d) => Relational.zOrderedParts(s, d)),
+    "q94_stream_trending"  -> ((s, d) => EventStream.trendingPropsAvailableNow(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1274,6 +1276,32 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, source, n_tokens, shard, mix_key, cum_tokens
         |FROM c WHERE cum_tokens <= 3000""".stripMargin,
+
+    // z-order (Morton) locality key: bit-interleave of two 16-bit codes,
+    // spelled in SQL as the 32-term bit-extraction sum
+    "q93_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"((px // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"((py // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT p_partkey,
+         |    p_partkey % 65536 AS px,
+         |    CAST(floor(p_retailprice) AS BIGINT) % 65536 AS py
+         |  FROM part)
+         |SELECT p_partkey, px, py, CAST($terms AS BIGINT) AS zval FROM b""".stripMargin
+    },
+
+    // streaming Misra-Gries trending values: capacity 128 ≥ the 100-value
+    // vocabulary, so the drained stream must equal the exact batch GROUP BY
+    // (and the sketch's state-store round-trip is proved by the hash match)
+    "q94_stream_trending" ->
+      """SELECT event_type,
+        |  CAST(CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS VARCHAR) AS term,
+        |  count(*) AS est_count
+        |FROM events
+        |WHERE NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

@@ -420,6 +420,33 @@ object Relational {
     upsertLatest(base, changes, Seq("c_custkey"), "version")
   }
 
+  /** Z-order locality keys over the part table — the multi-dimensional data
+    * layout technique: raw values bucket into 16-bit codes and the native
+    * [[graft.functions.ZOrderExpr]] interleaves them, so sorting by `zval`
+    * clusters rows close in BOTH (partkey, price) into the same files/row
+    * groups and min/max statistics prune scans on either column. The key
+    * computation is per-row, codegen'd, zero shuffle; [[zOrderLayout]] is
+    * the companion writer shape (one range exchange, in-partition sort).
+    */
+  def zOrderedParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val px = col("p_partkey") % 65536L
+    val py = floor(col("p_retailprice")).cast("long") % 65536L
+    Tables.part(spark, sfDir).select(
+      col("p_partkey"), px.as("px"), py.as("py"),
+      graft.functions.ZOrderExpr(px, py).as("zval"))
+  }
+
+  /** The layout writer shape for a z-ordered table: ONE range exchange on the
+    * locality key plus a partition-local sort — exactly what
+    * `write.sortBy`-less Spark needs to produce files whose min/max column
+    * statistics are tight on both z-dimensions. No global sort node, no
+    * second shuffle; at 100 TB each output task writes one locality-contiguous
+    * file.
+    */
+  def zOrderLayout(df: org.apache.spark.sql.DataFrame, zCol: String,
+      numFiles: Int): org.apache.spark.sql.DataFrame =
+    df.repartitionByRange(numFiles, col(zCol)).sortWithinPartitions(col(zCol))
+
   def stringShowcase(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir).select(
       col("c_custkey"),

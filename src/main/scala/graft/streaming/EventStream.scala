@@ -168,6 +168,45 @@ object EventStream {
       .select(col("c_mktsegment"), col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming trending values: the Misra-Gries heavy-hitters sketch
+    * ([[graft.functions.HeavyHittersAgg]]) as a STREAMING aggregate — each
+    * micro-batch folds into the ≤ k-counter summary held in the state store,
+    * so per-group state is constant-size for the stream's lifetime where an
+    * exact `GROUP BY value` would grow with the observed vocabulary. The
+    * production shape for "trending terms/items per key" over an unbounded
+    * stream.
+    *
+    * Gated exactly like q87: capacity (128) exceeds the corpus's per-type
+    * value vocabulary (100), so the summary never evicts and the drained
+    * AvailableNow run must reproduce the batch GROUP BY bit-for-bit — which
+    * also proves the sketch's serialize/deserialize round-trip through the
+    * state store between micro-batches. Under eviction the same query stays
+    * well-defined with the spec-pinned error bounds.
+    */
+  def trendingPropsAvailableNow(spark: SparkSession, sfDir: String,
+      k: Int = 128): DataFrame = {
+    val trending = spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir(spark, sfDir))
+      .select(col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").cast("string").as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HeavyHittersAgg(col("term"), k).as("hh"))
+    val name = s"graft_stream_trending_${System.nanoTime()}"
+    val q = trending.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("event_type"), explode(col("hh")).as("e"))
+      .select(col("event_type"), col("e.term").as("term"),
+        col("e.est_count").as("est_count"))
+  }
+
   /** Streaming dedup under redelivery: the event stream unioned with a full
     * replay of itself (every event delivered twice — the at-least-once
     * delivery failure mode), deduplicated on event_id with

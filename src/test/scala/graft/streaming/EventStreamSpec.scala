@@ -90,6 +90,21 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming trending sketch (no-evict capacity) matches the exact batch counts") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = EventStream.trendingPropsAvailableNow(spark, sf)
+    val batch = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").cast("string").as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("event_type"), col("term"))
+      .agg(count(lit(1)).as("est_count"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-stream join matches its batch twin exactly") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
