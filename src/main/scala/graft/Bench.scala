@@ -42,7 +42,8 @@ object Bench {
     var paid = List.empty[String]   // queries that materialized the dedup chain
     var rode = List.empty[String]   // queries that hit the memoized chain
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (h0, m0) = (graft.ops.Dedup.cacheHits.get, graft.ops.Dedup.cacheMisses.get)
+      val h0 = graft.ops.Dedup.counterSnapshot(graft.ops.Dedup.cacheHits)
+      val m0 = graft.ops.Dedup.counterSnapshot(graft.ops.Dedup.cacheMisses)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -51,8 +52,14 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val stg = graft.core.StagingClock.drainSeconds()
       if (stg > 0) staging += name -> stg
-      if (graft.ops.Dedup.cacheMisses.get > m0) paid ::= name
-      else if (graft.ops.Dedup.cacheHits.get > h0) rode ::= name
+      // entries are "query:label[+label]" so a regression is attributable to
+      // the specific chain (edges vs clusters) the query materialized
+      def delta(now: Map[String, Long], before: Map[String, Long]): Seq[String] =
+        now.collect { case (l, v) if v > before.getOrElse(l, 0L) => l }.toSeq.sorted
+      val paidLabels = delta(graft.ops.Dedup.counterSnapshot(graft.ops.Dedup.cacheMisses), m0)
+      val hitLabels = delta(graft.ops.Dedup.counterSnapshot(graft.ops.Dedup.cacheHits), h0)
+      if (paidLabels.nonEmpty) paid ::= s"$name:${paidLabels.mkString("+")}"
+      else if (hitLabels.nonEmpty) rode ::= s"$name:${hitLabels.mkString("+")}"
       name -> sec
     }
     def numMap(m: Iterable[(String, Double)]): String =

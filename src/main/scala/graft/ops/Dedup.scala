@@ -149,17 +149,34 @@ object Dedup {
     * (two ids + two stats per verified pair), so holding it is free.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    cached(verifiedPairsCache, spark, sfDir)(ngramJaccardCompute(spark, sfDir))
+    cached(verifiedPairsCache, "edges", spark, sfDir)(ngramJaccardCompute(spark, sfDir))
 
   private val verifiedPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Cache traffic counters, drained by [[graft.Bench]] to attribute which
-    * queries PAID the materialization (miss) vs rode it for free (hit) — the
-    * round-over-round per-query diff is unreadable without that annotation.
+  /** Cache traffic counters PER CACHE LABEL ("edges" = the verified-pair
+    * table here, "clusters" = [[Graph]]'s CC label table), drained by
+    * [[graft.Bench]] to attribute which queries PAID which materialization
+    * (miss) vs rode it for free (hit). A single shared counter pair would
+    * label a query that only materialized the cluster cache as having paid
+    * "the dedup chain" — the per-query timing diff the annotation exists for
+    * would then point at the wrong stage.
     */
-  private[graft] val cacheMisses = new java.util.concurrent.atomic.AtomicLong
-  private[graft] val cacheHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val cacheMisses =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]
+  private[graft] val cacheHits =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]
+  private def bump(
+      m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder],
+      label: String): Unit =
+    m.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder).increment()
+  private[graft] def counterSnapshot(
+      m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder])
+      : Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    m.forEach((k, v) => b += k -> v.sum())
+    b.result()
+  }
 
   /** Memoize `body`'s eagerly-checkpointed result per (session, sfDir). The key
     * holds the session REFERENCE — `SparkSession` keeps default identity
@@ -172,6 +189,7 @@ object Dedup {
     */
   private[ops] def cached(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      label: String,
       spark: SparkSession, sfDir: String)(body: => DataFrame): DataFrame =
     // whole lookup-or-compute under the cache's lock: TrieMap.getOrElseUpdate
     // evaluates its default on every racing thread, which would run the
@@ -184,12 +202,12 @@ object Dedup {
       }
       cache.get((spark, sfDir)) match {
         case Some(df) =>
-          cacheHits.incrementAndGet()
+          bump(cacheHits, label)
           df
         case None =>
           val df = body.localCheckpoint(true)
           cache.put((spark, sfDir), df)
-          cacheMisses.incrementAndGet()
+          bump(cacheMisses, label)
           df
       }
     }

@@ -182,7 +182,7 @@ object Graph {
     * not banding collisions.
     */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.cached(clusterCache, spark, sfDir) {
+    Dedup.cached(clusterCache, "clusters", spark, sfDir) {
       val docs = graft.core.Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
       val edges = Dedup.ngramJaccard(spark, sfDir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))

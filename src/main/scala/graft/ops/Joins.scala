@@ -141,10 +141,12 @@ object Joins {
   }
 
   /** q88 instantiation: urgent-priority orders as the build side against the
-    * lineitem fact. Expected key count is sized from the orders table's row
-    * count at the current scale factor without an extra count() job: a Bloom
-    * filter oversized for the actual insert count only lowers its false
-    * positive rate.
+    * lineitem fact. The filter is sized from an EXACT count of the build side
+    * (one cheap dim-side job before the bloom aggregate): an oversized filter
+    * only lowers its false-positive rate, but an UNDERSIZED one saturates —
+    * realized fpp → 1, the probe filter passes everything, and the "reduction"
+    * pays the build scan for zero pruning, which is precisely the failure
+    * mode at the 100 TB design point a hardcoded constant would hit.
     */
   def urgentLineitems(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val dim = graft.core.Tables.orders(spark, sfDir)
@@ -152,7 +154,8 @@ object Joins {
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
     val fact = graft.core.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-    bloomPrunedJoin(fact, "l_orderkey", dim, "o_orderkey", expectedKeys = 1L << 20)
+    val expected = math.max(1024L, dim.count())
+    bloomPrunedJoin(fact, "l_orderkey", dim, "o_orderkey", expectedKeys = expected)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         col("o_orderpriority"), col("o_totalprice"))
   }

@@ -266,14 +266,25 @@ class IdleCloseProcessor(gapMs: Long) extends StatefulProcessor[Long, TimedEvent
     var cur = if (open.exists()) Option(open.get()) else None
     var out = List.empty[ClosedSession]
     evs.foreach { e =>
+      val t = e.ts.getTime
       cur match {
-        case Some(o) if e.ts.getTime - o.end <= gapMs =>
-          cur = Some(OpenWindow(o.start, math.max(o.end, e.ts.getTime), o.n + 1))
+        // within the gap of the open interval on EITHER side: merge, moving
+        // start backward for watermark-admitted late events — an emit-once
+        // sink can never correct a session whose start was pinned too late
+        case Some(o) if t >= o.start - gapMs && t - o.end <= gapMs =>
+          cur = Some(OpenWindow(math.min(o.start, t), math.max(o.end, t), o.n + 1))
+        // late event beyond the gap BEFORE the open session: it belongs to
+        // an earlier, already-idle period. Emit it as its own closed
+        // singleton now (any event that could have extended it is even
+        // later-arriving; splitting that pathological case is the documented
+        // cost of emit-once semantics) and leave the open session untouched
+        case Some(o) if t < o.start - gapMs =>
+          out ::= ClosedSession(key, e.ts, e.ts, 1)
         case Some(o) =>
           out ::= closed(key, o)
-          cur = Some(OpenWindow(e.ts.getTime, e.ts.getTime, 1))
+          cur = Some(OpenWindow(t, t, 1))
         case None =>
-          cur = Some(OpenWindow(e.ts.getTime, e.ts.getTime, 1))
+          cur = Some(OpenWindow(t, t, 1))
       }
     }
     cur.foreach { o =>

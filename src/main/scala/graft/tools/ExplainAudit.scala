@@ -26,6 +26,10 @@ object ExplainAudit {
     audit("q27_embed_neardup", graft.ops.Similarity.nearDupPairs(spark, sf))
     audit("q36_ivf_topk", graft.ops.Similarity.ivfTopK(spark, sf))
     audit("q12_customer_monthly", graft.etl.Metrics.customerMonthly(spark, sf))
+    audit("q86_passage_dedup", graft.ops.Curation.passageDedup(spark, sf))
+    audit("q87_heavy_hitters", graft.ops.TermStats.heavyTermsPerLang(spark, sf))
+    audit("q88_bloom_join", graft.ops.Joins.urgentLineitems(spark, sf))
+    audit("q90_quantized_ann", graft.ops.Similarity.quantizedTopK(spark, sf))
     spark.stop()
   }
 }

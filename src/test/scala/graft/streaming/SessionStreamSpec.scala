@@ -114,6 +114,41 @@ class SessionStreamSpec extends SparkSpec {
       Seq((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)))
   }
 
+  test("a watermark-admitted late event moves the open session's start backward") {
+    import java.nio.file.{Files, Paths}
+    import java.sql.Timestamp
+    import spark.implicits._
+    val root = tmpDir("lateclose")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val out = s"$root/out"; val chk = s"$root/chk"
+    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      rows.map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+    // batch 1: session opens at 10:10 (watermark after: 10:00)
+    writeBatch("b1", Seq((7L, "2024-01-01 10:10:00", 1.0)))
+    SessionStream.idleCloseDrain(spark, src, out, chk)
+    // batch 2: a LATE but admitted event at 10:05 (>= watermark 10:00) —
+    // within the gap BEFORE the open start, so the session must extend
+    // backward; an emit-once sink can never fix a too-late start afterwards
+    writeBatch("b2", Seq((7L, "2024-01-01 10:05:00", 1.0)))
+    SessionStream.idleCloseDrain(spark, src, out, chk)
+    // advance the watermark far past 7's idle deadline via another user
+    writeBatch("b3", Seq((99L, "2024-01-01 13:00:00", 1.0)))
+    SessionStream.idleCloseDrain(spark, src, out, chk)
+    writeBatch("b4", Seq((99L, "2024-01-01 13:20:00", 1.0)))
+    SessionStream.idleCloseDrain(spark, src, out, chk)
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .toSeq
+    assert(rows == Seq((7L, "2024-01-01 10:05:00.0", "2024-01-01 10:10:00.0", 2L)))
+  }
+
   test("exactly 30 minutes is the same session; 30m01s is a new one") {
     val s1 = freshState()
     val boundary = run(s1, ev(1, "2024-01-01T10:00:00", 1.0), ev(2, "2024-01-01T10:30:00", 1.0))
