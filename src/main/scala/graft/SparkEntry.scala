@@ -125,6 +125,12 @@ object SparkEntry {
     "q92_source_mix"       -> ((s, d) => graft.ops.Corpus.sourceMix(s, d)),
     "q93_zorder"           -> ((s, d) => Relational.zOrderedParts(s, d)),
     "q94_stream_trending"  -> ((s, d) => EventStream.trendingPropsAvailableNow(s, d)),
+    "q95_corpus_diff"      -> ((s, d) => graft.ops.Corpus.corpusDiff(s, d)),
+    "q96_funnel"           -> ((s, d) => Events.conversionFunnel(s, d)),
+    "q97_key_skew"         -> ((s, d) => graft.ops.Skew.keySkewReport(
+      graft.core.Tables.lineitem(s, d), "l_suppkey")),
+    "q98_incremental_agg"  -> ((s, d) => Relational.incrementalMonthlyRevenue(s, d)),
+    "q99_retention"        -> ((s, d) => Events.retentionCohorts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1301,6 +1307,75 @@ object SparkEntry {
         |  count(*) AS est_count
         |FROM events
         |WHERE NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    // content-addressed corpus diff: both "versions" derived deterministically
+    // from the one corpus so all four statuses occur
+    "q95_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS new_md5
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_md5 IS NULL THEN 'added'
+        |       WHEN n.new_md5 IS NULL THEN 'removed'
+        |       WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // strict-sequencing conversion funnel: first view, first click AFTER it,
+    // first purchase AFTER that click; stage = furthest step reached
+    "q96_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |  CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |            WHEN c.click_ts IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    // join-key skew report: per-key counts + multiple of the mean key load,
+    // top-20 deterministic (count desc, key asc)
+    "q97_key_skew" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+        |m AS (SELECT count(*) AS n_keys, CAST(sum(n_rows) AS BIGINT) AS n_total FROM c)
+        |SELECT l_suppkey, n_rows, n_keys, n_total,
+        |  CAST(n_rows * n_keys AS DOUBLE) / n_total AS skew_x
+        |FROM c, m
+        |ORDER BY n_rows DESC, l_suppkey ASC
+        |LIMIT 20""".stripMargin,
+
+    // snapshot + delta partial aggregates merged by re-aggregation must be
+    // bit-identical to the from-scratch aggregate (exact decimal domain)
+    "q98_incremental_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
+
+    // weekly retention cohorts: whole 7-day offsets from each user's first
+    // signup date (day arithmetic — calendar-week conventions differ)
+    "q99_retention" ->
+      """WITH s AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT s.cohort_date,
+        |  CAST(floor(date_diff('day', s.cohort_date, CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN s ON e.user_id = s.user_id
+        |WHERE date_diff('day', s.cohort_date, CAST(e.ts AS DATE)) >= 0
         |GROUP BY 1, 2""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →

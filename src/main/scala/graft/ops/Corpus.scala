@@ -181,6 +181,35 @@ object Corpus {
       .join(reps, Seq("doc_id"), "left_semi")
   }
 
+  /** Content-addressed corpus diff — the incremental-refresh primitive: given
+    * two corpus versions, classify every document as added / removed /
+    * changed / unchanged by comparing content hashes, so a 100 TB refresh
+    * reprocesses only the changed slice instead of the whole corpus. The
+    * whole operator is one equi-join of (doc_id, md5) pairs — text never
+    * shuffles, and the join carries two hashes per document.
+    *
+    * The oracle-gated instantiation derives both versions deterministically
+    * from the one corpus: "old" drops every 7th document, "new" drops
+    * doc_id ≡ 3 (mod 11) and uppercases every 5th document's text — so all
+    * four statuses occur.
+    */
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val next = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(5)) === 0, upper(col("text")))
+          .otherwise(col("text"))).as("new_md5"))
+    prev.join(next, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged"))
+      .select(col("doc_id"), col("status"))
+  }
+
   /** Quality-proportional deterministic sampling: each document survives with
     * probability min(1, gain·quality) — realized as `bucket <
     * floor(quality·1000·gain)` over the content-addressed 0..999 bucket, so

@@ -107,4 +107,61 @@ object Events {
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
+
+  /** Weekly retention cohorts: users grouped by the date of their FIRST
+    * signup event; for each (cohort_date, week_offset) the count of distinct
+    * cohort members active that week. Week offsets are whole 7-day spans
+    * from the cohort date (no calendar-week semantics — week-start
+    * conventions differ across engines; day arithmetic does not).
+    *
+    * Scale shape: the cohort frame is one date per user (hash agg with
+    * map-side combine); the events join is a user_id equi-join; the final
+    * distinct count is a two-phase agg on (cohort, offset, user) — narrow
+    * keys end to end, no windows over raw events.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort_date"))
+    ev.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        floor(datediff(to_date(col("ts")), col("cohort_date")) / 7).cast("long"))
+      .filter(col("week_offset") >= 0)
+      .groupBy(col("cohort_date"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  /** Conversion funnel view → click → purchase: for each user with at least
+    * one view, the FIRST view, the first click strictly after that view, and
+    * the first purchase strictly after that click, plus the funnel stage
+    * reached (1/2/3). The sequencing is strict (each stage's event must
+    * follow the previous stage's), which a naive per-type min() would get
+    * wrong for users who purchase before ever viewing.
+    *
+    * Scale shape: three narrow per-user hash aggregates (partial map-side
+    * combine — each carries one timestamp per user through its exchange)
+    * chained by equi-joins on user_id; no window over raw events, no
+    * per-user event array. AQE broadcasts the stage frames while they fit.
+    */
+  def conversionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("event_type"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("purchase_ts").isNotNull, 3L)
+          .when(col("click_ts").isNotNull, 2L)
+          .otherwise(1L))
+  }
 }

@@ -64,6 +64,27 @@ class CorpusSpec extends SparkSpec {
     assert(split.exceptAll(again).isEmpty)
   }
 
+  test("corpus diff classifies added/removed/changed/unchanged by the version rules") {
+    import spark.implicits._
+    val d = tmpDir("diff")
+    (1L to 40L).map(i => (i, s"text body $i", "en", 12))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Corpus.corpusDiff(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = (1L to 40L).flatMap { i =>
+      val inOld = i % 7 != 0
+      val inNew = i % 11 != 3
+      val changed = i % 5 == 0 // lowercase text, so upper() always changes it
+      if (!inOld && !inNew) None
+      else if (!inOld) Some(i -> "added")
+      else if (!inNew) Some(i -> "removed")
+      else Some(i -> (if (changed) "changed" else "unchanged"))
+    }.toMap
+    assert(out == expected)
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(out.values.toSet))
+  }
+
   test("quality sample keeps iff bucket clears the quality-scaled threshold") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

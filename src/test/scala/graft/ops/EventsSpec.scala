@@ -27,6 +27,63 @@ class EventsSpec extends SparkSpec {
       paths.select(col("user_id"), col("session_seq"), col("n_events"))).isEmpty)
   }
 
+  test("funnel enforces strict sequencing against a per-user fold of sorted events") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Events.conversionFunnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((
+        Option(r.getAs[java.time.LocalDateTime]("view_ts")),
+        Option(r.getAs[java.time.LocalDateTime]("click_ts")),
+        Option(r.getAs[java.time.LocalDateTime]("purchase_ts")),
+        r.getAs[Long]("stage")))).toMap
+    val evs = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[java.time.LocalDateTime](2)))
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(_._3.toString)
+      sorted.find(_._2 == "view").map(_._3).map { v =>
+        val ct = sorted.find(e => e._2 == "click" && e._3.isAfter(v)).map(_._3)
+        val pt = ct.flatMap(c =>
+          sorted.find(e => e._2 == "purchase" && e._3.isAfter(c)).map(_._3))
+        val stage = if (pt.isDefined) 3L else if (ct.isDefined) 2L else 1L
+        u -> ((Some(v), ct, pt, stage))
+      }
+    }.toMap
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
+
+  test("funnel strictness edges: pre-view clicks/purchases never count") {
+    import spark.implicits._
+    val d = tmpDir("funnel")
+    def ns(t: String): Long = java.sql.Timestamp.valueOf(t).getTime * 1000000L
+    Seq(
+      // u1: early purchase ignored; full strict sequence afterwards → stage 3
+      (1L, ns("2024-01-01 09:00:00"), 1L, "purchase", 1.0, "{}"),
+      (2L, ns("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ns("2024-01-01 10:30:00"), 1L, "click", 1.0, "{}"),
+      (4L, ns("2024-01-01 11:00:00"), 1L, "purchase", 1.0, "{}"),
+      // u2: purchase after view but NO click → stage 1 (strict chain broken)
+      (5L, ns("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"),
+      (6L, ns("2024-01-01 10:30:00"), 2L, "purchase", 1.0, "{}"),
+      // u3: pre-view click ignored; post-view click counts → stage 2
+      (7L, ns("2024-01-01 09:00:00"), 3L, "click", 1.0, "{}"),
+      (8L, ns("2024-01-01 10:00:00"), 3L, "view", 1.0, "{}"),
+      (9L, ns("2024-01-01 11:00:00"), 3L, "click", 1.0, "{}"),
+      // u4: no view at all → absent from the funnel
+      (10L, ns("2024-01-01 09:00:00"), 4L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Events.conversionFunnel(spark, d).collect()
+      .map(r => r.getLong(0) -> ((
+        Option(r.getAs[java.time.LocalDateTime]("click_ts")).map(_.toString),
+        Option(r.getAs[java.time.LocalDateTime]("purchase_ts")).map(_.toString),
+        r.getAs[Long]("stage")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((Some("2024-01-01T10:30"), Some("2024-01-01T11:00"), 3L)))
+    assert(out(2L) == ((None, None, 1L)))
+    assert(out(3L) == ((Some("2024-01-01T11:00"), None, 2L)))
+  }
+
   test("approx_count_distinct tracks the exact count within its error bound") {
     val rsd = 0.02
     val rows = Events.approxDistinctUsers(spark, "/root/testdata/sf0.001", rsd)
