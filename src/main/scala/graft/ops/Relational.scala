@@ -420,6 +420,31 @@ object Relational {
     upsertLatest(base, changes, Seq("c_custkey"), "version")
   }
 
+  /** Incremental re-aggregation — the snapshot + delta shape of a pipeline
+    * that cannot afford to re-scan history: a monthly revenue "snapshot"
+    * partial aggregate (even order keys) and a "delta" partial (odd keys)
+    * merge by RE-AGGREGATING the partials — sum of sums, sum of counts — in
+    * the exact decimal domain, so the merged result is bit-identical to the
+    * from-scratch aggregate the oracle computes. The merge input is |months|
+    * rows per side, not the fact table; at 100 TB only the delta is scanned.
+    */
+  def incrementalMonthlyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def partial(pred: org.apache.spark.sql.Column): DataFrame =
+      Tables.orders(spark, sfDir).filter(pred)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_part"),
+          count(lit(1)).as("n_part"))
+    val snapshot = partial(pmod(col("o_orderkey"), lit(2)) === 0)
+    val delta = partial(pmod(col("o_orderkey"), lit(2)) === 1)
+    snapshot.unionByName(delta)
+      .groupBy(col("month"))
+      .agg(
+        sum(col("rev_part")).cast("double").as("revenue"),
+        sum(col("n_part")).as("n_orders"))
+  }
+
   /** Z-order locality keys over the part table — the multi-dimensional data
     * layout technique: raw values bucket into 16-bit codes and the native
     * [[graft.functions.ZOrderExpr]] interleaves them, so sorting by `zval`

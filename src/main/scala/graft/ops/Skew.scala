@@ -34,4 +34,27 @@ object Skew {
         saltedProbe(SaltCol) === replicatedBuild(SaltCol))
       .drop(SaltCol)
   }
+
+  /** Join-key skew diagnosis — the measurement that decides between a plain
+    * hash join, [[saltedJoin]], and AQE's skew splitting: per-key row counts
+    * on the probe side, ranked, each with its multiple of the mean key load
+    * (`skew_x`, an int/int-derived IEEE division — cross-engine exact). The
+    * top-`k` report is what an operator would consult (or a planner rule
+    * would threshold) before choosing a distribution strategy.
+    *
+    * Scale shape: one partial-combined hash aggregate on the key (the same
+    * exchange the join itself would pay), a broadcast one-row mean, and a
+    * global top-k — `TakeOrderedAndProject`, never a full sort.
+    */
+  def keySkewReport(df: DataFrame, key: String, k: Int = 20): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val mean = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("n_rows")).as("n_total"))
+    counts.crossJoin(broadcast(mean))
+      .withColumn("skew_x",
+        col("n_rows") * col("n_keys") / col("n_total"))
+      .orderBy(col("n_rows").desc, col(key).asc)
+      .limit(k)
+      .select(col(key), col("n_rows"), col("n_keys"), col("n_total"), col("skew_x"))
+  }
 }

@@ -25,6 +25,21 @@ class SkewSpec extends SparkSpec {
     assert(keys.contains(Skew.SaltCol))
   }
 
+  test("key-skew report ranks the hot key first with its load multiple") {
+    import spark.implicits._
+    // one hot key (1000 rows) among 100 cold keys (10 rows each): mean load
+    // = 2000/101, so the hot key's skew_x is ~50× and every cold key ~0.5×
+    val skewed = (Seq.fill(1000)(7L) ++ (1L to 100L).flatMap(k => Seq.fill(10)(k + 100)))
+      .toDF("k")
+    val rows = Skew.keySkewReport(skewed, "k", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.head._1 == 7L && rows.head._2 == 1000L)
+    assert(rows.head._5 == 1000.0 * 101 / 2000)
+    assert(rows.tail.forall(r => r._2 == 10L && r._5 == 10.0 * 101 / 2000))
+    // deterministic tie order: cold keys ascend
+    assert(rows.tail.map(_._1).toSeq == rows.tail.map(_._1).sorted.toSeq)
+  }
+
   test("bucketed tables join with zero shuffle exchanges (co-located)") {
     // drop catalog entries AND leftover physical locations from prior JVMs
     // (a fresh in-memory catalog doesn't know about on-disk leftovers)
