@@ -131,6 +131,7 @@ object SparkEntry {
       graft.core.Tables.lineitem(s, d), "l_suppkey")),
     "q98_incremental_agg"  -> ((s, d) => Relational.incrementalMonthlyRevenue(s, d)),
     "q99_retention"        -> ((s, d) => Events.retentionCohorts(s, d)),
+    "q100_curated_corpus"  -> ((s, d) => graft.ops.Corpus.curatedCorpus(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1377,6 +1378,38 @@ object SparkEntry {
         |FROM events e JOIN s ON e.user_id = s.user_id
         |WHERE date_diff('day', s.cohort_date, CAST(e.ts AS DATE)) >= 0
         |GROUP BY 1, 2""".stripMargin,
+
+    // the full curation pipeline composed: q67's filter ∧ dedup-representative
+    // set, further intersected with q75's decontamination survivors
+    "q100_curated_corpus" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |labels AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         |reps AS (SELECT id FROM labels WHERE id = comp),
+         |filtered AS ($trainingFilterSql),
+         |dd AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |gg AS (
+         |  SELECT doc_id, is_eval,
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_distinct(list_transform(range(1, len(toks) - 3),
+         |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+         |    ELSE [] END AS grams
+         |  FROM dd),
+         |ee AS (SELECT DISTINCT unnest(grams) AS gram FROM gg WHERE is_eval),
+         |tt AS (SELECT doc_id, unnest(grams) AS gram FROM gg WHERE NOT is_eval),
+         |hh AS (
+         |  SELECT tt.doc_id, count(ee.gram) AS n_hits
+         |  FROM tt LEFT JOIN ee ON tt.gram = ee.gram GROUP BY tt.doc_id),
+         |clean AS (
+         |  SELECT gg.doc_id FROM gg LEFT JOIN hh USING (doc_id)
+         |  WHERE NOT gg.is_eval AND COALESCE(hh.n_hits, 0) = 0)
+         |SELECT f.doc_id, f.lang, f.n_chars, f.n_tokens, f.quality_score
+         |FROM filtered f
+         |JOIN reps ON f.doc_id = reps.id
+         |JOIN clean ON f.doc_id = clean.doc_id""".stripMargin,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

@@ -181,6 +181,26 @@ object Corpus {
       .join(reps, Seq("doc_id"), "left_semi")
   }
 
+  /** The COMPLETE curation pipeline composed into one materialized corpus
+    * build — the LLM-data analogue of the sales pipeline's q33: quality/
+    * length filter ∧ exact-dup survivor ([[trainingFilter]]) ∧ near-dup
+    * family representative ([[Graph.dupClusters]] over the verified LSH
+    * edges) ∧ decontaminated against the eval slice
+    * ([[Curation.decontaminate]]). A user's "build my training corpus" is
+    * this one call.
+    *
+    * Scale shape: every stage is the already-audited operator — the
+    * expensive verified-edge and cluster-label tables are the memoized
+    * materialize-once artifacts shared with q17/q55/q67/q81, and the final
+    * intersections are two semi joins on doc_id (narrow keys; no text).
+    */
+  def curatedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = Curation.decontaminate(spark, sfDir)
+      .filter(!col("is_contaminated")).select(col("doc_id"))
+    dedupedCorpus(spark, sfDir)
+      .join(clean, Seq("doc_id"), "left_semi")
+  }
+
   /** Content-addressed corpus diff — the incremental-refresh primitive: given
     * two corpus versions, classify every document as added / removed /
     * changed / unchanged by comparing content hashes, so a 100 TB refresh
