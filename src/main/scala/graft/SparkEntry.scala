@@ -1317,12 +1317,12 @@ object SparkEntry {
         |  SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 7 <> 0),
         |n AS (
         |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS new_md5
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_md5
         |  FROM documents WHERE doc_id % 11 <> 3)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-        |  CASE WHEN o.old_md5 IS NULL THEN 'added'
-        |       WHEN n.new_md5 IS NULL THEN 'removed'
-        |       WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_md5 IS DISTINCT FROM n.new_md5 THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
@@ -1352,7 +1352,7 @@ object SparkEntry {
       """WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
         |m AS (SELECT count(*) AS n_keys, CAST(sum(n_rows) AS BIGINT) AS n_total FROM c)
         |SELECT l_suppkey, n_rows, n_keys, n_total,
-        |  CAST(n_rows * n_keys AS DOUBLE) / n_total AS skew_x
+        |  CAST(n_rows AS DOUBLE) * n_keys / n_total AS skew_x
         |FROM c, m
         |ORDER BY n_rows DESC, l_suppkey ASC
         |LIMIT 20""".stripMargin,

@@ -210,22 +210,30 @@ object Corpus {
     *
     * The oracle-gated instantiation derives both versions deterministically
     * from the one corpus: "old" drops every 7th document, "new" drops
-    * doc_id ≡ 3 (mod 11) and uppercases every 5th document's text — so all
-    * four statuses occur.
+    * doc_id ≡ 3 (mod 11) and appends a suffix to every 5th document's text
+    * (suffixing, not case mapping: Java and utf8proc upper-case special
+    * characters differently, which would diverge the hashes on non-ASCII
+    * corpora) — so all four statuses occur.
+    *
+    * Presence is carried as an explicit flag per side — a document whose
+    * text is NULL still EXISTS in its version, so status must branch on
+    * join-side presence, never on hash nullity, and the hash comparison is
+    * null-safe.
     */
   def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      .select(col("doc_id"), md5(col("text")).as("old_md5"), lit(true).as("in_old"))
     val next = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
       .select(col("doc_id"),
-        md5(when(pmod(col("doc_id"), lit(5)) === 0, upper(col("text")))
-          .otherwise(col("text"))).as("new_md5"))
+        md5(when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("new_md5"),
+        lit(true).as("in_new"))
     prev.join(next, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("old_md5").isNull, "added")
-          .when(col("new_md5").isNull, "removed")
-          .when(col("old_md5") =!= col("new_md5"), "changed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_md5") <=> col("new_md5")), "changed")
           .otherwise("unchanged"))
       .select(col("doc_id"), col("status"))
   }

@@ -51,8 +51,10 @@ object Skew {
     val mean = counts.agg(
       count(lit(1)).as("n_keys"), sum(col("n_rows")).as("n_total"))
     counts.crossJoin(broadcast(mean))
+      // cast BEFORE the multiply: n_rows·n_keys as int64 wraps past ~9.2e18,
+      // which a 1e10-row hot key × 1e9 keys reaches at the design point
       .withColumn("skew_x",
-        col("n_rows") * col("n_keys") / col("n_total"))
+        col("n_rows").cast("double") * col("n_keys") / col("n_total"))
       .orderBy(col("n_rows").desc, col(key).asc)
       .limit(k)
       .select(col(key), col("n_rows"), col("n_keys"), col("n_total"), col("skew_x"))

@@ -75,7 +75,7 @@ class CorpusSpec extends SparkSpec {
     val expected = (1L to 40L).flatMap { i =>
       val inOld = i % 7 != 0
       val inNew = i % 11 != 3
-      val changed = i % 5 == 0 // lowercase text, so upper() always changes it
+      val changed = i % 5 == 0 // the " v2" suffix always changes the hash
       if (!inOld && !inNew) None
       else if (!inOld) Some(i -> "added")
       else if (!inNew) Some(i -> "removed")

@@ -55,7 +55,11 @@ class EventsSpec extends SparkSpec {
   test("funnel strictness edges: pre-view clicks/purchases never count") {
     import spark.implicits._
     val d = tmpDir("funnel")
-    def ns(t: String): Long = java.sql.Timestamp.valueOf(t).getTime * 1000000L
+    // UTC wall-clock nanos: Timestamp.valueOf would use the JVM default zone,
+    // breaking the literal assertions on any non-UTC machine
+    def ns(t: String): Long =
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
     Seq(
       // u1: early purchase ignored; full strict sequence afterwards → stage 3
       (1L, ns("2024-01-01 09:00:00"), 1L, "purchase", 1.0, "{}"),
