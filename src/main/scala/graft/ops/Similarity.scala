@@ -218,6 +218,10 @@ object Similarity {
   private[graft] def withQuantized(spark: SparkSession, sfDir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), scaled(col("embedding")).as("svec"))
+    // eagerly materialized: the stats subtree scans the whole corpus, and
+    // its consumers (quantize + dequantize, query + corpus sides) would each
+    // re-run that scan — the checkpoint pins it to ONE pass for a one-row
+    // frame (ExplainAudit showed 8 exchanges / 4 corpus scans without it)
     val statsRow = vecs
       .select(posexplode(col("svec")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -227,6 +231,7 @@ object Similarity {
       .select(
         transform(array_sort(col("mns0")), s => s.getField("mn")).as("mns"),
         transform(array_sort(col("mxs0")), s => s.getField("mx")).as("mxs"))
+      .localCheckpoint(true)
     vecs.crossJoin(broadcast(statsRow))
       .withColumn("qvec", transform(col("svec"), (x, i) => {
         val mn = element_at(col("mns"), i + 1)
