@@ -207,6 +207,28 @@ object EventStream {
         col("e.est_count").as("est_count"))
   }
 
+  /** PRODUCTION form of [[trendingPropsAvailableNow]]: per-window trending
+    * values in APPEND mode under a watermark. Each (hour, event_type)
+    * summary is emitted exactly once — when the watermark passes the
+    * window — so an append-only sink (parquet/kafka) receives finalized
+    * trending tables and the state store holds only windows inside the
+    * watermark horizon, each at ≤ k counters. The Misra-Gries buffer
+    * round-trips through the state store BETWEEN micro-batches (partials
+    * from an early batch merge with later arrivals before the window
+    * finalizes), which the spec pins across separate drains.
+    */
+  def trendingWatermarked(events: DataFrame, watermark: String = "2 hours",
+      k: Int = 128): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").cast("string").as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.HeavyHittersAgg(col("term"), k).as("hh"))
+      .select(col("window.start").as("hour"), col("event_type"), col("hh"))
+
   /** Streaming dedup under redelivery: the event stream unioned with a full
     * replay of itself (every event delivered twice — the at-least-once
     * delivery failure mode), deduplicated on event_id with

@@ -90,6 +90,59 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("watermarked trending finalizes a window once, merging sketch partials across batches") {
+    import spark.implicits._
+    val root = tmpDir("wmtrend")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val out = s"$root/out"; val chk = s"$root/chk"
+    val trendSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("props", StringType)))
+    def write(name: String, rows: Seq[(String, String, String)]): Unit = {
+      rows.map { case (t, e, p) => (Timestamp.valueOf(t), e, p) }
+        .toDF("ts", "event_type", "props")
+        .coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+    def drainTrend(): Unit = {
+      val q = EventStream.trendingWatermarked(
+        spark.readStream.schema(trendSchema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: two terms in the 10:00 window — not finalized, nothing emitted
+    write("b1", Seq(
+      ("2024-01-01 10:05:00", "click", """{"k": 7}"""),
+      ("2024-01-01 10:10:00", "click", """{"k": 7}""")))
+    drainTrend()
+    assert(new java.io.File(out).listFiles() == null ||
+      spark.read.parquet(out).isEmpty)
+    // batch 2: MORE arrivals for the same window (the state-store partial
+    // from b1 must merge with these), still nothing finalized
+    write("b2", Seq(
+      ("2024-01-01 10:20:00", "click", """{"k": 7}"""),
+      ("2024-01-01 10:25:00", "click", """{"k": 9}""")))
+    drainTrend()
+    // batch 3: event time jumps to 15:00 → watermark 13:00 finalizes 10:00
+    write("b3", Seq(("2024-01-01 15:00:00", "click", """{"k": 1}""")))
+    drainTrend()
+    val rows = spark.read.parquet(out)
+      .selectExpr("CAST(hour AS STRING) AS hour", "event_type",
+        "transform(hh, x -> x.term) AS terms", "transform(hh, x -> x.est_count) AS counts")
+      .collect()
+    assert(rows.length == 1) // the 15:00 window is withheld
+    val r = rows.head
+    assert(r.getString(0).startsWith("2024-01-01 10:00:00") && r.getString(1) == "click")
+    assert(r.getSeq[String](2) == Seq("7", "9"))   // est desc, term asc
+    assert(r.getSeq[Long](3) == Seq(3L, 1L))       // b1's partial merged with b2's
+  }
+
   test("streaming trending sketch (no-evict capacity) matches the exact batch counts") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
