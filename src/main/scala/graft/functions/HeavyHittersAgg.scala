@@ -112,7 +112,15 @@ case class HeavyHittersAgg(
     out.writeLong(b.n)
     out.writeLong(b.decrements)
     out.writeInt(b.counts.size)
-    b.counts.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // int-length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps a term
+    // at 65535 encoded bytes and would throw mid-shuffle (or mid state-store
+    // write) on long values — a Column-level aggregate can't assume short keys
+    b.counts.foreach { case (t, c) =>
+      val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(tb.length)
+      out.write(tb)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -124,7 +132,12 @@ case class HeavyHittersAgg(
     val size = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < size) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < size) {
+      val tb = new Array[Byte](in.readInt())
+      in.readFully(tb)
+      m.update(new String(tb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     new MgSummary(m, n, dec)
   }
 

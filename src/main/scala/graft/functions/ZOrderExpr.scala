@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -23,6 +24,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class ZOrderExpr(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // analysis-time contract: without it an IntegerType input passes analysis
+  // but ClassCastExceptions in interpreted eval while codegen silently widens
+  // — the two execution paths must agree, so misuse fails at analysis instead.
+  // (ExpectsInputTypes.inputTypes would say the same thing, but its
+  // AbstractDataType signature is private[sql] in Spark 4.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"z_order expects (bigint, bigint), got (${left.dataType.sql}, ${right.dataType.sql})")
 
   override def nullSafeEval(x: Any, y: Any): Any =
     ZOrderExpr.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long])

@@ -154,11 +154,35 @@ object Joins {
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
     val fact = graft.core.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-    val expected = math.max(1024L, dim.count())
-    bloomPrunedJoin(fact, "l_orderkey", dim, "o_orderkey", expectedKeys = expected)
+    // the count + treeAggregate are construction-time Spark jobs; memoized per
+    // (session, sf) so plan-only consumers (ExplainAudit, PlanSpec, repeated
+    // bench/verify construction) pay the two build-side jobs exactly once.
+    // Stopped-session keys are evicted the same way Dedup.cached does.
+    val bytes = bloomBytesCache.synchronized {
+      bloomBytesCache.keySet.foreach { k =>
+        if (k._1.sparkContext.isStopped) bloomBytesCache.remove(k)
+      }
+      bloomBytesCache.getOrElseUpdate((spark, sfDir), {
+        val expected = math.max(1024L, dim.count())
+        val bf = dim.stat.bloomFilter("o_orderkey", expected, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      })
+    }
+    val mightContain = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("l_orderkey"))))
+    fact.filter(mightContain)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         col("o_orderpriority"), col("o_totalprice"))
   }
+
+  private val bloomBytesCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Array[Byte]]
 
   /** Banded range join: left rows matched to right intervals
     * `[lo, hi)` containing `valueCol`. Equi-join on bucket indices of width

@@ -68,4 +68,18 @@ class HeavyHittersAggSpec extends SparkSpec {
     assert(arr.getSeq[String](0) == Seq("a", "b"))
     assert(arr.getSeq[Long](1) == Seq(2L, 1L))
   }
+
+  test("terms past the 64 KiB modified-UTF-8 cap survive the shuffle round-trip") {
+    import spark.implicits._
+    // writeUTF would throw UTFDataFormatException here; the length-prefixed
+    // encoding must round-trip through serialize/deserialize at the exchange
+    val big = "x" * 70000 + "é" // multi-byte tail: byte length ≠ char length
+    val df = (Seq.fill(5)(big) ++ Seq.fill(3)("small")).toDF("term")
+    val est = df.repartition(4)
+      .agg(HeavyHittersAgg(col("term"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map(big -> 5L, "small" -> 3L))
+  }
 }

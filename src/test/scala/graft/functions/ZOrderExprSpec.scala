@@ -77,4 +77,17 @@ class ZOrderExprSpec extends SparkSpec {
     assert(local >= (ranges.length * 0.6).toInt,
       s"only $local of ${ranges.length} files are locality-bounded")
   }
+
+  test("non-bigint inputs fail at analysis, not at execution") {
+    import spark.implicits._
+    // an IntegerType input used to pass analysis, then ClassCastException in
+    // interpreted eval while codegen silently widened — the type contract
+    // must reject it before either path runs
+    val ints = Seq((1, 2)).toDF("x", "y")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(ZOrderExpr($"x", $"y")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("z_order") ||
+      e.getMessage.toLowerCase.contains("bigint"))
+  }
 }
