@@ -4,7 +4,6 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
@@ -80,14 +79,7 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
-    val name = s"graft_stream_hourly_${System.nanoTime()}"
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).select(
+    Drain.toMemoryTable(spark, stream, "complete", "graft_stream_hourly").select(
       col("window.start").as("hour"),
       col("event_type"), col("n_events"), col("total_value"))
   }
@@ -125,14 +117,8 @@ object EventStream {
       col("click_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
         col("click_ts") <= col("purchase_ts"))
-    val name = s"graft_stream_join_${System.nanoTime()}"
-    val q = joined.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).select(col("purchase_id"), col("user_id"), col("click_id"))
+    Drain.toMemoryTable(spark, joined, "append", "graft_stream_join")
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
   }
 
   /** Stream-static enrichment: the live event stream joined to the (batch)
@@ -157,14 +143,7 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
-    val name = s"graft_stream_segment_${System.nanoTime()}"
-    val q = rollup.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    Drain.toMemoryTable(spark, rollup, "complete", "graft_stream_segment")
       .select(col("c_mktsegment"), col("event_type"), col("n_events"), col("total_value"))
   }
 
@@ -194,14 +173,7 @@ object EventStream {
       .filter(col("term").isNotNull)
       .groupBy(col("event_type"))
       .agg(graft.functions.HeavyHittersAgg(col("term"), k).as("hh"))
-    val name = s"graft_stream_trending_${System.nanoTime()}"
-    val q = trending.writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    Drain.toMemoryTable(spark, trending, "complete", "graft_stream_trending")
       .select(col("event_type"), explode(col("hh")).as("e"))
       .select(col("event_type"), col("e.term").as("term"),
         col("e.est_count").as("est_count"))
@@ -248,14 +220,7 @@ object EventStream {
     val redelivered = src.union(src) // two source instances: every event twice
       .withWatermark("ts_wm", "24 hours")
       .dropDuplicatesWithinWatermark("event_id")
-    val name = s"graft_stream_dedup_${System.nanoTime()}"
-    val q = redelivered.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    Drain.toMemoryTable(spark, redelivered, "append", "graft_stream_dedup")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
   }
 }

@@ -114,24 +114,15 @@ object SessionStream {
       sessionizeAvailableNow(spark, sfDir)
     }
 
-  /** Set a session conf for the duration of `body`, restoring the prior value
-    * after — streaming state store confs are read at query START, so scoping
-    * the conf around `.start()`+drain pins it to exactly one query. The conf
-    * is SESSION-global (Spark has no per-query provider API): serialized on
-    * the session so two scoped writers can't interleave set/restore, but a
-    * query started concurrently OUTSIDE this helper on the same session would
-    * still observe the temporary value — callers needing a different provider
-    * concurrently should use separate sessions (`spark.newSession()`).
+  /** Scoped session conf — see [[Drain.withConf]]. The conf is SESSION-global
+    * (Spark has no per-query provider API): serialized on the session so two
+    * scoped writers can't interleave set/restore, but a query started
+    * concurrently OUTSIDE the helper on the same session would still observe
+    * the temporary value — callers needing a different provider concurrently
+    * should use separate sessions (`spark.newSession()`).
     */
   private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T =
-    spark.synchronized {
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, value)
-      try body finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
+    Drain.withConf(spark, key, value)(body)
 
   /** Run the sessionizer over the events directory to completion
     * (AvailableNow) and return the final per-session rows. With the whole
@@ -210,17 +201,11 @@ object SessionStream {
   private def drainSessions(
       spark: SparkSession,
       sessions: org.apache.spark.sql.Dataset[SessionRow]): DataFrame = {
-    val name = s"graft_stream_sessions_${System.nanoTime()}"
-    val q = sessions.writeStream
-      .format("memory").queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val drained = Drain.toMemoryTable(spark, sessions, "update", "graft_stream_sessions")
     val latest = Window
       .partitionBy(col("user_id"), col("session_seq"))
       .orderBy(col("n_events").desc, col("session_end").desc)
-    spark.table(name)
+    drained
       .withColumn("__rn", row_number().over(latest))
       .filter(col("__rn") === 1)
       .select(
