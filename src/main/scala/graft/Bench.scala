@@ -28,6 +28,19 @@ object Bench {
     }
     // pay JVM/codegen warmup before the clock starts, not inside the first query
     spark.range(1000).selectExpr("sum(id)").collect()
+    // contention self-description: system load average before/after plus this
+    // JVM's own CPU seconds. A loaded neighbor inflates wall time but not our
+    // CPU time, so load ≫ nproc-idle or wall ≫ cpu/threads flags the run as
+    // contended MACHINE-READABLY — rounds 5–7 needed prose to explain 2–4×
+    // wall swings that were pure neighbor noise.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuSec: Double = osBean match {
+      case sun: com.sun.management.OperatingSystemMXBean => sun.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val loadBefore = osBean.getSystemLoadAverage
+    val cpu0 = processCpuSec
+    val wall0 = System.nanoTime()
     var errors = Map.empty[String, String]
     // force the one-time lineitem CSV materialization (used by q01/q33) now,
     // so per-query staging numbers are cache-independent. A prestage failure
@@ -69,7 +82,11 @@ object Bench {
     val total = results.map(_._2).sum
     def strList(xs: List[String]): String =
       xs.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"staging":${numMap(staging)},"prestage":$prestage,"cache_paid":${strList(paid)},"cache_hit":${strList(rode)},"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    val loadAfter = osBean.getSystemLoadAverage
+    val cpuSec = if (cpu0 < 0) -1.0 else processCpuSec - cpu0
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val nCpus = Runtime.getRuntime.availableProcessors
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"staging":${numMap(staging)},"prestage":$prestage,"cache_paid":${strList(paid)},"cache_hit":${strList(rode)},"errors":$errJson,"n_errors":${errors.size},"load_before":$loadBefore,"load_after":$loadAfter,"cpu_sec":$cpuSec,"wall_sec":$wallSec,"n_cpus":$nCpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
