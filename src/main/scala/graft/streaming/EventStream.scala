@@ -201,6 +201,32 @@ object EventStream {
       .agg(graft.functions.HeavyHittersAgg(col("term"), k).as("hh"))
       .select(col("window.start").as("hour"), col("event_type"), col("hh"))
 
+  /** PRODUCTION wiring of [[trendingWatermarked]]: watched source directory →
+    * append-only parquet sink with a CALLER-OWNED durable checkpoint (unlike
+    * the ephemeral [[Drain]] scratch — restart is the whole point here).
+    * Called repeatedly with the same `chk`, each drain resumes the sketch
+    * state and file-source offsets from the checkpoint: windows already
+    * emitted are never re-emitted, partials for still-open windows merge
+    * with the new arrivals, and newly finalized windows land in the sink
+    * exactly once. The spec drives two separate drains over a time-split of
+    * the real events table and checks the combined sink equals the batch
+    * twin — the exactly-once file-sink round-trip contract.
+    */
+  def trendingToParquet(spark: SparkSession, src: String, out: String,
+      chk: String, watermark: String = "2 hours", k: Int = 128): Unit = {
+    // watermarks require TimestampType; under the UTC session the cast from
+    // NTZ is wall-clock identity and the window boundaries are unchanged
+    val events = spark.readStream.schema(eventsSchema).parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = trendingWatermarked(events, watermark, k)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming dedup under redelivery: the event stream unioned with a full
     * replay of itself (every event delivered twice — the at-least-once
     * delivery failure mode), deduplicated on event_id with

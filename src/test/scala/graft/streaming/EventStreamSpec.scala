@@ -143,6 +143,60 @@ class EventStreamSpec extends SparkSpec {
     assert(r.getSeq[Long](3) == Seq(3L, 1L))       // b1's partial merged with b2's
   }
 
+  /** The exactly-once file-sink round-trip contract over REAL data: two
+    * separate [[EventStream.trendingToParquet]] drains share one durable
+    * checkpoint; the second must resume file-source offsets and sketch state
+    * from the first (not reprocess, not re-emit), and the combined sink must
+    * equal the batch twin restricted to watermark-finalized windows.
+    */
+  test("trendingToParquet restart: two drains, one checkpoint, sink equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val root = tmpDir("trendpq")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val out = s"$root/out"; val chk = s"$root/chk"
+
+    val ev = graft.core.Tables.events(spark, sf)
+    def ship(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+    // time-split mid-window so the 12:00 window can span both drains
+    val split = "2024-01-16 12:30:00"
+    ship("b1", ev.filter(col("ts") < lit(split).cast("timestamp_ntz")))
+    EventStream.trendingToParquet(spark, src, out, chk)
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0) // drain 1 finalized (and emitted) real windows
+
+    ship("b2", ev.filter(col("ts") >= lit(split).cast("timestamp_ntz")))
+    EventStream.trendingToParquet(spark, src, out, chk)
+
+    val sunk = spark.read.parquet(out)
+      .select(col("hour").cast("string").as("hour"), col("event_type"),
+        explode(col("hh")).as("e"))
+      .select(col("hour"), col("event_type"),
+        col("e.term").as("term"), col("e.est_count").as("est_count"))
+    // batch twin: exact per-window counts (k=128 > per-type vocab ⇒ sketch is
+    // exact), restricted to windows the final watermark (max ts − 2 h) passed
+    val maxTs = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+    val horizon = java.sql.Timestamp.valueOf(maxTs.minusHours(2))
+    val twin = ev
+      .select(col("ts"), col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").cast("string").as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("term"))
+      .agg(count(lit(1)).as("est_count"))
+      .filter(col("window.end") <= lit(horizon).cast("timestamp_ntz"))
+      .select(col("window.start").cast("string").as("hour"), col("event_type"),
+        col("term"), col("est_count"))
+    assert(sunk.count() > afterFirst) // drain 2 appended, resuming the checkpoint
+    assert(sunk.exceptAll(twin).isEmpty && twin.exceptAll(sunk).isEmpty)
+  }
+
   test("streaming trending sketch (no-evict capacity) matches the exact batch counts") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
