@@ -132,6 +132,7 @@ object SparkEntry {
     "q98_incremental_agg"  -> ((s, d) => Relational.incrementalMonthlyRevenue(s, d)),
     "q99_retention"        -> ((s, d) => Events.retentionCohorts(s, d)),
     "q100_curated_corpus"  -> ((s, d) => graft.ops.Corpus.curatedCorpus(s, d)),
+    "q101_corpus_refresh"  -> ((s, d) => graft.ops.Refresh.refreshedCorpus(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -264,6 +265,57 @@ object SparkEntry {
        |SELECT doc_id, lang, n_chars, n_tokens, quality_score
        |FROM q
        |WHERE rn = 1 AND n_chars BETWEEN 50 AND 100000 AND quality_score >= 0.05""".stripMargin
+
+  /** DuckDB twin of Corpus.curatedCorpus (q100): near-dup CC representatives
+    * ∧ training filter ∧ decontamination survivors, composed.
+    */
+  private lazy val curatedCorpusOracle: String =
+    s"""WITH RECURSIVE $dupCcCtes,
+       |labels AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+       |reps AS (SELECT id FROM labels WHERE id = comp),
+       |filtered AS ($trainingFilterSql),
+       |dd AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |gg AS (
+       |  SELECT doc_id, is_eval,
+       |    CASE WHEN len(toks) >= 5 THEN
+       |      list_distinct(list_transform(range(1, len(toks) - 3),
+       |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+       |    ELSE [] END AS grams
+       |  FROM dd),
+       |ee AS (SELECT DISTINCT unnest(grams) AS gram FROM gg WHERE is_eval),
+       |tt AS (SELECT doc_id, unnest(grams) AS gram FROM gg WHERE NOT is_eval),
+       |hh AS (
+       |  SELECT tt.doc_id, count(ee.gram) AS n_hits
+       |  FROM tt LEFT JOIN ee ON tt.gram = ee.gram GROUP BY tt.doc_id),
+       |clean AS (
+       |  SELECT gg.doc_id FROM gg LEFT JOIN hh USING (doc_id)
+       |  WHERE NOT gg.is_eval AND COALESCE(hh.n_hits, 0) = 0)
+       |SELECT f.doc_id, f.lang, f.n_chars, f.n_tokens, f.quality_score
+       |FROM filtered f
+       |JOIN reps ON f.doc_id = reps.id
+       |JOIN clean ON f.doc_id = clean.doc_id""".stripMargin
+
+  /** The q101 oracle: [[curatedCorpusOracle]] retargeted at the derived V2
+    * corpus (Refresh.docsV2's scheme — drop doc_id ≡ 3 (mod 11), suffix every
+    * 5th text, n_chars recomputed from the version's text). The textual
+    * retarget runs BEFORE the documents_v2 CTE (which reads the real table)
+    * is spliced in, so the base `FROM documents` inside it survives.
+    */
+  private lazy val refreshedCorpusOracle: String = {
+    val v2Cte =
+      """documents_v2 AS (
+        |  SELECT doc_id, lang, text, length(text) AS n_chars FROM (
+        |    SELECT doc_id, lang,
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |    FROM documents WHERE doc_id % 11 <> 3))""".stripMargin
+    curatedCorpusOracle
+      .replace("FROM documents", "FROM documents_v2")
+      .replace("WITH RECURSIVE ", s"WITH RECURSIVE $v2Cte,\n")
+  }
 
   /** DuckDB twin of the SimHash fingerprint (Dedup.simhash): token hashes via
     * the 48-bit Horner polynomial, ±1 votes per bit, bit set iff positive.
@@ -1381,35 +1433,13 @@ object SparkEntry {
 
     // the full curation pipeline composed: q67's filter ∧ dedup-representative
     // set, further intersected with q75's decontamination survivors
-    "q100_curated_corpus" ->
-      s"""WITH RECURSIVE $dupCcCtes,
-         |labels AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
-         |reps AS (SELECT id FROM labels WHERE id = comp),
-         |filtered AS ($trainingFilterSql),
-         |dd AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
-         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-         |  FROM documents),
-         |gg AS (
-         |  SELECT doc_id, is_eval,
-         |    CASE WHEN len(toks) >= 5 THEN
-         |      list_distinct(list_transform(range(1, len(toks) - 3),
-         |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
-         |    ELSE [] END AS grams
-         |  FROM dd),
-         |ee AS (SELECT DISTINCT unnest(grams) AS gram FROM gg WHERE is_eval),
-         |tt AS (SELECT doc_id, unnest(grams) AS gram FROM gg WHERE NOT is_eval),
-         |hh AS (
-         |  SELECT tt.doc_id, count(ee.gram) AS n_hits
-         |  FROM tt LEFT JOIN ee ON tt.gram = ee.gram GROUP BY tt.doc_id),
-         |clean AS (
-         |  SELECT gg.doc_id FROM gg LEFT JOIN hh USING (doc_id)
-         |  WHERE NOT gg.is_eval AND COALESCE(hh.n_hits, 0) = 0)
-         |SELECT f.doc_id, f.lang, f.n_chars, f.n_tokens, f.quality_score
-         |FROM filtered f
-         |JOIN reps ON f.doc_id = reps.id
-         |JOIN clean ON f.doc_id = clean.doc_id""".stripMargin,
+    "q100_curated_corpus" -> curatedCorpusOracle,
+
+    // refresh ≡ rebuild: the oracle is the FROM-SCRATCH q100 pipeline over
+    // the derived V2 corpus; the Spark side (Refresh.refreshedCorpus) builds
+    // the same manifest incrementally from V1 artifacts + the corpus diff,
+    // so a hash match proves the incremental merge loses nothing
+    "q101_corpus_refresh" -> refreshedCorpusOracle,
 
     // identical to q12: the full CSV-drop → validate → enrich → aggregate →
     // JDBC-write → JDBC-read pipeline must reproduce the source-of-truth metric

@@ -221,14 +221,12 @@ object Corpus {
     * null-safe.
     */
   def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    // versions shared with [[Refresh]] — the diff and its refresh consumer
+    // (q101) must classify against the SAME derived corpora
+    val prev = Refresh.docsV1(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("old_md5"), lit(true).as("in_old"))
-    val next = docs.filter(pmod(col("doc_id"), lit(11)) =!= 3)
-      .select(col("doc_id"),
-        md5(when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text"))).as("new_md5"),
-        lit(true).as("in_new"))
+    val next = Refresh.docsV2(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("new_md5"), lit(true).as("in_new"))
     prev.join(next, Seq("doc_id"), "full_outer")
       .withColumn("status",
         when(col("in_old").isNull, "added")
