@@ -133,6 +133,7 @@ object SparkEntry {
     "q99_retention"        -> ((s, d) => Events.retentionCohorts(s, d)),
     "q100_curated_corpus"  -> ((s, d) => graft.ops.Corpus.curatedCorpus(s, d)),
     "q101_corpus_refresh"  -> ((s, d) => graft.ops.Refresh.refreshedCorpus(s, d)),
+    "q102_adaptive_join"   -> ((s, d) => graft.ops.Skew.adaptiveJoinDemo(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1408,6 +1409,24 @@ object SparkEntry {
         |FROM c, m
         |ORDER BY n_rows DESC, l_suppkey ASC
         |LIMIT 20""".stripMargin,
+
+    // measure → choose → execute: the strategy CASE mirrors
+    // Skew.chooseStrategy over the same per-key counts (broadcast limit
+    // 10000, skew threshold 3.0, AQE on in the session), so the DECISION is
+    // oracle-checked along with the strategy-invariant join rollup
+    "q102_adaptive_join" ->
+      """WITH pk AS (SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+        |st AS (SELECT count(*) AS n_keys, CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |         max(n_rows) AS max_rows FROM pk),
+        |d AS (SELECT CASE
+        |    WHEN (SELECT count(*) FROM orders) <= 10000 THEN 'broadcast'
+        |    WHEN CAST(max_rows AS DOUBLE) * n_keys / n_total < 3.0 THEN 'plain'
+        |    ELSE 'aqe_skew' END AS strategy FROM st)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  strategy
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey CROSS JOIN d
+        |GROUP BY 1, 4""".stripMargin,
 
     // snapshot + delta partial aggregates merged by re-aggregation must be
     // bit-identical to the from-scratch aggregate (exact decimal domain)

@@ -59,4 +59,85 @@ object Skew {
       .limit(k)
       .select(col(key), col("n_rows"), col("n_keys"), col("n_total"), col("skew_x"))
   }
+
+  /** The distribution-strategy POLICY — the decision [[keySkewReport]] exists
+    * to feed, closing the measure→choose→execute loop. Pure function of the
+    * measured statistics so the choice is deterministic and spec-pinnable:
+    *
+    *  1. build side fits the broadcast budget → `broadcast`: no probe
+    *     shuffle at all, hot keys are irrelevant.
+    *  2. hottest key under `skewThreshold`× the mean key load → `plain`:
+    *     the skew a hash join already tolerates.
+    *  3. skewed, AQE available → `aqe_skew`: a sort-merge join AQE splits at
+    *     runtime from MEASURED partition sizes — preferred over salting
+    *     because only the actually-oversized partitions pay fan-out.
+    *  4. skewed, no AQE → `salted`: static fan-out, the only remaining lever.
+    *
+    * Thresholds are explicit parameters (row-count proxy for the broadcast
+    * budget; at 100 TB feed it byte statistics instead) so the policy is
+    * auditable — the q102 oracle recomputes the same CASE from the same
+    * per-key counts in SQL.
+    */
+  def chooseStrategy(maxSkewX: Double, buildRows: Long, broadcastRowLimit: Long,
+      skewThreshold: Double, aqeEnabled: Boolean): String =
+    if (buildRows <= broadcastRowLimit) "broadcast"
+    else if (maxSkewX < skewThreshold) "plain"
+    else if (aqeEnabled) "aqe_skew"
+    else "salted"
+
+  /** Measure → choose → execute: diagnoses the probe key with
+    * [[keySkewReport]], picks a strategy with [[chooseStrategy]], and returns
+    * (decision, inner-join result). The join RESULT is strategy-invariant —
+    * every branch produces the same rows (SkewSpec pins this) — so the policy
+    * only moves cost, never semantics.
+    *
+    * The two measurement jobs (build count + top-key skew) run at planning
+    * time by design: this is a tiny planner, and at scale both numbers come
+    * from table statistics instead of scans. The skew probe pays one
+    * partial-combined aggregate on the key — the same exchange the join
+    * itself would pay — and collects a single row.
+    */
+  def adaptiveJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, broadcastRowLimit: Long = 1000000,
+      skewThreshold: Double = 3.0, nSalts: Int = 8): (String, DataFrame) = {
+    val spark = probe.sparkSession
+    val buildRows = build.count()
+    val top = keySkewReport(probe, probeKey, 1).select(col("skew_x")).collect()
+    val maxSkewX = if (top.isEmpty) 0.0 else top.head.getDouble(0)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+      spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true").toBoolean
+    val decision = chooseStrategy(maxSkewX, buildRows, broadcastRowLimit,
+      skewThreshold, aqe)
+    val joined = decision match {
+      case "broadcast" => probe.join(broadcast(build), probe(probeKey) === build(buildKey))
+      case "plain"     => probe.join(build, probe(probeKey) === build(buildKey))
+      // the merge hint pins a sort-merge join — the shape AQE's
+      // OptimizeSkewedJoin splits from measured partition sizes
+      case "aqe_skew"  => probe.join(build.hint("merge"), probe(probeKey) === build(buildKey))
+      case _           => saltedJoin(probe, build, probeKey, buildKey, nSalts)
+    }
+    (decision, joined)
+  }
+
+  /** The oracle-gated instantiation (q102): lineitem ⋈ orders through the
+    * full measure→choose→execute loop, rolled up per order priority with the
+    * chosen strategy as a column — so the DECISION itself is oracle-checked
+    * (the DuckDB twin recomputes the same CASE from the same per-key counts),
+    * not just the strategy-invariant join result. The 10k-row broadcast limit
+    * makes the choice scale-sensitive on purpose: sf0.001's orders side
+    * broadcasts, sf0.01+ falls through to the skew test.
+    */
+  def adaptiveJoinDemo(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val probe = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val build = graft.core.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val (decision, joined) = adaptiveJoin(probe, build, "l_orderkey", "o_orderkey",
+      broadcastRowLimit = 10000)
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .withColumn("strategy", lit(decision))
+  }
 }

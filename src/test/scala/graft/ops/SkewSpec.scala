@@ -40,6 +40,48 @@ class SkewSpec extends SparkSpec {
     assert(rows.tail.map(_._1).toSeq == rows.tail.map(_._1).sorted.toSeq)
   }
 
+  test("strategy policy flips on a crafted hot key and tracks every input") {
+    // pure-function decision table: the crafted hot key (50× the mean load)
+    // flips plain → aqe_skew/salted; a small build side trumps everything
+    assert(Skew.chooseStrategy(1.7, 5000, 1000, 3.0, aqeEnabled = true) == "plain")
+    assert(Skew.chooseStrategy(50.0, 5000, 1000, 3.0, aqeEnabled = true) == "aqe_skew")
+    assert(Skew.chooseStrategy(50.0, 5000, 1000, 3.0, aqeEnabled = false) == "salted")
+    assert(Skew.chooseStrategy(50.0, 900, 1000, 3.0, aqeEnabled = true) == "broadcast")
+  }
+
+  test("adaptive join: measured skew drives the decision; every branch joins identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hot key 7 carries 1000 of 2000 rows over 101 keys → skew_x ≈ 50
+    val skewed = (Seq.fill(1000)((7L, 1)) ++
+      (1L to 100L).flatMap(k => Seq.fill(10)((k + 100, 2)))).toDF("k", "v")
+    val uniform = (1L to 100L).flatMap(k => Seq.fill(10)((k, 3))).toDF("k", "v")
+    val build = (1L to 300L).map(i => (i, s"d_$i")).toDF("bk", "name")
+    val plainTwin = skewed.join(build, skewed("k") === build("bk"))
+
+    // skewed probe, non-broadcastable build, AQE on → aqe_skew
+    val (d1, j1) = Skew.adaptiveJoin(skewed, build, "k", "bk", broadcastRowLimit = 100)
+    assert(d1 == "aqe_skew")
+    assert(j1.exceptAll(plainTwin).isEmpty && plainTwin.exceptAll(j1).isEmpty)
+
+    // same data, AQE off → salted; result still identical
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (d2, j2) = Skew.adaptiveJoin(skewed, build, "k", "bk", broadcastRowLimit = 100)
+      assert(d2 == "salted")
+      assert(j2.exceptAll(plainTwin).isEmpty && plainTwin.exceptAll(j2).isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // uniform probe → the decision flips back to plain
+    val (d3, _) = Skew.adaptiveJoin(uniform, build, "k", "bk", broadcastRowLimit = 100)
+    assert(d3 == "plain")
+
+    // small build side short-circuits to broadcast regardless of skew
+    val (d4, j4) = Skew.adaptiveJoin(skewed, build, "k", "bk", broadcastRowLimit = 1000)
+    assert(d4 == "broadcast")
+    assert(j4.exceptAll(plainTwin).isEmpty && plainTwin.exceptAll(j4).isEmpty)
+  }
+
   test("bucketed tables join with zero shuffle exchanges (co-located)") {
     // drop catalog entries AND leftover physical locations from prior JVMs
     // (a fresh in-memory catalog doesn't know about on-disk leftovers)
