@@ -134,6 +134,7 @@ object SparkEntry {
     "q100_curated_corpus"  -> ((s, d) => graft.ops.Corpus.curatedCorpus(s, d)),
     "q101_corpus_refresh"  -> ((s, d) => graft.ops.Refresh.refreshedCorpus(s, d)),
     "q102_adaptive_join"   -> ((s, d) => graft.ops.Skew.adaptiveJoinDemo(s, d)),
+    "q103_merge_into"      -> ((s, d) => graft.ops.Merge.customerMerge(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1427,6 +1428,20 @@ object SparkEntry {
         |  strategy
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey CROSS JOIN d
         |GROUP BY 1, 4""".stripMargin,
+
+    // three-clause MERGE: delete every 10th, add +100.00/'MERGED' to every
+    // 4th-not-10th, insert shifted-key NEW customers for every 6th — the
+    // oracle rebuilds the same final state with CASE + anti-filter + union
+    "q103_merge_into" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 4 = 0 AND c_custkey % 10 <> 0
+        |       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 4 = 0 AND c_custkey % 10 <> 0
+        |       THEN 'MERGED' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000, 'NEW-' || c_name, 500.0, 'NEWSEG'
+        |FROM customer WHERE c_custkey % 6 = 0""".stripMargin,
 
     // snapshot + delta partial aggregates merged by re-aggregation must be
     // bit-identical to the from-scratch aggregate (exact decimal domain)

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** MERGE INTO semantics (the Delta-lake-style three-clause merge) as a pure
+  * DataFrame transform — the reference's pipeline has only blind
+  * insert-append (`/root/reference/src/load/write.py`); this is the upsert
+  * surface a warehouse user actually reaches for, subsuming the SCD1
+  * [[Relational.upsertLatest]] shape with conditional update/delete/insert:
+  *
+  * {{{
+  * MERGE INTO target t USING source s ON t.k = s.k
+  *   WHEN MATCHED AND <deleteWhen>  THEN DELETE
+  *   WHEN MATCHED AND <updateWhen>  THEN UPDATE SET <updateSet>
+  *   WHEN NOT MATCHED AND <insertWhen> THEN INSERT <insertValues>
+  * }}}
+  *
+  * Clause order is FIXED delete-before-update (documented contract; pass
+  * disjoint conditions if order must not matter). Conditions and set
+  * expressions reference the two sides as `t.<col>` / `s.<col>`.
+  *
+  * Cardinality contract (same as Delta): a target row matched by MORE THAN
+  * ONE source row is ambiguous — which update wins? — and the merge throws at
+  * execution time rather than pick silently. The guard is IN the plan (a
+  * window count over the join key partitioning, then a conditional
+  * `raise_error` on an output column), so it is lazy, distributed, and adds
+  * no exchange: the full-outer join already hash-partitioned the rows by key.
+  *
+  * Scale shape: ONE shuffle per side (the full-outer equi-join on the key) +
+  * a same-key window + a per-row projection. Nothing driver-side, no second
+  * pass over the target. For the physical-rewrite-avoidance story see
+  * [[mergeDeletionVector]].
+  */
+object Merge {
+
+  private val InT = "__graft_in_t"
+  private val InS = "__graft_in_s"
+  private val NMatches = "__graft_n_matches"
+
+  /** The annotated join both public forms project from: target FULL OUTER
+    * source on `keys`, with presence flags and the per-target-key source
+    * match count (the cardinality guard's input).
+    */
+  private def joined(target: DataFrame, source: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val t = target.withColumn(InT, lit(true)).as("t")
+    val s = source.withColumn(InS, lit(true)).as("s")
+    val on = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val byTargetKey = Window.partitionBy(keys.map(k => col(s"t.$k")): _*)
+    t.join(s, on, "full_outer")
+      .withColumn(NMatches,
+        sum(when(col(InT).isNotNull && col(InS).isNotNull, 1L).otherwise(0L))
+          .over(byTargetKey))
+  }
+
+  /** Default value of an unmapped target column on INSERT: the same-named
+    * source column when the source has one, else a typed NULL — a change feed
+    * narrower than the target must still merge (its inserts simply leave the
+    * missing columns null, as SQL INSERT with a column list would).
+    */
+  private def insertDefault(target: DataFrame, source: DataFrame)(c: String): Column =
+    if (source.columns.contains(c)) col(s"s.$c")
+    else lit(null).cast(target.schema(c).dataType)
+
+  /** Execute the merge; returns the post-merge target relation (target
+    * schema). `updateSet`/`insertValues` map target column name → expression;
+    * unmapped columns keep `t.<col>` on update and take `s.<col>` (or typed
+    * NULL if the source lacks the column) on insert.
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None, updateSet: Map[String, Column] = Map.empty,
+      insertWhen: Option[Column] = None,
+      insertValues: Map[String, Column] = Map.empty): DataFrame = {
+    val j = joined(target, source, keys)
+    val matched = col(InT).isNotNull && col(InS).isNotNull
+    val deleted = matched && deleteWhen.getOrElse(lit(false))
+    val updated = matched && !deleteWhen.getOrElse(lit(false)) &&
+      updateWhen.getOrElse(lit(false))
+    val inserted = col(InT).isNull && col(InS).isNotNull &&
+      insertWhen.getOrElse(lit(true))
+    val keep = (matched && !deleteWhen.getOrElse(lit(false))) ||
+      (col(InT).isNotNull && col(InS).isNull) || inserted
+    val outCols = target.columns.toSeq.map { c =>
+      val base = when(updated, updateSet.getOrElse(c, col(s"t.$c")))
+        .when(inserted, insertValues.getOrElse(c, insertDefault(target, source)(c)))
+        .otherwise(col(s"t.$c"))
+      // the guard rides the output columns so pruning cannot drop it
+      when(matched && col(NMatches) > 1,
+          raise_error(concat(
+            lit(s"MERGE cardinality violation on key ${keys.mkString(",")}: "),
+            lit("a target row is matched by multiple source rows"))))
+        .otherwise(base)
+        .as(c)
+    }
+    j.filter(keep).select(outCols: _*)
+  }
+
+  /** Deletion-vector flavor — how a 100 TB merge avoids rewriting the
+    * target: instead of the merged relation, emit (dv, appends) where `dv`
+    * is the invalidation set (keys of target rows DELETED or SUPERSEDED by
+    * an update) and `appends` holds the new row images (updated rows +
+    * inserts). The contract, spec-pinned: `target ∖ dv ∪ appends` equals
+    * [[mergeInto]]'s output exactly. The reader applies `dv` as a filter
+    * (the deletion-vector read path); the writer appends `appends`; no base
+    * file is rewritten.
+    */
+  def mergeDeletionVector(target: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None, updateSet: Map[String, Column] = Map.empty,
+      insertWhen: Option[Column] = None,
+      insertValues: Map[String, Column] = Map.empty): (DataFrame, DataFrame) = {
+    val j = joined(target, source, keys)
+    val matched = col(InT).isNotNull && col(InS).isNotNull
+    val deleted = matched && deleteWhen.getOrElse(lit(false))
+    val updated = matched && !deleteWhen.getOrElse(lit(false)) &&
+      updateWhen.getOrElse(lit(false))
+    val inserted = col(InT).isNull && col(InS).isNotNull &&
+      insertWhen.getOrElse(lit(true))
+    val dv = j.filter(deleted || updated)
+      .select(keys.map(k => col(s"t.$k").as(k)): _*)
+    val appends = j.filter(updated || inserted)
+      .select(target.columns.toSeq.map { c =>
+        when(updated, updateSet.getOrElse(c, col(s"t.$c")))
+          .when(inserted, insertValues.getOrElse(c, insertDefault(target, source)(c)))
+          .otherwise(col(s"t.$c")).as(c)
+      }: _*)
+    (dv, appends)
+  }
+
+  /** Oracle-gated instantiation (q103): the customer dimension merged with a
+    * deterministic change feed — every 10th customer is retired (DELETE),
+    * every 4th (not also 10th) re-arrives with a +100.00 balance adjustment
+    * and a new segment (UPDATE), and every 6th spawns a NEW customer under a
+    * shifted key (INSERT). All arithmetic is exact IEEE, keys are disjoint by
+    * construction, and the oracle rebuilds the same final state in plain SQL.
+    */
+  def customerMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val deletes = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), lit("delete").as("op"))
+    val updates = cust
+      .filter(pmod(col("c_custkey"), lit(4)) === 0 && pmod(col("c_custkey"), lit(10)) =!= 0)
+      .select(col("c_custkey"), col("c_name"), lit(100.0).as("c_acctbal"),
+        lit("MERGED").as("c_mktsegment"), lit("upsert").as("op"))
+    val inserts = cust.filter(pmod(col("c_custkey"), lit(6)) === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(lit("NEW-"), col("c_name")).as("c_name"),
+        lit(500.0).as("c_acctbal"), lit("NEWSEG").as("c_mktsegment"),
+        lit("upsert").as("op"))
+    mergeInto(cust, deletes.unionByName(updates).unionByName(inserts),
+      keys = Seq("c_custkey"),
+      deleteWhen = Some(col("s.op") === "delete"),
+      updateWhen = Some(col("s.op") === "upsert"),
+      updateSet = Map(
+        "c_acctbal" -> (col("t.c_acctbal") + col("s.c_acctbal")),
+        "c_mktsegment" -> col("s.c_mktsegment")),
+      insertWhen = Some(col("s.op") === "upsert"))
+  }
+}
