@@ -135,6 +135,7 @@ object SparkEntry {
     "q101_corpus_refresh"  -> ((s, d) => graft.ops.Refresh.refreshedCorpus(s, d)),
     "q102_adaptive_join"   -> ((s, d) => graft.ops.Skew.adaptiveJoinDemo(s, d)),
     "q103_merge_into"      -> ((s, d) => graft.ops.Merge.customerMerge(s, d)),
+    "q104_props_evolution" -> ((s, d) => Events.propsEvolution(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -1442,6 +1443,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey + 10000000, 'NEW-' || c_name, 500.0, 'NEWSEG'
         |FROM customer WHERE c_custkey % 6 = 0""".stripMargin,
+
+    // variant schema-on-read over the two derived payload shapes: typed
+    // extraction (missing field → NULL, not error) + key-signature census;
+    // DuckDB's JSON operators are the portable twin of the variant path
+    "q104_props_evolution" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 2 = 1 THEN
+        |      CAST(json_object('k', CAST(props->>'$.k' AS BIGINT),
+        |        'src', 'web', 'retry', event_id % 3) AS VARCHAR)
+        |    ELSE props END AS p
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |    array_to_string(list_sort(json_keys(p)), ',') AS schema_sig,
+        |    CAST(p->>'$.k' AS BIGINT) AS k,
+        |    CAST(p->>'$.retry' AS BIGINT) AS retry
+        |  FROM ev)
+        |SELECT event_type, schema_sig, count(*) AS n_events,
+        |  sum(k) AS sum_k, count(retry) AS n_retry, sum(retry) AS sum_retry
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // snapshot + delta partial aggregates merged by re-aggregation must be
     // bit-identical to the from-scratch aggregate (exact decimal domain)

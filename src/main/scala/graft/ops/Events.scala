@@ -108,6 +108,54 @@ object Events {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** Schema-evolution over the `props` payload family via VariantType — the
+    * semi-structured path a long-lived event pipeline needs when producers
+    * upgrade their payloads out from under consumers. The corpus carries one
+    * payload shape (`{"k": n}`); a second, EVOLVED shape is derived
+    * deterministically (odd event_ids re-emit with added `src`/`retry`
+    * fields, values pure functions of the row), and the query consumes the
+    * mixed stream the schema-on-read way:
+    *
+    *  - `parse_json` → a variant column (binary-encoded, no global schema);
+    *  - `try_variant_get` typed extraction that yields NULL (not an error)
+    *    where a shape lacks the field — v1 rows simply have no `retry`;
+    *  - a schema census: rows grouped by their payload's sorted key
+    *    signature, so "which payload versions are live, and how many of
+    *    each?" is one aggregate.
+    *
+    * The oracle mirrors every step with DuckDB's JSON functions (extraction
+    * and key sets are engine-portable; variant is the ENCODING, not the
+    * semantics). The Spark-only `schema_of_variant_agg` merged-schema view is
+    * spec-gated in EventsSpec instead — no cross-engine spelling exists.
+    *
+    * Scale shape: parse + extraction are per-row inside the scan; the census
+    * aggregate's map-side combine reduces the shuffle to |event_type| ×
+    * |signatures| rows. Variant's binary encoding is built once per row —
+    * no repeated JSON re-parse per extracted field, the reason the variant
+    * path beats `get_json_object` chains on wide payloads.
+    */
+  def propsEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = from_json(col("props"), "k BIGINT", Map.empty[String, String]).getField("k")
+    val evolved = when(pmod(col("event_id"), lit(2)) === 1,
+        to_json(struct(k.as("k"), lit("web").as("src"),
+          pmod(col("event_id"), lit(3)).as("retry"))))
+      .otherwise(col("props"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), evolved.as("p"))
+      .select(col("event_type"),
+        array_join(array_sort(json_object_keys(col("p"))), ",").as("schema_sig"),
+        parse_json(col("p")).as("v"))
+      .select(col("event_type"), col("schema_sig"),
+        try_variant_get(col("v"), "$.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.retry", "bigint").as("retry"))
+      .groupBy(col("event_type"), col("schema_sig"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        count(col("retry")).as("n_retry"),
+        sum(col("retry")).as("sum_retry"))
+  }
+
   /** Weekly retention cohorts: users grouped by the date of their FIRST
     * signup event; for each (cohort_date, week_offset) the count of distinct
     * cohort members active that week. Week offsets are whole 7-day spans

@@ -100,4 +100,27 @@ class EventsSpec extends SparkSpec {
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
     }
   }
+
+  test("variant schema evolution: merged schema spans versions; extraction is null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the two payload generations of q104's derivation, mixed in one column
+    val payloads = Seq(
+      """{"k": 7}""", """{"k": 9}""",
+      """{"k": 3, "src": "web", "retry": 2}""").toDF("p")
+      .select(parse_json(col("p")).as("v"))
+    // schema_of_variant_agg merges the OBSERVED shapes — the evolution view:
+    // one call answers "what does this payload family look like today?"
+    val merged = payloads.agg(schema_of_variant_agg(col("v"))).head.getString(0)
+    assert(merged.contains("k") && merged.contains("src") && merged.contains("retry"),
+      s"merged schema should span both generations: $merged")
+    // typed extraction tolerates the old shape: missing field → NULL, no error
+    val retries = payloads
+      .select(try_variant_get(col("v"), "$.retry", "bigint").as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(retries.count(_.isEmpty) == 2 && retries.flatten.toSeq == Seq(2L))
+    // and the variant round-trips typed values exactly
+    val ks = payloads.select(variant_get(col("v"), "$.k", "bigint")).collect().map(_.getLong(0))
+    assert(ks.sorted.toSeq == Seq(3L, 7L, 9L))
+  }
 }
