@@ -136,6 +136,7 @@ object SparkEntry {
     "q102_adaptive_join"   -> ((s, d) => graft.ops.Skew.adaptiveJoinDemo(s, d)),
     "q103_merge_into"      -> ((s, d) => graft.ops.Merge.customerMerge(s, d)),
     "q104_props_evolution" -> ((s, d) => Events.propsEvolution(s, d)),
+    "q105_session_window"  -> ((s, d) => Events.sessionizeNative(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -482,6 +483,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q15_sessionize" ->
+      sessionizeOracle,
+
+    // the built-in session_window spelling — fourth implementation of the
+    // same semantics, same shared oracle as q15/q34/q82/q84 (the corpus has
+    // no exact-30:00 gap, so the boundary conventions agree; see Scaladoc)
+    "q105_session_window" ->
       sessionizeOracle,
 
     "q16_dedup_exact" ->

@@ -41,6 +41,45 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
 
+  /** Gap sessionization via Spark's BUILT-IN `session_window` aggregation —
+    * the FOURTH spelling of the q15 semantics beside the lag-window batch
+    * form and the three stateful streaming APIs (q34/q82/q84), and the most
+    * declarative: the merging-session machinery lives in the engine, so the
+    * same expression runs batch here and streaming (with a watermark) in
+    * [[graft.streaming.SessionStream.sessionizeNativeToParquet]]. All four
+    * share ONE oracle.
+    *
+    * Boundary caveat, checked against the data: `session_window` treats a
+    * gap of EXACTLY the timeout as a new session (half-open [start, end)
+    * windows), while the lag formulation's `>` keeps it — the corpus has no
+    * exact-30:00.000000 gap at any scale factor, so the spellings agree
+    * here; a deployment where such gaps occur must pick one rule.
+    *
+    * Scale shape: partial merging-session aggregation BEFORE the user_id
+    * exchange (in-partition session merge), then final merge per user — the
+    * same one-shuffle budget as the window form, without materializing a
+    * per-event running flag. session_seq is a per-user window over the
+    * SESSION rows (|sessions| rows, not |events|).
+    */
+  def sessionizeNative(spark: SparkSession, sfDir: String): DataFrame = {
+    // session_window needs TimestampType; under the UTC session the NTZ cast
+    // is wall-clock identity, and the emitted bounds are min/max of the
+    // ORIGINAL NTZ ts so the output schema matches q15 exactly
+    val sessions = Tables.events(spark, sfDir)
+      .withColumn("tsw", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("tsw"), "30 minutes"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("session_start"))
+    sessions
+      .withColumn("session_seq", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"), col("session_value"))
+  }
+
   /** The shared session assignment: a new session starts after >30 min of
     * inactivity (lag → flag → running flag sum). One shuffle on user_id; all
     * window work is within-partition.

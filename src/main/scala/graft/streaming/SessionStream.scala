@@ -190,6 +190,41 @@ object SessionStream {
       try q.processAllAvailable() finally q.stop()
     }
 
+  /** The BUILT-IN `session_window` aggregation as a production stream: the
+    * same declarative expression as the batch
+    * [[graft.ops.Events.sessionizeNative]] (q105), under a watermark, in
+    * append mode, to a parquet sink with a caller-owned durable checkpoint.
+    * Sessions are emitted exactly once — when the watermark passes
+    * last-event + gap — and the engine's merging-session state does what the
+    * three hand-built stateful processors do by hand. The spec drives two
+    * separate drains with one checkpoint and pins CROSS-DRAIN SESSION
+    * MERGING: a session partial checkpointed by drain 1 must absorb drain
+    * 2's in-gap arrivals before finalizing.
+    */
+  def sessionizeNativeToParquet(spark: SparkSession, src: String, out: String,
+      chk: String, watermarkDelay: String = "10 minutes",
+      gap: String = "30 minutes"): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("session_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drain an update-mode session stream to completion (AvailableNow) and keep
     * each session's FINAL emission. The update-mode memory sink APPENDS each
     * batch's emissions; if AvailableNow split the input across micro-batches,

@@ -114,6 +114,43 @@ class SessionStreamSpec extends SparkSpec {
       Seq((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L)))
   }
 
+  test("native session_window stream merges a checkpointed session partial across drains") {
+    import java.nio.file.{Files, Paths}
+    import java.sql.Timestamp
+    import spark.implicits._
+    val root = tmpDir("nativesess")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val out = s"$root/out"; val chk = s"$root/chk"
+
+    def writeBatch(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      rows.map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+        .toDF("user_id", "ts", "value")
+        .coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+
+    // drain 1: user 7's open session [10:00, 10:10] — checkpointed, unemitted
+    writeBatch("b1", Seq((7L, "2024-01-01 10:00:00", 1.0), (7L, "2024-01-01 10:10:00", 2.0)))
+    SessionStream.sessionizeNativeToParquet(spark, src, out, chk)
+    assert(new java.io.File(out).listFiles() == null || spark.read.parquet(out).isEmpty)
+
+    // drain 2: an in-gap arrival (10:20) must MERGE into the restored
+    // partial; user 99's 15:00 event advances the watermark to 14:50, past
+    // the merged session's 10:20+30m close → emitted once, n_events = 3.
+    // 99's own session (closes 15:30 > watermark) must be withheld.
+    writeBatch("b2", Seq((7L, "2024-01-01 10:20:00", 4.0), (99L, "2024-01-01 15:00:00", 8.0)))
+    SessionStream.sessionizeNativeToParquet(spark, src, out, chk)
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (7L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 3L, 7.0)))
+  }
+
   test("a watermark-admitted late event moves the open session's start backward") {
     import java.nio.file.{Files, Paths}
     import java.sql.Timestamp
