@@ -137,6 +137,8 @@ object SparkEntry {
     "q103_merge_into"      -> ((s, d) => graft.ops.Merge.customerMerge(s, d)),
     "q104_props_evolution" -> ((s, d) => Events.propsEvolution(s, d)),
     "q105_session_window"  -> ((s, d) => Events.sessionizeNative(s, d)),
+    "q106_pq_codes"        -> ((s, d) => Similarity.pqCodes(s, d)),
+    "q107_pq_search"       -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -269,6 +271,46 @@ object SparkEntry {
        |SELECT doc_id, lang, n_chars, n_tokens, quality_score
        |FROM q
        |WHERE rn = 1 AND n_chars BETWEEN 50 AND 100000 AND quality_score >= 0.05""".stripMargin
+
+  /** Shared CTE chain for the product-quantization oracles (q106/q107):
+    * scaled subvectors → deterministic codebook init (vec_id < PqK) →
+    * PqIters UNROLLED Lloyd rounds (L2 assignment by |c|²−2·x·c, floored-mean
+    * update — exact int64 throughout) → final code assignment `af`. Mirrors
+    * Similarity.pqCodebook/pqCodes iteration for iteration; constants are
+    * embedded from graft.ops.Similarity so the two can't drift.
+    */
+  private lazy val pqCtes: String = {
+    val M = graft.ops.Similarity.PqM
+    val S = graft.ops.Similarity.PqSubDim
+    val K = graft.ops.Similarity.PqK
+    def sdot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, ${S + 1}), " +
+        s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (x, y) -> x + y)"
+    def assignCte(name: String, cents: String, out: String) =
+      s"""${name}r AS (SELECT sub.vec_id, sub.m, sub.sub, c.cent_id,
+         |  row_number() OVER (PARTITION BY sub.vec_id, sub.m
+         |    ORDER BY ${sdot("c.cvec", "c.cvec")} - 2 * ${sdot("sub.sub", "c.cvec")} ASC,
+         |      c.cent_id ASC) AS rn
+         |  FROM sub JOIN $cents c ON sub.m = c.m),
+         |$out AS (SELECT vec_id, m, sub, cent_id FROM ${name}r WHERE rn = 1)""".stripMargin
+    val rounds = (1 to graft.ops.Similarity.PqIters).map { t =>
+      s"""${assignCte(s"a$t", s"c${t - 1}", s"a$t")},
+         |ex$t AS (SELECT m, cent_id AS cell, d.i, sub[CAST(d.i AS INT)] AS val
+         |  FROM a$t CROSS JOIN (SELECT unnest(range(1, ${S + 1})) AS i) d),
+         |cm$t AS (SELECT m, cell, i,
+         |    CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+         |  FROM ex$t GROUP BY 1, 2, 3),
+         |c$t AS (SELECT m, cell AS cent_id, array_agg(comp ORDER BY i) AS cvec
+         |  FROM cm$t GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$scaledVecs,
+       |sub AS (SELECT vec_id, mm.m,
+       |    list_slice(svec, CAST(mm.m * $S + 1 AS INT), CAST(mm.m * $S + $S AS INT)) AS sub
+       |  FROM w CROSS JOIN (SELECT unnest(range(0, $M)) AS m) mm),
+       |c0 AS (SELECT m, vec_id AS cent_id, sub AS cvec FROM sub WHERE vec_id < $K),
+       |$rounds,
+       |${assignCte("af", s"c${graft.ops.Similarity.PqIters}", "af")}""".stripMargin
+  }
 
   /** DuckDB twin of Corpus.curatedCorpus (q100): near-dup CC representatives
     * ∧ training filter ∧ decontamination survivors, composed.
@@ -1418,6 +1460,43 @@ object SparkEntry {
         |FROM c, m
         |ORDER BY n_rows DESC, l_suppkey ASC
         |LIMIT 20""".stripMargin,
+
+    // PQ codebook + encoding: the oracle replays the identical fixed-round
+    // Lloyd training (unrolled CTEs, exact ints) — hash-gated, not rows-only
+    "q106_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, m, cent_id AS code FROM af""".stripMargin,
+
+    // PQ search, production shape: ADC shortlist (50, ranked by approximate
+    // cosine from PqM table lookups) → EXACT cosine rerank of the shortlist
+    "q107_pq_search" ->
+      s"""WITH $pqCtes,
+         |qlut AS (SELECT sub.vec_id AS query_id, sub.m, c.cent_id AS code,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+         |      i -> sub.sub[CAST(i AS INT)] * c.cvec[CAST(i AS INT)])), (x, y) -> x + y) AS pdot,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+         |      i -> c.cvec[CAST(i AS INT)] * c.cvec[CAST(i AS INT)])), (x, y) -> x + y) AS cnorm2
+         |  FROM sub JOIN c2 c ON sub.m = c.m WHERE sub.vec_id < 20),
+         |qn AS (SELECT vec_id AS query_id, norm2 AS qnorm2 FROM w WHERE vec_id < 20),
+         |sc AS (SELECT q.query_id, a.vec_id, SUM(q.pdot) AS adot, SUM(q.cnorm2) AS anorm2
+         |  FROM af a JOIN qlut q ON a.m = q.m AND a.cent_id = q.code
+         |  WHERE q.query_id <> a.vec_id GROUP BY 1, 2),
+         |r AS (SELECT sc.query_id, sc.vec_id, CAST(sc.adot AS DOUBLE) /
+         |    (sqrt(CAST(qn.qnorm2 AS DOUBLE)) * sqrt(CAST(sc.anorm2 AS DOUBLE))) AS approx_cosine
+         |  FROM sc JOIN qn ON sc.query_id = qn.query_id),
+         |short AS (SELECT query_id, vec_id FROM r
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY approx_cosine DESC, vec_id ASC) <= 50),
+         |re AS (SELECT s.query_id, s.vec_id,
+         |    ${cosine("qw.svec", "vw.svec", "qw.norm2", "vw.norm2")} AS cosine
+         |  FROM short s
+         |  JOIN w qw ON s.query_id = qw.vec_id
+         |  JOIN w vw ON s.vec_id = vw.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk,
+         |  cosine
+         |FROM re QUALIFY rk <= 5""".stripMargin,
 
     // measure → choose → execute: the strategy CASE mirrors
     // Skew.chooseStrategy over the same per-key counts (broadcast limit

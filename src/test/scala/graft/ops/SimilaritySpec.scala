@@ -72,4 +72,45 @@ class SimilaritySpec extends SparkSpec {
       (exact(q) & quant(q)).size.toDouble / exact(q).size).sum / exact.size
     assert(recall >= 0.7, f"mean recall@5 over int8 codes = $recall%.2f")
   }
+
+  test("PQ codes are complete and bounded; ADC search recall vs exact stays useful") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // every vector gets exactly PqM codes, each in [0, PqK)
+    val codes = Similarity.pqCodes(spark, sf)
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(codes.count() == n * Similarity.PqM)
+    assert(codes.filter(col("code") < 0 || col("code") >= Similarity.PqK).isEmpty)
+    assert(codes.groupBy(col("vec_id")).count().filter(col("count") =!= Similarity.PqM).isEmpty)
+    // asymmetric-distance search against the exact top-k: PQ is the lossy
+    // 32×-compression tier, so the bar is lower than int8's (64× fewer bits)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = sets(Similarity.cosineTopK(spark, sf))
+    // pure ADC over 32-bit codes is the LOSSY tier — the floor documents
+    // that, it does not promise quality (rerank below is the quality path)
+    val adc = sets(Similarity.pqTopK(spark, sf))
+    assert(exact.keySet == adc.keySet)
+    val adcRecall = exact.keys.toSeq.map(q =>
+      (exact(q) & adc(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(adcRecall >= 0.15, f"mean ADC recall@5 = $adcRecall%.2f")
+  }
+
+  test("PQ shortlist + exact rerank restores recall at the larger scale") {
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    // sf0.01: 500 candidates, shortlist 50 = 10% of the corpus — the rerank
+    // has to actually recover ranking quality, not enumerate everything
+    val sf = "/root/testdata/sf0.01"
+    val exact = sets(Similarity.cosineTopK(spark, sf))
+    val reranked = sets(Similarity.pqRerankTopK(spark, sf))
+    assert(exact.keySet == reranked.keySet)
+    val recall = exact.keys.toSeq.map(q =>
+      (exact(q) & reranked(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(recall >= 0.6, f"mean reranked recall@5 = $recall%.2f")
+  }
 }
