@@ -138,6 +138,7 @@ object SparkEntry {
     "q104_props_evolution" -> ((s, d) => Events.propsEvolution(s, d)),
     "q105_session_window"  -> ((s, d) => Events.sessionizeNative(s, d)),
     "q106_pq_codes"        -> ((s, d) => Similarity.pqCodes(s, d)),
+    "q108_embed_clusters"  -> ((s, d) => Similarity.embeddingDupClusters(s, d)),
     "q107_pq_search"       -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -691,6 +692,33 @@ object SparkEntry {
          |    ${cosine("a.svec", "b.svec", "a.norm2", "b.norm2")} AS cosine
          |  FROM vb a JOIN pr b ON a.bucket = b.probe AND a.vec_id < b.vec_id)
          |SELECT * FROM pairs WHERE cosine >= 0.3""".stripMargin,
+
+    // q27's verified pairs as edges, closed to duplicate families by the
+    // same recursive min-label closure as the document chain (q55)
+    "q108_embed_clusters" ->
+      s"""WITH RECURSIVE $scaledVecs,
+         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec", 6)} AS bucket FROM w),
+         |pr AS (
+         |  SELECT vec_id, svec, norm2,
+         |    CASE WHEN h.i = 6 THEN bucket
+         |         ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(h.i AS INT)) END AS probe
+         |  FROM vb CROSS JOIN (SELECT unnest(range(0, 7)) AS i) h),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosine("a.svec", "b.svec", "a.norm2", "b.norm2")} AS cosine
+         |  FROM vb a JOIN pr b ON a.bucket = b.probe AND a.vec_id < b.vec_id),
+         |vp AS (SELECT vec_a, vec_b FROM pairs WHERE cosine >= 0.3),
+         |edges AS MATERIALIZED (
+         |  SELECT vec_a AS src, vec_b AS dst FROM vp
+         |  UNION ALL SELECT vec_b, vec_a FROM vp),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+         |  WHERE r.lbl < e.dst)
+         |SELECT id AS vec_id, min(lbl) AS cluster_id,
+         |  (id = min(lbl)) AS is_representative
+         |FROM reach GROUP BY id""".stripMargin,
 
     "q28_binary_features" ->
       """SELECT doc_id,

@@ -343,6 +343,29 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style embedding duplicate families (q108): connected
+    * components over the verified cosine near-dup pairs ([[nearDupPairs]] —
+    * sign-LSH-blocked, never all-pairs), each vector labelled with its
+    * family and the minimum-id member elected representative. The
+    * embedding-space twin of the MinHash path's q55: lexical dedup catches
+    * copies, embedding dedup catches PARAPHRASES (Abbas et al., "SemDeDup",
+    * 2023 — there k-means cells block the pairs; here the sign-LSH buckets
+    * do, which keeps every stage oracle-expressible).
+    *
+    * Scale shape: pair generation is the bucketed O(n²/2^bits) of q27;
+    * clustering is the same O(log n)-round star rewiring as the document
+    * chain, over edges that carry two longs each.
+    */
+  def embeddingDupClusters(spark: SparkSession, sfDir: String,
+      bits: Int = 6, threshold: Double = 0.3): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir).select(col("vec_id").as("id"))
+    val edges = nearDupPairs(spark, sfDir, bits, threshold)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    Graph.connectedComponents(vecs, edges)
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_representative"))
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou et al., "Product Quantization for Nearest
   // Neighbor Search", 2011) — the canonical 100 TB ANN compression: each

@@ -98,6 +98,28 @@ class SimilaritySpec extends SparkSpec {
     assert(adcRecall >= 0.15, f"mean ADC recall@5 = $adcRecall%.2f")
   }
 
+  test("embedding dup clusters: pairs co-cluster, representatives are cluster minima") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val clusters = Similarity.embeddingDupClusters(spark, sf)
+    val labels = clusters.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // total labelling: every vector appears exactly once
+    assert(labels.size == graft.core.Tables.embeddings(spark, sf).count())
+    // every verified near-dup pair lands in one family
+    val pairs = Similarity.nearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._1 == labels(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // the representative is the minimum id of its family, exactly one per cluster
+    labels.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.count(_._2._2) == 1 && members(cid)._2)
+    }
+  }
+
   test("PQ shortlist + exact rerank restores recall at the larger scale") {
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "neighbor_id").collect()
