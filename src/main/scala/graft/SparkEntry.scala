@@ -139,6 +139,7 @@ object SparkEntry {
     "q105_session_window"  -> ((s, d) => Events.sessionizeNative(s, d)),
     "q106_pq_codes"        -> ((s, d) => Similarity.pqCodes(s, d)),
     "q108_embed_clusters"  -> ((s, d) => Similarity.embeddingDupClusters(s, d)),
+    "q109_ivfpq_search"    -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q107_pq_search"       -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -692,6 +693,49 @@ object SparkEntry {
          |    ${cosine("a.svec", "b.svec", "a.norm2", "b.norm2")} AS cosine
          |  FROM vb a JOIN pr b ON a.bucket = b.probe AND a.vec_id < b.vec_id)
          |SELECT * FROM pairs WHERE cosine >= 0.3""".stripMargin,
+
+    // the composed IVF-PQ index: q36's cell routing bounds the candidates,
+    // q107's ADC scoring bounds per-candidate cost, exact rerank of the
+    // 20-deep shortlist restores precision — hash-gated end to end
+    "q109_ivfpq_search" ->
+      s"""WITH $pqCtes,
+         |ivc AS (SELECT vec_id AS cent_id, svec AS cvec, norm2 AS cnorm2 FROM w WHERE vec_id < 16),
+         |iac AS (SELECT w.vec_id, w.svec, w.norm2, ivc.cent_id,
+         |         row_number() OVER (PARTITION BY w.vec_id
+         |           ORDER BY ${cosine("w.svec", "cvec", "w.norm2", "cnorm2")} DESC, ivc.cent_id ASC) AS rn
+         |       FROM w CROSS JOIN ivc),
+         |iasg AS (SELECT vec_id, cent_id AS cell FROM iac WHERE rn = 1),
+         |icand AS (SELECT a.vec_id AS query_id, b.vec_id
+         |  FROM iasg a JOIN iasg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20),
+         |ql AS (SELECT sub.vec_id AS query_id, sub.m, c.cent_id AS code,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+         |      i -> sub.sub[CAST(i AS INT)] * c.cvec[CAST(i AS INT)])), (x, y) -> x + y) AS pdot,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 9),
+         |      i -> c.cvec[CAST(i AS INT)] * c.cvec[CAST(i AS INT)])), (x, y) -> x + y) AS cnorm2
+         |  FROM sub JOIN c2 c ON sub.m = c.m WHERE sub.vec_id < 20),
+         |qn AS (SELECT vec_id AS query_id, norm2 AS qnorm2 FROM w WHERE vec_id < 20),
+         |sc AS (SELECT ca.query_id, ca.vec_id, SUM(q2.pdot) AS adot, SUM(q2.cnorm2) AS anorm2
+         |  FROM icand ca
+         |  JOIN af a ON ca.vec_id = a.vec_id
+         |  JOIN ql q2 ON q2.query_id = ca.query_id AND q2.m = a.m AND q2.code = a.cent_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT sc.query_id, sc.vec_id, CAST(sc.adot AS DOUBLE) /
+         |    (sqrt(CAST(qn.qnorm2 AS DOUBLE)) * sqrt(CAST(sc.anorm2 AS DOUBLE))) AS approx_cosine
+         |  FROM sc JOIN qn ON sc.query_id = qn.query_id),
+         |short AS (SELECT query_id, vec_id FROM r
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY approx_cosine DESC, vec_id ASC) <= 20),
+         |re AS (SELECT s.query_id, s.vec_id,
+         |    ${cosine("qw.svec", "vw.svec", "qw.norm2", "vw.norm2")} AS cosine
+         |  FROM short s
+         |  JOIN w qw ON s.query_id = qw.vec_id
+         |  JOIN w vw ON s.vec_id = vw.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk,
+         |  cosine
+         |FROM re QUALIFY rk <= 3""".stripMargin,
 
     // q27's verified pairs as edges, closed to duplicate families by the
     // same recursive min-label closure as the document chain (q55)

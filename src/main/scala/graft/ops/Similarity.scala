@@ -120,17 +120,7 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, sfDir: String, nCentroids: Int = 16,
       nQueries: Int = 20, k: Int = 3): DataFrame = {
-    val vecs = withScaled(Tables.embeddings(spark, sfDir))
-    val cents = vecs.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("svec").as("cvec"), col("norm2").as("cnorm2"))
-    val toCent = cosine(col("svec"), col("cvec"), col("norm2"), col("cnorm2"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val assigned = vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("svec"), col("norm2"), col("cent_id"), toCent.as("cent_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("svec"), col("norm2"), col("cent_id").as("cell"))
+    val assigned = ivfAssigned(spark, sfDir, nCentroids)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("svec").as("qvec"),
         col("norm2").as("qnorm2"), col("cell").as("qcell"))
@@ -144,6 +134,25 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
+  /** The IVF cell table (vec_id, svec, norm2, cell): every vector assigned
+    * to its max-cosine coarse centroid — [[ivfTopK]] and [[ivfPqTopK]] share
+    * this inverted-list structure.
+    */
+  private def ivfAssigned(spark: SparkSession, sfDir: String,
+      nCentroids: Int): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+    val cents = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("svec").as("cvec"), col("norm2").as("cnorm2"))
+    val toCent = cosine(col("svec"), col("cvec"), col("norm2"), col("cnorm2"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("svec"), col("norm2"), col("cent_id"), toCent.as("cent_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("svec"), col("norm2"), col("cent_id").as("cell"))
   }
 
   /** One Lloyd iteration of k-means over the embedding corpus — the training
@@ -498,24 +507,14 @@ object Similarity {
 
   def pqTopK(spark: SparkSession, sfDir: String, nQueries: Int = 20,
       k: Int = 5): DataFrame = {
-    val cb = pqCodebook(spark, sfDir)
-    val qlut = subvecs(spark, sfDir).filter(col("vec_id") < nQueries)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(cb), Seq("m"))
-      .select(col("query_id"), col("m"), col("cent_id").as("code"),
-        idot(col("sub"), col("cvec")).as("pdot"),
-        idot(col("cvec"), col("cvec")).as("cnorm2"))
-    val qnorm = Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        idot(scaled(col("embedding")), scaled(col("embedding"))).as("qnorm2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cosine").desc, col("vec_id").asc)
     pqCodes(spark, sfDir)
-      .join(broadcast(qlut), Seq("m", "code"))
+      .join(broadcast(pqLut(spark, sfDir, nQueries)), Seq("m", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pdot")).as("adot"), sum(col("cnorm2")).as("anorm2"))
-      .join(broadcast(qnorm), Seq("query_id"))
+      .join(broadcast(pqQueryNorms(spark, sfDir, nQueries)), Seq("query_id"))
       .withColumn("approx_cosine",
         col("adot").cast("double") /
           (sqrt(col("qnorm2").cast("double")) * sqrt(col("anorm2").cast("double"))))
@@ -523,5 +522,68 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rk").cast("long").as("rk"), col("approx_cosine"))
+  }
+
+  /** Per-query ADC lookup tables (query_id, m, code, pdot, cnorm2) —
+    * |queries|·PqM·PqK narrow rows, broadcast to wherever codes are scored.
+    */
+  private def pqLut(spark: SparkSession, sfDir: String, nQueries: Int): DataFrame =
+    subvecs(spark, sfDir).filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(pqCodebook(spark, sfDir)), Seq("m"))
+      .select(col("query_id"), col("m"), col("cent_id").as("code"),
+        idot(col("sub"), col("cvec")).as("pdot"),
+        idot(col("cvec"), col("cvec")).as("cnorm2"))
+
+  private def pqQueryNorms(spark: SparkSession, sfDir: String, nQueries: Int): DataFrame =
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        idot(scaled(col("embedding")), scaled(col("embedding"))).as("qnorm2"))
+
+  /** The COMPOSED index (q109) — IVF routing × PQ scoring × exact rerank,
+    * the architecture a 100 TB vector store actually runs (FAISS's IVF-PQ):
+    * the inverted lists bound WHICH candidates are touched (one cell here,
+    * as in [[ivfTopK]]), the PQ codes bound the PER-CANDIDATE cost (PqM
+    * lookups, no vector read), and the exact rerank of the short ADC
+    * shortlist restores precision while hydrating only |queries|·shortlist
+    * full vectors. Every stage is the already-oracle-checked operator, so
+    * the composition is hash-gated end to end like q106/q107.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, nCentroids: Int = 16,
+      nQueries: Int = 20, k: Int = 3, shortlist: Int = 20): DataFrame = {
+    val assigned = ivfAssigned(spark, sfDir, nCentroids)
+    val cands = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("vec_id").asc)
+    val short = pqCodes(spark, sfDir)
+      .join(cands, Seq("vec_id"))
+      .join(broadcast(pqLut(spark, sfDir, nQueries)), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cnorm2")).as("anorm2"))
+      .join(broadcast(pqQueryNorms(spark, sfDir, nQueries)), Seq("query_id"))
+      .withColumn("approx_cosine",
+        col("adot").cast("double") /
+          (sqrt(col("qnorm2").cast("double")) * sqrt(col("anorm2").cast("double"))))
+      .withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val full = withScaled(Tables.embeddings(spark, sfDir))
+    val q = full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("svec").as("qvec"), col("norm2").as("qnorm2"))
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(broadcast(q), Seq("query_id"))
+      .join(full.select(col("vec_id").as("neighbor_id"), col("svec"), col("norm2")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2")))
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast("long").as("rk"), col("cosine"))
   }
 }
