@@ -30,6 +30,12 @@ object ExplainAudit {
     audit("q87_heavy_hitters", graft.ops.TermStats.heavyTermsPerLang(spark, sf))
     audit("q88_bloom_join", graft.ops.Joins.urgentLineitems(spark, sf))
     audit("q90_quantized_ann", graft.ops.Similarity.quantizedTopK(spark, sf))
+    audit("q102_adaptive_join", graft.ops.Skew.adaptiveJoinDemo(spark, sf))
+    audit("q103_merge_into", graft.ops.Merge.customerMerge(spark, sf))
+    audit("q104_props_evolution", graft.ops.Events.propsEvolution(spark, sf))
+    audit("q105_session_window", graft.ops.Events.sessionizeNative(spark, sf))
+    audit("q107_pq_search", graft.ops.Similarity.pqRerankTopK(spark, sf))
+    audit("q109_ivfpq_search", graft.ops.Similarity.ivfPqTopK(spark, sf))
     spark.stop()
   }
 }
