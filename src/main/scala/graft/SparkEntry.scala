@@ -141,6 +141,7 @@ object SparkEntry {
     "q108_embed_clusters"  -> ((s, d) => Similarity.embeddingDupClusters(s, d)),
     "q109_ivfpq_search"    -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q107_pq_search"       -> ((s, d) => Similarity.pqRerankTopK(s, d)),
+    "q110_bigram_lm"       -> ((s, d) => graft.ops.LanguageModel.bigramLmScores(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -763,6 +764,46 @@ object SparkEntry {
          |SELECT id AS vec_id, min(lbl) AS cluster_id,
          |  (id = min(lbl)) AS is_representative
          |FROM reach GROUP BY id""".stripMargin,
+
+    // add-one-smoothed bigram LM in exact ppm fixed point (log-free, like
+    // q57's rational TF-IDF): Spark `div` ≡ DuckDB `//` on non-negative longs
+    "q110_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)),
+        |        i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+        |    ELSE [] END) AS bigram
+        |  FROM d),
+        |db AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        |c12 AS (SELECT bigram, sum(n) AS c12 FROM db GROUP BY 1),
+        |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(n) AS c1 FROM db GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t.term) AS v
+        |      FROM (SELECT unnest(toks) AS term FROM d) t),
+        |scored AS (
+        |  SELECT db.doc_id, db.n,
+        |    ((c12.c12 + 1) * 1000000) // (c1.c1 + v.v) AS ppm
+        |  FROM db
+        |  JOIN c12 ON db.bigram = c12.bigram
+        |  JOIN c1 ON split_part(db.bigram, ' ', 1) = c1.w1
+        |  CROSS JOIN v),
+        |per_doc AS (
+        |  SELECT doc_id, sum(n * ppm) AS ppm_sum, sum(n) AS n_bigrams
+        |  FROM scored GROUP BY 1),
+        |ca AS (SELECT CAST(sum(ppm_sum) AS DOUBLE) / sum(n_bigrams) AS corpus_avg
+        |       FROM per_doc)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(p.ppm_sum, 0) AS ppm_sum,
+        |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
+        |       THEN CAST(p.ppm_sum AS DOUBLE) / p.n_bigrams END AS avg_ppm,
+        |  coalesce(CAST(p.ppm_sum AS DOUBLE) / p.n_bigrams < ca.corpus_avg, false)
+        |    AS below_corpus_avg
+        |FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        |CROSS JOIN ca""".stripMargin,
 
     "q28_binary_features" ->
       """SELECT doc_id,

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Hand-computed fixed-point bigram-LM scores on a corpus small enough to
+  * verify every smoothed probability by hand, plus the short-document
+  * contract (docs under 2 tokens surface with a zero count, not dropped).
+  */
+class LanguageModelSpec extends SparkSpec {
+
+  test("bigram LM ppm scores match hand computation; short docs survive") {
+    import spark.implicits._
+    val d = tmpDir("lm")
+    Seq(
+      (1L, "a b a b", "en", 7L),
+      (2L, "a b c", "en", 5L),
+      (3L, "x", "en", 1L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // c12: "a b"=3, "b a"=1, "b c"=1; c1: a=3, b=2; V=4
+    // ppm("a b") = 4000000 div 7 = 571428
+    // ppm("b a") = ppm("b c") = 2000000 div 6 = 333333
+    val rows = LanguageModel.bigramLmScores(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+
+    assert(rows(1L) === ((3L, 2L * 571428 + 333333, Some((2L * 571428 + 333333) / 3.0), false)))
+    assert(rows(2L) === ((2L, 571428L + 333333, Some((571428L + 333333) / 2.0), true)))
+    assert(rows(3L) === ((0L, 0L, None, false)))
+  }
+}
