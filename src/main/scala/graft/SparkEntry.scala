@@ -142,6 +142,7 @@ object SparkEntry {
     "q109_ivfpq_search"    -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "q107_pq_search"       -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "q110_bigram_lm"       -> ((s, d) => graft.ops.LanguageModel.bigramLmScores(s, d)),
+    "q111_dsir_weights"    -> ((s, d) => graft.ops.LanguageModel.importanceWeights(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -804,6 +805,47 @@ object SparkEntry {
         |    AS below_corpus_avg
         |FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         |CROSS JOIN ca""".stripMargin,
+
+    // DSIR-shaped importance weights: hashed-bigram bucket probabilities per
+    // slice in exact ppm fixed point, evidence = occurrence-weighted tp - rp
+    "q111_dsir_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |    unnest(CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)),
+        |        i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+        |    ELSE [] END) AS bigram
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, is_target,
+        |    CAST('0x' || substr(md5(bigram), 1, 8) AS BIGINT) % 4096 AS bucket,
+        |    count(*) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |tb AS (SELECT bucket, sum(n) AS t_b FROM f WHERE is_target GROUP BY 1),
+        |rb AS (SELECT bucket, sum(n) AS r_b FROM f WHERE NOT is_target GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(CASE WHEN is_target THEN n ELSE 0 END) AS t_total,
+        |         sum(CASE WHEN NOT is_target THEN n ELSE 0 END) AS r_total
+        |  FROM f),
+        |s AS (
+        |  SELECT f.doc_id, f.n,
+        |    ((coalesce(tb.t_b, 0) + 1) * 1000000) // (tot.t_total + 4096) AS tp,
+        |    ((coalesce(rb.r_b, 0) + 1) * 1000000) // (tot.r_total + 4096) AS rp
+        |  FROM f
+        |  LEFT JOIN tb USING (bucket)
+        |  LEFT JOIN rb USING (bucket)
+        |  CROSS JOIN tot),
+        |pd AS (
+        |  SELECT doc_id, sum(n) AS n_features, sum(n * (tp - rp)) AS weight_ppm
+        |  FROM s GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(pd.n_features, 0) AS n_features,
+        |  coalesce(pd.weight_ppm, 0) AS weight_ppm,
+        |  coalesce(pd.weight_ppm, 0) > 0 AS target_like
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "q28_binary_features" ->
       """SELECT doc_id,

@@ -103,4 +103,66 @@ object LanguageModel {
       .select(col("doc_id"), col("n_bigrams"), col("ppm_sum"), col("avg_ppm"),
         col("below_corpus_avg"))
   }
+
+  /** DSIR-shaped importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling" — public arXiv 2302.03169): score every document
+    * by how much its hashed-n-gram feature profile looks like a TARGET slice
+    * versus the RAW rest, the data-mixing stage that upsamples
+    * high-value-domain lookalikes out of a web crawl.
+    *
+    * Features are bigrams hashed into `buckets` buckets (the DSIR trick that
+    * makes the model size corpus-independent: 2·`buckets` longs, broadcast).
+    * Per-bucket add-one-smoothed probabilities for each slice are computed in
+    * the same exact ppm fixed point as [[bigramLmScores]]; a document's
+    * weight is the occurrence-weighted sum of per-feature evidence
+    * (tp − rp). DSIR proper sums log-ratios — same sign per feature,
+    * same resampling direction, but `ln()` is not exactly gateable, so the
+    * oracle-gated form uses the probability-difference evidence and the
+    * Scaladoc records the swap (swap in log-ratio doubles for production
+    * ranking fidelity if desired; the plan shape is identical).
+    *
+    * Scale: the only per-occurrence stage is the explode, reduced immediately
+    * to (doc_id, is_target, bucket, n) map-side. Both model tables are ≤
+    * `buckets` rows (broadcast by AQE); totals ride one broadcast row.
+    */
+  def importanceWeights(spark: SparkSession, sfDir: String,
+      targetSource: String = "src0", buckets: Int = 4096): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+
+    val feats = docs
+      .select(col("doc_id"), (col("source") === targetSource).as("is_target"),
+        explode(bigrams(col("toks"))).as("bigram"))
+      .withColumn("bucket",
+        conv(substring(md5(col("bigram")), 1, 8), 16, 10).cast("long") % buckets)
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+    val tb = feats.filter(col("is_target")).groupBy(col("bucket"))
+      .agg(sum(col("n")).as("t_b"))
+    val rb = feats.filter(!col("is_target")).groupBy(col("bucket"))
+      .agg(sum(col("n")).as("r_b"))
+    val totals = feats.agg(
+      sum(when(col("is_target"), col("n")).otherwise(0L)).as("t_total"),
+      sum(when(!col("is_target"), col("n")).otherwise(0L)).as("r_total"))
+
+    val perDoc = feats
+      .join(tb, Seq("bucket"), "left")
+      .join(rb, Seq("bucket"), "left")
+      .na.fill(0L, Seq("t_b", "r_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("tp", expr(s"((t_b + 1L) * ${Scale}L) div (t_total + ${buckets}L)"))
+      .withColumn("rp", expr(s"((r_b + 1L) * ${Scale}L) div (r_total + ${buckets}L)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_features"),
+        sum(col("n") * (col("tp") - col("rp"))).as("weight_ppm"))
+
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_features", coalesce(col("n_features"), lit(0L)))
+      .withColumn("weight_ppm", coalesce(col("weight_ppm"), lit(0L)))
+      .withColumn("target_like", col("weight_ppm") > 0)
+      .select(col("doc_id"), col("source"), col("n_features"), col("weight_ppm"),
+        col("target_like"))
+  }
 }

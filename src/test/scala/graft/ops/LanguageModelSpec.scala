@@ -30,4 +30,27 @@ class LanguageModelSpec extends SparkSpec {
     assert(rows(2L) === ((2L, 571428L + 333333, Some((571428L + 333333) / 2.0), true)))
     assert(rows(3L) === ((0L, 0L, None, false)))
   }
+
+  test("DSIR weights point toward the target slice and keep short docs") {
+    import spark.implicits._
+    val d = tmpDir("dsir")
+    Seq(
+      (1L, "zebra stripe zebra stripe zebra stripe", "en", "src0", 38L),
+      (2L, "zebra stripe pattern", "en", "src0", 20L),
+      (3L, "common words common words common words common", "en", "src1", 45L),
+      (4L, "zebra stripe common words", "en", "src1", 25L),
+      (5L, "q", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val rows = LanguageModel.importanceWeights(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+    assert(rows.size === 5, "every document scores, including the short one")
+    assert(rows(1L)._2 > 0 && rows(1L)._3, "pure target-vocab doc scores positive")
+    assert(rows(3L)._2 < 0 && !rows(3L)._3, "pure raw-vocab doc scores negative")
+    assert(rows(4L)._2 > rows(3L)._2, "mixed doc ranks above pure raw doc")
+    assert(rows(5L) === ((0L, 0L, false)), "sub-bigram doc: zero features, zero weight")
+  }
 }
