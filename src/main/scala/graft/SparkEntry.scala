@@ -143,6 +143,7 @@ object SparkEntry {
     "q107_pq_search"       -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "q110_bigram_lm"       -> ((s, d) => graft.ops.LanguageModel.bigramLmScores(s, d)),
     "q111_dsir_weights"    -> ((s, d) => graft.ops.LanguageModel.importanceWeights(s, d)),
+    "q112_part_entities"   -> ((s, d) => graft.ops.Entity.partEntities(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -846,6 +847,29 @@ object SparkEntry {
         |  coalesce(pd.weight_ppm, 0) AS weight_ppm,
         |  coalesce(pd.weight_ppm, 0) > 0 AS target_like
         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // blocked fuzzy entity resolution: distinct names -> levenshtein edges
+    // within a first-token block -> recursive min-label closure (the q55/q108
+    // CC oracle shape, over string labels)
+    "q112_part_entities" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |nb AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n),
+        |e AS (
+        |  SELECT a.p_name AS src, b.p_name AS dst
+        |  FROM nb a JOIN nb b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |    AND levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT p_name, p_name FROM n
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+        |  WHERE r.lbl < e.dst),
+        |lab AS (SELECT id AS p_name, min(lbl) AS entity_name FROM reach GROUP BY 1)
+        |SELECT p.p_partkey, p.p_name, l.entity_name,
+        |  p.p_name = l.entity_name AS is_canonical
+        |FROM part p JOIN lab l USING (p_name)""".stripMargin,
 
     "q28_binary_features" ->
       """SELECT doc_id,

@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Entity-resolution invariants the oracle gate can't isolate: fuzzy merge
+  * within a block, transitive closure through a bridge name, and the
+  * documented blocking boundary (a near-identical name in a DIFFERENT block
+  * does not merge — recall is bounded by the blocking key by design).
+  */
+class EntitySpec extends SparkSpec {
+
+  test("variants merge transitively within a block; blocking bounds recall") {
+    import spark.implicits._
+    val d = tmpDir("entity")
+    Seq(
+      (1L, "acme widget"),
+      (2L, "acme widgit"),   // dist 1 from widget
+      (3L, "acme widgits"),  // dist 1 from widgit, 2 from widget: bridge
+      (4L, "acme anvil"),    // same block, far: stays alone
+      (5L, "acmee widget"))  // different first token: never compared
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+
+    val out = Entity.partEntities(spark, d)
+      .collect().map(r => r.getString(1) -> ((r.getString(2), r.getBoolean(3)))).toMap
+
+    assert(out.size === 5, "every part keeps a row")
+    assert(out("acme widget") === (("acme widget", true)))
+    assert(out("acme widgit") === (("acme widget", false)), "distance-1 variant merges")
+    assert(out("acme widgits") === (("acme widget", false)), "transitive via the bridge")
+    assert(out("acme anvil") === (("acme anvil", true)), "far name stays its own entity")
+    assert(out("acmee widget") === (("acmee widget", true)),
+      "cross-block variant is not merged: the blocking-key recall bound")
+  }
+}
