@@ -144,6 +144,7 @@ object SparkEntry {
     "q110_bigram_lm"       -> ((s, d) => graft.ops.LanguageModel.bigramLmScores(s, d)),
     "q111_dsir_weights"    -> ((s, d) => graft.ops.LanguageModel.importanceWeights(s, d)),
     "q112_part_entities"   -> ((s, d) => graft.ops.Entity.partEntities(s, d)),
+    "q113_hopping_window"  -> ((s, d) => Events.hoppingRollup(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -531,6 +532,23 @@ object SparkEntry {
 
     "q15_sessionize" ->
       sessionizeOracle,
+
+    // hopping windows: every event belongs to window/slide = 4 hops; Spark's
+    // epoch-aligned window() boundaries == 15-minute time_buckets
+    "q113_hopping_window" ->
+      """WITH h AS (SELECT unnest(range(0, 4)) AS k),
+        |e AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - to_minutes(CAST(k * 15 AS BIGINT)) AS window_start,
+        |         event_type, user_id, value
+        |  FROM events CROSS JOIN h)
+        |SELECT window_start,
+        |  window_start + INTERVAL '1 hour' AS window_end,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
     // the built-in session_window spelling — fourth implementation of the
     // same semantics, same shared oracle as q15/q34/q82/q84 (the corpus has

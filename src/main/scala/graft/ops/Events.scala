@@ -28,6 +28,25 @@ object Events {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Hopping (sliding) windows: one-hour windows advancing every 15 minutes —
+    * the moving-rate shape (each event lands in window/slide = 4 overlapping
+    * windows). Spark's `window(ts, len, slide)` expands the hop set per row
+    * BEFORE the partial aggregate, so the exchange carries one row per
+    * (window, type), never 4× the events; boundaries are epoch-aligned, which
+    * the oracle mirrors with 15-minute `time_bucket`s. Streaming twin: the
+    * identical expression under `readStream` + watermark (see
+    * [[graft.streaming.EventStream]] for the tumbling member of the family).
+    */
+  def hoppingRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"), col("n_users"))
+
   /** Gap-based sessionization: a new session starts after >30 min of inactivity.
     * Classic lag → flag → running-sum-of-flags; one shuffle on user_id, then all
     * window work is within-partition.

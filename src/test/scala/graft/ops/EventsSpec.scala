@@ -88,6 +88,28 @@ class EventsSpec extends SparkSpec {
     assert(out(3L) == ((Some("2024-01-01T11:00"), None, 2L)))
   }
 
+  test("hopping windows: each event lands in exactly window/slide overlapping hops") {
+    import spark.implicits._
+    val d = tmpDir("hopping")
+    def ns(t: String): Long =
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    Seq(
+      (1L, ns("2024-01-01 10:37:00"), 1L, "click", 1.0, "{}"),  // hops 09:45..10:30
+      (2L, ns("2024-01-01 10:50:00"), 2L, "click", 1.0, "{}"))  // hops 10:00..10:45
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Events.hoppingRollup(spark, d).collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("window_start").toString ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_users")))).toMap
+    assert(out === Map(
+      "2024-01-01T09:45" -> ((1L, 1L)),
+      "2024-01-01T10:00" -> ((2L, 2L)),
+      "2024-01-01T10:15" -> ((2L, 2L)),
+      "2024-01-01T10:30" -> ((2L, 2L)),
+      "2024-01-01T10:45" -> ((1L, 1L))))
+  }
+
   test("approx_count_distinct tracks the exact count within its error bound") {
     val rsd = 0.02
     val rows = Events.approxDistinctUsers(spark, "/root/testdata/sf0.001", rsd)
