@@ -145,6 +145,7 @@ object SparkEntry {
     "q111_dsir_weights"    -> ((s, d) => graft.ops.LanguageModel.importanceWeights(s, d)),
     "q112_part_entities"   -> ((s, d) => graft.ops.Entity.partEntities(s, d)),
     "q113_hopping_window"  -> ((s, d) => Events.hoppingRollup(s, d)),
+    "q114_stream_jdbc"     -> ((s, d) => EventStream.hourlyRollupJdbcRoundtrip(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -532,6 +533,20 @@ object SparkEntry {
 
     "q15_sessionize" ->
       sessionizeOracle,
+
+    // streaming -> foreachBatch -> JDBC warehouse round trip: the oracle is
+    // the batch rollup restricted to watermark-finalized windows (the same
+    // horizon contract the trendingToParquet spec pins)
+    "q114_stream_jdbc" ->
+      """WITH r AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT hour, event_type, n_events, total_value
+        |FROM r CROSS JOIN m
+        |WHERE hour + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR""".stripMargin,
 
     // hopping windows: every event belongs to window/slide = 4 hops; Spark's
     // epoch-aligned window() boundaries == 15-minute time_buckets

@@ -49,4 +49,32 @@ object Jdbc {
     maxConnections.foreach(n => w.option("numPartitions", n.toString))
     w.jdbc(conn.url, table, conn.properties)
   }
+
+  /** Idempotent epoch append for streaming `foreachBatch` sinks: delete any
+    * rows this `batchId` left behind (a crash between the data write and the
+    * checkpoint commit makes Structured Streaming REPLAY the batch with the
+    * same id), then append the batch tagged with its id. Replays therefore
+    * converge to exactly one copy per micro-batch — the standard
+    * exactly-once-to-a-transactional-sink recipe when the sink can't join the
+    * checkpoint's transaction. `df` must carry a `batch_id` column equal to
+    * `batchId`.
+    *
+    * The DELETE runs once on the driver (one statement, no data collected);
+    * the append fans out through Spark's JDBC writer as usual.
+    */
+  def writeEpochIdempotent(df: DataFrame, conn: JdbcConn, table: String,
+      batchId: Long, maxConnections: Option[Int] = None): Unit = {
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.properties)
+    try {
+      val tables = c.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = try tables.next() finally tables.close()
+      if (exists) {
+        // Spark's JDBC writer quotes column identifiers at CREATE, so the
+        // column is case-sensitive "batch_id" — the delete must quote too
+        val st = c.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
+        try { st.setLong(1, batchId); st.executeUpdate() } finally st.close()
+      }
+    } finally c.close()
+    write(df, conn, table, SaveMode.Append, maxConnections)
+  }
 }

@@ -227,6 +227,55 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** PRODUCTION wiring of [[hourlyRollupWatermarked]] into a TRANSACTIONAL
+    * warehouse table: watched directory → watermark-finalized hourly windows
+    * → `foreachBatch` → [[graft.io.Jdbc.writeEpochIdempotent]] with a durable
+    * caller-owned checkpoint. The batch-id-keyed delete-then-append makes a
+    * replayed micro-batch (crash between data write and checkpoint commit)
+    * converge to exactly one copy — the exactly-once contract extended from
+    * the file sink (trendingToParquet) to a sink that can't join the
+    * checkpoint's transaction. Repeated calls with the same `chk` resume
+    * offsets and window state; already-emitted windows are never re-emitted.
+    */
+  def hourlyRollupToJdbc(spark: SparkSession, src: String, conn: graft.io.JdbcConn,
+      table: String, chk: String, watermark: String = "2 hours"): Unit = {
+    val events = spark.readStream.schema(eventsSchema).parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = hourlyRollupWatermarked(events, watermark)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.Jdbc.writeEpochIdempotent(
+          batch.withColumn("batch_id", lit(batchId)), conn, table, batchId,
+          maxConnections = Some(1))
+      }
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The q114 correctness surface: drain the full events directory through
+    * [[hourlyRollupToJdbc]] into a fresh embedded-Derby table, then read the
+    * table back over JDBC. The oracle recomputes the rollup from the events
+    * table restricted to watermark-finalized windows (end ≤ max ts − 2 h) —
+    * stream → foreachBatch → warehouse → JDBC read must be lossless and
+    * exactly-once for the hash to match. Restart/replay behavior is pinned by
+    * EventStreamSpec; this query exercises the single-drain round trip.
+    */
+  def hourlyRollupJdbcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val root = graft.io.IoQueries.scratch("jdbcstream", sfDir)
+    graft.core.StagingClock.timed {
+      graft.ledger.JdbcLedger.shutdownDerby(s"$root/db")
+    }
+    graft.io.IoQueries.deleteRecursively(root)
+    val conn = graft.io.JdbcConn(s"jdbc:derby:$root/db;create=true")
+    hourlyRollupToJdbc(spark, eventsDir(spark, sfDir), conn, "hourly_rollup", s"$root/chk")
+    graft.io.Jdbc.read(spark, conn, "hourly_rollup")
+      .select(col("hour").cast("timestamp_ntz").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Streaming dedup under redelivery: the event stream unioned with a full
     * replay of itself (every event delivered twice — the at-least-once
     * delivery failure mode), deduplicated on event_id with

@@ -197,6 +197,66 @@ class EventStreamSpec extends SparkSpec {
     assert(sunk.exceptAll(twin).isEmpty && twin.exceptAll(sunk).isEmpty)
   }
 
+  /** The transactional-sink twin of the trendingToParquet restart test: two
+    * [[EventStream.hourlyRollupToJdbc]] drains share one durable checkpoint
+    * and one Derby table; the second must resume (not re-emit), and the final
+    * table must equal the batch rollup restricted to finalized windows.
+    */
+  test("hourlyRollupToJdbc restart: two drains, one checkpoint, table equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val root = tmpDir("jdbcroll")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val conn = graft.io.JdbcConn(s"jdbc:derby:$root/db;create=true")
+
+    val ev = graft.core.Tables.events(spark, sf)
+    def ship(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+    val split = "2024-01-16 12:30:00"
+    ship("b1", ev.filter(col("ts") < lit(split).cast("timestamp_ntz")))
+    EventStream.hourlyRollupToJdbc(spark, src, conn, "rollup_restart", s"$root/chk")
+    val afterFirst = graft.io.Jdbc.read(spark, conn, "rollup_restart").count()
+    assert(afterFirst > 0)
+
+    ship("b2", ev.filter(col("ts") >= lit(split).cast("timestamp_ntz")))
+    EventStream.hourlyRollupToJdbc(spark, src, conn, "rollup_restart", s"$root/chk")
+
+    val sunk = graft.io.Jdbc.read(spark, conn, "rollup_restart")
+      .select(col("hour").cast("timestamp_ntz").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+    val maxTs = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+    val horizon = java.sql.Timestamp.valueOf(maxTs.minusHours(2))
+    val twin = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .filter(col("hour") + expr("INTERVAL 1 HOUR") <= lit(horizon).cast("timestamp_ntz"))
+    assert(sunk.count() > afterFirst)
+    assert(sunk.exceptAll(twin).isEmpty && twin.exceptAll(sunk).isEmpty)
+  }
+
+  test("writeEpochIdempotent: a replayed micro-batch converges to one copy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("epochs")
+    val conn = graft.io.JdbcConn(s"jdbc:derby:$root/db;create=true")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v").withColumn("batch_id", lit(0L))
+    graft.io.Jdbc.writeEpochIdempotent(b0, conn, "epoch_t", 0L, Some(1))
+    graft.io.Jdbc.writeEpochIdempotent(b0, conn, "epoch_t", 0L, Some(1)) // replay
+    val b1 = Seq((3L, "c")).toDF("k", "v").withColumn("batch_id", lit(1L))
+    graft.io.Jdbc.writeEpochIdempotent(b1, conn, "epoch_t", 1L, Some(1))
+    val rows = graft.io.Jdbc.read(spark, conn, "epoch_t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)),
+      "replay left exactly one copy of batch 0; batch 1 untouched")
+  }
+
   test("streaming trending sketch (no-evict capacity) matches the exact batch counts") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
