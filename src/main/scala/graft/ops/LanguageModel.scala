@@ -64,16 +64,22 @@ object LanguageModel {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
     // One explode, immediately reduced: (doc_id, bigram, n) — the only
-    // per-occurrence-width stage, and it combines map-side.
+    // per-occurrence-width stage, and it combines map-side. Both model
+    // tables below derive from this aggregate (c1 from c12, not from the
+    // per-doc table), so the replayed work per consumer is the vocab-bounded
+    // aggregate, and AQE's stage reuse dedupes the identical scan+explode
+    // exchanges at runtime.
     val docBigrams = docs
       .select(col("doc_id"), explode(bigrams(col("toks"))).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("n"))
 
     val c12 = docBigrams.groupBy(col("bigram")).agg(sum(col("n")).as("c12"))
-    val c1 = docBigrams
+    // context counts roll up from the bigram model (|vocab|² rows), not the
+    // per-doc table — the cheaper equivalent aggregation
+    val c1 = c12
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .groupBy(col("w1")).agg(sum(col("n")).as("c1"))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(col("toks")).as("term"))
       .agg(count_distinct(col("term")).as("v"))
 

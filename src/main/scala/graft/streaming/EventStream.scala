@@ -238,22 +238,27 @@ object EventStream {
     * offsets and window state; already-emitted windows are never re-emitted.
     */
   def hourlyRollupToJdbc(spark: SparkSession, src: String, conn: graft.io.JdbcConn,
-      table: String, chk: String, watermark: String = "2 hours"): Unit = {
-    val events = spark.readStream.schema(eventsSchema).parquet(src)
-      .withColumn("ts", col("ts").cast("timestamp"))
-    val q = hourlyRollupWatermarked(events, watermark)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.Jdbc.writeEpochIdempotent(
-          batch.withColumn("batch_id", lit(batchId)), conn, table, batchId,
-          maxConnections = Some(1))
-      }
-      .option("checkpointLocation", chk)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
-  }
+      table: String, chk: String, watermark: String = "2 hours",
+      statePartitions: Int = 8): Unit =
+    // state-store count is pinned by the CHECKPOINT at first start (same knob
+    // as Drain): right-size to the (hour × type) state volume, not the
+    // session's shuffle width — resizing later means offline state rewrite
+    Drain.withConf(spark, "spark.sql.shuffle.partitions", statePartitions.toString) {
+      val events = spark.readStream.schema(eventsSchema).parquet(src)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = hourlyRollupWatermarked(events, watermark)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.io.Jdbc.writeEpochIdempotent(
+            batch.withColumn("batch_id", lit(batchId)), conn, table, batchId,
+            maxConnections = Some(1))
+        }
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
 
   /** The q114 correctness surface: drain the full events directory through
     * [[hourlyRollupToJdbc]] into a fresh embedded-Derby table, then read the

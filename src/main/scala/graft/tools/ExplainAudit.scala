@@ -36,6 +36,10 @@ object ExplainAudit {
     audit("q105_session_window", graft.ops.Events.sessionizeNative(spark, sf))
     audit("q107_pq_search", graft.ops.Similarity.pqRerankTopK(spark, sf))
     audit("q109_ivfpq_search", graft.ops.Similarity.ivfPqTopK(spark, sf))
+    audit("q110_bigram_lm", graft.ops.LanguageModel.bigramLmScores(spark, sf))
+    audit("q111_dsir_weights", graft.ops.LanguageModel.importanceWeights(spark, sf))
+    audit("q112_part_entities", graft.ops.Entity.partEntities(spark, sf))
+    audit("q113_hopping_window", graft.ops.Events.hoppingRollup(spark, sf))
     spark.stop()
   }
 }
