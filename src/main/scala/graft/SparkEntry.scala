@@ -146,6 +146,7 @@ object SparkEntry {
     "q112_part_entities"   -> ((s, d) => graft.ops.Entity.partEntities(s, d)),
     "q113_hopping_window"  -> ((s, d) => Events.hoppingRollup(s, d)),
     "q114_stream_jdbc"     -> ((s, d) => EventStream.hourlyRollupJdbcRoundtrip(s, d)),
+    "q115_compaction"      -> ((s, d) => graft.ops.Compaction.compactedLineitem(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -533,6 +534,11 @@ object SparkEntry {
 
     "q15_sessionize" ->
       sessionizeOracle,
+
+    // small-file compaction is lossless: fragment -> coalesce-rewrite -> read
+    // back must reproduce the source table bit for bit
+    "q115_compaction" ->
+      "SELECT * FROM lineitem",
 
     // streaming -> foreachBatch -> JDBC warehouse round trip: the oracle is
     // the batch rollup restricted to watermark-finalized windows (the same

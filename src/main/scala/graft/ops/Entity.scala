@@ -34,10 +34,13 @@ object Entity {
     val names = parts.select(col("p_name")).distinct()
       .withColumn("blk", split(col("p_name"), " ").getItem(0))
 
+    // bounded levenshtein: the 3-arg form runs the banded O(k·n) DP and
+    // returns -1 past the threshold — at ER scale the comparator cost is
+    // k·n per candidate pair, not n²
     val edges = names.as("a").join(names.as("b"),
         col("a.blk") === col("b.blk") &&
           col("a.p_name") < col("b.p_name") &&
-          levenshtein(col("a.p_name"), col("b.p_name")) <= maxDist)
+          levenshtein(col("a.p_name"), col("b.p_name"), maxDist) >= 0)
       .select(col("a.p_name").as("src"), col("b.p_name").as("dst"))
 
     val labels = Graph.connectedComponents(
