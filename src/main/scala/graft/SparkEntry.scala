@@ -147,6 +147,7 @@ object SparkEntry {
     "q113_hopping_window"  -> ((s, d) => Events.hoppingRollup(s, d)),
     "q114_stream_jdbc"     -> ((s, d) => EventStream.hourlyRollupJdbcRoundtrip(s, d)),
     "q115_compaction"      -> ((s, d) => graft.ops.Compaction.compactedLineitem(s, d)),
+    "q116_stream_ljoin"    -> ((s, d) => EventStream.purchaseClickLeftJoinAvailableNow(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -534,6 +535,20 @@ object SparkEntry {
 
     "q15_sessionize" ->
       sessionizeOracle,
+
+    // left-outer stream-stream join, restricted to the watermark-finalized
+    // slice where match-or-null status is deterministic
+    "q116_stream_ljoin" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS cu, ts AS cts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, c.click_id
+        |FROM p CROSS JOIN m
+        |LEFT JOIN c ON c.cu = p.user_id
+        |  AND c.cts >= p.pts - INTERVAL 10 MINUTE AND c.cts <= p.pts
+        |WHERE p.pts <= m.mx - INTERVAL 2 HOUR""".stripMargin,
 
     // small-file compaction is lossless: fragment -> coalesce-rewrite -> read
     // back must reproduce the source table bit for bit

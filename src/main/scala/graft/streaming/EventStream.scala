@@ -121,6 +121,44 @@ object EventStream {
       .select(col("purchase_id"), col("user_id"), col("click_id"))
   }
 
+  /** LEFT OUTER stream-stream join — the attribution join that also keeps
+    * unconverted purchases. Semantics differ fundamentally from the inner
+    * form (q60): matches emit as they arrive, but a NULL-padded row can only
+    * emit once the click-side watermark proves no matching click can still
+    * arrive, i.e. when the purchase's state is evicted. The drained result is
+    * therefore deterministic only BEHIND the final watermark, so the query
+    * restricts to purchases ≥ 2 h (> watermark delay + the 10-min join
+    * bound) before the stream's max event time — inside that slice every
+    * purchase has either its matches or its null padding, exactly once. The
+    * horizon scalar rides a broadcast one-row aggregate, not a collect.
+    */
+  def purchaseClickLeftJoinAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = eventsDir(spark, sfDir)
+    def side(eventType: String): DataFrame = spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .filter(col("event_type") === eventType)
+    val purchases = side("purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").cast("timestamp").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").cast("timestamp").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("click_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"),
+      "leftOuter")
+    val horizon = Tables.events(spark, sfDir)
+      .agg((max(col("ts")) - expr("INTERVAL 2 HOURS")).as("h_ts"))
+    Drain.toMemoryTable(spark, joined, "append", "graft_stream_ljoin")
+      .crossJoin(broadcast(horizon))
+      .filter(col("purchase_ts").cast("timestamp_ntz") <= col("h_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
+
   /** Stream-static enrichment: the live event stream joined to the (batch)
     * customer dimension on user_id, then rolled up per (market segment,
     * event type) — the canonical "enrich the stream against a dim table"

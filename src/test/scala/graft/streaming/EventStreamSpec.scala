@@ -197,6 +197,27 @@ class EventStreamSpec extends SparkSpec {
     assert(sunk.exceptAll(twin).isEmpty && twin.exceptAll(sunk).isEmpty)
   }
 
+  test("left-outer stream-stream join: finalized slice equals the batch left join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = EventStream.purchaseClickLeftJoinAvailableNow(spark, sf)
+    val ev = graft.core.Tables.events(spark, sf)
+    val maxTs = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .filter(col("pts") <= lit(java.sql.Timestamp.valueOf(maxTs.minusHours(2))).cast("timestamp_ntz"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = p.join(c,
+        col("cu") === col("user_id") &&
+          col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+          col("cts") <= col("pts"), "leftOuter")
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+    assert(streamed.filter(col("click_id").isNull).count() > 0,
+      "the slice contains null-padded (unconverted) purchases")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   /** The transactional-sink twin of the trendingToParquet restart test: two
     * [[EventStream.hourlyRollupToJdbc]] drains share one durable checkpoint
     * and one Derby table; the second must resume (not re-emit), and the final
