@@ -148,6 +148,8 @@ object SparkEntry {
     "q114_stream_jdbc"     -> ((s, d) => EventStream.hourlyRollupJdbcRoundtrip(s, d)),
     "q115_compaction"      -> ((s, d) => graft.ops.Compaction.compactedLineitem(s, d)),
     "q116_stream_ljoin"    -> ((s, d) => EventStream.purchaseClickLeftJoinAvailableNow(s, d)),
+    "q117_bpe_merges"      -> ((s, d) => graft.ops.Bpe.bpeMerges(s, d)),
+    "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
 
@@ -417,6 +419,45 @@ object SparkEntry {
     (0 until bits).map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** DuckDB twin of Bpe.train: `k` unrolled merge rounds over the word
+    * dictionary. Each round counts adjacent symbol pairs (tab-joined, so the
+    * tie order `cnt DESC, p` is byte-identical to Spark's), takes the argmax
+    * as a one-row CTE, and rewrites segmentations with the same
+    * left-to-right non-overlapping `replace` Spark uses. A round with no
+    * pairs left joins as NULL and leaves segmentations unchanged — mirroring
+    * Bpe's `exhausted` early stop.
+    */
+  private def bpeCtes(k: Int): String = {
+    val rounds = (0 until k).map { r =>
+      s"""p$r AS (
+         |  SELECT unnest(list_transform(range(1, len(l)), i ->
+         |    l[CAST(i AS INT)] || chr(9) || l[CAST(i + 1 AS INT)])) AS p, freq
+         |  FROM (SELECT freq, string_split(trim(seg), ' ') AS l FROM s$r)),
+         |b$r AS MATERIALIZED (
+         |  SELECT split_part(p, chr(9), 1) AS a, split_part(p, chr(9), 2) AS b
+         |  FROM (SELECT p, sum(freq) AS cnt FROM p$r GROUP BY 1)
+         |  ORDER BY cnt DESC, p LIMIT 1),
+         |s${r + 1} AS MATERIALIZED (
+         |  SELECT s.word, s.freq,
+         |    CASE WHEN b.a IS NULL THEN s.seg
+         |         ELSE replace(s.seg, ' ' || b.a || ' ' || b.b || ' ',
+         |                      ' ' || b.a || b.b || ' ') END AS seg
+         |  FROM s$r s LEFT JOIN b$r b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |dict AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest(toks) AS word FROM d) GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seg
+       |  FROM dict),
+       |$rounds""".stripMargin
+  }
+
+  private val BpeK = 16
+
   /** Parse hex char pair (1-indexed positions p, p+1 of hex string h) to a byte. */
   private def hexByte(h: String, p: Int): String =
     s"((strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * 16 + " +
@@ -535,6 +576,29 @@ object SparkEntry {
 
     "q15_sessionize" ->
       sessionizeOracle,
+
+    // the TRAINED BPE tokenizer, oracle-gated end to end: k unrolled merge
+    // rounds in pure string SQL replay Bpe.train exactly
+    "q117_bpe_merges" ->
+      s"""WITH ${bpeCtes(BpeK)}
+         |SELECT merge_rank, left_sym, right_sym FROM (
+         |${(0 until BpeK).map(r =>
+          s"  SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM b$r")
+          .mkString("\n  UNION ALL\n")}
+         |)""".stripMargin,
+
+    "q118_bpe_tokens" ->
+      s"""WITH ${bpeCtes(BpeK)},
+         |counts AS (
+         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeK),
+         |dw AS (SELECT doc_id, unnest(toks) AS word FROM d),
+         |j AS (
+         |  SELECT dw.doc_id, count(*) AS n_words, sum(c.n_sub) AS n_subword_tokens
+         |  FROM dw JOIN counts c USING (word) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(j.n_words, 0) AS n_words,
+         |  coalesce(j.n_subword_tokens, 0) AS n_subword_tokens
+         |FROM d LEFT JOIN j USING (doc_id)""".stripMargin,
 
     // left-outer stream-stream join, restricted to the watermark-finalized
     // slice where match-or-null status is deterministic

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Byte-pair-encoding subword tokenization (Sennrich et al. 2016, public
+  * arXiv 1508.07909) — REAL subword token accounting for the corpus, beside
+  * the whitespace/regex token counts of [[TextAnalysis]]. Token counts drive
+  * training-cost estimates, packing (q66) and length curricula, so the
+  * tokenizer belongs in the engine, not a sidecar script.
+  *
+  * Classic two-phase structure, mapped to Spark's execution model:
+  *
+  *  1. TRAIN on the word-frequency dictionary, not the corpus: the only
+  *     corpus-sized stage is one explode→hash-agg producing (word, freq) —
+  *     everything after is vocabulary-bounded. Each of the `k` merge rounds
+  *     is a pair-count aggregate over the dict (distributed; the dict may be
+  *     10⁸ rows at 100 TB) of which the driver retrieves ONLY the argmax
+  *     pair (a one-row probe per round, same class as [[Graph]]'s fixpoint
+  *     probe). Ties break deterministically: count desc, then pair
+  *     lexicographic.
+  *  2. APPLY by joining exploded document words against the dict's final
+  *     segmentation (broadcast — the dict is small relative to the corpus),
+  *     so documents are never re-segmented: each distinct word is segmented
+  *     once, corpus-wide.
+  *
+  * Segmentations are space-delimited symbol strings with sentinel spaces
+  * (" h e l l o "); applying merge (a, b) is `replace(seg, " a b ", " a b̲ ")`
+  * — left-to-right non-overlapping in Spark, DuckDB and java.lang.String
+  * alike, which is exactly BPE's leftmost-first merge order. That makes the
+  * whole train+apply pipeline expressible as `k` unrolled rounds of pure
+  * string SQL, so even the TRAINED tokenizer is oracle-gated end to end
+  * (q117 gates the learned merge table, q118 the per-document token counts).
+  */
+object Bpe {
+
+  private def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** Initial segmentation: every character a symbol, sentinel-spaced. */
+  private def charSeg(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+
+  /** Adjacent symbol pairs of a segmentation, tab-joined ("a\tb"). */
+  private def symPairs(seg: Column): Column = {
+    val syms = split(trim(seg), " ")
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), lit("\t"), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The corpus word-frequency dictionary — the single corpus-sized stage. */
+  private def wordDict(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Train `k` merges; returns (merges in rank order, dict with final seg).
+    * A round with no remaining pairs records no merge and leaves the dict
+    * unchanged (mirrored by the oracle's null-guarded rounds).
+    */
+  private def train(spark: SparkSession, sfDir: String, k: Int)
+      : (Seq[(String, String)], DataFrame) = {
+    var segs = wordDict(spark, sfDir)
+      .withColumn("seg", charSeg(col("word")))
+      .localCheckpoint(true) // dict-sized; rounds must not rescan the corpus
+    val merges = Seq.newBuilder[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until k if !exhausted) {
+      val best = segs
+        .select(col("freq"), explode(symPairs(col("seg"))).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p"))
+        .limit(1).collect() // one-row argmax probe
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = best.head.getString(0).split("\t", 2)
+        merges += ((a, b))
+        segs = segs.withColumn("seg",
+          replace(col("seg"), lit(s" $a $b "), lit(s" $a$b ")))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.result(), segs)
+  }
+
+  /** q117: the learned merge table — (merge_rank, left_sym, right_sym). */
+  def bpeMerges(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = train(spark, sfDir, k)
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong + 1, a, b) }
+      .toDF("merge_rank", "left_sym", "right_sym")
+  }
+
+  /** q118: per-document subword accounting under the trained tokenizer —
+    * (doc_id, n_words, n_subword_tokens). Apply is one broadcast join of
+    * exploded words against the dict's final segmentation.
+    */
+  def bpeTokenCounts(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val (_, segs) = train(spark, sfDir, k)
+    val perWord = segs.select(col("word"),
+      size(split(trim(col("seg")), " ")).cast("long").as("n_sub"))
+    val docWords = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val counted = docWords
+      .join(broadcast(perWord), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subword_tokens"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subword_tokens"), lit(0L)).as("n_subword_tokens"))
+  }
+}
