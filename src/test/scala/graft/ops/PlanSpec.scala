@@ -134,4 +134,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), p.linesIterator.take(3).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("bigram LM reduces the token explosion map-side before any model join") {
+    val p = plan(LanguageModel.bigramLmScores(spark, sf))
+    // the explode feeds a partial hash aggregate (map-side combine on
+    // (doc_id, bigram)) — the exchange never carries per-occurrence rows
+    assert(p.contains("HashAggregate") && p.contains("Generate"))
+    assert(!p.contains("CartesianProduct"))
+    // both one-row frames (V, corpus mean) enter as broadcast joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("DSIR model tables join by bucket equi-keys, never a cross join") {
+    val p = plan(LanguageModel.importanceWeights(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("hopping windows aggregate partially after the hop expansion") {
+    val p = plan(Events.hoppingRollup(spark, sf))
+    // Expand (4 hops/row) must sit UNDER a partial aggregate, so the
+    // exchange carries (window, type) rows, not 4x the events
+    val expandIdx = p.indexOf("Expand")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(expandIdx >= 0 && exchangeIdx >= 0 && expandIdx > exchangeIdx,
+      "plan order (top-down) must be ...Exchange above Expand\n" + p)
+  }
+
+  test("entity resolution maps rows back through a broadcast of the label table") {
+    val p = plan(Entity.partEntities(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(3).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
