@@ -149,6 +149,9 @@ object SparkEntry {
     "q115_compaction"      -> ((s, d) => graft.ops.Compaction.compactedLineitem(s, d)),
     "q116_stream_ljoin"    -> ((s, d) => EventStream.purchaseClickLeftJoinAvailableNow(s, d)),
     "q117_bpe_merges"      -> ((s, d) => graft.ops.Bpe.bpeMerges(s, d)),
+    "q119_table_stats"     -> ((s, d) => graft.ops.Stats.tableStats(s, d)),
+    "q120_json_source"     -> ((s, d) => graft.io.IoQueries.jsonSourceRoundtrip(s, d)),
+    "q121_orc_roundtrip"   -> ((s, d) => graft.io.IoQueries.orcRoundtrip(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -458,6 +461,35 @@ object SparkEntry {
 
   private val BpeK = 16
 
+  /** DuckDB twin of Stats.tableStats: one UNION ALL branch per lineitem
+    * column, typed min/max exactly as the operator surfaces them.
+    */
+  private def tableStatsOracle: String = {
+    val cols = Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num", "l_extendedprice" -> "num",
+      "l_discount" -> "num", "l_tax" -> "num", "l_returnflag" -> "str",
+      "l_linestatus" -> "str", "l_shipdate" -> "ts")
+    val branches = cols.map { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "num" => (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        case "ts" => (s"CAST(epoch_us(min($c)) AS DOUBLE)",
+          s"CAST(epoch_us(max($c)) AS DOUBLE)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      val (ms, xs) =
+        if (kind == "str") (s"min($c)", s"max($c)")
+        else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      s"""SELECT '$c' AS column_name, (SELECT n_rows FROM n) AS n_rows,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  count(DISTINCT $c) AS ndv,
+         |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+         |FROM lineitem""".stripMargin
+    }
+    s"""WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Parse hex char pair (1-indexed positions p, p+1 of hex string h) to a byte. */
   private def hexByte(h: String, p: Int): String =
     s"((strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * 16 + " +
@@ -576,6 +608,13 @@ object SparkEntry {
 
     "q15_sessionize" ->
       sessionizeOracle,
+
+    // ANALYZE-style stats: one wide single-pass aggregate, typed min/max
+    "q119_table_stats" -> tableStatsOracle,
+
+    // format round trips are lossless against the source tables
+    "q120_json_source" -> "SELECT * FROM documents",
+    "q121_orc_roundtrip" -> "SELECT * FROM lineitem",
 
     // the TRAINED BPE tokenizer, oracle-gated end to end: k unrolled merge
     // rounds in pure string SQL replay Bpe.train exactly

@@ -42,6 +42,39 @@ object IoQueries {
     Jdbc.read(spark, conn, "customer_rt")
   }
 
+  /** JSON-lines source with an EXPLICIT schema (the same declare-don't-infer
+    * stance as the CSV reader, SURVEY §2.1 S1): documents round-trip through
+    * a JSONL scratch written once per scale factor. Inference on JSON is a
+    * full extra pass at 100 TB and types drift per batch — the declared
+    * schema makes the read one pass and stable.
+    */
+  def jsonSourceRoundtrip(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val dir = scratch("json_src", sfDir)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+      Tables.documents(spark, sfDir).write.mode("overwrite").json(dir)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).json(dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** ORC round trip — the other columnar format in the distribution. Same
+    * losslessness contract as the parquet/compaction paths; NTZ timestamps
+    * survive (ORC stores them zone-free natively).
+    */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val dir = scratch("orc_rt", sfDir)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
+      Tables.lineitem(spark, sfDir).write.mode("overwrite").orc(dir)
+    }
+    spark.read.orc(dir)
+  }
+
   /** S4: partitioned parquet sink of the sales mart, read back through the
     * partition-discovery path. Partition columns come back as path-inferred
     * types, so they are cast back to the mart's declared types for the compare.
