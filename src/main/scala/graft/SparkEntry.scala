@@ -152,6 +152,7 @@ object SparkEntry {
     "q119_table_stats"     -> ((s, d) => graft.ops.Stats.tableStats(s, d)),
     "q120_json_source"     -> ((s, d) => graft.io.IoQueries.jsonSourceRoundtrip(s, d)),
     "q121_orc_roundtrip"   -> ((s, d) => graft.io.IoQueries.orcRoundtrip(s, d)),
+    "q122_decayed_pop"     -> ((s, d) => Events.decayedPopularity(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -611,6 +612,21 @@ object SparkEntry {
 
     // ANALYZE-style stats: one wide single-pass aggregate, typed min/max
     "q119_table_stats" -> tableStatsOracle,
+
+    // exponential time decay in exact shifted fixed point: shift-and-floor
+    // divide is bit-identical across engines; sums run in DECIMAL(38,0)
+    "q122_decayed_pop" ->
+      """WITH m AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events),
+        |e AS (
+        |  SELECT event_type,
+        |    least(date_diff('day', CAST(ts AS DATE), max_day), 62) AS age,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events CROSS JOIN m)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(CAST(sum((cents * 1073741824)
+        |      // (CAST(1 AS BIGINT) << CAST(age AS INT))) AS DECIMAL(38,0))
+        |    AS DOUBLE) AS decayed_value
+        |FROM e GROUP BY 1""".stripMargin,
 
     // format round trips are lossless against the source tables
     "q120_json_source" -> "SELECT * FROM documents",

@@ -47,6 +47,31 @@ object Events {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"), col("n_users"))
 
+  /** Exponentially time-decayed popularity per event type — freshness-
+    * weighted scoring (feed ranking, trending-over-lifetime) with a one-day
+    * half-life: each event contributes value · 2^(−age_days).
+    *
+    * Exact fixed point, not float pow(): contribution =
+    * (value_cents · 2³⁰) div 2^age — shift-and-floor-divide is bit-identical
+    * in Spark and DuckDB (age capped at 62 so the shift never wraps), per-doc
+    * sums run in DECIMAL(38,0) (order-free), and the single decimal→double
+    * cast at the end is deterministic. The reference anchor (corpus max day)
+    * rides a broadcast one-row aggregate.
+    */
+  def decayedPopularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val anchor = ev.agg(to_date(max(col("ts"))).as("max_day"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age", least(datediff(col("max_day"), to_date(col("ts"))), lit(62)).cast("long"))
+      .withColumn("cents", (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .withColumn("decayed",
+        expr("(cents * 1073741824L) div shiftleft(1L, cast(age as int))"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("decayed").cast(DecimalType(38, 0))).cast("double").as("decayed_value"))
+  }
+
   /** Gap-based sessionization: a new session starts after >30 min of inactivity.
     * Classic lag → flag → running-sum-of-flags; one shuffle on user_id, then all
     * window work is within-partition.

@@ -40,6 +40,9 @@ object ExplainAudit {
     audit("q111_dsir_weights", graft.ops.LanguageModel.importanceWeights(spark, sf))
     audit("q112_part_entities", graft.ops.Entity.partEntities(spark, sf))
     audit("q113_hopping_window", graft.ops.Events.hoppingRollup(spark, sf))
+    audit("q118_bpe_tokens", graft.ops.Bpe.bpeTokenCounts(spark, sf))
+    audit("q119_table_stats", graft.ops.Stats.tableStats(spark, sf))
+    audit("q122_decayed_pop", graft.ops.Events.decayedPopularity(spark, sf))
     spark.stop()
   }
 }

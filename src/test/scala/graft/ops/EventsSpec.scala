@@ -110,6 +110,25 @@ class EventsSpec extends SparkSpec {
       "2024-01-01T10:45" -> ((1L, 1L))))
   }
 
+  test("decayed popularity halves per day in exact shifted fixed point") {
+    import spark.implicits._
+    val d = tmpDir("decay")
+    def ns(t: String): Long =
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    Seq(
+      (1L, ns("2024-01-10 12:00:00"), 1L, "a", 1.00, "{}"),  // age 0: 100·2^30
+      (2L, ns("2024-01-09 06:00:00"), 1L, "a", 1.00, "{}"),  // age 1: 50·2^30
+      (3L, ns("2024-01-08 01:00:00"), 2L, "b", 0.50, "{}"))  // age 2: (50·2^30)//4
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Events.decayedPopularity(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      "a" -> ((2L, 150.0 * (1L << 30))),
+      "b" -> ((1L, ((50L << 30) / 4).toDouble))))
+  }
+
   test("approx_count_distinct tracks the exact count within its error bound") {
     val rsd = 0.02
     val rows = Events.approxDistinctUsers(spark, "/root/testdata/sf0.001", rsd)
