@@ -153,6 +153,7 @@ object SparkEntry {
     "q120_json_source"     -> ((s, d) => graft.io.IoQueries.jsonSourceRoundtrip(s, d)),
     "q121_orc_roundtrip"   -> ((s, d) => graft.io.IoQueries.orcRoundtrip(s, d)),
     "q122_decayed_pop"     -> ((s, d) => Events.decayedPopularity(s, d)),
+    "q123_entity_multipass" -> ((s, d) => graft.ops.Entity.partEntitiesMultiPass(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -612,6 +613,34 @@ object SparkEntry {
 
     // ANALYZE-style stats: one wide single-pass aggregate, typed min/max
     "q119_table_stats" -> tableStatsOracle,
+
+    // multi-pass blocking ER: edges unioned across two blocking keys (first
+    // and last token), one clustering over the union
+    "q123_entity_multipass" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |nb AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n),
+        |nb2 AS (SELECT p_name, split_part(p_name, ' ', -1) AS blk FROM n),
+        |e AS (
+        |  SELECT a.p_name AS src, b.p_name AS dst
+        |  FROM nb a JOIN nb b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |    AND levenshtein(a.p_name, b.p_name) <= 3
+        |  UNION
+        |  SELECT a.p_name AS src, b.p_name AS dst
+        |  FROM nb2 a JOIN nb2 b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |    AND levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS MATERIALIZED (
+        |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT p_name, p_name FROM n
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+        |  WHERE r.lbl < e.dst),
+        |lab AS (SELECT id AS p_name, min(lbl) AS entity_name FROM reach GROUP BY 1)
+        |SELECT p.p_partkey, p.p_name, l.entity_name,
+        |  p.p_name = l.entity_name AS is_canonical
+        |FROM part p JOIN lab l USING (p_name)""".stripMargin,
 
     // exponential time decay in exact shifted fixed point: shift-and-floor
     // divide is bit-identical across engines; sums run in DECIMAL(38,0)

@@ -32,4 +32,20 @@ class EntitySpec extends SparkSpec {
     assert(out("acmee widget") === (("acmee widget", true)),
       "cross-block variant is not merged: the blocking-key recall bound")
   }
+
+  test("multi-pass blocking recovers the cross-block variant single-pass misses") {
+    import spark.implicits._
+    val d = tmpDir("entitymp")
+    Seq(
+      (1L, "acme widget"),
+      (2L, "acmee widget"), // first token differs (pass-1 blind), last matches
+      (3L, "acme anvil"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    val out = Entity.partEntitiesMultiPass(spark, d)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(out("acmee widget") === "acme widget",
+      "the last-token pass pairs what the first-token pass cannot")
+    assert(out("acme anvil") === "acme anvil")
+  }
 }
