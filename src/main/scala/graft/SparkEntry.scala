@@ -154,6 +154,7 @@ object SparkEntry {
     "q121_orc_roundtrip"   -> ((s, d) => graft.io.IoQueries.orcRoundtrip(s, d)),
     "q122_decayed_pop"     -> ((s, d) => Events.decayedPopularity(s, d)),
     "q123_entity_multipass" -> ((s, d) => graft.ops.Entity.partEntitiesMultiPass(s, d)),
+    "q124_report_card"     -> ((s, d) => graft.ops.ReportCard.sourceReportCard(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -613,6 +614,21 @@ object SparkEntry {
 
     // ANALYZE-style stats: one wide single-pass aggregate, typed min/max
     "q119_table_stats" -> tableStatsOracle,
+
+    // the dataset report card: the q16 dup criterion + q21 token counts
+    // composed per source
+    "q124_report_card" ->
+      """WITH f AS (SELECT md5(text) AS h, count(*) AS fam FROM documents GROUP BY 1)
+        |SELECT d.source,
+        |  count(*) AS n_docs,
+        |  sum(CASE WHEN f.fam > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+        |  count(DISTINCT d.lang) AS n_langs,
+        |  sum(CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT))
+        |    AS total_ws_tokens,
+        |  sum(d.n_chars) AS total_chars,
+        |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS mean_chars
+        |FROM documents d JOIN f ON md5(d.text) = f.h
+        |GROUP BY 1""".stripMargin,
 
     // multi-pass blocking ER: edges unioned across two blocking keys (first
     // and last token), one clustering over the union
