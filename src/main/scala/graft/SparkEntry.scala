@@ -155,6 +155,8 @@ object SparkEntry {
     "q122_decayed_pop"     -> ((s, d) => Events.decayedPopularity(s, d)),
     "q123_entity_multipass" -> ((s, d) => graft.ops.Entity.partEntitiesMultiPass(s, d)),
     "q124_report_card"     -> ((s, d) => graft.ops.ReportCard.sourceReportCard(s, d)),
+    "q125_stream_hopping"  -> ((s, d) => EventStream.hoppingRollupAvailableNow(s, d)),
+    "q126_incr_stats"      -> ((s, d) => graft.ops.Stats.incrementalTableStats(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -493,6 +495,31 @@ object SparkEntry {
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** From-scratch twin of the incremental (mergeable) stats — no NDV. */
+  private def incrStatsOracle: String = {
+    val cols = Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num", "l_extendedprice" -> "num",
+      "l_discount" -> "num", "l_tax" -> "num", "l_returnflag" -> "str",
+      "l_linestatus" -> "str", "l_shipdate" -> "ts")
+    val branches = cols.map { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "num" => (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)")
+        case "ts" => (s"CAST(epoch_us(min($c)) AS DOUBLE)",
+          s"CAST(epoch_us(max($c)) AS DOUBLE)")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      val (ms, xs) =
+        if (kind == "str") (s"min($c)", s"max($c)")
+        else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
+         |FROM lineitem""".stripMargin
+    }
+    branches.mkString("\nUNION ALL\n")
+  }
+
   /** Parse hex char pair (1-indexed positions p, p+1 of hex string h) to a byte. */
   private def hexByte(h: String, p: Int): String =
     s"((strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * 16 + " +
@@ -614,6 +641,26 @@ object SparkEntry {
 
     // ANALYZE-style stats: one wide single-pass aggregate, typed min/max
     "q119_table_stats" -> tableStatsOracle,
+
+    // incremental ANALYZE: snapshot+delta partial merge must equal this
+    // from-scratch pass bit for bit (the q98 contract applied to stats)
+    "q126_incr_stats" -> incrStatsOracle,
+
+    // streaming hopping windows: same boundaries as q113, minus the
+    // countDistinct streaming aggregation cannot hold incrementally
+    "q125_stream_hopping" ->
+      """WITH h AS (SELECT unnest(range(0, 4)) AS k),
+        |e AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - to_minutes(CAST(k * 15 AS BIGINT)) AS window_start,
+        |         event_type, value
+        |  FROM events CROSS JOIN h)
+        |SELECT window_start,
+        |  window_start + INTERVAL '1 hour' AS window_end,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
 
     // the dataset report card: the q16 dup criterion + q21 token counts
     // composed per source

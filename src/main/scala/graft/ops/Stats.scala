@@ -60,4 +60,54 @@ object Stats {
 
     df.schema.fields.toSeq.map(branch).reduce(_ unionByName _)
   }
+
+  /** Incremental ANALYZE — the q98 snapshot+delta contract applied to stats:
+    * per-slice MERGEABLE partials (counts sum, mins min, maxes max) combined
+    * into table-level stats that must be BIT-IDENTICAL to a from-scratch
+    * pass, while only ever scanning each slice once. NDV is deliberately
+    * absent: exact distinct counts don't merge (the mergeable swap is q61's
+    * HLL sketch — union of sketches IS the sketch of the union); everything
+    * surfaced here merges exactly.
+    *
+    * The oracle recomputes from scratch over the full table, so the gate
+    * proves merge ≡ recompute.
+    */
+  def incrementalTableStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val full = Tables.lineitem(spark, sfDir)
+    val cut = lit("1999-01-01").cast("timestamp_ntz")
+    val slices = Seq(
+      full.filter(col("l_shipdate") < cut),   // the standing snapshot
+      full.filter(col("l_shipdate") >= cut))  // the newly arrived delta
+
+    def partials(df: DataFrame): DataFrame =
+      df.schema.fields.toSeq.map { f =>
+        val c = col(f.name)
+        val (minNum, maxNum) = f.dataType match {
+          case _: NumericType => (min(c).cast("double"), max(c).cast("double"))
+          case _: TimestampNTZType | _: TimestampType =>
+            (min(unix_micros(c.cast("timestamp"))).cast("double"),
+              max(unix_micros(c.cast("timestamp"))).cast("double"))
+          case _ => (lit(null).cast("double"), lit(null).cast("double"))
+        }
+        val (minStr, maxStr) = f.dataType match {
+          case StringType => (min(c), max(c))
+          case _ => (lit(null).cast("string"), lit(null).cast("string"))
+        }
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+          minNum.as("min_num"), maxNum.as("max_num"),
+          minStr.as("min_str"), maxStr.as("max_str"))
+          .select(lit(f.name).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      }.reduce(_ unionByName _)
+
+    slices.map(partials).reduce(_ unionByName _)
+      .groupBy(col("column_name"))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+  }
 }

@@ -84,6 +84,28 @@ object EventStream {
       col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming hopping (sliding) windows — the third member of the streaming
+    * window family beside tumbling (above) and session (q105's
+    * `session_window`): one-hour windows advancing every 15 minutes, so each
+    * event updates 4 open windows. Same expression as the batch twin
+    * ([[graft.ops.Events.hoppingRollup]], the oracle contract, minus its
+    * `countDistinct`, which streaming aggregation cannot hold incrementally
+    * — swap in an HLL column for users-per-window at scale). Production form:
+    * watermark + append, exactly as [[hourlyRollupWatermarked]].
+    */
+  def hoppingRollupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir(spark, sfDir))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    Drain.toMemoryTable(spark, stream, "complete", "graft_stream_hopping").select(
+      col("w.start").as("window_start"), col("w.end").as("window_end"),
+      col("event_type"), col("n_events"), col("total_value"))
+  }
+
   /** Stream-stream INNER join: every purchase paired with the same user's
     * clicks in the 10 minutes leading up to it — the canonical attribution
     * join, as two live streams rather than stream-vs-static.
