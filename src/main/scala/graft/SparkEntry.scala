@@ -157,6 +157,7 @@ object SparkEntry {
     "q124_report_card"     -> ((s, d) => graft.ops.ReportCard.sourceReportCard(s, d)),
     "q125_stream_hopping"  -> ((s, d) => EventStream.hoppingRollupAvailableNow(s, d)),
     "q126_incr_stats"      -> ((s, d) => graft.ops.Stats.incrementalTableStats(s, d)),
+    "q127_expectations"    -> ((s, d) => graft.ops.Expectations.checkSuite(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -645,6 +646,33 @@ object SparkEntry {
     // incremental ANALYZE: snapshot+delta partial merge must equal this
     // from-scratch pass bit for bit (the q98 contract applied to stats)
     "q126_incr_stats" -> incrStatsOracle,
+
+    // declarative data-quality expectations, one row per check
+    "q127_expectations" ->
+      """SELECT 'lineitem_orderkey_not_null' AS check_name,
+        |  count(*) AS n_checked,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_key_unique', sum(cnt), sum(cnt - 1), sum(cnt - 1) = 0
+        |FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'discount_in_unit_range', count(*),
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'shipdate_before_2000', count(*),
+        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orderkey_in_orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  count(*), count(*) = 0
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL""".stripMargin,
 
     // streaming hopping windows: same boundaries as q113, minus the
     // countDistinct streaming aggregation cannot hold incrementally
