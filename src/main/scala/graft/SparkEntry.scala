@@ -158,6 +158,7 @@ object SparkEntry {
     "q125_stream_hopping"  -> ((s, d) => EventStream.hoppingRollupAvailableNow(s, d)),
     "q126_incr_stats"      -> ((s, d) => graft.ops.Stats.incrementalTableStats(s, d)),
     "q127_expectations"    -> ((s, d) => graft.ops.Expectations.checkSuite(s, d)),
+    "q128_unpivot"         -> ((s, d) => Relational.pricingSummaryLong(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -646,6 +647,23 @@ object SparkEntry {
     // incremental ANALYZE: snapshot+delta partial merge must equal this
     // from-scratch pass bit for bit (the q98 contract applied to stats)
     "q126_incr_stats" -> incrStatsOracle,
+
+    // UNPIVOT: the q03 summary melted long; count_order cast to double so
+    // the value column unifies
+    "q128_unpivot" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |    CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS sum_disc_price,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |    CAST(COUNT(*) AS DOUBLE) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '2001-09-01'
+        |  GROUP BY l_returnflag, l_linestatus)
+        |UNPIVOT s
+        |ON sum_qty, sum_base_price, sum_disc_price, avg_qty, count_order
+        |INTO NAME metric VALUE value""".stripMargin,
 
     // declarative data-quality expectations, one row per check
     "q127_expectations" ->

@@ -88,6 +88,21 @@ object Relational {
         Num.avgMoney(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
+  /** UNPIVOT (melt) — the inverse of q45's pivot, via the dedicated
+    * `Dataset.unpivot` API rather than a hand-rolled `stack`: the wide
+    * pricing summary becomes long (flag, status, metric, value) rows. Purely
+    * a per-row reshape of the already-aggregated frame — zero additional
+    * shuffle on top of q03's aggregate.
+    */
+  def pricingSummaryLong(spark: SparkSession, sfDir: String): DataFrame =
+    pricingSummary(spark, sfDir)
+      .withColumn("count_order", col("count_order").cast("double"))
+      .unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+          col("avg_qty"), col("count_order")),
+        "metric", "value")
+
   // ------------------------------------------------------------------ A3: distinct
 
   def distinctFlags(spark: SparkSession, sfDir: String): DataFrame =
