@@ -159,6 +159,7 @@ object SparkEntry {
     "q126_incr_stats"      -> ((s, d) => graft.ops.Stats.incrementalTableStats(s, d)),
     "q127_expectations"    -> ((s, d) => graft.ops.Expectations.checkSuite(s, d)),
     "q128_unpivot"         -> ((s, d) => Relational.pricingSummaryLong(s, d)),
+    "q129_training_mix"    -> ((s, d) => graft.ops.TrainingMix.mixManifest(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -647,6 +648,85 @@ object SparkEntry {
     // incremental ANALYZE: snapshot+delta partial merge must equal this
     // from-scratch pass bit for bit (the q98 contract applied to stats)
     "q126_incr_stats" -> incrStatsOracle,
+
+    // the composed training-mix manifest: exact-dedup survivors x bigram-LM
+    // keep x DSIR affinity x BPE token budget, per source — every stage is
+    // an already-gated operator, composed with namespaced CTEs
+    "q129_training_mix" ->
+      s"""WITH ${bpeCtes(BpeK)},
+         |bcnt AS (
+         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeK),
+         |bdw AS (SELECT doc_id, unnest(toks) AS word FROM d),
+         |btokj AS (
+         |  SELECT bdw.doc_id, sum(c.n_sub) AS n_subword_tokens
+         |  FROM bdw JOIN bcnt c USING (word) GROUP BY 1),
+         |btok AS (
+         |  SELECT d.doc_id, coalesce(btokj.n_subword_tokens, 0) AS n_subword_tokens
+         |  FROM d LEFT JOIN btokj USING (doc_id)),
+         |lmb AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) >= 2 THEN
+         |      list_transform(range(1, len(toks)),
+         |        i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+         |    ELSE [] END) AS bigram
+         |  FROM d),
+         |lmdb AS (SELECT doc_id, bigram, count(*) AS n FROM lmb GROUP BY 1, 2),
+         |lmc12 AS (SELECT bigram, sum(n) AS c12 FROM lmdb GROUP BY 1),
+         |lmc1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(n) AS c1
+         |         FROM lmdb GROUP BY 1),
+         |lmv AS (SELECT count(DISTINCT t.term) AS v
+         |        FROM (SELECT unnest(toks) AS term FROM d) t),
+         |lms AS (
+         |  SELECT lmdb.doc_id, lmdb.n,
+         |    ((lmc12.c12 + 1) * 1000000) // (lmc1.c1 + lmv.v) AS ppm
+         |  FROM lmdb
+         |  JOIN lmc12 ON lmdb.bigram = lmc12.bigram
+         |  JOIN lmc1 ON split_part(lmdb.bigram, ' ', 1) = lmc1.w1
+         |  CROSS JOIN lmv),
+         |lmpd AS (SELECT doc_id, sum(n * ppm) AS ppm_sum, sum(n) AS n_bigrams
+         |         FROM lms GROUP BY 1),
+         |lmca AS (SELECT CAST(sum(ppm_sum) AS DOUBLE) / sum(n_bigrams) AS corpus_avg
+         |         FROM lmpd),
+         |lmkeep AS (
+         |  SELECT d.doc_id
+         |  FROM d LEFT JOIN lmpd p USING (doc_id) CROSS JOIN lmca
+         |  WHERE NOT coalesce(
+         |    CAST(p.ppm_sum AS DOUBLE) / p.n_bigrams < lmca.corpus_avg, false)),
+         |dsd AS (SELECT doc_id, source FROM documents),
+         |dsf AS (
+         |  SELECT lmdb.doc_id, dsd.source = 'src0' AS is_target,
+         |    CAST('0x' || substr(md5(lmdb.bigram), 1, 8) AS BIGINT) % 4096 AS bucket,
+         |    sum(n) AS n
+         |  FROM lmdb JOIN dsd USING (doc_id) GROUP BY 1, 2, 3),
+         |dstb AS (SELECT bucket, sum(n) AS t_b FROM dsf WHERE is_target GROUP BY 1),
+         |dsrb AS (SELECT bucket, sum(n) AS r_b FROM dsf WHERE NOT is_target GROUP BY 1),
+         |dstot AS (
+         |  SELECT sum(CASE WHEN is_target THEN n ELSE 0 END) AS t_total,
+         |         sum(CASE WHEN NOT is_target THEN n ELSE 0 END) AS r_total
+         |  FROM dsf),
+         |dss AS (
+         |  SELECT dsf.doc_id, dsf.n,
+         |    ((coalesce(dstb.t_b, 0) + 1) * 1000000) // (dstot.t_total + 4096) AS tp,
+         |    ((coalesce(dsrb.r_b, 0) + 1) * 1000000) // (dstot.r_total + 4096) AS rp
+         |  FROM dsf
+         |  LEFT JOIN dstb USING (bucket)
+         |  LEFT JOIN dsrb USING (bucket)
+         |  CROSS JOIN dstot),
+         |dspd AS (SELECT doc_id, sum(n * (tp - rp)) AS weight_ppm FROM dss GROUP BY 1),
+         |aff AS (
+         |  SELECT dsd.doc_id, coalesce(dspd.weight_ppm, 0) > 0 AS target_like
+         |  FROM dsd LEFT JOIN dspd USING (doc_id)),
+         |surv AS (
+         |  SELECT doc_id, source FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+         |SELECT s.source, count(*) AS n_docs,
+         |  sum(btok.n_subword_tokens) AS total_subword_tokens,
+         |  sum(CASE WHEN aff.target_like THEN 1 ELSE 0 END) AS n_target_like
+         |FROM surv s
+         |JOIN lmkeep USING (doc_id)
+         |JOIN aff USING (doc_id)
+         |JOIN btok USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // UNPIVOT: the q03 summary melted long; count_order cast to double so
     // the value column unifies
