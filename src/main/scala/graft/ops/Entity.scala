@@ -20,7 +20,11 @@ import graft.core.Tables
   *     the same O(log n)-round star rewiring the document chain uses — min
   *     label is lexicographic on strings, so the component label IS the
   *     canonical name);
-  *  4. map rows to entities with one broadcast join of the tiny label table.
+  *  4. map rows to entities with one broadcast join of the label table —
+  *     sized |distinct names|, orders of magnitude under the row count; if a
+  *     corpus's distinct-name table outgrows the broadcast threshold, drop
+  *     the hint and the same plan degrades gracefully to a shuffle join on
+  *     p_name.
   */
 object Entity {
 
