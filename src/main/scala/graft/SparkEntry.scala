@@ -160,6 +160,7 @@ object SparkEntry {
     "q127_expectations"    -> ((s, d) => graft.ops.Expectations.checkSuite(s, d)),
     "q128_unpivot"         -> ((s, d) => Relational.pricingSummaryLong(s, d)),
     "q129_training_mix"    -> ((s, d) => graft.ops.TrainingMix.mixManifest(s, d)),
+    "q130_cross_links"     -> ((s, d) => Similarity.crossCorpusLinks(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -648,6 +649,27 @@ object SparkEntry {
     // incremental ANALYZE: snapshot+delta partial merge must equal this
     // from-scratch pass bit for bit (the q98 contract applied to stats)
     "q126_incr_stats" -> incrStatsOracle,
+
+    // cross-corpus ANN linkage: bucket-co-partitioned two-table join, no
+    // broadcast (both sides corpus-scale)
+    "q130_cross_links" ->
+      s"""WITH $scaledVecs,
+         |e2 AS (
+         |  SELECT w.vec_id, w.svec, w.norm2, e.label,
+         |    ${signBucket("w.svec", 6)} AS bucket
+         |  FROM w JOIN embeddings e ON w.vec_id = e.vec_id),
+         |a AS (SELECT vec_id AS a_id, svec AS avec, norm2 AS an2, bucket
+         |      FROM e2 WHERE label % 2 = 0),
+         |b AS (SELECT vec_id AS b_id, svec AS bvec, norm2 AS bn2, bucket
+         |      FROM e2 WHERE label % 2 = 1),
+         |j AS (
+         |  SELECT a_id, b_id, ${cosine("avec", "bvec", "an2", "bn2")} AS cosine
+         |  FROM a JOIN b USING (bucket))
+         |SELECT a_id, b_id,
+         |  CAST(row_number() OVER (PARTITION BY a_id
+         |    ORDER BY cosine DESC, b_id ASC) AS BIGINT) AS rk,
+         |  cosine
+         |FROM j QUALIFY rk <= 3""".stripMargin,
 
     // the composed training-mix manifest: exact-dedup survivors x bigram-LM
     // keep x DSIR affinity x BPE token budget, per source — every stage is

@@ -109,6 +109,36 @@ object Similarity {
         col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** CROSS-CORPUS semantic linkage — the two-table member of the ANN family:
+    * every document of corpus A (even embedding labels) linked to its k
+    * nearest in corpus B (odd labels), the record-linkage / retrieval-
+    * augmentation shape, where the self-join forms (q26/q27) dedupe WITHIN
+    * one corpus. Both sides are corpus-scale, so neither is broadcast: the
+    * sign-LSH bucket equi-join co-partitions the two corpora on bucket and
+    * the quadratic comparator runs only within buckets. A vectors whose
+    * bucket holds no B vector surface no link (inner-join semantics —
+    * multi-probe widens recall exactly as in [[nearDupPairs]]).
+    */
+  def crossCorpusLinks(spark: SparkSession, sfDir: String, k: Int = 3,
+      bits: Int = 6): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+      .withColumn("bucket", signBucket(col("svec"), bits))
+    val a = vecs.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("svec").as("avec"),
+        col("norm2").as("an2"), col("bucket"))
+    val b = vecs.filter(col("label") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("svec").as("bvec"),
+        col("norm2").as("bn2"), col("bucket"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    a.join(b, "bucket")
+      .select(col("a_id"), col("b_id"),
+        cosine(col("avec"), col("bvec"), col("an2"), col("bn2")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("b_id"), col("rk").cast("long").as("rk"), col("cosine"))
+  }
+
   /** IVF-style ANN: a fixed coarse quantizer (the first `nCentroids` vectors
     * serve as deterministic centroids) assigns every vector to its nearest
     * cell in ONE broadcast pass (n·k cosines, linear); a query then searches
