@@ -490,7 +490,7 @@ object SparkEntry {
         if (kind == "str") (s"min($c)", s"max($c)")
         else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
       s"""SELECT '$c' AS column_name, (SELECT n_rows FROM n) AS n_rows,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |  count(DISTINCT $c) AS ndv,
          |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
          |FROM lineitem""".stripMargin
@@ -517,7 +517,7 @@ object SparkEntry {
         if (kind == "str") (s"min($c)", s"max($c)")
         else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
       s"""SELECT '$c' AS column_name, count(*) AS n_rows,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |  $mn AS min_num, $mx AS max_num, $ms AS min_str, $xs AS max_str
          |FROM lineitem""".stripMargin
     }
@@ -742,8 +742,8 @@ object SparkEntry {
          |  SELECT doc_id, source FROM documents
          |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
          |SELECT s.source, count(*) AS n_docs,
-         |  sum(btok.n_subword_tokens) AS total_subword_tokens,
-         |  sum(CASE WHEN aff.target_like THEN 1 ELSE 0 END) AS n_target_like
+         |  CAST(sum(btok.n_subword_tokens) AS BIGINT) AS total_subword_tokens,
+         |  CAST(sum(CASE WHEN aff.target_like THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like
          |FROM surv s
          |JOIN lmkeep USING (doc_id)
          |JOIN aff USING (doc_id)
@@ -771,20 +771,21 @@ object SparkEntry {
     "q127_expectations" ->
       """SELECT 'lineitem_orderkey_not_null' AS check_name,
         |  count(*) AS n_checked,
-        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
         |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
         |FROM lineitem
         |UNION ALL
-        |SELECT 'lineitem_key_unique', sum(cnt), sum(cnt - 1), sum(cnt - 1) = 0
+        |SELECT 'lineitem_key_unique', CAST(sum(cnt) AS BIGINT),
+        |  CAST(sum(cnt - 1) AS BIGINT), sum(cnt - 1) = 0
         |FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)
         |UNION ALL
         |SELECT 'discount_in_unit_range', count(*),
-        |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
         |  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
         |FROM lineitem
         |UNION ALL
         |SELECT 'shipdate_before_2000', count(*),
-        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT),
         |  sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 ELSE 0 END) = 0
         |FROM lineitem
         |UNION ALL
@@ -816,11 +817,11 @@ object SparkEntry {
       """WITH f AS (SELECT md5(text) AS h, count(*) AS fam FROM documents GROUP BY 1)
         |SELECT d.source,
         |  count(*) AS n_docs,
-        |  sum(CASE WHEN f.fam > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN f.fam > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
         |  count(DISTINCT d.lang) AS n_langs,
-        |  sum(CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT))
-        |    AS total_ws_tokens,
-        |  sum(d.n_chars) AS total_chars,
+        |  CAST(sum(CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT))
+        |    AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS mean_chars
         |FROM documents d JOIN f ON md5(d.text) = f.h
         |GROUP BY 1""".stripMargin,
@@ -891,8 +892,8 @@ object SparkEntry {
          |  SELECT dw.doc_id, count(*) AS n_words, sum(c.n_sub) AS n_subword_tokens
          |  FROM dw JOIN counts c USING (word) GROUP BY 1)
          |SELECT d.doc_id,
-         |  coalesce(j.n_words, 0) AS n_words,
-         |  coalesce(j.n_subword_tokens, 0) AS n_subword_tokens
+         |  CAST(coalesce(j.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(j.n_subword_tokens, 0) AS BIGINT) AS n_subword_tokens
          |FROM d LEFT JOIN j USING (doc_id)""".stripMargin,
 
     // left-outer stream-stream join, restricted to the watermark-finalized
@@ -1211,8 +1212,8 @@ object SparkEntry {
         |ca AS (SELECT CAST(sum(ppm_sum) AS DOUBLE) / sum(n_bigrams) AS corpus_avg
         |       FROM per_doc)
         |SELECT d.doc_id,
-        |  coalesce(p.n_bigrams, 0) AS n_bigrams,
-        |  coalesce(p.ppm_sum, 0) AS ppm_sum,
+        |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(p.ppm_sum, 0) AS BIGINT) AS ppm_sum,
         |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
         |       THEN CAST(p.ppm_sum AS DOUBLE) / p.n_bigrams END AS avg_ppm,
         |  coalesce(CAST(p.ppm_sum AS DOUBLE) / p.n_bigrams < ca.corpus_avg, false)
@@ -1256,8 +1257,8 @@ object SparkEntry {
         |  SELECT doc_id, sum(n) AS n_features, sum(n * (tp - rp)) AS weight_ppm
         |  FROM s GROUP BY 1)
         |SELECT d.doc_id, d.source,
-        |  coalesce(pd.n_features, 0) AS n_features,
-        |  coalesce(pd.weight_ppm, 0) AS weight_ppm,
+        |  CAST(coalesce(pd.n_features, 0) AS BIGINT) AS n_features,
+        |  CAST(coalesce(pd.weight_ppm, 0) AS BIGINT) AS weight_ppm,
         |  coalesce(pd.weight_ppm, 0) > 0 AS target_like
         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
@@ -2140,7 +2141,8 @@ object SparkEntry {
         |    CAST(p->>'$.retry' AS BIGINT) AS retry
         |  FROM ev)
         |SELECT event_type, schema_sig, count(*) AS n_events,
-        |  sum(k) AS sum_k, count(retry) AS n_retry, sum(retry) AS sum_retry
+        |  CAST(sum(k) AS BIGINT) AS sum_k, count(retry) AS n_retry,
+        |  CAST(sum(retry) AS BIGINT) AS sum_retry
         |FROM x GROUP BY 1, 2""".stripMargin,
 
     // snapshot + delta partial aggregates merged by re-aggregation must be

@@ -17,15 +17,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+NATIVE_INTS = {"int8", "int16", "int32", "int64"}
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
+        if str(df[c].dtype) in NATIVE_INTS:
+            # Widening within native signed ints is invisible to the driver's
+            # hash (q89 int32-vs-int64 passes its gate). A DuckDB HUGEINT
+            # (int128 — pandas surfaces it as float64/object) is NOT in this
+            # set and stays as-is, so the strict dtype compare below fails it.
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
+
+
+def dtype_mismatches(g: pd.DataFrame, w: pd.DataFrame):
+    """Strict dtype comparison after native-int widening — the driver's hash
+    is type-sensitive to HUGEINT vs BIGINT, and the round-8 int64 coercion of
+    EVERY integer dtype masked exactly that bug class (9 driver failures the
+    local mirror called green).
+    """
+    return [(c, str(g[c].dtype), str(w[c].dtype))
+            for c in g.columns if g[c].dtype != w[c].dtype]
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -51,8 +68,13 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: rows {len(g)} != {len(w)}")
                 failures += 1
                 continue
+            bad = dtype_mismatches(g, w)
+            if bad:
+                print(f"FAIL {name}: dtype mismatch (spark vs oracle): {bad}")
+                failures += 1
+                continue
             try:
-                pd.testing.assert_frame_equal(g, w, check_exact=True, check_dtype=False)
+                pd.testing.assert_frame_equal(g, w, check_exact=True, check_dtype=True)
                 print(f"OK   {name}: {len(g)} rows, {len(g.columns)} cols")
             except AssertionError as e:
                 print(f"FAIL {name}: value mismatch: {str(e)[:500]}")
