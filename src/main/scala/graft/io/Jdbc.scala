@@ -66,8 +66,15 @@ object Jdbc {
       batchId: Long, maxConnections: Option[Int] = None): Unit = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.properties)
     try {
-      val tables = c.getMetaData.getTables(null, null, table.toUpperCase, null)
-      val exists = try tables.next() finally tables.close()
+      // Probe existence under BOTH identifier folds: Derby folds unquoted
+      // identifiers to uppercase, PostgreSQL folds to lowercase — probing one
+      // fold only would miss the table on the other backend, skip the DELETE,
+      // and silently duplicate rows on micro-batch replay.
+      def probe(name: String): Boolean = {
+        val rs = c.getMetaData.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+      val exists = probe(table.toUpperCase) || probe(table.toLowerCase) || probe(table)
       if (exists) {
         // Spark's JDBC writer quotes column identifiers at CREATE, so the
         // column is case-sensitive "batch_id" — the delete must quote too

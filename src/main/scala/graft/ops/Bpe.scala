@@ -29,10 +29,17 @@ import graft.core.Tables
   * Segmentations are space-delimited symbol strings with sentinel spaces
   * (" h e l l o "); applying merge (a, b) is `replace(seg, " a b ", " a b̲ ")`
   * — left-to-right non-overlapping in Spark, DuckDB and java.lang.String
-  * alike, which is exactly BPE's leftmost-first merge order. That makes the
-  * whole train+apply pipeline expressible as `k` unrolled rounds of pure
-  * string SQL, so even the TRAINED tokenizer is oracle-gated end to end
-  * (q117 gates the learned merge table, q118 the per-document token counts).
+  * alike. ONE deliberate deviation from canonical BPE: each round applies
+  * its merge in a SINGLE scan, and because a replacement consumes the shared
+  * sentinel space, immediately adjacent repeats of the same pair merge only
+  * once per round (" a b a b " → " ab a b ", where canonical BPE's
+  * per-round fixpoint gives " ab ab "). Spark and the oracle implement the
+  * identical single-scan rule, so the pipeline stays deterministic and
+  * cross-engine gateable; on repetitive words the learned merges/token
+  * counts may deviate from a fixpoint BPE trainer. The trade buys `k`
+  * unrolled rounds of pure string SQL, so even the TRAINED tokenizer is
+  * oracle-gated end to end (q117 gates the learned merge table, q118 the
+  * per-document token counts).
   */
 object Bpe {
 

@@ -31,10 +31,16 @@ object Entity {
   /** Canonical entity per part: parts whose names are within `maxDist` edits
     * (same first token) collapse to one entity named by the lexicographically
     * smallest member. Output: (p_partkey, p_name, entity_name, is_canonical).
+    *
+    * `broadcastLabels = false` is the oversized-label-table escape hatch
+    * (doc point 4): the identical plan minus the hint, degrading to a
+    * shuffle join on p_name — EntitySpec pins result equality and the
+    * SortMergeJoin physical shape.
     */
-  def partEntities(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame =
+  def partEntities(spark: SparkSession, sfDir: String, maxDist: Int = 3,
+      broadcastLabels: Boolean = true): DataFrame =
     resolve(spark, sfDir, maxDist,
-      Seq(n => split(n, " ").getItem(0)))
+      Seq(n => split(n, " ").getItem(0)), broadcastLabels)
 
   /** Multi-pass blocking: one candidate-generation pass per blocking key
     * (first token AND last token here), edges unioned before the single
@@ -49,8 +55,8 @@ object Entity {
         n => element_at(split(n, " "), -1)))
 
   private def resolve(spark: SparkSession, sfDir: String, maxDist: Int,
-      blockers: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column])
-      : DataFrame = {
+      blockers: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+      broadcastLabels: Boolean = true): DataFrame = {
     val parts = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_name"))
     val distinctNames = parts.select(col("p_name")).distinct()
 
@@ -69,9 +75,10 @@ object Entity {
     val labels = Graph.connectedComponents(
       distinctNames.select(col("p_name").as("id")), edges)
 
+    val labelTable = labels.select(col("id").as("p_name"),
+      col("component").as("entity_name"))
     parts
-      .join(broadcast(labels.select(col("id").as("p_name"),
-        col("component").as("entity_name"))), "p_name")
+      .join(if (broadcastLabels) broadcast(labelTable) else labelTable, "p_name")
       .withColumn("is_canonical", col("p_name") === col("entity_name"))
       .select(col("p_partkey"), col("p_name"), col("entity_name"),
         col("is_canonical"))

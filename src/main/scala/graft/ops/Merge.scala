@@ -25,15 +25,22 @@ import graft.core.Tables
   *
   * Cardinality contract (same as Delta): a target row matched by MORE THAN
   * ONE source row is ambiguous — which update wins? — and the merge throws at
-  * execution time rather than pick silently. The guard is IN the plan (a
-  * window count over the join key partitioning, then a conditional
-  * `raise_error` on an output column), so it is lazy, distributed, and adds
-  * no exchange: the full-outer join already hash-partitioned the rows by key.
+  * execution time rather than pick silently. A target with duplicate keys is
+  * fine (one source row may update several target rows, as in Delta). The
+  * guard is IN the plan: the per-key source match count is computed on the
+  * SOURCE side (a window over the source's own keys, computed before the
+  * join), then a conditional `raise_error` rides the output columns. Lazy,
+  * distributed, and exchange-free beyond the join's own: the source must be
+  * hash-partitioned by key for the join anyway, so the source-side window
+  * reuses that partitioning, and not-matched rows never enter a window
+  * (no NULL-key hotspot partition). Both [[mergeInto]] and
+  * [[mergeDeletionVector]] carry the identical guard, so ambiguous sources
+  * fail identically in both forms.
   *
-  * Scale shape: ONE shuffle per side (the full-outer equi-join on the key) +
-  * a same-key window + a per-row projection. Nothing driver-side, no second
-  * pass over the target. For the physical-rewrite-avoidance story see
-  * [[mergeDeletionVector]].
+  * Scale shape: ONE shuffle per side (the full-outer equi-join on the key;
+  * the source-side window shares the source's exchange) + a per-row
+  * projection. Nothing driver-side, no second pass over the target. For the
+  * physical-rewrite-avoidance story see [[mergeDeletionVector]].
   */
 object Merge {
 
@@ -42,20 +49,32 @@ object Merge {
   private val NMatches = "__graft_n_matches"
 
   /** The annotated join both public forms project from: target FULL OUTER
-    * source on `keys`, with presence flags and the per-target-key source
-    * match count (the cardinality guard's input).
+    * source on `keys`, with presence flags. Each SOURCE row carries the count
+    * of source rows sharing its key (window over the source's own keys,
+    * computed pre-join so the join's hash partitioning is reused and no
+    * not-matched row lands in a NULL-key window partition) — after the join,
+    * a matched target row's `NMatches` is exactly the number of source rows
+    * that matched IT, regardless of duplicate keys on the target side.
     */
   private def joined(target: DataFrame, source: DataFrame,
       keys: Seq[String]): DataFrame = {
+    val bySourceKey = Window.partitionBy(keys.map(col): _*)
     val t = target.withColumn(InT, lit(true)).as("t")
-    val s = source.withColumn(InS, lit(true)).as("s")
+    val s = source.withColumn(InS, lit(true))
+      .withColumn(NMatches, count(lit(1)).over(bySourceKey)).as("s")
     val on = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-    val byTargetKey = Window.partitionBy(keys.map(k => col(s"t.$k")): _*)
     t.join(s, on, "full_outer")
-      .withColumn(NMatches,
-        sum(when(col(InT).isNotNull && col(InS).isNotNull, 1L).otherwise(0L))
-          .over(byTargetKey))
   }
+
+  /** Wrap an output column with the cardinality guard: throw if this row's
+    * target matched more than one source row.
+    */
+  private def guarded(matched: Column, keys: Seq[String])(base: Column): Column =
+    when(matched && col(NMatches) > 1,
+        raise_error(concat(
+          lit(s"MERGE cardinality violation on key ${keys.mkString(",")}: "),
+          lit("a target row is matched by multiple source rows"))))
+      .otherwise(base)
 
   /** Default value of an unmapped target column on INSERT: the same-named
     * source column when the source has one, else a typed NULL — a change feed
@@ -85,16 +104,12 @@ object Merge {
       insertWhen.getOrElse(lit(true))
     val keep = (matched && !deleteWhen.getOrElse(lit(false))) ||
       (col(InT).isNotNull && col(InS).isNull) || inserted
+    // the guard rides the output columns so pruning cannot drop it
     val outCols = target.columns.toSeq.map { c =>
-      val base = when(updated, updateSet.getOrElse(c, col(s"t.$c")))
-        .when(inserted, insertValues.getOrElse(c, insertDefault(target, source)(c)))
-        .otherwise(col(s"t.$c"))
-      // the guard rides the output columns so pruning cannot drop it
-      when(matched && col(NMatches) > 1,
-          raise_error(concat(
-            lit(s"MERGE cardinality violation on key ${keys.mkString(",")}: "),
-            lit("a target row is matched by multiple source rows"))))
-        .otherwise(base)
+      guarded(matched, keys)(
+        when(updated, updateSet.getOrElse(c, col(s"t.$c")))
+          .when(inserted, insertValues.getOrElse(c, insertDefault(target, source)(c)))
+          .otherwise(col(s"t.$c")))
         .as(c)
     }
     j.filter(keep).select(outCols: _*)
@@ -121,13 +136,18 @@ object Merge {
       updateWhen.getOrElse(lit(false))
     val inserted = col(InT).isNull && col(InS).isNotNull &&
       insertWhen.getOrElse(lit(true))
+    // same guard as mergeInto, on both projections: an ambiguous source must
+    // fail the DV flavor identically, not silently emit duplicate dv/append
+    // rows that break the `target \ dv ∪ appends ≡ mergeInto` identity
     val dv = j.filter(deleted || updated)
-      .select(keys.map(k => col(s"t.$k").as(k)): _*)
+      .select(keys.map(k => guarded(matched, keys)(col(s"t.$k")).as(k)): _*)
     val appends = j.filter(updated || inserted)
       .select(target.columns.toSeq.map { c =>
-        when(updated, updateSet.getOrElse(c, col(s"t.$c")))
-          .when(inserted, insertValues.getOrElse(c, insertDefault(target, source)(c)))
-          .otherwise(col(s"t.$c")).as(c)
+        guarded(matched, keys)(
+          when(updated, updateSet.getOrElse(c, col(s"t.$c")))
+            .when(inserted, insertValues.getOrElse(c, insertDefault(target, source)(c)))
+            .otherwise(col(s"t.$c")))
+          .as(c)
       }: _*)
     (dv, appends)
   }

@@ -33,6 +33,41 @@ class EntitySpec extends SparkSpec {
       "cross-block variant is not merged: the blocking-key recall bound")
   }
 
+  test("oversized-label degradation: shuffle join gives identical results, SortMergeJoin shape") {
+    import spark.implicits._
+    val d = tmpDir("entityshuffle")
+    Seq(
+      (1L, "acme widget"),
+      (2L, "acme widgit"),
+      (3L, "acme anvil"),
+      (4L, "bolt large"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+
+    val broadcastPlan = Entity.partEntities(spark, d)
+    val shufflePlan = Entity.partEntities(spark, d, broadcastLabels = false)
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3))
+    assert(shufflePlan.collect().map(key).sortBy(_._1).toSeq ===
+      broadcastPlan.collect().map(key).sortBy(_._1).toSeq,
+      "degraded plan is result-identical to the broadcast plan")
+
+    // The final label join must degrade to a non-broadcast join when the
+    // label table is declared oversized. AQE may still pick SMJ or shuffled
+    // hash; what must NOT appear for that join is a broadcast exchange on
+    // the label side. Simplest robust pin: with the hint stripped and
+    // autoBroadcast disabled, the physical plan carries a SortMergeJoin.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val physical = Entity.partEntities(spark, d, broadcastLabels = false)
+        .queryExecution.executedPlan.toString
+      assert(physical.contains("SortMergeJoin"),
+        s"expected a SortMergeJoin in the degraded plan, got:\n$physical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("multi-pass blocking recovers the cross-block variant single-pass misses") {
     import spark.implicits._
     val d = tmpDir("entitymp")

@@ -60,6 +60,35 @@ class MergeSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("cardinality violation")))
   }
 
+  test("a duplicate-key target updated by ONE source row per key is NOT a violation") {
+    import spark.implicits._
+    // Delta semantics: one source row may update several target rows; the
+    // guard fires only when a target row is matched by >1 SOURCE rows.
+    val dupTarget = Seq((1L, "a", 10.0), (1L, "a2", 11.0), (2L, "b", 20.0))
+      .toDF("k", "name", "bal")
+    val source = Seq((1L, 5.0)).toDF("k", "amount")
+    val merged = Merge.mergeInto(dupTarget, source, Seq("k"),
+      updateWhen = Some(lit(true)),
+      updateSet = Map("bal" -> (col("t.bal") + col("s.amount"))))
+    val rows = merged.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq((1L, "a", 15.0), (1L, "a2", 16.0), (2L, "b", 20.0)))
+  }
+
+  test("deletion-vector flavor raises the same cardinality violation as mergeInto") {
+    import spark.implicits._
+    val source = Seq((2L, 1.0), (2L, 2.0)).toDF("k", "amount")
+    val (dv, appends) = Merge.mergeDeletionVector(target, source, Seq("k"),
+      updateWhen = Some(lit(true)),
+      updateSet = Map("bal" -> col("s.amount")))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception](dv.collect())
+    assert(msgs(e1).exists(_.contains("cardinality violation")))
+    val e2 = intercept[Exception](appends.collect())
+    assert(msgs(e2).exists(_.contains("cardinality violation")))
+  }
+
   test("deletion-vector flavor reconstructs exactly the merged relation") {
     import spark.implicits._
     val source = Seq(
