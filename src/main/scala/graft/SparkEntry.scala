@@ -161,6 +161,10 @@ object SparkEntry {
     "q128_unpivot"         -> ((s, d) => Relational.pricingSummaryLong(s, d)),
     "q129_training_mix"    -> ((s, d) => graft.ops.TrainingMix.mixManifest(s, d)),
     "q130_cross_links"     -> ((s, d) => Similarity.crossCorpusLinks(s, d)),
+    // q131 has NO oracleSql on purpose, like q61/q71: DataSketches HLL
+    // estimates are engine-specific (rows-only gate); StatsSketchSpec pins
+    // slice-invariance of the merge and the 3-sigma bound vs exact NDV
+    "q131_approx_stats"    -> ((s, d) => graft.ops.Stats.approxTableStats(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))

@@ -110,4 +110,82 @@ object Stats {
         min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
         min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
   }
+
+  /** The documented mergeable-NDV swap ([[incrementalTableStats]] omits NDV
+    * because exact distinct counts don't merge): per-slice DataSketches HLL
+    * sketches (`hll_sketch_agg`) merged with `hll_union_agg` — union of
+    * sketches IS the sketch of the union, so NDV joins the incremental
+    * stats frame without ever rescanning the snapshot.
+    *
+    * Shape per slice: ONE scan, ONE wide aggregate (row count + per-column
+    * null count + per-column HLL sketch, all partial-mergeable map-side) —
+    * no Expand, no per-column branch, the one-pass-over-all-columns shape
+    * [[tableStats]]'s Scaladoc names for 100 TB. The merge is a one-row agg
+    * over `|slices|` rows; the final unpivot is `inline` over an N-element
+    * literal array, constant-sized.
+    *
+    * Values are cast to string first: `hll_sketch_agg` accepts int/long/
+    * string/binary only, and one input domain keeps every column's sketch
+    * comparable to its exact twin (`count(distinct cast(c as string))`).
+    *
+    * Merge-exactness nuance, pinned by StatsSketchSpec: the merged HLL
+    * REGISTER state is a pure per-bucket max over the hashed item set (max
+    * is associative), so the estimate is invariant to HOW the table was
+    * sliced — 2 slices and 4 slices merge to the identical number. It is
+    * NOT bit-equal to a never-merged single sketch, which reports the
+    * order-dependent HIP estimator that a multi-input union deliberately
+    * discards; both sit inside the same published error bound. Sketch
+    * estimates are engine-specific, so like q61/q71 this is rows-only at
+    * the driver gate; the spec pins (a) slice-invariance and (b) the
+    * 3-sigma HLL error bound vs exact NDV.
+    */
+  def approxTableStats(spark: SparkSession, sfDir: String, lgK: Int = 12,
+      cuts: Seq[String] = Seq("1999-01-01")): DataFrame = {
+    val full = Tables.lineitem(spark, sfDir)
+    val bounds = (None +: cuts.sorted.map(Option(_))) :+ None
+    val slices = bounds.sliding(2).map {
+      case Seq(lo, hi) =>
+        val c = col("l_shipdate")
+        Seq(lo.map(d => c >= lit(d).cast("timestamp_ntz")),
+            hi.map(d => c < lit(d).cast("timestamp_ntz")))
+          .flatten.reduceOption(_ && _)
+          .map(full.filter).getOrElse(full)
+    }.toSeq
+    approxStatsOverSlices(slices, lgK)
+  }
+
+  private def approxStatsOverSlices(slices: Seq[DataFrame], lgK: Int): DataFrame = {
+    val names = slices.head.schema.fields.map(_.name).toSeq
+
+    def partials(df: DataFrame): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +:
+        names.flatMap { n =>
+          Seq(
+            sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+            hll_sketch_agg(col(n).cast("string"), lit(lgK)).as(s"sk_$n"))
+        }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+
+    val mergeAggs = sum(col("n_rows")).as("n_rows") +:
+      names.flatMap { n =>
+        Seq(
+          sum(col(s"nn_$n")).as(s"nn_$n"),
+          // second arg is allowDifferentLgConfigK — every slice sketches at
+          // the same lgK, so differing configs are a bug, not a merge case
+          hll_union_agg(col(s"sk_$n"), lit(false)).as(s"sk_$n"))
+      }
+    val merged = slices.map(partials).reduce(_ unionByName _)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+
+    // constant-sized unpivot: one struct per column off the single merged row
+    val entries = names.map { n =>
+      struct(
+        lit(n).as("column_name"),
+        col("n_rows"),
+        col(s"nn_$n").as("n_nulls"),
+        hll_sketch_estimate(col(s"sk_$n")).as("ndv_approx"))
+    }
+    merged.select(inline(array(entries: _*)))
+  }
 }
