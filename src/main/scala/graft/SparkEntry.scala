@@ -165,6 +165,9 @@ object SparkEntry {
     // estimates are engine-specific (rows-only gate); StatsSketchSpec pins
     // slice-invariance of the merge and the 3-sigma bound vs exact NDV
     "q131_approx_stats"    -> ((s, d) => graft.ops.Stats.approxTableStats(s, d)),
+    "q132_time_travel"     -> ((s, d) => graft.io.IoQueries.versionedAsOf(s, d)),
+    "q133_change_feed"     -> ((s, d) => graft.io.IoQueries.versionedChanges(s, d)),
+    "q134_join_view_maint" -> ((s, d) => graft.ops.ViewMaintenance.incrementalJoinView(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -876,6 +879,38 @@ object SparkEntry {
     // format round trips are lossless against the source tables
     "q120_json_source" -> "SELECT * FROM documents",
     "q121_orc_roundtrip" -> "SELECT * FROM lineitem",
+
+    // versioned table: the oracle recomputes the versioned states straight
+    // from the source table, so commit protocol + manifest fold + CoW
+    // rewrite + change-feed except must all be lossless to hash-match.
+    // q132: AS OF v2 = initial F load + O batch, minus the <50000 purge
+    "q132_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O') AND o_totalprice >= 50000""".stripMargin,
+    // incremental JOIN-view maintenance: the oracle recomputes the view
+    // from scratch over the full join, so the delta-join identity
+    // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg
+    // merge must be bit-identical to prove merge ≡ recompute
+    "q134_join_view_maint" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q133: changes v1→v3 = the purge's deletes + the v3 batch's inserts;
+    // rows the CoW rewrite merely carried over must NOT appear
+    "q133_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'insert' AS "_change_type"
+        |FROM orders WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, 'delete' AS "_change_type"
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O') AND o_totalprice < 50000""".stripMargin,
 
     // the TRAINED BPE tokenizer, oracle-gated end to end: k unrolled merge
     // rounds in pure string SQL replay Bpe.train exactly

@@ -4,12 +4,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated subset (dev iteration; the driver
+    // always runs the full registry). The full-registry invariant below is
+    // scoped to the subset so a dev run doesn't scream about unrun queries.
+    val only = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean =
+      only.forall(keys => keys.exists(k => name == k || name.startsWith(k + "_")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.SessionFactory.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,7 +49,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = failed
@@ -50,7 +57,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     // Loud invariant: every registered query must have produced an output
     // directory (real result or err marker) — a missing one is a harness bug.
-    val missing = SparkEntry.queries.keySet
+    val missing = SparkEntry.queries.keySet.filter(selected)
       .filterNot(n => Files.exists(Paths.get(s"$outDir/$n")))
     if (missing.nonEmpty)
       System.err.println(s"[verify] HARNESS BUG — no output for: ${missing.mkString(", ")}")

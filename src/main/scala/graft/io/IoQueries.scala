@@ -141,4 +141,54 @@ object IoQueries {
     finally ledger.close()
     Jdbc.read(spark, metricsConn, "customer_monthly_purchase")
   }
+
+  // ---------------------------------------------------------------- versioned
+
+  /** Build the deterministic 4-version orders history the versioned-table
+    * queries read (memoized per scale factor; a crashed build leaves no
+    * `_DONE` and rebuilds from clean):
+    *   v0 append  orders with status F        (initial load)
+    *   v1 append  orders with status O        (incremental batch)
+    *   v2 delete  o_totalprice < 50000        (copy-on-write GDPR-style purge)
+    *   v3 append  orders with status P        (another batch, AFTER the purge
+    *                                           — time travel to v2 must not
+    *                                           see it, the change feed must)
+    */
+  private def versionedOrdersBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("versioned_orders", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      graft.core.StagingClock.timed { deleteRecursively(base) }
+      val orders = Tables.orders(spark, sfDir)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "F"), base)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "O"), base)
+      VersionedTable.deleteWhere(spark, base, col("o_totalprice") < 50000.0)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "P"), base)
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** Time travel: the table AS OF v2 — after the copy-on-write purge, before
+    * the v3 batch. The oracle recomputes that state straight from the source
+    * table, so commit protocol + manifest fold + CoW rewrite must all be
+    * lossless for the hash to match.
+    */
+  def versionedAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = versionedOrdersBase(spark, sfDir)
+    VersionedTable.snapshot(spark, base, version = 2)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+
+  /** Change feed across v1→v3: the purge's deletes and the v3 batch's
+    * inserts — and NOTHING from the CoW rewrite's carried-over rows, which
+    * is the property that makes a downstream incremental consumer read
+    * O(changes), not O(table).
+    */
+  def versionedChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = versionedOrdersBase(spark, sfDir)
+    VersionedTable.changesBetween(spark, base, fromV = 1, toV = 3)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "_change_type")
+  }
 }
