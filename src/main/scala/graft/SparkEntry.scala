@@ -168,6 +168,8 @@ object SparkEntry {
     "q132_time_travel"     -> ((s, d) => graft.io.IoQueries.versionedAsOf(s, d)),
     "q133_change_feed"     -> ((s, d) => graft.io.IoQueries.versionedChanges(s, d)),
     "q134_join_view_maint" -> ((s, d) => graft.ops.ViewMaintenance.incrementalJoinView(s, d)),
+    "q135_data_skipping"   -> ((s, d) => graft.io.IoQueries.clusteredRangeRead(s, d)),
+    "q136_versioned_merge" -> ((s, d) => graft.io.IoQueries.versionedMergeState(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -911,6 +913,34 @@ object SparkEntry {
         |  o_orderdate, o_orderpriority, 'delete' AS "_change_type"
         |FROM orders
         |WHERE o_orderstatus IN ('F', 'O') AND o_totalprice < 50000""".stripMargin,
+
+    // q135: manifest data skipping must be INVISIBLE in the result — the
+    // oracle is a plain filter over the full table; the spec separately pins
+    // that the range read actually opened fewer file groups
+    "q135_data_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0""".stripMargin,
+    // q136: versioned MERGE final state = carried (keys not in source)
+    // ∪ updated (matched, price ≥ 50000: price+1.0, priority MERGED)
+    // ∪ inserted (source keys not in target, i.e. status-P keys, price+1.0);
+    // matched rows with price < 50000 are DELETEd. Source keys are every 5th
+    // orderkey; +1.0 on a double is exact IEEE in both engines.
+    "q136_versioned_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O'))
+        |SELECT * FROM t WHERE o_orderkey % 5 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+        |  'MERGED' AS o_orderpriority
+        |FROM t WHERE o_orderkey % 5 = 0 AND o_totalprice >= 50000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'P'""".stripMargin,
 
     // the TRAINED BPE tokenizer, oracle-gated end to end: k unrolled merge
     // rounds in pure string SQL replay Bpe.train exactly

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.core.Tables
 import graft.etl.Marts
@@ -190,5 +190,76 @@ object IoQueries {
     VersionedTable.changesBetween(spark, base, fromV = 1, toV = 3)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority", "_change_type")
+  }
+
+  /** Orders range-clustered on `o_totalprice` into 8 stat-carrying file
+    * groups (memoized per scale factor) — the write-side half of manifest
+    * data skipping.
+    */
+  private def clusteredOrdersBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("clustered_orders", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      deleteRecursively(base)
+      VersionedTable.appendClustered(Tables.orders(spark, sfDir), base,
+        statsCol = "o_totalprice", nGroups = 8)
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** Manifest-level data skipping (q135): a totalprice range read opens only
+    * the file groups whose [min,max] stats intersect the range — the
+    * VersionedTableSpec pins the skip count; the oracle pins that skipping is
+    * INVISIBLE in the result (same rows as a plain filter over the full
+    * table, which is what it recomputes).
+    */
+  def clusteredRangeRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = clusteredOrdersBase(spark, sfDir)
+    VersionedTable.snapshotRange(spark, base, "o_totalprice", 100000.0, 150000.0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+  }
+
+  /** The versioned-MERGE history (memoized per scale factor):
+    *   v0 append  orders with status F              (initial load)
+    *   v1 append  orders with status O              (incremental batch)
+    *   v2 merge   source = every 5th orderkey, price bumped +1.0:
+    *                matched & t.price < 50000  → DELETE
+    *                matched otherwise          → UPDATE price=s.price,
+    *                                             priority='MERGED'
+    *                not matched (status P keys) → INSERT
+    * committed copy-on-write through [[VersionedTable.merge]].
+    */
+  private def mergedOrdersBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("merged_orders", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      deleteRecursively(base)
+      val orders = Tables.orders(spark, sfDir)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "F"), base)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "O"), base)
+      val source = orders
+        .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      VersionedTable.merge(spark, base, source, keys = Seq("o_orderkey"),
+        updateWhen = Some(lit(true)),
+        updateSet = Map(
+          "o_totalprice" -> col("s.o_totalprice"),
+          "o_orderpriority" -> lit("MERGED")),
+        deleteWhen = Some(col("t.o_totalprice") < 50000.0))
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** Versioned MERGE INTO (q136): the post-merge snapshot. The oracle
+    * rebuilds the same final state in plain SQL (carried ∪ updated ∪
+    * inserted), so merge row semantics + CoW group rewrite + the single
+    * atomic commit must all be lossless to hash-match.
+    */
+  def versionedMergeState(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = mergedOrdersBase(spark, sfDir)
+    VersionedTable.snapshot(spark, base)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
   }
 }

@@ -44,7 +44,20 @@ object VersionedTable {
 
   private def logDir(base: String) = Paths.get(base, "_log")
 
-  private case class Manifest(action: String, add: Seq[String], remove: Seq[String])
+  /** An added file group, optionally carrying min/max stats for ONE declared
+    * clustering column — the manifest-level data-skipping index. Stats are
+    * doubles (numeric clustering keys); a group without stats is never
+    * skipped (correctness default for mixed histories).
+    */
+  private case class Group(rel: String, statsCol: Option[String] = None,
+      min: Double = 0, max: Double = 0) {
+    def manifestLine: String = statsCol match {
+      case Some(c) => s"add $rel $c $min $max"
+      case None => s"add $rel"
+    }
+  }
+
+  private case class Manifest(action: String, add: Seq[Group], remove: Seq[String])
 
   private def manifestFiles(base: String): Seq[java.nio.file.Path] = {
     val d = logDir(base)
@@ -55,25 +68,32 @@ object VersionedTable {
 
   private def readManifest(p: java.nio.file.Path): Manifest = {
     val lines = Files.readAllLines(p).asScala.toSeq
+    val adds = lines.collect {
+      case s if s.startsWith("add ") => s.drop(4).split(" ") match {
+        case Array(rel) => Group(rel)
+        case Array(rel, c, mn, mx) => Group(rel, Some(c), mn.toDouble, mx.toDouble)
+      }
+    }
     Manifest(
       lines.collectFirst { case s if s.startsWith("action ") => s.drop(7) }.getOrElse("?"),
-      lines.collect { case s if s.startsWith("add ") => s.drop(4) },
+      adds,
       lines.collect { case s if s.startsWith("remove ") => s.drop(7) })
   }
 
   /** Latest committed version, or -1 for an empty/absent table. */
   def latestVersion(base: String): Int = manifestFiles(base).size - 1
 
-  private def liveGroups(base: String, asOf: Int): Seq[String] = {
+  private def liveGroups(base: String, asOf: Int): Seq[Group] = {
     val ms = manifestFiles(base).take(asOf + 1).map(readManifest)
-    ms.foldLeft(Vector.empty[String])((live, m) => live.filterNot(m.remove.contains) ++ m.add)
+    ms.foldLeft(Vector.empty[Group])((live, m) =>
+      live.filterNot(g => m.remove.contains(g.rel)) ++ m.add)
   }
 
-  private def commit(base: String, action: String, add: Seq[String],
+  private def commit(base: String, action: String, add: Seq[Group],
       remove: Seq[String]): Int = {
     val v = latestVersion(base) + 1
     Files.createDirectories(logDir(base))
-    val body = (s"action $action" +: (add.map("add " + _) ++ remove.map("remove " + _)))
+    val body = (s"action $action" +: (add.map(_.manifestLine) ++ remove.map("remove " + _)))
       .mkString("", "\n", "\n")
     val tmp = logDir(base).resolve(f".v$v%05d.txt.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -82,16 +102,56 @@ object VersionedTable {
     v
   }
 
-  private def writeGroup(df: DataFrame, base: String, version: Int, k: Int): String = {
+  private def writeGroup(df: DataFrame, base: String, version: Int, k: Int,
+      statsCol: Option[String] = None): Option[Group] = {
     val rel = f"groups/g$version%05d-$k"
     df.write.mode("overwrite").parquet(s"$base/$rel")
-    rel
+    statsCol match {
+      case None => Some(Group(rel))
+      case Some(c) =>
+        // stats ride the commit: one tiny agg over the group just written
+        // (a production writer folds this into the write task's footer scan)
+        val r = df.sparkSession.read.parquet(s"$base/$rel")
+          .agg(count(lit(1)), min(col(c).cast("double")), max(col(c).cast("double"))).head
+        if (r.getLong(0) == 0L) None   // empty rewrite: nothing to track
+        else if (r.isNullAt(1)) Some(Group(rel))  // only null keys: statless, never skipped
+        else Some(Group(rel, Some(c), r.getDouble(1), r.getDouble(2)))
+    }
   }
 
   /** Append `df` as a new file group. */
   def append(df: DataFrame, base: String): Int = {
     val v = latestVersion(base) + 1
-    commit(base, "append", Seq(writeGroup(df, base, v, 0)), Seq.empty)
+    commit(base, "append", writeGroup(df, base, v, 0).toSeq, Seq.empty)
+  }
+
+  /** Append `df` range-CLUSTERED on a numeric column into `nGroups` file
+    * groups, each with min/max stats in the manifest — the write-side half
+    * of data skipping: clustering makes group ranges narrow, stats make
+    * them skippable. Boundaries come from `approxQuantile` (one pass,
+    * driver gets `nGroups−1` doubles); each group is a filtered write, so
+    * clustering costs `nGroups` scans here — a production writer does ONE
+    * `repartitionByRange` job and collects per-file stats from the commit
+    * protocol instead, same log contents.
+    */
+  def appendClustered(df: DataFrame, base: String, statsCol: String,
+      nGroups: Int): Int = {
+    val v = latestVersion(base) + 1
+    val cuts = df.stat.approxQuantile(statsCol,
+      (1 until nGroups).map(_.toDouble / nGroups).toArray, 0.001)
+    val bounds = (None +: cuts.map(Option(_)).toSeq) :+ None
+    val groups = bounds.sliding(2).zipWithIndex.flatMap {
+      case (Seq(lo, hi), k) =>
+        val c = col(statsCol).cast("double")
+        val range = (lo.map(c >= _) ++ hi.map(c < _))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        // null clustering keys satisfy NO range predicate — route them into
+        // group 0 so the full snapshot keeps them (a range read never wants
+        // them: NULL fails the residual filter whatever groups are opened)
+        val pred = if (k == 0) range || c.isNull else range
+        writeGroup(df.filter(pred), base, v, k, Some(statsCol))
+    }.toSeq
+    commit(base, "append_clustered", groups, Seq.empty)
   }
 
   /** Table state at `version` (defaults to latest). An empty live set needs a
@@ -101,9 +161,43 @@ object VersionedTable {
   def snapshot(spark: SparkSession, base: String, version: Int = Int.MaxValue): DataFrame = {
     val v = math.min(version, latestVersion(base))
     require(v >= 0, s"no committed version in $base")
-    val paths = liveGroups(base, v).map(rel => s"$base/$rel")
+    val paths = liveGroups(base, v).map(g => s"$base/${g.rel}")
     require(paths.nonEmpty, s"version $v of $base has no live data groups")
     spark.read.parquet(paths: _*)
+  }
+
+  /** Range read with manifest-level data skipping: only file groups whose
+    * [min,max] stats intersect [lo,hi] are opened at all (groups without
+    * stats are conservatively read); the residual filter then applies
+    * exactly. The skipping is invisible in the result — same rows as
+    * filtering the full snapshot — which is what makes it safe; the spec
+    * pins that the group count actually shrinks. This is the manifest tier
+    * of the pruning stack (above it: parquet row-group min/max, below it:
+    * partition directories).
+    */
+  def snapshotRange(spark: SparkSession, base: String, statsCol: String,
+      lo: Double, hi: Double, version: Int = Int.MaxValue): DataFrame = {
+    val c = col(statsCol).cast("double")
+    prunedPaths(base, statsCol, lo, hi, version) match {
+      case Seq() => // every live group skipped: empty result, schema from v
+        snapshot(spark, base, version).filter(lit(false))
+      case paths => spark.read.parquet(paths: _*).filter(c >= lo && c <= hi)
+    }
+  }
+
+  /** The group paths [[snapshotRange]] would open — exposed so the spec can
+    * pin the skip count without reaching into private state.
+    */
+  private[io] def prunedPaths(base: String, statsCol: String, lo: Double,
+      hi: Double, version: Int = Int.MaxValue): Seq[String] = {
+    val v = math.min(version, latestVersion(base))
+    require(v >= 0, s"no committed version in $base")
+    liveGroups(base, v).filter { g =>
+      g.statsCol match {
+        case Some(c) if c == statsCol => g.max >= lo && g.min <= hi
+        case _ => true   // no stats for this column: cannot skip safely
+      }
+    }.map(g => s"$base/${g.rel}")
   }
 
   /** Copy-on-write DELETE WHERE: rewrite ONLY the file groups that contain
@@ -118,15 +212,76 @@ object VersionedTable {
     val live = liveGroups(base, v)
     val touchedFiles = snapshot(spark, base).filter(predicate)
       .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
-    val touched = live.filter(rel => touchedFiles.exists(_.contains(s"/$rel/")))
+    val touched = live.filter(g => touchedFiles.exists(_.contains(s"/${g.rel}/")))
     if (touched.isEmpty) commit(base, "delete_noop", Seq.empty, Seq.empty)
     else {
       val next = v + 1
-      val rewritten = touched.zipWithIndex.map { case (rel, k) =>
-        writeGroup(spark.read.parquet(s"$base/$rel").filter(!predicate), base, next, k)
+      val rewritten = touched.zipWithIndex.flatMap { case (g, k) =>
+        // a clustered group keeps its stats column: the rewrite re-collects
+        // min/max over the kept rows so skipping stays tight after deletes
+        writeGroup(spark.read.parquet(s"$base/${g.rel}").filter(!predicate),
+          base, next, k, g.statsCol)
       }
-      commit(base, "delete", rewritten, touched)
+      commit(base, "delete", rewritten, touched.map(_.rel))
     }
+  }
+
+  /** Versioned MERGE INTO — [[graft.ops.Merge]]'s row semantics committed
+    * through the copy-on-write protocol: groups containing MATCHED target
+    * keys are rewritten through `mergeInto` (update/delete clauses, inserts
+    * suppressed — an existing group never absorbs new rows), not-matched
+    * source rows land as ONE fresh append group, untouched groups carry
+    * over by reference, and the whole thing is a single atomic commit.
+    * Each rewrite joins one group against the slice of the source matching
+    * ITS keys, so rewrite cost scales with touched data; the cardinality
+    * guard inside `mergeInto` rides along unchanged (an ambiguous source
+    * fails the commit before any manifest lands — data groups written by
+    * the failed attempt are unreferenced garbage for vacuum, exactly the
+    * crashed-writer story).
+    */
+  def merge(spark: SparkSession, base: String, source: DataFrame,
+      keys: Seq[String],
+      updateWhen: Option[Column] = None,
+      updateSet: Map[String, Column] = Map.empty,
+      deleteWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None): Int = {
+    val v = latestVersion(base)
+    require(v >= 0, s"no committed version in $base")
+    val live = liveGroups(base, v)
+    val snap = snapshot(spark, base)
+    val keyCols = keys.map(col)
+
+    // input_file_name() must bind to the scan BEFORE the join — after it the
+    // expression has two sources and analysis rejects it
+    val touchedFiles = snap.withColumn("__graft_file", input_file_name())
+      .join(source.select(keyCols: _*).distinct(), keys)
+      .select(col("__graft_file")).distinct().collect().map(_.getString(0))
+    val touched = live.filter(g => touchedFiles.exists(_.contains(s"/${g.rel}/")))
+
+    val next = v + 1
+    val rewritten = touched.zipWithIndex.flatMap { case (g, k) =>
+      val groupDf = spark.read.parquet(s"$base/${g.rel}")
+      val groupSource = source.join(groupDf.select(keyCols: _*).distinct(), keys, "left_semi")
+      writeGroup(
+        graft.ops.Merge.mergeInto(groupDf, groupSource, keys,
+          updateWhen = updateWhen, updateSet = updateSet,
+          deleteWhen = deleteWhen, insertWhen = Some(lit(false))),
+        base, next, k, g.statsCol)
+    }
+    // not-matched source rows, projected to the target schema, as one group;
+    // the source is aliased `s` so insertWhen can use the same `s.<col>`
+    // vocabulary as the matched-clause conditions
+    val inserts = source.as("s")
+      .join(snap.select(keyCols: _*).distinct(), keys, "left_anti")
+      .filter(insertWhen.getOrElse(lit(true)))
+    val targetCols = snap.columns.toSeq
+    val insertDf = inserts.select(targetCols.map(c =>
+      (if (inserts.columns.contains(c)) col(c)
+       else lit(null).cast(snap.schema(c).dataType)).as(c)): _*)
+    val insertGroup =
+      if (insertDf.isEmpty) None else writeGroup(insertDf, base, next, touched.size)
+
+    commit(base, "merge", rewritten ++ insertGroup.toSeq, touched.map(_.rel))
   }
 
   /** Versions with their actions and file-group deltas — the `DESCRIBE

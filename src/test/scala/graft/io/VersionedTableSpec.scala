@@ -75,6 +75,107 @@ class VersionedTableSpec extends SparkSpec {
       "carried-over row (2,keep) absent; both copies of the dup deleted")
   }
 
+  test("clustered append: stats skip groups, and skipping is invisible in the result") {
+    import spark.implicits._
+    val base = tmpDir("vt_cluster")
+    val df = (1 to 400).map(i => (i.toLong, i.toDouble)).toDF("k", "price")
+    VersionedTable.appendClustered(df, base, "price", nGroups = 4)
+    assert(VersionedTable.snapshot(spark, base).count() === 400L,
+      "clustering loses no rows")
+    val all = VersionedTable.prunedPaths(base, "price",
+      Double.NegativeInfinity, Double.PositiveInfinity)
+    val pruned = VersionedTable.prunedPaths(base, "price", 120.0, 140.0)
+    assert(all.size === 4)
+    assert(pruned.size === 1, s"[120,140] lives in ONE quartile group, got $pruned")
+    val expect = VersionedTable.snapshot(spark, base)
+      .filter(col("price") >= 120.0 && col("price") <= 140.0)
+      .collect().map(_.getLong(0)).sorted
+    val got = VersionedTable.snapshotRange(spark, base, "price", 120.0, 140.0)
+      .collect().map(_.getLong(0)).sorted
+    assert(got === expect, "range read ≡ full-snapshot filter")
+
+    // a CoW delete re-collects stats on the rewrite, so skipping stays
+    // tight: wiping price > 180 empties the two upper groups entirely
+    // (dropped from the manifest) and shrinks the second group's max
+    VersionedTable.deleteWhere(spark, base, col("price") > 180.0)
+    assert(VersionedTable.snapshot(spark, base).count() === 180L)
+    assert(VersionedTable.prunedPaths(base, "price", 250.0, 260.0).isEmpty,
+      "post-delete stats exclude the wiped range entirely")
+    assert(VersionedTable.snapshotRange(spark, base, "price", 250.0, 260.0).count() === 0L,
+      "all-groups-skipped read still answers (empty, with schema)")
+  }
+
+  test("null clustering keys survive; statless groups are never skipped") {
+    import spark.implicits._
+    val base = tmpDir("vt_mixed")
+    // v0: a PLAIN append — its group carries no stats
+    VersionedTable.append(Seq((1L, Some(5.0))).toDF("k", "price"), base)
+    // v1: a clustered append whose input includes a NULL clustering key
+    VersionedTable.appendClustered(
+      Seq((2L, Some(100.0)), (3L, Option.empty[Double])).toDF("k", "price"),
+      base, "price", nGroups = 2)
+    assert(VersionedTable.snapshot(spark, base).count() === 3L,
+      "null clustering key must not be dropped by the group split")
+    // a range far above everything: stat-carrying groups skip, statless stay
+    val far = VersionedTable.prunedPaths(base, "price", 1000.0, 2000.0)
+    assert(far.nonEmpty, "statless groups are conservatively kept")
+    assert(VersionedTable.snapshotRange(spark, base, "price", 1000.0, 2000.0).count() === 0L)
+    assert(VersionedTable.snapshotRange(spark, base, "price", 4.0, 6.0)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "rows in statless groups are still found by range reads")
+  }
+
+  test("versioned merge: CoW rewrite + one insert group, untouched carries by reference") {
+    import spark.implicits._
+    val base = tmpDir("vt_merge")
+    VersionedTable.append(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "x"), base)
+    VersionedTable.append(Seq((10L, "j", 100.0)).toDF("k", "s", "x"), base)
+    VersionedTable.append(Seq((20L, "z", 7.0)).toDF("k", "s", "x"), base)
+    val source = Seq(
+      (2L, "B", 5.0),     // matched in g0 → update (x += 5)
+      (10L, "del", 0.0),  // matched in g1 → delete
+      (3L, "c", 30.0),    // not matched → insert
+      (4L, "skip", 0.0)   // not matched but insertWhen rejects it
+    ).toDF("k", "s", "x")
+    VersionedTable.merge(spark, base, source, keys = Seq("k"),
+      updateWhen = Some(lit(true)),
+      updateSet = Map("s" -> col("s.s"), "x" -> (col("t.x") + col("s.x"))),
+      deleteWhen = Some(col("s.s") === "del"),
+      insertWhen = Some(col("s.s") =!= "skip"))
+    val got = VersionedTable.snapshot(spark, base).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 10.0), (2L, "B", 25.0), (3L, "c", 30.0), (20L, "z", 7.0)))
+    // time travel: the pre-merge version still reads the old state
+    assert(VersionedTable.snapshot(spark, base, 2).count() === 4L)
+    // group untouched by any source key carries over by its ORIGINAL identity
+    val live = VersionedTable.snapshot(spark, base)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(live.exists(_.contains("/groups/g00002-0/")),
+      "untouched group carried by reference")
+    assert(!live.exists(_.contains("/groups/g00000-0/")),
+      "touched group replaced by its rewrite")
+    val hist = VersionedTable.history(spark, base).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).last
+    assert(hist === (("merge", 3L, 2L)),
+      "one commit: two rewrites + one insert group added, two groups removed")
+  }
+
+  test("an ambiguous merge source fails BEFORE any manifest lands") {
+    import spark.implicits._
+    val base = tmpDir("vt_merge_dup")
+    VersionedTable.append(Seq((1L, "a")).toDF("k", "s"), base)
+    val before = VersionedTable.latestVersion(base)
+    intercept[Exception] {
+      VersionedTable.merge(spark, base,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "s"), keys = Seq("k"),
+        updateWhen = Some(lit(true)), updateSet = Map("s" -> col("s.s")))
+    }
+    assert(VersionedTable.latestVersion(base) === before,
+      "failed merge commits nothing — its part-written groups are vacuum garbage")
+    assert(VersionedTable.snapshot(spark, base).collect().map(_.getString(1)).toSeq
+      === Seq("a"), "table state untouched by the failed merge")
+  }
+
   test("a torn manifest write is invisible: only atomically moved manifests count") {
     import spark.implicits._
     val base = tmpDir("vt_torn")
