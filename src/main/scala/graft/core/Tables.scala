@@ -29,23 +29,30 @@ object Tables {
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
 
-  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read the raw nanos as
-    * a long (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-    * TIMESTAMP_NTZ. The data DOES carry sub-microsecond digits; `div 1000`
-    * truncates toward zero, which matches DuckDB's own ns→µs truncation when it
-    * reads the same file as plain TIMESTAMP — for the positive epochs in this
-    * data the two agree exactly (a pre-1970 dataset would need floor, not div).
+  /** The events table's `ts` encoding has varied across driver data generations:
+    * INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to read as a timestamp —
+    * PARQUET_TYPE_ILLEGAL) and plain TIMESTAMP(MICROS). Normalize both to a
+    * microsecond TIMESTAMP_NTZ by branching on the type Spark actually loaded:
     *
-    * The TimestampType→NTZ cast is wall-clock identity only under a UTC session
-    * timezone, which every entry point ([[graft.Verify]], [[graft.Bench]], tests)
-    * sets explicitly.
+    *  - nanos: read the raw nanos as a long (`spark.sql.legacy.parquet
+    *    .nanosAsLong`) and truncate with `div 1000`, matching DuckDB's own ns→µs
+    *    truncation on the same file (positive epochs only; pre-1970 would need
+    *    floor, not div).
+    *  - micros (isAdjustedToUTC=false): already loads as TIMESTAMP_NTZ — no-op.
+    *  - micros (UTC-adjusted): cast to NTZ, wall-clock identity only under a UTC
+    *    session timezone, which every entry point ([[graft.Verify]],
+    *    [[graft.Bench]], tests) sets explicitly.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts",
-        functions.timestamp_micros(functions.expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          functions.timestamp_micros(functions.expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => raw
+      case _ => raw.withColumn("ts", functions.col("ts").cast(TimestampNTZType))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
