@@ -170,6 +170,8 @@ object SparkEntry {
     "q134_join_view_maint" -> ((s, d) => graft.ops.ViewMaintenance.incrementalJoinView(s, d)),
     "q135_data_skipping"   -> ((s, d) => graft.io.IoQueries.clusteredRangeRead(s, d)),
     "q136_versioned_merge" -> ((s, d) => graft.io.IoQueries.versionedMergeState(s, d)),
+    "q137_optimize_vacuum" -> ((s, d) => graft.io.IoQueries.versionedMaintained(s, d)),
+    "q138_schema_evolution" -> ((s, d) => graft.io.IoQueries.evolvedDocsSnapshot(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -941,6 +943,24 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |  o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderstatus = 'P'""".stripMargin,
+
+    // q137: after slice appends + CoW delete + OPTIMIZE + checkpoint +
+    // VACUUM, the snapshot must equal a plain filter of the source — the
+    // whole maintenance chain is row-lossless or the hash breaks
+    "q137_optimize_vacuum" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |  l_shipdate
+        |FROM lineitem WHERE NOT (l_discount > 0.08)""".stripMargin,
+
+    // q138: additive schema evolution — rows appended before n_chars existed
+    // read it as a typed NULL; later rows carry their value
+    "q138_schema_evolution" ->
+      """SELECT doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     // the TRAINED BPE tokenizer, oracle-gated end to end: k unrolled merge
     // rounds in pure string SQL replay Bpe.train exactly

@@ -262,4 +262,74 @@ object IoQueries {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
   }
+
+  /** The full table-maintenance lifecycle on one table (memoized per scale
+    * factor):
+    *   v0–v2 append  lineitem in 3 slices (`pmod(l_orderkey, 3)`)
+    *   v3    delete  l_discount > 0.08    (copy-on-write purge)
+    *   v4    optimize                     (bin-pack carried + rewritten groups)
+    *   then  checkpoint v4 and vacuum(retain 1) — old group dirs reclaimed.
+    */
+  private def maintainedLineitemBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("maintained_lineitem", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      deleteRecursively(base)
+      val li = Tables.lineitem(spark, sfDir)
+      (0 to 2).foreach(k =>
+        VersionedTable.append(li.filter(pmod(col("l_orderkey"), lit(3)) === k), base))
+      VersionedTable.deleteWhere(spark, base, col("l_discount") > 0.08)
+      VersionedTable.optimize(spark, base)
+      VersionedTable.checkpoint(base)
+      VersionedTable.vacuum(base, retainVersions = 1)
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** OPTIMIZE + checkpoint + VACUUM (q137): the post-maintenance snapshot,
+    * resolved THROUGH the checkpoint over vacuumed storage. The oracle
+    * recomputes the surviving rows straight from the source table, so the
+    * whole maintenance chain — slice appends, CoW delete, bin-packing
+    * rewrite, checkpointed resolution, physical reclamation — must be
+    * row-lossless to hash-match.
+    */
+  def versionedMaintained(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = maintainedLineitemBase(spark, sfDir)
+    VersionedTable.snapshot(spark, base)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+  }
+
+  /** Additive schema evolution (memoized): even doc_ids land first WITHOUT
+    * `n_chars`; odd doc_ids arrive later carrying it. No history rewrite —
+    * each file group keeps its own schema.
+    */
+  private def evolvedDocsBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("evolved_docs", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      deleteRecursively(base)
+      val docs = Tables.documents(spark, sfDir)
+      VersionedTable.append(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id", "lang", "source"),
+        base)
+      VersionedTable.append(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select("doc_id", "lang", "source", "n_chars"),
+        base)
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** Schema evolution (q138): the evolved snapshot merges both group schemas;
+    * rows appended before the column existed read it as NULL. The oracle
+    * rebuilds the same union in SQL with an explicit typed NULL, so the
+    * merge must neither drop the old rows' other columns nor invent values.
+    */
+  def evolvedDocsSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = evolvedDocsBase(spark, sfDir)
+    VersionedTable.snapshotEvolved(spark, base)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
 }

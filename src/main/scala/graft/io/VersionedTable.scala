@@ -66,6 +66,19 @@ object VersionedTable {
       .filter(_.getFileName.toString.matches("v\\d+\\.txt")).sortBy(_.getFileName.toString)
   }
 
+  /** Checkpoint files (`c<version>.txt`), oldest first, with the version each
+    * one folds up to. Checkpoints are pure ACCELERATORS: they never replace
+    * manifests, so any version stays resolvable from scratch.
+    */
+  private def checkpointFiles(base: String): Seq[(Int, java.nio.file.Path)] = {
+    val d = logDir(base)
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("c\\d+\\.txt"))
+      .map(p => (p.getFileName.toString.drop(1).takeWhile(_.isDigit).toInt, p))
+      .sortBy(_._1)
+  }
+
   private def readManifest(p: java.nio.file.Path): Manifest = {
     val lines = Files.readAllLines(p).asScala.toSeq
     val adds = lines.collect {
@@ -83,10 +96,18 @@ object VersionedTable {
   /** Latest committed version, or -1 for an empty/absent table. */
   def latestVersion(base: String): Int = manifestFiles(base).size - 1
 
+  /** Live set at `asOf`: fold from the newest checkpoint ≤ asOf (its add
+    * lines ARE the folded live set) plus only the manifests after it — O(1)
+    * + versions-since-checkpoint instead of O(versions), which is what keeps
+    * snapshot resolution flat on a table with a 100k-commit history.
+    */
   private def liveGroups(base: String, asOf: Int): Seq[Group] = {
-    val ms = manifestFiles(base).take(asOf + 1).map(readManifest)
-    ms.foldLeft(Vector.empty[Group])((live, m) =>
-      live.filterNot(g => m.remove.contains(g.rel)) ++ m.add)
+    val (start, init) = checkpointFiles(base).filter(_._1 <= asOf).lastOption match {
+      case Some((cv, p)) => (cv + 1, readManifest(p).add.toVector)
+      case None => (0, Vector.empty[Group])
+    }
+    manifestFiles(base).slice(start, asOf + 1).map(readManifest)
+      .foldLeft(init)((live, m) => live.filterNot(g => m.remove.contains(g.rel)) ++ m.add)
   }
 
   private def commit(base: String, action: String, add: Seq[Group],
@@ -158,13 +179,24 @@ object VersionedTable {
     * schema to stand on, so callers pass the table schema source for that
     * edge; normal reads are a plain multi-path parquet scan.
     */
-  def snapshot(spark: SparkSession, base: String, version: Int = Int.MaxValue): DataFrame = {
+  def snapshot(spark: SparkSession, base: String, version: Int = Int.MaxValue,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = math.min(version, latestVersion(base))
     require(v >= 0, s"no committed version in $base")
     val paths = liveGroups(base, v).map(g => s"$base/${g.rel}")
     require(paths.nonEmpty, s"version $v of $base has no live data groups")
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
+
+  /** Schema-evolved read: file groups appended with DIFFERENT (compatible)
+    * schemas are unioned by parquet schema merging — columns absent in older
+    * groups come back NULL. Evolution costs nothing at write time (each
+    * group keeps its own schema; no rewrite of history) and one footer-merge
+    * pass at read time. Widening/renames are out of scope, exactly as in
+    * Delta's additive-only default.
+    */
+  def snapshotEvolved(spark: SparkSession, base: String, version: Int = Int.MaxValue): DataFrame =
+    snapshot(spark, base, version, mergeSchema = true)
 
   /** Range read with manifest-level data skipping: only file groups whose
     * [min,max] stats intersect [lo,hi] are opened at all (groups without
@@ -282,6 +314,96 @@ object VersionedTable {
       if (insertDf.isEmpty) None else writeGroup(insertDf, base, next, touched.size)
 
     commit(base, "merge", rewritten ++ insertGroup.toSeq, touched.map(_.rel))
+  }
+
+  /** Write a checkpoint of the CURRENT version's folded live set
+    * (`_log/c<v>.txt`, atomic like any commit). Subsequent snapshot
+    * resolutions at or after this version start from it instead of folding
+    * the whole log; earlier versions still fold from scratch (or from an
+    * older checkpoint), so time travel is unaffected. Returns the version
+    * checkpointed. Idempotent: re-checkpointing a version overwrites the
+    * same content.
+    */
+  def checkpoint(base: String): Int = {
+    val v = latestVersion(base)
+    require(v >= 0, s"no committed version in $base")
+    val live = liveGroups(base, v)
+    val body = ("action checkpoint" +: live.map(_.manifestLine)).mkString("", "\n", "\n")
+    val tmp = logDir(base).resolve(f".c$v%05d.txt.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, logDir(base).resolve(f"c$v%05d.txt"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  private def dirSize(p: java.nio.file.Path): Long = {
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+    finally walk.close()
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => Files.delete(f))
+    finally walk.close()
+  }
+
+  /** OPTIMIZE (bin-packing compaction): merge live file groups smaller than
+    * `smallBytes` into ONE rewritten group; groups already at size carry
+    * over by reference, rows are bit-identical before/after (the spec and
+    * the q137 oracle both pin it). This is the versioned flavor of
+    * [[graft.ops.Compaction]]: the rewrite is a new commit, so readers never
+    * see a half-compacted table and time travel to the fragmented history
+    * still works. The merged group keeps a stats column only when EVERY
+    * input group declared the same one (min/max re-collected by
+    * [[writeGroup]]); mixed histories drop stats rather than lie.
+    *
+    * Scale shape: the small-group scan is one multi-path parquet read sized
+    * by the data being compacted, not the table; at 100 TB you run this
+    * per-partition with a size target, same log contents.
+    */
+  def optimize(spark: SparkSession, base: String, smallBytes: Long = 64L << 20): Int = {
+    val v = latestVersion(base)
+    require(v >= 0, s"no committed version in $base")
+    val small = liveGroups(base, v)
+      .filter(g => dirSize(Paths.get(base, g.rel)) < smallBytes)
+    if (small.size < 2) commit(base, "optimize_noop", Seq.empty, Seq.empty)
+    else {
+      val next = v + 1
+      val merged = spark.read.parquet(small.map(g => s"$base/${g.rel}"): _*)
+      val statsCol = small.map(_.statsCol).distinct match {
+        case Seq(only @ Some(_)) => only
+        case _ => None
+      }
+      commit(base, "optimize",
+        writeGroup(merged, base, next, 0, statsCol).toSeq, small.map(_.rel))
+    }
+  }
+
+  /** VACUUM: physically delete group directories referenced by NO retained
+    * version. The newest `retainVersions` versions stay fully readable;
+    * older versions keep their history rows but may no longer be
+    * time-traveled to (their reads fail on missing paths — Delta's exact
+    * contract). Also sweeps orphan groups from crashed writers, closing the
+    * commit protocol's cleanup loop. Returns the number of directories
+    * reclaimed. Driver-side and manifest-sized, like the rest of the log.
+    */
+  def vacuum(base: String, retainVersions: Int = 1): Int = {
+    val latest = latestVersion(base)
+    require(latest >= 0, s"no committed version in $base")
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val floor = math.max(0, latest - retainVersions + 1)
+    val retained = (floor to latest).flatMap(liveGroups(base, _)).map(_.rel).toSet
+    val groupsDir = Paths.get(base, "groups")
+    if (!Files.exists(groupsDir)) 0
+    else {
+      val doomed = Files.list(groupsDir).iterator().asScala.toSeq
+        .filter(Files.isDirectory(_))
+        .filterNot(p => retained.contains(s"groups/${p.getFileName}"))
+      doomed.foreach(deleteDir)
+      doomed.size
+    }
   }
 
   /** Versions with their actions and file-group deltas — the `DESCRIBE

@@ -186,4 +186,89 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(base) === 0, "tmp manifest is not a version")
     assert(VersionedTable.snapshot(spark, base).count() === 1L)
   }
+
+  test("optimize bin-packs small groups, keeps rows identical, preserves time travel") {
+    import spark.implicits._
+    val base = tmpDir("vt_optimize")
+    VersionedTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base)  // v0
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "s"), base)             // v1
+    VersionedTable.append(Seq((4L, "d")).toDF("k", "s"), base)             // v2
+    val before = VersionedTable.snapshot(spark, base).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val v3 = VersionedTable.optimize(spark, base) // everything is tiny → all merge
+    assert(v3 === 3)
+    val after = VersionedTable.snapshot(spark, base)
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === before.toSeq, "optimize never changes table contents")
+    val liveDirs = after.select(input_file_name()).distinct().collect().map(_.getString(0))
+      .flatMap(f => "groups/(g[0-9]+-[0-9]+)".r.findFirstMatchIn(f).map(_.group(1))).distinct
+    assert(liveDirs.length === 1, s"three small groups packed into one, got $liveDirs")
+    // time travel to the fragmented history still works
+    assert(VersionedTable.snapshot(spark, base, 1).count() === 3L)
+    val hist = VersionedTable.history(spark, base).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).last
+    assert(hist === (("optimize", 1L, 3L)), "one group added, three removed")
+  }
+
+  test("optimize leaves at-size groups alone and no-ops when nothing to pack") {
+    import spark.implicits._
+    val base = tmpDir("vt_optimize_noop")
+    VersionedTable.append(Seq((1L, "a")).toDF("k", "s"), base)
+    VersionedTable.optimize(spark, base, smallBytes = 1L) // every group is "big"
+    val hist = VersionedTable.history(spark, base).collect().map(_.getString(1))
+    assert(hist.last === "optimize_noop")
+    assert(VersionedTable.snapshot(spark, base).count() === 1L)
+  }
+
+  test("checkpoint accelerates resolution without changing any version's contents") {
+    import spark.implicits._
+    val base = tmpDir("vt_checkpoint")
+    VersionedTable.append(Seq((1L, "a")).toDF("k", "s"), base)             // v0
+    VersionedTable.append(Seq((2L, "b")).toDF("k", "s"), base)             // v1
+    VersionedTable.deleteWhere(spark, base, col("k") === 1L)               // v2
+    val cv = VersionedTable.checkpoint(base)
+    assert(cv === 2)
+    // post-checkpoint commits fold on top of it
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "s"), base)             // v3
+    assert(VersionedTable.snapshot(spark, base).collect().map(_.getLong(0)).sorted
+      === Array(2L, 3L))
+    // pre-checkpoint time travel still folds from scratch
+    assert(VersionedTable.snapshot(spark, base, 1).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    // reading exactly AT the checkpointed version uses the checkpoint
+    assert(VersionedTable.snapshot(spark, base, 2).collect().map(_.getLong(0)).sorted
+      === Array(2L))
+  }
+
+  test("vacuum reclaims unreferenced groups; retained versions stay readable") {
+    import spark.implicits._
+    val base = tmpDir("vt_vacuum")
+    VersionedTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base)  // v0: g00000-0
+    VersionedTable.deleteWhere(spark, base, col("k") === 1L)               // v1: rewrite
+    // orphan from a "crashed writer": data written, manifest never landed
+    Seq((9L, "ghost")).toDF("k", "s").write.parquet(s"$base/groups/g99999-0")
+    val reclaimed = VersionedTable.vacuum(base, retainVersions = 1)
+    assert(reclaimed === 2, s"v0's replaced group + the orphan, got $reclaimed")
+    assert(VersionedTable.snapshot(spark, base).collect().map(_.getLong(0)).toSeq
+      === Seq(2L), "latest version intact after vacuum")
+    intercept[Exception] {
+      VersionedTable.snapshot(spark, base, 0).collect()
+    } // vacuumed-away version is no longer time-travelable — Delta's contract
+    assert(VersionedTable.history(spark, base).count() === 2L,
+      "history rows survive vacuum even when their data does not")
+  }
+
+  test("schema-evolved snapshot unions group schemas; absent columns read NULL") {
+    import spark.implicits._
+    val base = tmpDir("vt_evolve")
+    VersionedTable.append(Seq((1L, "a")).toDF("k", "s"), base)
+    VersionedTable.append(Seq((2L, "b", 7.5)).toDF("k", "s", "score"), base)
+    val rows = VersionedTable.snapshotEvolved(spark, base)
+      .select("k", "s", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(7.5))))
+    // the un-evolved read of the OLD version sees the old schema untouched
+    assert(VersionedTable.snapshot(spark, base, 0).columns.toSeq === Seq("k", "s"))
+  }
 }
