@@ -172,6 +172,15 @@ object SparkEntry {
     "q136_versioned_merge" -> ((s, d) => graft.io.IoQueries.versionedMergeState(s, d)),
     "q137_optimize_vacuum" -> ((s, d) => graft.io.IoQueries.versionedMaintained(s, d)),
     "q138_schema_evolution" -> ((s, d) => graft.io.IoQueries.evolvedDocsSnapshot(s, d)),
+    "q139_bucketed_join"   -> ((s, d) => graft.ops.Layout.bucketedOrderRevenue(s, d)),
+    "q140_dpp_scan"        -> ((s, d) => graft.ops.Layout.dppHotTypeStats(s, d)),
+    "q141_hourly_spikes"   -> ((s, d) => graft.ops.Events.hourlySpikes(s, d)),
+    "q142_transitions"     -> ((s, d) => graft.ops.Events.eventTransitions(s, d)),
+    "q143_regression"      -> ((s, d) => Relational.priceQuantityRegression(s, d)),
+    "q144_histogram"       -> ((s, d) => Relational.priceHistogram(s, d)),
+    "q145_pagerank"        -> ((s, d) => graft.ops.Graph.pageRank(s, d)),
+    "q146_kmeans"          -> ((s, d) => graft.ops.Clustering.kmeansAssignments(s, d)),
+    "q147_window_showcase" -> ((s, d) => Relational.windowShowcase(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -539,6 +548,77 @@ object SparkEntry {
   private def hexByte(h: String, p: Int): String =
     s"((strpos('0123456789abcdef', substr($h, $p, 1)) - 1) * 16 + " +
       s"strpos('0123456789abcdef', substr($h, ${p + 1}, 1)) - 1)"
+
+  /** DuckDB twin of Graph.pageRank: `iters` unrolled synchronous iterations.
+    * Contributions round to DECIMAL(28,18) before the exact per-destination
+    * sum and cross back to double through the VARCHAR bridge, mirroring
+    * Num.decToDouble. The damping constants are interpolated from the SAME
+    * Scala doubles the operator uses (1.0 − 0.85 is NOT 0.15 in binary).
+    * The double→decimal ENTRY casts are VARCHAR-bridged too: Spark's
+    * Cast(double→decimal) rounds the shortest-string representation
+    * (BigDecimal.valueOf) while DuckDB's direct cast rounds the exact
+    * binary expansion — bridging makes DuckDB round the same shortest
+    * string Spark does.
+    */
+  private def pageRankOracle(iters: Int, damping: Double): String = {
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst,
+         |    CAST(CAST(sum(CAST(CAST(r.rank / d.deg AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS inbound
+         |  FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT id, CAST(${1.0 - damping} AS DOUBLE) / n
+         |    + CAST($damping AS DOUBLE) * COALESCE(inbound, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes LEFT JOIN s$i ON nodes.id = s$i.dst CROSS JOIN nn)"""
+        .stripMargin
+    }
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn),
+       |${steps.mkString(",\n")}
+       |SELECT r.id AS part_id, r.rank, deg.deg AS out_degree
+       |FROM r$iters r JOIN deg ON r.id = deg.src""".stripMargin
+  }
+
+  /** DuckDB twin of Clustering.kmeansAssignments: deterministic seed
+    * centroids (vec_id < k), `iters` unrolled Lloyd rounds with decimal
+    * distances/means exactly as the operator computes them.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val dist =
+        s"""d$i AS (SELECT e.vec_id, c.cid,
+           |    sum(CAST(CAST((e.x - c.c) * (e.x - c.c) AS VARCHAR) AS DECIMAL(30,18))) AS dist
+           |  FROM e JOIN c${i - 1} c ON e.dim = c.dim
+           |  GROUP BY 1, 2),
+           |a$i AS (SELECT vec_id, cid, dist FROM (
+           |    SELECT vec_id, cid, dist,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM d$i) WHERE rn = 1)""".stripMargin
+      val update =
+        s""",
+           |c$i AS (SELECT a.cid, e.dim,
+           |    CAST(CAST(sum(CAST(CAST(e.x AS VARCHAR) AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+           |      / count(*) AS c
+           |  FROM a$i a JOIN e ON a.vec_id = e.vec_id
+           |  GROUP BY 1, 2)""".stripMargin
+      if (i < iters) dist + update else dist
+    }
+    s"""WITH e AS (SELECT vec_id,
+       |    unnest(range(0, len(embedding))) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid,
+       |    unnest(range(0, len(embedding))) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS c
+       |  FROM embeddings WHERE vec_id < $k),
+       |${steps.mkString(",\n")}
+       |SELECT vec_id, cid AS cluster, CAST(CAST(dist AS VARCHAR) AS DOUBLE) AS dist
+       |FROM a$iters""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -961,6 +1041,125 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    // q139: bucketing is pure physical layout — the oracle is the plain
+    // join; LayoutSpec separately pins that the bucketed plan has no
+    // exchange under the join
+    "q139_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // q140: dynamic partition pruning is invisible in the result — the
+    // oracle joins the same runtime-derived hot set without any layout;
+    // the hot-type predicate uses exact decimal sums so both engines pick
+    // the identical set (a double-sum avg could flap at the threshold)
+    "q140_dpp_scan" ->
+      """WITH hot AS (
+        |  SELECT event_type FROM events GROUP BY 1
+        |  HAVING sum(CAST(value AS DECIMAL(25,10)))
+        |       > CAST(count(*) AS DECIMAL(25,10)) * 50)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN hot USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    // q141: trailing window over OBSERVED hours (rows, not wall-clock);
+    // all-integer spike predicate through one double division
+    "q141_hourly_spikes" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, sum(n) OVER w AS trailing_n,
+        |    count(*) OVER w AS trailing_hours
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n,
+        |  CAST(trailing_n AS DOUBLE) / trailing_hours AS trailing_avg
+        |FROM t
+        |WHERE trailing_hours >= 12
+        |  AND CAST(n AS DOUBLE) > 2.0 * trailing_n / trailing_hours""".stripMargin,
+
+    // q142: first-order Markov transitions; probability is a ratio of
+    // exact counts (one IEEE division per output row)
+    "q142_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE)
+        |    / sum(n_transitions) OVER (PARTITION BY from_type) AS p_transition
+        |FROM c""".stripMargin,
+
+    // q143: OLS + Pearson from exact decimal moments; the closed-form
+    // algebra is one double expression per group, identical in both engines
+    "q143_regression" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sq,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sp,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+        |           * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sqq,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+        |           * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS spp,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+        |           * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n_rows,
+        |  (CAST(n_rows AS DOUBLE)*sqp - sq*sp)
+        |    / (CAST(n_rows AS DOUBLE)*sqq - sq*sq) AS slope,
+        |  (sp - ((CAST(n_rows AS DOUBLE)*sqp - sq*sp)
+        |    / (CAST(n_rows AS DOUBLE)*sqq - sq*sq)) * sq)
+        |    / CAST(n_rows AS DOUBLE) AS intercept,
+        |  (CAST(n_rows AS DOUBLE)*sqp - sq*sp)
+        |    / (sqrt(CAST(n_rows AS DOUBLE)*sqq - sq*sq)
+        |     * sqrt(CAST(n_rows AS DOUBLE)*spp - sp*sp)) AS corr_qp
+        |FROM s""".stripMargin,
+
+    // q144: equi-width histogram + cumulative share; the window runs over
+    // bucket rows, not data rows
+    "q144_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT bucket, n, sum_price,
+        |  CAST(sum(n) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |  CAST(sum(n) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(sum(n) OVER () AS DOUBLE) AS cum_share
+        |FROM b""".stripMargin,
+
+    // q145: PageRank, 3 unrolled iterations over the co-purchase graph;
+    // q146: k-means, 2 unrolled Lloyd rounds from deterministic seeds —
+    // both with decimal-rounded contributions so the iteration is
+    // bit-stable across engines AND cluster topologies
+    "q145_pagerank" -> pageRankOracle(iters = 3, damping = 0.85),
+    "q146_kmeans" -> kmeansOracle(k = 8, iters = 2),
+
+    // q147: the analytic-window surface; ratios/offsets of exact ranks over
+    // a totalized ORDER BY (ties broken by the unique custkey)
+    "q147_window_showcase" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  c_acctbal - lag(c_acctbal, 1) OVER w AS gap_prev,
+        |  first_value(c_acctbal) OVER w AS segment_min
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
 
     // the TRAINED BPE tokenizer, oracle-gated end to end: k unrolled merge
     // rounds in pure string SQL replay Bpe.train exactly

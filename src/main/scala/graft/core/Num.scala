@@ -37,4 +37,14 @@ object Num {
     * The per-row double product is IEEE-deterministic; sums of it go through sum4.
     */
   def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Decimal→double through a string bridge. Spark's direct cast
+    * (BigDecimal.doubleValue) and DuckDB's direct cast (int128 ÷ 10^scale)
+    * can each land 1 ulp off the nearest double for wide/high-scale values —
+    * in OPPOSITE directions — while both engines' string→double parses are
+    * correctly rounded. Any oracle-checked output derived from a decimal
+    * with more than ~4 fractional digits or > 18 total digits should cross
+    * through this (the SQL twin: `CAST(CAST(x AS VARCHAR) AS DOUBLE)`).
+    */
+  def decToDouble(c: Column): Column = c.cast("string").cast("double")
 }

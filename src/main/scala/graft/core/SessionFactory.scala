@@ -21,7 +21,12 @@ import org.apache.spark.sql.SparkSession
 object SessionFactory {
 
   def local(cores: Int, appName: String = "graft"): SparkSession =
-    configure(SparkSession.builder().master(s"local[$cores]"), cores, appName)
+    configure(
+      SparkSession.builder().master(s"local[$cores]")
+        // managed tables (the bucketed-layout surface, ops.Layout) land in a
+        // scratch warehouse instead of ./spark-warehouse in the repo root
+        .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse"),
+      cores, appName)
 
   /** For cluster use: master/deploy config comes from spark-submit; only the
     * engine's own settings are applied.

@@ -295,4 +295,52 @@ object Events {
           .when(col("click_ts").isNotNull, 2L)
           .otherwise(1L))
   }
+
+  /** Hourly volume anomalies per event type: an hour is a spike when its
+    * count exceeds 2× the average of the trailing 24 OBSERVED hours (rows,
+    * not wall-clock — gaps don't dilute the baseline), with at least 12
+    * hours of history so the first day can't self-flag. All-integer counts
+    * compared through one double division keep the predicate reproducible
+    * across engines — a mean/stddev z-score would hinge on FP summation
+    * order exactly at the threshold.
+    *
+    * Scale shape: the window runs over the HOURLY rollup (8760 rows per
+    * type-year), not raw events; the only event-sized job is the first
+    * hash aggregate, which combines map-side.
+    */
+  def hourlySpikes(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val trailing = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("trailing_n", sum(col("n")).over(trailing))
+      .withColumn("trailing_hours", count(lit(1)).over(trailing))
+      .filter(col("trailing_hours") >= 12 &&
+        col("n").cast("double") > lit(2.0) * col("trailing_n") / col("trailing_hours"))
+      .select(col("event_type"), col("hour"), col("n"),
+        (col("trailing_n").cast("double") / col("trailing_hours")).as("trailing_avg"))
+  }
+
+  /** First-order Markov transition matrix of user behavior: for every
+    * consecutive event pair within a user's timeline, the transition count
+    * and its probability conditioned on the source type. One lead() over
+    * (user, time) — the same partitioning the sessionizers use — then a
+    * pair-keyed aggregate (≤ |types|² rows); the probability is a ratio of
+    * exact counts, so one IEEE division per output row.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUserTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUserTime))
+      .filter(col("to_type").isNotNull)
+    pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(Window.partitionBy("from_type")))
+  }
 }

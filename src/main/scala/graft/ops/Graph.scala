@@ -199,4 +199,62 @@ object Graph {
     */
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** PageRank over the part co-purchase graph (parts are linked when they
+    * appear in the same order), a fixed number of synchronous iterations:
+    *
+    *   r₀(v)   = 1/N
+    *   rᵢ₊₁(v) = (1−d)/N + d · Σ_{u→v} rᵢ(u)/outdeg(u)
+    *
+    * Cross-engine determinism: each edge's contribution rᵢ(u)/outdeg(u) is
+    * one IEEE division; the per-destination Σ rounds every contribution to
+    * DECIMAL(28,18) (deterministic) and sums exactly (order-independent),
+    * crossing back to double through [[graft.core.Num.decToDouble]]. A raw
+    * double Σ would depend on shuffle merge order — the same trap as money
+    * sums, one layer up the algorithm.
+    *
+    * Scale shape: the edge list is built once (one self-join shuffle on
+    * orderkey, distinct) and cached with its out-degrees; each iteration is
+    * one broadcast-or-shuffle join ranks⋈edges plus one partial-aggregated
+    * groupBy(dst) — the textbook O(iters × |E|) dataflow with nothing
+    * driver-side. The co-purchase graph has no dangling nodes by
+    * construction (edges are symmetric), so no dangling-mass correction
+    * term is needed.
+    */
+  def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // N as a broadcast one-row frame: nothing collects to the driver
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("n_nodes")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(ranks, edges("src") === ranks("id"))
+        .join(outdeg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("contrib"))
+      val summed = contribs
+        .groupBy(col("dst"))
+        .agg(graft.core.Num.decToDouble(
+          sum(col("contrib").cast(DecimalType(28, 18)))).as("inbound"))
+      ranks = nodes.join(summed, nodes("id") === summed("dst"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("id"),
+          (lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("inbound"), lit(0.0))).as("rank"))
+        .localCheckpoint(true) // cut the per-iteration lineage growth
+    }
+    ranks.join(outdeg, ranks("id") === outdeg("src"))
+      .select(col("id").as("part_id"), col("rank"), col("deg").as("out_degree"))
+  }
 }

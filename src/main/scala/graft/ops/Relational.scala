@@ -516,4 +516,78 @@ object Relational {
       round(col("c_acctbal").cast(DecimalType(18, 2)) * pct, 2)
         .cast("double").as("service_fee"))
   }
+
+  // ---------------------------------------------------------- statistical analytics
+
+  /** Ordinary-least-squares regression + Pearson correlation of quantity vs
+    * price per return flag, computed from EXACT decimal sufficient statistics
+    * (n, Σq, Σp, Σq², Σp², Σqp) with the closed-form algebra done once per
+    * GROUP in doubles. Built-in `corr`/`regr_slope` stream doubles through
+    * the aggregate and their result depends on partition merge order; the
+    * decimal moments are associative and order-independent, so this form is
+    * bit-reproducible on any cluster AND map-side combinable (six numbers
+    * per group cross the exchange, same cost as the built-in).
+    */
+  def priceQuantityRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = DecimalType(14, 4)
+    val q = col("l_quantity").cast(d)
+    val p = col("l_extendedprice").cast(d)
+    val moments = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(q).as("sq_d"), sum(p).as("sp_d"),
+        sum(q * q).as("sqq_d"), sum(p * p).as("spp_d"), sum(q * p).as("sqp_d"))
+    // string-bridged decimal→double: see Num.decToDouble for why the direct
+    // casts disagree by 1 ulp between engines on wide moments like Σp²
+    def dbl(c: org.apache.spark.sql.Column) = Num.decToDouble(c)
+    val n = col("n_rows").cast("double")
+    val sq = dbl(col("sq_d")); val sp = dbl(col("sp_d"))
+    val sqq = dbl(col("sqq_d")); val spp = dbl(col("spp_d"))
+    val sqp = dbl(col("sqp_d"))
+    val cov = n * sqp - sq * sp
+    val varq = n * sqq - sq * sq
+    val varp = n * spp - sp * sp
+    moments.select(
+      col("l_returnflag"), col("n_rows"),
+      (cov / varq).as("slope"),
+      ((sp - (cov / varq) * sq) / n).as("intercept"),
+      (cov / (sqrt(varq) * sqrt(varp))).as("corr_qp"))
+  }
+
+  /** The analytic-window function surface in one query: percent_rank,
+    * cume_dist, ntile, lag-gap and first-in-frame over (segment, balance)
+    * — each a ratio/offset of exact ranks, so cross-engine deterministic.
+    * The ORDER BY is totalized with the unique custkey: without it, tie
+    * rows make lag/ntile nondeterministic under re-partitioning — on ANY
+    * engine, at any scale.
+    */
+  def windowShowcase(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      (col("c_acctbal") - lag("c_acctbal", 1).over(w)).as("gap_prev"),
+      first(col("c_acctbal")).over(w).as("segment_min"))
+  }
+
+  /** Equi-width histogram of extended price (5000-wide buckets) with
+    * cumulative counts and cumulative share — the distribution-profiling
+    * primitive. The event-sized work is one map-side-combinable aggregate;
+    * the unpartitioned cumulative window runs over the ~25 BUCKET rows, not
+    * the data, so the single-partition window is a non-issue at any scale.
+    */
+  def priceHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = Tables.lineitem(spark, sfDir)
+      .withColumn("bucket", floor(col("l_extendedprice") / 5000.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), Num.sumMoney(col("l_extendedprice")).as("sum_price"))
+    val cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_share",
+        col("cum_n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Invariant checks for the statistical-analytics tier (the oracle gate pins
+  * exact values; these pin the mathematical structure).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("regression: corr bounded, slope/corr identity, groups partition the table") {
+    val rows = Relational.priceQuantityRegression(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    assert(total === graft.core.Tables.lineitem(spark, sf).count())
+    rows.foreach { case (flag, _, slope, corr) =>
+      assert(corr >= -1.0 && corr <= 1.0, s"$flag corr out of range: $corr")
+      // slope and corr must share their sign (same covariance numerator)
+      assert(slope.sign === corr.sign || slope == 0.0, s"$flag sign mismatch")
+    }
+  }
+
+  test("histogram: cumulative counts are monotone, end at the total, share ends at 1") {
+    val rows = Relational.priceHistogram(spark, sf)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum === rows.last._3, "last cum_n is the total")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 > a._3; case _ => true })
+    assert(math.abs(rows.last._4 - 1.0) < 1e-12, "cumulative share ends at 1")
+    assert(rows.last._3 === graft.core.Tables.lineitem(spark, sf).count())
+  }
+
+  test("pagerank: probability mass conserved, all ranks positive") {
+    val rows = Graph.pageRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 > 0.0))
+    // symmetric co-purchase graph has no dangling mass: Σrank = 1
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    assert(rows.forall(_._3 > 0), "every ranked node has out-edges by construction")
+  }
+
+  test("kmeans: every vector assigned once, to a seed-derived cluster, dist >= 0") {
+    val rows = Clustering.kmeansAssignments(spark, sf, k = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n, "exactly one assignment per vector")
+    assert(rows.map(_._1).distinct.length.toLong === n)
+    assert(rows.forall(_._2 < 4), "cluster ids come from the k seeds")
+    assert(rows.forall(_._3 >= 0.0))
+  }
+}

@@ -164,4 +164,28 @@ class EventsSpec extends SparkSpec {
     val ks = payloads.select(variant_get(col("v"), "$.k", "bigint")).collect().map(_.getLong(0))
     assert(ks.sorted.toSeq == Seq(3L, 7L, 9L))
   }
+
+  test("hourly spikes: every flagged hour genuinely exceeds 2x its trailing average") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.hourlySpikes(spark, sf).collect()
+    assert(rows.nonEmpty, "calibrated threshold should flag some hours on this data")
+    rows.foreach { r =>
+      val n = r.getLong(2); val avg = r.getDouble(3)
+      assert(n > 2.0 * avg, s"flagged hour $r fails its own predicate")
+    }
+  }
+
+  test("transition probabilities are a proper distribution per source type") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (from, group) =>
+      val pSum = group.map(_._3).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"$from probabilities sum to $pSum")
+    }
+    // conservation: total transitions = total events - one per active user
+    val ev = graft.core.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === expected)
+  }
 }
