@@ -181,6 +181,8 @@ object SparkEntry {
     "q145_pagerank"        -> ((s, d) => graft.ops.Graph.pageRank(s, d)),
     "q146_kmeans"          -> ((s, d) => graft.ops.Clustering.kmeansAssignments(s, d)),
     "q147_window_showcase" -> ((s, d) => Relational.windowShowcase(s, d)),
+    "q148_bloom_lookup"    -> ((s, d) => graft.io.IoQueries.bloomPointLookup(s, d)),
+    "q149_gap_fill"        -> ((s, d) => graft.ops.Events.gapFilledHourly(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1148,6 +1150,33 @@ object SparkEntry {
     // bit-stable across engines AND cluster topologies
     "q145_pagerank" -> pageRankOracle(iters = 3, damping = 0.85),
     "q146_kmeans" -> kmeansOracle(k = 8, iters = 2),
+
+    // q148: bloom-sidecar point lookup must be invisible in the result —
+    // the oracle is the plain IN-filter; the spec pins the group skipping
+    "q148_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey IN (1, 7, 32, 128, 515, 2048, 9999)""".stripMargin,
+
+    // q149: dense (type × hour) spine; missing hours n=0 with a
+    // forward-filled last observed hourly sum (leading gaps stay NULL)
+    "q149_gap_fill" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM h),
+        |types AS (SELECT DISTINCT event_type FROM h),
+        |spine AS (SELECT t.event_type,
+        |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS hour
+        |  FROM types t, b)
+        |SELECT s.event_type, s.hour, COALESCE(h.n, 0) AS n,
+        |  last_value(h.value_sum IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value_sum
+        |FROM spine s
+        |LEFT JOIN h ON s.event_type = h.event_type AND s.hour = h.hour""".stripMargin,
 
     // q147: the analytic-window surface; ratios/offsets of exact ranks over
     // a totalized ORDER BY (ties broken by the unique custkey)

@@ -332,4 +332,34 @@ object IoQueries {
     VersionedTable.snapshotEvolved(spark, base)
       .select("doc_id", "lang", "source", "n_chars")
   }
+
+  /** Orders hash-sliced into 8 bloom-indexed file groups (memoized). */
+  private def bloomOrdersBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("bloom_orders", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      deleteRecursively(base)
+      VersionedTable.appendBloomIndexed(Tables.orders(spark, sfDir), base,
+        keyCol = "o_orderkey", nGroups = 8)
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** The point-lookup keys q148 probes — fixed literals shared with the
+    * oracle's IN-list (keys absent at a small scale factor simply match
+    * nothing, on both sides).
+    */
+  private[graft] val pointLookupKeys = Seq(1L, 7L, 32L, 128L, 515L, 2048L, 9999L)
+
+  /** Bloom-sidecar point lookup (q148): only file groups whose bloom might
+    * contain one of the probed keys are opened; the oracle is a plain
+    * IN-filter over the source table, so skipping must be invisible in the
+    * result. VersionedTableSpec pins that the opened-group count shrinks.
+    */
+  def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = bloomOrdersBase(spark, sfDir)
+    VersionedTable.snapshotPoint(spark, base, "o_orderkey", pointLookupKeys)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
 }

@@ -316,6 +316,68 @@ object VersionedTable {
     commit(base, "merge", rewritten ++ insertGroup.toSeq, touched.map(_.rel))
   }
 
+  /** Append `df` hash-sliced on `keyCol` into `nGroups` file groups, each
+    * carrying a BLOOM-FILTER SIDECAR (`_bloom_<col>.b64` inside the group
+    * directory) over its key values — the equality member of the skipping
+    * stack ([[appendClustered]]'s min/max stats serve ranges; blooms serve
+    * point lookups, where range stats are useless under hash placement).
+    * The sidecar lives INSIDE the immutable group dir, so it is written
+    * before the manifest lands (commit atomicity covers it) and travels /
+    * vacuums with its group for free.
+    */
+  def appendBloomIndexed(df: DataFrame, base: String, keyCol: String,
+      nGroups: Int, fpp: Double = 0.01): Int = {
+    val v = latestVersion(base) + 1
+    val groups = (0 until nGroups).flatMap { k =>
+      val slice = df.filter(pmod(col(keyCol), lit(nGroups)) === k)
+      writeGroup(slice, base, v, k).map { g =>
+        val n = math.max(1L,
+          df.sparkSession.read.parquet(s"$base/${g.rel}").count())
+        val bloom = df.sparkSession.read.parquet(s"$base/${g.rel}")
+          .stat.bloomFilter(keyCol, n, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        Files.write(Paths.get(base, g.rel, s"_bloom_$keyCol.b64"),
+          java.util.Base64.getEncoder.encode(bos.toByteArray))
+        g
+      }
+    }
+    commit(base, "append_bloom", groups, Seq.empty)
+  }
+
+  /** Point-lookup read: open only the file groups whose bloom sidecar might
+    * contain AT LEAST ONE of `keys` (groups without a sidecar for this
+    * column are conservatively read); the exact IN-filter then applies.
+    * Like [[snapshotRange]], skipping is invisible in the result — the spec
+    * pins that the opened-group count actually shrinks. Sidecar reads are
+    * driver-side and manifest-sized (a few KB per group), the same class of
+    * work as snapshot resolution itself.
+    */
+  def snapshotPoint(spark: SparkSession, base: String, keyCol: String,
+      keys: Seq[Long], version: Int = Int.MaxValue): DataFrame = {
+    pointPaths(base, keyCol, keys, version) match {
+      case Seq() => snapshot(spark, base, version).filter(lit(false))
+      case paths => spark.read.parquet(paths: _*).filter(col(keyCol).isin(keys: _*))
+    }
+  }
+
+  /** The group paths [[snapshotPoint]] would open — exposed for the spec. */
+  private[io] def pointPaths(base: String, keyCol: String, keys: Seq[Long],
+      version: Int = Int.MaxValue): Seq[String] = {
+    val v = math.min(version, latestVersion(base))
+    require(v >= 0, s"no committed version in $base")
+    liveGroups(base, v).filter { g =>
+      val sidecar = Paths.get(base, g.rel, s"_bloom_$keyCol.b64")
+      if (!Files.exists(sidecar)) true // no bloom: cannot skip safely
+      else {
+        val bytes = java.util.Base64.getDecoder.decode(Files.readAllBytes(sidecar))
+        val bloom = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        keys.exists(bloom.mightContainLong)
+      }
+    }.map(g => s"$base/${g.rel}")
+  }
+
   /** Write a checkpoint of the CURRENT version's folded live set
     * (`_log/c<v>.txt`, atomic like any commit). Subsequent snapshot
     * resolutions at or after this version start from it instead of folding

@@ -343,4 +343,37 @@ object Events {
         col("n_transitions").cast("double") /
           sum(col("n_transitions")).over(Window.partitionBy("from_type")))
   }
+
+  /** Gap-filled hourly series: a dense (event_type × hour) spine over the
+    * table's full time range, observed hours joined in, missing hours
+    * filled with n=0 and a FORWARD-FILLED last observed hourly value sum
+    * (the time-series regularization every downstream
+    * resampler/anomaly-detector assumes; leading gaps before a type's first
+    * observation stay NULL, which is the honest answer).
+    *
+    * Scale shape: the spine is |types| × |hours| rows built from one
+    * broadcast min/max — for a year that is 8760 rows per type, window
+    * partitions are per-type, and the only event-sized job is the hourly
+    * rollup itself.
+    */
+  def gapFilledHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("value_sum"))
+    val bounds = hourly.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+    // sequence() coerces NTZ bounds to LTZ timestamps; cast back (identity
+    // under the UTC session timezone every entry point sets)
+    val spine = hourly.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .select(col("event_type"), col("h").cast("timestamp_ntz").as("hour"))
+    val ffill = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("value_sum"), ignoreNulls = true).over(ffill).as("last_value_sum"))
+  }
 }

@@ -258,6 +258,26 @@ class VersionedTableSpec extends SparkSpec {
       "history rows survive vacuum even when their data does not")
   }
 
+  test("bloom sidecars skip groups on point lookups; skipping invisible in the result") {
+    import spark.implicits._
+    val base = tmpDir("vt_bloom")
+    // 4 hash slices of keys 0..99 → key 42 lives in exactly one group
+    VersionedTable.appendBloomIndexed(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s"), base, "k", nGroups = 4)
+    val opened = VersionedTable.pointPaths(base, "k", Seq(42L))
+    assert(opened.size === 1, s"one bloom-positive group expected, got $opened")
+    val rows = VersionedTable.snapshotPoint(spark, base, "k", Seq(42L, 77L, 1000L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq === Seq((42L, "v42"), (77L, "v77")),
+      "absent key matches nothing; present keys fully found")
+    // a group without a sidecar for the column is conservatively read
+    VersionedTable.append(Seq((200L, "late")).toDF("k", "s"), base)
+    val all = VersionedTable.pointPaths(base, "k", Seq(42L))
+    assert(all.size === 2, "bloom group + statless late group both open")
+    assert(VersionedTable.snapshotPoint(spark, base, "k", Seq(200L))
+      .count() === 1L)
+  }
+
   test("schema-evolved snapshot unions group schemas; absent columns read NULL") {
     import spark.implicits._
     val base = tmpDir("vt_evolve")

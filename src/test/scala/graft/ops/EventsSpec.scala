@@ -175,6 +175,26 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("gap fill: dense spine, zero-count gaps, forward fill carries the last sum") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.gapFilledHourly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val byType = rows.groupBy(_._1)
+    // every type spans the SAME dense hourly range
+    val spans = byType.values.map(_.map(_._2).sorted.toSeq).toSeq
+    assert(spans.map(_.size).distinct.size === 1)
+    assert(spans.map(s => (s.head, s.last)).distinct.size === 1)
+    assert(rows.exists(_._3 == 0L), "there are genuine gaps at this scale")
+    // after a type's first observation, last_value_sum is never NULL again
+    byType.values.foreach { ts =>
+      val ordered = ts.sortBy(_._2.toString)
+      val firstObs = ordered.indexWhere(_._3 > 0L)
+      assert(ordered.drop(firstObs).forall(_._4.isDefined))
+      assert(ordered.take(firstObs).forall(_._4.isEmpty), "leading gaps stay NULL")
+    }
+  }
+
   test("transition probabilities are a proper distribution per source type") {
     val sf = "/root/testdata/sf0.001"
     val rows = Events.eventTransitions(spark, sf).collect()
