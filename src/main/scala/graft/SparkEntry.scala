@@ -183,6 +183,10 @@ object SparkEntry {
     "q147_window_showcase" -> ((s, d) => Relational.windowShowcase(s, d)),
     "q148_bloom_lookup"    -> ((s, d) => graft.io.IoQueries.bloomPointLookup(s, d)),
     "q149_gap_fill"        -> ((s, d) => graft.ops.Events.gapFilledHourly(s, d)),
+    "q150_winsorize"       -> ((s, d) => graft.ops.Statistics.winsorizedPricing(s, d)),
+    "q151_chisq"           -> ((s, d) => graft.ops.Statistics.chiSquareFlagStatus(s, d)),
+    "q152_bm25"            -> ((s, d) => graft.ops.TermStats.bm25Scores(s, d)),
+    "q153_entropy"         -> ((s, d) => graft.ops.TermStats.tokenEntropyBySource(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1150,6 +1154,107 @@ object SparkEntry {
     // bit-stable across engines AND cluster topologies
     "q145_pagerank" -> pageRankOracle(iters = 3, damping = 0.85),
     "q146_kmeans" -> kmeansOracle(k = 8, iters = 2),
+
+    // q150: winsorization at exact ORDER STATISTICS (value at rank
+    // ceil(p·n)) — the rank comes from the SAME double product in both
+    // engines (a DuckDB decimal 0.05·n is exact where the double is not,
+    // which flips ceil at exact-integer boundaries)
+    "q150_winsorize" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |cuts AS (
+        |  SELECT flag,
+        |    min(CASE WHEN rn = ceil(CAST(0.05 AS DOUBLE) * n) THEN price END) AS p_lo,
+        |    min(CASE WHEN rn = ceil(CAST(0.95 AS DOUBLE) * n) THEN price END) AS p_hi
+        |  FROM r
+        |  WHERE rn = ceil(CAST(0.05 AS DOUBLE) * n)
+        |     OR rn = ceil(CAST(0.95 AS DOUBLE) * n)
+        |  GROUP BY 1)
+        |SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  CAST(sum(CAST(least(greatest(l_extendedprice, p_lo), p_hi) AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum,
+        |  min(p_lo) AS p_lo, min(p_hi) AS p_hi
+        |FROM lineitem JOIN cuts ON l_returnflag = flag
+        |GROUP BY 1""".stripMargin,
+
+    // q151: chi-square of independence; each cell's (o−e)²/e VARCHAR-bridges
+    // into decimal before the exact fold
+    "q151_chisq" ->
+      """WITH obs AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, sum(o) OVER (PARTITION BY l_returnflag) AS row_t,
+        |    sum(o) OVER (PARTITION BY l_linestatus) AS col_t,
+        |    sum(o) OVER () AS n
+        |  FROM obs)
+        |SELECT
+        |  CAST(CAST(sum(CAST(CAST(
+        |    (CAST(o AS DOUBLE) - CAST(row_t * col_t AS DOUBLE) / n)
+        |    * (CAST(o AS DOUBLE) - CAST(row_t * col_t AS DOUBLE) / n)
+        |    / (CAST(row_t * col_t AS DOUBLE) / n)
+        |    AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS chi2,
+        |  CAST((count(DISTINCT l_returnflag) - 1)
+        |     * (count(DISTINCT l_linestatus) - 1) AS BIGINT) AS dof,
+        |  CAST(max(n) AS BIGINT) AS n_rows
+        |FROM m""".stripMargin,
+
+    // q152: BM25 with Lucene idf; per-term scores VARCHAR-bridge into
+    // decimal before the per-document sum; ln() verified bit-equal across
+    // engines on this data by the gate itself
+    "q152_bm25" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |d3 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM d2),
+        |corpus AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(CAST(len AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE)
+        |      / count(*) AS avg_len
+        |  FROM d3),
+        |tf AS (
+        |  SELECT doc_id, len, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, len, unnest(toks) AS t FROM d3)
+        |  WHERE t IN ('spark', 'join', 'window')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(CAST(sum(CAST(CAST(
+        |    CAST(CAST(CAST(CAST(
+        |      ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+        |          + CAST(1.0 AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    * (tf * CAST(2.2 AS DOUBLE))
+        |    / (tf + CAST(1.2 AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * len / avg_len))
+        |    AS VARCHAR) AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms_matched
+        |FROM tf JOIN df USING (t) CROSS JOIN corpus
+        |GROUP BY 1""".stripMargin,
+
+    // q153: Shannon entropy per source; p·ln p terms VARCHAR-bridge into
+    // decimal before the exact per-source fold
+    "q153_entropy" ->
+      """WITH counts AS (
+        |  SELECT source, t, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |m AS (SELECT *, sum(cnt) OVER (PARTITION BY source) AS total FROM counts)
+        |SELECT source, CAST(max(total) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(CAST(sum(CAST(CAST(
+        |    -(CAST(cnt AS DOUBLE) / total * CAST(CAST(CAST(CAST(
+        |        ln(CAST(cnt AS DOUBLE) / total)
+        |        AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS entropy
+        |FROM m GROUP BY 1""".stripMargin,
 
     // q148: bloom-sidecar point lookup must be invisible in the result —
     // the oracle is the plain IN-filter; the spec pins the group skipping

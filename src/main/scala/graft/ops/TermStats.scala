@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Num, Tables}
 
 /** Corpus-level term statistics — the vocabulary/IDF side of a training-data
   * pipeline (complementing the per-document stats in [[TextAnalysis]]).
@@ -86,5 +86,75 @@ object TermStats {
           .orderBy(col("score").desc, col("term"))).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
+  /** BM25 relevance of every document against a fixed query-term set — the
+    * retrieval scorer (Lucene's idf form: ln((N−df+0.5)/(df+0.5)+1)). The
+    * [[tfidfTopTerms]] scaladoc's ln caution is handled head-on here: both
+    * engines' ln agreed bit-exactly on probe inputs, the idf arguments are
+    * a small finite set of rationals (one per distinct df), and the gate
+    * verifies the equality per dataset; per-term scores still round to
+    * decimal before the per-document sum so partitioning cannot reorder
+    * the fold. Only rows containing a query term survive the first filter,
+    * so everything after the token explode is query-sized, not corpus-sized.
+    */
+  def bm25Scores(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Seq("spark", "join", "window"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
+    val corpus = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (Num.decToDouble(sum(col("len").cast(DecimalType(18, 0))))
+        / count(lit(1))).as("avg_len"))
+    val tf = docs
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("len"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // ln is the one non-correctly-rounded function in the formula (JVM
+    // Math.log and libm may disagree by 1 ulp); rounding its OUTPUT to 12
+    // decimals through the decimal bridge absorbs that slop — a flip now
+    // needs a 1-ulp disagreement AND a 12-digit tie at once
+    val idf = Num.decToDouble(
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+        .cast(DecimalType(18, 12)))
+    val norm = lit(1.0) - lit(b) + lit(b) * col("len") / col("avg_len")
+    val termScore = idf * (col("tf") * lit(k1 + 1.0)) / (col("tf") + lit(k1) * norm)
+    tf.join(df, "t")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc_id"))
+      .agg(
+        Num.decToDouble(sum(termScore.cast(DecimalType(28, 14)))).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+  }
+
+  /** Shannon entropy of each source's token distribution (plus vocabulary
+    * and token totals) — the diversity signal a corpus-mix designer reads
+    * before weighting sources. p·ln p terms round to decimal before the
+    * exact per-source sum; one token-keyed partial aggregate is the only
+    * corpus-sized job.
+    */
+  def tokenEntropyBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy("source")))
+    val p = col("cnt").cast("double") / col("total")
+    // ln(p) rounds to 12 decimals first for the same 1-ulp reason as
+    // bm25Scores' idf (see there); the term then rounds to (28,14) for the
+    // exact order-independent fold
+    val lnP = Num.decToDouble(log(p).cast(DecimalType(18, 12)))
+    counts.groupBy(col("source"))
+      .agg(
+        max(col("total")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        Num.decToDouble(sum((-(p * lnP)).cast(DecimalType(28, 14))))
+          .as("entropy"))
   }
 }

@@ -52,4 +52,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.forall(_._2 < 4), "cluster ids come from the k seeds")
     assert(rows.forall(_._3 >= 0.0))
   }
+
+  test("winsorize: cut order sane, clip fractions near their percentiles") {
+    val rows = Statistics.winsorizedPricing(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, n, lo, hi, pLo, pHi) =>
+      assert(pLo < pHi, s"$flag cut order")
+      assert(lo < n * 0.06 && hi < n * 0.06, s"$flag clips ~5% per side")
+      assert(lo > 0 && hi > 0, s"$flag actually clips something")
+    }
+  }
+
+  test("chi-square: non-negative statistic, dof from the table dimensions") {
+    val r = Statistics.chiSquareFlagStatus(spark, sf).head
+    assert(r.getDouble(0) >= 0.0)
+    assert(r.getLong(1) === 2L, "(3 flags - 1) x (2 statuses - 1)")
+  }
+
+  test("bm25: positive scores, matched-term counts bounded by the query") {
+    val rows = TermStats.bm25Scores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 > 0.0 && r._3 >= 1L && r._3 <= 3L))
+  }
+
+  test("entropy: within [0, ln(vocab)] per source") {
+    val rows = TermStats.tokenEntropyBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, vocab, h) =>
+      assert(h >= 0.0 && h <= math.log(vocab.toDouble) + 1e-9, s"$src entropy $h vocab $vocab")
+    }
+  }
 }
