@@ -187,6 +187,8 @@ object SparkEntry {
     "q151_chisq"           -> ((s, d) => graft.ops.Statistics.chiSquareFlagStatus(s, d)),
     "q152_bm25"            -> ((s, d) => graft.ops.TermStats.bm25Scores(s, d)),
     "q153_entropy"         -> ((s, d) => graft.ops.TermStats.tokenEntropyBySource(s, d)),
+    "q154_array_hof"       -> ((s, d) => graft.ops.TermStats.arrayFunctionShowcase(s, d)),
+    "q155_psi_drift"       -> ((s, d) => graft.ops.Statistics.priceDriftPsi(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1154,6 +1156,51 @@ object SparkEntry {
     // bit-stable across engines AND cluster topologies
     "q145_pagerank" -> pageRankOracle(iters = 3, damping = 0.85),
     "q146_kmeans" -> kmeansOracle(k = 8, iters = 2),
+
+    // q154: the higher-order array-function surface, all inside the row;
+    // array outputs stringified so the compare is scalar-only
+    "q154_array_hof" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, t -> len(t) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_reduce(list_transform(toks, t -> len(t)), (a, b) -> a + b)
+        |    AS BIGINT) AS total_chars,
+        |  list_sort(list_distinct(list_transform(toks, t -> upper(t))))[1]
+        |    AS first_upper,
+        |  list_contains(toks, 'spark') AS mentions_spark,
+        |  array_to_string(toks[1:3], ' ') AS head3
+        |FROM d""".stripMargin,
+
+    // q155: PSI drift between shipment cohorts; Laplace-smoothed bucket
+    // shares, ln guarded at 12 decimals, terms decimal-folded exactly
+    "q155_psi_drift" ->
+      """WITH counts AS (
+        |  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |    sum(CASE WHEN l_shipdate < TIMESTAMP '1998-06-01' THEN 1 ELSE 0 END) AS n_ref,
+        |    sum(CASE WHEN l_shipdate < TIMESTAMP '1998-06-01' THEN 0 ELSE 1 END) AS n_cur
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT *, sum(n_ref) OVER () AS t_ref, sum(n_cur) OVER () AS t_cur,
+        |    count(*) OVER () AS n_buckets
+        |  FROM counts),
+        |terms AS (
+        |  SELECT
+        |    CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_buckets) AS p_ref,
+        |    CAST(n_cur + 1 AS DOUBLE) / (t_cur + n_buckets) AS p_cur,
+        |    t_ref, t_cur, n_buckets
+        |  FROM m)
+        |SELECT
+        |  CAST(CAST(sum(CAST(CAST(
+        |    (p_cur - p_ref) * CAST(CAST(CAST(CAST(ln(p_cur / p_ref)
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS psi,
+        |  CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+        |  CAST(max(t_ref) AS BIGINT) AS n_ref_rows,
+        |  CAST(max(t_cur) AS BIGINT) AS n_cur_rows
+        |FROM terms""".stripMargin,
 
     // q150: winsorization at exact ORDER STATISTICS (value at rank
     // ceil(p·n)) — the rank comes from the SAME double product in both

@@ -51,6 +51,41 @@ object Statistics {
         min(col("p_lo")).as("p_lo"), min(col("p_hi")).as("p_hi"))
   }
 
+  /** Population stability index of the price distribution between the
+    * pre-/post-1998-06 shipment cohorts — the standard drift alarm a
+    * production pipeline runs between a reference batch and today's. Equi-
+    * width buckets shared with [[Relational.priceHistogram]]; Laplace
+    * smoothing (+1 per bucket) keeps every log argument finite without a
+    * data-dependent epsilon; each (p_cur−p_ref)·ln(p_cur/p_ref) term rides
+    * the engine's ln guard (12-decimal rounding of the log, see
+    * [[TermStats.bm25Scores]]) and decimal-folds exactly. Cost: one
+    * count aggregate over the table, then bucket-count arithmetic.
+    */
+  def priceDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1998-06-01").cast("timestamp_ntz")
+    val counts = Tables.lineitem(spark, sfDir)
+      .select(
+        floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"),
+        when(col("l_shipdate") < cut, lit("ref")).otherwise(lit("cur")).as("cohort"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("cohort") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("cohort") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val withTotals = counts
+      .withColumn("t_ref", sum(col("n_ref")).over(Window.partitionBy()))
+      .withColumn("t_cur", sum(col("n_cur")).over(Window.partitionBy()))
+      .withColumn("n_buckets", count(lit(1)).over(Window.partitionBy()))
+    val pRef = (col("n_ref") + lit(1L)).cast("double") / (col("t_ref") + col("n_buckets"))
+    val pCur = (col("n_cur") + lit(1L)).cast("double") / (col("t_cur") + col("n_buckets"))
+    val lnRatio = Num.decToDouble(log(pCur / pRef).cast(DecimalType(18, 12)))
+    withTotals.agg(
+      Num.decToDouble(sum(((pCur - pRef) * lnRatio).cast(DecimalType(28, 14))))
+        .as("psi"),
+      max(col("n_buckets")).as("n_buckets"),
+      max(col("t_ref")).as("n_ref_rows"),
+      max(col("t_cur")).as("n_cur_rows"))
+  }
+
   /** Pearson chi-square test of independence for the returnflag ×
     * linestatus contingency table: expected counts from the margins, each
     * cell's (o−e)²/e rounded to decimal and summed exactly (a double sum

@@ -132,6 +132,29 @@ object TermStats {
         count(lit(1)).as("n_terms_matched"))
   }
 
+  /** The higher-order array-function surface in one pass over the token
+    * arrays — transform / filter / aggregate(fold) / distinct+sort /
+    * contains / slice, all codegen-free lambda evaluation INSIDE the row
+    * (zero shuffle, zero explode: the per-doc fold replaces an
+    * explode+groupBy for per-document reductions — the same
+    * stay-in-the-row trick the Gopher repetition signals use at corpus
+    * scale). Array-typed outputs are stringified so the oracle compares
+    * scalars only.
+    */
+  def arrayFunctionShowcase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("long").as("total_chars"),
+        element_at(array_sort(array_distinct(transform(col("toks"),
+          t => upper(t)))), 1).as("first_upper"),
+        array_contains(col("toks"), "spark").as("mentions_spark"),
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("head3"))
+
   /** Shannon entropy of each source's token distribution (plus vocabulary
     * and token totals) — the diversity signal a corpus-mix designer reads
     * before weighting sources. p·ln p terms round to decimal before the

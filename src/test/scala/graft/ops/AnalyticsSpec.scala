@@ -86,4 +86,24 @@ class AnalyticsSpec extends SparkSpec {
       assert(h >= 0.0 && h <= math.log(vocab.toDouble) + 1e-9, s"$src entropy $h vocab $vocab")
     }
   }
+
+  test("array HOFs agree with the explode-based recompute") {
+    import org.apache.spark.sql.functions._
+    val out = TermStats.arrayFunctionShowcase(spark, sf)
+    val viaExplode = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens2"), sum(length(col("t"))).as("total_chars2"))
+    val joined = out.join(viaExplode, "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("n_tokens2")
+      || col("total_chars") =!= col("total_chars2")).isEmpty)
+    assert(out.filter(col("head3").isNull || length(col("head3")) === 0).isEmpty)
+  }
+
+  test("PSI: non-negative total, cohorts partition the table") {
+    val r = Statistics.priceDriftPsi(spark, sf).head
+    assert(r.getDouble(0) >= 0.0, "every (p-q)ln(p/q) term is non-negative")
+    assert(r.getLong(2) + r.getLong(3) === graft.core.Tables.lineitem(spark, sf).count())
+  }
 }
