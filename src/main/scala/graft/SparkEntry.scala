@@ -189,6 +189,8 @@ object SparkEntry {
     "q153_entropy"         -> ((s, d) => graft.ops.TermStats.tokenEntropyBySource(s, d)),
     "q154_array_hof"       -> ((s, d) => graft.ops.TermStats.arrayFunctionShowcase(s, d)),
     "q155_psi_drift"       -> ((s, d) => graft.ops.Statistics.priceDriftPsi(s, d)),
+    "q156_quantile_table"  -> ((s, d) => graft.ops.Statistics.quantileTable(s, d)),
+    "q157_nullsafe_join"   -> ((s, d) => Relational.nullSafeJoinCounts(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1157,6 +1159,29 @@ object SparkEntry {
     "q145_pagerank" -> pageRankOracle(iters = 3, damping = 0.85),
     "q146_kmeans" -> kmeansOracle(k = 8, iters = 2),
 
+    // q156: exact per-group quantile table at rank ceil(p·n); the rank
+    // product is the SAME double in both engines (see q150)
+    "q156_quantile_table" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT flag, CAST(p AS DOUBLE) AS p, price AS value
+        |FROM r CROSS JOIN (VALUES (0.1), (0.25), (0.5), (0.75), (0.9)) v(p)
+        |WHERE rn = ceil(CAST(p AS DOUBLE) * n)""".stripMargin,
+
+    // q157: null-safe equality join semantics — NULL keys route to the
+    // dim's NULL row instead of silently dropping
+    "q157_nullsafe_join" ->
+      """WITH keyed AS (SELECT nullif(o_orderstatus, 'P') AS k FROM orders),
+        |dim AS (
+        |  SELECT k AS dk, COALESCE(k, 'UNKNOWN') AS label
+        |  FROM (SELECT DISTINCT k FROM keyed))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM keyed JOIN dim ON k IS NOT DISTINCT FROM dk
+        |GROUP BY 1""".stripMargin,
+
     // q154: the higher-order array-function surface, all inside the row;
     // array outputs stringified so the compare is scalar-only
     "q154_array_hof" ->
@@ -1166,8 +1191,9 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_filter(toks, t -> len(t) > 4)) AS BIGINT) AS n_long,
-        |  CAST(list_reduce(list_transform(toks, t -> len(t)), (a, b) -> a + b)
-        |    AS BIGINT) AS total_chars,
+        |  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(toks, t -> len(t)), (a, b) -> a + b)
+        |    END AS BIGINT) AS total_chars,
         |  list_sort(list_distinct(list_transform(toks, t -> upper(t))))[1]
         |    AS first_upper,
         |  list_contains(toks, 'spark') AS mentions_spark,

@@ -573,6 +573,23 @@ object Relational {
       first(col("c_acctbal")).over(w).as("segment_min"))
   }
 
+  /** Null-safe equality (`<=>` / IS NOT DISTINCT FROM) as join semantics:
+    * P-status orders get a NULL join key via nullif, and the null-safe
+    * join still routes them to the dim's NULL row — where a plain `=` join
+    * would silently drop them, the classic silent-data-loss bug in
+    * dimension lookups with incomplete keys. Counts per resolved label,
+    * so the oracle pins both the matching AND the routing.
+    */
+  def nullSafeJoinCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.orders(spark, sfDir)
+      .select(nullif(col("o_orderstatus"), lit("P")).as("k"))
+    val dim = keyed.distinct()
+      .select(col("k").as("dk"), coalesce(col("k"), lit("UNKNOWN")).as("label"))
+    keyed.join(dim, col("k") <=> col("dk"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
   /** Equi-width histogram of extended price (5000-wide buckets) with
     * cumulative counts and cumulative share — the distribution-profiling
     * primitive. The event-sized work is one map-side-combinable aggregate;

@@ -86,6 +86,27 @@ object Statistics {
       max(col("t_cur")).as("n_cur_rows"))
   }
 
+  /** Exact quantile table per group: the value at rank ceil(p·n) for each
+    * requested p — [[winsorizedPricing]]'s order-statistic machinery
+    * generalized to a long-format profile (the numeric summary a feature
+    * store publishes per batch). One ranked window, then a tiny
+    * probe-per-p cross join against the ranked frame; no interpolation by
+    * design (see winsorize scaladoc).
+    */
+  def quantileTable(spark: SparkSession, sfDir: String,
+      ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val byFlag = Window.partitionBy("flag")
+    val ranked = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+      .withColumn("rn", row_number().over(byFlag.orderBy("price")))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    ranked
+      .select(col("flag"), col("rn"), col("n"), col("price"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("rn") === ceil(col("p") * col("n")))
+      .select(col("flag"), col("p"), col("price").as("value"))
+  }
+
   /** Pearson chi-square test of independence for the returnflag ×
     * linestatus contingency table: expected counts from the margins, each
     * cell's (o−e)²/e rounded to decimal and summed exactly (a double sum

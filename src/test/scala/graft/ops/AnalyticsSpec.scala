@@ -106,4 +106,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(0) >= 0.0, "every (p-q)ln(p/q) term is non-negative")
     assert(r.getLong(2) + r.getLong(3) === graft.core.Tables.lineitem(spark, sf).count())
   }
+
+  test("quantile table: monotone across p within each group, bracketed by winsorize cuts") {
+    val rows = Statistics.quantileTable(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val byP = g.sortBy(_._2).map(_._3)
+      assert(byP.zip(byP.tail).forall { case (a, b) => a <= b }, s"$flag monotone")
+      assert(byP.length === 5, s"$flag one value per requested p")
+    }
+  }
+
+  test("null-safe join routes NULL keys instead of dropping them") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.nullSafeJoinCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val orders = graft.core.Tables.orders(spark, sf)
+    val pCount = orders.filter(col("o_orderstatus") === "P").count()
+    assert(rows("UNKNOWN") === pCount, "every NULL-keyed row resolved to the NULL dim row")
+    assert(rows.values.sum === orders.count(), "no row dropped")
+  }
 }
