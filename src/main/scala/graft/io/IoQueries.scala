@@ -1,7 +1,6 @@
 package graft.io
 
 import java.nio.file.{Files, Paths}
-import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod}
@@ -26,12 +25,7 @@ object IoQueries {
   }
 
   private[graft] def deleteRecursively(dir: String): Unit = graft.core.StagingClock.timed {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]()).forEach(f => Files.delete(f))
-      finally walk.close()
-    }
+    VersionedTable.deleteDir(Paths.get(dir))
   }
 
   /** S2+S6: write `customer` over JDBC (embedded Derby), read it back. */

@@ -329,16 +329,22 @@ object VersionedTable {
       nGroups: Int, fpp: Double = 0.01): Int = {
     val v = latestVersion(base) + 1
     val groups = (0 until nGroups).flatMap { k =>
-      val slice = df.filter(pmod(col(keyCol), lit(nGroups)) === k)
+      // NULL keys satisfy no pmod slice — route them into group 0 so the
+      // full snapshot keeps them (same invariant as appendClustered; a
+      // point lookup never wants them: k = value is NULL-false anyway)
+      val slice0 = pmod(col(keyCol), lit(nGroups)) === k
+      val slice = df.filter(if (k == 0) slice0 || col(keyCol).isNull else slice0)
       writeGroup(slice, base, v, k).map { g =>
-        val n = math.max(1L,
-          df.sparkSession.read.parquet(s"$base/${g.rel}").count())
-        val bloom = df.sparkSession.read.parquet(s"$base/${g.rel}")
-          .stat.bloomFilter(keyCol, n, fpp)
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        Files.write(Paths.get(base, g.rel, s"_bloom_$keyCol.b64"),
-          java.util.Base64.getEncoder.encode(bos.toByteArray))
+        // one materialized read of the written group yields both the bloom
+        // sizing count and the bloom itself
+        val back = df.sparkSession.read.parquet(s"$base/${g.rel}").cache()
+        try {
+          val bloom = back.stat.bloomFilter(keyCol, math.max(1L, back.count()), fpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          Files.write(Paths.get(base, g.rel, s"_bloom_$keyCol.b64"),
+            java.util.Base64.getEncoder.encode(bos.toByteArray))
+        } finally back.unpersist()
         g
       }
     }
@@ -356,7 +362,12 @@ object VersionedTable {
   def snapshotPoint(spark: SparkSession, base: String, keyCol: String,
       keys: Seq[Long], version: Int = Int.MaxValue): DataFrame = {
     pointPaths(base, keyCol, keys, version) match {
-      case Seq() => snapshot(spark, base, version).filter(lit(false))
+      case Seq() =>
+        // every group skipped: an empty frame on ONE group's schema — no
+        // point planning a scan over the full live set for a known-empty read
+        val v = math.min(version, latestVersion(base))
+        val first = liveGroups(base, v).head
+        spark.read.parquet(s"$base/${first.rel}").filter(lit(false))
       case paths => spark.read.parquet(paths: _*).filter(col(keyCol).isin(keys: _*))
     }
   }
@@ -404,11 +415,16 @@ object VersionedTable {
     finally walk.close()
   }
 
-  private def deleteDir(p: java.nio.file.Path): Unit = {
-    val walk = Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(f => Files.delete(f))
-    finally walk.close()
+  /** Recursive directory delete (no-op if absent) — the single shared
+    * implementation; `IoQueries.deleteRecursively` delegates here.
+    */
+  private[graft] def deleteDir(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
   }
 
   /** OPTIMIZE (bin-packing compaction): merge live file groups smaller than
@@ -433,7 +449,11 @@ object VersionedTable {
     if (small.size < 2) commit(base, "optimize_noop", Seq.empty, Seq.empty)
     else {
       val next = v + 1
-      val merged = spark.read.parquet(small.map(g => s"$base/${g.rel}"): _*)
+      // mergeSchema: compacting a schema-EVOLVED history must union the
+      // group schemas — a single-footer read would silently drop columns
+      // present in only some groups, destroying them for every later read
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(small.map(g => s"$base/${g.rel}"): _*)
       val statsCol = small.map(_.statsCol).distinct match {
         case Seq(only @ Some(_)) => only
         case _ => None
@@ -447,9 +467,17 @@ object VersionedTable {
     * version. The newest `retainVersions` versions stay fully readable;
     * older versions keep their history rows but may no longer be
     * time-traveled to (their reads fail on missing paths — Delta's exact
-    * contract). Also sweeps orphan groups from crashed writers, closing the
-    * commit protocol's cleanup loop. Returns the number of directories
-    * reclaimed. Driver-side and manifest-sized, like the rest of the log.
+    * contract). Also sweeps orphan groups from CRASHED writers. Returns the
+    * number of directories reclaimed. Driver-side and manifest-sized, like
+    * the rest of the log.
+    *
+    * Concurrency contract: vacuum is a WRITER-side maintenance operation
+    * under this table's single-writer design — an in-flight append's
+    * not-yet-committed group is indistinguishable from a crashed writer's
+    * orphan, so running vacuum concurrently with a writer can delete data
+    * out from under a commit about to land. A multi-writer deployment
+    * needs the conditional-put commit variant plus an age-based retention
+    * window before orphan sweeping, exactly as Delta's VACUUM does.
     */
   def vacuum(base: String, retainVersions: Int = 1): Int = {
     val latest = latestVersion(base)

@@ -35,6 +35,7 @@ object Clustering {
 
   def kmeansAssignments(spark: SparkSession, sfDir: String, k: Int = 8,
       iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"kmeans needs at least one assignment round, got $iters")
     val emb = Tables.embeddings(spark, sfDir)
     val e = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
@@ -67,7 +68,12 @@ object Clustering {
           .localCheckpoint(true) // cut the recurrence's lineage growth
       }
     }
-    assign.select(col("vec_id"), col("cid").as("cluster"),
+    // materialize the |V|-row result, then release the exploded frame —
+    // a lazily-returned plan would pin it in executor storage forever
+    val result = assign.select(col("vec_id"), col("cid").as("cluster"),
       Num.decToDouble(col("dist")).as("dist"))
+      .localCheckpoint(true)
+    e.unpersist()
+    result
   }
 }

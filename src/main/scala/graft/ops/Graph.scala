@@ -254,7 +254,12 @@ object Graph {
             lit(damping) * coalesce(col("inbound"), lit(0.0))).as("rank"))
         .localCheckpoint(true) // cut the per-iteration lineage growth
     }
-    ranks.join(outdeg, ranks("id") === outdeg("src"))
+    // materialize the |V|-row result, then release the cached edge frames —
+    // a lazily-returned plan would pin the |E|-sized cache for the JVM's life
+    val result = ranks.join(outdeg, ranks("id") === outdeg("src"))
       .select(col("id").as("part_id"), col("rank"), col("deg").as("out_degree"))
+      .localCheckpoint(true)
+    edges.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    result
   }
 }

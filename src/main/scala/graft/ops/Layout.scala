@@ -63,13 +63,7 @@ object Layout {
     */
   private def dropStaleLocation(spark: SparkSession, table: String): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dir = java.nio.file.Paths.get(wh, table)
-    if (java.nio.file.Files.exists(dir)) {
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally walk.close()
-    }
+    graft.io.IoQueries.deleteRecursively(s"$wh/$table")
   }
 
   /** q139: revenue per order priority over the bucketed join. Both sides are
@@ -108,7 +102,7 @@ object Layout {
     * scale factor — one partitioned rewrite, then every reader prunes).
     */
   private def partitionedEventsPath(spark: SparkSession, sfDir: String): String = synchronized {
-    val path = s"/root/repo/target/tmp/events_by_type/${safe(sfDir)}"
+    val path = graft.io.IoQueries.scratch("events_by_type", sfDir)
     val done = java.nio.file.Paths.get(path, "_DONE")
     if (!java.nio.file.Files.exists(done)) {
       Tables.events(spark, sfDir).write.mode("overwrite")

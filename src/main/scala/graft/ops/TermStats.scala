@@ -150,8 +150,10 @@ object TermStats {
         size(filter(col("toks"), t => length(t) > 4)).cast("long").as("n_long"),
         aggregate(transform(col("toks"), t => length(t)), lit(0),
           (acc, x) => acc + x).cast("long").as("total_chars"),
-        element_at(array_sort(array_distinct(transform(col("toks"),
-          t => upper(t)))), 1).as("first_upper"),
+        // get() (0-based, NULL out of bounds) not element_at: a zero-token
+        // document must yield NULL, not an ANSI INVALID_ARRAY_INDEX error
+        get(array_sort(array_distinct(transform(col("toks"),
+          t => upper(t)))), lit(0)).as("first_upper"),
         array_contains(col("toks"), "spark").as("mentions_spark"),
         concat_ws(" ", slice(col("toks"), 1, 3)).as("head3"))
 

@@ -278,6 +278,33 @@ class VersionedTableSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("optimize preserves evolved columns when compacting mixed-schema groups") {
+    import spark.implicits._
+    val base = tmpDir("vt_optimize_evolve")
+    VersionedTable.append(Seq((1L, "a")).toDF("k", "s"), base)
+    VersionedTable.append(Seq((2L, "b", 7.5)).toDF("k", "s", "score"), base)
+    VersionedTable.optimize(spark, base) // both tiny → packed into one group
+    val rows = VersionedTable.snapshotEvolved(spark, base)
+      .select("k", "s", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(7.5))),
+      "compaction must not drop columns present in only some groups")
+  }
+
+  test("bloom append keeps NULL-key rows in the snapshot") {
+    import spark.implicits._
+    val base = tmpDir("vt_bloom_null")
+    val df = Seq((Some(1L), "a"), (None, "nullkey"), (Some(2L), "b"))
+      .toDF("k", "s")
+    VersionedTable.appendBloomIndexed(df, base, "k", nGroups = 2)
+    assert(VersionedTable.snapshot(spark, base).count() === 3L,
+      "NULL keys route to group 0 instead of vanishing")
+    // and a point lookup still never returns them
+    assert(VersionedTable.snapshotPoint(spark, base, "k", Seq(1L, 2L))
+      .count() === 2L)
+  }
+
   test("schema-evolved snapshot unions group schemas; absent columns read NULL") {
     import spark.implicits._
     val base = tmpDir("vt_evolve")
