@@ -191,6 +191,7 @@ object SparkEntry {
     "q155_psi_drift"       -> ((s, d) => graft.ops.Statistics.priceDriftPsi(s, d)),
     "q156_quantile_table"  -> ((s, d) => graft.ops.Statistics.quantileTable(s, d)),
     "q157_nullsafe_join"   -> ((s, d) => Relational.nullSafeJoinCounts(s, d)),
+    "q158_hybrid_search"   -> ((s, d) => graft.ops.TermStats.hybridSearch(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -629,6 +630,38 @@ object SparkEntry {
        |SELECT vec_id, cid AS cluster, CAST(CAST(dist AS VARCHAR) AS DOUBLE) AS dist
        |FROM a$iters""".stripMargin
   }
+
+  /** The q152 BM25 oracle body — also the lexical arm of q158's fusion. */
+  private val bm25OracleSql: String =
+    """WITH d2 AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |d3 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM d2),
+        |corpus AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(CAST(len AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE)
+        |      / count(*) AS avg_len
+        |  FROM d3),
+        |tf AS (
+        |  SELECT doc_id, len, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, len, unnest(toks) AS t FROM d3)
+        |  WHERE t IN ('spark', 'join', 'window')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(CAST(sum(CAST(CAST(
+        |    CAST(CAST(CAST(CAST(
+        |      ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+        |          + CAST(1.0 AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    * (tf * CAST(2.2 AS DOUBLE))
+        |    / (tf + CAST(1.2 AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * len / avg_len))
+        |    AS VARCHAR) AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_terms_matched
+        |FROM tf JOIN df USING (t) CROSS JOIN corpus
+        |GROUP BY 1""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1279,36 +1312,28 @@ object SparkEntry {
     // q152: BM25 with Lucene idf; per-term scores VARCHAR-bridge into
     // decimal before the per-document sum; ln() verified bit-equal across
     // engines on this data by the gate itself
-    "q152_bm25" ->
-      """WITH d2 AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
-        |d3 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM d2),
-        |corpus AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(CAST(sum(CAST(len AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE)
-        |      / count(*) AS avg_len
-        |  FROM d3),
-        |tf AS (
-        |  SELECT doc_id, len, t, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, len, unnest(toks) AS t FROM d3)
-        |  WHERE t IN ('spark', 'join', 'window')
-        |  GROUP BY 1, 2, 3),
-        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
-        |SELECT doc_id,
-        |  CAST(CAST(sum(CAST(CAST(
-        |    CAST(CAST(CAST(CAST(
-        |      ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
-        |          + CAST(1.0 AS DOUBLE))
-        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
-        |    * (tf * CAST(2.2 AS DOUBLE))
-        |    / (tf + CAST(1.2 AS DOUBLE)
-        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-        |           + CAST(0.75 AS DOUBLE) * len / avg_len))
-        |    AS VARCHAR) AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS score,
-        |  CAST(count(*) AS BIGINT) AS n_terms_matched
-        |FROM tf JOIN df USING (t) CROSS JOIN corpus
-        |GROUP BY 1""".stripMargin,
+    "q152_bm25" -> bm25OracleSql,
+
+    // q158: reciprocal-rank fusion of the BM25 arm and the exact-cosine
+    // arm; both score columns are bit-exact cross-engine, so the fused
+    // ranking (rank arithmetic only) is deterministic end to end
+    "q158_hybrid_search" ->
+      s"""WITH lexbase AS ($bm25OracleSql),
+         |lex AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+         |  FROM lexbase),
+         |$scaledVecs,
+         |qv AS (SELECT svec AS qvec, norm2 AS qnorm2 FROM w WHERE vec_id = 0),
+         |sem0 AS (SELECT vec_id AS doc_id,
+         |    ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |  FROM qv, w WHERE vec_id <> 0),
+         |sem AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r_sem
+         |  FROM sem0)
+         |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+         |  COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_lex), CAST(0 AS DOUBLE))
+         |  + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r_sem), CAST(0 AS DOUBLE)) AS rrf
+         |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id""".stripMargin,
 
     // q153: Shannon entropy per source; p·ln p terms VARCHAR-bridge into
     // decimal before the exact per-source fold

@@ -80,6 +80,22 @@ object Similarity {
         col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** Exact cosine of EVERY corpus vector to one query vector — the
+    * single-query flavor of [[cosineTopK]] (broadcast one row × one corpus
+    * scan), exposed for the hybrid-search fusion in
+    * [[TermStats.hybridSearch]]. Same integer-scaled arithmetic, so the
+    * scores are cross-engine bit-exact and safe to RANK on.
+    */
+  private[graft] def cosineToQuery(spark: SparkSession, sfDir: String,
+      queryId: Long): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+    val q = vecs.filter(col("vec_id") === queryId)
+      .select(col("svec").as("qvec"), col("norm2").as("qnorm2"))
+    broadcast(q).join(vecs, col("vec_id") =!= queryId)
+      .select(col("vec_id").as("doc_id"),
+        cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2")).as("cosine"))
+  }
+
   /** Sign-LSH bucket key: bit i set iff component i+1 is non-negative. */
   private def signBucket(vec: Column, bits: Int): Column =
     (0 until bits).map { i =>

@@ -157,6 +157,33 @@ object TermStats {
         array_contains(col("toks"), "spark").as("mentions_spark"),
         concat_ws(" ", slice(col("toks"), 1, 3)).as("head3"))
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical arm
+    * ([[bm25Scores]]) and the semantic arm (exact cosine to query vector 0,
+    * [[Similarity.cosineToQuery]]) — the two-tower search shape every
+    * modern retrieval stack runs, as one oracle-gated query. RRF is pure
+    * rank arithmetic (score = Σ 1/(60+rank)), and both arms' scores are
+    * already cross-engine bit-exact (decimal-bridged BM25; integer-scaled
+    * cosine), so the fused ranking is deterministic end to end — rank
+    * fusion is exactly the regime where 1-ulp score noise would silently
+    * reorder results, which is why both arms were built exact first.
+    * Documents in only one arm keep a NULL rank there and contribute a
+    * single RRF term (standard RRF-over-union semantics).
+    */
+  def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = bm25Scores(spark, sfDir)
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = Similarity.cosineToQuery(spark, sfDir, queryId = 0L)
+      .withColumn("r_sem", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_sem"))
+    def arm(r: Column) = coalesce(lit(1.0) / (lit(60.0) + r), lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        (arm(col("r_lex")) + arm(col("r_sem"))).as("rrf"))
+  }
+
   /** Shannon entropy of each source's token distribution (plus vocabulary
     * and token totals) — the diversity signal a corpus-mix designer reads
     * before weighting sources. p·ln p terms round to decimal before the

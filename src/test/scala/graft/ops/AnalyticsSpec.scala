@@ -127,4 +127,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows("UNKNOWN") === pCount, "every NULL-keyed row resolved to the NULL dim row")
     assert(rows.values.sum === orders.count(), "no row dropped")
   }
+
+  test("hybrid search: RRF bounds, arm coverage, two-arm docs outrank their single-arm ranks") {
+    val rows = TermStats.hybridSearch(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every doc came from at least one arm; RRF within (0, 2/61]
+    rows.foreach { case (id, rl, rs, rrf) =>
+      assert(rl.isDefined || rs.isDefined, s"doc $id in neither arm")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0, s"doc $id rrf $rrf out of range")
+    }
+    // a doc in BOTH arms scores strictly above the same ranks in one arm
+    rows.filter(r => r._2.isDefined && r._3.isDefined).foreach { case (_, rl, rs, rrf) =>
+      assert(rrf > 1.0 / (60.0 + rl.get) && rrf > 1.0 / (60.0 + rs.get))
+    }
+  }
 }
