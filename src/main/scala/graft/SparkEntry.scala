@@ -192,6 +192,8 @@ object SparkEntry {
     "q156_quantile_table"  -> ((s, d) => graft.ops.Statistics.quantileTable(s, d)),
     "q157_nullsafe_join"   -> ((s, d) => Relational.nullSafeJoinCounts(s, d)),
     "q158_hybrid_search"   -> ((s, d) => graft.ops.TermStats.hybridSearch(s, d)),
+    "q159_evolving_merge"  -> ((s, d) => graft.io.IoQueries.evolvedMergeState(s, d)),
+    "q160_salted_agg"      -> ((s, d) => graft.ops.Skew.saltedEventAgg(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1313,6 +1315,35 @@ object SparkEntry {
     // decimal before the per-document sum; ln() verified bit-equal across
     // engines on this data by the gate itself
     "q152_bm25" -> bm25OracleSql,
+
+    // q159: schema-evolving MERGE — carried rows read a typed NULL channel,
+    // updated (every 3rd F-key, price+1.0) and inserted (every 3rd O-key)
+    // rows carry 'WEB'; +1.0 on a double is exact IEEE in both engines
+    "q159_evolving_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, CAST(NULL AS VARCHAR) AS o_channel
+        |FROM t WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+        |  'WEB' AS o_channel
+        |FROM t WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority,
+        |  'WEB' AS o_channel
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'O'""".stripMargin,
+
+    // q160: salted two-phase aggregation must equal the PLAIN group-by —
+    // the decomposition is invisible because the partials are associative
+    "q160_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // q158: reciprocal-rank fusion of the BM25 arm and the exact-cosine
     // arm; both score columns are bit-exact cross-engine, so the fused

@@ -327,6 +327,47 @@ object IoQueries {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** The evolving-MERGE history (memoized): v0 loads status-F orders with
+    * the BASE schema; the merge source carries a NEW column `o_channel`
+    * ('WEB') on every 3rd orderkey — matched rows update price and gain the
+    * channel, status-O source keys insert with it, untouched groups keep
+    * the old schema on disk.
+    */
+  private def evolvedMergeBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("evolved_merge", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      deleteRecursively(base)
+      val orders = Tables.orders(spark, sfDir)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "F"), base)
+      val source = orders
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_channel", lit("WEB"))
+      VersionedTable.merge(spark, base, source, keys = Seq("o_orderkey"),
+        updateWhen = Some(lit(true)),
+        updateSet = Map(
+          "o_totalprice" -> col("s.o_totalprice"),
+          "o_channel" -> col("s.o_channel")),
+        evolveSchema = true)
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** Schema-evolving MERGE (q159): the post-merge evolved snapshot — rows
+    * untouched by the merge read a typed NULL channel, updated and inserted
+    * rows carry 'WEB'. The oracle rebuilds carried ∪ updated ∪ inserted
+    * with the explicit NULL, so both the merge row semantics AND the
+    * additive schema change must be lossless.
+    */
+  def evolvedMergeState(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = evolvedMergeBase(spark, sfDir)
+    VersionedTable.snapshotEvolved(spark, base)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", "o_channel")
+  }
+
   /** Orders hash-sliced into 8 bloom-indexed file groups (memoized). */
   private def bloomOrdersBase(spark: SparkSession, sfDir: String): String = synchronized {
     val base = scratch("bloom_orders", sfDir)

@@ -269,30 +269,45 @@ object VersionedTable {
     * guard inside `mergeInto` rides along unchanged (an ambiguous source
     * fails the commit before any manifest lands — data groups written by
     * the failed attempt are unreferenced garbage for vacuum, exactly the
-    * crashed-writer story).
+    * crashed-writer story). With `evolveSchema` on, source columns the
+    * target lacks join the schema additively (Delta's mergeSchema on
+    * MERGE); read the result with [[snapshotEvolved]].
     */
   def merge(spark: SparkSession, base: String, source: DataFrame,
       keys: Seq[String],
       updateWhen: Option[Column] = None,
       updateSet: Map[String, Column] = Map.empty,
       deleteWhen: Option[Column] = None,
-      insertWhen: Option[Column] = None): Int = {
+      insertWhen: Option[Column] = None,
+      evolveSchema: Boolean = false): Int = {
     val v = latestVersion(base)
     require(v >= 0, s"no committed version in $base")
     val live = liveGroups(base, v)
-    val snap = snapshot(spark, base)
+    // With evolution on, source columns absent from the target join the
+    // schema (Delta's mergeSchema on MERGE): each REWRITTEN or INSERTED
+    // group carries them, untouched groups keep their old schema (no
+    // history rewrite), and snapshotEvolved reads the union. The snapshot
+    // itself reads mergeSchema too, so evolving an already-evolved table
+    // composes.
+    val snap0 = snapshot(spark, base, mergeSchema = evolveSchema)
+    val newCols =
+      if (evolveSchema) source.schema.fields.filterNot(f => snap0.columns.contains(f.name))
+      else Array.empty[org.apache.spark.sql.types.StructField]
+    def widen(df: DataFrame): DataFrame =
+      newCols.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val snap = widen(snap0)
     val keyCols = keys.map(col)
 
     // input_file_name() must bind to the scan BEFORE the join — after it the
     // expression has two sources and analysis rejects it
-    val touchedFiles = snap.withColumn("__graft_file", input_file_name())
+    val touchedFiles = snap0.withColumn("__graft_file", input_file_name())
       .join(source.select(keyCols: _*).distinct(), keys)
       .select(col("__graft_file")).distinct().collect().map(_.getString(0))
     val touched = live.filter(g => touchedFiles.exists(_.contains(s"/${g.rel}/")))
 
     val next = v + 1
     val rewritten = touched.zipWithIndex.flatMap { case (g, k) =>
-      val groupDf = spark.read.parquet(s"$base/${g.rel}")
+      val groupDf = widen(spark.read.parquet(s"$base/${g.rel}"))
       val groupSource = source.join(groupDf.select(keyCols: _*).distinct(), keys, "left_semi")
       writeGroup(
         graft.ops.Merge.mergeInto(groupDf, groupSource, keys,

@@ -140,4 +140,29 @@ object Skew {
           .cast("double").as("sum_qty"))
       .withColumn("strategy", lit(decision))
   }
+
+  /** Salted TWO-PHASE aggregation (q160): an explicit pre-aggregate keyed by
+    * (key, salt) fans a hot key across `salts` reducers, then a tiny final
+    * aggregate over salts·|keys| partial rows re-merges — the classic
+    * hot-key-aggregation decomposition, made possible by carrying only
+    * ASSOCIATIVE partials (count, exact decimal sum) between the phases.
+    * The oracle is the PLAIN single-phase GROUP BY: the whole point is that
+    * the decomposition is invisible in the result, which only holds because
+    * the decimal partials merge order-independently (double partials would
+    * hash-mismatch). Spark's own partial aggregation does this implicitly
+    * per-partition; the explicit salt matters when one key dominates a
+    * partition's output so badly that the FINAL aggregate's single reducer
+    * for that key becomes the straggler.
+    */
+  def saltedEventAgg(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      salts: Int = 16): DataFrame = {
+    val partial = graft.core.Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("pv"))
+    partial.groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("pv")).cast("double").as("total_value"))
+  }
 }

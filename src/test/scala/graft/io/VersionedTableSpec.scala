@@ -292,6 +292,34 @@ class VersionedTableSpec extends SparkSpec {
       "compaction must not drop columns present in only some groups")
   }
 
+  test("evolving merge adds source columns without rewriting untouched history") {
+    import spark.implicits._
+    val base = tmpDir("vt_merge_evolve")
+    VersionedTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base)  // touched
+    VersionedTable.append(Seq((10L, "x")).toDF("k", "s"), base)           // untouched
+    VersionedTable.merge(spark, base,
+      Seq((2L, "b2", 9.5), (3L, "c", 1.5)).toDF("k", "s", "score"),
+      keys = Seq("k"),
+      updateWhen = Some(lit(true)),
+      updateSet = Map("s" -> col("s.s"), "score" -> col("s.score")),
+      evolveSchema = true)
+    val rows = VersionedTable.snapshotEvolved(spark, base)
+      .select("k", "s", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, "a", None),          // carried in rewritten group: typed NULL
+      (2L, "b2", Some(9.5)),    // updated: gains the new column's value
+      (3L, "c", Some(1.5)),     // inserted with it
+      (10L, "x", None)),        // untouched group, old schema on disk
+      "additive evolution composes with CoW merge")
+    // the untouched group's files genuinely keep the OLD schema
+    val untouched = spark.read.parquet(s"$base/groups/g00001-0")
+    assert(untouched.columns.toSeq === Seq("k", "s"))
+    // pre-merge time travel is no wider than it was
+    assert(VersionedTable.snapshot(spark, base, 1).columns.toSeq === Seq("k", "s"))
+  }
+
   test("bloom append keeps NULL-key rows in the snapshot") {
     import spark.implicits._
     val base = tmpDir("vt_bloom_null")
