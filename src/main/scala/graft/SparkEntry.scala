@@ -194,6 +194,8 @@ object SparkEntry {
     "q158_hybrid_search"   -> ((s, d) => graft.ops.TermStats.hybridSearch(s, d)),
     "q159_evolving_merge"  -> ((s, d) => graft.io.IoQueries.evolvedMergeState(s, d)),
     "q160_salted_agg"      -> ((s, d) => graft.ops.Skew.saltedEventAgg(s, d)),
+    "q161_filtered_aggs"   -> ((s, d) => Relational.filteredAggs(s, d)),
+    "q162_subqueries"      -> ((s, d) => Relational.lateOrdersAboveAverage(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1344,6 +1346,32 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q161: FILTER-clause conditional aggregation, decimal-exact inside
+    // each slice
+    "q161_filtered_aggs" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_high_disc,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS high_disc_price,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,4)))
+        |    FILTER (WHERE l_quantity >= 25) AS DOUBLE)
+        |    / count(*) FILTER (WHERE l_quantity >= 25) AS bulk_avg_tax
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // q162: correlated EXISTS + exact-decimal scalar-subquery threshold
+    "q162_subqueries" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > TIMESTAMP '2000-06-01 00:00:00')
+        |  AND o_totalprice > (
+        |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*)
+        |    FROM orders)""".stripMargin,
 
     // q158: reciprocal-rank fusion of the BM25 arm and the exact-cosine
     // arm; both score columns are bit-exact cross-engine, so the fused

@@ -573,6 +573,50 @@ object Relational {
       first(col("c_acctbal")).over(w).as("segment_min"))
   }
 
+  /** Conditional aggregation via the SQL FILTER clause — one pass computing
+    * differently-scoped aggregates side by side (the alternative is N
+    * scans or nested CASE arithmetic). Sums stay in the exact decimal
+    * domain inside the FILTER, so the per-slice results are as
+    * order-independent as the plain ones.
+    */
+  def filteredAggs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("count(*) FILTER (WHERE l_discount > 0.05)").as("n_high_disc"),
+        expr("count(*) FILTER (WHERE l_quantity >= 25)").as("n_bulk"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) " +
+          "FILTER (WHERE l_discount > 0.05) AS DOUBLE)").as("high_disc_price"),
+        // sum/count, not decimal avg: Spark's avg(DECIMAL) rounds inside
+        // the decimal domain where DuckDB's returns a double division
+        expr("CAST(sum(CAST(l_tax AS DECIMAL(18,4))) " +
+          "FILTER (WHERE l_quantity >= 25) AS DOUBLE) " +
+          "/ count(*) FILTER (WHERE l_quantity >= 25)").as("bulk_avg_tax"))
+
+  /** Correlated subqueries as first-class predicates: EXISTS (rewritten by
+    * Catalyst to a left-semi join — no per-row re-execution) plus an
+    * uncorrelated exact-decimal scalar subquery threshold. The SQL text IS
+    * the operator here; the plan is the same join dataflow the DataFrame
+    * spelling would build, which is the point — subqueries are syntax, not
+    * a second execution model.
+    */
+  def lateOrdersAboveAverage(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders_v o
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem_v l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > TIMESTAMP_NTZ '2000-06-01 00:00:00')
+        |  AND o_totalprice > (
+        |    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*)
+        |    FROM orders_v)""".stripMargin)
+  }
+
   /** Null-safe equality (`<=>` / IS NOT DISTINCT FROM) as join semantics:
     * P-status orders get a NULL join key via nullif, and the null-safe
     * join still routes them to the dim's NULL row — where a plain `=` join
