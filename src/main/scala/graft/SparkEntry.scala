@@ -196,6 +196,7 @@ object SparkEntry {
     "q160_salted_agg"      -> ((s, d) => graft.ops.Skew.saltedEventAgg(s, d)),
     "q161_filtered_aggs"   -> ((s, d) => Relational.filteredAggs(s, d)),
     "q162_subqueries"      -> ((s, d) => Relational.lateOrdersAboveAverage(s, d)),
+    "q163_stream_psi"      -> ((s, d) => EventStream.psiMonitorAvailableNow(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1346,6 +1347,35 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q163: the streaming drift monitor must equal the batch PSI of the
+    // same cohorts — counts are complete-mode (batch-boundary-independent)
+    // and the scoring is the shared q155 formula
+    "q163_stream_psi" ->
+      """WITH counts AS (
+        |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_ref,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS n_cur
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT *, sum(n_ref) OVER () AS t_ref, sum(n_cur) OVER () AS t_cur,
+        |    count(*) OVER () AS n_buckets
+        |  FROM counts),
+        |terms AS (
+        |  SELECT
+        |    CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_buckets) AS p_ref,
+        |    CAST(n_cur + 1 AS DOUBLE) / (t_cur + n_buckets) AS p_cur,
+        |    t_ref, t_cur, n_buckets
+        |  FROM m)
+        |SELECT
+        |  CAST(CAST(sum(CAST(CAST(
+        |    (p_cur - p_ref) * CAST(CAST(CAST(CAST(ln(p_cur / p_ref)
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS psi,
+        |  CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+        |  CAST(max(t_ref) AS BIGINT) AS n_ref_rows,
+        |  CAST(max(t_cur) AS BIGINT) AS n_cur_rows
+        |FROM terms""".stripMargin,
 
     // q161: FILTER-clause conditional aggregation, decimal-exact inside
     // each slice

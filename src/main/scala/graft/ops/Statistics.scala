@@ -71,6 +71,15 @@ object Statistics {
       .agg(
         sum(when(col("cohort") === "ref", 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("cohort") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    psiFromCounts(counts)
+  }
+
+  /** The PSI arithmetic over a per-bucket (bucket, n_ref, n_cur) counts
+    * frame — shared by the batch alarm above and the streaming monitor
+    * ([[graft.streaming.EventStream.psiMonitorAvailableNow]]), so both
+    * tiers score drift with the identical, oracle-pinned formula.
+    */
+  private[graft] def psiFromCounts(counts: DataFrame): DataFrame = {
     val withTotals = counts
       .withColumn("t_ref", sum(col("n_ref")).over(Window.partitionBy()))
       .withColumn("t_cur", sum(col("n_cur")).over(Window.partitionBy()))

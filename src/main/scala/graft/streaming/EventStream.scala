@@ -341,6 +341,37 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming drift monitor: the live stream's value distribution scored as
+    * PSI against a STATIC pre-cutoff reference — the data-quality alarm of
+    * [[graft.ops.Statistics.priceDriftPsi]] run as a continuous job. The
+    * stream maintains only the per-bucket counts (complete-mode aggregate, a
+    * dozen rows of state — batch-boundary-INDEPENDENT by construction, so
+    * the result is deterministic however the file source batches); the PSI
+    * arithmetic runs on the drained counts through the same shared
+    * [[graft.ops.Statistics.psiFromCounts]] the batch alarm uses. Production
+    * form: update-mode sink with the PSI fold in foreachBatch, alerting when
+    * the score crosses threshold.
+    */
+  def psiMonitorAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    val ref = graft.core.Tables.events(spark, sfDir)
+      .filter(col("ts") < cut)
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
+    val streamCounts = spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir(spark, sfDir))
+      .filter(col("ts") >= cut)
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+    val cur = Drain.toMemoryTable(spark, streamCounts, "complete", "graft_psi_counts")
+    val counts = ref.join(cur, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    graft.ops.Statistics.psiFromCounts(counts)
+  }
+
   /** Streaming dedup under redelivery: the event stream unioned with a full
     * replay of itself (every event delivered twice — the at-least-once
     * delivery failure mode), deduplicated on event_id with

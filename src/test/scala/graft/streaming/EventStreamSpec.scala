@@ -310,4 +310,21 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming PSI monitor equals the batch PSI of the same cohorts") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = EventStream.psiMonitorAvailableNow(spark, sf).head
+    // batch twin: identical bucket/cohort arithmetic from one static read
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    val counts = graft.core.Tables.events(spark, sf)
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"),
+        when(col("ts") < cut, lit("ref")).otherwise(lit("cur")).as("cohort"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("cohort") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("cohort") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val batch = graft.ops.Statistics.psiFromCounts(counts).head
+    assert(streamed === batch, "stream-counted and batch-counted PSI are identical")
+    assert(streamed.getDouble(0) >= 0.0)
+  }
 }
