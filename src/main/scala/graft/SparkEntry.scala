@@ -197,6 +197,7 @@ object SparkEntry {
     "q161_filtered_aggs"   -> ((s, d) => Relational.filteredAggs(s, d)),
     "q162_subqueries"      -> ((s, d) => Relational.lateOrdersAboveAverage(s, d)),
     "q163_stream_psi"      -> ((s, d) => EventStream.psiMonitorAvailableNow(s, d)),
+    "q164_concurrent_writers" -> ((s, d) => graft.io.IoQueries.concurrentWritersState(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -600,8 +601,9 @@ object SparkEntry {
   }
 
   /** DuckDB twin of Clustering.kmeansAssignments: deterministic seed
-    * centroids (vec_id < k), `iters` unrolled Lloyd rounds with decimal
-    * distances/means exactly as the operator computes them.
+    * centroids (the first k vec_ids present, ORDER BY vec_id LIMIT k),
+    * `iters` unrolled Lloyd rounds with decimal distances/means exactly as
+    * the operator computes them.
     */
   private def kmeansOracle(k: Int, iters: Int): String = {
     val steps = (1 to iters).map { i =>
@@ -630,15 +632,26 @@ object SparkEntry {
        |c0 AS (SELECT vec_id AS cid,
        |    unnest(range(0, len(embedding))) AS dim,
        |    CAST(unnest(embedding) AS DOUBLE) AS c
-       |  FROM embeddings WHERE vec_id < $k),
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
        |${steps.mkString(",\n")}
        |SELECT vec_id, cid AS cluster, CAST(CAST(dist AS VARCHAR) AS DOUBLE) AS dist
        |FROM a$iters""".stripMargin
   }
 
-  /** The q152 BM25 oracle body — also the lexical arm of q158's fusion. */
-  private val bm25OracleSql: String =
-    """WITH d2 AS (
+  /** The q152 BM25 oracle body — also the lexical arm of q158's fusion.
+    * The k1/b/terms constants are INTERPOLATED from [[graft.ops.TermStats]]'s
+    * defaults (the same Scala doubles `bm25Scores` folds with; Double.toString
+    * is shortest-round-trip, so DuckDB's literal parse recovers the identical
+    * bits) — a hardcoded `2.2` would only match while `k1 + 1.0` happens to
+    * equal that literal exactly, and would silently diverge if the default
+    * moved.
+    */
+  private def bm25OracleSql: String = {
+    val k1 = graft.ops.TermStats.Bm25K1
+    val b = graft.ops.TermStats.Bm25B
+    val termsIn =
+      graft.ops.TermStats.Bm25DefaultTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d2 AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |  FROM documents),
         |d3 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM d2),
@@ -650,7 +663,7 @@ object SparkEntry {
         |tf AS (
         |  SELECT doc_id, len, t, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id, len, unnest(toks) AS t FROM d3)
-        |  WHERE t IN ('spark', 'join', 'window')
+        |  WHERE t IN ($termsIn)
         |  GROUP BY 1, 2, 3),
         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
         |SELECT doc_id,
@@ -659,14 +672,15 @@ object SparkEntry {
         |      ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
         |          + CAST(1.0 AS DOUBLE))
         |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
-        |    * (tf * CAST(2.2 AS DOUBLE))
-        |    / (tf + CAST(1.2 AS DOUBLE)
-        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-        |           + CAST(0.75 AS DOUBLE) * len / avg_len))
+        |    * (tf * CAST(${k1 + 1.0} AS DOUBLE))
+        |    / (tf + CAST($k1 AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
+        |           + CAST($b AS DOUBLE) * len / avg_len))
         |    AS VARCHAR) AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS score,
         |  CAST(count(*) AS BIGINT) AS n_terms_matched
         |FROM tf JOIN df USING (t) CROSS JOIN corpus
         |GROUP BY 1""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1021,6 +1035,22 @@ object SparkEntry {
         |  o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderstatus IN ('F', 'O') AND o_totalprice >= 50000""".stripMargin,
+
+    // q164: multi-writer optimistic concurrency — final state after two
+    // FORCED version races (a blind-append retry and a delete that must
+    // re-resolve its rewrite set against the interleaved append). The oracle
+    // recomputes the expected table straight from the source: all orders
+    // surviving the delete plus the high-value duplicate batch (bag
+    // semantics via UNION ALL), so a lost or clobbered commit on either
+    // side breaks the hash.
+    "q164_concurrent_writers" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_totalprice >= CAST(50000 AS DOUBLE)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_totalprice >= CAST(400000 AS DOUBLE)""".stripMargin,
     // incremental JOIN-view maintenance: the oracle recomputes the view
     // from scratch over the full join, so the delta-join identity
     // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg

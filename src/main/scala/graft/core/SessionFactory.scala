@@ -24,8 +24,10 @@ object SessionFactory {
     configure(
       SparkSession.builder().master(s"local[$cores]")
         // managed tables (the bucketed-layout surface, ops.Layout) land in a
-        // scratch warehouse instead of ./spark-warehouse in the repo root
-        .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse"),
+        // scratch warehouse under the caller's checkout, not ./spark-warehouse
+        // in the cwd root and not a path hardcoded to this repo
+        .config("spark.sql.warehouse.dir",
+          s"${sys.props("user.dir")}/target/tmp/warehouse"),
       cores, appName)
 
   /** For cluster use: master/deploy config comes from spark-submit; only the

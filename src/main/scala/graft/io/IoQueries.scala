@@ -397,4 +397,55 @@ object IoQueries {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
   }
+
+  /** Multi-writer history under optimistic concurrency (memoized). Two
+    * version races are FORCED deterministically via the `beforeCommit` seam,
+    * one per conflict class:
+    *
+    *   v0  append  F orders                       (plain single-writer)
+    *   v1  append  P orders — writer `b0` steals the version writer `a0`
+    *       resolved; a0's conditional put fails, it RETRIES the same
+    *       manifest (blind appends conflict with nothing) →
+    *   v2  append  O orders (a0's retried commit)
+    *   v3  append  o_totalprice ≥ 400000 duplicates — writer `c0` steals
+    *       the version writer `d0`'s DELETE resolved against; d0 must
+    *       RE-RESOLVE (its rewrite set depends on the snapshot), so the
+    *       retry re-discovers touched groups against v3 — including none of
+    *       c0's (all ≥ 400000) — and lands
+    *   v4  delete  o_totalprice < 50000
+    *
+    * Final state: every order ≥ 50000 plus the ≥ 400000 duplicates — the
+    * oracle recomputes it straight from the source, so BOTH losers'
+    * retried commits must have landed losslessly for the hash to match.
+    */
+  private def concurrentOrdersBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("concurrent_orders", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      deleteRecursively(base)
+      val orders = Tables.orders(spark, sfDir)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "F"), base)
+      VersionedTable.appendOptimistic(
+        orders.filter(col("o_orderstatus") === "O"), base, writerId = "a0",
+        beforeCommit = { attempt =>
+          if (attempt == 0) VersionedTable.appendOptimistic(
+            orders.filter(col("o_orderstatus") === "P"), base, "b0")
+        })
+      VersionedTable.deleteWhereOptimistic(spark, base,
+        col("o_totalprice") < 50000.0, writerId = "d0",
+        beforeCommit = { attempt =>
+          if (attempt == 0) VersionedTable.appendOptimistic(
+            orders.filter(col("o_totalprice") >= 400000.0), base, "c0")
+        })
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** q164: the final snapshot after the two forced commit races above. */
+  def concurrentWritersState(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = concurrentOrdersBase(spark, sfDir)
+    VersionedTable.snapshot(spark, base)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
 }

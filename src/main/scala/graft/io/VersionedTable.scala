@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   *     readable (time travel) until a vacuum (not modeled) reclaims them.
   *
   * Commit protocol: data groups are fully written BEFORE the manifest, and
-  * the manifest lands by write-to-temp + atomic move — a reader either sees
-  * version N complete or not at all, and a crashed writer leaves only
-  * unreferenced data (cleaned by vacuum), never a torn table. Single-writer
-  * by design; a multi-writer deployment swaps the atomic rename for the
-  * object store's conditional put, exactly as the real systems do.
+  * the manifest lands by write-to-temp + atomic PUT-IF-ABSENT
+  * ([[tryCommitAt]]) — a reader either sees version N complete or not at
+  * all, and a crashed writer leaves only unreferenced data (cleaned by
+  * vacuum), never a torn table. Multi-writer follows Delta's optimistic
+  * model: every commit conditionally claims its version number, losers of
+  * the race DETECT the conflict (never overwrite the winner), and
+  * [[appendOptimistic]]/[[deleteWhereOptimistic]] retry — an append
+  * re-submits the same manifest (blind appends conflict with nothing), a
+  * delete re-resolves its rewrite set against the new snapshot first. On an
+  * object store the conditional put is `If-None-Match`; here it is a hard
+  * link (POSIX atomic create-if-absent).
   *
   * Scale shape: ALL log operations are manifest-sized (file counts, not row
   * counts) — snapshot resolution reads a handful of text files driver-side,
@@ -43,6 +49,13 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   private def logDir(base: String) = Paths.get(base, "_log")
+
+  /** Group rel-path (`groups/<dirname>`) of a data-file path, computed inside
+    * the Spark job so touched-group discovery collects group names, not file
+    * names — O(groups) driver rows and an exact hash-set probe downstream.
+    */
+  private def groupRelOf(file: Column): Column =
+    regexp_extract(file, "/(groups/[^/]+)/", 1)
 
   /** An added file group, optionally carrying min/max stats for ONE declared
     * clustering column — the manifest-level data-skipping index. Stats are
@@ -110,22 +123,53 @@ object VersionedTable {
       .foldLeft(init)((live, m) => live.filterNot(g => m.remove.contains(g.rel)) ++ m.add)
   }
 
-  private def commit(base: String, action: String, add: Seq[Group],
-      remove: Seq[String]): Int = {
-    val v = latestVersion(base) + 1
+  /** Atomic PUT-IF-ABSENT of version `v`'s manifest: the content is staged to
+    * a temp file, then materialized at `v<v>.txt` via `Files.createLink` —
+    * a hard link either lands the COMPLETE content atomically or fails with
+    * `FileAlreadyExistsException` when another writer claimed `v` first
+    * (POSIX rename would silently REPLACE the winner's manifest). This is the
+    * local-FS analogue of an object store's conditional put (`If-None-Match`),
+    * which is exactly the primitive a cloud deployment swaps in.
+    */
+  private def tryCommitAt(base: String, v: Int, action: String,
+      add: Seq[Group], remove: Seq[String]): Boolean = {
     Files.createDirectories(logDir(base))
     val body = (s"action $action" +: (add.map(_.manifestLine) ++ remove.map("remove " + _)))
       .mkString("", "\n", "\n")
     val tmp = logDir(base).resolve(f".v$v%05d.txt.tmp")
     Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, logDir(base).resolve(f"v$v%05d.txt"),
-      StandardCopyOption.ATOMIC_MOVE)
+    try { Files.createLink(logDir(base).resolve(f"v$v%05d.txt"), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Single-writer commit — now conflict-DETECTING: losing the version race
+    * throws instead of silently overwriting the winner (the pre-conditional
+    * rename could clobber a concurrent manifest). Snapshot-dependent callers
+    * (delete/merge/optimize) must fail loudly here; retry belongs to the
+    * optimistic variants, which re-derive their changes first.
+    */
+  private def commit(base: String, action: String, add: Seq[Group],
+      remove: Seq[String]): Int = {
+    val v = latestVersion(base) + 1
+    if (!tryCommitAt(base, v, action, add, remove))
+      throw new java.util.ConcurrentModificationException(
+        s"version $v of $base was committed by another writer; " +
+          "re-derive against the new snapshot (see the *Optimistic variants)")
     v
   }
 
   private def writeGroup(df: DataFrame, base: String, version: Int, k: Int,
+      statsCol: Option[String] = None): Option[Group] =
+    writeGroupNamed(df, base, f"groups/g$version%05d-$k", statsCol)
+
+  /** Write one immutable file group under an EXPLICIT rel-path — the
+    * version-named convention above for single-writer commits, writer-unique
+    * names for the optimistic protocol (two writers racing on the same
+    * version number must never race on a data directory).
+    */
+  private def writeGroupNamed(df: DataFrame, base: String, rel: String,
       statsCol: Option[String] = None): Option[Group] = {
-    val rel = f"groups/g$version%05d-$k"
     df.write.mode("overwrite").parquet(s"$base/$rel")
     statsCol match {
       case None => Some(Group(rel))
@@ -144,6 +188,70 @@ object VersionedTable {
   def append(df: DataFrame, base: String): Int = {
     val v = latestVersion(base) + 1
     commit(base, "append", writeGroup(df, base, v, 0).toSeq, Seq.empty)
+  }
+
+  /** Multi-writer APPEND under optimistic concurrency. The data group is
+    * written ONCE under a writer-unique name (`groups/w-<writerId>`, so
+    * version-number races never become data-directory races), then the
+    * manifest loop claims the next version via [[tryCommitAt]]'s conditional
+    * put; losing a round means another writer's commit landed first — a
+    * blind append conflicts with NOTHING semantically (Delta's own rule), so
+    * the loser simply re-reads the new latest version and retries the same
+    * manifest. `writerId` must be unique per in-flight commit (the Delta
+    * `txnAppId` discipline); `beforeCommit(attempt)` is a test seam invoked
+    * between version resolution and the conditional put — the spec uses it
+    * to force a deterministic interleave.
+    */
+  def appendOptimistic(df: DataFrame, base: String, writerId: String,
+      maxRetries: Int = 10, beforeCommit: Int => Unit = _ => ()): Int = {
+    val group = writeGroupNamed(df, base, s"groups/w-$writerId").toSeq
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val v = latestVersion(base) + 1
+      beforeCommit(attempt)
+      if (tryCommitAt(base, v, "append", group, Seq.empty)) return v
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"append by $writerId lost the commit race $maxRetries times in $base")
+  }
+
+  /** Multi-writer COPY-ON-WRITE DELETE under optimistic concurrency. Unlike
+    * [[appendOptimistic]], a delete's rewrite set DEPENDS on the snapshot it
+    * read, so losing the version race forces full re-resolution: the loser
+    * re-reads the new latest snapshot, re-discovers touched groups, rewrites
+    * them afresh (attempt-unique names) and tries again. Data groups from
+    * abandoned attempts are unreferenced — vacuum's crashed-writer sweep
+    * reclaims them, exactly the Delta story. The predicate must be
+    * deterministic; `beforeCommit` is the same test seam as append's.
+    */
+  def deleteWhereOptimistic(spark: SparkSession, base: String,
+      predicate: Column, writerId: String, maxRetries: Int = 5,
+      beforeCommit: Int => Unit = _ => ()): Int = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val v = latestVersion(base)
+      require(v >= 0, s"no committed version in $base")
+      val live = liveGroups(base, v)
+      val touchedRels = snapshot(spark, base, v).filter(predicate)
+        .select(groupRelOf(input_file_name()).as("g")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val touched = live.filter(g => touchedRels.contains(g.rel))
+      val (action, add, remove) =
+        if (touched.isEmpty) ("delete_noop", Seq.empty[Group], Seq.empty[String])
+        else {
+          val rewritten = touched.zipWithIndex.flatMap { case (g, k) =>
+            writeGroupNamed(spark.read.parquet(s"$base/${g.rel}").filter(!predicate),
+              base, s"groups/w-$writerId-r$attempt-$k", g.statsCol)
+          }
+          ("delete", rewritten, touched.map(_.rel))
+        }
+      beforeCommit(attempt)
+      if (tryCommitAt(base, v + 1, action, add, remove)) return v + 1
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"delete by $writerId lost the commit race $maxRetries times in $base")
   }
 
   /** Append `df` range-CLUSTERED on a numeric column into `nGroups` file
@@ -242,9 +350,13 @@ object VersionedTable {
     val v = latestVersion(base)
     require(v >= 0, s"no committed version in $base")
     val live = liveGroups(base, v)
-    val touchedFiles = snapshot(spark, base).filter(predicate)
-      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
-    val touched = live.filter(g => touchedFiles.exists(_.contains(s"/${g.rel}/")))
+    // group rel-paths are extracted from input_file_name IN the Spark job, so
+    // the driver collects O(touched groups) rows and probes a hash set —
+    // never O(files × groups) substring scans over the manifest
+    val touchedRels = snapshot(spark, base).filter(predicate)
+      .select(groupRelOf(input_file_name()).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = live.filter(g => touchedRels.contains(g.rel))
     if (touched.isEmpty) commit(base, "delete_noop", Seq.empty, Seq.empty)
     else {
       val next = v + 1
@@ -290,8 +402,17 @@ object VersionedTable {
     // itself reads mergeSchema too, so evolving an already-evolved table
     // composes.
     val snap0 = snapshot(spark, base, mergeSchema = evolveSchema)
+    // new-column detection must use the SESSION's resolution rules: under the
+    // default caseSensitive=false a source column differing only in case is
+    // the SAME column (treating it as new would let widen's withColumn
+    // case-insensitively replace the target column with typed NULLs)
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def fold(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val existing = snap0.columns.map(fold).toSet
     val newCols =
-      if (evolveSchema) source.schema.fields.filterNot(f => snap0.columns.contains(f.name))
+      if (evolveSchema) source.schema.fields.filterNot(f => existing.contains(fold(f.name)))
       else Array.empty[org.apache.spark.sql.types.StructField]
     def widen(df: DataFrame): DataFrame =
       newCols.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -299,11 +420,13 @@ object VersionedTable {
     val keyCols = keys.map(col)
 
     // input_file_name() must bind to the scan BEFORE the join — after it the
-    // expression has two sources and analysis rejects it
-    val touchedFiles = snap0.withColumn("__graft_file", input_file_name())
+    // expression has two sources and analysis rejects it. The group rel-path
+    // is extracted in-job (see [[groupRelOf]]) so the driver collects
+    // O(touched groups) and probes a set, not O(files × groups) substrings.
+    val touchedRels = snap0.withColumn("__graft_g", groupRelOf(input_file_name()))
       .join(source.select(keyCols: _*).distinct(), keys)
-      .select(col("__graft_file")).distinct().collect().map(_.getString(0))
-    val touched = live.filter(g => touchedFiles.exists(_.contains(s"/${g.rel}/")))
+      .select(col("__graft_g")).distinct().collect().map(_.getString(0)).toSet
+    val touched = live.filter(g => touchedRels.contains(g.rel))
 
     val next = v + 1
     val rewritten = touched.zipWithIndex.flatMap { case (g, k) =>
@@ -378,11 +501,11 @@ object VersionedTable {
       keys: Seq[Long], version: Int = Int.MaxValue): DataFrame = {
     pointPaths(base, keyCol, keys, version) match {
       case Seq() =>
-        // every group skipped: an empty frame on ONE group's schema — no
-        // point planning a scan over the full live set for a known-empty read
-        val v = math.min(version, latestVersion(base))
-        val first = liveGroups(base, v).head
-        spark.read.parquet(s"$base/${first.rel}").filter(lit(false))
+        // every group skipped: the empty frame still needs the FULL (merged)
+        // table schema — building it from one group would narrow the result
+        // on a schema-evolved table, and .head would throw bare on an empty
+        // live set. snapshotEvolved covers both (clear require inside).
+        snapshotEvolved(spark, base, version).filter(lit(false))
       case paths => spark.read.parquet(paths: _*).filter(col(keyCol).isin(keys: _*))
     }
   }

@@ -42,7 +42,10 @@ object Clustering {
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
       .cache()
 
-    var cents = emb.filter(col("vec_id") < k)
+    // seed from the first k vec_ids actually PRESENT (TakeOrderedAndProject,
+    // k rows to the driver-side plan, never a full sort) — `vec_id < k` would
+    // silently train fewer than k clusters on sparse or offset id spaces
+    var cents = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), posexplode(col("embedding")).as(Seq("dim", "cf")))
       .select(col("cid"), col("dim"), col("cf").cast("double").as("c"))
 

@@ -19,6 +19,14 @@ import graft.core.{Num, Tables}
   */
 object TermStats {
 
+  /** BM25 defaults, shared with the oracle builder in [[graft.SparkEntry]] so
+    * the SQL twin interpolates the SAME doubles the operator folds with —
+    * changing a default here changes both sides in lockstep.
+    */
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+  val Bm25DefaultTerms: Seq[String] = Seq("spark", "join", "window")
+
   private def tokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
@@ -99,8 +107,8 @@ object TermStats {
     * so everything after the token explode is query-sized, not corpus-sized.
     */
   def bm25Scores(spark: SparkSession, sfDir: String,
-      terms: Seq[String] = Seq("spark", "join", "window"),
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      terms: Seq[String] = Bm25DefaultTerms,
+      k1: Double = Bm25K1, b: Double = Bm25B): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
