@@ -198,6 +198,7 @@ object SparkEntry {
     "q162_subqueries"      -> ((s, d) => Relational.lateOrdersAboveAverage(s, d)),
     "q163_stream_psi"      -> ((s, d) => EventStream.psiMonitorAvailableNow(s, d)),
     "q164_concurrent_writers" -> ((s, d) => graft.io.IoQueries.concurrentWritersState(s, d)),
+    "q165_gk_bound"        -> ((s, d) => graft.ops.Statistics.gkQuantileBound(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1051,6 +1052,21 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_totalprice >= CAST(400000 AS DOUBLE)""".stripMargin,
+
+    // q165: the GK-sketch swap for the exact quantile table, epsilon-gated —
+    // the oracle recomputes the exact order statistics and pins
+    // within_bound = TRUE, so a sketch answer drifting past ±εn ranks of
+    // ⌈p·n⌉ breaks the hash (the same spec-pinned-bound pattern as HLL's)
+    "q165_gk_bound" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT flag, CAST(p AS DOUBLE) AS p, price AS value,
+        |  TRUE AS within_bound
+        |FROM r CROSS JOIN (VALUES (0.5), (0.95)) v(p)
+        |WHERE rn = ceil(CAST(p AS DOUBLE) * n)""".stripMargin,
     // incremental JOIN-view maintenance: the oracle recomputes the view
     // from scratch over the full join, so the delta-join identity
     // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg

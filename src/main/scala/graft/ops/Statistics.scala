@@ -116,6 +116,54 @@ object Statistics {
       .select(col("flag"), col("p"), col("price").as("value"))
   }
 
+  /** The 100 TB swap for [[quantileTable]], oracle-gated: the exact table
+    * sorts every group (full per-group shuffle + sort), while
+    * `approx_percentile` (Greenwald–Khanna summaries) aggregates map-side
+    * in bounded memory and merges associatively — the only shape that holds
+    * when a group no longer fits an executor. The sketch VALUES are
+    * engine-specific (q71 stays rows-only for that reason), so what this
+    * query gates is the CONTRACT: for each (group, p) the sketch's answer
+    * must have rank within [⌊(p−ε)·n⌋, ⌈(p+ε)·n⌉] (ε = 1/accuracy —
+    * `ApproximatePercentile`'s documented bound, verbatim; the tighter
+    * |rank−⌈pn⌉| ≤ εn reading fails real data by one rank at the floor
+    * boundary). The emitted rows carry the exact values
+    * and the boolean verdict; the DuckDB oracle recomputes the exact values
+    * and pins `within_bound = TRUE`, so a sketch drifting out of its bound
+    * fails the hash gate — the swap's error budget is CI-enforced, not
+    * just unit-tested.
+    */
+  def gkQuantileBound(spark: SparkSession, sfDir: String,
+      ps: Seq[Double] = Seq(0.5, 0.95), accuracy: Int = 10000): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+    // one sketch row per (group, p); the frame is |groups| rows — broadcast it
+    val sketch = li.groupBy(col("flag"))
+      .agg(expr(s"approx_percentile(price, array(${ps.mkString(",")}), $accuracy)")
+          .as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("flag"), col("n"), posexplode(col("qs")).as(Seq("i", "approx")))
+      .select(col("flag"), col("n"),
+        element_at(array(ps.map(lit): _*), col("i").cast("int") + 1).as("p"),
+        col("approx"))
+    // the sketch value's rank interval in the exact data: one more fact scan,
+    // no sort — counts of strictly-below and at-or-below per (group, p)
+    val ranks = li.join(broadcast(sketch), Seq("flag"))
+      .groupBy(col("flag"), col("p"), col("n"), col("approx"))
+      .agg(
+        sum(when(col("price") < col("approx"), 1L).otherwise(0L)).as("rank_lt"),
+        sum(when(col("price") <= col("approx"), 1L).otherwise(0L)).as("rank_le"))
+    // the documented contract: some rank r of the returned value satisfies
+    // ⌊(p−ε)·n⌋ ≤ r ≤ ⌈(p+ε)·n⌉; the value's ranks span [rank_lt+1, rank_le]
+    val eps = lit(1.0 / accuracy)
+    val loBound = floor((col("p") - eps) * col("n"))
+    val hiBound = ceil((col("p") + eps) * col("n"))
+    val verdicts = ranks.select(col("flag"), col("p"),
+      ((col("rank_lt") + lit(1) <= hiBound) &&
+        (col("rank_le") >= loBound)).as("within_bound"))
+    quantileTable(spark, sfDir, ps).join(verdicts, Seq("flag", "p"))
+      .select(col("flag"), col("p"), col("value"), col("within_bound"))
+  }
+
   /** Pearson chi-square test of independence for the returnflag ×
     * linestatus contingency table: expected counts from the margins, each
     * cell's (o−e)²/e rounded to decimal and summed exactly (a double sum

@@ -349,8 +349,8 @@ object EventStream {
     * the result is deterministic however the file source batches); the PSI
     * arithmetic runs on the drained counts through the same shared
     * [[graft.ops.Statistics.psiFromCounts]] the batch alarm uses. Production
-    * form: update-mode sink with the PSI fold in foreachBatch, alerting when
-    * the score crosses threshold.
+    * form: [[psiAlertToTable]] — update-mode sink with the PSI fold in
+    * foreachBatch, alerting once when the score crosses threshold.
     */
   def psiMonitorAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
@@ -370,6 +370,70 @@ object EventStream {
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     graft.ops.Statistics.psiFromCounts(counts)
+  }
+
+  /** PRODUCTION wiring of the PSI drift monitor: watched source directory →
+    * per-bucket counts in UPDATE mode → `foreachBatch` threshold alarm, with
+    * a CALLER-OWNED durable checkpoint (restart is the point — repeated
+    * calls with the same `chk` resume offsets and count state). Update mode
+    * delivers only buckets whose totals changed this micro-batch, so sink
+    * I/O scales with the drift surface, not the histogram; the totals are
+    * ABSOLUTE (group-by counts, not deltas), so the keyed upsert into the
+    * `$root/counts` [[graft.io.VersionedTable]] is naturally idempotent
+    * under micro-batch replay. Each batch then scores the merged store
+    * against the static `refCounts` through the same
+    * [[graft.ops.Statistics.psiFromCounts]] as the batch alarm and q163's
+    * monitor, and appends ONE alert row to `$root/alerts` on the first
+    * crossing of `threshold` — alert-once semantics survive both replay
+    * (the presence check re-runs before the append) and restarts (the
+    * alerts table is the durable "armed" state; re-arm = truncate it, the
+    * pager ack). The spec drives three drains over one checkpoint: an
+    * in-distribution batch (no alert), a drifted batch (alert fires), and a
+    * further drifted batch (still exactly one alert row).
+    */
+  def psiAlertToTable(spark: SparkSession, src: String, refCounts: DataFrame,
+      root: String, chk: String, threshold: Double = 0.25): Unit = {
+    val countsBase = s"$root/counts"
+    val alertsDir = s"$root/alerts"
+    def alerted(): Boolean = {
+      val fs = new java.io.File(alertsDir).listFiles()
+      fs != null && fs.exists(_.getName.endsWith(".parquet"))
+    }
+    val streamCounts = spark.readStream.schema(eventsSchema).parquet(src)
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+    Drain.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      val q = streamCounts.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            if (graft.io.VersionedTable.latestVersion(countsBase) < 0)
+              graft.io.VersionedTable.append(batch, countsBase)
+            else
+              graft.io.VersionedTable.merge(spark, countsBase, batch,
+                keys = Seq("bucket"),
+                updateWhen = Some(lit(true)),
+                updateSet = Map("n_cur" -> col("s.n_cur")))
+            val cur = graft.io.VersionedTable.snapshot(spark, countsBase)
+            val joined = refCounts.join(cur, Seq("bucket"), "full_outer")
+              .select(col("bucket"),
+                coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+                coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+            val psi = graft.ops.Statistics.psiFromCounts(joined)
+              .head.getDouble(0)
+            if (psi >= threshold && !alerted()) {
+              spark.range(1)
+                .select(lit(batchId).as("batch_id"), lit(psi).as("psi"),
+                  lit(threshold).as("threshold"))
+                .coalesce(1).write.mode("append").parquet(alertsDir)
+            }
+          }
+        }
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
   }
 
   /** Streaming dedup under redelivery: the event stream unioned with a full

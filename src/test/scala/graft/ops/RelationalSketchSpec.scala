@@ -32,4 +32,21 @@ class RelationalSketchSpec extends SparkSpec {
       }
     }
   }
+
+  /** q165's oracle-gated form of the same contract: every (group, p) verdict
+    * is true and the exact values match [[Statistics.quantileTable]]'s rows
+    * for the same ps — the sketch swap's error budget, CI-enforced.
+    */
+  test("gkQuantileBound: every verdict true, exact values equal the quantile table") {
+    val sf = "/root/testdata/sf0.01"
+    val out = Statistics.gkQuantileBound(spark, sf).collect()
+    assert(out.length == 6) // 3 flags × 2 ps
+    assert(out.forall(_.getAs[Boolean]("within_bound")),
+      "a sketch answer drifted outside floor((p-eps)n) <= rank <= ceil((p+eps)n)")
+    val exact = Statistics.quantileTable(spark, sf, Seq(0.5, 0.95)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      assert(r.getDouble(2) == exact((r.getString(0), r.getDouble(1))))
+    }
+  }
 }

@@ -327,4 +327,68 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed === batch, "stream-counted and batch-counted PSI are identical")
     assert(streamed.getDouble(0) >= 0.0)
   }
+
+  /** The production alert form of the PSI monitor: three drains over one
+    * durable checkpoint. Drain 1 ships in-distribution data (PSI 0 — no
+    * alert), drain 2 ships a shifted distribution (alert fires once), drain 3
+    * ships further drifted data (the alarm stays latched — still exactly one
+    * alert row). The counts store must equal the batch bucket counts of
+    * everything shipped, proving the update-mode upsert resumed (not
+    * recounted) across restarts.
+    */
+  test("psiAlertToTable: alert-once across three drains, counts equal the batch twin") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val root = tmpDir("psialert")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val chk = s"$root/chk"; val store = s"$root/store"
+
+    val ev = graft.core.Tables.events(spark, sf).select(col("value"))
+    val ref = ev
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
+
+    def ship(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+    val full = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    def alerts(): Array[org.apache.spark.sql.Row] = {
+      val fs = new java.io.File(s"$store/alerts").listFiles()
+      if (fs == null || !fs.exists(_.getName.endsWith(".parquet")))
+        Array.empty
+      else spark.read.parquet(s"$store/alerts").collect()
+    }
+
+    // drain 1: the reference distribution itself — identical histograms, PSI 0
+    ship("b1", full)
+    EventStream.psiAlertToTable(spark, src, ref, store, chk)
+    assert(alerts().isEmpty, "in-distribution drain must not alert")
+
+    // drain 2: every value shifted 5× — disjoint buckets, PSI far above 0.25
+    ship("b2", full.withColumn("value", col("value") * 5.0))
+    EventStream.psiAlertToTable(spark, src, ref, store, chk)
+    val afterSecond = alerts()
+    assert(afterSecond.length == 1, "first crossing fires exactly one alert")
+    assert(afterSecond.head.getAs[Double]("psi") >= 0.25)
+
+    // drain 3: still drifting — the alarm stays latched, no duplicate row
+    ship("b3", full.withColumn("value", col("value") * 10.0))
+    EventStream.psiAlertToTable(spark, src, ref, store, chk)
+    assert(alerts().length == 1, "latched alarm does not re-fire")
+
+    // the counts store equals the batch bucket counts of all three shipments
+    val counts = graft.io.VersionedTable.snapshot(spark, s"$store/counts")
+    val twin = full.select(col("value"))
+      .union(full.select(col("value") * 5.0))
+      .union(full.select(col("value") * 10.0))
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+    assert(counts.exceptAll(twin).isEmpty && twin.exceptAll(counts).isEmpty)
+  }
 }
