@@ -199,6 +199,12 @@ object SparkEntry {
     "q163_stream_psi"      -> ((s, d) => EventStream.psiMonitorAvailableNow(s, d)),
     "q164_concurrent_writers" -> ((s, d) => graft.io.IoQueries.concurrentWritersState(s, d)),
     "q165_gk_bound"        -> ((s, d) => graft.ops.Statistics.gkQuantileBound(s, d)),
+    "q166_triangles"       -> ((s, d) => graft.ops.Graph.triangleStats(s, d)),
+    "q167_class_balance"   -> ((s, d) => graft.ops.Corpus.classBalance(s, d)),
+    "q168_weighted_sample" -> ((s, d) => graft.ops.Corpus.weightedSample(s, d)),
+    "q169_basket_pairs"    -> ((s, d) => graft.ops.Market.basketPairs(s, d)),
+    "q170_feature_bins"    -> ((s, d) => graft.ops.Statistics.equiDepthBins(s, d)),
+    "q171_restore"         -> ((s, d) => graft.io.IoQueries.restoredState(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1067,6 +1073,103 @@ object SparkEntry {
         |  TRUE AS within_bound
         |FROM r CROSS JOIN (VALUES (0.5), (0.95)) v(p)
         |WHERE rn = ceil(CAST(p AS DOUBLE) * n)""".stripMargin,
+
+    // q166: triangle census — the oracle counts triangles with naive
+    // id-ordering (each triangle once as u<v<w); the engine counts with
+    // degree orientation; the censuses are equal because both count each
+    // undirected triangle exactly once
+    "q166_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d AS (
+        |  SELECT id, count(*) AS deg
+        |  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM d) AS n_wedges,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |   JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin,
+
+    // q167: class balancing — per-language row_number over the same
+    // content-addressed rank key, capped at the minority class's count
+    "q167_class_balance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, md5(doc_id || '#balance_v1') AS rank_key
+        |  FROM documents),
+        |t AS (
+        |  SELECT CAST(min(n) AS BIGINT) AS target
+        |  FROM (SELECT count(*) AS n FROM d GROUP BY lang)),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY rank_key, doc_id) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT doc_id, lang, rn, target FROM r CROSS JOIN t WHERE rn <= target""".stripMargin,
+
+    // q168: Efraimidis–Spirakis weighted top-k — u from the md5 prefix,
+    // ln through the 12-decimal VARCHAR bridge (see q155's psi oracle),
+    // one further division by the weight; ties break by doc_id
+    "q168_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST('0x' || substr(md5(doc_id || ':wsample_v1'), 1, 8) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(CAST(CAST(CAST(ln(CAST(h + 1 AS DOUBLE) / 4294967297.0)
+        |    AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(n_chars AS DOUBLE) AS es_key
+        |FROM s
+        |ORDER BY es_key DESC, doc_id
+        |LIMIT 200""".stripMargin,
+
+    // q169: association rules over baskets — support / confidence / lift
+    // as single divisions of exact integer counts
+    "q169_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY pk),
+        |tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+        |pc AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, n_both, ia.n AS n_a, ib.n AS n_b, n_orders,
+        |  CAST(n_both AS DOUBLE) / ia.n AS confidence,
+        |  CAST(n_both * n_orders AS DOUBLE) / (ia.n * ib.n) AS lift
+        |FROM pc
+        |JOIN ic ia ON pc.part_a = ia.pk
+        |JOIN ic ib ON pc.part_b = ib.pk
+        |CROSS JOIN tot""".stripMargin,
+
+    // q170: equi-depth binning — boundaries at the q156 order statistics,
+    // bin = 1 + #boundaries strictly below the value (ties fall low)
+    "q170_feature_bins" ->
+      """WITH p AS (SELECT o_totalprice AS price FROM orders),
+        |r AS (
+        |  SELECT price, row_number() OVER (ORDER BY price) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM p),
+        |b AS (
+        |  SELECT price AS bv
+        |  FROM r CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) v(i)
+        |  WHERE rn = ceil(CAST(i AS DOUBLE) * n / 10)),
+        |binned AS (
+        |  SELECT price,
+        |    CAST(1 + (SELECT count(*) FROM b WHERE bv < price) AS BIGINT) AS bin
+        |  FROM p)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(price) AS min_price, max(price) AS max_price,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM binned GROUP BY bin""".stripMargin,
+
+    // q171: RESTORE undoes the mistaken delete — the final snapshot is
+    // exactly the pre-delete table, recomputed by the oracle from source
+    "q171_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
     // incremental JOIN-view maintenance: the oracle recomputes the view
     // from scratch over the full join, so the delta-join identity
     // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg

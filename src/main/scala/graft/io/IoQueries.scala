@@ -448,4 +448,38 @@ object IoQueries {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
   }
+
+  /** RESTORE exercised over a "bad deploy" history (memoized):
+    *
+    *   v0  append  F orders
+    *   v1  append  O orders
+    *   v2  delete  o_totalprice < 200000   (the mistake)
+    *   v3  restore → v1                    (the undo)
+    *
+    * The q171 snapshot reads v3: every deleted row must be back and the
+    * restore itself is a plain append-only commit (history keeps v2, and
+    * time travel to it still shows the mistaken state — pinned by
+    * VersionedTableSpec).
+    */
+  private def restoredOrdersBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val base = scratch("restored_orders", sfDir)
+    if (!Files.exists(Paths.get(base, "_DONE"))) {
+      deleteRecursively(base)
+      val orders = Tables.orders(spark, sfDir)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "F"), base)
+      VersionedTable.append(orders.filter(col("o_orderstatus") === "O"), base)
+      VersionedTable.deleteWhere(spark, base, col("o_totalprice") < 200000.0)
+      VersionedTable.restore(base, 1)
+      Files.writeString(Paths.get(base, "_DONE"), "ok")
+    }
+    base
+  }
+
+  /** q171: the post-restore snapshot — the mistaken delete fully undone. */
+  def restoredState(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = restoredOrdersBase(spark, sfDir)
+    VersionedTable.snapshot(spark, base)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
 }

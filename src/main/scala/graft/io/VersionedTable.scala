@@ -617,6 +617,33 @@ object VersionedTable {
     * needs the conditional-put commit variant plus an age-based retention
     * window before orphan sweeping, exactly as Delta's VACUUM does.
     */
+  /** RESTORE the table to version `toVersion`'s live set, as a NEW commit —
+    * Delta's RESTORE semantics: history stays append-only (the restore is
+    * itself a version, so it can be time-traveled past or restored over
+    * again) and NO data is copied — the target version's groups are
+    * re-referenced and the current-only groups de-referenced in one
+    * manifest. The operational "bad deploy" undo: a wrong MERGE or DELETE
+    * is reversed in O(manifest) time at any table size. Fails loudly if
+    * [[vacuum]] already reclaimed a group the target version needs — the
+    * restore horizon IS the vacuum retention window, exactly Delta's
+    * contract.
+    */
+  def restore(base: String, toVersion: Int): Int = {
+    val v = latestVersion(base)
+    require(toVersion >= 0 && toVersion <= v,
+      s"cannot restore $base to v$toVersion (latest is v$v)")
+    val target = liveGroups(base, toVersion)
+    val missing = target.map(_.rel).filterNot(r => Files.exists(Paths.get(base, r)))
+    require(missing.isEmpty,
+      s"cannot restore $base to v$toVersion: vacuum reclaimed ${missing.mkString(", ")}")
+    val current = liveGroups(base, v)
+    val currentRels = current.map(_.rel).toSet
+    val targetRels = target.map(_.rel).toSet
+    commit(base, "restore",
+      target.filterNot(g => currentRels.contains(g.rel)),
+      current.map(_.rel).filterNot(targetRels.contains))
+  }
+
   def vacuum(base: String, retainVersions: Int = 1): Int = {
     val latest = latestVersion(base)
     require(latest >= 0, s"no committed version in $base")

@@ -296,4 +296,60 @@ object Corpus {
         hashBucket(col("doc_id"), salt).as("bucket"), rate.as("keep_permille"))
       .filter(col("bucket") < col("keep_permille"))
   }
+
+  /** Exact class balancing: every language downsampled to the MINORITY
+    * language's document count, membership decided by a content-addressed
+    * rank (md5 of "id#salt") so the kept set is a pure function of the
+    * corpus — [[stratifiedSample]]'s fixed per-class rates replaced by a
+    * data-driven equal-size target (the classifier-training prep where class
+    * priors must not leak into the model). Two shuffles, both on `lang`
+    * (|langs| groups): the count aggregate and the per-class rank window;
+    * the minority count rides as a broadcast one-row frame. At 100 TB the
+    * per-class window sorts only (doc_id, rank_key) pairs — text never
+    * shuffles — and a skewed dominant class salts the sort via the hash key's
+    * uniformity (range partition on rank_key splits it evenly by
+    * construction).
+    */
+  def classBalance(spark: SparkSession, sfDir: String,
+      salt: String = "balance_v1"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit("#" + salt))).as("rank_key"))
+    val minority = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("target"))
+    docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("rank_key"), col("doc_id")))
+        .cast("long"))
+      .crossJoin(broadcast(minority))
+      .filter(col("rn") <= col("target"))
+      .select(col("doc_id"), col("lang"), col("rn"), col("target"))
+  }
+
+  /** Weighted sampling without replacement, Efraimidis–Spirakis: each
+    * document draws a deterministic uniform u from its content hash and is
+    * ranked by ln(u)/w (the A-ES key, order-isomorphic to u^(1/w)); the
+    * top-k ranked rows ARE a weighted sample without replacement — here
+    * weighted by document length, the "sample long documents
+    * proportionally more" curation draw. Cross-engine determinism: u is one
+    * division of a 32-bit hash prefix, ln goes through the 12-decimal
+    * bridge ([[graft.core.Num.decToDouble]] — JVM log vs libm differ in the
+    * last ulp), and the key is one further division; ties break by doc_id.
+    * Scale shape: the rank is a global top-k over (doc_id, key) pairs only —
+    * Spark's sort-limit pushes the limit into each partition before the
+    * single-task merge, so the full sort never happens and text never moves.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 200,
+      salt: String = "wsample_v1"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":" + salt))), 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967297.0) // (h+1)/(2^32+1) ∈ (0,1)
+    val key = graft.core.Num.decToDouble(log(u).cast(DecimalType(18, 12))) /
+      col("n_chars").cast("double")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -164,6 +164,41 @@ object Statistics {
       .select(col("flag"), col("p"), col("value"), col("within_bound"))
   }
 
+  /** Equi-depth feature binning: order totals cut into `nBins` buckets of
+    * (near-)equal population, with per-bin census — the feature-engineering
+    * step that turns a heavy-tailed numeric into a balanced categorical.
+    * Semantics are boundary-based, NOT `ntile`: boundaries are the exact
+    * order statistics at rank ⌈i·n/nBins⌉ (the q156 definition), and a row's
+    * bin is 1 + #{boundaries strictly below its value} — ties at a boundary
+    * fall to the lower bin, so the assignment is a pure function of the
+    * VALUE (ntile's remainder-splitting assigns tied values to different
+    * bins depending on sort-tie order, which no oracle can reproduce).
+    * Scale shape: one sort confined to the bare value column finds the
+    * nBins−1 boundaries; binning is then a broadcast of that array and a
+    * per-row codegen'd count — one scan, no second shuffle wider than
+    * nBins groups. At 100 TB, swap the exact boundaries for the GK sketch
+    * exactly as q165 gates.
+    */
+  def equiDepthBins(spark: SparkSession, sfDir: String, nBins: Int = 10): DataFrame = {
+    val prices = Tables.orders(spark, sfDir).select(col("o_totalprice").as("price"))
+    val w = Window.orderBy(col("price"))
+    val bounds = prices
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("price"), col("rn"), col("n"),
+        explode(array((1 until nBins).map(lit): _*)).as("i"))
+      .filter(col("rn") === ceil(col("i").cast("double") * col("n") / nBins))
+      .agg(sort_array(collect_list(col("price"))).as("bs"))
+    prices.crossJoin(broadcast(bounds))
+      .select(col("price"),
+        (lit(1) + size(filter(col("bs"), b => b < col("price")))).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        Num.sumMoney(col("price")).as("sum_price"))
+  }
+
   /** Pearson chi-square test of independence for the returnflag ×
     * linestatus contingency table: expected counts from the margins, each
     * cell's (o−e)²/e rounded to decimal and summed exactly (a double sum

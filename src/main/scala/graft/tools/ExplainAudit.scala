@@ -43,6 +43,19 @@ object ExplainAudit {
     audit("q118_bpe_tokens", graft.ops.Bpe.bpeTokenCounts(spark, sf))
     audit("q119_table_stats", graft.ops.Stats.tableStats(spark, sf))
     audit("q122_decayed_pop", graft.ops.Events.decayedPopularity(spark, sf))
+    audit("q166_triangles", {
+      import org.apache.spark.sql.functions._
+      val li = graft.core.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      graft.ops.Graph.triangleCensus(und, deg)
+    })
+    audit("q169_basket_pairs", graft.ops.Market.basketPairs(spark, sf))
+    audit("q170_feature_bins", graft.ops.Statistics.equiDepthBins(spark, sf))
     spark.stop()
   }
 }

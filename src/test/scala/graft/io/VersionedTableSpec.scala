@@ -418,4 +418,33 @@ class VersionedTableSpec extends SparkSpec {
     // the un-evolved read of the OLD version sees the old schema untouched
     assert(VersionedTable.snapshot(spark, base, 0).columns.toSeq === Seq("k", "s"))
   }
+
+  test("restore: undoes a delete as a new commit; history keeps the mistake; vacuum bounds the horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("vt_restore")
+    VersionedTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base)   // v0
+    VersionedTable.append(Seq((3L, "c")).toDF("k", "s"), base)              // v1
+    VersionedTable.deleteWhere(spark, base, col("k") < 3L)                  // v2: the mistake
+    assert(VersionedTable.snapshot(spark, base).count() === 1L)
+    val v3 = VersionedTable.restore(base, 1)                                // the undo
+    assert(v3 === 3)
+    assert(VersionedTable.snapshot(spark, base).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // append-only history: time travel still shows the mistaken state at v2
+    assert(VersionedTable.snapshot(spark, base, 2).count() === 1L)
+    val hist = VersionedTable.history(spark, base)
+      .select("version", "action").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hist(3L) === "restore" && hist(2L) === "delete")
+    // restoring over a restore works (back to the post-delete state)
+    VersionedTable.restore(base, 2)                                         // v4
+    assert(VersionedTable.snapshot(spark, base).count() === 1L)
+    // vacuum reclaims the v0/v1 groups; restore past the horizon fails loudly
+    VersionedTable.vacuum(base, retainVersions = 1)
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.restore(base, 1)
+    }
+    assert(err.getMessage.contains("vacuum reclaimed"))
+  }
 }

@@ -145,4 +145,83 @@ class AnalyticsSpec extends SparkSpec {
       assert(rrf > 1.0 / (60.0 + rl.get) && rrf > 1.0 / (60.0 + rs.get))
     }
   }
+
+  test("triangles: degree-oriented count equals the naive id-ordered recompute") {
+    import org.apache.spark.sql.functions._
+    val r = Graph.triangleStats(spark, sf).head
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct().cache()
+    val naive = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .count()
+    assert(r.getAs[Long]("n_triangles") === naive)
+    assert(r.getAs[Long]("n_edges") === e.count())
+    assert(r.getAs[Long]("n_wedges") >= r.getAs[Long]("n_triangles") * 3,
+      "every triangle closes three wedges")
+    e.unpersist()
+  }
+
+  test("basket pairs: counts match a naive recompute; confidence and lift consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Market.basketPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = li.select("ok").distinct().count()
+    val itemN = li.groupBy("pk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b, both, na, nb, n) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(both >= 3 && a < b && n === nOrders)
+      assert(na === itemN(a) && nb === itemN(b))
+      assert(r.getDouble(6) === both.toDouble / na)                  // confidence
+      assert(r.getDouble(7) === (both * n).toDouble / (na * nb))     // lift
+      assert(both <= math.min(na, nb), "support bounded by both margins")
+    }
+  }
+
+  test("class balance: every language ends at exactly the minority count") {
+    import org.apache.spark.sql.functions._
+    val rows = Corpus.classBalance(spark, sf).collect()
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val docs = graft.core.Tables.documents(spark, sf)
+    val trueMin = docs.groupBy("lang").count().agg(min("count")).head.getLong(0)
+    assert(perLang.values.toSet === Set(trueMin.toInt),
+      s"unbalanced: $perLang (target $trueMin)")
+    assert(perLang.keySet === docs.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet, "no language dropped")
+  }
+
+  test("weighted sample: k rows, keys descending, deterministic across reruns") {
+    val a = Corpus.weightedSample(spark, sf, k = 50).collect()
+    assert(a.length === 50)
+    val keys = a.map(_.getDouble(3))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y }, "ES keys descending")
+    val b = Corpus.weightedSample(spark, sf, k = 50).collect()
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq,
+      "content-addressed draw is rerun-stable")
+  }
+
+  test("equi-depth bins: populations near-equal, ranges disjoint and ordered") {
+    import org.apache.spark.sql.functions._
+    val rows = Statistics.equiDepthBins(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(rows.map(_.getAs[Long]("bin")).toSeq === (1L to 10L))
+    val n = graft.core.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === n)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("n_rows")
+      assert(math.abs(c - n / 10.0) <= n / 100.0 + 2,
+        s"bin ${r.getAs[Long]("bin")} holds $c of $n — not equi-depth")
+    }
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Double]("max_price") <= hi.getAs[Double]("min_price"),
+        "bins overlap")
+    }
+  }
 }
