@@ -205,6 +205,11 @@ object SparkEntry {
     "q169_basket_pairs"    -> ((s, d) => graft.ops.Market.basketPairs(s, d)),
     "q170_feature_bins"    -> ((s, d) => graft.ops.Statistics.equiDepthBins(s, d)),
     "q171_restore"         -> ((s, d) => graft.io.IoQueries.restoredState(s, d)),
+    "q172_mad_outliers"    -> ((s, d) => graft.ops.Statistics.madOutliers(s, d)),
+    "q173_bfs_hops"        -> ((s, d) => graft.ops.Graph.bfsHops(s, d)),
+    "q174_rfm_segments"    -> ((s, d) => graft.ops.Market.rfmSegments(s, d)),
+    "q175_inverted_index"  -> ((s, d) => graft.ops.TermStats.invertedIndex(s, d)),
+    "q176_stream_upsert"   -> ((s, d) => EventStream.latestEventsUpsertState(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1170,6 +1175,101 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
+
+    // q172: median/MAD robust outliers — both medians are lower order
+    // statistics (rank ceil(n/2)), so every number is an observed value or
+    // an exact count; the 3*mad compare is one IEEE product per row
+    "q172_mad_outliers" ->
+      """WITH v AS (SELECT event_type AS g, value AS x FROM events),
+        |med AS (
+        |  SELECT g, x AS med FROM (
+        |    SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS n FROM v)
+        |  WHERE rn = ceil(n / 2.0)),
+        |dev AS (SELECT v.g, v.x, abs(v.x - med.med) AS d FROM v JOIN med USING (g)),
+        |mad AS (
+        |  SELECT g, d AS mad FROM (
+        |    SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS n FROM dev)
+        |  WHERE rn = ceil(n / 2.0))
+        |SELECT dev.g, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  max(med.med) AS med, max(mad.mad) AS mad
+        |FROM dev JOIN med USING (g) JOIN mad USING (g)
+        |GROUP BY 1""".stripMargin,
+
+    // q173: multi-source BFS — the frontier-expansion loop gated against
+    // declarative reachability (recursive CTE, min hop per node)
+    "q173_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |bfs(id, hop) AS (
+        |  SELECT DISTINCT u AS id, 0 AS hop FROM e WHERE u % 500 = 0
+        |  UNION
+        |  SELECT e.v, bfs.hop + 1 FROM bfs JOIN e ON bfs.id = e.u WHERE bfs.hop < 3)
+        |SELECT CAST(hop AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT id, min(hop) AS hop FROM bfs GROUP BY id)
+        |GROUP BY 1""".stripMargin,
+
+    // q174: RFM quartile scores via the q170 boundary convention (exact
+    // order statistics, score = 1 + #boundaries strictly below; recency
+    // inverted so recent = 4)
+    "q174_rfm_segments" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(date_diff('day', max(o_orderdate),
+        |      (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |rb AS (
+        |  SELECT CAST(recency AS DOUBLE) AS b FROM (
+        |    SELECT recency, row_number() OVER (ORDER BY recency) AS rn,
+        |      count(*) OVER () AS n FROM rfm)
+        |  CROSS JOIN (VALUES (1),(2),(3)) v(i)
+        |  WHERE rn = ceil(CAST(i AS DOUBLE) * n / 4)),
+        |fb AS (
+        |  SELECT CAST(freq AS DOUBLE) AS b FROM (
+        |    SELECT freq, row_number() OVER (ORDER BY freq) AS rn,
+        |      count(*) OVER () AS n FROM rfm)
+        |  CROSS JOIN (VALUES (1),(2),(3)) v(i)
+        |  WHERE rn = ceil(CAST(i AS DOUBLE) * n / 4)),
+        |mb AS (
+        |  SELECT monetary AS b FROM (
+        |    SELECT monetary, row_number() OVER (ORDER BY monetary) AS rn,
+        |      count(*) OVER () AS n FROM rfm)
+        |  CROSS JOIN (VALUES (1),(2),(3)) v(i)
+        |  WHERE rn = ceil(CAST(i AS DOUBLE) * n / 4))
+        |SELECT cust, recency, freq, monetary,
+        |  CAST(4 - (SELECT count(*) FROM rb WHERE b < recency) AS BIGINT) AS r_score,
+        |  CAST(1 + (SELECT count(*) FROM fb WHERE b < freq) AS BIGINT) AS f_score,
+        |  CAST(1 + (SELECT count(*) FROM mb WHERE b < monetary) AS BIGINT) AS m_score
+        |FROM rfm""".stripMargin,
+
+    // q175: inverted index — postings serialized as a comma-joined string
+    // (value-hash-safe), top-5 by (tf desc, doc asc), hapax tail cut at df
+    "q175_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY tf DESC, doc_id)[:5], ',')
+        |    AS top_docs
+        |FROM tf GROUP BY term HAVING count(*) >= 50""".stripMargin,
+
+    // q176: streaming upsert into the versioned table — the final snapshot
+    // must be each user's latest event by (ts, event_id)
+    "q176_stream_upsert" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
     // incremental JOIN-view maintenance: the oracle recomputes the view
     // from scratch over the full join, so the delta-join identity
     // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg

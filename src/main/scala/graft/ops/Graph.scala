@@ -295,6 +295,46 @@ object Graph {
     result
   }
 
+  /** Multi-source BFS over the part co-purchase graph: exact hop distance
+    * (≤ `maxHops`) from the seed set {parts with id ≡ 0 mod 500}, reported
+    * as a per-hop census. The third member of the iterative-graph family
+    * beside [[pageRank]] (value iteration) and [[connectedComponents]]
+    * (label squashing): FRONTIER EXPANSION — each round joins only the
+    * newly-reached frontier against the adjacency (not the whole visited
+    * set), anti-joins out already-visited nodes, and localCheckpoints the
+    * visited frame to cut the recurrence lineage. O(maxHops) shuffles, each
+    * proportional to the frontier's edge neighborhood — the textbook
+    * distributed BFS, nothing driver-side. The DuckDB oracle recomputes the
+    * same distances with a recursive CTE (min hop per node), so the
+    * frontier algebra is hash-gated against declarative reachability.
+    */
+  def bfsHops(spark: SparkSession, sfDir: String, maxHops: Int = 3): DataFrame = {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val adj = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = adj.select(col("u").as("id")).distinct()
+      .filter(col("id") % 500 === 0)
+      .withColumn("hop", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      frontier = frontier.join(adj, frontier("id") === adj("u"))
+        .select(col("v").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    val result = visited.groupBy(col("hop")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    adj.unpersist()
+    result
+  }
+
   /** The census plan over a given undirected edge set + degree table —
     * separated so ExplainAudit can see the join shape (the public wrapper
     * materializes through localCheckpoint, whose executedPlan is a bare

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -44,5 +45,57 @@ object Market {
         (col("n_both").cast("double") / col("n_a")).as("confidence"),
         ((col("n_both") * col("n_orders")).cast("double") /
           (col("n_a") * col("n_b"))).as("lift"))
+  }
+
+  /** RFM customer segmentation: per-customer Recency (days since last
+    * order, against the table's global max date), Frequency (order count)
+    * and Monetary (exact-decimal revenue), each scored into quartiles —
+    * the classic CRM cut. Scoring reuses the q170 boundary convention
+    * (boundaries at exact order statistics, score = 1 + #boundaries
+    * strictly below; recency INVERTED so recent = 4): value-deterministic
+    * where `ntile` is not, which is what makes the oracle exact. One
+    * aggregate over orders builds the |customers|-row RFM frame; three
+    * single-column rank windows find 9 boundary values that ride along as
+    * one broadcast row — no second pass over the fact table, no
+    * driver-side collect.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Tables.orders(spark, sfDir)
+    val maxDate = orders.agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    val rfm = orders
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("monetary"))
+      .crossJoin(broadcast(maxDate))
+      .select(col("cust"), datediff(col("max_d"), col("last_d")).cast("long").as("recency"),
+        col("freq"), col("monetary"))
+      .persist()
+    // quartile boundaries of one dimension, as a single-row array frame
+    def bounds(valueCol: String): DataFrame = {
+      val w = Window.orderBy(col(valueCol))
+      rfm.select(col(valueCol))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .select(col(valueCol), col("rn"), col("n"),
+          explode(array(lit(1), lit(2), lit(3))).as("i"))
+        .filter(col("rn") === ceil(col("i").cast("double") * col("n") / 4))
+        .agg(sort_array(collect_list(col(valueCol).cast("double"))).as(s"${valueCol}_bs"))
+    }
+    def score(valueCol: String): org.apache.spark.sql.Column =
+      (lit(1) + size(filter(col(s"${valueCol}_bs"), b => b < col(valueCol).cast("double"))))
+        .cast("long")
+    val result = rfm
+      .crossJoin(broadcast(bounds("recency")))
+      .crossJoin(broadcast(bounds("freq")))
+      .crossJoin(broadcast(bounds("monetary")))
+      .select(col("cust"), col("recency"), col("freq"), col("monetary"),
+        (lit(5L) - score("recency")).as("r_score"), // recent (small) = high score
+        score("freq").as("f_score"),
+        score("monetary").as("m_score"))
+      .localCheckpoint(true)
+    rfm.unpersist()
+    result
   }
 }

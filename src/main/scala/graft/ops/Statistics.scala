@@ -199,6 +199,39 @@ object Statistics {
         Num.sumMoney(col("price")).as("sum_price"))
   }
 
+  /** Robust outlier census per event type: median / MAD (median absolute
+    * deviation) flagging — the robust alternative to mean±kσ, immune to the
+    * outliers it hunts (each pulls the mean and inflates σ, masking itself;
+    * the median moves by at most one rank). Both medians are LOWER medians
+    * (value at rank ⌈n/2⌉ — an observed value, no interpolation, exactly
+    * the q156 convention), so every emitted number is an order statistic or
+    * an exact integer count and the oracle reproduces them bit-for-bit.
+    * Two ranked windows (value column only, text never moves) + one
+    * broadcast of the |groups|-row median frames; the 100 TB swap for the
+    * sorts is the q165-gated GK sketch, as everywhere in this family.
+    */
+  def madOutliers(spark: SparkSession, sfDir: String, cut: Double = 3.0): DataFrame = {
+    val v = Tables.events(spark, sfDir)
+      .select(col("event_type").as("g"), col("value").as("x"))
+    def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy("g")
+      df.withColumn("rn", row_number().over(w.orderBy(col(valueCol))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rn") === ceil(col("n") / 2.0))
+        .select(col("g"), col(valueCol).as(outCol))
+    }
+    val med = lowerMedian(v, "x", "med")
+    val dev = v.join(broadcast(med), Seq("g"))
+      .select(col("g"), col("x"), abs(col("x") - col("med")).as("d"), col("med"))
+    val mad = lowerMedian(dev, "d", "mad")
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("d") > lit(cut) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"))
+  }
+
   /** Pearson chi-square test of independence for the returnflag ×
     * linestatus contingency table: expected counts from the margins, each
     * cell's (o−e)²/e rounded to decimal and summed exactly (a double sum

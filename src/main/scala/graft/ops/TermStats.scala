@@ -217,4 +217,36 @@ object TermStats {
         Num.decToDouble(sum((-(p * lnP)).cast(DecimalType(28, 14))))
           .as("entropy"))
   }
+
+  /** Materialized inverted index for the frequent vocabulary: per term, its
+    * document frequency and the top-`topK` postings by (tf desc, doc asc),
+    * serialized as a comma-joined doc-id string (a STRING because the
+    * correctness gate hash-compares cell values — an array column's
+    * cross-engine ordering/encoding is the kind of ambiguity a posting
+    * STRING removes for free). This is the retrieval-side artifact BM25
+    * (q153) scores against rebuilt as a table: build once, broadcast to
+    * searchers. Shuffle shape: tokenize → (term, doc) partial-agg counts →
+    * per-term top-k window over (term, doc, tf) triples only — postings are
+    * bounded by topK BEFORE the collect_list, so no group ever aggregates
+    * more than topK rows of payload, and the `minDf` cut kills the long
+    * hapax tail in the same aggregate that computes df.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String, minDf: Int = 50,
+      topK: Int = 5): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(when(col("rn") <= topK,
+          struct(col("rn"), col("doc_id"))))).as("top"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"),
+        concat_ws(",", transform(col("top"),
+          x => x.getField("doc_id").cast("string"))).as("top_docs"))
+  }
 }

@@ -436,6 +436,72 @@ object EventStream {
     }
   }
 
+  /** Streaming UPSERT into the lakehouse tier: the event stream folded into
+    * a "latest event per user" [[graft.io.VersionedTable]] via per-batch
+    * MERGE — the Delta streaming-upsert pattern (foreachBatch + MERGE),
+    * closing the loop between the streaming and versioned-table tiers.
+    * Exactly-once WITHOUT a transactional sink: the merge condition
+    * `s.ts > t.ts OR (s.ts = t.ts AND s.event_id > t.event_id)` is a total
+    * order, so re-applying a replayed micro-batch is a no-op (every source
+    * row compares not-newer than the row it just installed) — idempotence
+    * by monotonicity, where q114 needed batch-id-keyed deletes. Each batch
+    * pre-folds to its own per-user latest (one window over the micro-batch)
+    * so the MERGE source is |users-in-batch| rows, and the CoW rewrite
+    * touches only groups holding those users.
+    */
+  def upsertLatestToTable(spark: SparkSession, src: String, base: String,
+      chk: String): Unit = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val stream = spark.readStream.schema(eventsSchema).parquet(src)
+    Drain.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val latest = batch
+            .withColumn("rn", row_number().over(byUser))
+            .filter(col("rn") === 1).drop("rn")
+          if (!latest.isEmpty) {
+            if (graft.io.VersionedTable.latestVersion(base) < 0)
+              graft.io.VersionedTable.append(latest, base)
+            else {
+              val newer = col("s.ts") > col("t.ts") ||
+                (col("s.ts") === col("t.ts") && col("s.event_id") > col("t.event_id"))
+              graft.io.VersionedTable.merge(spark, base, latest,
+                keys = Seq("user_id"),
+                updateWhen = Some(newer),
+                updateSet = Map(
+                  "event_id" -> col("s.event_id"), "ts" -> col("s.ts"),
+                  "event_type" -> col("s.event_type"), "value" -> col("s.value"),
+                  "props" -> col("s.props")))
+            }
+          }
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  /** The q176 correctness surface: drain the full events directory through
+    * [[upsertLatestToTable]] into a fresh versioned table, then snapshot it.
+    * The oracle recomputes each user's latest event (max (ts, event_id))
+    * straight from the events table — the streamed fold of merges must land
+    * exactly there. Restart/replay is pinned by EventStreamSpec's two-drain
+    * scenario.
+    */
+  def latestEventsUpsertState(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val root = graft.io.IoQueries.scratch("upsert_latest", sfDir)
+    graft.io.IoQueries.deleteRecursively(root)
+    upsertLatestToTable(spark, eventsDir(spark, sfDir), s"$root/table", s"$root/chk")
+    graft.io.VersionedTable.snapshot(spark, s"$root/table")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+  }
+
   /** Streaming dedup under redelivery: the event stream unioned with a full
     * replay of itself (every event delivered twice — the at-least-once
     * delivery failure mode), deduplicated on event_id with

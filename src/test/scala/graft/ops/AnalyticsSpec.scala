@@ -207,6 +207,69 @@ class AnalyticsSpec extends SparkSpec {
       "content-addressed draw is rerun-stable")
   }
 
+  test("MAD outliers: groups partition the table, outliers strictly beyond the cut") {
+    import org.apache.spark.sql.functions._
+    val rows = Statistics.madOutliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._2).sum === graft.core.Tables.events(spark, sf).count())
+    rows.foreach { case (g, n, outl, med, mad) =>
+      assert(med > 0 && mad > 0, s"$g degenerate median/MAD")
+      assert(outl < n, s"$g everything an outlier")
+      // recompute one group's census directly
+      val direct = graft.core.Tables.events(spark, sf)
+        .filter(col("event_type") === g)
+        .filter(abs(col("value") - med) > 3.0 * mad).count()
+      assert(outl === direct, s"$g outlier count mismatch")
+    }
+  }
+
+  test("BFS: hop 0 is the seed set, every reached node counted once") {
+    import org.apache.spark.sql.functions._
+    val rows = Graph.bfsHops(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val nodes = li.select(col("l_partkey")).distinct()
+    val seeds = nodes.filter(col("l_partkey") % 500 === 0).count()
+    assert(rows(0L) === seeds, "hop 0 = seeds present in the graph")
+    assert(rows.keys.max <= 3L)
+    assert(rows.values.sum <= nodes.count(), "no node reached twice")
+  }
+
+  test("RFM: scores in 1..4, quartile populations near-equal per dimension") {
+    val rows = graft.ops.Market.rfmSegments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val n = rows.length
+    assert(n === graft.core.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count())
+    Seq[(String, Array[Long])](
+      ("r", rows.map(_._2)), ("f", rows.map(_._3)), ("m", rows.map(_._4))
+    ).foreach { case (dim, scores) =>
+      assert(scores.forall(s => s >= 1 && s <= 4), s"$dim score out of range")
+      // value ties (freq is small-int) can lump quartiles; monetary/recency
+      // are near-unique so their quartiles stay within a loose band
+      if (dim != "f") scores.groupBy(identity).values.foreach(g =>
+        assert(math.abs(g.length - n / 4.0) <= n / 8.0, s"$dim quartile skew"))
+    }
+  }
+
+  test("inverted index: df matches a direct recompute, postings capped at 5") {
+    import org.apache.spark.sql.functions._
+    val rows = TermStats.invertedIndex(spark, sf, minDf = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val df = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .distinct().groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (term, d, postings) =>
+      assert(d >= 10 && d === df(term), s"$term df")
+      val ids = postings.split(",")
+      assert(ids.length === math.min(5L, d).toInt, s"$term postings length")
+      assert(ids.distinct.length === ids.length, s"$term duplicate postings")
+    }
+  }
+
   test("equi-depth bins: populations near-equal, ranges disjoint and ordered") {
     import org.apache.spark.sql.functions._
     val rows = Statistics.equiDepthBins(spark, sf).collect()

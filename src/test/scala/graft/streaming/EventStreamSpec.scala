@@ -328,6 +328,55 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.getDouble(0) >= 0.0)
   }
 
+  /** The streaming-upsert exactly-once contract: two drains over one durable
+    * checkpoint (the second must resume, not reprocess), then a FULL
+    * REDELIVERY of the first batch (at-least-once failure mode) — the merge
+    * condition's monotonicity must make the replay a no-op, leaving the
+    * table equal to the batch latest-per-user twin throughout.
+    */
+  test("upsertLatestToTable: two drains resume, redelivery is a no-op by monotonicity") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val root = tmpDir("upsertlatest")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val base = s"$root/table"; val chk = s"$root/chk"
+
+    val ev = graft.core.Tables.events(spark, sf)
+    def ship(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+    def twin(upTo: org.apache.spark.sql.DataFrame) = upTo
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value", "props")
+    def state() = graft.io.VersionedTable.snapshot(spark, base)
+      .select("user_id", "event_id", "ts", "event_type", "value", "props")
+
+    val split = "2024-01-16 12:00:00"
+    val b1 = ev.filter(col("ts") < lit(split).cast("timestamp_ntz"))
+    val b2 = ev.filter(col("ts") >= lit(split).cast("timestamp_ntz"))
+
+    ship("b1", b1)
+    EventStream.upsertLatestToTable(spark, src, base, chk)
+    assert(state().exceptAll(twin(b1)).isEmpty && twin(b1).exceptAll(state()).isEmpty)
+
+    ship("b2", b2)
+    EventStream.upsertLatestToTable(spark, src, base, chk)
+    assert(state().exceptAll(twin(ev)).isEmpty && twin(ev).exceptAll(state()).isEmpty)
+
+    // redeliver ALL of b1 under a new name: every row compares not-newer
+    // than what the table already holds, so the merge must be a no-op
+    ship("b1_redelivered", b1)
+    EventStream.upsertLatestToTable(spark, src, base, chk)
+    assert(state().exceptAll(twin(ev)).isEmpty && twin(ev).exceptAll(state()).isEmpty)
+  }
+
   /** The production alert form of the PSI monitor: three drains over one
     * durable checkpoint. Drain 1 ships in-distribution data (PSI 0 — no
     * alert), drain 2 ships a shifted distribution (alert fires once), drain 3
