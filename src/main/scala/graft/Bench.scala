@@ -59,7 +59,14 @@ object Bench {
     // in SURVEY are produced by the same harness the driver runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+    // SPARK_GRAFT_REVERSE=1 → run in reverse name order: the suite-order
+    // independence guard (if a query's time moves materially between the two
+    // orders on an idle machine, in-process accumulation — caches, catalog,
+    // heap — is implicated rather than the query itself)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val maybeReversed =
+      if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1")) ordered.reverse else ordered
+    val selected = maybeReversed.filter { case (name, _) =>
       only.forall(keys => keys.exists(k => name == k || name.startsWith(k + "_")))
     }
     val results = selected.map { case (name, fn) =>

@@ -210,6 +210,10 @@ object SparkEntry {
     "q174_rfm_segments"    -> ((s, d) => graft.ops.Market.rfmSegments(s, d)),
     "q175_inverted_index"  -> ((s, d) => graft.ops.TermStats.invertedIndex(s, d)),
     "q176_stream_upsert"   -> ((s, d) => EventStream.latestEventsUpsertState(s, d)),
+    "q177_cdc_apply"       -> ((s, d) => graft.io.IoQueries.cdcReplicaState(s, d)),
+    "q178_skyline"         -> ((s, d) => Relational.orderSkyline(s, d)),
+    "q179_dim_stats"       -> ((s, d) => graft.ops.Stats.embeddingDimStats(s, d)),
+    "q180_term_pmi"        -> ((s, d) => graft.ops.TermStats.termPmi(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1270,6 +1274,73 @@ object SparkEntry {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    // q177: CDC apply — the replica rolled forward by the v1→v3 change feed
+    // must equal the primary's v3 state, recomputed here from source
+    "q177_cdc_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'O') AND o_totalprice >= CAST(50000 AS DOUBLE)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+
+    // q178: 2-D skyline via two max-windows (strictly-earlier-days RANGE
+    // frame + same-day partition max) — no pairwise dominance join
+    "q178_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+        |    o_totalprice AS price,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_orderkey, day, price,
+        |    max(price) OVER (PARTITION BY day) AS day_max,
+        |    max(price) OVER (ORDER BY day_num
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_earlier
+        |  FROM o)
+        |SELECT o_orderkey, day, price FROM w
+        |WHERE price = day_max AND (best_earlier IS NULL OR price > best_earlier)""".stripMargin,
+
+    // q179: per-dimension embedding stats — float→double widening is exact;
+    // the sum crosses decimals with the VARCHAR bridge on BOTH casts (FP
+    // traps #1/#2, Num scaladoc); the mean is one IEEE division
+    "q179_dim_stats" ->
+      """WITH d AS (
+        |  SELECT CAST(s.i - 1 AS BIGINT) AS dim, CAST(embedding[s.i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i))
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10)))
+        |    AS VARCHAR) AS DOUBLE) AS sum_x,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10)))
+        |    AS VARCHAR) AS DOUBLE) / count(*) AS mean_x
+        |FROM d GROUP BY dim""".stripMargin,
+
+    // q180: PMI over frequent term pairs — exact-long ratio through one
+    // division, ln through the 12-decimal bridge
+    "q180_term_pmi" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, t.term FROM documents,
+        |    LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)),
+        |df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt
+        |  GROUP BY 1 HAVING count(*) >= 50),
+        |freq AS (SELECT dt.doc_id, dt.term FROM dt JOIN df USING (term)),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |p AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM freq a JOIN freq b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 25)
+        |SELECT term_a, term_b, n_ab, da.df AS df_a, db.df AS df_b,
+        |  CAST(CAST(CAST(CAST(ln(CAST(n_ab * n_docs AS DOUBLE) / (da.df * db.df))
+        |    AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS pmi
+        |FROM p
+        |JOIN df da ON p.term_a = da.term
+        |JOIN df db ON p.term_b = db.term
+        |CROSS JOIN nd""".stripMargin,
     // incremental JOIN-view maintenance: the oracle recomputes the view
     // from scratch over the full join, so the delta-join identity
     // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg

@@ -482,4 +482,43 @@ object IoQueries {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
   }
+
+  /** CDC APPLY — the downstream CONSUMER of the q133 change feed: a replica
+    * seeded from the primary's v1 snapshot is rolled forward by applying
+    * `changesBetween(1, 3)` — deletes as a keyed MERGE-delete, inserts as a
+    * blind append — and must land exactly on the primary's v3 state. This is
+    * the O(changes) replication contract the change feed exists for: the
+    * replica never re-reads the primary, only its delta stream. Updates
+    * arrive as delete+insert pairs in this CDF design, which the two-phase
+    * apply (deletes first, then inserts) handles without tripping MERGE's
+    * one-source-row-per-key cardinality guard.
+    */
+  private def cdcReplicaBase(spark: SparkSession, sfDir: String): String = synchronized {
+    val primary = versionedOrdersBase(spark, sfDir)
+    val root = scratch("cdc_replica", sfDir)
+    if (!Files.exists(Paths.get(root, "_DONE"))) {
+      deleteRecursively(root)
+      VersionedTable.append(VersionedTable.snapshot(spark, primary, version = 1), root)
+      val changes = VersionedTable.changesBetween(spark, primary, fromV = 1, toV = 3)
+      val dels = changes.filter(col("_change_type") === "delete").drop("_change_type")
+      if (!dels.isEmpty)
+        VersionedTable.merge(spark, root, dels, keys = Seq("o_orderkey"),
+          deleteWhen = Some(lit(true)), insertWhen = Some(lit(false)))
+      val ins = changes.filter(col("_change_type") === "insert").drop("_change_type")
+      if (!ins.isEmpty) VersionedTable.append(ins, root)
+      Files.writeString(Paths.get(root, "_DONE"), "ok")
+    }
+    root
+  }
+
+  /** q177: the rolled-forward replica — must equal the primary's v3 state
+    * (the oracle recomputes it from source; VersionedTableSpec additionally
+    * pins replica ≡ primary frame-equality).
+    */
+  def cdcReplicaState(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = cdcReplicaBase(spark, sfDir)
+    VersionedTable.snapshot(spark, root)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
 }

@@ -573,6 +573,33 @@ object Relational {
       first(col("c_acctbal")).over(w).as("segment_min"))
   }
 
+  /** 2-D SKYLINE (Pareto frontier) of orders: the orders no other order
+    * dominates on (earlier-or-equal date, higher-or-equal price, one
+    * strict). In two dimensions the frontier needs NO pairwise dominance
+    * join (the naive NOT EXISTS is O(n²)): sort by date and a row survives
+    * iff it beats the best price over all STRICTLY earlier dates and ties
+    * the max within its own date — two max-windows, the second over a
+    * RANGE frame on the epoch-day key so equal dates are excluded exactly.
+    * Window input is (key, day, price) triples; at 100 TB the single
+    * orderBy window becomes a range-partitioned sort with a two-pass
+    * running max (per-partition max + prefix-merged offsets) — same
+    * algebra, no pairwise join at any scale.
+    */
+  def orderSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").as("price"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val sameDay = max(col("price")).over(Window.partitionBy(col("day")))
+    val earlier = max(col("price")).over(
+      Window.orderBy(col("day_num")).rangeBetween(Window.unboundedPreceding, -1))
+    o.withColumn("day_max", sameDay)
+      .withColumn("best_earlier", earlier)
+      .filter(col("price") === col("day_max") &&
+        (col("best_earlier").isNull || col("price") > col("best_earlier")))
+      .select(col("o_orderkey"), col("day"), col("price"))
+  }
+
   /** Conditional aggregation via the SQL FILTER clause — one pass computing
     * differently-scoped aggregates side by side (the alternative is N
     * scans or nested CASE arithmetic). Sums stay in the exact decimal

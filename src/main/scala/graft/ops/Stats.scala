@@ -188,4 +188,28 @@ object Stats {
     }
     merged.select(inline(array(entries: _*)))
   }
+
+  /** Per-DIMENSION feature profile of the embedding corpus: count, exact
+    * sum/mean, min, max for every vector coordinate — the normalization
+    * statistics a feature store publishes before z-scoring (the scaler's
+    * fit step; apply is then a broadcast of |dims| rows). One posexplode →
+    * one partial-aggregated groupBy(dim) — |dims| groups, no skew by
+    * construction (every vector contributes to every dim exactly once).
+    * Determinism: float→double widening is exact on both engines; the sum
+    * crosses the decimal domain (Spark's tie-free double→decimal cast ≡
+    * DuckDB's VARCHAR-bridged one — FP trap #2, see Num scaladoc) and
+    * comes back through the string bridge; the mean is one further IEEE
+    * division.
+    */
+  def embeddingDimStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+    d.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        graft.core.Num.decToDouble(sum(col("x").cast(DecimalType(28, 10)))).as("sum_x"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+      .withColumn("mean_x", col("sum_x") / col("n"))
+  }
 }

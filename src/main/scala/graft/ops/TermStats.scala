@@ -231,6 +231,48 @@ object TermStats {
     * more than topK rows of payload, and the `minDf` cut kills the long
     * hapax tail in the same aggregate that computes df.
     */
+  /** Pointwise mutual information over frequent term PAIRS — the phrase /
+    * collocation detector (word2vec's preprocessing step, association
+    * mining over documents instead of q169's baskets):
+    * pmi(a,b) = ln(P(a,b) / (P(a)·P(b))) = ln(n_ab·N / (df_a·df_b)).
+    * The vocabulary is cut to df ≥ `minDf` BEFORE pair generation, so the
+    * per-document pair fan-out is bounded by the frequent-term count per
+    * doc, not vocabulary² — the Apriori discipline again; the pair count
+    * then prunes at `minPair` in its own partial aggregate. The ln argument
+    * is one IEEE division of exact long products, and ln itself crosses the
+    * 12-decimal bridge (the q110/q153 convention) so both engines emit the
+    * identical double.
+    */
+  def termPmi(spark: SparkSession, sfDir: String, minDf: Int = 50,
+      minPair: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docTerm = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .persist()
+    val df = docTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val frequent = docTerm.join(broadcast(df), "term")
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val pairs = frequent.as("a").join(frequent.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPair)
+    val out = pairs
+      .join(broadcast(df.select(col("term").as("term_a"), col("df").as("df_a"))), "term_a")
+      .join(broadcast(df.select(col("term").as("term_b"), col("df").as("df_b"))), "term_b")
+      .crossJoin(broadcast(nDocs))
+      .select(col("term_a"), col("term_b"), col("n_ab"), col("df_a"), col("df_b"),
+        Num.decToDouble(
+          log((col("n_ab") * col("n_docs")).cast("double") /
+            (col("df_a") * col("df_b")))
+            .cast(DecimalType(18, 12))).as("pmi"))
+      .localCheckpoint(true)
+    docTerm.unpersist()
+    out
+  }
+
   def invertedIndex(spark: SparkSession, sfDir: String, minDf: Int = 50,
       topK: Int = 5): DataFrame = {
     val tf = Tables.documents(spark, sfDir)

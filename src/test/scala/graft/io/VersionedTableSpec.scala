@@ -447,4 +447,14 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("vacuum reclaimed"))
   }
+
+  test("cdc apply: the rolled-forward replica equals the primary's target version") {
+    val sf = "/root/testdata/sf0.001"
+    val replica = IoQueries.cdcReplicaState(spark, sf)
+    val primary = VersionedTable.snapshot(spark,
+      "/root/repo/target/tmp/versioned_orders/sf0.001", version = 3)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    assert(replica.exceptAll(primary).isEmpty && primary.exceptAll(replica).isEmpty)
+  }
 }

@@ -270,6 +270,63 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("skyline: members dominate every non-member, no member dominates another") {
+    import org.apache.spark.sql.functions._
+    val sky = Relational.orderSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getDouble(2)))
+    assert(sky.nonEmpty)
+    // no member dominates another (date <=, price >=, one strict)
+    for (a <- sky; b <- sky if a._1 != b._1)
+      assert(!(!a._2.after(b._2) && a._3 >= b._3 &&
+        (a._2.before(b._2) || a._3 > b._3)), s"$a dominates member $b")
+    // every non-member is dominated by some member
+    val all = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").as("price")).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getDouble(2)))
+    val skyIds = sky.map(_._1).toSet
+    all.filterNot(r => skyIds.contains(r._1)).foreach { r =>
+      assert(sky.exists(s => !s._2.after(r._2) && s._3 >= r._3 &&
+        (s._2.before(r._2) || s._3 > r._3)), s"non-member $r undominated")
+    }
+  }
+
+  test("embedding dim stats: one row per dimension, every vector counted, min<=mean<=max") {
+    val rows = graft.ops.Stats.embeddingDimStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val nVecs = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (dim, n, mn, mx, mean) =>
+      assert(n === nVecs, s"dim $dim missing vectors")
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9, s"dim $dim mean outside [min,max]")
+    }
+  }
+
+  test("term PMI: one pair recomputed directly; counts bounded by margins") {
+    import org.apache.spark.sql.functions._
+    val rows = TermStats.termPmi(spark, sf, minDf = 10, minPair = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    rows.foreach { case (a, b, nab, dfa, dfb, pmi) =>
+      assert(a < b && nab <= math.min(dfa, dfb))
+      val expected = BigDecimal(math.log(nab.toDouble * nDocs / (dfa * dfb)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(pmi === expected, s"($a,$b) pmi")
+    }
+    // spot-recompute one pair's co-count straight from the corpus
+    val (a, b, nab, _, _, _) = rows.head
+    val direct = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(max(when(col("t") === a, 1)).as("ha"), max(when(col("t") === b, 1)).as("hb"))
+      .filter(col("ha") === 1 && col("hb") === 1).count()
+    assert(direct === nab)
+  }
+
   test("equi-depth bins: populations near-equal, ranges disjoint and ordered") {
     import org.apache.spark.sql.functions._
     val rows = Statistics.equiDepthBins(spark, sf).collect()
