@@ -214,6 +214,8 @@ object SparkEntry {
     "q178_skyline"         -> ((s, d) => Relational.orderSkyline(s, d)),
     "q179_dim_stats"       -> ((s, d) => graft.ops.Stats.embeddingDimStats(s, d)),
     "q180_term_pmi"        -> ((s, d) => graft.ops.TermStats.termPmi(s, d)),
+    "q181_attribution"     -> ((s, d) => Events.lastTouchAttribution(s, d)),
+    "q182_rolling_distinct" -> ((s, d) => Events.rollingDistinctUsers(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1341,6 +1343,31 @@ object SparkEntry {
         |JOIN df da ON p.term_a = da.term
         |JOIN df db ON p.term_b = db.term
         |CROSS JOIN nd""".stripMargin,
+
+    // q181: last-touch attribution — two aligned IGNORE NULLS windows pick
+    // the ts and channel of the SAME most-recent non-purchase touch
+    "q181_attribution" ->
+      """WITH w AS (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tts,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tchannel
+        |  FROM events)
+        |SELECT event_id AS purchase_id, user_id, ts,
+        |  CASE WHEN tts >= ts - INTERVAL 30 MINUTE THEN tchannel END AS channel
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+    // q182: rolling 7-day distinct users — declarative range-join oracle vs
+    // the engine's explode-expansion; both count each (window, user) once
+    "q182_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du)
+        |SELECT days.d AS window_day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users
+        |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1""".stripMargin,
     // incremental JOIN-view maintenance: the oracle recomputes the view
     // from scratch over the full join, so the delta-join identity
     // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg

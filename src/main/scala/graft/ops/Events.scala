@@ -376,4 +376,61 @@ object Events {
         coalesce(col("n"), lit(0L)).as("n"),
         last(col("value_sum"), ignoreNulls = true).over(ffill).as("last_value_sum"))
   }
+
+  /** LAST-TOUCH ATTRIBUTION: every purchase credited to the same user's most
+    * recent NON-purchase event within a lookback window (NULL = organic) —
+    * the marketing-attribution join expressed as ONE ordered window instead
+    * of an as-of self-join: `last(non-purchase, ignoreNulls)` over
+    * (user, time) with a rows-preceding frame carries the candidate
+    * touchpoint to every purchase in the same pass that scans the events.
+    * The (ts, channel) pair travels as one struct so both fields always
+    * come from the SAME touch event; the lookback test then runs on the
+    * carried ts. One shuffle (by user), window state O(1) per row — at
+    * 100 TB this beats the as-of join's range bucketing because the events
+    * table is already the only input.
+    */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String,
+      lookbackMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("ts").as("tts"), col("event_type").as("tchannel"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        when(col("touch.tts") >=
+          col("ts") - expr(s"INTERVAL $lookbackMinutes MINUTES"),
+          col("touch.tchannel")).as("channel"))
+  }
+
+  /** Rolling 7-day DISTINCT active users per day — the sliding-window
+    * distinct that no windowed aggregate computes incrementally (distinct
+    * doesn't decompose over sliding frames). The scale-correct expansion:
+    * collapse to (day, user) once, EXPLODE each pair into the ≤`days`
+    * window-end days it supports, and de-dup + count per window — O(|day ×
+    * user| × days) narrow rows through one partial-agged shuffle, versus a
+    * range self-join whose skew follows the busiest week. Window-end days
+    * are then semi-joined back to days that actually exist, so the spine
+    * carries no phantom trailing days.
+    */
+  def rollingDistinctUsers(spark: SparkSession, sfDir: String,
+      days: Int = 7): DataFrame = {
+    val dayUser = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val contrib = dayUser
+      .select(col("d"), col("user_id"),
+        explode(array((0 until days).map(lit): _*)).as("off"))
+      .select(date_add(col("d"), col("off")).as("window_day"), col("user_id"))
+      .distinct()
+    contrib
+      .join(dayUser.select(col("d").as("window_day")).distinct(), Seq("window_day"),
+        "left_semi")
+      .groupBy(col("window_day"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

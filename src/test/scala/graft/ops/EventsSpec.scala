@@ -208,4 +208,46 @@ class EventsSpec extends SparkSpec {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(rows.map(_._2).sum === expected)
   }
+
+  test("attribution: one row per purchase; channels never 'purchase'; lookback respected") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.lastTouchAttribution(spark, sf).collect()
+    val ev = graft.core.Tables.events(spark, sf)
+    assert(rows.length.toLong === ev.filter(col("event_type") === "purchase").count())
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) assert(r.getString(3) != "purchase")
+    }
+    assert(rows.exists(_.isNullAt(3)), "some purchases are organic")
+    assert(rows.exists(!_.isNullAt(3)), "some purchases are attributed")
+    // spot-check one attributed purchase against a direct as-of recompute
+    val attributed = rows.filter(!_.isNullAt(3)).head
+    val pid = attributed.getLong(0)
+    val p = ev.filter(col("event_id") === pid).head
+    val direct = ev
+      .filter(col("user_id") === p.getAs[Long]("user_id") &&
+        col("event_type") =!= "purchase")
+      .filter(col("ts") < p.getAs[java.time.LocalDateTime]("ts") ||
+        (col("ts") === p.getAs[java.time.LocalDateTime]("ts") &&
+          col("event_id") < pid))
+      .orderBy(col("ts").desc, col("event_id").desc).limit(1).head
+    assert(direct.getAs[String]("event_type") === attributed.getString(3))
+  }
+
+  test("rolling distinct: each window >= its single day, <= the week's union") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rolling = Events.rollingDistinctUsers(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val daily = graft.core.Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .groupBy("d").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(rolling.keySet === daily.keySet, "one window per active day")
+    val totalUsers = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    daily.foreach { case (d, n) =>
+      assert(rolling(d) >= n && rolling(d) <= totalUsers, s"window $d out of bounds")
+    }
+  }
 }
