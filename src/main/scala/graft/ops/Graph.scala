@@ -316,20 +316,27 @@ object Graph {
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = adj.select(col("u").as("id")).distinct()
+    val seeds = adj.select(col("u").as("id")).distinct()
       .filter(col("id") % 500 === 0)
       .withColumn("hop", lit(0L))
       .localCheckpoint(true)
-    var frontier = visited
+    // each frontier is checkpointed ONCE; the visited set is a lazy union of
+    // those materialized frontiers (re-materializing visited every round —
+    // the naive loop — doubles the per-round work for no lineage benefit,
+    // since every input is already an RDD scan)
+    var frontiers = List(seeds)
+    var frontier = seeds
     for (h <- 1 to maxHops) {
+      val visited = frontiers.map(_.select(col("id"))).reduce(_ union _)
       frontier = frontier.join(adj, frontier("id") === adj("u"))
         .select(col("v").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .localCheckpoint(true)
-      visited = visited.union(frontier).localCheckpoint(true)
+      frontiers = frontiers :+ frontier
     }
-    val result = visited.groupBy(col("hop")).agg(count(lit(1)).as("n"))
+    val result = frontiers.reduce(_ union _)
+      .groupBy(col("hop")).agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     adj.unpersist()
     result
@@ -361,13 +368,20 @@ object Graph {
         col("ddeg_hi").as("ddst"))
       .localCheckpoint(true)
     // wedges at each pivot, ordered by the orientation's own total order, so
-    // the closing edge is oriented exactly (x → y) — one equi-join closes it
+    // the closing edge is oriented exactly (x → y) — one equi-join closes it.
+    // The closure side is BROADCAST: the wedge set is O(m^1.5) rows (the big
+    // side by far) and must never shuffle — with the edge table broadcast,
+    // wedges flow scan→generate→probe→partial-count entirely in-pipeline,
+    // zero exchanges of wedge rows. The edge table is 2 longs/edge; when m
+    // outgrows the broadcast budget, drop the hint and the same equi-join
+    // shuffles wedges by (x, y) — correct either way, this is purely the
+    // "don't move the big side" rule.
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           (col("e1.ddst") < col("e2.ddst") ||
             (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
-    val nTri = wedges.join(oriented,
+    val nTri = wedges.join(broadcast(oriented.select(col("src"), col("dst"))),
         col("x") === col("src") && col("y") === col("dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val nWedges = deg.agg(

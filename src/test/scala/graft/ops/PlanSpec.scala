@@ -166,4 +166,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(3).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("basket pairs: equi-join pair generation, broadcast margins, no cartesian") {
+    val p = plan(Market.basketPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // the one-row totals frame and both margin tables arrive by broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    // pair counting aggregates partially before its exchange
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("triangle census: every join an equi-join, never a cartesian") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val p = plan(Graph.triangleCensus(und, deg))
+    assert(!p.contains("CartesianProduct"))
+    // wedge-build and closure are hash joins on src/(x,y) equi-keys
+    assert(p.contains("Join"))
+  }
+
+  test("equi-depth binning: boundaries broadcast to the scan, no shuffle-side cartesian") {
+    val p = plan(Statistics.equiDepthBins(spark, sf))
+    // the one-row boundary frame joins by broadcast nested loop (it has no
+    // key), never a shuffle cartesian over the fact
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("attribution: one user-shuffle; the window never re-sorts the fact twice") {
+    val p = plan(Events.lastTouchAttribution(spark, sf))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.linesIterator.take(5).mkString("\n"))
+    assert(p.contains("Window") && !p.contains("CartesianProduct"))
+  }
 }
