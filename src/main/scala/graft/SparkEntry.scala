@@ -216,6 +216,8 @@ object SparkEntry {
     "q180_term_pmi"        -> ((s, d) => graft.ops.TermStats.termPmi(s, d)),
     "q181_attribution"     -> ((s, d) => Events.lastTouchAttribution(s, d)),
     "q182_rolling_distinct" -> ((s, d) => Events.rollingDistinctUsers(s, d)),
+    "q183_table_diff"      -> ((s, d) => graft.io.IoQueries.tableDiffReport(s, d)),
+    "q184_global_rank"     -> ((s, d) => Relational.globalPriceRank(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1368,6 +1370,31 @@ object SparkEntry {
         |SELECT days.d AS window_day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users
         |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
         |GROUP BY 1""".stripMargin,
+
+    // q183: anti-entropy diff — the oracle recomputes every corruption
+    // class straight from the rules the corrupted copy was built with
+    "q183_table_diff" ->
+      """WITH exp AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderstatus IN ('F', 'O') AND o_totalprice >= CAST(50000 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+        |SELECT o_orderkey, 'missing_in_right' AS diff_type FROM exp
+        |WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM exp
+        |WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, 'missing_in_left' FROM exp
+        |WHERE o_orderkey % 103 = 0 AND o_orderkey % 97 <> 0""".stripMargin,
+
+    // q184: two-phase distributed ranking must reproduce the single
+    // declarative window exactly, ties and all
+    "q184_global_rank" ->
+      """SELECT o_orderkey AS id, o_totalprice AS price,
+        |  CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        |    AS global_rank
+        |FROM orders""".stripMargin,
     // incremental JOIN-view maintenance: the oracle recomputes the view
     // from scratch over the full join, so the delta-join identity
     // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg

@@ -3,7 +3,7 @@ package graft.io
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, lit, pmod, when}
 
 import graft.core.Tables
 import graft.etl.Marts
@@ -520,5 +520,29 @@ object IoQueries {
     VersionedTable.snapshot(spark, root)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
+  }
+
+  /** q183: anti-entropy TABLE DIFF over a deterministically corrupted copy
+    * of the primary's v3 state — rows deleted (key ≡ 0 mod 97), prices
+    * perturbed (key ≡ 0 mod 101, not deleted) and phantom rows injected
+    * (key+10M for key ≡ 0 mod 103). [[graft.ops.Merge.tableDiff]] must
+    * classify exactly those keys; the oracle recomputes every class
+    * straight from the corruption rules, so a missed or misclassified key
+    * breaks the hash. The output IS the repair set replica sync would
+    * apply.
+    */
+  def tableDiffReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = versionedOrdersBase(spark, sfDir)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val primary = VersionedTable.snapshot(spark, base).select(cols.map(col): _*)
+    val survived = primary.filter(col("o_orderkey") % 97 =!= 0)
+    val corrupted = survived
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(survived.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.ops.Merge.tableDiff(primary, corrupted, Seq("o_orderkey"))
   }
 }

@@ -183,4 +183,32 @@ object Merge {
         "c_mktsegment" -> col("s.c_mktsegment")),
       insertWhen = Some(col("s.op") === "upsert"))
   }
+
+  /** TABLE DIFF — the anti-entropy primitive: classify every key as
+    * `missing_in_right` (left only), `missing_in_left` (right only) or
+    * `changed` (present on both sides with any non-key column differing,
+    * null-safely); identical rows are omitted, so the output IS the repair
+    * set a replica-sync job would apply. One full-outer shuffle on the
+    * keys; the row images travel as single structs so the comparison is
+    * one null-safe equality regardless of column count. At 100 TB, run it
+    * per partition / per bucket and union — the classification is
+    * embarrassingly key-parallel.
+    */
+  def tableDiff(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val nonKeys = left.columns.filterNot(keys.contains).toSeq
+    require(right.columns.filterNot(keys.contains).toSeq == nonKeys,
+      "tableDiff requires identical schemas")
+    def packed(df: DataFrame, side: String): DataFrame =
+      df.select(keyCols :+
+        struct(nonKeys.map(col): _*).as(s"row_$side") :+
+        lit(true).as(s"in_$side"): _*)
+    packed(left, "l").join(packed(right, "r"), keys, "full_outer")
+      .withColumn("diff_type",
+        when(col("in_r").isNull, "missing_in_right")
+          .when(col("in_l").isNull, "missing_in_left")
+          .when(!(col("row_l") <=> col("row_r")), "changed"))
+      .filter(col("diff_type").isNotNull)
+      .select(keyCols :+ col("diff_type"): _*)
+  }
 }

@@ -600,6 +600,47 @@ object Relational {
       .select(col("o_orderkey"), col("day"), col("price"))
   }
 
+  /** Deterministic DISTRIBUTED GLOBAL RANKING — the scale-correct spelling
+    * of `row_number() OVER (ORDER BY price, id)`, which on a naive plan
+    * funnels the whole table through ONE task. Two-phase: (1) value-range
+    * bucketing (a pure per-row expression off broadcast min/max — no
+    * sampling, so the assignment is deterministic, unlike
+    * `repartitionByRange`'s sampled boundaries), per-bucket counts, and a
+    * prefix-sum of those counts over the |buckets|-row frame; (2) a
+    * per-bucket local sort + row_number, offset by the bucket's prefix.
+    * Every sort is bucket-local and the only global structure is the
+    * |buckets|-row offset table riding a broadcast — no single-task sort at
+    * any scale. Value skew concentrating rows in one bucket is the known
+    * refinement point: swap the uniform value grid for quantile boundaries
+    * (q170's machinery) and the same algebra holds. The oracle is the
+    * single declarative window — phase arithmetic must reproduce it
+    * exactly, ties and all (ties break by id inside the bucket, and equal
+    * prices always share a bucket because bucketing is a function of the
+    * price alone).
+    */
+  def globalPriceRank(spark: SparkSession, sfDir: String, nBuckets: Int = 64): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+    val range = o.agg(min(col("price")).as("mn"), max(col("price")).as("mx"))
+    val bucketed = o.crossJoin(broadcast(range))
+      .withColumn("bucket",
+        least(floor((col("price") - col("mn")) /
+          ((col("mx") - col("mn")) / nBuckets)).cast("long"), lit(nBuckets - 1L)))
+      .drop("mn", "mx")
+    val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("offset"))
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("global_rank",
+        (col("offset") + row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("price"), col("id"))))
+          .cast("long"))
+      .select(col("id"), col("price"), col("global_rank"))
+  }
+
   /** Conditional aggregation via the SQL FILTER clause — one pass computing
     * differently-scoped aggregates side by side (the alternative is N
     * scans or nested CASE arithmetic). Sums stay in the exact decimal

@@ -327,6 +327,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(direct === nab)
   }
 
+  test("global rank: the two-phase plan reproduces the declarative window exactly") {
+    import org.apache.spark.sql.functions._
+    val phased = Relational.globalPriceRank(spark, sf)
+    val declarative = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+      .withColumn("global_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("price"), col("id"))).cast("long"))
+    assert(phased.exceptAll(declarative).isEmpty &&
+      declarative.exceptAll(phased).isEmpty)
+    // the data-sized window is partitioned by bucket — the single-task
+    // global sort exists only in the declarative twin above
+    val p = phased.queryExecution.executedPlan.toString
+    assert(p.contains("row_number") && p.contains("bucket"))
+  }
+
   test("equi-depth bins: populations near-equal, ranges disjoint and ordered") {
     import org.apache.spark.sql.functions._
     val rows = Statistics.equiDepthBins(spark, sf).collect()

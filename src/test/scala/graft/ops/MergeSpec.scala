@@ -106,4 +106,24 @@ class MergeSpec extends SparkSpec {
     val rebuilt = target.join(dv, Seq("k"), "left_anti").unionByName(appends)
     assert(rebuilt.exceptAll(merged).isEmpty && merged.exceptAll(rebuilt).isEmpty)
   }
+
+  test("tableDiff: all three classes detected, identical rows omitted, NULLs compare null-safely") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("b"), 2.0), (3L, Some("c"), 3.0),
+      (4L, None: Option[String], 4.0)).toDF("k", "s", "x")
+    val right = Seq(
+      (1L, Some("a"), 1.0),                       // identical → omitted
+      (2L, Some("B"), 2.0),                       // changed
+      (4L, None: Option[String], 4.0),            // identical w/ NULL → omitted
+      (5L, Some("e"), 5.0)).toDF("k", "s", "x")   // extra in right
+    val diff = Merge.tableDiff(left, right, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff === Map(2L -> "changed", 3L -> "missing_in_right",
+      5L -> "missing_in_left"))
+    val err = intercept[IllegalArgumentException] {
+      Merge.tableDiff(left, right.withColumnRenamed("x", "y"), Seq("k"))
+    }
+    assert(err.getMessage.contains("identical schemas"))
+  }
 }
