@@ -218,6 +218,9 @@ object SparkEntry {
     "q182_rolling_distinct" -> ((s, d) => Events.rollingDistinctUsers(s, d)),
     "q183_table_diff"      -> ((s, d) => graft.io.IoQueries.tableDiffReport(s, d)),
     "q184_global_rank"     -> ((s, d) => Relational.globalPriceRank(s, d)),
+    "q185_hll_bound"       -> ((s, d) => Events.hllBound(s, d)),
+    "q186_log_odds"        -> ((s, d) => graft.ops.TermStats.logOddsTerms(s, d)),
+    "q187_zipf"            -> ((s, d) => graft.ops.TermStats.zipfSlope(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1395,6 +1398,77 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
         |    AS global_rank
         |FROM orders""".stripMargin,
+
+    // q185: the HLL error budget, oracle-gated (the q165 pattern for
+    // approx_count_distinct) — exact counts + within_bound = TRUE pinned
+    "q185_hll_bound" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // q186: smoothed log-odds characteristic terms — both ln's through the
+    // 12-decimal bridge; delta is one IEEE subtraction of bridged doubles
+    "q186_log_odds" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, t.term FROM documents,
+        |    LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term)),
+        |df AS (
+        |  SELECT term FROM (SELECT DISTINCT doc_id, term FROM tok)
+        |  GROUP BY term HAVING count(*) >= 50),
+        |bs AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_s
+        |  FROM tok JOIN df USING (term) GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tok GROUP BY 1),
+        |g AS (SELECT term, CAST(sum(c_s) AS BIGINT) AS c_g FROM bs GROUP BY 1),
+        |a AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_g FROM st),
+        |scored AS (
+        |  SELECT bs.source, bs.term, bs.c_s,
+        |    CAST(CAST(CAST(CAST(ln(CAST(bs.c_s + 1 AS DOUBLE) / (st.n_s - bs.c_s + 1))
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(CAST(CAST(ln(CAST(g.c_g - bs.c_s + 1 AS DOUBLE)
+        |        / (a.n_g - st.n_s - (g.c_g - bs.c_s) + 1))
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS delta
+        |  FROM bs JOIN st USING (source) JOIN g USING (term) CROSS JOIN a)
+        |SELECT source, term, c_s, delta,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY delta DESC, term)
+        |    AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+
+    // q187: Zipf slope — the q143 regression recipe over 12-decimal-bridged
+    // ln(rank)/ln(freq); every decimal cast VARCHAR-bridged (FP trap #2)
+    "q187_zipf" ->
+      """WITH freq AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT lang, t.term FROM documents,
+        |    LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(term))
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+        |  FROM freq QUALIFY rank <= 100),
+        |xy AS (
+        |  SELECT lang,
+        |    CAST(CAST(CAST(CAST(ln(CAST(rank AS DOUBLE)) AS VARCHAR)
+        |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS x,
+        |    CAST(CAST(CAST(CAST(ln(CAST(n AS DOUBLE)) AS VARCHAR)
+        |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS y
+        |  FROM ranked),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,14)))
+        |      AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(28,14)))
+        |      AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(28,14)))
+        |      AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(28,14)))
+        |      AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT lang, n_points,
+        |  (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS zipf_slope
+        |FROM agg""".stripMargin,
     // incremental JOIN-view maintenance: the oracle recomputes the view
     // from scratch over the full join, so the delta-join identity
     // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC plus the partial-agg

@@ -173,6 +173,24 @@ object Events {
         countDistinct(col("user_id")).as("n_users_exact"),
         approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
 
+  /** The ORACLE-GATED form of q61's HLL contract — the q165 pattern applied
+    * to approx_count_distinct: the sketch VALUE is engine-specific (q61
+    * stays rows-only), but its ERROR BOUND is not. Per group we emit the
+    * exact distinct count and a verdict that the sketch landed within
+    * 4·rsd of it (HLL++ error is approximately Gaussian with σ ≈ rsd, so
+    * 4σ is a deterministic-in-practice spec bound; the same 4σ convention
+    * as EventsSpec's unit pin). The DuckDB oracle recomputes the exact
+    * counts and pins `within_bound = TRUE`, so an HLL regression past its
+    * advertised accuracy breaks the hash gate — the 100 TB NDV swap
+    * (constant bytes per group through the shuffle vs the full key set)
+    * has its error budget CI-enforced.
+    */
+  def hllBound(spark: SparkSession, sfDir: String, rsd: Double = 0.02): DataFrame =
+    approxDistinctUsers(spark, sfDir, rsd)
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("n_users_approx").cast("double") - col("n_users_exact")) <=
+          lit(4.0 * rsd) * col("n_users_exact")).as("within_bound"))
+
   /** Semi-structured payloads: parse the JSON `props` column with an explicit
     * schema (`from_json` — codegen'd, no UDF, malformed rows become NULL
     * rather than failures) and aggregate the extracted field. The parse is

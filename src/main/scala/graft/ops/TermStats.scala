@@ -231,6 +231,79 @@ object TermStats {
     * more than topK rows of payload, and the `minDf` cut kills the long
     * hapax tail in the same aggregate that computes df.
     */
+  /** Characteristic vocabulary per SOURCE via smoothed log-odds ratio
+    * (the Monroe et al. "fightin' words" statistic, add-one smoothed):
+    * for each frequent term and source,
+    *   δ = ln((c_s+1)/(n_s−c_s+1)) − ln((c_r+1)/(n_r−c_r+1)),
+    * where c_s/n_s count the term/all tokens in the source and c_r/n_r in
+    * the REST of the corpus — the "what words distinguish this slice"
+    * report a corpus audit runs per domain. Top-5 per source by (δ desc,
+    * term asc). Token counts reduce map-side to |sources|×|vocab| before
+    * anything joins; source totals and the global totals ride broadcast
+    * frames; both ln's cross the 12-decimal bridge and δ is one IEEE
+    * subtraction of bridged doubles.
+    */
+  def logOddsTerms(spark: SparkSession, sfDir: String, minDf: Int = 50,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val df = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val bySource = tok.join(broadcast(df.select("term")), "term")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_s"))
+    val srcTotals = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val global = bySource.groupBy(col("term")).agg(sum(col("c_s")).as("c_g"))
+    val allTotal = srcTotals.agg(sum(col("n_s")).as("n_g"))
+    def lnB(c: org.apache.spark.sql.Column) =
+      graft.core.Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    val scored = bySource
+      .join(broadcast(srcTotals), "source")
+      .join(broadcast(global), "term")
+      .crossJoin(broadcast(allTotal))
+      .select(col("source"), col("term"), col("c_s"),
+        (lnB((col("c_s") + 1).cast("double") / (col("n_s") - col("c_s") + 1)) -
+          lnB((col("c_g") - col("c_s") + 1).cast("double") /
+            (col("n_g") - col("n_s") - (col("c_g") - col("c_s")) + 1))).as("delta"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("delta").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("term"), col("c_s"), col("delta"), col("rnk"))
+  }
+
+  /** Zipf exponent per language: least-squares slope of ln(freq) on
+    * ln(rank) over the top-`topN` ranked terms — the vocabulary-shape
+    * fingerprint (natural text ≈ −1; templated/synthetic text flattens) a
+    * corpus audit tracks per slice. All four regression sums run in the
+    * exact decimal domain over 12-decimal-bridged ln's (the q143 recipe),
+    * so slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is two bridged sums divided once.
+    * The ranking window sees only |lang|×|vocab| aggregated rows.
+    */
+  def zipfSlope(spark: SparkSession, sfDir: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val freq = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))))
+      .filter(col("rank") <= topN)
+    def lnB(c: org.apache.spark.sql.Column) =
+      graft.core.Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    val xy = freq.select(col("lang"),
+      lnB(col("rank").cast("double")).as("x"), lnB(col("n").cast("double")).as("y"))
+    def s(c: org.apache.spark.sql.Column) =
+      graft.core.Num.decToDouble(sum(c.cast(DecimalType(28, 14))))
+    xy.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_points"), s(col("x")).as("sx"), s(col("y")).as("sy"),
+        s(col("x") * col("y")).as("sxy"), s(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n_points"),
+        ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"))
+  }
+
   /** Pointwise mutual information over frequent term PAIRS — the phrase /
     * collocation detector (word2vec's preprocessing step, association
     * mining over documents instead of q169's baskets):

@@ -343,6 +343,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(p.contains("row_number") && p.contains("bucket"))
   }
 
+  test("log-odds terms: top-k per source, deltas ordered, counts bounded by source totals") {
+    import org.apache.spark.sql.functions._
+    val rows = TermStats.logOddsTerms(spark, sf, minDf = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.map(_._5).sorted.toSeq === (1L to g.length), s"$src ranks")
+      val byRank = g.sortBy(_._5).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"$src delta order")
+    }
+    val srcTotals = graft.core.Tables.documents(spark, sf)
+      .select(col("source"), explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("t"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, _, cs, _, _) => assert(cs <= srcTotals(src)) }
+  }
+
+  test("zipf: slope negative and in the natural-text band for every language") {
+    val rows = TermStats.zipfSlope(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, slope) =>
+      assert(n > 10, s"$lang too few rank points")
+      assert(slope < 0.0 && slope > -3.0, s"$lang slope $slope out of band")
+    }
+  }
+
   test("equi-depth bins: populations near-equal, ranges disjoint and ordered") {
     import org.apache.spark.sql.functions._
     val rows = Statistics.equiDepthBins(spark, sf).collect()
