@@ -431,11 +431,19 @@ class EventStreamSpec extends SparkSpec {
     EventStream.psiAlertToTable(spark, src, ref, store, chk)
     assert(alerts().length == 1, "latched alarm does not re-fire")
 
-    // the counts store equals the batch bucket counts of all three shipments
+    // ACK: truncating the alerts table re-arms the alarm (the documented
+    // pager-ack contract); the next drifted drain fires exactly once again
+    graft.io.IoQueries.deleteRecursively(s"$store/alerts")
+    ship("b4", full.withColumn("value", col("value") * 20.0))
+    EventStream.psiAlertToTable(spark, src, ref, store, chk)
+    assert(alerts().length == 1, "re-armed alarm fires once on the next crossing")
+
+    // the counts store equals the batch bucket counts of all four shipments
     val counts = graft.io.VersionedTable.snapshot(spark, s"$store/counts")
     val twin = full.select(col("value"))
       .union(full.select(col("value") * 5.0))
       .union(full.select(col("value") * 10.0))
+      .union(full.select(col("value") * 20.0))
       .select(floor(col("value") / 10.0).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
     assert(counts.exceptAll(twin).isEmpty && twin.exceptAll(counts).isEmpty)
