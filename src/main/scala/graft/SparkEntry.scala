@@ -221,6 +221,7 @@ object SparkEntry {
     "q185_hll_bound"       -> ((s, d) => Events.hllBound(s, d)),
     "q186_log_odds"        -> ((s, d) => graft.ops.TermStats.logOddsTerms(s, d)),
     "q187_zipf"            -> ((s, d) => graft.ops.TermStats.zipfSlope(s, d)),
+    "q188_bpe_fertility"   -> ((s, d) => graft.ops.Bpe.bpeFertility(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1952,6 +1953,27 @@ object SparkEntry {
          |  CAST(coalesce(j.n_words, 0) AS BIGINT) AS n_words,
          |  CAST(coalesce(j.n_subword_tokens, 0) AS BIGINT) AS n_subword_tokens
          |FROM d LEFT JOIN j USING (doc_id)""".stripMargin,
+
+    // q188: tokenizer fertility per language — same trained merges as
+    // q117/q118 (the unrolled-training CTEs), folded per lang; both ratios
+    // are single divisions of exact counts
+    "q188_bpe_fertility" ->
+      s"""WITH ${bpeCtes(BpeK)},
+         |counts AS (
+         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeK),
+         |dw AS (SELECT doc_id, unnest(toks) AS word FROM d),
+         |jl AS (
+         |  SELECT doc.lang, dw.word, c.n_sub
+         |  FROM dw
+         |  JOIN counts c USING (word)
+         |  JOIN documents doc ON doc.doc_id = dw.doc_id)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subword_tokens,
+         |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility,
+         |  CAST(sum(len(word)) AS DOUBLE) / sum(n_sub) AS chars_per_subword
+         |FROM jl GROUP BY 1""".stripMargin,
 
     // left-outer stream-stream join, restricted to the watermark-finalized
     // slice where match-or-null status is deterministic

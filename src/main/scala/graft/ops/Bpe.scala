@@ -159,4 +159,29 @@ object Bpe {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_subword_tokens"), lit(0L)).as("n_subword_tokens"))
   }
+
+  /** Tokenizer FERTILITY per language — subword tokens per word and
+    * characters per subword token, the standard "how well does this vocab
+    * fit this slice" audit (a language the merges under-serve shows high
+    * fertility → more tokens per content unit → worse effective context
+    * and training cost). Rides the memoized [[train]] artifacts and the
+    * same broadcast word→segmentation join as q118; the per-language fold
+    * is one partial-agged groupBy over (lang, word) rows, and both ratios
+    * are single IEEE divisions of exact longs.
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val (_, segs) = train(spark, sfDir, k)
+    val perWord = segs.select(col("word"),
+      size(split(trim(col("seg")), " ")).cast("long").as("n_sub"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(perWord), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subword_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subword_tokens"), col("n_chars"),
+        (col("n_subword_tokens").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_subword_tokens")).as("chars_per_subword"))
+  }
 }
