@@ -222,6 +222,7 @@ object SparkEntry {
     "q186_log_odds"        -> ((s, d) => graft.ops.TermStats.logOddsTerms(s, d)),
     "q187_zipf"            -> ((s, d) => graft.ops.TermStats.zipfSlope(s, d)),
     "q188_bpe_fertility"   -> ((s, d) => graft.ops.Bpe.bpeFertility(s, d)),
+    "q189_quantile_rank"   -> ((s, d) => Relational.globalPriceRankQuantile(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1395,6 +1396,14 @@ object SparkEntry {
     // q184: two-phase distributed ranking must reproduce the single
     // declarative window exactly, ties and all
     "q184_global_rank" ->
+      """SELECT o_orderkey AS id, o_totalprice AS price,
+        |  CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+        |    AS global_rank
+        |FROM orders""".stripMargin,
+
+    // q189: the skew-robust (quantile-boundary) policy must reproduce the
+    // SAME declarative window as q184 — rank is boundary-invariant
+    "q189_quantile_rank" ->
       """SELECT o_orderkey AS id, o_totalprice AS price,
         |  CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
         |    AS global_rank

@@ -627,6 +627,14 @@ object Relational {
         least(floor((col("price") - col("mn")) /
           ((col("mx") - col("mn")) / nBuckets)).cast("long"), lit(nBuckets - 1L)))
       .drop("mn", "mx")
+    rankWithinBuckets(bucketed)
+  }
+
+  /** Phase 2 of the two-phase rank, shared by both boundary policies:
+    * prefix-summed per-bucket counts (a |buckets|-row window) + bucket-local
+    * row_number, offset into the global rank.
+    */
+  private def rankWithinBuckets(bucketed: DataFrame): DataFrame = {
     val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .withColumn("offset",
         coalesce(sum(col("n")).over(
@@ -639,6 +647,36 @@ object Relational {
           Window.partitionBy(col("bucket")).orderBy(col("price"), col("id"))))
           .cast("long"))
       .select(col("id"), col("price"), col("global_rank"))
+  }
+
+  /** The SKEW-ROBUST boundary policy for [[globalPriceRank]] — the
+    * refinement its scaladoc names: buckets cut at exact order statistics
+    * (rank ⌈i·n/nBuckets⌉, the q170 convention) instead of a uniform value
+    * grid, so a value distribution with a dense clump still yields
+    * near-equal bucket populations and no local sort inherits the skew.
+    * Bucket = #boundaries strictly below the value — ties share a bucket,
+    * so the assignment stays a pure function of the value and phase 2 is
+    * unchanged. The boundary pass sorts ONLY the bare value column; at
+    * 100 TB swap it for the GK sketch exactly as q165 gates. Same oracle
+    * as q184: the declarative global window, which both boundary policies
+    * must reproduce exactly — gating that the rank is boundary-invariant.
+    */
+  def globalPriceRankQuantile(spark: SparkSession, sfDir: String,
+      nBuckets: Int = 64): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+    val w = Window.orderBy(col("price"))
+    val bounds = o.select(col("price"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("price"), col("rn"), col("n"),
+        explode(array((1 until nBuckets).map(lit): _*)).as("i"))
+      .filter(col("rn") === ceil(col("i").cast("double") * col("n") / nBuckets))
+      .agg(sort_array(collect_list(col("price"))).as("bs"))
+    val bucketed = o.crossJoin(broadcast(bounds))
+      .withColumn("bucket", size(filter(col("bs"), b => b < col("price"))).cast("long"))
+      .drop("bs")
+    rankWithinBuckets(bucketed)
   }
 
   /** Conditional aggregation via the SQL FILTER clause — one pass computing

@@ -371,6 +371,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantile-boundary rank: equals the declarative window AND balances a skewed distribution") {
+    import org.apache.spark.sql.functions._
+    val phased = Relational.globalPriceRankQuantile(spark, sf, nBuckets = 8)
+    val declarative = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("id"), col("o_totalprice").as("price"))
+      .withColumn("global_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("price"), col("id"))).cast("long"))
+    assert(phased.exceptAll(declarative).isEmpty &&
+      declarative.exceptAll(phased).isEmpty)
+    // the property the quantile policy buys: on a SKEWED value distribution
+    // (price², clumping mass at the low end) the quantile buckets stay
+    // near-equal where a uniform value grid would overload the first ones
+    val skewed = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("id"),
+        (col("o_totalprice") * col("o_totalprice")).as("price"))
+    val n = skewed.count()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("price"))
+    val bounds = skewed.select(col("price"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("price"), col("rn"), col("nn"),
+        explode(array((1 until 8).map(lit): _*)).as("i"))
+      .filter(col("rn") === ceil(col("i").cast("double") * col("nn") / 8))
+      .agg(sort_array(collect_list(col("price"))).as("bs"))
+    val sizes = skewed.crossJoin(broadcast(bounds))
+      .withColumn("bucket", size(filter(col("bs"), b => b < col("price"))))
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    sizes.foreach(s => assert(math.abs(s - n / 8.0) <= n / 16.0,
+      s"quantile bucket holds $s of $n — not balanced"))
+  }
+
   test("equi-depth bins: populations near-equal, ranges disjoint and ordered") {
     import org.apache.spark.sql.functions._
     val rows = Statistics.equiDepthBins(spark, sf).collect()
