@@ -56,6 +56,11 @@ object ExplainAudit {
     })
     audit("q169_basket_pairs", graft.ops.Market.basketPairs(spark, sf))
     audit("q170_feature_bins", graft.ops.Statistics.equiDepthBins(spark, sf))
+    audit("q172_mad_outliers", graft.ops.Statistics.madOutliers(spark, sf))
+    audit("q181_attribution", graft.ops.Events.lastTouchAttribution(spark, sf))
+    audit("q182_rolling_distinct", graft.ops.Events.rollingDistinctUsers(spark, sf))
+    audit("q184_global_rank", graft.ops.Relational.globalPriceRank(spark, sf))
+    audit("q189_quantile_rank", graft.ops.Relational.globalPriceRankQuantile(spark, sf))
     spark.stop()
   }
 }
