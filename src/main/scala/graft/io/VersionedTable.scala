@@ -392,6 +392,67 @@ object VersionedTable {
       deleteWhen: Option[Column] = None,
       insertWhen: Option[Column] = None,
       evolveSchema: Boolean = false): Int = {
+    val (next, add, remove) = mergeResolve(spark, base, source, keys,
+      updateWhen, updateSet, deleteWhen, insertWhen, evolveSchema,
+      (nv, k) => f"groups/g$nv%05d-$k")
+    if (!tryCommitAt(base, next, "merge", add, remove))
+      throw new java.util.ConcurrentModificationException(
+        s"version $next of $base was committed by another writer; " +
+          "use mergeOptimistic to re-resolve and retry")
+    next
+  }
+
+  /** Multi-writer MERGE under optimistic concurrency — [[merge]] with the
+    * re-derive-and-retry loop [[deleteWhereOptimistic]] already has. A
+    * merge's rewrite set AND its row results depend on the snapshot it
+    * read, so losing the version race forces full re-resolution: the loser
+    * re-reads the new latest snapshot, re-discovers touched groups,
+    * re-runs the row-level merge against the NEW target rows (an update
+    * that was a no-op against the old snapshot may now apply, and vice
+    * versa — this is what blind retry of the stale manifest would corrupt),
+    * writes fresh writer-unique groups and tries the conditional put again.
+    * Abandoned attempts leave only unreferenced data for vacuum's
+    * crashed-writer sweep. `writerId` must be unique per in-flight commit;
+    * `beforeCommit(attempt)` is the same test seam as the other optimistic
+    * variants — the spec uses it to force two merging writers onto the same
+    * version number.
+    */
+  def mergeOptimistic(spark: SparkSession, base: String, source: DataFrame,
+      keys: Seq[String],
+      updateWhen: Option[Column] = None,
+      updateSet: Map[String, Column] = Map.empty,
+      deleteWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None,
+      evolveSchema: Boolean = false,
+      writerId: String,
+      maxRetries: Int = 5,
+      beforeCommit: Int => Unit = _ => ()): Int = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val (next, add, remove) = mergeResolve(spark, base, source, keys,
+        updateWhen, updateSet, deleteWhen, insertWhen, evolveSchema,
+        (_, k) => s"groups/w-$writerId-r$attempt-$k")
+      beforeCommit(attempt)
+      if (tryCommitAt(base, next, "merge", add, remove)) return next
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"merge by $writerId lost the commit race $maxRetries times in $base")
+  }
+
+  /** One merge attempt against the CURRENT latest snapshot: resolves touched
+    * groups, runs the row-level merge per group, writes rewritten + insert
+    * groups under `relName(nextVersion, k)` and returns the commit triple
+    * (nextVersion, adds, removes) — the caller owns the conditional put.
+    */
+  private def mergeResolve(spark: SparkSession, base: String, source: DataFrame,
+      keys: Seq[String],
+      updateWhen: Option[Column],
+      updateSet: Map[String, Column],
+      deleteWhen: Option[Column],
+      insertWhen: Option[Column],
+      evolveSchema: Boolean,
+      relName: (Int, Int) => String): (Int, Seq[Group], Seq[String]) = {
     val v = latestVersion(base)
     require(v >= 0, s"no committed version in $base")
     val live = liveGroups(base, v)
@@ -432,11 +493,11 @@ object VersionedTable {
     val rewritten = touched.zipWithIndex.flatMap { case (g, k) =>
       val groupDf = widen(spark.read.parquet(s"$base/${g.rel}"))
       val groupSource = source.join(groupDf.select(keyCols: _*).distinct(), keys, "left_semi")
-      writeGroup(
+      writeGroupNamed(
         graft.ops.Merge.mergeInto(groupDf, groupSource, keys,
           updateWhen = updateWhen, updateSet = updateSet,
           deleteWhen = deleteWhen, insertWhen = Some(lit(false))),
-        base, next, k, g.statsCol)
+        base, relName(next, k), g.statsCol)
     }
     // not-matched source rows, projected to the target schema, as one group;
     // the source is aliased `s` so insertWhen can use the same `s.<col>`
@@ -449,9 +510,10 @@ object VersionedTable {
       (if (inserts.columns.contains(c)) col(c)
        else lit(null).cast(snap.schema(c).dataType)).as(c)): _*)
     val insertGroup =
-      if (insertDf.isEmpty) None else writeGroup(insertDf, base, next, touched.size)
+      if (insertDf.isEmpty) None
+      else writeGroupNamed(insertDf, base, relName(next, touched.size))
 
-    commit(base, "merge", rewritten ++ insertGroup.toSeq, touched.map(_.rel))
+    (next, rewritten ++ insertGroup.toSeq, touched.map(_.rel))
   }
 
   /** Append `df` hash-sliced on `keyCol` into `nGroups` file groups, each

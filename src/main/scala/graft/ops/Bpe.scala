@@ -15,12 +15,19 @@ import graft.core.Tables
   *
   *  1. TRAIN on the word-frequency dictionary, not the corpus: the only
   *     corpus-sized stage is one explode→hash-agg producing (word, freq) —
-  *     everything after is vocabulary-bounded. Each of the `k` merge rounds
-  *     is a pair-count aggregate over the dict (distributed; the dict may be
-  *     10⁸ rows at 100 TB) of which the driver retrieves ONLY the argmax
-  *     pair (a one-row probe per round, same class as [[Graph]]'s fixpoint
-  *     probe). Ties break deterministically: count desc, then pair
-  *     lexicographic.
+  *     everything after is vocabulary-bounded. Merge rounds are BATCHED
+  *     (the round-10 verdict's scale item): each round is ONE pair-count
+  *     aggregate over the dict (distributed; the dict may be 10⁸ rows at
+  *     100 TB) of which the driver retrieves the top-`BatchB` candidate
+  *     pairs (a B-row probe) and keeps the SYMBOL-DISJOINT prefix-filtered
+  *     subset — candidate i survives iff no higher-ranked candidate in the
+  *     batch shares a symbol with it, so the kept merges can't interact and
+  *     one scan applies them all. A `k`-merge vocabulary costs ⌈k/B⌉ driver
+  *     round-trips instead of `k` — the difference between 8 and 4096 job
+  *     launches at a real 32k vocab. Ties break deterministically: count
+  *     desc, then pair lexicographic; the conflict filter is candidate-
+  *     based (checks ALL higher-ranked candidates, kept or not), the
+  *     variant both engines can spell identically.
   *  2. APPLY by joining exploded document words against the dict's final
   *     segmentation (broadcast — the dict is small relative to the corpus),
   *     so documents are never re-segmented: each distinct word is segmented

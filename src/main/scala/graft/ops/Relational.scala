@@ -2,7 +2,7 @@ package graft.ops
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -576,25 +576,24 @@ object Relational {
   /** 2-D SKYLINE (Pareto frontier) of orders: the orders no other order
     * dominates on (earlier-or-equal date, higher-or-equal price, one
     * strict). In two dimensions the frontier needs NO pairwise dominance
-    * join (the naive NOT EXISTS is O(n²)): sort by date and a row survives
-    * iff it beats the best price over all STRICTLY earlier dates and ties
-    * the max within its own date — two max-windows, the second over a
-    * RANGE frame on the epoch-day key so equal dates are excluded exactly.
-    * Window input is (key, day, price) triples; at 100 TB the single
-    * orderBy window becomes a range-partitioned sort with a two-pass
-    * running max (per-partition max + prefix-merged offsets) — same
-    * algebra, no pairwise join at any scale.
+    * join (the naive NOT EXISTS is O(n²)): a row survives iff it ties the
+    * max price within its own day AND beats the best price over all
+    * STRICTLY earlier days. Scale shape: the per-day max is a parallel
+    * map-side-combined groupBy (the only corpus-sized job); the running
+    * strict-prior max then runs over the |days|-row frame ONLY — a
+    * calendar is thousands of rows however big the fact is — and the
+    * per-day (day_max, best_earlier) table broadcasts back onto the fact
+    * for the final filter. No full-table row stream ever crosses a
+    * single-task window (the round-10 weak finding, closed here).
     */
   def orderSkyline(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"),
         col("o_totalprice").as("price"))
-      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
-    val sameDay = max(col("price")).over(Window.partitionBy(col("day")))
-    val earlier = max(col("price")).over(
-      Window.orderBy(col("day_num")).rangeBetween(Window.unboundedPreceding, -1))
-    o.withColumn("day_max", sameDay)
-      .withColumn("best_earlier", earlier)
+    val perDay = o.groupBy(col("day")).agg(max(col("price")).as("day_max"))
+      .withColumn("best_earlier", max(col("day_max")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)))
+    o.join(broadcast(perDay), Seq("day"))
       .filter(col("price") === col("day_max") &&
         (col("best_earlier").isNull || col("price") > col("best_earlier")))
       .select(col("o_orderkey"), col("day"), col("price"))
@@ -634,19 +633,59 @@ object Relational {
     * prefix-summed per-bucket counts (a |buckets|-row window) + bucket-local
     * row_number, offset into the global rank.
     */
-  private def rankWithinBuckets(bucketed: DataFrame): DataFrame = {
-    val offsets = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .withColumn("offset",
-        coalesce(sum(col("n")).over(
-          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("bucket"), col("offset"))
-    bucketed.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("global_rank",
-        (col("offset") + row_number().over(
-          Window.partitionBy(col("bucket")).orderBy(col("price"), col("id"))))
-          .cast("long"))
+  private def rankWithinBuckets(bucketed: DataFrame): DataFrame =
+    offsetRank(bucketed, "bucket", Seq(col("price"), col("id")), "global_rank")
       .select(col("id"), col("price"), col("global_rank"))
+
+  /** Phase 2 of any two-phase global rank: per-bucket counts, prefix-sum
+    * offsets over the |buckets|-row frame, bucket-local `row_number` + the
+    * bucket's offset. Requires `bucketCol` to be a pure MONOTONE function of
+    * the ordering prefix (lower bucket ⇔ orders-before) with ties of the
+    * leading sort key never split across buckets; then the result is exactly
+    * the single-task `row_number() OVER (ORDER BY ordCols)` with every sort
+    * bucket-local. Keeps all input columns plus `rankName`.
+    */
+  private[graft] def offsetRank(bucketed: DataFrame, bucketCol: String,
+      ordCols: Seq[Column], rankName: String): DataFrame = {
+    val offsets = bucketed.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col(bucketCol)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(bucketCol), col("__offset"))
+    bucketed.join(broadcast(offsets), Seq(bucketCol))
+      .withColumn(rankName,
+        (col("__offset") + row_number().over(
+          Window.partitionBy(col(bucketCol)).orderBy(ordCols: _*)))
+          .cast("long"))
+      .drop("__offset")
+  }
+
+  /** Generalized TWO-PHASE GLOBAL RANK over an arbitrary frame — the
+    * scale-correct spelling of `row_number() OVER (ORDER BY score [DESC],
+    * id)` for any (score, id) pair, factored out of [[globalPriceRank]] so
+    * consumers (q158's retrieval arms, or any future global ordering) never
+    * reach for the single-task window. Value-range bucketing off a broadcast
+    * min/max (a pure per-row expression — deterministic, no sampling), with
+    * the bucket index REVERSED for descending ranks so bucket order always
+    * matches rank order; equal scores always share a bucket (bucketing is a
+    * function of the score alone), so ties break by `idCol` inside one
+    * bucket-local sort. Scores must be non-null. Keeps all input columns
+    * plus `rankName`.
+    */
+  private[graft] def twoPhaseRank(df: DataFrame, scoreCol: String, idCol: String,
+      rankName: String, descending: Boolean = false, nBuckets: Int = 64): DataFrame = {
+    val range = df.agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+    val span = col("__mx") - col("__mn")
+    val fwd = floor((col(scoreCol) - col("__mn")) / (span / nBuckets)).cast("long")
+    val raw = least(if (descending) lit(nBuckets - 1L) - least(fwd, lit(nBuckets - 1L))
+                    else fwd, lit(nBuckets - 1L))
+    val bucketed = df.crossJoin(broadcast(range))
+      .withColumn("__bucket", when(span === 0, lit(0L)).otherwise(raw))
+      .drop("__mn", "__mx")
+    val ord =
+      if (descending) Seq(col(scoreCol).desc, col(idCol)) else Seq(col(scoreCol), col(idCol))
+    offsetRank(bucketed, "__bucket", ord, rankName).drop("__bucket")
   }
 
   /** The SKEW-ROBUST boundary policy for [[globalPriceRank]] — the
@@ -668,7 +707,10 @@ object Relational {
     val w = Window.orderBy(col("price"))
     val bounds = o.select(col("price"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      // total count rides a broadcast one-row aggregate, not a second
+      // no-partition window: the boundary pass owns exactly ONE
+      // whitelisted bare-value sort (PlanSpec pins the count)
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
       .select(col("price"), col("rn"), col("n"),
         explode(array((1 until nBuckets).map(lit): _*)).as("i"))
       .filter(col("rn") === ceil(col("i").cast("double") * col("n") / nBuckets))

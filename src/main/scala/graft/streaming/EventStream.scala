@@ -457,7 +457,7 @@ object EventStream {
     val stream = spark.readStream.schema(eventsSchema).parquet(src)
     Drain.withConf(spark, "spark.sql.shuffle.partitions", "8") {
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val latest = batch
             .withColumn("rn", row_number().over(byUser))
             .filter(col("rn") === 1).drop("rn")
@@ -467,13 +467,23 @@ object EventStream {
             else {
               val newer = col("s.ts") > col("t.ts") ||
                 (col("s.ts") === col("t.ts") && col("s.event_id") > col("t.event_id"))
-              graft.io.VersionedTable.merge(spark, base, latest,
+              // mergeOptimistic, not merge: a concurrent writer on the same
+              // table (another stream, a batch backfill) must trigger
+              // re-resolution against the new snapshot, not abort the
+              // micro-batch. The monotone merge condition makes the retried
+              // merge land the same final state regardless of interleaving.
+              // writerId is unique per IN-FLIGHT commit (uuid suffix); a
+              // replayed micro-batch gets a fresh one, so it never clobbers
+              // data groups a crashed run already committed.
+              graft.io.VersionedTable.mergeOptimistic(spark, base, latest,
                 keys = Seq("user_id"),
                 updateWhen = Some(newer),
                 updateSet = Map(
                   "event_id" -> col("s.event_id"), "ts" -> col("s.ts"),
                   "event_type" -> col("s.event_type"), "value" -> col("s.value"),
-                  "props" -> col("s.props")))
+                  "props" -> col("s.props")),
+                writerId = s"upsert-b$batchId-" +
+                  java.util.UUID.randomUUID().toString.take(8))
             }
           }
           ()

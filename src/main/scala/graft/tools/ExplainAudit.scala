@@ -9,13 +9,9 @@ object ExplainAudit {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = graft.core.SessionFactory.local(8, "graft-explain")
     def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val p = df.queryExecution.executedPlan.toString
-      println(s"== $name: exchanges=${"Exchange".r.findAllIn(p).size}" +
-        s" reused=${p.contains("ReusedExchange")}" +
-        s" bhj=${"BroadcastHashJoin".r.findAllIn(p).size}" +
-        s" smj=${"SortMergeJoin".r.findAllIn(p).size}" +
-        s" cartesian=${p.contains("CartesianProduct")}")
-      if (sys.env.contains("GRAFT_EXPLAIN_FULL")) println(p)
+      println(s"== $name: ${graft.plans.PlanAudit.flags(df)}")
+      if (sys.env.contains("GRAFT_EXPLAIN_FULL"))
+        println(df.queryExecution.executedPlan.toString)
     }
     // audit the UN-CACHED compute: ngramJaccard returns an eager localCheckpoint
     // whose executedPlan is a bare Scan ExistingRDD — auditing that would make
@@ -59,6 +55,8 @@ object ExplainAudit {
     audit("q172_mad_outliers", graft.ops.Statistics.madOutliers(spark, sf))
     audit("q181_attribution", graft.ops.Events.lastTouchAttribution(spark, sf))
     audit("q182_rolling_distinct", graft.ops.Events.rollingDistinctUsers(spark, sf))
+    audit("q158_hybrid_search", graft.ops.TermStats.hybridSearch(spark, sf))
+    audit("q178_skyline", graft.ops.Relational.orderSkyline(spark, sf))
     audit("q184_global_rank", graft.ops.Relational.globalPriceRank(spark, sf))
     audit("q189_quantile_rank", graft.ops.Relational.globalPriceRankQuantile(spark, sf))
     spark.stop()

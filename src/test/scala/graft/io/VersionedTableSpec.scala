@@ -226,6 +226,48 @@ class VersionedTableSpec extends SparkSpec {
       === Array(3L))
   }
 
+  test("optimistic merge: loser re-runs its row merges against the NEW snapshot; both writers land") {
+    import spark.implicits._
+    val base = tmpDir("vt_optimistic_merge")
+    VersionedTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), base) // v0
+    // Writer A resolves v0 and prepares (update k=2: s := t.s+"+A"; insert
+    // k=4). Before A's conditional put, writer B commits its own merge on
+    // the SAME key (k=2: s := t.s+"+B"; insert k=3) as v1. A's first put
+    // must fail; the retry must RE-RUN the row-level merge against B's
+    // committed state — a blind retry of A's stale manifest would land
+    // "b+A", silently dropping B's update.
+    var attempts = List.empty[Int]
+    val vA = VersionedTable.mergeOptimistic(spark, base,
+      Seq((2L, "srcA"), (4L, "d")).toDF("k", "s"), keys = Seq("k"),
+      updateWhen = Some(lit(true)),
+      updateSet = Map("s" -> concat(col("t.s"), lit("+A"))),
+      writerId = "ma",
+      beforeCommit = { attempt =>
+        attempts :+= attempt
+        if (attempt == 0)
+          VersionedTable.mergeOptimistic(spark, base,
+            Seq((2L, "srcB"), (3L, "c")).toDF("k", "s"), keys = Seq("k"),
+            updateWhen = Some(lit(true)),
+            updateSet = Map("s" -> concat(col("t.s"), lit("+B"))),
+            writerId = "mb")
+      })
+    assert(attempts === List(0, 1), "loser retried exactly once")
+    assert(vA === 2, "loser re-resolved and landed AFTER the winner")
+    val snap = VersionedTable.snapshot(spark, base).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap === Map(1L -> "a", 2L -> "b+B+A", 3L -> "c", 4L -> "d"),
+      "updates COMPOSE (b+B+A, not b+A) and both inserts land")
+    // the winner's intermediate version stays readable — its manifest and
+    // data groups were never touched by the loser's abandoned attempt
+    val v1 = VersionedTable.snapshot(spark, base, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 === Map(1L -> "a", 2L -> "b+B", 3L -> "c"))
+    // abandoned attempt-0 groups are unreferenced vacuum garbage
+    assert(VersionedTable.vacuum(base, retainVersions = 1) >= 1)
+    assert(VersionedTable.snapshot(spark, base).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === snap)
+  }
+
   test("single-writer commit DETECTS a stolen version instead of overwriting it") {
     import spark.implicits._
     val base = tmpDir("vt_conflict_detect")

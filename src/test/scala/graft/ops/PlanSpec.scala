@@ -203,4 +203,47 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p.linesIterator.take(5).mkString("\n"))
     assert(p.contains("Window") && !p.contains("CartesianProduct"))
   }
+
+  // ---- single-task-window audit (round-10 verdict item 3) -------------
+  // PlanAudit.rawGlobalWindows counts no-partition Window nodes fed by a
+  // NON-aggregated input — the shape that funnels a full-table row stream
+  // through one task. Every query below must stay at zero; the only
+  // whitelisted exceptions in the registry are the documented bare-value
+  // boundary passes (q150/q156/q170/q174/q189), each with a GK swap gated
+  // by q165's error-bound query.
+
+  test("single-task-window detector flags the naive global row_number shape") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val naive = graft.core.Tables.orders(spark, sf)
+      .withColumn("r", row_number().over(W.orderBy(col("o_totalprice"))))
+    assert(graft.plans.PlanAudit.rawGlobalWindows(naive) == 1)
+  }
+
+  test("skyline pre-aggregates per day: no raw global window, broadcast back-join") {
+    val df = Relational.orderSkyline(spark, sf)
+    assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("hybrid search ranks both arms two-phase: no raw global window") {
+    val df = TermStats.hybridSearch(spark, sf)
+    assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+  }
+
+  test("two-phase global rank: zero raw global windows (uniform policy)") {
+    assert(graft.plans.PlanAudit.rawGlobalWindows(
+      Relational.globalPriceRank(spark, sf)) == 0)
+  }
+
+  test("quantile-boundary rank: only the whitelisted bare-value boundary pass") {
+    // the boundary pass sorts ONLY the bare value column — the documented
+    // exception (GK swap gated by q165); phase 2 itself must stay at zero.
+    // The ONE logical boundary sort appears as two physical Window nodes
+    // (the offsets side and the bucketed side each re-derive the bounds;
+    // exchange/stage reuse dedupes them at runtime), hence <= 2, not == 1.
+    assert(graft.plans.PlanAudit.rawGlobalWindows(
+      Relational.globalPriceRankQuantile(spark, sf)) <= 2)
+  }
 }
