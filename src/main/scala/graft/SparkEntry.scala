@@ -223,6 +223,12 @@ object SparkEntry {
     "q187_zipf"            -> ((s, d) => graft.ops.TermStats.zipfSlope(s, d)),
     "q188_bpe_fertility"   -> ((s, d) => graft.ops.Bpe.bpeFertility(s, d)),
     "q189_quantile_rank"   -> ((s, d) => Relational.globalPriceRankQuantile(s, d)),
+    "q190_linear_attrib"   -> ((s, d) => Events.linearAttribution(s, d)),
+    "q191_k_anonymity"     -> ((s, d) => graft.ops.Privacy.kAnonymityAudit(s, d)),
+    "q192_hits"            -> ((s, d) => graft.ops.Graph.hits(s, d)),
+    "q193_temperature_mix" -> ((s, d) => graft.ops.TrainingMix.temperatureMix(s, d)),
+    "q194_daily_anomaly"   -> ((s, d) => graft.ops.Statistics.dailyAnomalies(s, d)),
+    "q195_quality_clf"     -> ((s, d) => graft.ops.Curation.qualityClassifier(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -493,30 +499,44 @@ object SparkEntry {
     (0 until bits).map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
-  /** DuckDB twin of Bpe.train: `k` unrolled merge rounds over the word
-    * dictionary. Each round counts adjacent symbol pairs (tab-joined, so the
-    * tie order `cnt DESC, p` is byte-identical to Spark's), takes the argmax
-    * as a one-row CTE, and rewrites segmentations with the same
-    * left-to-right non-overlapping `replace` Spark uses. A round with no
-    * pairs left joins as NULL and leaves segmentations unchanged — mirroring
+  /** DuckDB twin of Bpe.train: ⌈k/B⌉ unrolled BATCHED merge rounds over the
+    * word dictionary. Each round counts adjacent symbol pairs (tab-joined,
+    * so the tie order `cnt DESC, p` is byte-identical to Spark's), takes the
+    * top-B candidates (`c$r`), keeps the candidate-prefix symbol-disjoint
+    * subset (`sel$r` — a candidate survives iff NO higher-ranked candidate
+    * shares a symbol, Bpe.trainUncached's exact rule), and folds the kept
+    * merges over segmentations IN RANK ORDER with the same left-to-right
+    * non-overlapping `replace` Spark uses (list_reduce over the ordered
+    * pattern list; the replacement ' a b '→' ab ' is recomputed from the
+    * pattern, symbols never contain spaces). A round with nothing selected
+    * folds the empty list and leaves segmentations unchanged — mirroring
     * Bpe's `exhausted` early stop.
     */
-  private def bpeCtes(k: Int): String = {
-    val rounds = (0 until k).map { r =>
+  private def bpeCtes(k: Int, b: Int): String = {
+    val nRounds = (k + b - 1) / b
+    val rounds = (0 until nRounds).map { r =>
       s"""p$r AS (
          |  SELECT unnest(list_transform(range(1, len(l)), i ->
          |    l[CAST(i AS INT)] || chr(9) || l[CAST(i + 1 AS INT)])) AS p, freq
          |  FROM (SELECT freq, string_split(trim(seg), ' ') AS l FROM s$r)),
-         |b$r AS MATERIALIZED (
-         |  SELECT split_part(p, chr(9), 1) AS a, split_part(p, chr(9), 2) AS b
-         |  FROM (SELECT p, sum(freq) AS cnt FROM p$r GROUP BY 1)
-         |  ORDER BY cnt DESC, p LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT split_part(p, chr(9), 1) AS a, split_part(p, chr(9), 2) AS b,
+         |    row_number() OVER (ORDER BY cnt DESC, p) AS rk
+         |  FROM (SELECT p, sum(freq) AS cnt FROM p$r GROUP BY 1
+         |        ORDER BY cnt DESC, p LIMIT $b)),
+         |sel$r AS MATERIALIZED (
+         |  SELECT a, b, rk FROM c$r c
+         |  WHERE NOT EXISTS (SELECT 1 FROM c$r d WHERE d.rk < c.rk
+         |    AND (d.a = c.a OR d.a = c.b OR d.b = c.a OR d.b = c.b))),
          |s${r + 1} AS MATERIALIZED (
-         |  SELECT s.word, s.freq,
-         |    CASE WHEN b.a IS NULL THEN s.seg
-         |         ELSE replace(s.seg, ' ' || b.a || ' ' || b.b || ' ',
-         |                      ' ' || b.a || b.b || ' ') END AS seg
-         |  FROM s$r s LEFT JOIN b$r b ON TRUE)""".stripMargin
+         |  SELECT word, freq,
+         |    list_reduce(
+         |      list_prepend(seg, coalesce(
+         |        (SELECT list(' ' || a || ' ' || b || ' ' ORDER BY rk) FROM sel$r),
+         |        [])),
+         |      (acc, pat) -> replace(acc, pat,
+         |        ' ' || replace(trim(pat), ' ', '') || ' ')) AS seg
+         |  FROM s$r)""".stripMargin
     }.mkString(",\n")
     s"""d AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -530,7 +550,8 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  private val BpeK = 16
+  private val BpeK = 64
+  private val BpeRounds = (BpeK + graft.ops.Bpe.BatchB - 1) / graft.ops.Bpe.BatchB
 
   /** DuckDB twin of Stats.tableStats: one UNION ALL branch per lineitem
     * column, typed min/max exactly as the operator surfaces them.
@@ -661,6 +682,43 @@ object SparkEntry {
        |${steps.mkString(",\n")}
        |SELECT vec_id, cid AS cluster, CAST(CAST(dist AS VARCHAR) AS DOUBLE) AS dist
        |FROM a$iters""".stripMargin
+  }
+
+  /** DuckDB twin of Graph.hits: `iters` unrolled hub/authority rounds over
+    * the bipartite customer→part edge set, sum-normalized (the operator's
+    * documented deviation from L2). Same bridging discipline as
+    * [[pageRankOracle]]: entry casts to DECIMAL(28,18) go through VARCHAR
+    * (Spark's double→decimal rounds the shortest string), exact decimal
+    * sums bridge back to double through VARCHAR; normalization divisions
+    * are IEEE-correctly-rounded on both engines. `CAST(1.0 AS DOUBLE)` in
+    * the init: a bare 1.0 is DECIMAL in DuckDB and would divide in the
+    * decimal domain.
+    */
+  private def hitsOracle(iters: Int): String = {
+    def dsum(x: String) =
+      s"CAST(CAST(sum(CAST(CAST($x AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE)"
+    val steps = (1 to iters).map { i =>
+      s"""hr$i AS (
+         |  SELECT e.c, ${dsum(s"a${i - 1}.a")} AS h
+         |  FROM e JOIN a${i - 1} ON e.p = a${i - 1}.p GROUP BY 1),
+         |ht$i AS (SELECT ${dsum("h")} AS t FROM hr$i),
+         |h$i AS (SELECT c, h / (SELECT t FROM ht$i) AS h FROM hr$i),
+         |ar$i AS (
+         |  SELECT e.p, ${dsum(s"h$i.h")} AS a
+         |  FROM e JOIN h$i ON e.c = h$i.c GROUP BY 1),
+         |at$i AS (SELECT ${dsum("a")} AS t FROM ar$i),
+         |a$i AS (SELECT p, a / (SELECT t FROM at$i) AS a FROM ar$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |a0 AS (
+       |  SELECT p, CAST(1.0 AS DOUBLE) / (SELECT count(DISTINCT p) FROM e) AS a
+       |  FROM (SELECT DISTINCT p FROM e)),
+       |$steps
+       |SELECT 'hub' AS kind, c AS id, h AS score FROM h$iters
+       |UNION ALL
+       |SELECT 'auth', p, a FROM a$iters""".stripMargin
   }
 
   /** The q152 BM25 oracle body — also the lexical arm of q158's fusion.
@@ -853,9 +911,9 @@ object SparkEntry {
     // keep x DSIR affinity x BPE token budget, per source — every stage is
     // an already-gated operator, composed with namespaced CTEs
     "q129_training_mix" ->
-      s"""WITH ${bpeCtes(BpeK)},
+      s"""WITH ${bpeCtes(BpeK, graft.ops.Bpe.BatchB)},
          |bcnt AS (
-         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeK),
+         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeRounds),
          |bdw AS (SELECT doc_id, unnest(toks) AS word FROM d),
          |btokj AS (
          |  SELECT bdw.doc_id, sum(c.n_sub) AS n_subword_tokens
@@ -1401,6 +1459,146 @@ object SparkEntry {
         |    AS global_rank
         |FROM orders""".stripMargin,
 
+    // q190: linear multi-touch attribution — credits are IEEE divisions
+    // (correctly rounded on both engines), folded per channel in decimal
+    // through the VARCHAR bridge (trap #2: double→decimal must round the
+    // shortest string on both sides)
+    "q190_linear_attrib" ->
+      """WITH t AS (
+        |  SELECT user_id, ts AS tts, event_type AS channel
+        |  FROM events WHERE event_type <> 'purchase'),
+        |p AS (
+        |  SELECT user_id, event_id AS pid, ts AS pts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.pid, p.value, t.channel
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 30 MINUTE),
+        |n AS (SELECT pid, count(*) AS n FROM j GROUP BY 1),
+        |c AS (
+        |  SELECT j.channel, j.value / n.n AS credit
+        |  FROM j JOIN n USING (pid)
+        |  UNION ALL
+        |  SELECT 'organic', p.value FROM p
+        |  WHERE p.pid NOT IN (SELECT pid FROM n))
+        |SELECT channel, count(*) AS n_credits,
+        |  CAST(CAST(sum(CAST(CAST(credit AS VARCHAR) AS DECIMAL(28,14)))
+        |    AS VARCHAR) AS DOUBLE) AS credit_total
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // q192: bipartite HITS, 2 unrolled sum-normalized rounds
+    "q192_hits" -> hitsOracle(iters = 2),
+
+    // q195: fixed-weight logistic quality classifier — weights interpolated
+    // from the operator's Scala doubles; ln/exp outputs bridged to 12
+    // decimals; the dot product is the identical left-to-right mul/add chain
+    "q195_quality_clf" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS sr,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |      / n_chars AS ppc,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS mwl,
+         |    CAST(CAST(CAST(CAST(ln(CAST(n_chars AS DOUBLE)) AS VARCHAR)
+         |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS lnc
+         |  FROM documents),
+         |z AS (
+         |  SELECT doc_id,
+         |    ${-2.0} + ${4.0} * sr + ${-6.0} * ppc + ${0.3} * mwl
+         |      + ${0.15} * lnc AS z
+         |  FROM f),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(CAST(CAST(exp(-z) AS VARCHAR) AS DECIMAL(28,12))
+         |      AS VARCHAR) AS DOUBLE) AS e
+         |  FROM z)
+         |SELECT doc_id,
+         |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e) AS score,
+         |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e) >= ${0.5} AS keep
+         |FROM e""".stripMargin,
+
+    // q194: trailing 7-day z-score anomalies — exact decimal window sums,
+    // variance spelled (Σx² − Σx·mean)/(n−1) in the identical op order
+    "q194_daily_anomaly" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, n_orders,
+        |    CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS x,
+        |    count(*) OVER win AS cnt,
+        |    CAST(CAST(sum(tot) OVER win AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(tot * tot) OVER win AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM d
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |m1 AS (
+        |  SELECT *, CASE WHEN cnt = 7 THEN sx / cnt END AS mean_prior FROM w),
+        |m2 AS (
+        |  SELECT *, CASE WHEN cnt = 7 THEN
+        |      sqrt(greatest((sxx - sx * mean_prior) / (cnt - 1),
+        |        CAST(0 AS DOUBLE))) END AS sd_prior
+        |  FROM m1)
+        |SELECT day, n_orders, x AS total, mean_prior, sd_prior,
+        |  CASE WHEN sd_prior > 0 THEN (x - mean_prior) / sd_prior END AS z,
+        |  CASE WHEN sd_prior > 0 THEN abs((x - mean_prior) / sd_prior) > 2.0
+        |    ELSE false END AS is_anomaly
+        |FROM m2""".stripMargin,
+
+    // q193: temperature-scaled source weights — n^α as exp(α·ln n) with
+    // both transcendental outputs bridged to 12 decimals (pow is not
+    // correctly rounded and cross-engine unsafe); α and the budget are
+    // interpolated from the operator's Scala defaults
+    "q193_temperature_mix" ->
+      s"""WITH s AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |p AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(CAST(CAST(CAST(exp(${0.3} *
+         |      CAST(CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS VARCHAR)
+         |        AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE))
+         |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS p_raw
+         |  FROM s),
+         |t AS (
+         |  SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(28,14)))
+         |    AS VARCHAR) AS DOUBLE) AS t FROM p)
+         |SELECT source, n_docs, n_tokens,
+         |  p_raw / t.t AS weight,
+         |  CAST(floor((p_raw / t.t) * ${1000000L}) AS BIGINT) AS tokens_alloc
+         |FROM p CROSS JOIN t""".stripMargin,
+
+    // q191: two-level k-anonymity / l-diversity audit over (nation|region,
+    // segment) QI groups with the acctbal band as the sensitive attribute
+    "q191_k_anonymity" ->
+      """WITH d AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    c.c_mktsegment AS segment,
+        |    CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |nl AS (
+        |  SELECT nation, segment, count(*) AS n,
+        |    count(DISTINCT band) AS n_sensitive
+        |  FROM d GROUP BY 1, 2),
+        |rl AS (
+        |  SELECT region, segment, count(*) AS n,
+        |    count(DISTINCT band) AS n_sensitive
+        |  FROM d GROUP BY 1, 2)
+        |SELECT 'nation_segment' AS level, nation || '|' || segment AS qi_group,
+        |  n, n_sensitive, n < 5 AS violates_k, n_sensitive < 2 AS violates_l
+        |FROM nl
+        |UNION ALL
+        |SELECT 'region_segment', region || '|' || segment,
+        |  n, n_sensitive, n < 5, n_sensitive < 2
+        |FROM rl""".stripMargin,
+
     // q189: the skew-robust (quantile-boundary) policy must reproduce the
     // SAME declarative window as q184 — rank is boundary-invariant
     "q189_quantile_rank" ->
@@ -1940,20 +2138,22 @@ object SparkEntry {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin,
 
-    // the TRAINED BPE tokenizer, oracle-gated end to end: k unrolled merge
-    // rounds in pure string SQL replay Bpe.train exactly
+    // the TRAINED BPE tokenizer, oracle-gated end to end: ⌈k/B⌉ unrolled
+    // BATCHED merge rounds in pure string SQL replay Bpe.train exactly;
+    // global merge_rank orders by (round, within-round candidate rank)
     "q117_bpe_merges" ->
-      s"""WITH ${bpeCtes(BpeK)}
-         |SELECT merge_rank, left_sym, right_sym FROM (
-         |${(0 until BpeK).map(r =>
-          s"  SELECT CAST(${r + 1} AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM b$r")
+      s"""WITH ${bpeCtes(BpeK, graft.ops.Bpe.BatchB)}
+         |SELECT CAST(row_number() OVER (ORDER BY round, rk) AS BIGINT) AS merge_rank,
+         |  a AS left_sym, b AS right_sym FROM (
+         |${(0 until BpeRounds).map(r =>
+          s"  SELECT $r AS round, rk, a, b FROM sel$r")
           .mkString("\n  UNION ALL\n")}
          |)""".stripMargin,
 
     "q118_bpe_tokens" ->
-      s"""WITH ${bpeCtes(BpeK)},
+      s"""WITH ${bpeCtes(BpeK, graft.ops.Bpe.BatchB)},
          |counts AS (
-         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeK),
+         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeRounds),
          |dw AS (SELECT doc_id, unnest(toks) AS word FROM d),
          |j AS (
          |  SELECT dw.doc_id, count(*) AS n_words, sum(c.n_sub) AS n_subword_tokens
@@ -1967,9 +2167,9 @@ object SparkEntry {
     // q117/q118 (the unrolled-training CTEs), folded per lang; both ratios
     // are single divisions of exact counts
     "q188_bpe_fertility" ->
-      s"""WITH ${bpeCtes(BpeK)},
+      s"""WITH ${bpeCtes(BpeK, graft.ops.Bpe.BatchB)},
          |counts AS (
-         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeK),
+         |  SELECT word, len(string_split(trim(seg), ' ')) AS n_sub FROM s$BpeRounds),
          |dw AS (SELECT doc_id, unnest(toks) AS word FROM d),
          |jl AS (
          |  SELECT doc.lang, dw.word, c.n_sub

@@ -102,9 +102,19 @@ object Bpe {
     }
   }
 
-  /** Train `k` merges; returns (merges in rank order, dict with final seg).
-    * A round with no remaining pairs records no merge and leaves the dict
-    * unchanged (mirrored by the oracle's null-guarded rounds).
+  /** Candidates per batched merge round — ⌈k/BatchB⌉ driver round-trips
+    * total. Mirrored EXACTLY by the oracle's per-round candidate/selection
+    * CTEs (SparkEntry.bpeCtes), so keep the two in lockstep.
+    */
+  private[graft] val BatchB = 8
+
+  /** Train up to `k` merges in ⌈k/BatchB⌉ batched rounds; returns (merges in
+    * rank order, dict with final seg). Each round probes the top-BatchB
+    * pairs and keeps the candidate-prefix symbol-disjoint subset (see object
+    * scaladoc); conflicts may teach fewer than `k` merges total — the
+    * oracle unrolls the identical rule, so the learned table is still
+    * hash-gated. A round with no remaining pairs stops training early
+    * (mirrored by the oracle's empty-selection no-op rounds).
     */
   private def trainUncached(spark: SparkSession, sfDir: String, k: Int)
       : (Seq[(String, String)], DataFrame) = {
@@ -119,26 +129,35 @@ object Bpe {
     segs = segs.coalesce(dictParts).localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]
     var exhausted = false
-    for (_ <- 0 until k if !exhausted) {
-      val best = segs
+    val rounds = (k + BatchB - 1) / BatchB
+    for (_ <- 0 until rounds if !exhausted) {
+      val cands = segs
         .select(col("freq"), explode(symPairs(col("seg"))).as("p"))
         .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("p"))
-        .limit(1).collect() // one-row argmax probe
-      if (best.isEmpty) exhausted = true
+        .limit(BatchB).collect() // B-row candidate probe
+        .map(_.getString(0).split("\t", 2) match { case Array(a, b) => (a, b) })
+      if (cands.isEmpty) exhausted = true
       else {
-        val Array(a, b) = best.head.getString(0).split("\t", 2)
-        merges += ((a, b))
-        segs = segs.withColumn("seg",
-          replace(col("seg"), lit(s" $a $b "), lit(s" $a$b ")))
-          .localCheckpoint(true)
+        // candidate-prefix conflict filter: keep i iff NO higher-ranked
+        // candidate (kept or not) shares a symbol — kept set is pairwise
+        // symbol-disjoint, so the single-scan fold below can't interact
+        val sel = cands.zipWithIndex.collect {
+          case ((a, b), i) if cands.take(i).forall { case (c, d) =>
+            c != a && c != b && d != a && d != b } => (a, b)
+        }
+        merges ++= sel
+        val folded = sel.foldLeft(col("seg")) { case (acc, (a, b)) =>
+          replace(acc, lit(s" $a $b "), lit(s" $a$b "))
+        }
+        segs = segs.withColumn("seg", folded).localCheckpoint(true)
       }
     }
     (merges.result(), segs)
   }
 
   /** q117: the learned merge table — (merge_rank, left_sym, right_sym). */
-  def bpeMerges(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+  def bpeMerges(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
     import spark.implicits._
     val (merges, _) = train(spark, sfDir, k)
     merges.zipWithIndex
@@ -150,7 +169,7 @@ object Bpe {
     * (doc_id, n_words, n_subword_tokens). Apply is one broadcast join of
     * exploded words against the dict's final segmentation.
     */
-  def bpeTokenCounts(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+  def bpeTokenCounts(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
     val (_, segs) = train(spark, sfDir, k)
     val perWord = segs.select(col("word"),
       size(split(trim(col("seg")), " ")).cast("long").as("n_sub"))
@@ -176,7 +195,7 @@ object Bpe {
     * is one partial-agged groupBy over (lang, word) rows, and both ratios
     * are single IEEE divisions of exact longs.
     */
-  def bpeFertility(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+  def bpeFertility(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
     val (_, segs) = train(spark, sfDir, k)
     val perWord = segs.select(col("word"),
       size(split(trim(col("seg")), " ")).cast("long").as("n_sub"))

@@ -234,4 +234,42 @@ object Curation {
       .filter(col("rn") === 1)
       .select(col("cluster_id"), col("doc_id"), col("quality_score"), col("n_members"))
   }
+
+  /** Logistic QUALITY-CLASSIFIER scoring with a FIXED public weight vector —
+    * the shape of the fasttext-style quality filter every web-scale corpus
+    * pipeline runs (CCNet/LLaMA-style: a linear model over cheap text
+    * features, thresholded to a keep decision), with the model weights
+    * pinned in code so the gate is reproducible. Features are
+    * [[TextAnalysis]]'s ratios (each a correctly-rounded IEEE division) plus
+    * ln(n_chars); training the weights is out of scope by design — scoring
+    * infrastructure, not model fitting.
+    *
+    * A pure per-row map over the corpus: no shuffle, no UDF, fully
+    * codegen'd; at 100 TB this is a scan-speed filter. Cross-engine
+    * determinism: the two transcendentals (ln, exp) round to 12 decimals
+    * through the decimal bridge (ln's output BEFORE the weighted sum,
+    * exp's output BEFORE the final division); the dot product is a fixed
+    * left-to-right chain of correctly-rounded mul/add spelled identically
+    * in the oracle, and the sigmoid's 1/(1+e) is two more exact-rounded
+    * ops. Weights are interpolated into the oracle from these Scala
+    * doubles (shortest-round-trip), never re-typed literals.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (w0, wStop, wPunct, wMwl, wLen) = (-2.0, 4.0, -6.0, 0.3, 0.15)
+    val lnChars = graft.core.Num.decToDouble(
+      log(col("n_chars").cast("double")).cast(DecimalType(18, 12)))
+    val z = lit(w0) + lit(wStop) * TextAnalysis.stopwordRatio +
+      lit(wPunct) * TextAnalysis.punctPerChar +
+      lit(wMwl) * TextAnalysis.meanWordLen +
+      lit(wLen) * lnChars
+    Tables.documents(spark, sfDir)
+      .withColumn("z", z)
+      .withColumn("e", graft.core.Num.decToDouble(
+        exp(-col("z")).cast(DecimalType(28, 12))))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + col("e"))).as("score"),
+        (lit(1.0) / (lit(1.0) + col("e")) >= threshold).as("keep"))
+  }
 }

@@ -425,6 +425,51 @@ object Events {
           col("touch.tchannel")).as("channel"))
   }
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION: every purchase's value split EQUALLY
+    * across all of the same user's non-purchase touches inside the lookback
+    * window (the fractional-credit counterpart of [[lastTouchAttribution]]'s
+    * winner-takes-all); a purchase with no in-window touch credits the
+    * 'organic' channel in full. Per-channel totals — the report a marketing
+    * mix model actually consumes.
+    *
+    * Scale shape: both sides key by user_id, so the touch↔purchase pairing
+    * is ONE user-keyed equi-join with the lookback as a residual range
+    * predicate (per-user event counts bound the pair fan-out; a pathological
+    * single-user firehose is [[graft.ops.Skew]]'s salting territory), then
+    * the per-purchase touch count rides a purchase-keyed window over the
+    * already-paired rows. Credits are value/n — an IEEE division, correctly
+    * rounded on every engine — folded per channel in exact decimal through
+    * the shortest-string bridge, so the fractional split stays cross-engine
+    * bit-exact.
+    */
+  def linearAttribution(spark: SparkSession, sfDir: String,
+      lookbackMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+        col("value"))
+    val paired = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+    val credited = paired
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pid"))))
+      .select(col("pid"), col("channel"), (col("value") / col("n")).as("credit"))
+    val organic = purchases
+      .join(paired.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(col("pid"), lit("organic").as("channel"), col("value").as("credit"))
+    credited.unionByName(organic)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        graft.core.Num.decToDouble(
+          sum(col("credit").cast(DecimalType(28, 14)))).as("credit_total"))
+  }
+
   /** Rolling 7-day DISTINCT active users per day — the sliding-window
     * distinct that no windowed aggregate computes incrementally (distinct
     * doesn't decompose over sliding frames). The scale-correct expansion:

@@ -200,6 +200,67 @@ object Graph {
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** HITS (Kleinberg 1999, public) over the BIPARTITE customer→part purchase
+    * graph — buyers as hubs, products as authorities, the natural bipartite
+    * reading of the algorithm:
+    *
+    *   auth₀(p) = 1/|P|
+    *   hubᵢ(c)  = Σ_{c→p} authᵢ₋₁(p),  sum-normalized
+    *   authᵢ(p) = Σ_{c→p} hubᵢ(c),     sum-normalized
+    *
+    * ONE documented deviation from the textbook: normalization divides by
+    * the SUM of scores, not the L2 norm — scores stay a probability-style
+    * distribution and, unlike sqrt-of-sum-of-squares, every step is either
+    * an exact decimal fold or a single correctly-rounded IEEE division, so
+    * the whole iteration is cross-engine bit-exact under the same bridging
+    * discipline as [[pageRank]] (contributions rounded to DECIMAL(28,18),
+    * summed exactly, bridged back to double; normalization totals ride a
+    * broadcast one-row frame, nothing driver-side).
+    *
+    * Scale shape: the edge list is one orderkey-co-keyed join + distinct,
+    * built once and cached; each half-iteration is a join against a
+    * |nodes|-row score frame plus one partial-aggregated groupBy — the same
+    * O(iters × |E|) dataflow as PageRank.
+    */
+  def hits(spark: SparkSession, sfDir: String, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def decSum(c: org.apache.spark.sql.Column) =
+      graft.core.Num.decToDouble(sum(c.cast(DecimalType(28, 18))))
+    val edges = graft.core.Tables.orders(spark, sfDir)
+      .join(graft.core.Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nParts = edges.select(col("p")).distinct().agg(count(lit(1)).as("np"))
+    var auth = edges.select(col("p")).distinct()
+      .crossJoin(broadcast(nParts))
+      .select(col("p"), (lit(1.0) / col("np")).as("a"))
+      .localCheckpoint(true)
+    var hub: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hubRaw = edges.join(auth, "p")
+        .groupBy(col("c")).agg(decSum(col("a")).as("h"))
+      val hTot = hubRaw.agg(decSum(col("h")).as("t"))
+      hub = hubRaw.crossJoin(broadcast(hTot))
+        .select(col("c"), (col("h") / col("t")).as("h"))
+        .localCheckpoint(true)
+      val authRaw = edges.join(hub, "c")
+        .groupBy(col("p")).agg(decSum(col("h")).as("a"))
+      val aTot = authRaw.agg(decSum(col("a")).as("t"))
+      auth = authRaw.crossJoin(broadcast(aTot))
+        .select(col("p"), (col("a") / col("t")).as("a"))
+        .localCheckpoint(true)
+    }
+    val result = hub
+      .select(lit("hub").as("kind"), col("c").as("id"), col("h").as("score"))
+      .unionByName(auth
+        .select(lit("auth").as("kind"), col("p").as("id"), col("a").as("score")))
+      .localCheckpoint(true)
+    edges.unpersist()
+    result
+  }
+
   /** PageRank over the part co-purchase graph (parts are linked when they
     * appear in the same order), a fixed number of synchronous iterations:
     *
@@ -345,9 +406,15 @@ object Graph {
   /** The census plan over a given undirected edge set + degree table —
     * separated so ExplainAudit can see the join shape (the public wrapper
     * materializes through localCheckpoint, whose executedPlan is a bare
-    * scan — the q17 audit caveat).
+    * scan — the q17 audit caveat). `broadcastEdgeLimit` gates the closure
+    * broadcast at runtime (default 10M edges ≈ 160 MB of two longs): a
+    * graph whose oriented edge table outgrows the budget falls back to the
+    * plain shuffle equi-join AUTOMATICALLY instead of blowing Spark's
+    * broadcast cap at runtime — the fallback is a config value, not a code
+    * change. The count probe is free: the frame is already checkpointed.
     */
-  private[graft] def triangleCensus(und: DataFrame, deg: DataFrame): DataFrame = {
+  private[graft] def triangleCensus(und: DataFrame, deg: DataFrame,
+      broadcastEdgeLimit: Long = 10000000L): DataFrame = {
     // orient u→v iff (deg(u), u) < (deg(v), v); carry the head's (deg, id)
     // so wedge pairs can be ordered by the SAME total order downstream
     val oriented = und
@@ -369,19 +436,23 @@ object Graph {
       .localCheckpoint(true)
     // wedges at each pivot, ordered by the orientation's own total order, so
     // the closing edge is oriented exactly (x → y) — one equi-join closes it.
-    // The closure side is BROADCAST: the wedge set is O(m^1.5) rows (the big
-    // side by far) and must never shuffle — with the edge table broadcast,
-    // wedges flow scan→generate→probe→partial-count entirely in-pipeline,
-    // zero exchanges of wedge rows. The edge table is 2 longs/edge; when m
-    // outgrows the broadcast budget, drop the hint and the same equi-join
-    // shuffles wedges by (x, y) — correct either way, this is purely the
-    // "don't move the big side" rule.
+    // The closure side is BROADCAST while it fits: the wedge set is
+    // O(m^1.5) rows (the big side by far) and should never shuffle — with
+    // the edge table broadcast, wedges flow scan→generate→probe→
+    // partial-count entirely in-pipeline, zero exchanges of wedge rows. The
+    // edge table is 2 longs/edge; when m outgrows broadcastEdgeLimit the
+    // hint is DROPPED at runtime and the same equi-join shuffles wedges by
+    // (x, y) — correct either way, this is purely the "don't move the big
+    // side" rule with the budget enforced, not assumed.
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") &&
           (col("e1.ddst") < col("e2.ddst") ||
             (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
-    val nTri = wedges.join(broadcast(oriented.select(col("src"), col("dst"))),
+    val closure = oriented.select(col("src"), col("dst"))
+    val closureSide =
+      if (oriented.count() <= broadcastEdgeLimit) broadcast(closure) else closure
+    val nTri = wedges.join(closureSide,
         col("x") === col("src") && col("y") === col("dst"))
       .agg(count(lit(1)).as("n_triangles"))
     val nWedges = deg.agg(

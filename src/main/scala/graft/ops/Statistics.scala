@@ -255,4 +255,48 @@ object Statistics {
         (countDistinct(col("l_linestatus")) - 1)).as("dof"),
       max(col("n")).as("n_rows"))
   }
+
+  /** TRAILING-WINDOW ANOMALY DETECTION over the daily order-revenue series —
+    * each day z-scored against the mean/std of the 7 STRICTLY PRIOR days
+    * (the self-calibrating metric alarm every ops dashboard runs; the
+    * trailing frame excludes the current day so an anomaly can't suppress
+    * its own alarm). Scale shape: the only corpus-sized job is the per-day
+    * aggregate (map-side combined); every window then runs over the
+    * |days|-row frame — a calendar, not the fact table — which is exactly
+    * the PlanAudit-sanctioned aggregated-input global window.
+    *
+    * Cross-engine determinism: daily totals and their squares fold in exact
+    * decimal (squares of DECIMAL(·,2) are exact DECIMAL(·,4)); mean,
+    * variance (the Σx²−Σx·mean form, spelled in the SAME operation order in
+    * both engines), sqrt and the z division are all correctly-rounded IEEE
+    * ops. Days without a full prior window yield NULL stats; a zero-std
+    * window yields NULL z and a false flag.
+    */
+  def dailyAnomalies(spark: SparkSession, sfDir: String,
+      windowDays: Int = 7, zThresh: Double = 2.0): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("t"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("t")).as("tot"))
+    val w = Window.orderBy(col("day")).rowsBetween(-windowDays, -1)
+    val cnt = count(lit(1)).over(w)
+    val sx = Num.decToDouble(sum(col("tot")).over(w))
+    val sxx = Num.decToDouble(sum(col("tot") * col("tot")).over(w))
+    val x = Num.decToDouble(col("tot"))
+    val mean = when(cnt === windowDays, sx / cnt)
+    val sd = when(cnt === windowDays,
+      sqrt(greatest((sxx - sx * mean) / (cnt - 1), lit(0.0))))
+    daily
+      .withColumn("x", x)
+      .withColumn("mean_prior", mean)
+      .withColumn("sd_prior", sd)
+      .select(col("day"), col("n_orders"), col("x").as("total"),
+        col("mean_prior"), col("sd_prior"),
+        when(col("sd_prior") > 0,
+          (col("x") - col("mean_prior")) / col("sd_prior")).as("z"),
+        when(col("sd_prior") > 0,
+          abs((col("x") - col("mean_prior")) / col("sd_prior")) > zThresh)
+          .otherwise(lit(false)).as("is_anomaly"))
+  }
 }

@@ -53,4 +53,42 @@ object TrainingMix {
         sum(col("n_subword_tokens")).as("total_subword_tokens"),
         sum(when(col("target_like"), 1L).otherwise(0L)).as("n_target_like"))
   }
+
+  /** TEMPERATURE-SCALED source sampling weights — the multilingual/
+    * multi-source mixing rule of mT5/XLM-R (public: arXiv 1910.10683 §3.4,
+    * arXiv 1911.02116 §3): p(s) ∝ n_tokens(s)^α with α < 1 flattening the
+    * size distribution so small sources are upsampled relative to their
+    * share. Output per source: exact counts, the normalized weight, and the
+    * token allocation ⌊weight · budget⌋ a sampling job consumes.
+    *
+    * Cross-engine determinism (the pow trap): `pow` is NOT correctly
+    * rounded and differs between the JVM and libm, so n^α is computed as
+    * exp(α·ln n) with BOTH transcendental outputs rounded to 12 decimals
+    * through the decimal bridge (ln first, then the exp of the exact
+    * product) — the same discipline as BM25's idf. The normalizing total is
+    * an exact decimal fold riding a broadcast one-row frame; the final
+    * weight and allocation are IEEE divisions/multiplications (correctly
+    * rounded everywhere) and a floor. One corpus-sized aggregate, then
+    * |sources|-row arithmetic.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.3, tokenBudget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"), TextAnalysis.qualityTokens.cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val lnT = graft.core.Num.decToDouble(
+      log(col("n_tokens").cast("double")).cast(DecimalType(18, 12)))
+    val pRaw = graft.core.Num.decToDouble(
+      exp(lit(alpha) * lnT).cast(DecimalType(18, 12)))
+    val scored = perSource.withColumn("p_raw", pRaw)
+    val tot = scored.agg(graft.core.Num.decToDouble(
+      sum(col("p_raw").cast(DecimalType(28, 14)))).as("t"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("p_raw") / col("t")).as("weight"),
+        floor((col("p_raw") / col("t")) * tokenBudget).cast("long")
+          .as("tokens_alloc"))
+  }
 }

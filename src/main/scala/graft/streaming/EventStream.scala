@@ -373,26 +373,37 @@ object EventStream {
   }
 
   /** PRODUCTION wiring of the PSI drift monitor: watched source directory →
-    * per-bucket counts in UPDATE mode → `foreachBatch` threshold alarm, with
-    * a CALLER-OWNED durable checkpoint (restart is the point — repeated
-    * calls with the same `chk` resume offsets and count state). Update mode
-    * delivers only buckets whose totals changed this micro-batch, so sink
-    * I/O scales with the drift surface, not the histogram; the totals are
-    * ABSOLUTE (group-by counts, not deltas), so the keyed upsert into the
-    * `$root/counts` [[graft.io.VersionedTable]] is naturally idempotent
-    * under micro-batch replay. Each batch then scores the merged store
-    * against the static `refCounts` through the same
-    * [[graft.ops.Statistics.psiFromCounts]] as the batch alarm and q163's
-    * monitor, and appends ONE alert row to `$root/alerts` on the first
-    * crossing of `threshold` — alert-once semantics survive both replay
-    * (the presence check re-runs before the append) and restarts (the
-    * alerts table is the durable "armed" state; re-arm = truncate it, the
-    * pager ack). The spec drives three drains over one checkpoint: an
-    * in-distribution batch (no alert), a drifted batch (alert fires), and a
-    * further drifted batch (still exactly one alert row).
+    * per-(event-time-day, bucket) counts in UPDATE mode → `foreachBatch`
+    * threshold alarm, with a CALLER-OWNED durable checkpoint (restart is
+    * the point — repeated calls with the same `chk` resume offsets and
+    * count state). Update mode delivers only (day, bucket) cells whose
+    * totals changed this micro-batch, so sink I/O scales with the drift
+    * surface, not the histogram; the totals are ABSOLUTE (group-by counts,
+    * not deltas), so the keyed upsert into the `$root/counts`
+    * [[graft.io.VersionedTable]] is naturally idempotent under micro-batch
+    * replay.
+    *
+    * Scoring is over the TRAILING `horizonDays` of event time only (the
+    * days within `horizonDays` of the store's max day): a monitor that
+    * scores all-time cumulative counts dilutes late-onset drift under the
+    * accumulated in-distribution past and its sensitivity decays with
+    * stream age — after a month of clean traffic a fully drifted day moves
+    * the cumulative histogram ~3%, far under any useful threshold. The
+    * horizon keeps the current-side mass bounded and recent, so the alarm
+    * answers "is RECENT traffic drifted", not "has the lifetime mixture
+    * drifted". Each batch scores that trailing slice against the static
+    * `refCounts` through the same [[graft.ops.Statistics.psiFromCounts]]
+    * as the batch alarm and q163's monitor, and appends ONE alert row to
+    * `$root/alerts` on the first crossing of `threshold` — alert-once
+    * semantics survive both replay (the presence check re-runs before the
+    * append) and restarts (the alerts table is the durable "armed" state;
+    * re-arm = truncate it, the pager ack). The spec drives four drains
+    * over one checkpoint (in-distribution, drifted, latched, ack+re-fire)
+    * plus a long-history dilution scenario the horizon must catch.
     */
   def psiAlertToTable(spark: SparkSession, src: String, refCounts: DataFrame,
-      root: String, chk: String, threshold: Double = 0.25): Unit = {
+      root: String, chk: String, threshold: Double = 0.25,
+      horizonDays: Int = 7): Unit = {
     val countsBase = s"$root/counts"
     val alertsDir = s"$root/alerts"
     def alerted(): Boolean = {
@@ -400,8 +411,9 @@ object EventStream {
       fs != null && fs.exists(_.getName.endsWith(".parquet"))
     }
     val streamCounts = spark.readStream.schema(eventsSchema).parquet(src)
-      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+      .select(window(col("ts"), "1 day").getField("start").as("win"),
+        floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("win"), col("bucket")).agg(count(lit(1)).as("n_cur"))
     Drain.withConf(spark, "spark.sql.shuffle.partitions", "8") {
       val q = streamCounts.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -410,10 +422,16 @@ object EventStream {
               graft.io.VersionedTable.append(batch, countsBase)
             else
               graft.io.VersionedTable.merge(spark, countsBase, batch,
-                keys = Seq("bucket"),
+                keys = Seq("win", "bucket"),
                 updateWhen = Some(lit(true)),
                 updateSet = Map("n_cur" -> col("s.n_cur")))
-            val cur = graft.io.VersionedTable.snapshot(spark, countsBase)
+            val store = graft.io.VersionedTable.snapshot(spark, countsBase)
+            // trailing-horizon slice: a one-row max-day frame broadcast
+            // back onto the store (never a driver-side date compute)
+            val maxWin = store.agg(max(col("win")).as("__mx"))
+            val cur = store.crossJoin(broadcast(maxWin))
+              .filter(col("win") > col("__mx") - expr(s"INTERVAL $horizonDays DAYS"))
+              .groupBy(col("bucket")).agg(sum(col("n_cur")).as("n_cur"))
             val joined = refCounts.join(cur, Seq("bucket"), "full_outer")
               .select(col("bucket"),
                 coalesce(col("n_ref"), lit(0L)).as("n_ref"),

@@ -56,6 +56,11 @@ object ExplainAudit {
     audit("q181_attribution", graft.ops.Events.lastTouchAttribution(spark, sf))
     audit("q182_rolling_distinct", graft.ops.Events.rollingDistinctUsers(spark, sf))
     audit("q158_hybrid_search", graft.ops.TermStats.hybridSearch(spark, sf))
+    audit("q190_linear_attrib", graft.ops.Events.linearAttribution(spark, sf))
+    audit("q191_k_anonymity", graft.ops.Privacy.kAnonymityAudit(spark, sf))
+    audit("q193_temperature_mix", graft.ops.TrainingMix.temperatureMix(spark, sf))
+    audit("q194_daily_anomaly", graft.ops.Statistics.dailyAnomalies(spark, sf))
+    audit("q195_quality_clf", graft.ops.Curation.qualityClassifier(spark, sf))
     audit("q178_skyline", graft.ops.Relational.orderSkyline(spark, sf))
     audit("q184_global_rank", graft.ops.Relational.globalPriceRank(spark, sf))
     audit("q189_quantile_rank", graft.ops.Relational.globalPriceRankQuantile(spark, sf))

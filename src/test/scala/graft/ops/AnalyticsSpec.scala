@@ -162,6 +162,12 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") === e.count())
     assert(r.getAs[Long]("n_wedges") >= r.getAs[Long]("n_triangles") * 3,
       "every triangle closes three wedges")
+    // the over-budget fallback (closure NOT broadcast — shuffle equi-join)
+    // counts identically: the broadcast gate is a pure performance choice
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val shuffled = Graph.triangleCensus(e, deg, broadcastEdgeLimit = 0L).head
+    assert(shuffled.getAs[Long]("n_triangles") === naive)
     e.unpersist()
   }
 
@@ -419,6 +425,86 @@ class AnalyticsSpec extends SparkSpec {
     rows.sliding(2).foreach { case Array(lo, hi) =>
       assert(lo.getAs[Double]("max_price") <= hi.getAs[Double]("min_price"),
         "bins overlap")
+    }
+  }
+
+  // ---- round-11 additions -------------------------------------------
+
+  test("linear attribution conserves purchase value across channels") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.linearAttribution(spark, sf).collect()
+    val channels = rows.map(_.getString(0)).toSet
+    val valid = graft.core.Tables.events(spark, sf)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).toSet
+    assert(channels.subsetOf(valid - "purchase" + "organic"))
+    // every purchase's value lands somewhere, split or whole: channel
+    // totals must sum to the purchase total (up to the per-split FP ulps)
+    val credited = rows.map(_.getDouble(2)).sum
+    val total = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).head.getDouble(0)
+    assert(math.abs(credited - total) < 1e-6 * math.max(1.0, math.abs(total)),
+      s"credited $credited != purchases $total")
+  }
+
+  test("k-anonymity audit: region level folds nation level; flags match counts") {
+    val rows = Privacy.kAnonymityAudit(spark, sf).collect()
+    val (nat, reg) = rows.partition(_.getString(0) == "nation_segment")
+    assert(nat.nonEmpty && reg.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(2) < 5), "violates_k from n")
+      assert(r.getBoolean(5) === (r.getLong(3) < 2), "violates_l from n_sensitive")
+    }
+    // total rows audited agree between the two generalization levels
+    assert(nat.map(_.getLong(2)).sum === reg.map(_.getLong(2)).sum)
+    // generalizing can only GROW groups: max region-level group >= max nation-level
+    assert(reg.map(_.getLong(2)).max >= nat.map(_.getLong(2)).max)
+  }
+
+  test("HITS: sum-normalized scores form a distribution per side") {
+    val rows = Graph.hits(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(2)))
+    val (hubs, auths) = rows.partition(_._1 == "hub")
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    rows.foreach { case (_, s) => assert(s >= 0.0 && s <= 1.0) }
+    assert(math.abs(hubs.map(_._2).sum - 1.0) < 1e-9, "hub scores sum to 1")
+    assert(math.abs(auths.map(_._2).sum - 1.0) < 1e-9, "auth scores sum to 1")
+  }
+
+  test("temperature mix: weights sum to 1 and alpha<1 flattens the size ratios") {
+    val rows = graft.ops.TrainingMix.temperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    // α = 0.3 compresses: the weight ratio between any two sources must be
+    // strictly smaller than their token-count ratio (when counts differ)
+    for (Seq((_, na, wa), (_, nb, wb)) <- rows.sortBy(-_._2).toSeq.combinations(2)
+         if na > nb) {
+      assert(wa / wb < na.toDouble / nb.toDouble,
+        s"weight ratio ${wa / wb} not flattened vs size ratio ${na.toDouble / nb}")
+      assert(wa > wb, "monotone: bigger source keeps a bigger weight")
+    }
+  }
+
+  test("daily anomalies: no stats without a full prior window; flags match z") {
+    val rows = graft.ops.Statistics.dailyAnomalies(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length > 10)
+    rows.take(7).foreach(r => assert(r.isNullAt(3), "first 7 days have no prior"))
+    rows.foreach { r =>
+      if (!r.isNullAt(5))
+        assert(r.getBoolean(6) === (math.abs(r.getDouble(5)) > 2.0))
+      else assert(!r.getBoolean(6), "no z, no alarm")
+    }
+  }
+
+  test("quality classifier: scores are probabilities and keep is the 0.5 cut") {
+    val rows = graft.ops.Curation.qualityClassifier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getDouble(1)
+      assert(s > 0.0 && s < 1.0, s"score $s not in (0,1)")
+      assert(r.getBoolean(2) === (s >= 0.5))
     }
   }
 }

@@ -3,12 +3,13 @@ package graft.ops
 import graft.SparkSpec
 
 /** Hand-traced BPE invariants: merge order by weighted pair frequency,
-  * deterministic lexicographic tie-break, early exhaustion when no pairs
-  * remain, and per-document subword counts under the learned merges.
+  * deterministic lexicographic tie-break, the batched-round symbol-disjoint
+  * conflict rule, early exhaustion when no pairs remain, and per-document
+  * subword counts under the learned merges.
   */
 class BpeSpec extends SparkSpec {
 
-  test("merges follow weighted pair counts and exhaust early") {
+  test("batched rounds follow weighted pair counts, defer conflicts, exhaust early") {
     import spark.implicits._
     val d = tmpDir("bpe")
     Seq(
@@ -17,17 +18,26 @@ class BpeSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
 
-    // round 1: (a,b) weight 4 beats (b,c) weight 1 → merge (a, b)
+    // k=24 → 3 batched rounds (B=8):
+    // round 1 candidates: (a,b) weight 4, (b,c) weight 1 — (b,c) shares
+    //   symbol b with the higher-ranked (a,b), so the conflict filter
+    //   DEFERS it; only (a,b) merges
     // round 2: only (ab, c) remains → merge (ab, c)
-    // round 3: no pairs anywhere → exhausted, k=3 yields 2 merges
-    val merges = Bpe.bpeMerges(spark, d, k = 3)
+    // round 3: no pairs anywhere → exhausted, 2 merges total
+    val merges = Bpe.bpeMerges(spark, d, k = 24)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toList
     assert(merges === List((1L, "a", "b"), (2L, "ab", "c")))
 
-    val counts = Bpe.bpeTokenCounts(spark, d, k = 3)
+    val counts = Bpe.bpeTokenCounts(spark, d, k = 24)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(counts === Map(1L -> ((3L, 3L)), 2L -> ((1L, 1L))),
       "every word fully merged to a single subword token")
+
+    // a single round (k=8) stops after the conflict-filtered batch: the
+    // deferred (b,c)/(ab,c) merge never happens without its round
+    val oneRound = Bpe.bpeMerges(spark, d, k = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toList
+    assert(oneRound === List(("a", "b")))
   }
 
   test("equal-count pairs break ties lexicographically") {

@@ -232,6 +232,20 @@ class PlanSpec extends SparkSpec {
     assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
   }
 
+  test("round-11 operators: no cartesian, no raw global windows, classifier is a pure map") {
+    for (df <- Seq(
+        Events.linearAttribution(spark, sf),
+        Privacy.kAnonymityAudit(spark, sf),
+        graft.ops.TrainingMix.temperatureMix(spark, sf),
+        graft.ops.Statistics.dailyAnomalies(spark, sf))) {
+      assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+    // the logistic gate must stay a scan-speed per-row map
+    val clf = plan(graft.ops.Curation.qualityClassifier(spark, sf))
+    assert(!clf.contains("Exchange"), clf.linesIterator.take(3).mkString("\n"))
+  }
+
   test("two-phase global rank: zero raw global windows (uniform policy)") {
     assert(graft.plans.PlanAudit.rawGlobalWindows(
       Relational.globalPriceRank(spark, sf)) == 0)

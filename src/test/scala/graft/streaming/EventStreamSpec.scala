@@ -438,14 +438,72 @@ class EventStreamSpec extends SparkSpec {
     EventStream.psiAlertToTable(spark, src, ref, store, chk)
     assert(alerts().length == 1, "re-armed alarm fires once on the next crossing")
 
-    // the counts store equals the batch bucket counts of all four shipments
+    // the counts store equals the batch (day, bucket) counts of all four
+    // shipments — keyed by event-time day since the horizon change
     val counts = graft.io.VersionedTable.snapshot(spark, s"$store/counts")
-    val twin = full.select(col("value"))
-      .union(full.select(col("value") * 5.0))
-      .union(full.select(col("value") * 10.0))
-      .union(full.select(col("value") * 20.0))
-      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_cur"))
+    val twin = full.select(col("ts"), col("value"))
+      .union(full.select(col("ts"), col("value") * 5.0))
+      .union(full.select(col("ts"), col("value") * 10.0))
+      .union(full.select(col("ts"), col("value") * 20.0))
+      .select(window(col("ts"), "1 day").getField("start").as("win"),
+        floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("win"), col("bucket")).agg(count(lit(1)).as("n_cur"))
     assert(counts.exceptAll(twin).isEmpty && twin.exceptAll(counts).isEmpty)
+  }
+
+  test("psiAlertToTable: trailing horizon keeps sensitivity after a long clean history") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val root = tmpDir("psidilute")
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    val chk = s"$root/chk"; val store = s"$root/store"
+
+    val full = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val ref = full
+      .select(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_ref"))
+    def ship(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(1).write.parquet(s"$root/stage")
+      val part = new java.io.File(s"$root/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, s"$name.parquet"))
+      graft.io.IoQueries.deleteRecursively(s"$root/stage")
+    }
+    def alertCount(): Int = {
+      val fs = new java.io.File(s"$store/alerts").listFiles()
+      if (fs == null || !fs.exists(_.getName.endsWith(".parquet"))) 0
+      else spark.read.parquet(s"$store/alerts").count().toInt
+    }
+
+    // a month of clean traffic (1000 rows, Jan 2024)
+    ship("hist", full)
+    EventStream.psiAlertToTable(spark, src, ref, store, chk)
+    assert(alertCount() == 0, "clean history must not alert")
+
+    // late-onset drift: a SMALL fully-drifted batch (1% of history mass)
+    // two months later — the all-time cumulative mixture barely moves, but
+    // recent traffic is 100% drifted
+    val drifted = full.filter(col("event_id") % 100 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+      .withColumn("value", col("value") + 100000.0)
+    ship("drift", drifted)
+    EventStream.psiAlertToTable(spark, src, ref, store, chk)
+    assert(alertCount() == 1,
+      "trailing-horizon PSI sees only the drifted recent days and fires")
+
+    // counter-factual: the cumulative (all-windows) score over the SAME
+    // store stays under threshold — the dilution the horizon exists to beat
+    val allTime = graft.io.VersionedTable.snapshot(spark, s"$store/counts")
+      .groupBy(col("bucket")).agg(sum(col("n_cur")).as("n_cur"))
+    val cumulative = graft.ops.Statistics.psiFromCounts(
+      ref.join(allTime, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+      .head.getDouble(0)
+    assert(cumulative < 0.25,
+      s"cumulative scoring would have missed this drift (psi=$cumulative)")
   }
 }
