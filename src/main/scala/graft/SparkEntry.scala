@@ -229,6 +229,7 @@ object SparkEntry {
     "q193_temperature_mix" -> ((s, d) => graft.ops.TrainingMix.temperatureMix(s, d)),
     "q194_daily_anomaly"   -> ((s, d) => graft.ops.Statistics.dailyAnomalies(s, d)),
     "q195_quality_clf"     -> ((s, d) => graft.ops.Curation.qualityClassifier(s, d)),
+    "q196_cusum"           -> ((s, d) => graft.ops.Statistics.cusumShift(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1519,6 +1520,38 @@ object SparkEntry {
          |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e) AS score,
          |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e) >= ${0.5} AS keep
          |FROM e""".stripMargin,
+
+    // q196: CUSUM level-shift alarm via the running-sum/running-min closed
+    // form, n-scaled so every step including the alarm comparison is exact
+    // decimal (no mean division); only the reported excess divides at the end
+    "q196_cusum" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, sum(tot) AS tt FROM d),
+        |p AS (
+        |  SELECT day, tot, n, tt, CAST(n * tot - tt AS DECIMAL(38,2)) AS dev
+        |  FROM d CROSS JOIN t),
+        |w1 AS (
+        |  SELECT *, sum(dev) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS prefix
+        |  FROM p),
+        |w2 AS (
+        |  SELECT *, min(prefix) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS runmin
+        |  FROM w1),
+        |s AS (
+        |  SELECT *, prefix - (CASE WHEN runmin < 0 THEN runmin
+        |    ELSE CAST(0 AS DECIMAL(38,2)) END) AS s
+        |  FROM w2)
+        |SELECT day,
+        |  CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS total,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS cusum_excess,
+        |  s * 20 > n * tt AS alarm
+        |FROM s""".stripMargin,
 
     // q194: trailing 7-day z-score anomalies — exact decimal window sums,
     // variance spelled (Σx² − Σx·mean)/(n−1) in the identical op order

@@ -272,6 +272,48 @@ object Statistics {
     * ops. Days without a full prior window yield NULL stats; a zero-std
     * window yields NULL z and a false flag.
     */
+  /** CUSUM CHANGE-POINT detection over the daily revenue series (Page 1954,
+    * public) — the sequential alarm for a sustained upward level shift,
+    * complementing [[dailyAnomalies]]' single-day spikes. The textbook
+    * recursion S_i = max(0, S_{i-1} + (x_i − μ)) is not windowable as
+    * written, but has the exact closed form
+    *
+    *   S_i = P_i − min(0, min_{j≤i} P_j),   P_i = Σ_{t≤i} (x_t − μ)
+    *
+    * — a running sum and a running min, BOTH plain window aggregates. To
+    * keep every step exact (no decimal division for μ, whose rounding
+    * differs between engines), the whole statistic is scaled by n: the
+    * per-day deviation is n·x_i − T (T = total, both exact decimals), so
+    * S'_i = n·S_i and the alarm S_i > 5%·T/20··· is the EXACT integer-domain
+    * comparison S'_i·20 > n·T. Only the reported per-day excess divides
+    * back to a double at the very end. Scale shape: one per-day aggregate
+    * over the fact table; everything else runs on the |days|-row frame
+    * (aggregated-input windows, PlanAudit-sanctioned) with the (n, T)
+    * one-row frame broadcast.
+    */
+  def cusumShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("t"))
+      .groupBy(col("day")).agg(sum(col("t")).as("tot"))
+    val totals = daily.agg(count(lit(1)).as("n"), sum(col("tot")).as("tt"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val zero = lit(0).cast(DecimalType(38, 2))
+    daily.crossJoin(broadcast(totals))
+      .withColumn("dev", (col("n") * col("tot") - col("tt")).cast(DecimalType(38, 2)))
+      .withColumn("prefix", sum(col("dev")).over(w))
+      .withColumn("runmin", min(col("prefix")).over(w))
+      // CASE, not least(): DuckDB's least() promotes DECIMAL args to DOUBLE,
+      // silently leaving the exact domain — the one construct in this chain
+      // whose type rules diverge between the engines
+      .withColumn("s",
+        col("prefix") - when(col("runmin") < 0, col("runmin")).otherwise(zero))
+      .select(col("day"),
+        Num.decToDouble(col("tot")).as("total"),
+        (Num.decToDouble(col("s")) / col("n")).as("cusum_excess"),
+        (col("s") * 20 > col("n") * col("tt")).as("alarm"))
+  }
+
   def dailyAnomalies(spark: SparkSession, sfDir: String,
       windowDays: Int = 7, zThresh: Double = 2.0): DataFrame = {
     val daily = Tables.orders(spark, sfDir)

@@ -498,6 +498,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("CUSUM closed form equals the textbook recursion") {
+    val rows = graft.ops.Statistics.cusumShift(spark, sf).orderBy("day").collect()
+    assert(rows.length > 10)
+    val xs = rows.map(_.getDouble(1))
+    val mu = xs.sum / xs.length
+    val total = xs.sum
+    var s = 0.0
+    rows.zip(xs).foreach { case (r, x) =>
+      s = math.max(0.0, s + (x - mu))
+      val got = r.getDouble(2)
+      assert(math.abs(got - s) <= 1e-6 * math.max(1.0, math.abs(s)),
+        s"day ${r.getDate(0)}: closed form $got vs recursion $s")
+      // the alarm is the exact-decimal 5%-of-total rule (skip FP boundary ties)
+      val margin = got * 20 - total
+      if (math.abs(margin) > 1e-3 * math.max(1.0, total))
+        assert(r.getBoolean(3) === (margin > 0))
+    }
+  }
+
   test("quality classifier: scores are probabilities and keep is the 0.5 cut") {
     val rows = graft.ops.Curation.qualityClassifier(spark, sf).collect()
     assert(rows.nonEmpty)
