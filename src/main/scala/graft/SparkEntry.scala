@@ -230,6 +230,7 @@ object SparkEntry {
     "q194_daily_anomaly"   -> ((s, d) => graft.ops.Statistics.dailyAnomalies(s, d)),
     "q195_quality_clf"     -> ((s, d) => graft.ops.Curation.qualityClassifier(s, d)),
     "q196_cusum"           -> ((s, d) => graft.ops.Statistics.cusumShift(s, d)),
+    "q197_position_attrib" -> ((s, d) => Events.positionAttribution(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1520,6 +1521,40 @@ object SparkEntry {
          |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e) AS score,
          |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e) >= ${0.5} AS keep
          |FROM e""".stripMargin,
+
+    // q197: U-shaped 40/20/40 attribution — position fractions are pure
+    // double arithmetic (every branch CAST to DOUBLE: bare decimals would
+    // put DuckDB's CASE in the decimal domain), folded in bridged decimal
+    "q197_position_attrib" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id AS tid, ts AS tts, event_type AS channel
+        |  FROM events WHERE event_type <> 'purchase'),
+        |p AS (
+        |  SELECT user_id, event_id AS pid, ts AS pts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.pid, p.value, t.channel, t.tts, t.tid
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 30 MINUTE),
+        |r AS (
+        |  SELECT pid, value, channel,
+        |    count(*) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn
+        |  FROM j),
+        |c AS (
+        |  SELECT channel, value * (CASE
+        |      WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+        |      WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |      WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+        |      ELSE CAST(0.2 AS DOUBLE) / (n - 2) END) AS credit
+        |  FROM r
+        |  UNION ALL
+        |  SELECT 'organic', p.value FROM p
+        |  WHERE p.pid NOT IN (SELECT pid FROM j))
+        |SELECT channel, count(*) AS n_credits,
+        |  CAST(CAST(sum(CAST(CAST(credit AS VARCHAR) AS DECIMAL(28,14)))
+        |    AS VARCHAR) AS DOUBLE) AS credit_total
+        |FROM c GROUP BY 1""".stripMargin,
 
     // q196: CUSUM level-shift alarm via the running-sum/running-min closed
     // form, n-scaled so every step including the alarm comparison is exact

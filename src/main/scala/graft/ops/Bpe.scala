@@ -165,18 +165,32 @@ object Bpe {
       .toDF("merge_rank", "left_sym", "right_sym")
   }
 
-  /** q118: per-document subword accounting under the trained tokenizer —
-    * (doc_id, n_words, n_subword_tokens). Apply is one broadcast join of
-    * exploded words against the dict's final segmentation.
+  /** Dict-side join frame for apply: BROADCAST while the vocabulary fits
+    * the budget (default 20M words ≈ a few hundred MB), plain shuffle
+    * equi-join beyond it — a 100 TB corpus can push the dict to 10⁸ rows,
+    * past any broadcast cap (the triangleCensus lesson applied here). The
+    * count probe is free: the segs frame is checkpointed.
     */
-  def bpeTokenCounts(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
-    val (_, segs) = train(spark, sfDir, k)
+  private def dictSide(segs: DataFrame, limit: Long): DataFrame = {
     val perWord = segs.select(col("word"),
       size(split(trim(col("seg")), " ")).cast("long").as("n_sub"))
+    if (segs.count() <= limit) broadcast(perWord) else perWord
+  }
+
+  private[graft] val DictBroadcastLimit = 20000000L
+
+  /** q118: per-document subword accounting under the trained tokenizer —
+    * (doc_id, n_words, n_subword_tokens). Apply is one join of exploded
+    * words against the dict's final segmentation (broadcast under the
+    * [[dictSide]] budget).
+    */
+  def bpeTokenCounts(spark: SparkSession, sfDir: String, k: Int = 64,
+      dictBroadcastLimit: Long = DictBroadcastLimit): DataFrame = {
+    val (_, segs) = train(spark, sfDir, k)
     val docWords = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
     val counted = docWords
-      .join(broadcast(perWord), "word")
+      .join(dictSide(segs, dictBroadcastLimit), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subword_tokens"))
     Tables.documents(spark, sfDir).select(col("doc_id"))
@@ -197,11 +211,9 @@ object Bpe {
     */
   def bpeFertility(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
     val (_, segs) = train(spark, sfDir, k)
-    val perWord = segs.select(col("word"),
-      size(split(trim(col("seg")), " ")).cast("long").as("n_sub"))
     Tables.documents(spark, sfDir)
       .select(col("lang"), explode(tokens(col("text"))).as("word"))
-      .join(broadcast(perWord), "word")
+      .join(dictSide(segs, DictBroadcastLimit), "word")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).as("n_subword_tokens"),

@@ -470,6 +470,52 @@ object Events {
           sum(col("credit").cast(DecimalType(28, 14)))).as("credit_total"))
   }
 
+  /** POSITION-BASED (U-shaped) ATTRIBUTION — the 40/20/40 rule beside
+    * [[linearAttribution]]'s equal split: the first and last touch before a
+    * purchase each take 40% of its value, the middle touches share the
+    * remaining 20% equally (single touch takes all; two touches split
+    * 50/50; no touch → 'organic'). Same user-keyed pairing join; the
+    * position index and touch count ride two windows over the already-
+    * paired purchase-keyed rows (ties in touch time break by the touch's
+    * event id — a total order, so position credit is deterministic). The
+    * fraction arithmetic is divisions/multiplications of doubles only
+    * (correctly rounded), folded per channel in bridged decimal.
+    */
+  def positionAttribution(spark: SparkSession, sfDir: String,
+      lookbackMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("tid"), col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
+        col("value"))
+    val paired = purchases.join(touches, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+    val byPid = Window.partitionBy(col("pid"))
+    val ranked = paired
+      .withColumn("n", count(lit(1)).over(byPid))
+      .withColumn("rn", row_number().over(byPid.orderBy(col("tts"), col("tid"))))
+    val frac = when(col("n") === 1, lit(1.0))
+      .when(col("n") === 2, lit(0.5))
+      .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+      .otherwise(lit(0.2) / (col("n") - 2))
+    val credited = ranked
+      .select(col("pid"), col("channel"), (col("value") * frac).as("credit"))
+    val organic = purchases
+      .join(paired.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(col("pid"), lit("organic").as("channel"), col("value").as("credit"))
+    credited.unionByName(organic)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        graft.core.Num.decToDouble(
+          sum(col("credit").cast(DecimalType(28, 14)))).as("credit_total"))
+  }
+
   /** Rolling 7-day DISTINCT active users per day — the sliding-window
     * distinct that no windowed aggregate computes incrementally (distinct
     * doesn't decompose over sliding frames). The scale-correct expansion:

@@ -77,7 +77,9 @@ object Market {
       val w = Window.orderBy(col(valueCol))
       rfm.select(col(valueCol))
         .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        // broadcast one-row count, not a second no-partition window (q189
+        // convention: one whitelisted bare-value sort per boundary pass)
+        .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
         .select(col(valueCol), col("rn"), col("n"),
           explode(array(lit(1), lit(2), lit(3))).as("i"))
         .filter(col("rn") === ceil(col("i").cast("double") * col("n") / 4))

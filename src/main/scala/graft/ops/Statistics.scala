@@ -184,7 +184,10 @@ object Statistics {
     val w = Window.orderBy(col("price"))
     val bounds = prices
       .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      // total count via a broadcast one-row aggregate, not a second
+      // no-partition window (the q189 convention: the boundary pass owns
+      // exactly ONE whitelisted bare-value sort)
+      .crossJoin(broadcast(prices.agg(count(lit(1)).as("n"))))
       .select(col("price"), col("rn"), col("n"),
         explode(array((1 until nBins).map(lit): _*)).as("i"))
       .filter(col("rn") === ceil(col("i").cast("double") * col("n") / nBins))

@@ -348,9 +348,14 @@ object EventStream {
     * dozen rows of state — batch-boundary-INDEPENDENT by construction, so
     * the result is deterministic however the file source batches); the PSI
     * arithmetic runs on the drained counts through the same shared
-    * [[graft.ops.Statistics.psiFromCounts]] the batch alarm uses. Production
-    * form: [[psiAlertToTable]] — update-mode sink with the PSI fold in
-    * foreachBatch, alerting once when the score crosses threshold.
+    * [[graft.ops.Statistics.psiFromCounts]] the batch alarm uses. NOTE:
+    * this demo scores ALL-TIME cumulative counts, whose sensitivity to
+    * late-onset drift decays as clean history accumulates (a month of
+    * in-distribution traffic dilutes a fully-drifted day to a ~3% histogram
+    * move); that dilution is deliberate here — the oracle gates the
+    * deterministic cumulative fold — and the production form fixes it:
+    * [[psiAlertToTable]] keys the store by event-time day and scores only
+    * the trailing horizon, alerting once when the score crosses threshold.
     */
   def psiMonitorAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")

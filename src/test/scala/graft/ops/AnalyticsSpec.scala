@@ -447,6 +447,22 @@ class AnalyticsSpec extends SparkSpec {
       s"credited $credited != purchases $total")
   }
 
+  test("position attribution conserves value and honors the 40/20/40 split") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.positionAttribution(spark, sf).collect()
+    val credited = rows.map(_.getDouble(2)).sum
+    val total = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value"))).head.getDouble(0)
+    assert(math.abs(credited - total) < 1e-6 * math.max(1.0, math.abs(total)),
+      s"credited $credited != purchases $total")
+    // U-shape vs linear: same channels, same credit COUNTS (one per touch +
+    // organics), only the split differs
+    val linear = Events.linearAttribution(spark, sf).collect()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      linear.map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   test("k-anonymity audit: region level folds nation level; flags match counts") {
     val rows = Privacy.kAnonymityAudit(spark, sf).collect()
     val (nat, reg) = rows.partition(_.getString(0) == "nation_segment")

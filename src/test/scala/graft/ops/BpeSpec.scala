@@ -40,6 +40,20 @@ class BpeSpec extends SparkSpec {
     assert(oneRound === List(("a", "b")))
   }
 
+  test("apply-side dict join: over-budget shuffle fallback counts identically") {
+    import spark.implicits._
+    val d = tmpDir("bpefb")
+    Seq((1L, "ab ab ab", "en", 8L), (2L, "abc", "en", 3L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def rows(limit: Long) = Bpe.bpeTokenCounts(spark, d, k = 24,
+        dictBroadcastLimit = limit).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toList
+    val expected = List((1L, 3L, 3L), (2L, 1L, 1L))
+    assert(rows(Bpe.DictBroadcastLimit) === expected, "broadcast path")
+    assert(rows(0L) === expected, "shuffle fallback — the budget is a pure performance choice")
+  }
+
   test("equal-count pairs break ties lexicographically") {
     import spark.implicits._
     val d = tmpDir("bpetie")
