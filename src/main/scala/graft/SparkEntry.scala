@@ -231,6 +231,7 @@ object SparkEntry {
     "q195_quality_clf"     -> ((s, d) => graft.ops.Curation.qualityClassifier(s, d)),
     "q196_cusum"           -> ((s, d) => graft.ops.Statistics.cusumShift(s, d)),
     "q197_position_attrib" -> ((s, d) => Events.positionAttribution(s, d)),
+    "q198_retention_decay" -> ((s, d) => Events.retentionHalfLife(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -722,6 +723,12 @@ object SparkEntry {
        |UNION ALL
        |SELECT 'auth', p, a FROM a$iters""".stripMargin
   }
+
+  /** ln 2 as the SAME Scala double `Events.retentionHalfLife` multiplies
+    * with (shortest-round-trip toString → DuckDB parses identical bits);
+    * DuckDB's own `ln(2)` may differ by an ulp.
+    */
+  private def ln2ForOracle: String = math.log(2.0).toString
 
   /** The q152 BM25 oracle body — also the lexical arm of q158's fusion.
     * The k1/b/terms constants are INTERPOLATED from [[graft.ops.TermStats]]'s
@@ -1492,8 +1499,10 @@ object SparkEntry {
     "q192_hits" -> hitsOracle(iters = 2),
 
     // q195: fixed-weight logistic quality classifier — weights interpolated
-    // from the operator's Scala doubles; ln/exp outputs bridged to 12
-    // decimals; the dot product is the identical left-to-right mul/add chain
+    // from the operator's Scala doubles; ln bridged to 12 decimals; sigmoid
+    // in the STABLE exp(-|z|) form with z quantized to 6 decimals and the
+    // (0,1]-bounded exp bridged to 9 decimals (see the operator scaladoc for
+    // why the naive exp(-z) bridge fails at scale)
     "q195_quality_clf" ->
       s"""WITH f AS (
          |  SELECT doc_id,
@@ -1509,18 +1518,59 @@ object SparkEntry {
          |  FROM documents),
          |z AS (
          |  SELECT doc_id,
-         |    ${-2.0} + ${4.0} * sr + ${-6.0} * ppc + ${0.3} * mwl
-         |      + ${0.15} * lnc AS z
+         |    CAST(CAST(CAST(CAST(
+         |      ${-2.0} + ${4.0} * sr + ${-6.0} * ppc + ${0.3} * mwl
+         |        + ${0.15} * lnc
+         |      AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS zq
          |  FROM f),
          |e AS (
-         |  SELECT doc_id,
-         |    CAST(CAST(CAST(CAST(exp(-z) AS VARCHAR) AS DECIMAL(28,12))
+         |  SELECT doc_id, zq,
+         |    CAST(CAST(CAST(CAST(exp(-abs(zq)) AS VARCHAR) AS DECIMAL(18,9))
          |      AS VARCHAR) AS DOUBLE) AS e
          |  FROM z)
          |SELECT doc_id,
-         |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e) AS score,
-         |  CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e) >= ${0.5} AS keep
+         |  CASE WHEN zq >= 0 THEN CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e)
+         |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
+         |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q198: retention half-life — the q143 regression recipe over the q99
+    // cohort curves; ln 2 interpolated from the operator's Scala double
+    "q198_retention_decay" ->
+      s"""WITH s AS (
+         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+         |r AS (
+         |  SELECT s.cohort_date,
+         |    CAST(floor(date_diff('day', s.cohort_date, CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+         |    count(DISTINCT e.user_id) AS n_active
+         |  FROM events e JOIN s ON e.user_id = s.user_id
+         |  WHERE date_diff('day', s.cohort_date, CAST(e.ts AS DATE)) >= 0
+         |  GROUP BY 1, 2),
+         |b AS (SELECT cohort_date, n_active AS n0 FROM r WHERE week_offset = 0),
+         |pts AS (
+         |  SELECT r.cohort_date, r.week_offset AS x,
+         |    CAST(CAST(CAST(CAST(ln(CAST(r.n_active AS DOUBLE) / b.n0) AS VARCHAR)
+         |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS y
+         |  FROM r JOIN b USING (cohort_date) WHERE r.week_offset >= 1),
+         |agg AS (
+         |  SELECT cohort_date, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         |    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(28,14)))
+         |      AS VARCHAR) AS DOUBLE) AS sy,
+         |    CAST(CAST(sum(CAST(CAST(CAST(x AS DOUBLE) * y AS VARCHAR)
+         |      AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sxy
+         |  FROM pts GROUP BY 1),
+         |m AS (
+         |  SELECT cohort_date, n,
+         |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+         |  FROM agg)
+         |SELECT cohort_date, CAST(n AS BIGINT) AS n_weeks, slope AS decay_slope,
+         |  CASE WHEN slope < 0 THEN ${ln2ForOracle} / -slope END AS half_life_weeks
+         |FROM m WHERE n >= 2 AND den > 0""".stripMargin,
 
     // q197: U-shaped 40/20/40 attribution — position fractions are pure
     // double arithmetic (every branch CAST to DOUBLE: bare decimals would

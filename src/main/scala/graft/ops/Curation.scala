@@ -246,16 +246,21 @@ object Curation {
     *
     * A pure per-row map over the corpus: no shuffle, no UDF, fully
     * codegen'd; at 100 TB this is a scan-speed filter. Cross-engine
-    * determinism: the two transcendentals (ln, exp) round to 12 decimals
-    * through the decimal bridge (ln's output BEFORE the weighted sum,
-    * exp's output BEFORE the final division); the dot product is a fixed
+    * determinism: ln(n_chars) rounds to 12 decimals through the decimal
+    * bridge before the weighted sum; the dot product is a fixed
     * left-to-right chain of correctly-rounded mul/add spelled identically
-    * in the oracle, and the sigmoid's 1/(1+e) is two more exact-rounded
-    * ops. Weights are interpolated into the oracle from these Scala
-    * doubles (shortest-round-trip), never re-typed literals.
+    * in the oracle. The sigmoid runs in the numerically STABLE form
+    * exp(−|z|)/(1 + exp(−|z|)) with z pre-quantized to 6 decimals: the
+    * naive exp(−z) can reach e^8 ≈ 3000, where a 12-decimal absolute grid
+    * is FINER than the double's ulp and the bridge stops absorbing the
+    * JVM-vs-libm 1-ulp disagreement (one sf0.1 doc tripped exactly this) —
+    * keeping the exp argument ≤ 0 bounds the output to (0,1], where a
+    * 9-decimal grid is ~10⁸ ulps wide and a rounding flip needs a
+    * simultaneous 1-ulp disagreement and 9-digit tie. Weights are
+    * interpolated into the oracle from these Scala doubles
+    * (shortest-round-trip), never re-typed literals.
     */
-  def qualityClassifier(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame = {
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val (w0, wStop, wPunct, wMwl, wLen) = (-2.0, 4.0, -6.0, 0.3, 0.15)
     val lnChars = graft.core.Num.decToDouble(
@@ -265,11 +270,12 @@ object Curation {
       lit(wMwl) * TextAnalysis.meanWordLen +
       lit(wLen) * lnChars
     Tables.documents(spark, sfDir)
-      .withColumn("z", z)
+      .withColumn("zq", graft.core.Num.decToDouble(z.cast(DecimalType(18, 6))))
       .withColumn("e", graft.core.Num.decToDouble(
-        exp(-col("z")).cast(DecimalType(28, 12))))
+        exp(-abs(col("zq"))).cast(DecimalType(18, 9))))
       .select(col("doc_id"),
-        (lit(1.0) / (lit(1.0) + col("e"))).as("score"),
-        (lit(1.0) / (lit(1.0) + col("e")) >= threshold).as("keep"))
+        when(col("zq") >= 0, lit(1.0) / (lit(1.0) + col("e")))
+          .otherwise(col("e") / (lit(1.0) + col("e"))).as("score"),
+        (col("zq") >= 0).as("keep"))
   }
 }

@@ -281,6 +281,47 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** RETENTION HALF-LIFE per cohort — the log-linear decay fit a growth
+    * team reads off the q99 retention matrix: regress ln(week-k active /
+    * week-0 active) on k for k ≥ 1 and report the decay slope plus
+    * half-life ln2 / (−slope) for decaying cohorts. The q143 regression
+    * recipe applied to the cohort curves: ln rates bridge to 12 decimals,
+    * Σy/Σxy fold in exact decimal, the slope is the identical double
+    * expression on both engines, and ln 2 is interpolated from THIS Scala
+    * double (the two engines' `ln(2)` may differ by an ulp). Scale shape:
+    * everything after [[retentionCohorts]]' aggregate runs on
+    * |cohorts × weeks| rows; the week-0 bases broadcast.
+    */
+  def retentionHalfLife(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ln2 = math.log(2.0)
+    val r = retentionCohorts(spark, sfDir)
+    val base = r.filter(col("week_offset") === 0)
+      .select(col("cohort_date"), col("n_active").as("n0"))
+    val y = graft.core.Num.decToDouble(
+      log(col("n_active").cast("double") / col("n0")).cast(DecimalType(18, 12)))
+    val pts = r.join(broadcast(base), Seq("cohort_date"))
+      .filter(col("week_offset") >= 1)
+      .select(col("cohort_date"), col("week_offset").as("x"), y.as("y"))
+    val s = pts.groupBy(col("cohort_date")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      graft.core.Num.decToDouble(
+        sum(col("y").cast(DecimalType(28, 14)))).as("sy"),
+      graft.core.Num.decToDouble(
+        sum((col("x").cast("double") * col("y")).cast(DecimalType(28, 14))))
+        .as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val slope = (nD * col("sxy") - sxD * col("sy")) / (nD * sxxD - sxD * sxD)
+    s.filter(col("n") >= 2 && (nD * sxxD - sxD * sxD) > 0)
+      .select(col("cohort_date"), col("n").as("n_weeks"),
+        slope.as("decay_slope"),
+        when(slope < 0, lit(ln2) / -slope).as("half_life_weeks"))
+  }
+
   /** Conversion funnel view → click → purchase: for each user with at least
     * one view, the FIRST view, the first click strictly after that view, and
     * the first purchase strictly after that click, plus the funnel stage
@@ -444,12 +485,25 @@ object Events {
     */
   def linearAttribution(spark: SparkSession, sfDir: String,
       lookbackMinutes: Int = 30): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    val (purchases, paired) = attributionPairs(spark, sfDir, lookbackMinutes)
+    val credited = paired
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pid"))))
+      .select(col("pid"), col("channel"), (col("value") / col("n")).as("credit"))
+    attributionTotals(purchases, paired, credited)
+  }
+
+  /** Shared touch↔purchase pairing for the attribution family: the
+    * user-keyed equi-join with the lookback as a residual range predicate.
+    * Returns (purchases, paired-touch rows) — both keyed for the caller's
+    * per-purchase window.
+    */
+  private def attributionPairs(spark: SparkSession, sfDir: String,
+      lookbackMinutes: Int): (DataFrame, DataFrame) = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
     val touches = ev.filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("ts").as("tts"),
+      .select(col("user_id"), col("event_id").as("tid"), col("ts").as("tts"),
         col("event_type").as("channel"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
@@ -457,9 +511,15 @@ object Events {
     val paired = purchases.join(touches, Seq("user_id"))
       .filter(col("tts") < col("pts") &&
         col("tts") >= col("pts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
-    val credited = paired
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pid"))))
-      .select(col("pid"), col("channel"), (col("value") / col("n")).as("credit"))
+    (purchases, paired)
+  }
+
+  /** Shared tail of the attribution family: organic fallback + per-channel
+    * bridged-decimal credit totals.
+    */
+  private def attributionTotals(purchases: DataFrame, paired: DataFrame,
+      credited: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val organic = purchases
       .join(paired.select(col("pid")).distinct(), Seq("pid"), "left_anti")
       .select(col("pid"), lit("organic").as("channel"), col("value").as("credit"))
@@ -483,19 +543,7 @@ object Events {
     */
   def positionAttribution(spark: SparkSession, sfDir: String,
       lookbackMinutes: Int = 30): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-    val touches = ev.filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("event_id").as("tid"), col("ts").as("tts"),
-        col("event_type").as("channel"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"),
-        col("value"))
-    val paired = purchases.join(touches, Seq("user_id"))
-      .filter(col("tts") < col("pts") &&
-        col("tts") >= col("pts") - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+    val (purchases, paired) = attributionPairs(spark, sfDir, lookbackMinutes)
     val byPid = Window.partitionBy(col("pid"))
     val ranked = paired
       .withColumn("n", count(lit(1)).over(byPid))
@@ -506,14 +554,7 @@ object Events {
       .otherwise(lit(0.2) / (col("n") - 2))
     val credited = ranked
       .select(col("pid"), col("channel"), (col("value") * frac).as("credit"))
-    val organic = purchases
-      .join(paired.select(col("pid")).distinct(), Seq("pid"), "left_anti")
-      .select(col("pid"), lit("organic").as("channel"), col("value").as("credit"))
-    credited.unionByName(organic)
-      .groupBy(col("channel"))
-      .agg(count(lit(1)).as("n_credits"),
-        graft.core.Num.decToDouble(
-          sum(col("credit").cast(DecimalType(28, 14)))).as("credit_total"))
+    attributionTotals(purchases, paired, credited)
   }
 
   /** Rolling 7-day DISTINCT active users per day — the sliding-window

@@ -514,6 +514,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("retention half-life: slope from a direct recompute; half-life identity") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.retentionHalfLife(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val curves = Events.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val cohort = r.getDate(0).toString
+      val slope = r.getDouble(2)
+      assert(r.getLong(1) >= 2)
+      // direct least-squares recompute over ln(n_k/n_0)
+      val pts0 = curves(cohort)
+      val n0 = pts0.find(_._2 == 0L).get._3.toDouble
+      val pts = pts0.filter(_._2 >= 1L)
+        .map(p => (p._2.toDouble, math.log(p._3 / n0)))
+      val n = pts.length
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val direct = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - direct) < 1e-9 * math.max(1.0, math.abs(direct)))
+      if (!r.isNullAt(3)) {
+        assert(slope < 0)
+        assert(math.abs(r.getDouble(3) - math.log(2.0) / -slope) < 1e-9)
+      }
+    }
+  }
+
   test("CUSUM closed form equals the textbook recursion") {
     val rows = graft.ops.Statistics.cusumShift(spark, sf).orderBy("day").collect()
     assert(rows.length > 10)
@@ -539,7 +568,10 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach { r =>
       val s = r.getDouble(1)
       assert(s > 0.0 && s < 1.0, s"score $s not in (0,1)")
-      assert(r.getBoolean(2) === (s >= 0.5))
+      // keep is the sign of the quantized logit, i.e. score >= 0.5 away
+      // from the rounding boundary (a |z| < 5e-10 doc could round onto it)
+      if (math.abs(s - 0.5) > 1e-9)
+        assert(r.getBoolean(2) === (s >= 0.5))
     }
   }
 }
