@@ -232,6 +232,8 @@ object SparkEntry {
     "q196_cusum"           -> ((s, d) => graft.ops.Statistics.cusumShift(s, d)),
     "q197_position_attrib" -> ((s, d) => Events.positionAttribution(s, d)),
     "q198_retention_decay" -> ((s, d) => Events.retentionHalfLife(s, d)),
+    "q199_pct_normalize"   -> ((s, d) => graft.ops.Corpus.percentileNormalize(s, d)),
+    "q200_scaled_profile"  -> ((s, d) => graft.ops.Stats.scaledDimProfile(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1533,6 +1535,32 @@ object SparkEntry {
          |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
          |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q199: per-language percentile normalization — pure rank arithmetic
+    // over a totalized order, no bridging needed
+    "q199_pct_normalize" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pct
+        |FROM documents""".stripMargin,
+
+    // q200: min-max scaler APPLY — per-dim (min,max) from the q179 fit,
+    // scaled elements folded in bridged decimal; constant dims scale to NULL
+    "q200_scaled_profile" ->
+      """WITH d AS (
+        |  SELECT CAST(s.i - 1 AS BIGINT) AS dim, CAST(embedding[s.i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+        |sc AS (
+        |  SELECT d.dim,
+        |    CASE WHEN st.mx > st.mn THEN (d.x - st.mn) / (st.mx - st.mn) END AS s
+        |  FROM d JOIN st USING (dim))
+        |SELECT dim, CAST(count(s) AS BIGINT) AS n,
+        |  CAST(CAST(sum(CAST(CAST(s AS VARCHAR) AS DECIMAL(28,14)))
+        |    AS VARCHAR) AS DOUBLE) AS sum_scaled,
+        |  min(s) AS min_scaled, max(s) AS max_scaled,
+        |  CAST(CAST(sum(CAST(CAST(s AS VARCHAR) AS DECIMAL(28,14)))
+        |    AS VARCHAR) AS DOUBLE) / count(s) AS mean_scaled
+        |FROM sc GROUP BY dim""".stripMargin,
 
     // q198: retention half-life — the q143 regression recipe over the q99
     // cohort curves; ln 2 interpolated from the operator's Scala double

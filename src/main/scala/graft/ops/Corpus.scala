@@ -352,4 +352,27 @@ object Corpus {
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** PERCENTILE NORMALIZATION of a document feature per language — the
+    * rank-based feature transform (quantile normalization) a curriculum or
+    * length-balancing step applies before mixing slices whose raw scales
+    * differ: each document's length maps to its within-language percentile,
+    * so 'long for German' and 'long for English' become comparable. The
+    * percentile is `percent_rank` over a TOTALIZED order (doc_id breaks
+    * length ties), i.e. pure rank arithmetic (rank−1)/(n−1) — one exact
+    * integer ratio per row, cross-engine deterministic with no bridging.
+    *
+    * Scale shape: one partitioned window over (lang, n_chars, doc_id)
+    * triples — languages partition the work, text never enters the sort.
+    * A corpus dominated by ONE language concentrates that group in one
+    * task: the in-repo swap is q184's two-phase rank run per-language
+    * (bucket by (lang, length-range), offsets per language) — same
+    * algebra, gated by q184/q189.
+    */
+  def percentileNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pct", percent_rank().over(w))
+  }
 }

@@ -212,4 +212,34 @@ object Stats {
         max(col("x")).as("max_x"))
       .withColumn("mean_x", col("sum_x") / col("n"))
   }
+
+  /** The APPLY half of the scaler [[embeddingDimStats]] fits: min-max
+    * normalize every embedding element with its dimension's (min, max) and
+    * report the transformed per-dim profile — n, mean of the scaled values
+    * (a bridged-decimal fold of correctly-rounded (x−min)/(max−min)
+    * divisions), and the scaled min/max, which the spec pins at exactly
+    * 0 and 1 (the transform's fixed points — a drifted stats table would
+    * break this first). Fit→transform as ONE composition: the |dims|-row
+    * stats frame broadcasts onto the posexploded elements, so the apply is
+    * a scan-speed map at any corpus size; constant dims (max = min) pass
+    * through as NULL scaled values rather than a divide-by-zero.
+    */
+  def scaledDimProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+    val stats = embeddingDimStats(spark, sfDir)
+      .select(col("dim"), col("min_x"), col("max_x"))
+    val scaled = when(col("max_x") > col("min_x"),
+      (col("x") - col("min_x")) / (col("max_x") - col("min_x")))
+    d.join(broadcast(stats), "dim")
+      .withColumn("s", scaled)
+      .groupBy(col("dim"))
+      .agg(count(col("s")).as("n"),
+        graft.core.Num.decToDouble(sum(col("s").cast(DecimalType(28, 14))))
+          .as("sum_scaled"),
+        min(col("s")).as("min_scaled"),
+        max(col("s")).as("max_scaled"))
+      .withColumn("mean_scaled", col("sum_scaled") / col("n"))
+  }
 }

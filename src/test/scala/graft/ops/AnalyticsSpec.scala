@@ -514,6 +514,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("percentile normalization: [0,1] endpoints per language, monotone in length") {
+    val rows = Corpus.percentileNormalize(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, p) => assert(p >= 0.0 && p <= 1.0) }
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      if (g.length >= 2) {
+        assert(g.map(_._3).min == 0.0 && g.map(_._3).max == 1.0, lang)
+        // percentile order respects the length order
+        val sorted = g.sortBy(_._3)
+        assert(sorted.map(_._2).sameElements(sorted.map(_._2).sorted), lang)
+      }
+    }
+  }
+
+  test("min-max scaler apply: fixed points 0 and 1 per non-constant dimension") {
+    val rows = graft.ops.Stats.scaledDimProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3)) {
+        assert(r.getDouble(3) === 0.0, "scaled min")
+        assert(r.getDouble(4) === 1.0, "scaled max")
+        val mean = r.getDouble(5)
+        assert(mean > 0.0 && mean < 1.0)
+      }
+    }
+  }
+
   test("retention half-life: slope from a direct recompute; half-life identity") {
     import org.apache.spark.sql.functions._
     val rows = Events.retentionHalfLife(spark, sf).collect()
