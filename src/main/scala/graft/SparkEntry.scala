@@ -234,6 +234,8 @@ object SparkEntry {
     "q198_retention_decay" -> ((s, d) => Events.retentionHalfLife(s, d)),
     "q199_pct_normalize"   -> ((s, d) => graft.ops.Corpus.percentileNormalize(s, d)),
     "q200_scaled_profile"  -> ((s, d) => graft.ops.Stats.scaledDimProfile(s, d)),
+    "q201_kcore"           -> ((s, d) => graft.ops.Graph.kCore(s, d)),
+    "q202_assortativity"   -> ((s, d) => graft.ops.Graph.degreeAssortativity(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -731,6 +733,36 @@ object SparkEntry {
     * DuckDB's own `ln(2)` may differ by an ulp.
     */
   private def ln2ForOracle: String = math.log(2.0).toString
+
+  /** DuckDB twin of Graph.kCore: `rounds` unrolled induced-degree peels of
+    * the part co-purchase graph — integer counting only, no bridging.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // every per-round CTE is MATERIALIZED: the peel references its inputs
+    // twice per round, and DuckDB's default CTE inlining would re-expand
+    // the whole chain exponentially (measured as thousands of parquet
+    // re-opens — "Too many open files" — at 8 rounds)
+    def degOf(e: String, d: String) =
+      s"""$d AS MATERIALIZED (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM $e UNION ALL SELECT v AS id FROM $e)
+         |  GROUP BY 1)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""al$r AS MATERIALIZED (SELECT id FROM d${r - 1} WHERE deg >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT id FROM al$r) AND v IN (SELECT id FROM al$r)),
+         |${degOf(s"e$r", s"d$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |${degOf("e0", "d0")},
+       |$steps
+       |SELECT id, CAST(deg AS BIGINT) AS core_deg
+       |FROM d$rounds WHERE deg >= $k""".stripMargin
+  }
 
   /** The q152 BM25 oracle body — also the lexical arm of q158's fusion.
     * The k1/b/terms constants are INTERPOLATED from [[graft.ops.TermStats]]'s
@@ -1535,6 +1567,39 @@ object SparkEntry {
          |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
          |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q201: k-core membership after 8 unrolled induced-degree peels —
+    // k=80 converges in 6 rounds at both gate scales and peels a real
+    // ~7% tail (k ≤ 60 peels nothing on this graph; k ≥ 90 unravels it)
+    "q201_kcore" -> kCoreOracle(k = 80, rounds = 8),
+
+    // q202: degree assortativity — exact integer sums, one fixed
+    // correctly-rounded arithmetic tree, no bridging
+    "q202_assortativity" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |d AS (
+        |  SELECT id, count(*) AS deg FROM (
+        |    SELECT u AS id FROM e0 UNION ALL SELECT v AS id FROM e0)
+        |  GROUP BY 1),
+        |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |p AS (
+        |  SELECT du.deg AS du, dv.deg AS dv
+        |  FROM sym JOIN d du ON sym.u = du.id JOIN d dv ON sym.v = dv.id),
+        |s AS (
+        |  SELECT count(*) AS n, sum(du) AS sx, sum(dv) AS sy,
+        |    sum(du * du) AS sxx, sum(dv * dv) AS syy, sum(du * dv) AS sxy
+        |  FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_edge_ends,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+        |FROM s""".stripMargin,
 
     // q199: per-language percentile normalization — pure rank arithmetic
     // over a totalized order, no bridging needed

@@ -356,6 +356,93 @@ object Graph {
     result
   }
 
+  /** K-CORE DECOMPOSITION (membership) of the part co-purchase graph:
+    * iteratively peel nodes of induced degree < k; survivors form the
+    * k-core — the standard density backbone (spam/community pre-filter) of
+    * graph curation. The peel count is FIXED at `rounds` (each an induced-
+    * subgraph degree recount over the previous survivor set) instead of a
+    * data-dependent fixpoint: a converged graph makes later rounds no-ops,
+    * so as long as `rounds` covers convergence the result IS the k-core,
+    * and either way both engines compute the identical bounded recursion —
+    * which is what lets the oracle unroll it (the same trade [[pageRank]]
+    * and the BPE trainer make). Each round is two semi-joins (edge
+    * endpoints against survivors) + one partial-agged degree count;
+    * per-round frames localCheckpoint so lineage stays flat. Output:
+    * surviving nodes with their final induced degree.
+    */
+  def kCore(spark: SparkSession, sfDir: String, k: Int = 80,
+      rounds: Int = 8): DataFrame = {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var edges = und
+    var deg = degrees(edges).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val alive = deg.filter(col("deg") >= k).select(col("id"))
+      edges = edges
+        .join(alive.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      deg = degrees(edges).localCheckpoint(true)
+    }
+    val result = deg.filter(col("deg") >= k)
+      .select(col("id"), col("deg").as("core_deg"))
+      .localCheckpoint(true)
+    und.unpersist()
+    result
+  }
+
+  /** DEGREE ASSORTATIVITY of the part co-purchase graph — the Pearson
+    * correlation of endpoint degrees over all (symmetrized) edge instances
+    * (Newman 2002, public): positive = hubs link hubs, negative = hub-leaf
+    * mixing; THE one-number mixing diagnostic read before choosing skew
+    * strategies for graph joins. The q143 regression recipe on integer
+    * inputs: every sum is an EXACT integer fold (degrees and their products
+    * are longs, totals ≤ 2^53 so the final double casts are exact), the
+    * correlation is one fixed arithmetic tree of correctly-rounded ops —
+    * no bridging needed anywhere. One degree join per endpoint, one
+    * aggregate; nothing driver-side.
+    */
+  def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // symmetrize so the correlation is orientation-invariant
+    val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    val pairs = sym
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(col("du"), col("dv"))
+    val s = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+      sum(col("du") * col("du")).as("sxx"),
+      sum(col("dv") * col("dv")).as("syy"),
+      sum(col("du") * col("dv")).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val r = (nD * d("sxy") - d("sx") * d("sy")) /
+      (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+        sqrt(nD * d("syy") - d("sy") * d("sy")))
+    val result = s.select(col("n").as("n_edge_ends"), r.as("assortativity"))
+      .localCheckpoint(true)
+    und.unpersist()
+    result
+  }
+
   /** Multi-source BFS over the part co-purchase graph: exact hop distance
     * (≤ `maxHops`) from the seed set {parts with id ≡ 0 mod 500}, reported
     * as a per-hop census. The third member of the iterative-graph family

