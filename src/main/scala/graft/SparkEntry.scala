@@ -236,6 +236,10 @@ object SparkEntry {
     "q200_scaled_profile"  -> ((s, d) => graft.ops.Stats.scaledDimProfile(s, d)),
     "q201_kcore"           -> ((s, d) => graft.ops.Graph.kCore(s, d)),
     "q202_assortativity"   -> ((s, d) => graft.ops.Graph.degreeAssortativity(s, d)),
+    "q203_ks_test"         -> ((s, d) => graft.ops.Statistics.ksTest(s, d)),
+    "q204_rank_sum"        -> ((s, d) => graft.ops.Statistics.rankSum(s, d)),
+    "q205_gini"            -> ((s, d) => graft.ops.Statistics.giniBySegment(s, d)),
+    "q206_benford"         -> ((s, d) => graft.ops.Statistics.benfordDigits(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1567,6 +1571,129 @@ object SparkEntry {
          |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
          |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q203/q204: both tests share the per-value cumulative-count CTEs; the
+    // Spark side computes the cumulative two-phase (bucketed), the oracle
+    // declaratively — hash equality proves the phase algebra. All integer
+    // until the final fixed correctly-rounded double trees.
+    "q203_ks_test" ->
+      """WITH v AS (
+        |  SELECT o_totalprice AS x,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |c AS (
+        |  SELECT x, CAST(sum(g) AS BIGINT) AS c1,
+        |    CAST(sum(1 - g) AS BIGINT) AS c2
+        |  FROM v GROUP BY 1),
+        |cc AS (
+        |  SELECT x, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |  FROM c),
+        |t AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM cc),
+        |d AS (
+        |  SELECT n1, n2, max(abs(cum1 * n2 - cum2 * n1)) AS d_num
+        |  FROM cc, t GROUP BY 1, 2)
+        |SELECT n1, n2, d_num,
+        |  CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat,
+        |  CAST(1.3581 AS DOUBLE) * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS crit_05,
+        |  CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    > CAST(1.3581 AS DOUBLE) * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05
+        |FROM d""".stripMargin,
+
+    "q204_rank_sum" ->
+      """WITH v AS (
+        |  SELECT o_totalprice AS x,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |c AS (
+        |  SELECT x, CAST(sum(g) AS BIGINT) AS c1,
+        |    CAST(sum(1 - g) AS BIGINT) AS c2
+        |  FROM v GROUP BY 1),
+        |cc AS (
+        |  SELECT x, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |  FROM c),
+        |s AS (
+        |  SELECT max(cum1) AS n1, max(cum2) AS n2,
+        |    CAST(sum(c1 * (2 * cum2 - c2)) AS BIGINT) AS u2x,
+        |    CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS ties
+        |  FROM cc)
+        |SELECT n1, n2,
+        |  CAST(u2x AS DOUBLE) / CAST(2.0 AS DOUBLE) AS u1,
+        |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2.0 AS DOUBLE) AS mu,
+        |  sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12.0 AS DOUBLE)
+        |    * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |       - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) AS sigma,
+        |  (CAST(u2x AS DOUBLE) / CAST(2.0 AS DOUBLE)
+        |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2.0 AS DOUBLE))
+        |  / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12.0 AS DOUBLE)
+        |    * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |       - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
+        |FROM s""".stripMargin,
+
+    // q205: Gini in integer cents — products/sums stay in DECIMAL(·,0)
+    // where the two engines' width rules agree; one bridged division
+    "q205_gini" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment AS segment, c_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT segment, c_custkey, spend,
+        |    CAST(spend * 100 AS DECIMAL(20,0)) AS cents
+        |  FROM spend),
+        |r AS (
+        |  SELECT segment, cents,
+        |    CAST(row_number() OVER (PARTITION BY segment
+        |      ORDER BY cents, c_custkey) AS BIGINT) AS i
+        |  FROM cents),
+        |g AS (
+        |  SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(cents) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(CAST(i * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT segment, n_cust,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total_spend,
+        |  CAST(CAST(CAST(2 * six - (n_cust + 1) * sx AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n_cust * sx AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS gini
+        |FROM g""".stripMargin,
+
+    // q206: first digit from the DECIMAL STRING form (no log10 libm);
+    // expected probs are pinned 12-decimal literals; χ² terms quantize to
+    // DECIMAL(28,12) and fold exactly
+    "q206_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit
+        |  FROM orders),
+        |b AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        |e(digit, exp_p) AS (VALUES
+        |  (1, CAST('0.301029995664' AS DOUBLE)), (2, CAST('0.176091259056' AS DOUBLE)),
+        |  (3, CAST('0.124938736608' AS DOUBLE)), (4, CAST('0.096910013008' AS DOUBLE)),
+        |  (5, CAST('0.079181246048' AS DOUBLE)), (6, CAST('0.066946789631' AS DOUBLE)),
+        |  (7, CAST('0.057991946978' AS DOUBLE)), (8, CAST('0.051152522447' AS DOUBLE)),
+        |  (9, CAST('0.045757490561' AS DOUBLE))),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM b),
+        |x AS (
+        |  SELECT b.digit, n_obs, n_total, e.exp_p,
+        |    CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_p,
+        |    (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * e.exp_p)
+        |      * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * e.exp_p)
+        |      / (CAST(n_total AS DOUBLE) * e.exp_p) AS chi2_term
+        |  FROM b JOIN e USING (digit), t)
+        |SELECT digit, n_obs, n_total, obs_p, exp_p, chi2_term,
+        |  CAST(CAST(sum(CAST(CAST(chi2_term AS VARCHAR) AS DECIMAL(28,12))) OVER ()
+        |    AS VARCHAR) AS DOUBLE) AS chi2_total
+        |FROM x""".stripMargin,
 
     // q201: k-core membership after 8 unrolled induced-degree peels —
     // k=80 converges in 6 rounds at both gate scales and peels a real

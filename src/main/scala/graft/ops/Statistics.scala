@@ -344,4 +344,188 @@ object Statistics {
           abs((col("x") - col("mean_prior")) / col("sd_prior")) > zThresh)
           .otherwise(lit(false)).as("is_anomaly"))
   }
+
+  /** TWO-PHASE CUMULATIVE GROUP COUNTS per distinct value — the shared
+    * engine under the KS and rank-sum tests. For a (value, group∈{1,2})
+    * stream, returns one row per distinct value with the per-value counts
+    * (c1, c2) and the cumulative counts of each group at-or-below that
+    * value (cum1, cum2). The naive spelling is a no-partition running-sum
+    * window over every distinct value — near-unique doubles make that the
+    * whole table through one task. Here it is the q184 algebra applied to
+    * CUMULATIVE SUMS instead of ranks: value-range buckets off a broadcast
+    * (min, max) (a pure per-row function of the value — equal values always
+    * share a bucket), per-bucket subtotals prefix-summed over the
+    * |buckets|-row frame, and bucket-LOCAL running sums offset by the
+    * bucket's prefix. Every window is either |buckets|-rows or partitioned.
+    */
+  private def cumulativeGroupCounts(byValue: DataFrame, nBuckets: Int = 64): DataFrame = {
+    val range = byValue.agg(min(col("x")).as("__mn"), max(col("x")).as("__mx"))
+    val span = col("__mx") - col("__mn")
+    val fwd = floor((col("x") - col("__mn")) / (span / nBuckets)).cast("long")
+    val bucketed = byValue.crossJoin(broadcast(range))
+      .withColumn("__bucket",
+        when(span === 0, lit(0L)).otherwise(least(fwd, lit(nBuckets - 1L))))
+      .drop("__mn", "__mx")
+    val prior = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col("c1")).as("__b1"), sum(col("c2")).as("__b2"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__b1")).over(prior), lit(0L)).as("__o1"),
+        coalesce(sum(col("__b2")).over(prior), lit(0L)).as("__o2"))
+    val local = Window.partitionBy(col("__bucket")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), Seq("__bucket"))
+      .select(col("x"), col("c1"), col("c2"),
+        (col("__o1") + sum(col("c1")).over(local)).as("cum1"),
+        (col("__o2") + sum(col("c2")).over(local)).as("cum2"))
+  }
+
+  /** Per-value counts for the two compared order-priority samples. */
+  private def prioritySamples(spark: SparkSession, sfDir: String,
+      grp1: String, grp2: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin(grp1, grp2))
+      .select(col("o_totalprice").as("x"),
+        when(col("o_orderpriority") === grp1, 1L).otherwise(0L).as("g"))
+      .groupBy(col("x"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST: does the order-price distribution
+    * differ between URGENT and LOW priority orders? D = max_v |F̂₁(v) −
+    * F̂₂(v)| evaluated at every distinct value (the empirical CDFs only jump
+    * there). EXACT INTEGER DOMAIN throughout: the maximized quantity is
+    * |cum1·n2 − cum2·n1| (a BIGINT — no per-value division ever happens),
+    * and only the final D and the Smirnov critical value
+    * c(α)·√((n1+n2)/(n1·n2)) divide into doubles, each a fixed
+    * correctly-rounded tree over integers < 2⁵³. Scale shape: one
+    * per-value aggregate over the fact table, then [[cumulativeGroupCounts]]
+    * (two-phase, no single-task window), then a plain max — the 100 TB KS.
+    */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = prioritySamples(spark, sfDir, "1-URGENT", "5-LOW")
+    val cum = cumulativeGroupCounts(counts)
+    val tot = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
+    val d = cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"))
+      .groupBy(col("n1"), col("n2")).agg(max(col("dn")).as("d_num"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val ks = col("d_num").cast("double") / (n1d * n2d)
+    val crit = lit(1.3581) * sqrt((n1d + n2d) / (n1d * n2d))
+    d.select(col("n1"), col("n2"), col("d_num"), ks.as("ks_stat"),
+      crit.as("crit_05"), (ks > crit).as("reject_05"))
+  }
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) TEST over the same two priority
+    * samples — the rank-based location test that needs no normality
+    * assumption. Computed WITHOUT per-row global ranks: from per-value
+    * counts, 2·U₁ = Σ_v c1(v)·(2·cum2(v) − c2(v)) — cum2 at-or-below v
+    * minus the tie row's own c2 leaves (strictly-below + ½·ties), doubled
+    * to stay integer. Tie correction T = Σ(t³ − t) folds in the same
+    * aggregate. The normal approximation z = (U₁ − n1n2/2)/σ with
+    * σ = √(n1n2/12 · (N+1 − T/(N(N−1)))) is one fixed correctly-rounded
+    * tree over exact integers (doubled-U halves exactly: /2 is an exponent
+    * shift). Scale shape identical to [[ksTest]]: aggregate → two-phase
+    * cumulative → one final fold.
+    */
+  def rankSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = prioritySamples(spark, sfDir, "1-URGENT", "5-LOW")
+    val cum = cumulativeGroupCounts(counts)
+    val t = col("c1") + col("c2")
+    val s = cum.agg(
+      max(col("cum1")).as("n1"), max(col("cum2")).as("n2"),
+      sum(col("c1") * (lit(2L) * col("cum2") - col("c2"))).as("u2x"),
+      sum(t * t * t - t).as("ties"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nD = (col("n1") + col("n2")).cast("double")
+    val u1 = col("u2x").cast("double") / lit(2.0)
+    val mu = n1d * n2d / lit(2.0)
+    val tieCorr = col("ties").cast("double") /
+      (nD * (col("n1") + col("n2") - 1L).cast("double"))
+    val sigma = sqrt(n1d * n2d / lit(12.0) *
+      ((col("n1") + col("n2") + 1L).cast("double") - tieCorr))
+    s.select(col("n1"), col("n2"), u1.as("u1"), mu.as("mu"),
+      sigma.as("sigma"), ((u1 - mu) / sigma).as("z"))
+  }
+
+  /** GINI COEFFICIENT of customer lifetime spend per market segment — the
+    * inequality audit behind "do 20% of customers drive 80% of revenue?".
+    * Rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with i the
+    * within-segment ascending rank (custkey tie-break — ties of equal x
+    * permute only equal terms, so the statistic is tie-invariant). EXACT
+    * until the last division: spend converts to integer CENTS so every
+    * product and sum lives in DECIMAL(·,0) — Spark's and DuckDB's decimal
+    * MULTIPLICATION width rules diverge near the 38-digit cap for scaled
+    * decimals, integer-scaled ones never do — and numerator/denominator
+    * cross the VARCHAR bridge before one final double divide. Scale shape:
+    * the corpus-sized job is the per-customer aggregate; the rank window is
+    * PARTITIONED by segment over one-row-per-customer aggregated input (the
+    * documented per-group boundary-pass class — at extreme per-segment
+    * cardinality, swap in the q184 two-phase rank per segment; same
+    * algebra).
+    */
+  def giniBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      .withColumn("cents", (col("spend") * 100).cast(DecimalType(20, 0)))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(col("cents"), col("c_custkey"))
+    val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+    val g = ranked.groupBy(col("segment")).agg(
+      count(lit(1)).as("n_cust"),
+      sum(col("cents")).as("sx"),
+      sum((col("i") * col("cents")).cast(DecimalType(38, 0))).as("six"))
+    val num = (lit(2L) * col("six") - (col("n_cust") + 1L) * col("sx"))
+      .cast(DecimalType(38, 0))
+    val den = (col("n_cust") * col("sx")).cast(DecimalType(38, 0))
+    g.select(col("segment"), col("n_cust"),
+      (Num.decToDouble(col("sx")) / lit(100.0)).as("total_spend"),
+      (Num.decToDouble(num) / Num.decToDouble(den)).as("gini"))
+  }
+
+  /** BENFORD'S-LAW AUDIT of order totals: first-significant-digit counts vs
+    * the log₁₀(1 + 1/d) expectation, with the χ² goodness-of-fit statistic.
+    * The digit is extracted from the money value's DECIMAL STRING form
+    * (both engines print a plain non-scientific decimal for DECIMAL(18,2),
+    * and every total ≥ 1 so the first character IS the first significant
+    * digit — no log10 whose libm rounding could differ at exact powers of
+    * ten). Expected probabilities are pinned 12-decimal literals (identical
+    * text in both engines → identical doubles). Each digit's χ² term is a
+    * fixed correctly-rounded tree; the 9 terms quantize to DECIMAL(28,12)
+    * and fold EXACTLY into the total (a 9-row aggregated-input window —
+    * sum order across engines never matters). Scale: one groupBy(digit)
+    * over the fact table; everything after runs on 9 rows.
+    */
+  def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
+    val expected = Seq(
+      1 -> "0.301029995664", 2 -> "0.176091259056", 3 -> "0.124938736608",
+      4 -> "0.096910013008", 5 -> "0.079181246048", 6 -> "0.066946789631",
+      7 -> "0.057991946978", 8 -> "0.051152522447", 9 -> "0.045757490561")
+    val expCol = expected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p).cast("double")).otherwise(acc)
+    }
+    val byDigit = Tables.orders(spark, sfDir)
+      .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .withColumn("exp_p", expCol)
+    val tot = byDigit.agg(sum(col("n_obs")).as("n_total"))
+    val nD = col("n_total").cast("double")
+    val expN = nD * col("exp_p")
+    val term = (col("n_obs").cast("double") - expN) * (col("n_obs").cast("double") - expN) / expN
+    val all9 = Window.partitionBy(lit(0))
+    byDigit.crossJoin(broadcast(tot))
+      .withColumn("obs_p", col("n_obs").cast("double") / nD)
+      .withColumn("chi2_term", term)
+      .withColumn("termq", term.cast("string").cast(DecimalType(28, 12)))
+      .withColumn("chi2_total", Num.decToDouble(sum(col("termq")).over(all9)))
+      .select(col("digit"), col("n_obs"), col("n_total"), col("obs_p"),
+        col("exp_p"), col("chi2_term"), col("chi2_total"))
+  }
 }

@@ -602,4 +602,86 @@ class AnalyticsSpec extends SparkSpec {
         assert(r.getBoolean(2) === (s >= 0.5))
     }
   }
+
+  /** The two samples the KS / rank-sum tests compare, collected driver-side
+    * for naive recomputes (sf0.001: a few hundred rows each).
+    */
+  private def prioritySamplePair(): (Array[Double], Array[Double]) = {
+    val rows = graft.core.Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice").collect()
+    def sample(p: String) =
+      rows.filter(_.getString(0) == p).map(_.getDouble(1)).sorted
+    (sample("1-URGENT"), sample("5-LOW"))
+  }
+
+  test("ks test: the two-phase D equals the naive all-jumps recompute exactly") {
+    val r = Statistics.ksTest(spark, sf).collect().head
+    val (s1, s2) = prioritySamplePair()
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    assert(r.getLong(0) === n1 && r.getLong(1) === n2)
+    // naive: evaluate |cum1*n2 - cum2*n1| at every distinct value
+    val dNum = (s1 ++ s2).distinct.map { v =>
+      val c1 = s1.count(_ <= v).toLong
+      val c2 = s2.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    assert(r.getLong(2) === dNum, "integer KS numerator")
+    val ks = r.getDouble(3)
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(ks === dNum.toDouble / (n1.toDouble * n2.toDouble))
+  }
+
+  test("rank sum: 2U equals the naive pairwise count, z consistent") {
+    val r = Statistics.rankSum(spark, sf).collect().head
+    val (s1, s2) = prioritySamplePair()
+    // naive doubled-U: 2 per win, 1 per tie, over all (a, b) pairs
+    val u2x = s1.map(a => s2.map(b =>
+      if (a > b) 2L else if (a == b) 1L else 0L).sum).sum
+    assert(r.getDouble(2) === u2x.toDouble / 2.0, "U1 from pairwise count")
+    val (u1, mu, sigma, z) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(mu === s1.length.toDouble * s2.length.toDouble / 2.0)
+    assert(sigma > 0.0)
+    assert(z === (u1 - mu) / sigma)
+  }
+
+  test("gini: matches the exact rank-formula recompute, bounded in [0, 1)") {
+    val rows = Statistics.giniBySegment(spark, sf).collect()
+    assert(rows.length === 5, "one row per market segment")
+    val spends = graft.core.Tables.orders(spark, sf)
+      .join(graft.core.Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .select("c_mktsegment", "c_custkey", "o_totalprice").collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case ((seg, ck), rs) =>
+        // exact cents via the same decimal rounding as the operator
+        (seg, ck, rs.map(r => BigDecimal(r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum * 100)
+      }.toSeq
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val xs = spends.filter(_._1 == seg).sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length.toLong
+      assert(r.getLong(1) === n)
+      val sx = xs.sum
+      val six = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      val gini = ((2 * six - (n + 1) * sx) / (n * sx)).toDouble
+      assert(math.abs(r.getDouble(3) - gini) < 1e-12, s"$seg gini")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+  }
+
+  test("benford: digits partition the table, probabilities close, chi2 is the term sum") {
+    val rows = Statistics.benfordDigits(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).sorted.sameElements(1 to 9))
+    assert(rows.map(_._2).sum === rows.head._3, "digit counts partition the orders")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, "observed probs sum to 1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, "Benford probs sum to 1")
+    val total = rows.map(t => BigDecimal(t._6).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(math.abs(rows.head._7 - total.toDouble) < 1e-9, "chi2 total folds the terms")
+    assert(rows.forall(_._7 == rows.head._7), "total repeated on every row")
+  }
 }
