@@ -240,6 +240,9 @@ object SparkEntry {
     "q204_rank_sum"        -> ((s, d) => graft.ops.Statistics.rankSum(s, d)),
     "q205_gini"            -> ((s, d) => graft.ops.Statistics.giniBySegment(s, d)),
     "q206_benford"         -> ((s, d) => graft.ops.Statistics.benfordDigits(s, d)),
+    "q207_item_cf"         -> ((s, d) => graft.ops.Recommend.itemItemCf(s, d)),
+    "q208_adamic_adar"     -> ((s, d) => graft.ops.Recommend.adamicAdar(s, d)),
+    "q209_label_prop"      -> ((s, d) => graft.ops.Graph.labelPropagation(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1571,6 +1574,70 @@ object SparkEntry {
          |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
          |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q207: item-item CF — score is one fixed tree over exact longs; ties
+    // rank by neighbor id so the top-k list is hash-stable
+    "q207_item_cf" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1),
+        |pc AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (
+        |  SELECT pa AS item, pb AS neighbor, n_both FROM pc
+        |  UNION ALL SELECT pb AS item, pa AS neighbor, n_both FROM pc),
+        |sc AS (
+        |  SELECT item, neighbor, n_both, ia.n_item AS n_i, ib.n_item AS n_j,
+        |    CAST(n_both AS DOUBLE)
+        |      / sqrt(CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS score
+        |  FROM sym JOIN ic ia ON sym.item = ia.pk JOIN ic ib ON sym.neighbor = ib.pk),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY score DESC, neighbor) AS BIGINT) AS rnk FROM sc)
+        |SELECT item, neighbor, n_both, n_i, n_j, score, rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // q208: Adamic-Adar — ln through the 12-decimal bridge, per-pair sum
+    // folds DECIMAL(28,12)-quantized terms exactly
+    "q208_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |w AS (
+        |  SELECT ok,
+        |    CAST(CAST(CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(CAST(CAST(ln(CAST(count(*) AS DOUBLE)) AS VARCHAR)
+        |          AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS invq
+        |  FROM li GROUP BY 1 HAVING count(*) >= 2),
+        |p AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, a.ok
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(CAST(sum(invq) AS VARCHAR) AS DOUBLE) AS aa
+        |FROM p JOIN w USING (ok)
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // q209: label propagation — the 2 synchronous rounds unrolled as CTEs,
+    // argmax by (count DESC, label) exactly as the operator's window
+    "q209_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |lbl0 AS (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+        |c1 AS (
+        |  SELECT s.u, l.lbl, row_number() OVER (PARTITION BY s.u
+        |    ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM sym s JOIN lbl0 l ON s.v = l.id GROUP BY s.u, l.lbl),
+        |lbl1 AS (SELECT u AS id, lbl FROM c1 WHERE rn = 1),
+        |c2 AS (
+        |  SELECT s.u, l.lbl, row_number() OVER (PARTITION BY s.u
+        |    ORDER BY count(*) DESC, l.lbl) AS rn
+        |  FROM sym s JOIN lbl1 l ON s.v = l.id GROUP BY s.u, l.lbl),
+        |lbl2 AS (SELECT u AS id, lbl FROM c2 WHERE rn = 1)
+        |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_members
+        |FROM lbl2 GROUP BY 1""".stripMargin,
 
     // q203/q204: both tests share the per-value cumulative-count CTEs; the
     // Spark side computes the cumulative two-phase (bucketed), the oracle

@@ -399,6 +399,53 @@ object Graph {
     result
   }
 
+  /** LABEL-PROPAGATION COMMUNITY DETECTION over the part co-purchase graph
+    * (Raghavan et al. 2007, public), SYNCHRONOUS variant with a total
+    * tie-break so it is deterministic and oracle-replayable: every node
+    * starts labelled with its own id, and each round adopts the label most
+    * frequent among its neighbors, ties to the SMALLEST label. A fixed
+    * small round count is the production spelling (async LPA's convergence
+    * is run-order-dependent — useless for a reproducible pipeline; 2-3
+    * synchronous rounds already merge the dense co-purchase cliques).
+    * Reported as the community-size census. Scale shape: each round is one
+    * shuffle join of the |V|-row label frame against the symmetrized edge
+    * list plus a (node, label) count and a PARTITIONED argmax window —
+    * O(rounds × |E|) exactly like [[pageRank]]'s value iteration, with
+    * localCheckpoints cutting the recurrence lineage. The oracle unrolls
+    * the identical rounds as CTEs, so the frontier algebra is hash-gated
+    * against the declarative spelling.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String, rounds: Int = 2): DataFrame = {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = sym
+        .join(labels.select(col("id").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("u").as("id"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    val census = labels.groupBy(col("lbl").as("label"))
+      .agg(count(lit(1)).as("n_members"))
+      .localCheckpoint(true)
+    und.unpersist()
+    census
+  }
+
   /** DEGREE ASSORTATIVITY of the part co-purchase graph — the Pearson
     * correlation of endpoint degrees over all (symmetrized) edge instances
     * (Newman 2002, public): positive = hubs link hubs, negative = hub-leaf

@@ -64,6 +64,11 @@ object ExplainAudit {
     audit("q178_skyline", graft.ops.Relational.orderSkyline(spark, sf))
     audit("q184_global_rank", graft.ops.Relational.globalPriceRank(spark, sf))
     audit("q189_quantile_rank", graft.ops.Relational.globalPriceRankQuantile(spark, sf))
+    audit("q203_ks_test", graft.ops.Statistics.ksTest(spark, sf))
+    audit("q204_rank_sum", graft.ops.Statistics.rankSum(spark, sf))
+    audit("q205_gini", graft.ops.Statistics.giniBySegment(spark, sf))
+    audit("q207_item_cf", graft.ops.Recommend.itemItemCf(spark, sf))
+    audit("q208_adamic_adar", graft.ops.Recommend.adamicAdar(spark, sf))
     spark.stop()
   }
 }
