@@ -243,6 +243,10 @@ object SparkEntry {
     "q207_item_cf"         -> ((s, d) => graft.ops.Recommend.itemItemCf(s, d)),
     "q208_adamic_adar"     -> ((s, d) => graft.ops.Recommend.adamicAdar(s, d)),
     "q209_label_prop"      -> ((s, d) => graft.ops.Graph.labelPropagation(s, d)),
+    "q210_acf"             -> ((s, d) => graft.ops.TimeSeries.revenueAcf(s, d)),
+    "q211_ewma"            -> ((s, d) => graft.ops.TimeSeries.ewmaRevenue(s, d)),
+    "q212_burstiness"      -> ((s, d) => graft.ops.TimeSeries.userBurstiness(s, d)),
+    "q213_dow_seasonality" -> ((s, d) => graft.ops.TimeSeries.dowSeasonality(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1574,6 +1578,102 @@ object SparkEntry {
          |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
          |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q210: sample ACF — mean-centering scaled by n into exact integers
+    // (HUGEINT oracle-side, DECIMAL(38,0) Spark-side), bridged division
+    "q210_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+        |i AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(n * x - s AS HUGEINT) AS dev
+        |  FROM daily, t),
+        |den AS (SELECT sum(dev * dev) AS den FROM i),
+        |l AS (SELECT CAST(u AS BIGINT) AS lag FROM (SELECT unnest(generate_series(1, 7)) AS u)),
+        |p AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, sum(a.dev * b.dev) AS num
+        |  FROM l CROSS JOIN i a JOIN i b ON b.i = a.i + l.lag
+        |  GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
+        |FROM p, den""".stripMargin,
+
+    // q211: EWMA as a truncated convolution — weights from integer shifts
+    // (exact power-of-2 doubles), terms/weights quantized to DECIMAL(28,12)
+    // and folded exactly
+    "q211_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |i AS (SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+        |o AS (SELECT CAST(u AS BIGINT) AS j FROM (SELECT unnest(generate_series(0, 39)) AS u)),
+        |c AS (
+        |  SELECT i.i + o.j AS i,
+        |    CAST(CAST(CAST(x AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS termq,
+        |    CAST(CAST(CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS wq
+        |  FROM i CROSS JOIN o),
+        |s AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(CAST(sum(termq) AS VARCHAR) AS DOUBLE) AS ewma_cents,
+        |    CAST(CAST(sum(wq) AS VARCHAR) AS DOUBLE) AS w_mass
+        |  FROM c GROUP BY 1)
+        |SELECT day, x AS total_cents, n_terms, ewma_cents,
+        |  ewma_cents / w_mass AS ewma_norm_cents
+        |FROM i JOIN s USING (i)""".stripMargin,
+
+    // q212: burstiness — exact microsecond gaps, n-scaled integer variance,
+    // one bridged tree for sigma/mu/CV/B
+    "q212_burstiness" ->
+      """WITH e AS (SELECT user_id, ts, event_id, epoch_us(ts) AS t_us FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    sum(CAST(gap AS HUGEINT) * gap) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+        |x AS (
+        |  SELECT user_id, n_gaps,
+        |    CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+        |    sqrt(CAST(CAST(n_gaps * sgg - CAST(sg AS HUGEINT) * sg AS VARCHAR) AS DOUBLE))
+        |      / CAST(n_gaps AS DOUBLE) AS sd_gap_us
+        |  FROM s)
+        |SELECT user_id, n_gaps, mean_gap_us, sd_gap_us,
+        |  sd_gap_us / mean_gap_us AS cv,
+        |  (sd_gap_us - mean_gap_us) / (sd_gap_us + mean_gap_us) AS burstiness
+        |FROM x""".stripMargin,
+
+    // q213: day-of-week seasonality — weekday by pure date arithmetic
+    // (days since a fixed Monday mod 7), exact-int doubles in one tree
+    "q213_dow_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT day, x,
+        |    CAST(date_diff('day', DATE '1990-01-01', day) % 7 AS BIGINT) AS dow
+        |  FROM daily),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days_all, CAST(sum(x) AS BIGINT) AS s_all FROM d),
+        |p AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS total_cents
+        |  FROM d GROUP BY 1)
+        |SELECT dow, n_days, total_cents,
+        |  CAST(total_cents AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_daily_cents,
+        |  (CAST(total_cents AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(s_all AS DOUBLE) / CAST(n_days_all AS DOUBLE)) AS seasonal_index
+        |FROM p, t""".stripMargin,
 
     // q207: item-item CF — score is one fixed tree over exact longs; ties
     // rank by neighbor id so the top-k list is hash-stable

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.{col, to_date}
+
+import graft.SparkSpec
+
+/** Invariants for the time-series tier — driver recomputes of each statistic
+  * from the raw series at the tiny scale, plus the structural identities.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The daily cents series, driver-side, in day order. */
+  private def series(): Array[Long] =
+    graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .toSeq.sortBy(_._1)(Ordering.by(_.toEpochDay))
+      .map(_._2.map(r => (BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum)
+      .toArray
+
+  test("acf: matches the exact driver recompute, |r| <= 1") {
+    val xs = series()
+    val n = xs.length.toLong
+    val s = xs.sum
+    val dev = xs.map(x => BigInt(n * x - s))
+    val den = dev.map(d => d * d).sum
+    val rows = TimeSeries.revenueAcf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).sorted.sameElements(1L to 7L))
+    rows.foreach { case (lag, nPairs, acf) =>
+      assert(nPairs === n - lag)
+      val num = (0 until (xs.length - lag.toInt))
+        .map(t => dev(t) * dev(t + lag.toInt)).sum
+      val expect = BigDecimal(num).toDouble / BigDecimal(den).toDouble
+      assert(math.abs(acf - expect) < 1e-12, s"lag $lag")
+      assert(math.abs(acf) <= 1.0)
+    }
+  }
+
+  test("ewma: n_terms ramps to the window, value matches the quantized convolution") {
+    val xs = series()
+    val rows = TimeSeries.ewmaRevenue(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1.toLocalDate)(Ordering.by(_.toEpochDay))
+    assert(rows.length === xs.length)
+    rows.zipWithIndex.foreach { case ((_, total, nTerms, ewma, norm), t) =>
+      assert(total === xs(t))
+      assert(nTerms === math.min(t + 1, 40).toLong, s"day $t ramp")
+      // defined-operator recompute: quantize each exact term to 12 dp, fold
+      val expect = (0 until math.min(t + 1, 40)).map { j =>
+        BigDecimal(xs(t - j).toDouble / (1L << (j + 1)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert(math.abs(ewma - expect.toDouble) < 1e-9, s"day $t ewma")
+      // normalized value sits within the window's value range
+      val window = (0 until math.min(t + 1, 40)).map(j => xs(t - j))
+      assert(norm >= window.min.toDouble - 1e-6 && norm <= window.max.toDouble + 1e-6)
+    }
+  }
+
+  test("burstiness: one user recomputed; B in (-1,1) and consistent with CV") {
+    val rows = TimeSeries.userBurstiness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nGaps, mean, sd, cv, b) =>
+      assert(nGaps >= 2 && mean > 0 && sd >= 0)
+      assert(b > -1.0 && b < 1.0)
+      assert(math.abs(b - (cv - 1.0) / (cv + 1.0)) < 1e-12, "B = (CV-1)/(CV+1)")
+    }
+    // recompute the first user's gaps exactly
+    val (uid, nGaps, mean, _, _, _) = rows.head
+    val ts = graft.core.Tables.events(spark, sf)
+      .filter(col("user_id") === uid)
+      .select(col("ts"), col("event_id")).collect()
+      .map { r =>
+        val t = r.getAs[java.time.LocalDateTime](0).toInstant(java.time.ZoneOffset.UTC)
+        (t.getEpochSecond * 1000000L + t.getNano / 1000L, r.getLong(1))
+      }
+      .sorted.map(_._1)
+    val gaps = ts.sliding(2).map { case Array(a, b) => b - a }.toArray
+    assert(gaps.length.toLong === nGaps)
+    assert(math.abs(mean - gaps.sum.toDouble / gaps.length) < 1e-6)
+  }
+
+  test("dow seasonality: 7 rows partition the days; n-weighted index mean is 1") {
+    val rows = TimeSeries.dowSeasonality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).sorted.sameElements(0L to 6L))
+    assert(rows.map(_._2).sum === series().length.toLong)
+    val nAll = rows.map(_._2).sum.toDouble
+    val weighted = rows.map(t => t._5 * t._2).sum / nAll
+    assert(math.abs(weighted - 1.0) < 1e-9, s"weighted index mean $weighted")
+    rows.foreach(t => assert(t._4 > 0 && t._5 > 0))
+  }
+}
