@@ -247,6 +247,8 @@ object SparkEntry {
     "q211_ewma"            -> ((s, d) => graft.ops.TimeSeries.ewmaRevenue(s, d)),
     "q212_burstiness"      -> ((s, d) => graft.ops.TimeSeries.userBurstiness(s, d)),
     "q213_dow_seasonality" -> ((s, d) => graft.ops.TimeSeries.dowSeasonality(s, d)),
+    "q214_ri_audit"        -> ((s, d) => graft.ops.Expectations.referentialAudit(s, d)),
+    "q215_gram_novelty"    -> ((s, d) => graft.ops.Curation.gramNovelty(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1578,6 +1580,54 @@ object SparkEntry {
          |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
          |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q214: one NOT EXISTS block per FK edge, mirroring the anti-joins
+    "q214_ri_audit" -> Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+      ("lineitem.l_partkey->supplier (misdeclared)",
+        "lineitem", "l_partkey", "supplier", "s_suppkey"))
+      .map { case (name, child, fk, parent, pk) =>
+        s"""SELECT '$name' AS relationship,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+           |  CAST(count(*) AS BIGINT) AS n_orphans,
+           |  CAST(count(DISTINCT $fk) AS BIGINT) AS n_orphan_keys,
+           |  count(*) = 0 AS passed
+           |FROM $child c WHERE NOT EXISTS
+           |  (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
+
+    // q215: per-source gram novelty — q75's gram CTEs, df=1 census, per-doc
+    // ratio quantized to 12 decimals and folded exactly into the mean
+    "q215_gram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 2 AS INT)), ' '))))
+        |    ELSE [] END AS grams
+        |  FROM d),
+        |g AS (SELECT doc_id, source, unnest(grams) AS gram FROM g0),
+        |f AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM g JOIN f USING (gram) GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(CAST(sum(CAST(CAST(CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_novelty,
+        |  CAST(sum(CASE WHEN n_unique = n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_novel
+        |FROM p GROUP BY 1""".stripMargin,
 
     // q210: sample ACF — mean-centering scaled by n into exact integers
     // (HUGEINT oracle-side, DECIMAL(38,0) Spark-side), bridged division

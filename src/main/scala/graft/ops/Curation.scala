@@ -278,4 +278,39 @@ object Curation {
           .otherwise(col("e") / (lit(1.0) + col("e"))).as("score"),
         (col("zq") >= 0).as("keep"))
   }
+
+  /** PER-SOURCE N-GRAM NOVELTY — how much of each source's text is unique
+    * to the corpus: per document, the fraction of its distinct word
+    * `n`-grams with corpus document-frequency 1, rolled up per source.
+    * The inverse of [[passageDedup]]'s duplication census: low novelty
+    * flags a boilerplate-heavy source BEFORE it floods a training mix
+    * (the `n_fully_novel` count = docs sharing no gram with anyone).
+    * Scale shape: grams are md5'd in-scan ([[wordGrams]] — text never
+    * shuffles), df is one aggregate (per-doc-distinct grams make count(*)
+    * the df), the df join is a shuffle equi-join on the gram hash, then two
+    * aggregates. Determinism: per-doc novelty is one exact-long division,
+    * quantized to DECIMAL(18,12) and folded exactly into the per-source
+    * mean; "fully novel" compares the INTEGERS (n_unique = n_grams), never
+    * the ratio against 1.0. Docs with < n tokens have no grams and drop
+    * out of the census (documented; n_docs counts gram-bearing docs).
+    */
+  def gramNovelty(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(wordGrams(col("text"), n)).as("gram"))
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(df, "gram")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    val novelty = col("n_unique").cast("double") / col("n_grams").cast("double")
+    perDoc
+      .withColumn("nq", novelty.cast("string").cast(DecimalType(18, 12)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (graft.core.Num.decToDouble(sum(col("nq"))) /
+          count(lit(1)).cast("double")).as("avg_novelty"),
+        sum(when(col("n_unique") === col("n_grams"), 1L).otherwise(0L))
+          .as("n_fully_novel"))
+  }
 }

@@ -65,4 +65,55 @@ object Expectations {
     Seq(notNull, uniqueKey, discountRange, shipHorizon, refIntegrity)
       .reduce(_ unionByName _)
   }
+
+  /** FULL REFERENTIAL-INTEGRITY AUDIT: every foreign-key edge in the schema
+    * checked in one report — child cardinality, orphan ROW count and orphan
+    * KEY count per relationship (the first tells you the blast radius, the
+    * second how many lookups would fix it). The audit includes one
+    * DELIBERATELY MISDECLARED edge (l_partkey against supplier) so the
+    * violation-reporting path is exercised on data where every true edge is
+    * clean — an all-green audit proves nothing about the auditor.
+    *
+    * Scale shape: each edge is one LEFT ANTI join on its key (broadcast for
+    * the small dims, shuffle for fact-fact — Spark picks from size) feeding
+    * a two-row aggregate; edges are independent and union at the end, so
+    * the report parallelizes edge-by-edge. Nothing driver-side.
+    */
+  def referentialAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val supplier = Tables.supplier(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val region = Tables.region(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk))
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col(fk)).as("n_orphan_keys"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"), col("n_orphan_keys"),
+          (col("n_orphans") === 0L).as("passed"))
+    }
+
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+      edge("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+      edge("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+      edge("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+      edge("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+      edge("events.user_id->customer", events, "user_id", customer, "c_custkey"),
+      // misdeclared on purpose: parts outnumber suppliers, orphans guaranteed
+      edge("lineitem.l_partkey->supplier (misdeclared)",
+        li, "l_partkey", supplier, "s_suppkey")
+    ).reduce(_ unionByName _)
+  }
 }
