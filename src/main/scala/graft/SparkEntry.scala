@@ -249,6 +249,8 @@ object SparkEntry {
     "q213_dow_seasonality" -> ((s, d) => graft.ops.TimeSeries.dowSeasonality(s, d)),
     "q214_ri_audit"        -> ((s, d) => graft.ops.Expectations.referentialAudit(s, d)),
     "q215_gram_novelty"    -> ((s, d) => graft.ops.Curation.gramNovelty(s, d)),
+    "q216_hard_negatives"  -> ((s, d) => graft.ops.Similarity.hardNegatives(s, d)),
+    "q217_class_separation" -> ((s, d) => graft.ops.Similarity.classSeparation(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1580,6 +1582,66 @@ object SparkEntry {
          |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
          |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q216: hard-negative mining — q36's IVF cell CTEs + per-(vector, same?)
+    // argmax windows; NULLs where a cell holds no same/other-label peer
+    "q216_hard_negatives" ->
+      s"""WITH $scaledVecs,
+         |c AS (SELECT vec_id AS cent_id, svec AS cvec, norm2 AS cnorm2 FROM w WHERE vec_id < 16),
+         |ac AS (SELECT w.vec_id, w.svec, w.norm2, c.cent_id,
+         |         row_number() OVER (PARTITION BY w.vec_id
+         |           ORDER BY ${cosine("w.svec", "cvec", "w.norm2", "cnorm2")} DESC, c.cent_id ASC) AS rn
+         |       FROM w CROSS JOIN c),
+         |asg AS (SELECT vec_id, svec, norm2, cent_id AS cell FROM ac WHERE rn = 1),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb, la.label AS lla, lb.label AS llb,
+         |        ${cosine("a.svec", "b.svec", "a.norm2", "b.norm2")} AS cos
+         |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |      JOIN lab la ON a.vec_id = la.vec_id
+         |      JOIN lab lb ON b.vec_id = lb.vec_id),
+         |r AS (SELECT va, vb, cos, lla = llb AS same,
+         |        row_number() OVER (PARTITION BY va, lla = llb
+         |          ORDER BY cos DESC, vb ASC) AS rn
+         |      FROM p),
+         |pos AS (SELECT va, vb AS pos_id, cos AS pos_cos FROM r WHERE same AND rn = 1),
+         |neg AS (SELECT va, vb AS neg_id, cos AS neg_cos FROM r WHERE NOT same AND rn = 1)
+         |SELECT l.vec_id, l.label, pos_id, pos_cos, neg_id, neg_cos,
+         |  pos_cos - neg_cos AS margin, neg_cos > pos_cos AS violated
+         |FROM lab l
+         |LEFT JOIN pos ON l.vec_id = pos.va
+         |LEFT JOIN neg ON l.vec_id = neg.va""".stripMargin,
+
+    // q217: class separation — q77's floored-mean centroid CTEs keyed by
+    // label; per-label means fold 12-decimal-quantized cosines exactly
+    "q217_class_separation" ->
+      s"""WITH $scaledVecs,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |ex AS (SELECT l.label AS clabel, d.i, svec[CAST(d.i AS INT)] AS val
+         |       FROM w JOIN lab l ON w.vec_id = l.vec_id
+         |       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+         |cm AS (SELECT clabel, i, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+         |       FROM ex GROUP BY 1, 2),
+         |cv AS (SELECT clabel, array_agg(comp ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |cn AS (SELECT clabel, cvec, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(cvec, x -> x * x)), (a, b) -> a + b) AS cnorm2 FROM cv),
+         |sc AS (SELECT w.vec_id, l.label, cn.clabel,
+         |         ${cosine("w.svec", "cn.cvec", "w.norm2", "cn.cnorm2")} AS cos
+         |       FROM w JOIN lab l ON w.vec_id = l.vec_id CROSS JOIN cn),
+         |own AS (SELECT vec_id, label, cos AS own_cos FROM sc WHERE label = clabel),
+         |oth AS (SELECT vec_id, other_cos FROM (
+         |         SELECT vec_id, cos AS other_cos,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+         |         FROM sc WHERE label <> clabel) WHERE rn = 1)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(CAST(sum(CAST(CAST(own_cos AS VARCHAR) AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_own_cos,
+         |  CAST(CAST(sum(CAST(CAST(other_cos AS VARCHAR) AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_other_cos,
+         |  CAST(CAST(sum(CAST(CAST(own_cos - other_cos AS VARCHAR) AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_margin,
+         |  CAST(sum(CASE WHEN other_cos > own_cos THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+         |FROM own JOIN oth USING (vec_id)
+         |GROUP BY 1""".stripMargin,
 
     // q214: one NOT EXISTS block per FK edge, mirroring the anti-joins
     "q214_ri_audit" -> Seq(

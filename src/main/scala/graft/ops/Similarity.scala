@@ -325,6 +325,97 @@ object Similarity {
       .select(col("vec_id"), col("cell0"), col("cell1"))
   }
 
+  /** HARD-NEGATIVE TRIPLET MINING over the IVF cells — the candidate
+    * generator for contrastive embedding training: for every vector, its
+    * most-similar SAME-label neighbor (the anchor-positive) and its
+    * most-similar DIFFERENT-label neighbor (the hard negative) within its
+    * IVF cell, with the triplet margin and a violation flag (negative
+    * closer than positive — exactly the pairs a triplet loss needs).
+    * Candidate scope is the cell BY DESIGN: mining against the full corpus
+    * is the all-pairs shape that cannot ship at 100 TB, and a hard negative
+    * is by definition nearby, which is what the coarse quantizer indexes —
+    * the standard ANN-backed mining loop (probe more cells for recall,
+    * same join shape). Vectors whose cell holds no same/different-label
+    * peer report NULLs (visible, not dropped). Determinism: exact-int
+    * cosines, ties by neighbor id, margin a subtraction of identical
+    * doubles.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String, nCentroids: Int = 16): DataFrame = {
+    val lab = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val av = ivfAssigned(spark, sfDir, nCentroids).join(lab, "vec_id")
+    val a = av.select(col("vec_id").as("va"), col("svec").as("avec"),
+      col("norm2").as("an2"), col("cell"), col("label").as("la"))
+    val b = av.select(col("vec_id").as("vb"), col("svec").as("bvec"),
+      col("norm2").as("bn2"), col("cell"), col("label").as("lb"))
+    val w = Window.partitionBy(col("va"), col("same"))
+      .orderBy(col("cos").desc, col("vb").asc)
+    val best = a.join(b, Seq("cell")).filter(col("va") =!= col("vb"))
+      .withColumn("cos", cosine(col("avec"), col("bvec"), col("an2"), col("bn2")))
+      .withColumn("same", col("la") === col("lb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val pos = best.filter(col("same"))
+      .select(col("va").as("vec_id"), col("vb").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = best.filter(!col("same"))
+      .select(col("va").as("vec_id"), col("vb").as("neg_id"), col("cos").as("neg_cos"))
+    lab
+      .join(pos, Seq("vec_id"), "left")
+      .join(neg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"),
+        (col("neg_cos") > col("pos_cos")).as("violated"))
+  }
+
+  /** CLASS-SEPARATION AUDIT of the embedding space (silhouette-lite): each
+    * label's centroid is the floored component-wise mean (the [[kmeansStep]]
+    * exact-int recipe), and every vector scores cosine to its OWN centroid
+    * vs its best OTHER centroid — rolled up per label as mean own/other
+    * cosine, mean margin, and the count a nearest-centroid classifier would
+    * misassign. The pre-training health check on labeled embeddings: a
+    * label whose margin ≈ 0 contributes noise, not signal. Scale shape:
+    * centroids are a (label × dim)-keyed aggregate (vectors never shuffle
+    * whole), the |labels|-row centroid table broadcasts against one corpus
+    * scan, and per-label means fold 12-decimal-quantized terms exactly.
+    */
+  def classSeparation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val lab = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label"))
+    val vecs = withScaled(Tables.embeddings(spark, sfDir)).join(lab, "vec_id")
+    val cents = vecs
+      .select(col("label").as("clabel"), posexplode(col("svec")).as(Seq("pos", "v")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .select(col("clabel"), col("pos"),
+        floor(col("s").cast("double") / col("c")).cast("long").as("comp"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        x => x.getField("comp")).as("cvec"))
+      .withColumn("cnorm2", idot(col("cvec"), col("cvec")))
+    val scoredAll = vecs.join(broadcast(cents))
+      .withColumn("cos", cosine(col("svec"), col("cvec"), col("norm2"), col("cnorm2")))
+    val own = scoredAll.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("cos").as("own_cos"))
+    val wBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel").asc)
+    val other = scoredAll.filter(col("label") =!= col("clabel"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cos").as("other_cos"))
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(18, 12))
+    own.join(other, "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (graft.core.Num.decToDouble(sum(q12(col("own_cos")))) /
+          count(lit(1)).cast("double")).as("avg_own_cos"),
+        (graft.core.Num.decToDouble(sum(q12(col("other_cos")))) /
+          count(lit(1)).cast("double")).as("avg_other_cos"),
+        (graft.core.Num.decToDouble(sum(q12(col("own_cos") - col("other_cos")))) /
+          count(lit(1)).cast("double")).as("avg_margin"),
+        sum(when(col("other_cos") > col("own_cos"), 1L).otherwise(0L))
+          .as("n_misassigned"))
+  }
+
   /** Assign every row of `vecs` (vec_id, svec, norm2, …) to its max-cosine
     * centroid (ties → lowest cent_id); the assignment lands in `cellCol`.
     */

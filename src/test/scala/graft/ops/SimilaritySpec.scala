@@ -135,4 +135,45 @@ class SimilaritySpec extends SparkSpec {
       (exact(q) & reranked(q)).size.toDouble / exact(q).size).sum / exact.size
     assert(recall >= 0.6, f"mean reranked recall@5 = $recall%.2f")
   }
+
+  test("hard negatives: one row per vector, labels honored, margin/violated consistent") {
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.length === labels.size, "exactly one row per vector")
+    rows.foreach { r =>
+      val (vid, lbl) = (r.getLong(0), r.getInt(1))
+      assert(labels(vid) === lbl)
+      if (!r.isNullAt(2)) {
+        assert(labels(r.getLong(2)) === lbl, s"positive for $vid must share label")
+        assert(r.getDouble(3) <= 1.0 + 1e-12)
+      }
+      if (!r.isNullAt(4))
+        assert(labels(r.getLong(4)) !== lbl, s"negative for $vid must differ in label")
+      if (!r.isNullAt(2) && !r.isNullAt(4)) {
+        val (p, n) = (r.getDouble(3), r.getDouble(5))
+        assert(r.getDouble(6) === p - n, "margin is pos - neg")
+        assert(r.getBoolean(7) === (n > p), "violated iff negative closer")
+      } else {
+        assert(r.isNullAt(6) || r.isNullAt(7) || !r.getBoolean(7))
+      }
+    }
+  }
+
+  test("class separation: labels partition the corpus, margin identity holds") {
+    val rows = Similarity.classSeparation(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === n, "every vector scored once")
+    rows.foreach { case (lbl, nv, own, other, margin, mis) =>
+      assert(own >= -1.0 - 1e-12 && own <= 1.0 + 1e-12, s"label $lbl own $own")
+      assert(other >= -1.0 - 1e-12 && other <= 1.0 + 1e-12)
+      // per-vec margins fold exactly, so the means obey the identity to
+      // quantization error
+      assert(math.abs(margin - (own - other)) < 1e-9, s"label $lbl margin identity")
+      assert(mis >= 0 && mis <= nv)
+    }
+  }
 }
