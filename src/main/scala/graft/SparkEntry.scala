@@ -251,6 +251,9 @@ object SparkEntry {
     "q215_gram_novelty"    -> ((s, d) => graft.ops.Curation.gramNovelty(s, d)),
     "q216_hard_negatives"  -> ((s, d) => graft.ops.Similarity.hardNegatives(s, d)),
     "q217_class_separation" -> ((s, d) => graft.ops.Similarity.classSeparation(s, d)),
+    "q218_pca_power"       -> ((s, d) => graft.ops.Similarity.pcaPower(s, d)),
+    "q219_jl_distortion"   -> ((s, d) => graft.ops.Similarity.jlDistortion(s, d)),
+    "q220_langid_confusion" -> ((s, d) => graft.ops.TextAnalysis.langConfusion(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -520,6 +523,80 @@ object SparkEntry {
   private def signBucket(vec: String, bits: Int = 4): String =
     (0 until bits).map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** DuckDB twin of TextAnalysis.langId (q23), shared verbatim by the q220
+    * confusion matrix built on top of it.
+    */
+  private val langIdSql: String =
+    """SELECT doc_id, labeled_lang,
+      |  hits_en, hits_de, hits_es, hits_fr, hits_zh,
+      |  CASE WHEN mx = 0 THEN 'und'
+      |       WHEN hits_en = mx THEN 'en' WHEN hits_de = mx THEN 'de'
+      |       WHEN hits_es = mx THEN 'es' WHEN hits_fr = mx THEN 'fr'
+      |       ELSE 'zh' END AS guessed_lang
+      |FROM (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that)\b')) AS BIGINT) AS hits_en,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')) AS BIGINT) AS hits_de,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|es)\b')) AS BIGINT) AS hits_es,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|est|une)\b')) AS BIGINT) AS hits_fr,
+      |    CAST(len(regexp_extract_all(lower(text), '(的|是|不|了|在|人|有)')) AS BIGINT) AS hits_zh,
+      |    greatest(
+      |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that)\b')),
+      |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')),
+      |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|es)\b')),
+      |      len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|est|une)\b')),
+      |      len(regexp_extract_all(lower(text), '(的|是|不|了|在|人|有)'))) AS mx
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of Similarity.pcaPower: centered exact-int Gram, then
+    * `rounds` power-iteration rounds unrolled as CTEs with the identical
+    * DECIMAL(38,12)/DECIMAL(18,12) quantization ladder. Oracle dims are
+    * 1-based internally; the output shifts to the operator's 0-based dims.
+    */
+  private def pcaOracle(rounds: Int): String = {
+    // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and an
+    // 8-round unroll would re-inline the Gram chain exponentially (measured:
+    // fd exhaustion from thousands of re-opened parquet scans)
+    def mv(src: String, prev: String, out: String): String =
+      s"""$src AS MATERIALIZED (SELECT gb.i, CAST(CAST(sum(CAST(CAST(gb.gv * $prev.vv AS VARCHAR)
+         |    AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS $out
+         |  FROM gb JOIN $prev ON gb.j = $prev.j GROUP BY 1)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""${mv(s"w$r", s"v${r - 1}", "w")},
+         |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+         |u$r AS (SELECT i, w / m AS u FROM w$r, m$r),
+         |n$r AS (SELECT sqrt(CAST(CAST(sum(CAST(CAST(u * u AS VARCHAR)
+         |    AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)) AS nrm FROM u$r),
+         |v$r AS MATERIALIZED (SELECT i AS j, u / nrm AS vv FROM u$r, n$r)""".stripMargin
+    }.mkString(",\n")
+    val vf = s"v$rounds"
+    s"""WITH $scaledVecs,
+       |mu AS (SELECT d.i AS i,
+       |    CAST(floor(CAST(sum(svec[CAST(d.i AS INT)]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM w CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d GROUP BY 1),
+       |dev AS (SELECT w.vec_id, d.i AS i, svec[CAST(d.i AS INT)] - mu.m AS dv
+       |  FROM w CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d JOIN mu ON mu.i = d.i),
+       |g AS (SELECT a.i AS i, b.i AS j, sum(CAST(a.dv AS HUGEINT) * b.dv) AS gsum
+       |  FROM dev a JOIN dev b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |gr AS (SELECT i, j, CAST(CAST(gsum AS VARCHAR) AS DOUBLE) AS gv FROM g),
+       |gmx AS (SELECT max(abs(gv)) AS gm FROM gr),
+       |gb AS MATERIALIZED (SELECT i, j, gv / gm AS gv FROM gr, gmx),
+       |v0 AS (SELECT CAST(u AS BIGINT) AS j,
+       |    CASE WHEN u = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS vv
+       |  FROM (SELECT unnest(range(1, 65)) AS u)),
+       |$roundCtes,
+       |${mv("rr", vf, "r")},
+       |lam AS (SELECT
+       |    CAST(CAST(sum(CAST(CAST($vf.vv * rr.r AS VARCHAR) AS DECIMAL(18,12)))
+       |      AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(sum(CAST(CAST($vf.vv * $vf.vv AS VARCHAR) AS DECIMAL(18,12)))
+       |      AS VARCHAR) AS DOUBLE) AS lambda_scaled
+       |  FROM rr JOIN $vf ON rr.i = $vf.j)
+       |SELECT CAST($vf.j - 1 AS BIGINT) AS dim, $vf.vv AS component,
+       |  lam.lambda_scaled * gmx.gm AS lambda
+       |FROM $vf, lam, gmx""".stripMargin
+  }
 
   /** DuckDB twin of Bpe.train: ⌈k/B⌉ unrolled BATCHED merge rounds over the
     * word dictionary. Each round counts adjacent symbol pairs (tab-joined,
@@ -1582,6 +1659,40 @@ object SparkEntry {
          |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
          |  zq >= 0 AS keep
          |FROM e""".stripMargin,
+
+    // q218: PCA top component — 8 unrolled power rounds over the exact-int
+    // centered Gram (helper builds the quantization-ladder CTEs)
+    "q218_pca_power" -> pcaOracle(rounds = 8),
+
+    // q219: JL distortion — deterministic md5-parity sign matrix, exact
+    // int64 original distances, HUGEINT projected distances, one ratio tree
+    "q219_jl_distortion" ->
+      s"""WITH $scaledVecs,
+         |sgn AS (SELECT k.k, d.pos,
+         |    CASE WHEN CAST('0x' || substr(md5(k.k || ':' || d.pos), 1, 2) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sign
+         |  FROM (SELECT unnest(range(0, 16)) AS k) k
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) d),
+         |pe AS (SELECT w.vec_id, d.pos, svec[CAST(d.pos + 1 AS INT)] AS v
+         |  FROM w CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) d),
+         |pr AS (SELECT pe.vec_id, s.k, CAST(sum(s.sign * pe.v) AS BIGINT) AS p
+         |  FROM pe JOIN sgn s ON pe.pos = s.pos GROUP BY 1, 2),
+         |pv AS (SELECT vec_id, array_agg(p ORDER BY k) AS pvec FROM pr GROUP BY 1),
+         |f AS (SELECT w.vec_id, w.svec, pv.pvec FROM w JOIN pv USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, svec AS qvec, pvec AS qp FROM f WHERE vec_id < 20),
+         |c AS (SELECT query_id, f.vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 65), i -> (qvec[i] - svec[i]) * (qvec[i] - svec[i]))),
+         |      (a, b) -> a + b) AS d2_orig,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(range(1, 17), i -> CAST(qp[i] - pvec[i] AS HUGEINT) * (qp[i] - pvec[i]))),
+         |      (a, b) -> a + b) AS d2p
+         |  FROM q JOIN f ON query_id < f.vec_id)
+         |SELECT query_id, vec_id, d2_orig,
+         |  CAST(CAST(d2p AS VARCHAR) AS DOUBLE) AS d2_proj,
+         |  (CAST(CAST(d2p AS VARCHAR) AS DOUBLE) / CAST(16.0 AS DOUBLE))
+         |    / CAST(d2_orig AS DOUBLE) AS jl_ratio
+         |FROM c""".stripMargin,
 
     // q216: hard-negative mining — q36's IVF cell CTEs + per-(vector, same?)
     // argmax windows; NULLs where a cell holds no same/other-label peer
@@ -2951,27 +3062,20 @@ object SparkEntry {
         |      / len(regexp_split_to_array(trim(text), '\s+')) AS mean_word_len
         |  FROM documents)""".stripMargin,
 
-    "q23_lang_id" ->
-      """SELECT doc_id, labeled_lang,
-        |  hits_en, hits_de, hits_es, hits_fr, hits_zh,
-        |  CASE WHEN mx = 0 THEN 'und'
-        |       WHEN hits_en = mx THEN 'en' WHEN hits_de = mx THEN 'de'
-        |       WHEN hits_es = mx THEN 'es' WHEN hits_fr = mx THEN 'fr'
-        |       ELSE 'zh' END AS guessed_lang
-        |FROM (
-        |  SELECT doc_id, lang AS labeled_lang,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that)\b')) AS BIGINT) AS hits_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')) AS BIGINT) AS hits_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|es)\b')) AS BIGINT) AS hits_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|est|une)\b')) AS BIGINT) AS hits_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '(的|是|不|了|在|人|有)')) AS BIGINT) AS hits_zh,
-        |    greatest(
-        |      len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that)\b')),
-        |      len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')),
-        |      len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los|es)\b')),
-        |      len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|est|une)\b')),
-        |      len(regexp_extract_all(lower(text), '(的|是|不|了|在|人|有)'))) AS mx
-        |  FROM documents)""".stripMargin,
+    "q23_lang_id" -> langIdSql,
+
+    // q220: confusion matrix over the q23 classifier — shares langIdSql
+    // verbatim so the two can never silently diverge
+    "q220_langid_confusion" ->
+      s"""WITH p AS ($langIdSql),
+         |t AS (SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_true FROM p GROUP BY 1),
+         |c AS (
+         |  SELECT labeled_lang, guessed_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT c.labeled_lang, c.guessed_lang, c.n, t.n_true,
+         |  CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS share_of_true,
+         |  c.labeled_lang = c.guessed_lang AS is_correct
+         |FROM c JOIN t USING (labeled_lang)""".stripMargin,
 
     "q24_fingerprint" ->
       s"""SELECT doc_id, md5($normText) AS fingerprint,

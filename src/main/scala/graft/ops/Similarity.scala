@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Num, Tables}
 
 /** Vector similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -414,6 +414,123 @@ object Similarity {
           count(lit(1)).cast("double")).as("avg_margin"),
         sum(when(col("other_cos") > col("own_cos"), 1L).otherwise(0L))
           .as("n_misassigned"))
+  }
+
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by POWER ITERATION —
+    * distributed PCA's first step (the direction a whitening / dim-reduction
+    * pass removes first). Phase 1 (the only corpus-sized job): the centered
+    * Gram matrix G = Σ (x−μ)(x−μ)ᵀ — μ is the floored exact-int mean (the
+    * [[kmeansStep]] recipe) so deviations stay int64, per-vector outer
+    * products fan out d² rows and fold exactly in DECIMAL(38,0)/HUGEINT.
+    * O(n·d²) — the standard covariance shape; at larger d swap in a sketch
+    * or sampled Gram, same algebra. Phase 2: `rounds` power iterations on
+    * the 64×64 BRIDGED Gram — every matrix-vector product folds
+    * DECIMAL(38,12)-quantized terms exactly, each round max-scales then
+    * L2-normalizes (two divisions of identical doubles), so the iteration
+    * is bit-reproducible and the oracle unrolls it as CTEs. λ is the
+    * Rayleigh quotient at the final vector. Starting vector e₀ and the
+    * round count are part of the operator contract (power iteration from a
+    * fixed start is deterministic; this corpus's near-uniform synthetic
+    * spectrum converges slowly, so the default is 8 rounds, with the
+    * residual monitored by the spec).
+    */
+  def pcaPower(spark: SparkSession, sfDir: String, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+    val mu = vecs.select(posexplode(col("svec")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("m"))
+    val dev = vecs.select(col("vec_id"), posexplode(col("svec")).as(Seq("pos", "v")))
+      .join(broadcast(mu), "pos")
+      .select(col("vec_id"), col("pos").as("i"), (col("v") - col("m")).as("d"))
+    val gRaw = dev.as("a").join(dev.as("b"), Seq("vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum((col("a.d") * col("b.d")).cast(DecimalType(38, 0))).as("gsum"))
+      .select(col("i"), col("j"), Num.decToDouble(col("gsum")).as("gv"))
+      .localCheckpoint(true) // 64×64 rows; pay the Gram once, reuse per round
+    // Power iteration is scale-invariant, so normalize G by its max entry
+    // FIRST: every bridged product then lives in [−64, 64], where the
+    // 12-decimal grid is ≫ the double's ulp (the q195 magnitude rule — raw
+    // Gram entries reach 10¹⁶⁺, where ulp exceeds the grid and the JVM's
+    // non-shortest Double.toString diverges from C's shortest form). λ
+    // rescales by the same max at the end.
+    val gMax = gRaw.agg(max(abs(col("gv"))).as("gm"))
+    val gBridged = gRaw.crossJoin(broadcast(gMax))
+      .select(col("i"), col("j"), (col("gv") / col("gm")).as("gv"))
+      .localCheckpoint(true)
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(18, 12))
+    def matVec(v: DataFrame, out: String): DataFrame =
+      gBridged.join(broadcast(v), "j")
+        .groupBy(col("i"))
+        .agg(Num.decToDouble(sum(q12(col("gv") * col("vv")))).as(out))
+    var v = spark.range(0, 64).select(col("id").as("j"),
+      when(col("id") === 0, lit(1.0)).otherwise(lit(0.0)).as("vv"))
+    for (_ <- 1 to rounds) {
+      val w = matVec(v, "w")
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      val u = w.crossJoin(broadcast(m)).select(col("i"), (col("w") / col("m")).as("u"))
+      val norm = u.agg(
+        sqrt(Num.decToDouble(sum(q12(col("u") * col("u"))))).as("nrm"))
+      v = u.crossJoin(broadcast(norm))
+        .select(col("i").as("j"), (col("u") / col("nrm")).as("vv"))
+        .localCheckpoint(true)
+    }
+    val r = matVec(v, "r")
+    val lam = r.join(v.select(col("j").as("i"), col("vv")), "i")
+      .agg((Num.decToDouble(sum(q12(col("vv") * col("r")))) /
+        Num.decToDouble(sum(q12(col("vv") * col("vv"))))).as("lambda_scaled"))
+    v.select(col("j").cast("long").as("dim"), col("vv").as("component"))
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(gMax))
+      .select(col("dim"), col("component"),
+        (col("lambda_scaled") * col("gm")).as("lambda"))
+  }
+
+  /** JOHNSON–LINDENSTRAUSS RANDOM-PROJECTION DISTORTION AUDIT: project the
+    * 64-dim corpus onto `m` = 16 dimensions with a DETERMINISTIC ±1 sign
+    * matrix (sign = parity of a byte of md5("k:d") — content-addressed, so
+    * both engines and every executor derive the identical matrix with no
+    * shipped state), then report, for each query–corpus pair, the exact
+    * squared distance in both spaces and the JL ratio (proj²/m) / orig².
+    * This is the audit a 100 TB pipeline runs BEFORE swapping ANN to the
+    * projected space — the ratio histogram tells you if m is high enough.
+    * Exactness: original d² folds in int64 (bounded by 64·(2·10⁸)²), the
+    * projection is an exact int64 sum of ±svec components, projected d²
+    * folds per-element in DECIMAL(38,0)/HUGEINT, and only the final ratio
+    * divides into doubles. Scale shape: the projection is one d²-free
+    * per-element aggregate (n·d·m rows through a map-side-combined
+    * groupBy); the pair audit scopes to the broadcast query set.
+    */
+  def jlDistortion(spark: SparkSession, sfDir: String, m: Int = 16,
+      nQueries: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val signs = spark.range(0, m.toLong).select(col("id").as("k"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("pos")))
+      .select(col("k"), col("pos"),
+        (when(conv(substring(md5(concat(col("k"), lit(":"), col("pos"))), 1, 2),
+          16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L)).as("sign"))
+    val elems = withScaled(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), posexplode(col("svec")).as(Seq("pos", "v")))
+    val proj = elems.join(broadcast(signs), "pos")
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("sign") * col("v")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("p")))),
+        x => x.getField("p")).as("pvec"))
+    val full = withScaled(Tables.embeddings(spark, sfDir)).join(proj, "vec_id")
+    val queries = full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("svec").as("qvec"), col("pvec").as("qp"))
+    val d2orig = aggregate(zip_with(col("qvec"), col("svec"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, t) => acc + t)
+    val zero = lit(0).cast(DecimalType(38, 0))
+    val d2proj = aggregate(zip_with(col("qp"), col("pvec"),
+      (x, y) => ((x - y).cast(DecimalType(19, 0)) * (x - y)).cast(DecimalType(38, 0))),
+      zero, (acc, t) => (acc + t).cast(DecimalType(38, 0)))
+    broadcast(queries).join(full, col("query_id") < col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        d2orig.as("d2_orig"),
+        Num.decToDouble(d2proj).as("d2_proj"),
+        ((Num.decToDouble(d2proj) / lit(m.toDouble)) /
+          col("d2_orig").cast("double")).as("jl_ratio"))
   }
 
   /** Assign every row of `vecs` (vec_id, svec, norm2, …) to its max-cosine

@@ -91,6 +91,25 @@ object TextAnalysis {
         .when(fr === mx, "fr").otherwise("zh").as("guessed_lang"))
   }
 
+  /** CONFUSION MATRIX of the [[langId]] heuristic against the labeled
+    * language — the model-evaluation primitive run after ANY classifier
+    * lands in a pipeline: per (true, predicted) cell counts, the cell's
+    * share of its true-language row, and a correctness flag. Row shares are
+    * exact-long divisions (one IEEE op); overall/per-language accuracy is a
+    * `filter`+`sum` away on the same frame. Scale shape: one classifier
+    * scan + one groupBy; the |langs|-row totals ride in as a broadcast.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = langId(spark, sfDir).select(col("labeled_lang"), col("guessed_lang"))
+    val totals = pred.groupBy(col("labeled_lang")).agg(count(lit(1)).as("n_true"))
+    pred.groupBy(col("labeled_lang"), col("guessed_lang"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "labeled_lang")
+      .select(col("labeled_lang"), col("guessed_lang"), col("n"), col("n_true"),
+        (col("n").cast("double") / col("n_true").cast("double")).as("share_of_true"),
+        (col("labeled_lang") === col("guessed_lang")).as("is_correct"))
+  }
+
   /** Document fingerprint: md5 over the whitespace-normalized lowercase text —
     * the exact-dedup key. md5 is content-addressed and engine-portable (same hex
     * in Spark, DuckDB, and any object store's ETag tooling).

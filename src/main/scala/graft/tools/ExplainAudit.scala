@@ -69,6 +69,8 @@ object ExplainAudit {
     audit("q205_gini", graft.ops.Statistics.giniBySegment(spark, sf))
     audit("q207_item_cf", graft.ops.Recommend.itemItemCf(spark, sf))
     audit("q208_adamic_adar", graft.ops.Recommend.adamicAdar(spark, sf))
+    audit("q216_hard_negatives", graft.ops.Similarity.hardNegatives(spark, sf))
+    audit("q219_jl_distortion", graft.ops.Similarity.jlDistortion(spark, sf))
     audit("q210_acf", graft.ops.TimeSeries.revenueAcf(spark, sf))
     audit("q211_ewma", graft.ops.TimeSeries.ewmaRevenue(spark, sf))
     audit("q212_burstiness", graft.ops.TimeSeries.userBurstiness(spark, sf))

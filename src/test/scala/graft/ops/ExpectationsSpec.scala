@@ -40,4 +40,22 @@ class ExpectationsSpec extends SparkSpec {
       .select("doc_id").distinct().count()
     assert(rows.map(_._2).sum === nGramDocs)
   }
+
+  test("langid confusion: cells partition the corpus, shares sum to 1 per true lang") {
+    val rows = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === n, "cells partition the documents")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(cells.map(_._3).sum === cells.head._4, s"$lang n_true consistent")
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-12, s"$lang shares sum to 1")
+    }
+    rows.foreach(r => assert(r._6 === (r._1 == r._2)))
+    // the stopword heuristic must beat 5-class chance on this tiny labeled
+    // slice (the synthetic corpus's short docs cap its headroom here — the
+    // confusion matrix itself is the deliverable, not the classifier)
+    val acc = rows.filter(_._6).map(_._3).sum.toDouble / n
+    assert(acc > 0.25, s"overall lang-id accuracy $acc")
+  }
 }

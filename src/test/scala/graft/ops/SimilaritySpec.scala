@@ -176,4 +176,55 @@ class SimilaritySpec extends SparkSpec {
       assert(mis >= 0 && mis <= nv)
     }
   }
+
+  test("pca: unit vector, dominant eigenvalue positive, iteration converged") {
+    val rows = Similarity.pcaPower(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).sorted.sameElements(0L to 63L), "one component per dim")
+    val norm2 = rows.map(t => t._2 * t._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-9, s"unit vector, |v|^2 = $norm2")
+    val lambda = rows.head._3
+    assert(rows.forall(_._3 == lambda), "lambda repeated on every row")
+    assert(lambda > 0.0, "covariance top eigenvalue is positive")
+    // guaranteed bound regardless of spectrum: 0 < λ ≤ trace(G)
+    val vecs = Similarity.scaledVecs(spark, sf).collect()
+      .map(_.getSeq[Long](1).toArray)
+    val mu = (0 until 64).map(d =>
+      math.floor(vecs.map(_(d)).sum.toDouble / vecs.length).toLong)
+    val trace = vecs.map(v => (0 until 64).map { d =>
+      val x = v(d) - mu(d); BigInt(x) * BigInt(x)
+    }.sum).sum
+    assert(lambda <= BigDecimal(trace).toDouble * (1 + 1e-9), "lambda <= trace")
+    // convergence monitor (the residual check the scaladoc promises), run at
+    // sf0.01 — the gate scale; this synthetic corpus's near-uniform spectrum
+    // is the slow case, hence the 8-round default
+    val sf01 = "/root/testdata/sf0.01"
+    val v8 = Similarity.pcaPower(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val v12 = Similarity.pcaPower(spark, sf01, rounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dot = v8.keys.map(k => v8(k) * v12(k)).sum
+    assert(math.abs(dot) > 0.98, s"round 8 aligned with round 12 at sf0.01, |cos|=$dot")
+  }
+
+  test("jl distortion: ratios concentrate near 1, exact distances recomputed for one pair") {
+    val rows = Similarity.jlDistortion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, d2o, d2p, ratio) =>
+      assert(a < b && d2o > 0 && d2p >= 0)
+      assert(ratio === (d2p / 16.0) / d2o.toDouble)
+    }
+    // JL with m=16: the mean ratio should sit near 1 (unbiased estimator)
+    val mean = rows.map(_._5).sum / rows.length
+    assert(mean > 0.5 && mean < 1.5, s"mean JL ratio $mean")
+    // one pair recomputed exactly from raw embeddings
+    val (qa, qb, d2o, _, _) = rows.head
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === qa || col("vec_id") === qb)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x * 1e8).toLong)).toMap
+    val expect = vecs(qa).zip(vecs(qb)).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2o === expect, "exact int64 original distance")
+  }
 }
