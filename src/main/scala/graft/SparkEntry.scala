@@ -254,6 +254,9 @@ object SparkEntry {
     "q218_pca_power"       -> ((s, d) => graft.ops.Similarity.pcaPower(s, d)),
     "q219_jl_distortion"   -> ((s, d) => graft.ops.Similarity.jlDistortion(s, d)),
     "q220_langid_confusion" -> ((s, d) => graft.ops.TextAnalysis.langConfusion(s, d)),
+    "q221_theil_sen"       -> ((s, d) => graft.ops.TimeSeries.theilSen(s, d)),
+    "q222_kaplan_meier"    -> ((s, d) => graft.ops.TimeSeries.kaplanMeier(s, d)),
+    "q223_forecast_backtest" -> ((s, d) => graft.ops.TimeSeries.forecastBacktest(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1801,6 +1804,117 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS avg_novelty,
         |  CAST(sum(CASE WHEN n_unique = n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_novel
         |FROM p GROUP BY 1""".stripMargin,
+
+    // q221: Theil-Sen — median pairwise slope by declarative rank (the
+    // Spark side selects it two-phase); lower medians, //2 integer halving
+    "q221_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT CAST(date_diff('day', DATE '1990-01-01', day) AS BIGINT) AS dn, x FROM daily),
+        |p AS (
+        |  SELECT a.dn * 100000 + b.dn AS pid,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.dn - a.dn AS DOUBLE) AS slope
+        |  FROM d a JOIN d b ON b.dn > a.dn),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |med AS (
+        |  SELECT slope, n_pairs FROM
+        |    (SELECT slope, row_number() OVER (ORDER BY slope, pid) AS rk FROM p), n
+        |  WHERE rk = (n_pairs + 1) // 2),
+        |r AS (
+        |  SELECT d.dn, med.slope, med.n_pairs,
+        |    CAST(d.x AS DOUBLE) - med.slope * CAST(d.dn AS DOUBLE) AS r
+        |  FROM d, med),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndays FROM d)
+        |SELECT n_pairs, slope AS slope_cents_per_day, r AS intercept_cents
+        |FROM (SELECT *, row_number() OVER (ORDER BY r, dn) AS rr FROM r), nd
+        |WHERE rr = (ndays + 1) // 2""".stripMargin,
+
+    // q222: Kaplan-Meier — suffix-sum risk sets, product-limit as
+    // exp(Sigma bridged ln), exact-0 pin when an event empties the risk set
+    "q222_kaplan_meier" ->
+      """WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+        |life AS (
+        |  SELECT
+        |    CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+        |      max(CAST(o_orderdate AS DATE))) AS BIGINT) AS t,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)), h.max_d) > 90 AS event
+        |  FROM orders, h GROUP BY o_custkey, h.max_d),
+        |byt AS (
+        |  SELECT t, CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM life GROUP BY 1),
+        |risk AS (
+        |  SELECT t, d, c, CAST(sum(d + c) OVER (ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM byt),
+        |terms AS (
+        |  SELECT t, d, c, n_risk,
+        |    CASE WHEN d > 0 AND d < n_risk THEN
+        |      CAST(CAST(CAST(CAST(ln(CAST(1.0 AS DOUBLE)
+        |        - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS VARCHAR)
+        |        AS DECIMAL(18,12)) AS VARCHAR) AS DECIMAL(28,12))
+        |    ELSE CAST(0 AS DECIMAL(28,12)) END AS lnq,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead
+        |  FROM risk),
+        |cum AS (
+        |  SELECT t, d, c, n_risk,
+        |    CAST(CAST(sum(lnq) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS lsum,
+        |    max(dead) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+        |  FROM terms)
+        |SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN z = 1 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(CAST(CAST(CAST(exp(lsum) AS VARCHAR) AS DECIMAL(18,12))
+        |         AS VARCHAR) AS DOUBLE) END AS survival
+        |FROM cum""".stripMargin,
+
+    // q223: walk-forward backtest of the q211 smoother — relative errors
+    // keep every bridged square in the magnitude-safe range
+    "q223_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |i AS (SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+        |o AS (SELECT CAST(u AS BIGINT) AS j FROM (SELECT unnest(generate_series(0, 39)) AS u)),
+        |c AS (
+        |  SELECT i.i + o.j AS i,
+        |    CAST(CAST(CAST(x AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS termq,
+        |    CAST(CAST(CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS wq
+        |  FROM i CROSS JOIN o),
+        |s AS (
+        |  SELECT i, CAST(CAST(sum(termq) AS VARCHAR) AS DOUBLE) AS ewma_cents,
+        |    CAST(CAST(sum(wq) AS VARCHAR) AS DOUBLE) AS w_mass
+        |  FROM c GROUP BY 1),
+        |e0 AS (
+        |  SELECT day, x AS total_cents, ewma_cents / w_mass AS ewma_norm
+        |  FROM i JOIN s USING (i)),
+        |f AS (
+        |  SELECT day, total_cents, lag(ewma_norm) OVER (ORDER BY day) AS forecast
+        |  FROM e0),
+        |sc AS (
+        |  SELECT day, total_cents, CAST(total_cents AS DOUBLE) - forecast AS e,
+        |    (CAST(total_cents AS DOUBLE) - forecast) / CAST(total_cents AS DOUBLE) AS rel
+        |  FROM f WHERE forecast IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(CAST(sum(CAST(CAST(abs(e) AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sae,
+        |    CAST(CAST(sum(CAST(CAST(rel * rel AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS ssr,
+        |    CAST(CAST(sum(CAST(CAST(abs(rel) AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sar
+        |  FROM sc GROUP BY 1)
+        |SELECT month, n_days,
+        |  sae / CAST(n_days AS DOUBLE) AS mae_cents,
+        |  sqrt(ssr / CAST(n_days AS DOUBLE)) AS rmse_rel,
+        |  sar / CAST(n_days AS DOUBLE) AS mape
+        |FROM m""".stripMargin,
 
     // q210: sample ACF — mean-centering scaled by n into exact integers
     // (HUGEINT oracle-side, DECIMAL(38,0) Spark-side), bridged division

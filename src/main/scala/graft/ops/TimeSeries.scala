@@ -125,6 +125,125 @@ object TimeSeries {
       (sd / mean).as("cv"), ((sd - mean) / (sd + mean)).as("burstiness"))
   }
 
+  /** THEIL–SEN ROBUST TREND of daily revenue: the median of all pairwise
+    * slopes (Theil 1950 / Sen 1968, public) — the regression line outliers
+    * cannot drag, the robust companion to q143's least squares. Slopes are
+    * one exact division per day pair ((centsⱼ−centsᵢ)/(dayⱼ−dayᵢ), both
+    * exact longs); the MEDIAN over the ~|days|²/2 slopes is selected by the
+    * q184 TWO-PHASE RANK (value-range buckets + offset ranks), so no task
+    * ever sorts the pair set — the naive spelling is a single-task sort of
+    * millions of rows. The intercept is the lower median of the residuals
+    * x − slope·day (a second, |days|-sized selection). At extreme |days|
+    * the standard refinement is sampled pairs (documented); the slope
+    * estimator stays consistent.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCents(spark, sfDir)
+      .withColumn("dn", datediff(col("day"), lit("1990-01-01").cast("date")).cast("long"))
+      .select(col("dn"), col("x"))
+    val pairs = daily.as("a").join(daily.as("b"), col("b.dn") > col("a.dn"))
+      .select((col("a.dn") * 100000L + col("b.dn")).as("pid"),
+        ((col("b.x") - col("a.x")).cast("double") /
+          (col("b.dn") - col("a.dn")).cast("double")).as("slope"))
+    val n = pairs.count() // one count job; the rank needs the target index
+    val mid = (n + 1) / 2
+    val slope = Relational.twoPhaseRank(pairs, "slope", "pid", "rk")
+      .filter(col("rk") === mid)
+      .select(col("slope"), lit(n).as("n_pairs"))
+    val resid = daily.crossJoin(broadcast(slope))
+      .select(col("dn"), col("x"), col("slope"), col("n_pairs"),
+        (col("x").cast("double") - col("slope") * col("dn").cast("double")).as("r"))
+    val nd = daily.count()
+    resid
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("r"), col("dn"))))
+      .filter(col("rr") === (nd + 1) / 2)
+      .select(col("n_pairs"), col("slope").as("slope_cents_per_day"),
+        col("r").as("intercept_cents"))
+  }
+
+  /** KAPLAN–MEIER SURVIVAL over customer lifetimes (Kaplan & Meier 1958,
+    * public): duration = days between a customer's first and last order;
+    * a customer whose last order falls within `censorDays` of the data
+    * horizon is CENSORED (still alive), otherwise the lifetime ended — the
+    * churn curve every retention team reads. The product-limit estimator
+    * S(t) = Π_{tᵢ≤t} (1 − dᵢ/rᵢ) is spelled as exp(Σ ln(1−dᵢ/rᵢ)): each
+    * log term is bounded in (−∞, 0] with small magnitude, 12-decimal
+    * bridged and folded exactly, and exp's output lives in (0, 1] — both
+    * transcendentals inside the magnitude-safe regime (SURVEY §8.4 rule).
+    * Risk sets are suffix sums over the |distinct durations| aggregated
+    * frame. One per-customer aggregate is the only corpus-sized job.
+    */
+  def kaplanMeier(spark: SparkSession, sfDir: String, censorDays: Int = 90): DataFrame = {
+    val horizon = Tables.orders(spark, sfDir)
+      .agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    val life = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+      .crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+        (datediff(col("max_d"), col("last_d")) > censorDays).as("event"))
+    val byT = life.groupBy(col("t")).agg(
+      sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+    val later = Window.orderBy(col("t")).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prior = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    import org.apache.spark.sql.types.DecimalType
+    val risk = byT.withColumn("n_risk", sum(col("d") + col("c")).over(later))
+    val lnTerm = Num.decToDouble(
+      log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+        .cast(DecimalType(18, 12)))
+    risk
+      // d = n_risk empties the risk set (1 − d/r = 0, ln undefined): flag it
+      // and pin survival to exactly 0 from that time on
+      .withColumn("lnq",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          lnTerm.cast("string").cast(DecimalType(28, 12)))
+          .otherwise(lit(0).cast(DecimalType(28, 12))))
+      .withColumn("dead", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .withColumn("z", max(col("dead")).over(prior))
+      .withColumn("survival",
+        when(col("z") === 1, lit(0.0)).otherwise(Num.decToDouble(
+          exp(Num.decToDouble(sum(col("lnq")).over(prior)))
+            .cast(DecimalType(18, 12)))))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("survival"))
+  }
+
+  /** FORECAST BACKTEST of the [[ewmaRevenue]] smoother: yesterday's
+    * normalized EWMA is today's one-step-ahead forecast, scored per month
+    * with MAE, RMSE and MAPE — the walk-forward evaluation loop any
+    * forecasting pipeline runs before trusting a model. Per-day errors are
+    * fixed trees over already-deterministic doubles; the monthly means fold
+    * 12-decimal-quantized terms exactly (accumulation order never
+    * matters). Everything after the per-day aggregate runs on the
+    * |days|-row frame.
+    */
+  def forecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.orderBy(col("day"))
+    val scored = ewmaRevenue(spark, sfDir)
+      .withColumn("forecast", lag(col("ewma_norm_cents"), 1).over(w))
+      .filter(col("forecast").isNotNull)
+      .withColumn("e", col("total_cents").cast("double") - col("forecast"))
+      // relative error keeps every bridged square in [0, ~1] — the
+      // magnitude-safe regime — at ANY scale factor; absolute cents are
+      // reported un-squared (well under 10¹⁶ at any plausible SF)
+      .withColumn("rel", col("e") / col("total_cents").cast("double"))
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val monthly = scored
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        Num.decToDouble(sum(q12(abs(col("e"))))).as("sae"),
+        Num.decToDouble(sum(q12(col("rel") * col("rel")))).as("ssr"),
+        Num.decToDouble(sum(q12(abs(col("rel"))))).as("sar"))
+    monthly.select(col("month"), col("n_days"),
+      (col("sae") / col("n_days").cast("double")).as("mae_cents"),
+      sqrt(col("ssr") / col("n_days").cast("double")).as("rmse_rel"),
+      (col("sar") / col("n_days").cast("double")).as("mape"))
+  }
+
   /** DAY-OF-WEEK SEASONAL INDEX of revenue: mean daily revenue per weekday
     * over the grand mean — the multiplicative seasonality profile behind
     * any weekly-decomposition forecast. The weekday is PURE DATE

@@ -87,6 +87,70 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(mean - gaps.sum.toDouble / gaps.length) < 1e-6)
   }
 
+  test("theil-sen: median slope recomputed exactly from all pairs") {
+    val xs = series()
+    // rebuild (day-number, cents) with the same anchor the operator uses
+    val days = graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day")).distinct().collect()
+      .map(_.getDate(0).toLocalDate.toEpochDay - java.time.LocalDate.parse("1990-01-01").toEpochDay)
+      .sorted
+    val pts = days.zip(xs)
+    val slopes = (for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+    } yield ((pts(i)._1 * 100000L + pts(j)._1),
+      (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1).toDouble)).toArray
+    val n = slopes.length.toLong
+    val sorted = slopes.sortBy(t => (t._2, t._1))
+    val expect = sorted(((n + 1) / 2 - 1).toInt)._2
+    val r = TimeSeries.theilSen(spark, sf).collect().head
+    assert(r.getLong(0) === n, "pair count")
+    assert(r.getDouble(1) === expect, "median slope exact")
+  }
+
+  test("kaplan-meier: survival monotone from 1-ish to >=0, risk sets telescope") {
+    val rows = TimeSeries.kaplanMeier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val nCust = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.head._2 === nCust, "initial risk set is every customer")
+    assert(rows.map(t => t._3 + t._4).sum === nCust, "events + censored partition subjects")
+    // risk sets telescope: n_risk(t) = n_risk(next) + d + c
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 === b._2 + a._3 + a._4, s"telescope at t=${a._1}")
+      case _ =>
+    }
+    assert(rows.map(_._5).sliding(2).forall { case Array(a, b) => b <= a + 1e-12; case _ => true },
+      "survival nonincreasing")
+    assert(rows.forall(t => t._5 >= 0.0 && t._5 <= 1.0))
+    // driver recompute of the product-limit at the final time
+    val prod = rows.foldLeft(1.0) { case (s, (_, r, d, _, _)) =>
+      if (d > 0 && d < r) s * (1.0 - d.toDouble / r) else if (d == r) 0.0 else s
+    }
+    assert(math.abs(rows.last._5 - prod) < 1e-6, "final survival near the naive product")
+  }
+
+  test("forecast backtest: forecast is yesterday's smoothed value, errors fold") {
+    val ew = TimeSeries.ewmaRevenue(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(4)))
+      .sortBy(_._1)(Ordering.by(_.toEpochDay))
+    val rows = TimeSeries.forecastBacktest(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._2).sum === ew.length - 1L, "every day after the first is scored")
+    rows.foreach { case (m, nd, mae, rmse, mape) =>
+      assert(nd > 0 && mae >= 0 && rmse >= 0 && mape >= 0, s"$m")
+    }
+    // recompute one month's MAE from the smoother's own outputs
+    val first = rows.minBy(_._1)(Ordering.by(_.toEpochDay))
+    val scored = ew.sliding(2).collect {
+      case Array((_, _, f), (d2, x2, _))
+        if d2.getYear == first._1.getYear && d2.getMonth == first._1.getMonth =>
+        math.abs(x2.toDouble - f)
+    }.toArray
+    assert(scored.length.toLong === first._2)
+    assert(math.abs(scored.sum / scored.length - first._3) < 1e-6, "month MAE recompute")
+  }
+
   test("dow seasonality: 7 rows partition the days; n-weighted index mean is 1") {
     val rows = TimeSeries.dowSeasonality(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
