@@ -257,6 +257,8 @@ object SparkEntry {
     "q221_theil_sen"       -> ((s, d) => graft.ops.TimeSeries.theilSen(s, d)),
     "q222_kaplan_meier"    -> ((s, d) => graft.ops.TimeSeries.kaplanMeier(s, d)),
     "q223_forecast_backtest" -> ((s, d) => graft.ops.TimeSeries.forecastBacktest(s, d)),
+    "q224_ab_test"         -> ((s, d) => graft.ops.Experiment.abTest(s, d)),
+    "q225_cuped"           -> ((s, d) => graft.ops.Experiment.cuped(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1804,6 +1806,109 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS avg_novelty,
         |  CAST(sum(CASE WHEN n_unique = n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_novel
         |FROM p GROUP BY 1""".stripMargin,
+
+    // q224: two-proportion A/B test — md5-parity arms, exact-int counts,
+    // one fixed tree per statistic with the 1.96 critical value pinned
+    "q224_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      THEN 1 ELSE 0 END AS BIGINT) AS converted
+        |  FROM events GROUP BY 1),
+        |ua AS (
+        |  SELECT *, CASE WHEN CAST('0x' || substr(md5(user_id || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm
+        |  FROM u),
+        |ar AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS x
+        |       FROM ua GROUP BY 1),
+        |wide AS (
+        |  SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |  FROM (SELECT n, x FROM ar WHERE arm = 'A') a,
+        |       (SELECT n, x FROM ar WHERE arm = 'B') b)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
+        |  (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |      * (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - CAST(1.96 AS DOUBLE) * sqrt(
+        |      CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        / CAST(n_a AS DOUBLE)
+        |      + CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / CAST(n_b AS DOUBLE)) AS ci_lo,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    + CAST(1.96 AS DOUBLE) * sqrt(
+        |      CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        / CAST(n_a AS DOUBLE)
+        |      + CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / CAST(n_b AS DOUBLE)) AS ci_hi,
+        |  abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |      * (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))) > CAST(1.96 AS DOUBLE) AS significant
+        |FROM wide""".stripMargin,
+
+    // q225: CUPED — exact-cents moments, n-scaled theta, quantized folds
+    // for the per-arm means/variances
+    "q225_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |ua AS (
+        |  SELECT *, CASE WHEN CAST('0x' || substr(md5(user_id || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm
+        |  FROM u),
+        |mom AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM ua),
+        |st AS (
+        |  SELECT n, sx,
+        |    CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM mom),
+        |adj AS (
+        |  SELECT ua.arm, CAST(ua.y AS DOUBLE) AS yd,
+        |    CAST(ua.y AS DOUBLE) - st.theta * (CAST(ua.x AS DOUBLE) - st.xbar) AS yadj,
+        |    st.theta
+        |  FROM ua, st),
+        |aa AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS nu,
+        |    CAST(CAST(sum(CAST(CAST(yd AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(CAST(yd * yd AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(CAST(yadj AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sa,
+        |    CAST(CAST(sum(CAST(CAST(yadj * yadj AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS saa,
+        |    min(theta) AS theta
+        |  FROM adj GROUP BY 1)
+        |SELECT arm, nu AS n_users,
+        |  sy / CAST(nu AS DOUBLE) AS mean_y,
+        |  sa / CAST(nu AS DOUBLE) AS mean_y_adj,
+        |  theta,
+        |  syy / CAST(nu AS DOUBLE) - sy / CAST(nu AS DOUBLE) * (sy / CAST(nu AS DOUBLE)) AS var_y,
+        |  saa / CAST(nu AS DOUBLE) - sa / CAST(nu AS DOUBLE) * (sa / CAST(nu AS DOUBLE)) AS var_y_adj,
+        |  (saa / CAST(nu AS DOUBLE) - sa / CAST(nu AS DOUBLE) * (sa / CAST(nu AS DOUBLE)))
+        |    / (syy / CAST(nu AS DOUBLE) - sy / CAST(nu AS DOUBLE) * (sy / CAST(nu AS DOUBLE))) AS var_ratio
+        |FROM aa""".stripMargin,
 
     // q221: Theil-Sen — median pairwise slope by declarative rank (the
     // Spark side selects it two-phase); lower medians, //2 integer halving
