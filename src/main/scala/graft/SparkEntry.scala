@@ -259,6 +259,8 @@ object SparkEntry {
     "q223_forecast_backtest" -> ((s, d) => graft.ops.TimeSeries.forecastBacktest(s, d)),
     "q224_ab_test"         -> ((s, d) => graft.ops.Experiment.abTest(s, d)),
     "q225_cuped"           -> ((s, d) => graft.ops.Experiment.cuped(s, d)),
+    "q226_stream_ab"       -> ((s, d) => EventStream.abMonitorAvailableNow(s, d)),
+    "q227_conformal"       -> ((s, d) => graft.ops.TimeSeries.conformalForecast(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -528,6 +530,60 @@ object SparkEntry {
   private def signBucket(vec: String, bits: Int = 4): String =
     (0 until bits).map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Shared oracle of the q224 batch A/B test and the q226 streaming monitor. */
+  private val abTestSql: String =
+    """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      THEN 1 ELSE 0 END AS BIGINT) AS converted
+        |  FROM events GROUP BY 1),
+        |ua AS (
+        |  SELECT *, CASE WHEN CAST('0x' || substr(md5(user_id || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm
+        |  FROM u),
+        |ar AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS x
+        |       FROM ua GROUP BY 1),
+        |wide AS (
+        |  SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        |  FROM (SELECT n, x FROM ar WHERE arm = 'A') a,
+        |       (SELECT n, x FROM ar WHERE arm = 'B') b)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
+        |  (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |      * (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - CAST(1.96 AS DOUBLE) * sqrt(
+        |      CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        / CAST(n_a AS DOUBLE)
+        |      + CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / CAST(n_b AS DOUBLE)) AS ci_lo,
+        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    + CAST(1.96 AS DOUBLE) * sqrt(
+        |      CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        / CAST(n_a AS DOUBLE)
+        |      + CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / CAST(n_b AS DOUBLE)) AS ci_hi,
+        |  abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |  / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |      * (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))) > CAST(1.96 AS DOUBLE) AS significant
+        |FROM wide""".stripMargin
 
   /** DuckDB twin of TextAnalysis.langId (q23), shared verbatim by the q220
     * confusion matrix built on top of it.
@@ -1808,59 +1864,55 @@ object SparkEntry {
         |FROM p GROUP BY 1""".stripMargin,
 
     // q224: two-proportion A/B test — md5-parity arms, exact-int counts,
-    // one fixed tree per statistic with the 1.96 critical value pinned
-    "q224_ab_test" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
-        |      THEN 1 ELSE 0 END AS BIGINT) AS converted
-        |  FROM events GROUP BY 1),
-        |ua AS (
-        |  SELECT *, CASE WHEN CAST('0x' || substr(md5(user_id || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
-        |    THEN 'A' ELSE 'B' END AS arm
-        |  FROM u),
-        |ar AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS x
-        |       FROM ua GROUP BY 1),
-        |wide AS (
-        |  SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
-        |  FROM (SELECT n, x FROM ar WHERE arm = 'A') a,
-        |       (SELECT n, x FROM ar WHERE arm = 'B') b)
-        |SELECT n_a, x_a, n_b, x_b,
-        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-        |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS diff,
-        |  (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-        |  / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
-        |      * (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z,
-        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |    - CAST(1.96 AS DOUBLE) * sqrt(
-        |      CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |        * (CAST(1.0 AS DOUBLE) - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-        |        / CAST(n_a AS DOUBLE)
-        |      + CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |        * (CAST(1.0 AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-        |        / CAST(n_b AS DOUBLE)) AS ci_lo,
-        |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |    + CAST(1.96 AS DOUBLE) * sqrt(
-        |      CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |        * (CAST(1.0 AS DOUBLE) - CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-        |        / CAST(n_a AS DOUBLE)
-        |      + CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |        * (CAST(1.0 AS DOUBLE) - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-        |        / CAST(n_b AS DOUBLE)) AS ci_hi,
-        |  abs((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |    - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-        |  / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
-        |      * (CAST(1.0 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
-        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
-        |         + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))) > CAST(1.96 AS DOUBLE) AS significant
-        |FROM wide""".stripMargin,
+    // one fixed tree per statistic with the 1.96 critical value pinned.
+    // q226 is the STREAMING producer of the identical readout and shares
+    // this SQL verbatim — batch/stream parity gated by the same oracle.
+    "q224_ab_test" -> abTestSql,
+    "q226_stream_ab" -> abTestSql,
+
+
+    // q227: split conformal — rank-selected q-hat over the calibration
+    // residuals of the q211/q223 smoother, exact-count test coverage
+    "q227_conformal" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |i AS (SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+        |o AS (SELECT CAST(u AS BIGINT) AS j FROM (SELECT unnest(generate_series(0, 39)) AS u)),
+        |c AS (
+        |  SELECT i.i + o.j AS i,
+        |    CAST(CAST(CAST(x AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS termq,
+        |    CAST(CAST(CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS wq
+        |  FROM i CROSS JOIN o),
+        |s AS (
+        |  SELECT i, CAST(CAST(sum(termq) AS VARCHAR) AS DOUBLE) AS ewma_cents,
+        |    CAST(CAST(sum(wq) AS VARCHAR) AS DOUBLE) AS w_mass
+        |  FROM c GROUP BY 1),
+        |f AS (
+        |  SELECT day, x AS total_cents,
+        |    lag(ewma_cents / w_mass) OVER (ORDER BY day) AS forecast
+        |  FROM i JOIN s USING (i)),
+        |sc AS (
+        |  SELECT day, abs(CAST(total_cents AS DOUBLE) - forecast) AS ae
+        |  FROM f WHERE forecast IS NOT NULL),
+        |cal AS (SELECT day, ae FROM sc WHERE day < DATE '1999-01-01'),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |q AS (
+        |  SELECT n_cal, ae AS qhat_cents FROM
+        |    (SELECT ae, CAST(row_number() OVER (ORDER BY ae, day) AS BIGINT) AS rn FROM cal), nc
+        |  WHERE rn = least(CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS BIGINT), n_cal))
+        |SELECT q.n_cal, CAST(count(*) AS BIGINT) AS n_test, q.qhat_cents,
+        |  CAST(sum(CASE WHEN ae <= qhat_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN ae <= qhat_cents THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS coverage,
+        |  CAST(0.9 AS DOUBLE) AS target
+        |FROM sc, q WHERE day >= DATE '1999-01-01'
+        |GROUP BY 1, 3""".stripMargin,
 
     // q225: CUPED — exact-cents moments, n-scaled theta, quantized folds
     // for the per-arm means/variances

@@ -33,10 +33,24 @@ object Experiment {
     */
   def abTest(spark: SparkSession, sfDir: String, salt: String = "exp1",
       minPurchases: Int = 14): DataFrame = {
-    val users = Tables.events(spark, sfDir)
+    val counts = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
-      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        >= minPurchases, 1L).otherwise(0L).as("converted"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+    abReadout(counts, salt, minPurchases)
+  }
+
+  /** The A/B readout over a (user_id, n_purch) frame — shared verbatim by
+    * the batch test above and the STREAMING experiment monitor
+    * ([[graft.streaming.EventStream.abMonitorAvailableNow]]), which drains
+    * the same per-user counts out of a stateful streaming aggregate; both
+    * producers gate against the SAME oracle SQL, proving batch/stream
+    * parity of the whole readout, not just the counts.
+    */
+  private[graft] def abReadout(userCounts: DataFrame, salt: String = "exp1",
+      minPurchases: Int = 14): DataFrame = {
+    val users = userCounts
+      .select(col("user_id"),
+        when(col("n_purch") >= minPurchases, 1L).otherwise(0L).as("converted"))
       .withColumn("arm", arm(col("user_id"), salt))
     val arms = users.groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))

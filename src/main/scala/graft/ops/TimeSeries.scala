@@ -220,13 +220,20 @@ object TimeSeries {
     * matters). Everything after the per-day aggregate runs on the
     * |days|-row frame.
     */
-  def forecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+  /** Per-day one-step-ahead EWMA forecast errors — shared by
+    * [[forecastBacktest]] and [[conformalForecast]].
+    */
+  private def dailyForecastErrors(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("day"))
-    val scored = ewmaRevenue(spark, sfDir)
+    ewmaRevenue(spark, sfDir)
       .withColumn("forecast", lag(col("ewma_norm_cents"), 1).over(w))
       .filter(col("forecast").isNotNull)
       .withColumn("e", col("total_cents").cast("double") - col("forecast"))
+  }
+
+  def forecastBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val scored = dailyForecastErrors(spark, sfDir)
       // relative error keeps every bridged square in [0, ~1] — the
       // magnitude-safe regime — at ANY scale factor; absolute cents are
       // reported un-squared (well under 10¹⁶ at any plausible SF)
@@ -242,6 +249,41 @@ object TimeSeries {
       (col("sae") / col("n_days").cast("double")).as("mae_cents"),
       sqrt(col("ssr") / col("n_days").cast("double")).as("rmse_rel"),
       (col("sar") / col("n_days").cast("double")).as("mape"))
+  }
+
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL for the EWMA forecast (Vovk et
+    * al.; Lei et al. 2018 — public): the calibration period's absolute
+    * residuals yield q̂ = the ⌈(n+1)(1−α)⌉-th order statistic, and
+    * forecast ± q̂ is a distribution-free interval whose empirical test
+    * coverage the report states next to the 1−α target — the honest
+    * uncertainty wrapper any forecast ships with. Exactness: residuals are
+    * already-deterministic doubles; the order statistic is a rank
+    * selection over the |days|-sized aggregated frame (no interpolation);
+    * coverage is an exact count over exact comparisons. One summary row.
+    */
+  def conformalForecast(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.1, splitDate: String = "1999-01-01"): DataFrame = {
+    val scored = dailyForecastErrors(spark, sfDir)
+      .select(col("day"), abs(col("e")).as("ae"))
+    val cut = lit(splitDate).cast("date")
+    val cal = scored.filter(col("day") < cut)
+    val nc = cal.agg(count(lit(1)).as("n_cal"))
+    val k = least(ceil((col("n_cal") + 1).cast("double") * lit(1.0 - alpha))
+      .cast("long"), col("n_cal"))
+    val qhat = cal
+      .withColumn("rn", row_number().over(Window.orderBy(col("ae"), col("day"))))
+      .crossJoin(broadcast(nc))
+      .filter(col("rn") === k)
+      .select(col("n_cal"), col("ae").as("qhat_cents"))
+    scored.filter(col("day") >= cut)
+      .crossJoin(broadcast(qhat))
+      .agg(first(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        first(col("qhat_cents")).as("qhat_cents"),
+        sum(when(col("ae") <= col("qhat_cents"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("qhat_cents"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double")).as("coverage"),
+        lit(1.0 - alpha).as("target"))
   }
 
   /** DAY-OF-WEEK SEASONAL INDEX of revenue: mean daily revenue per weekday

@@ -357,6 +357,25 @@ object EventStream {
     * [[psiAlertToTable]] keys the store by event-time day and scores only
     * the trailing horizon, alerting once when the score crosses threshold.
     */
+  /** STREAMING EXPERIMENT MONITOR: the per-user purchase counts accumulate
+    * in a stateful streaming aggregate (complete mode — the per-user state
+    * an experiment dashboard keeps live), and the drained counts feed the
+    * EXACT batch readout ([[graft.ops.Experiment.abReadout]]): arms, rates,
+    * pooled z, CI. Gated against the SAME oracle SQL as the batch q224 —
+    * batch/stream parity of the entire statistical readout, not just the
+    * counts. Production swap: `foreachBatch` the readout into a dashboard
+    * table on a durable checkpoint; the aggregate state is |users|-bounded.
+    */
+  def abMonitorAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir(spark, sfDir))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+    val users = Drain.toMemoryTable(spark, counts, "complete", "graft_ab_users")
+    graft.ops.Experiment.abReadout(users)
+  }
+
   def psiMonitorAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val cut = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
     val ref = graft.core.Tables.events(spark, sfDir)

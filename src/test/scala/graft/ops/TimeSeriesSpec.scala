@@ -151,6 +151,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(scored.sum / scored.length - first._3) < 1e-6, "month MAE recompute")
   }
 
+  test("conformal: qhat is the rank-selected residual, coverage counts exact") {
+    val ew = TimeSeries.ewmaRevenue(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getDouble(4)))
+      .sortBy(_._1)(Ordering.by(_.toEpochDay))
+    val errs = ew.sliding(2).collect {
+      case Array((_, _, f), (d2, x2, _)) => (d2, math.abs(x2.toDouble - f))
+    }.toArray
+    val cut = java.time.LocalDate.parse("1999-01-01")
+    val (cal, test) = errs.partition(_._1.isBefore(cut))
+    val sortedCal = cal.sortBy(t => (t._2, t._1.toEpochDay))
+    val k = math.min(math.ceil((cal.length + 1) * 0.9).toLong, cal.length.toLong)
+    val qhat = sortedCal((k - 1).toInt)._2
+    val covered = test.count(_._2 <= qhat).toLong
+    val r = TimeSeries.conformalForecast(spark, sf).collect().head
+    assert(r.getLong(0) === cal.length.toLong, "n_cal")
+    assert(r.getLong(1) === test.length.toLong, "n_test")
+    assert(r.getDouble(2) === qhat, "qhat rank selection")
+    assert(r.getLong(3) === covered, "coverage count")
+    assert(r.getDouble(4) > 0.6 && r.getDouble(4) <= 1.0, "coverage sane")
+    assert(r.getDouble(5) === 0.9)
+  }
+
   test("dow seasonality: 7 rows partition the days; n-weighted index mean is 1") {
     val rows = TimeSeries.dowSeasonality(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

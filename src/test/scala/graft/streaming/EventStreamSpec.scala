@@ -506,4 +506,13 @@ class EventStreamSpec extends SparkSpec {
     assert(cumulative < 0.25,
       s"cumulative scoring would have missed this drift (psi=$cumulative)")
   }
+
+  test("streaming A/B monitor reproduces the batch readout row exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = EventStream.abMonitorAvailableNow(spark, sf).collect()
+    val batch = graft.ops.Experiment.abTest(spark, sf).collect()
+    assert(stream.length === 1 && batch.length === 1)
+    assert(stream.head === batch.head,
+      "the drained per-user state must feed the identical statistical readout")
+  }
 }
