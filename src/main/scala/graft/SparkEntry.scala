@@ -261,6 +261,8 @@ object SparkEntry {
     "q225_cuped"           -> ((s, d) => graft.ops.Experiment.cuped(s, d)),
     "q226_stream_ab"       -> ((s, d) => EventStream.abMonitorAvailableNow(s, d)),
     "q227_conformal"       -> ((s, d) => graft.ops.TimeSeries.conformalForecast(s, d)),
+    "q228_bootstrap_ci"    -> ((s, d) => graft.ops.Statistics.bootstrapCi(s, d)),
+    "q229_table_tags"      -> ((s, d) => graft.io.IoQueries.versionedByTag(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -530,6 +532,13 @@ object SparkEntry {
   private def signBucket(vec: String, bits: Int = 4): String =
     (0 until bits).map(i => s"(CASE WHEN $vec[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Shared oracle of q132 explicit time travel and q229 tag-resolved read. */
+  private val timeTravelV2Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus IN ('F', 'O') AND o_totalprice >= 50000""".stripMargin
 
   /** Shared oracle of the q224 batch A/B test and the q226 streaming monitor. */
   private val abTestSql: String =
@@ -1309,11 +1318,10 @@ object SparkEntry {
     // from the source table, so commit protocol + manifest fold + CoW
     // rewrite + change-feed except must all be lossless to hash-match.
     // q132: AS OF v2 = initial F load + O batch, minus the <50000 purge
-    "q132_time_travel" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |  o_orderdate, o_orderpriority
-        |FROM orders
-        |WHERE o_orderstatus IN ('F', 'O') AND o_totalprice >= 50000""".stripMargin,
+    // q229 reads the SAME v2 snapshot through a named tag — one oracle for
+    // both proves ref resolution changes nothing about the data
+    "q132_time_travel" -> timeTravelV2Sql,
+    "q229_table_tags" -> timeTravelV2Sql,
 
     // q164: multi-writer optimistic concurrency — final state after two
     // FORCED version races (a blind-append retry and a delete that must
@@ -1870,6 +1878,39 @@ object SparkEntry {
     "q224_ab_test" -> abTestSql,
     "q226_stream_ab" -> abTestSql,
 
+
+    // q228: Poisson bootstrap — md5-uniforms through the pinned inverse
+    // CDF, exact-int replica means, rank-selected percentile bounds
+    "q228_bootstrap_ci" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |reps AS (SELECT CAST(u AS BIGINT) AS b FROM (SELECT unnest(range(0, 200)) AS u)),
+        |c AS (
+        |  SELECT b, x,
+        |    CAST(CAST('0x' || substr(md5(CAST(day AS VARCHAR) || ':' || b), 1, 8) AS BIGINT)
+        |      AS DOUBLE) / CAST(4294967296.0 AS DOUBLE) AS unif
+        |  FROM daily CROSS JOIN reps),
+        |w AS (
+        |  SELECT b, x,
+        |    CASE WHEN unif < CAST('0.36787944117144233' AS DOUBLE) THEN 0
+        |         WHEN unif < CAST('0.7357588823428847' AS DOUBLE) THEN 1
+        |         WHEN unif < CAST('0.9196986029286058' AS DOUBLE) THEN 2
+        |         WHEN unif < CAST('0.9810118431238463' AS DOUBLE) THEN 3
+        |         WHEN unif < CAST('0.9963401531726563' AS DOUBLE) THEN 4
+        |         WHEN unif < CAST('0.9994058151824183' AS DOUBLE) THEN 5
+        |         ELSE 6 END AS w
+        |  FROM c),
+        |m AS (SELECT b, CAST(sum(w * x) AS BIGINT) AS swx, CAST(sum(w) AS BIGINT) AS sw
+        |      FROM w GROUP BY 1),
+        |mm AS (SELECT b, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mean_b FROM m),
+        |r AS (SELECT mean_b, CAST(row_number() OVER (ORDER BY mean_b, b) AS BIGINT) AS rn FROM mm)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(200 AS BIGINT) AS n_reps,
+        |  CAST(sum(x) AS DOUBLE) / count(*) AS mean_obs_cents,
+        |  (SELECT mean_b FROM r WHERE rn = 5) AS ci_lo_cents,
+        |  (SELECT mean_b FROM r WHERE rn = 195) AS ci_hi_cents
+        |FROM daily""".stripMargin,
 
     // q227: split conformal — rank-selected q-hat over the calibration
     // residuals of the q211/q223 smoother, exact-count test coverage

@@ -174,6 +174,22 @@ object IoQueries {
         "o_orderdate", "o_orderpriority")
   }
 
+  /** TABLE READ BY NAMED REF: tag version 2 as `audited` and read through
+    * the tag — the "pin the snapshot the model trained on" workflow. The
+    * result must be BYTE-identical to q132's explicit time travel (they
+    * share one oracle), and re-tagging is exercised on the way: the tag is
+    * first pointed at v1 and then MOVED to v2, so the read also proves
+    * last-writer-wins ref semantics, not just resolution.
+    */
+  def versionedByTag(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = versionedOrdersBase(spark, sfDir)
+    VersionedTable.setTag(base, "audited", 1)
+    VersionedTable.setTag(base, "audited", 2)
+    VersionedTable.snapshotTag(spark, base, "audited")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+
   /** Change feed across v1→v3: the purge's deletes and the v3 batch's
     * inserts — and NOTHING from the CoW rewrite's carried-over rows, which
     * is the property that makes a downstream incremental consumer read

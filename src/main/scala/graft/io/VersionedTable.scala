@@ -750,4 +750,53 @@ object VersionedTable {
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
+
+  // ---- named refs (Iceberg-style tags) -------------------------------------
+
+  private def tagDir(base: String) = Paths.get(base, "_tags")
+
+  /** Pin a NAME to a committed version — the Iceberg-tag workflow ("the
+    * snapshot the Q3 model trained on") without hardcoding version numbers
+    * into every consumer. One file per tag under `_tags/`; writes are
+    * write-temp + ATOMIC_MOVE with REPLACE, so a re-tag is last-writer-wins
+    * and readers never observe a torn ref. Tags pin a VERSION, not data:
+    * VACUUM's retention horizon must cover every live tag (same contract as
+    * time travel — [[vacuum]]'s scaladoc owns that invariant).
+    */
+  def setTag(base: String, name: String, version: Int): Unit = {
+    require(version >= 0 && version <= latestVersion(base),
+      s"tag $name -> $version: no such committed version in $base")
+    require(name.matches("[A-Za-z0-9._-]+"), s"unsafe tag name: $name")
+    Files.createDirectories(tagDir(base))
+    val tmp = tagDir(base).resolve(s".$name.tmp")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, tagDir(base).resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve a tag to its pinned version; absent tag is a loud error. */
+  def tagVersion(base: String, name: String): Int = {
+    val p = tagDir(base).resolve(name)
+    require(Files.exists(p), s"unknown tag '$name' in $base")
+    new String(Files.readAllBytes(p), "UTF-8").trim.toInt
+  }
+
+  /** All tags of a table (name → version), the `refs` listing. */
+  def tags(base: String): Map[String, Int] = {
+    val d = tagDir(base)
+    if (!Files.exists(d)) Map.empty
+    else {
+      val list = Files.list(d)
+      try list.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString ->
+          new String(Files.readAllBytes(p), "UTF-8").trim.toInt)
+        .toMap
+      finally list.close()
+    }
+  }
+
+  /** Table state at a NAMED ref — [[snapshot]] through [[tagVersion]]. */
+  def snapshotTag(spark: SparkSession, base: String, name: String): DataFrame =
+    snapshot(spark, base, tagVersion(base, name))
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -487,6 +487,56 @@ object Statistics {
     g.select(col("segment"), col("n_cust"),
       (Num.decToDouble(col("sx")) / lit(100.0)).as("total_spend"),
       (Num.decToDouble(num) / Num.decToDouble(den)).as("gini"))
+  }
+
+  /** POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean daily revenue —
+    * THE map-reduce-native resampling scheme (each element independently
+    * draws a Poisson(1) weight per replica, so no replica ever needs a
+    * global sample-with-replacement pass; Chamandy et al., Google 2012,
+    * public). Weights are DETERMINISTIC: md5(day:replica) → a uniform in
+    * [0,1) (8 hex nibbles / 2³²) → the inverse Poisson CDF with PINNED
+    * 17-digit cumulative thresholds, identical literals in both engines.
+    * Replica means are exact-integer Σwx/Σw with one division; the CI
+    * bounds are rank-selected order statistics over the |replicas|-row
+    * frame. Scale shape: the fact table reduces per day ONCE; the
+    * |days|×B fan-out and everything after is calendar-sized. (At the
+    * 100 TB design point the same weights attach per ROW in the first
+    * aggregate — one pass, B columns or B-key explode — unchanged
+    * algebra.)
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String, nReps: Int = 200): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("x"))
+      .groupBy(col("day")).agg(sum(col("x")).as("x"))
+    val reps = spark.range(0, nReps.toLong).select(col("id").as("b"))
+    val unif = conv(substring(md5(concat(col("day").cast("string"), lit(":"), col("b"))),
+      1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+    def t(s: String): Column = lit(s).cast("double")
+    val w = when(unif < t("0.36787944117144233"), 0L)
+      .when(unif < t("0.7357588823428847"), 1L)
+      .when(unif < t("0.9196986029286058"), 2L)
+      .when(unif < t("0.9810118431238463"), 3L)
+      .when(unif < t("0.9963401531726563"), 4L)
+      .when(unif < t("0.9994058151824183"), 5L)
+      .otherwise(6L)
+    val means = daily.crossJoin(broadcast(reps))
+      .select(col("b"), col("x"), w.as("w"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("b"), (col("swx").cast("double") / col("sw").cast("double")).as("mean_b"))
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_b"), col("b"))).cast("long"))
+    val loRank = math.ceil(0.025 * nReps).toLong
+    val hiRank = math.ceil(0.975 * nReps).toLong
+    val bounds = ranked.agg(
+      min(when(col("rn") === loRank, col("mean_b"))).as("ci_lo_cents"),
+      min(when(col("rn") === hiRank, col("mean_b"))).as("ci_hi_cents"))
+    daily.agg(count(lit(1)).as("n_days"),
+        (sum(col("x")).cast("double") / count(lit(1))).as("mean_obs_cents"))
+      .crossJoin(broadcast(bounds))
+      .select(col("n_days"), lit(nReps.toLong).as("n_reps"),
+        col("mean_obs_cents"), col("ci_lo_cents"), col("ci_hi_cents"))
   }
 
   /** BENFORD'S-LAW AUDIT of order totals: first-significant-digit counts vs

@@ -499,4 +499,21 @@ class VersionedTableSpec extends SparkSpec {
         "o_orderdate", "o_orderpriority")
     assert(replica.exceptAll(primary).isEmpty && primary.exceptAll(replica).isEmpty)
   }
+
+  test("tags: last-writer-wins refs, unknown/invalid tags are loud, listing complete") {
+    val sf = "/root/testdata/sf0.001"
+    IoQueries.versionedByTag(spark, sf) // builds the base and tags v1 then v2
+    val base = "/root/repo/target/tmp/versioned_orders/sf0.001"
+    assert(VersionedTable.tagVersion(base, "audited") === 2, "re-tag moved the ref")
+    VersionedTable.setTag(base, "rollback-point", 0)
+    assert(VersionedTable.tags(base) ===
+      Map("audited" -> 2, "rollback-point" -> 0))
+    // reading through the tag IS the explicit snapshot
+    val byTag = VersionedTable.snapshotTag(spark, base, "rollback-point")
+    val byVersion = VersionedTable.snapshot(spark, base, version = 0)
+    assert(byTag.exceptAll(byVersion).isEmpty && byVersion.exceptAll(byTag).isEmpty)
+    intercept[IllegalArgumentException](VersionedTable.tagVersion(base, "nope"))
+    intercept[IllegalArgumentException](VersionedTable.setTag(base, "future", 99))
+    intercept[IllegalArgumentException](VersionedTable.setTag(base, "../evil", 0))
+  }
 }

@@ -672,6 +672,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap: one replica recomputed from the hash weights; CI ordered and tight-ish") {
+    val r = Statistics.bootstrapCi(spark, sf).collect().head
+    val (nDays, nReps, mean, lo, hi) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(nReps === 200L)
+    assert(lo < hi, "percentile bounds ordered")
+    assert(lo < mean && mean < hi, "observed mean inside its own 95% CI")
+    // replica 0 recomputed driver-side with the identical md5 -> Poisson rule
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")).as("day"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect()
+      .groupBy(_.getDate(0).toString)
+      .map { case (d, rs) => d -> rs.map(x => (BigDecimal(x.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum }
+    assert(daily.size.toLong === nDays)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val thresholds = Array(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238463, 0.9963401531726563, 0.9994058151824183)
+    def weight(day: String, b: Long): Long = {
+      val hex = md.digest(s"$day:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      thresholds.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+    }
+    val (swx, sw) = daily.foldLeft((0L, 0L)) { case ((ax, aw), (d, x)) =>
+      val w = weight(d, 0L); (ax + w * x, aw + w)
+    }
+    val rep0 = swx.toDouble / sw.toDouble
+    // the replica mean must be one of the 200 ranked means and lie in a
+    // plausible band around the observed mean
+    assert(math.abs(rep0 - mean) < 0.2 * mean, s"replica 0 mean $rep0 vs $mean")
+  }
+
   test("benford: digits partition the table, probabilities close, chi2 is the term sum") {
     val rows = Statistics.benfordDigits(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
