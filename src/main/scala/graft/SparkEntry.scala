@@ -263,6 +263,8 @@ object SparkEntry {
     "q227_conformal"       -> ((s, d) => graft.ops.TimeSeries.conformalForecast(s, d)),
     "q228_bootstrap_ci"    -> ((s, d) => graft.ops.Statistics.bootstrapCi(s, d)),
     "q229_table_tags"      -> ((s, d) => graft.io.IoQueries.versionedByTag(s, d)),
+    "q230_containment"     -> ((s, d) => graft.ops.Dedup.containmentPairs(s, d)),
+    "q231_cohort_ltv"      -> ((s, d) => Events.cohortLtv(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1878,6 +1880,53 @@ object SparkEntry {
     "q224_ab_test" -> abTestSql,
     "q226_stream_ab" -> abTestSql,
 
+
+    // q230: asymmetric containment over the q17/q19 LSH candidates — exact
+    // intersection counts, identical-double ratios both directions
+    "q230_containment" ->
+      s"""WITH $minhashSigs,
+         |$bandsCandCtes,
+         |docs3 AS (SELECT doc_id, ${shingles(3)} AS grams FROM documents),
+         |p AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(x.grams) AS BIGINT) AS n_a, CAST(len(y.grams) AS BIGINT) AS n_b,
+         |    CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_common
+         |  FROM cand c
+         |  JOIN docs3 x ON c.doc_a = x.doc_id
+         |  JOIN docs3 y ON c.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, n_a, n_b, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a_in_b,
+         |  CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_b_in_a,
+         |  greatest(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE),
+         |    CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE)) AS max_containment
+         |FROM p
+         |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE),
+         |  CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE)) >= CAST(0.5 AS DOUBLE)""".stripMargin,
+
+    // q231: cohort LTV — integer month arithmetic, exact-cents folds, one
+    // cohort-partitioned cumulative window over the aggregated frame
+    "q231_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |ch AS (SELECT cust, CAST(min(m) AS BIGINT) AS m0 FROM o GROUP BY 1),
+        |sz AS (SELECT m0 AS cohort_m, CAST(count(*) AS BIGINT) AS n_cohort FROM ch GROUP BY 1),
+        |cells AS (
+        |  SELECT ch.m0 AS cohort_m, o.m - ch.m0 AS month_offset,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM o JOIN ch USING (cust)
+        |  WHERE o.m - ch.m0 <= 12
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_m, month_offset, revenue_cents,
+        |    CAST(sum(revenue_cents) OVER (PARTITION BY cohort_m ORDER BY month_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents
+        |  FROM cells)
+        |SELECT cohort_m, month_offset, n_cohort, revenue_cents, cum_revenue_cents,
+        |  CAST(cum_revenue_cents AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS ltv_cents
+        |FROM cum JOIN sz USING (cohort_m)""".stripMargin,
 
     // q228: Poisson bootstrap — md5-uniforms through the pinned inverse
     // CDF, exact-int replica means, rank-selected percentile bounds

@@ -357,4 +357,36 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** CONTAINMENT scoring over the LSH candidates — the ASYMMETRIC
+    * near-dup measure Jaccard misses: C(A→B) = |A∩B|/|A| detects a short
+    * document quoted inside a long one even when the union-normalized
+    * Jaccard is tiny (Broder 1997 distinguishes resemblance vs
+    * containment — this is the containment half). Reported both
+    * directions plus the max, thresholded on the max. Candidates come
+    * from the SAME minhash bands as the Jaccard verify — which are tuned
+    * for resemblance, so a tiny-in-huge containment can evade banding
+    * (documented recall scope; the dedicated scale path is sampling the
+    * SMALL side's grams into the band keys, same join shape). All counts
+    * exact ints; the two ratios and their max are identical-double
+    * comparisons.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+      minContainment: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        shingles(TextAnalysis.normText(col("text")), 3).as("grams"))
+      .withColumn("ng", size(col("grams")).cast("long"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("ng").as("n_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("ng").as("n_b"))
+    val ca = col("n_common").cast("double") / col("n_a").cast("double")
+    val cb = col("n_common").cast("double") / col("n_b").cast("double")
+    lshCandidatePairs(spark, sfDir)
+      .join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
+        ca.as("cont_a_in_b"), cb.as("cont_b_in_a"),
+        greatest(ca, cb).as("max_containment"))
+      .filter(col("max_containment") >= minContainment)
+  }
 }

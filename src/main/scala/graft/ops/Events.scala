@@ -583,4 +583,38 @@ object Events {
       .groupBy(col("window_day"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** COHORT LIFETIME-VALUE CURVES over orders: customers grouped by their
+    * FIRST order month; for each (cohort, months-since-first) the cohort's
+    * revenue, its cumulative revenue, and cumulative LTV per member — the
+    * payback-period readout next to q99's retention counts. Months are
+    * pure integer arithmetic (year·12 + month — no calendar-diff
+    * semantics to disagree on); revenue folds as exact cents and only the
+    * final per-member division is a double. Scale shape: one per-customer
+    * min-month aggregate, a custkey shuffle join back onto orders, a
+    * (cohort × offset) aggregate; the cumulative window is PARTITIONED by
+    * cohort over that aggregated frame.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String, maxMonths: Int = 12): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val cohorts = o.groupBy(col("cust")).agg(min(col("m")).as("m0"))
+    val sizes = cohorts.groupBy(col("m0").as("cohort_m")).agg(count(lit(1)).as("n_cohort"))
+    val cells = o.join(cohorts, "cust")
+      .select(col("m0").as("cohort_m"), (col("m") - col("m0")).as("month_offset"), col("cents"))
+      .filter(col("month_offset") <= maxMonths)
+      .groupBy(col("cohort_m"), col("month_offset"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .join(broadcast(sizes), "cohort_m")
+      .select(col("cohort_m"), col("month_offset"), col("n_cohort"),
+        col("revenue_cents"), col("cum_revenue_cents"),
+        (col("cum_revenue_cents").cast("double") /
+          col("n_cohort").cast("double")).as("ltv_cents"))
+  }
 }

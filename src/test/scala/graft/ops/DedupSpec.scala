@@ -69,6 +69,30 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // identical docs found; unrelated doc not paired
   }
+
+  test("containment: a quoted subset scores exactly 1 one-way, jaccard strictly less") {
+    import spark.implicits._
+    val d = tmpDir("containtest")
+    // host extends the quote modestly: resemblance stays high enough for the
+    // minhash bands to pair them (LSH is resemblance-tuned — a tiny quote
+    // inside a huge host is the operator's documented recall caveat), while
+    // the gram sets are strictly asymmetric
+    val quote = "the quick brown fox jumps over the lazy dog again tonight for fun"
+    val host = quote + " and one more tail"
+    Seq((1L, quote, "en", quote.length), (2L, host, "en", host.length))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Dedup.containmentPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.length === 1, "the pair must band together (near-identical)")
+    val (_, _, nA, nB, nC, ca, cb, mx) = rows.head
+    assert(nC === nA, "every gram of the quote appears in the host")
+    assert(ca === 1.0, "containment of the quote in the host is exact 1")
+    assert(cb < 1.0 && mx === ca, s"asymmetric: $ca vs $cb")
+    // the symmetric jaccard is strictly below both containments' max
+    assert(nC.toDouble / (nA + nB - nC) < mx)
+  }
 }
 
 /** Test access to the package-private shingle builder. */

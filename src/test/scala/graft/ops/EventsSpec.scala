@@ -250,4 +250,26 @@ class EventsSpec extends SparkSpec {
       assert(rolling(d) >= n && rolling(d) <= totalUsers, s"window $d out of bounds")
     }
   }
+
+  test("cohort ltv: cumulative revenue monotone per cohort, offset-0 covers every cohort") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, cells) =>
+      val byOff = cells.sortBy(_._2)
+      assert(byOff.head._2 === 0L, s"cohort $cohort must have its birth month")
+      assert(byOff.map(_._4).sum === byOff.last._5, "cumulative telescopes")
+      byOff.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 >= a._5, s"cohort $cohort cum monotone")
+        case _ =>
+      }
+      cells.foreach(c => assert(c._6 === c._5.toDouble / c._3.toDouble, "ltv identity"))
+    }
+    // cohort sizes partition the customer base
+    val nCust = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.groupBy(_._1).map(_._2.head._3).sum === nCust)
+  }
 }
