@@ -265,6 +265,7 @@ object SparkEntry {
     "q229_table_tags"      -> ((s, d) => graft.io.IoQueries.versionedByTag(s, d)),
     "q230_containment"     -> ((s, d) => graft.ops.Dedup.containmentPairs(s, d)),
     "q231_cohort_ltv"      -> ((s, d) => Events.cohortLtv(s, d)),
+    "q232_split_leakage"   -> ((s, d) => graft.ops.Curation.splitLeakage(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1880,6 +1881,38 @@ object SparkEntry {
     "q224_ab_test" -> abTestSql,
     "q226_stream_ab" -> abTestSql,
 
+
+    // q232: split-leakage audit — q17's verified dup pairs straddling the
+    // q50 hash split; canonicalized unordered split pairs
+    "q232_split_leakage" ->
+      s"""WITH $minhashSigs,
+         |$bandsCandCtes,
+         |docs3 AS (
+         |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+         |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) AS jaccard
+         |  FROM cand c
+         |  JOIN docs3 x ON c.doc_a = x.doc_id
+         |  JOIN docs3 y ON c.doc_b = y.doc_id
+         |  WHERE x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 20),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(doc_id || ':split_v1'), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(doc_id || ':split_v1'), 1, 8) AS BIGINT) % 1000 < 950 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |j AS (
+         |  SELECT least(sa.split, sb.split) AS split_lo,
+         |    greatest(sa.split, sb.split) AS split_hi
+         |  FROM pairs p
+         |  JOIN sp sa ON p.doc_a = sa.doc_id
+         |  JOIN sp sb ON p.doc_b = sb.doc_id
+         |  WHERE p.jaccard >= 0.5)
+         |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+         |  split_lo <> split_hi AS is_leakage
+         |FROM j GROUP BY 1, 2""".stripMargin,
 
     // q230: asymmetric containment over the q17/q19 LSH candidates — exact
     // intersection counts, identical-double ratios both directions

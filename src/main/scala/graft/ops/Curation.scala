@@ -279,6 +279,32 @@ object Curation {
         (col("zq") >= 0).as("keep"))
   }
 
+  /** TRAIN/VALID/TEST SPLIT LEAKAGE AUDIT: near-duplicate pairs (the
+    * verified ≥0.5-Jaccard pairs of q17) joined against the deterministic
+    * hash split — any dup pair STRADDLING two splits is leakage (the
+    * valid/test member is effectively in training). This is the audit that
+    * belongs in every corpus-release gate: hash-splitting prevents
+    * DOCUMENT leakage by construction, but near-duplicates leak CONTENT
+    * across splits regardless of how documents were assigned. Pair ends
+    * are canonicalized with least/greatest so each unordered split pair
+    * reports once. Scale: rides the memoized verified-pair table (the
+    * LSH→verify chain is paid once per session) plus one split join and a
+    * ≤6-row aggregate.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String,
+      salt: String = "split_v1"): DataFrame = {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val splits = Corpus.hashSplit(spark, sfDir, salt).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .withColumn("is_leakage", col("split_lo") =!= col("split_hi"))
+  }
+
   /** PER-SOURCE N-GRAM NOVELTY — how much of each source's text is unique
     * to the corpus: per document, the fraction of its distinct word
     * `n`-grams with corpus document-frequency 1, rolled up per source.

@@ -74,6 +74,13 @@ object ExplainAudit {
     audit("q210_acf", graft.ops.TimeSeries.revenueAcf(spark, sf))
     audit("q211_ewma", graft.ops.TimeSeries.ewmaRevenue(spark, sf))
     audit("q212_burstiness", graft.ops.TimeSeries.userBurstiness(spark, sf))
+    audit("q221_theil_sen", graft.ops.TimeSeries.theilSen(spark, sf))
+    audit("q222_kaplan_meier", graft.ops.TimeSeries.kaplanMeier(spark, sf))
+    audit("q224_ab_test", graft.ops.Experiment.abTest(spark, sf))
+    audit("q225_cuped", graft.ops.Experiment.cuped(spark, sf))
+    audit("q228_bootstrap_ci", graft.ops.Statistics.bootstrapCi(spark, sf))
+    audit("q230_containment", graft.ops.Dedup.containmentPairs(spark, sf))
+    audit("q231_cohort_ltv", graft.ops.Events.cohortLtv(spark, sf))
     spark.stop()
   }
 }

@@ -164,4 +164,26 @@ class CurationSpec extends SparkSpec {
     }
     assert(reps.nonEmpty && reps == expected)
   }
+
+  test("split leakage: cells recount the verified dup pairs under the split map") {
+    val sf = "/root/testdata/sf0.001"
+    val splits = Corpus.hashSplit(spark, sf).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (splits(a), splits(b))
+      (if (sa < sb) sa else sb, if (sa < sb) sb else sa)
+    }.map { case (k, v) => k -> v.length.toLong }
+    val rows = Curation.splitLeakage(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(rows.keySet === expect.keySet)
+    rows.foreach { case (k @ (lo, hi), (n, leak)) =>
+      assert(n === expect(k), s"cell $k")
+      assert(leak === (lo != hi))
+      assert(lo <= hi, "canonical order")
+    }
+    assert(rows.values.map(_._1).sum === pairs.length.toLong, "every pair counted once")
+  }
 }
