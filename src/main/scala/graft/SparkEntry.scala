@@ -266,6 +266,8 @@ object SparkEntry {
     "q230_containment"     -> ((s, d) => graft.ops.Dedup.containmentPairs(s, d)),
     "q231_cohort_ltv"      -> ((s, d) => Events.cohortLtv(s, d)),
     "q232_split_leakage"   -> ((s, d) => graft.ops.Curation.splitLeakage(s, d)),
+    "q233_price_elasticity" -> ((s, d) => graft.ops.Market.priceElasticity(s, d)),
+    "q234_span_corruption" -> ((s, d) => graft.ops.Corpus.spanCorruption(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1881,6 +1883,64 @@ object SparkEntry {
     "q224_ab_test" -> abTestSql,
     "q226_stream_ab" -> abTestSql,
 
+
+    // q233: price elasticity — q143 moments over 12-decimal-bridged lns of
+    // exact-decimal monthly aggregates, quantized folds per brand
+    "q233_price_elasticity" ->
+      """WITH m AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mth,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT brand,
+        |    CAST(CAST(CAST(CAST(ln(CAST(CAST(sp AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(sq AS VARCHAR) AS DOUBLE)) AS VARCHAR) AS DECIMAL(18,12))
+        |      AS VARCHAR) AS DOUBLE) AS x,
+        |    CAST(CAST(CAST(CAST(ln(CAST(CAST(sq AS VARCHAR) AS DOUBLE)) AS VARCHAR)
+        |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS y
+        |  FROM m),
+        |mo AS (
+        |  SELECT brand, CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(CAST(y * y AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM xy GROUP BY 1)
+        |SELECT brand, n_months,
+        |  (CAST(n_months AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_months AS DOUBLE) * sxx - sx * sx) AS elasticity,
+        |  (CAST(n_months AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n_months AS DOUBLE) * sxx - sx * sx)
+        |       * sqrt(CAST(n_months AS DOUBLE) * syy - sy * sy)) AS corr
+        |FROM mo""".stripMargin,
+
+    // q234: T5 span corruption — md5(doc:span) mask draws, per-span
+    // sentinels, ordered folds; COALESCE matches array_join's empty string
+    "q234_span_corruption" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+        |sp AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS s
+        |  FROM d),
+        |pieces AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+        |    array_to_string(list_slice(toks, CAST(s * 3 + 1 AS INT), CAST(s * 3 + 3 AS INT)), ' ') AS piece,
+        |    CAST(len(list_slice(toks, CAST(s * 3 + 1 AS INT), CAST(s * 3 + 3 AS INT))) AS BIGINT) AS plen,
+        |    CAST('0x' || substr(md5(doc_id || ':' || s), 1, 8) AS BIGINT) % 5 = 0 AS masked
+        |  FROM sp)
+        |SELECT doc_id,
+        |  CAST(sum(plen) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked THEN plen ELSE 0 END) AS BIGINT) AS n_masked,
+        |  string_agg(CASE WHEN masked THEN '<X_' || s || '>' ELSE piece END, ' ' ORDER BY s) AS corrupted,
+        |  COALESCE(string_agg(CASE WHEN masked THEN '<X_' || s || '> ' || piece END, ' ' ORDER BY s), '') AS targets
+        |FROM pieces GROUP BY 1""".stripMargin,
 
     // q232: split-leakage audit — q17's verified dup pairs straddling the
     // q50 hash split; canonicalized unordered split pairs

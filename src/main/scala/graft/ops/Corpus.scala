@@ -375,4 +375,48 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .withColumn("pct", percent_rank().over(w))
   }
+
+  /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020, public): tokens group
+    * into aligned `spanLen`-token spans, a DETERMINISTIC md5(doc:span)
+    * draw masks ~1/`maskMod` of them, and each document emits the
+    * corrupted input (masked spans replaced by per-span sentinels
+    * `<X_s>`) plus the target sequence (each sentinel followed by the
+    * span it hides) — the denoising pre-training pair, reproducible
+    * across engines, executors and reruns with no stored RNG state.
+    * Sentinel ids are SPAN indices (not a running mask counter), which
+    * keeps the rebuild a pure per-span map — order-independent until the
+    * final per-doc ordered fold. Scale shape: one explode to
+    * |tokens|/spanLen rows, two content-addressed hashes per span, one
+    * per-doc ordered aggregate; text never joins anything.
+    */
+  def spanCorruption(spark: SparkSession, sfDir: String,
+      spanLen: Int = 3, maskMod: Int = 5): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val nSpans = ceil(size(col("toks")).cast("double") / spanLen).cast("int")
+    val spans = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nSpans - 1)).as("s"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        array_join(slice(col("toks"), col("s") * spanLen + 1, lit(spanLen)), " ").as("piece"),
+        size(slice(col("toks"), col("s") * spanLen + 1, lit(spanLen))).cast("long").as("plen"))
+      .withColumn("masked",
+        conv(substring(md5(concat(col("doc_id"), lit(":"), col("s"))), 1, 8), 16, 10)
+          .cast("long") % maskMod === 0)
+    val sentinel = concat(lit("<X_"), col("s"), lit(">"))
+    spans
+      .withColumn("in_piece", when(col("masked"), sentinel).otherwise(col("piece")))
+      .withColumn("tgt_piece",
+        when(col("masked"), concat(sentinel, lit(" "), col("piece"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("plen")).as("n_tokens"),
+        sum(when(col("masked"), col("plen")).otherwise(0L)).as("n_masked"),
+        array_join(transform(array_sort(collect_list(struct(col("s"), col("in_piece")))),
+          x => x.getField("in_piece")), " ").as("corrupted"),
+        array_join(transform(array_sort(collect_list(
+          when(col("tgt_piece").isNotNull, struct(col("s"), col("tgt_piece"))))),
+          x => x.getField("tgt_piece")), " ").as("targets"))
+  }
 }

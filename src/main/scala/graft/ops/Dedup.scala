@@ -373,20 +373,49 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, sfDir: String,
       minContainment: Double = 0.5): DataFrame = {
+    // sizes from one per-doc shingle pass; the per-pair intersection runs
+    // through the NATIVE NgramJaccardExpr loop (array_intersect over the
+    // gram arrays was measured 6× slower in-suite — per-element HOF
+    // interpretation, the exact overhead the q17 expression exists to kill)
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        shingles(TextAnalysis.normText(col("text")), 3).as("grams"))
-      .withColumn("ng", size(col("grams")).cast("long"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("ng").as("n_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("ng").as("n_b"))
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
+      .withColumn("ng", size(shingles(col("norm"), 3)).cast("long"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("norm").as("norm_a"), col("ng").as("n_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("norm").as("norm_b"), col("ng").as("n_b"))
     val ca = col("n_common").cast("double") / col("n_a").cast("double")
     val cb = col("n_common").cast("double") / col("n_b").cast("double")
-    lshCandidatePairs(spark, sfDir)
-      .join(a, "doc_a").join(b, "doc_b")
-      .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+    // unlike q17, NO lang/length prefilter applies (containment is exactly
+    // the cross-size case), so every candidate is scored. Three measured
+    // traps (33 s → ~7 s in-suite at sf0.1): (1) string-array
+    // `array_intersect` per pair — per-element HOF interpretation, the
+    // overhead the native q17 expression exists to kill; (2) the band
+    // join's task layout is SKEWED onto duplicate-cluster hot bands and
+    // the threshold filter's pushdown re-expands the scoring expression
+    // ~6× per pair (no cross-operator subexpression elimination) — so the
+    // NARROW pairs are spread by an explicit repartition, texts attach by
+    // BROADCAST (nothing heavy crosses the pair shuffle; a corpus too big
+    // to broadcast swaps in the salted shuffle join [Skew.saltedJoin]),
+    // and the scored frame is PERSISTED and materialized under normal AQE
+    // execution so every pair is scored exactly once; (3) an eager
+    // localCheckpoint as the barrier instead would execute its plan
+    // without AQE and re-run the skewed band join unmitigated — it is
+    // applied only to the final small result read FROM the persisted
+    // scores.
+    val scored = lshCandidatePairs(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        graft.functions.NgramJaccardExpr(col("norm_a"), col("norm_b"), 3)
+          .getField("n_common").as("n_common"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count() // materialize with AQE; one scoring pass
+    val result = scored
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
         ca.as("cont_a_in_b"), cb.as("cont_b_in_a"),
         greatest(ca, cb).as("max_containment"))
       .filter(col("max_containment") >= minContainment)
+      .localCheckpoint(true)
+    scored.unpersist()
+    result
   }
 }

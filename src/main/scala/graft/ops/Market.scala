@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,51 @@ object Market {
         (col("n_both").cast("double") / col("n_a")).as("confidence"),
         ((col("n_both") * col("n_orders")).cast("double") /
           (col("n_a") * col("n_b"))).as("lift"))
+  }
+
+  /** PRICE ELASTICITY OF DEMAND per part brand: the log-log regression
+    * ln(quantity) ~ ln(avg unit price) over monthly aggregates — the
+    * econometric slope IS the elasticity (a 1% price move shifts demand by
+    * `elasticity`%). The q143 moment recipe lifted onto BRIDGED
+    * TRANSCENDENTALS: monthly sums fold as exact decimals, both lns cross
+    * the 12-decimal bridge (magnitudes ~5–15, deep inside the §8.4-safe
+    * band), and the per-brand regression folds DECIMAL(28,12)-quantized
+    * ln-products exactly, so the slope is one fixed correctly-rounded
+    * tree. Scale shape: one lineitem×part join (dim join — AQE broadcasts
+    * while part fits, degrades to shuffle when it doesn't), a
+    * (brand × month) aggregate, then |brands|-row arithmetic.
+    */
+  def priceElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.core.Num
+    val d = DecimalType(18, 2)
+    val monthly = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("m"))
+      .agg(sum(col("l_extendedprice").cast(d)).as("sp"),
+        sum(col("l_quantity").cast(d)).as("sq"))
+    def ln12(c: Column): Column =
+      Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    val x = ln12(Num.decToDouble(col("sp")) / Num.decToDouble(col("sq")))
+    val y = ln12(Num.decToDouble(col("sq")))
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val moments = monthly
+      .select(col("brand"), x.as("x"), y.as("y"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_months"),
+        Num.decToDouble(sum(q12(col("x")))).as("sx"),
+        Num.decToDouble(sum(q12(col("y")))).as("sy"),
+        Num.decToDouble(sum(q12(col("x") * col("x")))).as("sxx"),
+        Num.decToDouble(sum(q12(col("y") * col("y")))).as("syy"),
+        Num.decToDouble(sum(q12(col("x") * col("y")))).as("sxy"))
+    val n = col("n_months").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    moments.select(col("brand"), col("n_months"),
+      (cov / varx).as("elasticity"),
+      (cov / (sqrt(varx) * sqrt(vary))).as("corr"))
   }
 
   /** RFM customer segmentation: per-customer Recency (days since last

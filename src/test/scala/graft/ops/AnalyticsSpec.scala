@@ -707,6 +707,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rep0 - mean) < 0.2 * mean, s"replica 0 mean $rep0 vs $mean")
   }
 
+  test("price elasticity: bounded corr, one brand recomputed from raw monthly sums") {
+    val rows = Market.priceElasticity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, n, _, corr) =>
+      assert(n > 1, b)
+      assert(corr >= -1.0 - 1e-12 && corr <= 1.0 + 1e-12, s"$b corr $corr")
+    }
+    val (brand, nMonths, elasticity, _) = rows.head
+    import org.apache.spark.sql.functions.{col => c}
+    val monthly = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.part(spark, sf), c("l_partkey") === c("p_partkey"))
+      .filter(c("p_brand") === brand)
+      .select(c("l_shipdate"), c("l_extendedprice"), c("l_quantity")).collect()
+      .groupBy { r =>
+        val d = r.getAs[java.time.LocalDateTime](0)
+        d.getYear * 12 + d.getMonthValue
+      }
+      .map { case (_, rs) =>
+        def dec(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        val sp = rs.map(r => dec(r.getDouble(1))).sum
+        val sq = rs.map(r => dec(r.getDouble(2))).sum
+        val q12 = (x: Double) =>
+          BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (q12(math.log(sp.toDouble / sq.toDouble)), q12(math.log(sq.toDouble)))
+      }.toSeq
+    assert(monthly.size.toLong === nMonths)
+    def fold(vs: Seq[Double]) = vs.map(v =>
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val n = monthly.size.toDouble
+    val (sx, sy) = (fold(monthly.map(_._1)), fold(monthly.map(_._2)))
+    val sxy = fold(monthly.map(t => t._1 * t._2))
+    val sxx = fold(monthly.map(t => t._1 * t._1))
+    val expect = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(elasticity - expect) < 1e-9, s"$brand: $elasticity vs $expect")
+  }
+
+  test("span corruption: sentinels reconstruct the original token stream exactly") {
+    val rows = graft.ops.Corpus.spanCorruption(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    var anyMasked = 0
+    rows.foreach { case (docId, nTokens, nMasked, corrupted, targets) =>
+      val toks = "[a-z0-9]+".r.findAllIn(texts(docId).toLowerCase).toArray
+      assert(nTokens === toks.length.toLong, s"doc $docId token count")
+      assert(nMasked <= nTokens && nMasked >= 0)
+      if (nMasked > 0) anyMasked += 1
+      // rebuild: substitute each sentinel with its target span
+      val spanOf = "<X_(\\d+)> ((?:(?!<X_)\\S+ ?)*)".r
+        .findAllMatchIn(targets).map(m => m.group(1) -> m.group(2).trim).toMap
+      val rebuilt = corrupted.split(" ").flatMap { piece =>
+        if (piece.startsWith("<X_")) spanOf(piece.drop(3).dropRight(1)).split(" ").filter(_.nonEmpty)
+        else Array(piece)
+      }
+      assert(rebuilt.sameElements(toks), s"doc $docId reconstruction")
+    }
+    assert(anyMasked > 0, "the mask rule must fire somewhere in the corpus")
+  }
+
   test("benford: digits partition the table, probabilities close, chi2 is the term sum") {
     val rows = Statistics.benfordDigits(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
