@@ -268,6 +268,8 @@ object SparkEntry {
     "q232_split_leakage"   -> ((s, d) => graft.ops.Curation.splitLeakage(s, d)),
     "q233_price_elasticity" -> ((s, d) => graft.ops.Market.priceElasticity(s, d)),
     "q234_span_corruption" -> ((s, d) => graft.ops.Corpus.spanCorruption(s, d)),
+    "q235_roc_auc"         -> ((s, d) => graft.ops.Evaluation.rocAuc(s, d)),
+    "q236_calibration"     -> ((s, d) => graft.ops.Evaluation.calibrationBins(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -974,6 +976,57 @@ object SparkEntry {
         |FROM tf JOIN df USING (t) CROSS JOIN corpus
         |GROUP BY 1""".stripMargin
   }
+
+  /** The fixed-weight quality-score CTEs (f/z/e + the stable sigmoid),
+    * shared verbatim by q195 (the classifier itself) and the model-eval
+    * tier scoring the same model (q235 AUC, q236 calibration) — one
+    * fragment keeps the three from silently diverging. Weights are
+    * interpolated from the operator's Scala doubles; ln bridged to 12
+    * decimals; sigmoid in the STABLE exp(-|z|) form with z quantized to 6
+    * decimals and the (0,1]-bounded exp bridged to 9 decimals (see the
+    * operator scaladoc for why the naive exp(-z) bridge fails at scale).
+    */
+  private val qualityScoreCtes: String =
+    s"""qf AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS DOUBLE)
+       |      / len(regexp_split_to_array(trim(text), '\\s+')) AS sr,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+       |      / n_chars AS ppc,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+       |      / len(regexp_split_to_array(trim(text), '\\s+')) AS mwl,
+       |    CAST(CAST(CAST(CAST(ln(CAST(n_chars AS DOUBLE)) AS VARCHAR)
+       |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS lnc
+       |  FROM documents),
+       |qz AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(CAST(CAST(
+       |      ${-2.0} + ${4.0} * sr + ${-6.0} * ppc + ${0.3} * mwl
+       |        + ${0.15} * lnc
+       |      AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS zq
+       |  FROM qf),
+       |qe AS (
+       |  SELECT doc_id, zq,
+       |    CAST(CAST(CAST(CAST(exp(-abs(zq)) AS VARCHAR) AS DECIMAL(18,9))
+       |      AS VARCHAR) AS DOUBLE) AS e
+       |  FROM qz),
+       |qscore AS (
+       |  SELECT doc_id, zq,
+       |    CASE WHEN zq >= 0 THEN CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e)
+       |         ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score
+       |  FROM qe)""".stripMargin
+
+  /** Quality score joined with the binary English label — shared by the
+    * model-eval oracles (q235/q236).
+    */
+  private val qualityLabeledCtes: String =
+    s"""$qualityScoreCtes,
+       |qlab AS (
+       |  SELECT s.doc_id, s.score,
+       |    CASE WHEN d.lang = 'en' THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS y
+       |  FROM qscore s JOIN documents d ON s.doc_id = d.doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1698,41 +1751,58 @@ object SparkEntry {
     // q192: bipartite HITS, 2 unrolled sum-normalized rounds
     "q192_hits" -> hitsOracle(iters = 2),
 
-    // q195: fixed-weight logistic quality classifier — weights interpolated
-    // from the operator's Scala doubles; ln bridged to 12 decimals; sigmoid
-    // in the STABLE exp(-|z|) form with z quantized to 6 decimals and the
-    // (0,1]-bounded exp bridged to 9 decimals (see the operator scaladoc for
-    // why the naive exp(-z) bridge fails at scale)
+    // q195: fixed-weight logistic quality classifier — the score CTEs live
+    // in [[qualityScoreCtes]], shared verbatim with the q235/q236 evals
     "q195_quality_clf" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(text),
-         |      '\\b(the|a|and|of|to|in|is|it|that|for)\\b')) AS DOUBLE)
-         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS sr,
-         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-         |      / n_chars AS ppc,
-         |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
-         |      / len(regexp_split_to_array(trim(text), '\\s+')) AS mwl,
-         |    CAST(CAST(CAST(CAST(ln(CAST(n_chars AS DOUBLE)) AS VARCHAR)
-         |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS lnc
-         |  FROM documents),
-         |z AS (
-         |  SELECT doc_id,
-         |    CAST(CAST(CAST(CAST(
-         |      ${-2.0} + ${4.0} * sr + ${-6.0} * ppc + ${0.3} * mwl
-         |        + ${0.15} * lnc
-         |      AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS zq
-         |  FROM f),
-         |e AS (
-         |  SELECT doc_id, zq,
-         |    CAST(CAST(CAST(CAST(exp(-abs(zq)) AS VARCHAR) AS DECIMAL(18,9))
-         |      AS VARCHAR) AS DOUBLE) AS e
-         |  FROM z)
-         |SELECT doc_id,
-         |  CASE WHEN zq >= 0 THEN CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + e)
-         |       ELSE e / (CAST(1.0 AS DOUBLE) + e) END AS score,
-         |  zq >= 0 AS keep
-         |FROM e""".stripMargin,
+      s"""WITH $qualityScoreCtes
+         |SELECT doc_id, score, zq >= 0 AS keep
+         |FROM qscore""".stripMargin,
+
+    // q235: ROC-AUC of the quality score vs the English label — the
+    // Mann–Whitney identity on per-score counts: 2·U₁ stays exact BIGINT
+    // (strictly-below pairs twice, ties once) until one final division.
+    // The oracle may run a plain cumulative window; the operator routes the
+    // same algebra through the q203/q204 two-phase engine.
+    "q235_roc_auc" ->
+      s"""WITH $qualityLabeledCtes,
+         |counts AS (
+         |  SELECT score AS x, CAST(sum(y) AS BIGINT) AS c1,
+         |    CAST(sum(1 - y) AS BIGINT) AS c2
+         |  FROM qlab GROUP BY 1),
+         |cum AS (
+         |  SELECT x, c1, c2,
+         |    CAST(sum(c2) OVER (ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+         |  FROM counts),
+         |s AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+         |    CAST(sum(c2) AS BIGINT) AS n_neg,
+         |    CAST(sum(c1 * (2 * cum2 - c2)) AS BIGINT) AS auc_num2
+         |  FROM cum)
+         |SELECT n_pos, n_neg, auc_num2,
+         |  CAST(auc_num2 AS DOUBLE)
+         |    / (CAST(2.0 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+         |  CAST(2.0 AS DOUBLE) * (CAST(auc_num2 AS DOUBLE)
+         |    / (CAST(2.0 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+         |    - CAST(1.0 AS DOUBLE) AS gini_rank
+         |FROM s""".stripMargin,
+
+    // q236: calibration table — fixed-width score bins; exact 12-decimal
+    // folds for mean score and per-bin Brier (the q233 quantize-then-fold
+    // recipe); bin 9 absorbs the score = 1.0 edge (9-decimal exp underflow)
+    "q236_calibration" ->
+      s"""WITH $qualityLabeledCtes,
+         |b AS (
+         |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y,
+         |    score - CAST(y AS DOUBLE) AS err
+         |  FROM qlab)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(CAST(sum(CAST(CAST(score AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_score,
+         |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate,
+         |  CAST(CAST(sum(CAST(CAST(err * err AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS brier
+         |FROM b GROUP BY 1""".stripMargin,
 
     // q218: PCA top component — 8 unrolled power rounds over the exact-int
     // centered Gram (helper builds the quantization-ladder CTEs)

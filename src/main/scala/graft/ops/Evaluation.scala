@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{Num, Tables}
+
+/** Model-evaluation operators: the audits a training pipeline runs over a
+  * scored corpus before trusting a filter model (here: the fixed-weight
+  * quality classifier of [[Curation.qualityClassifier]] evaluated against
+  * the English-language label — the stopword feature is an English list, so
+  * the score *should* separate `lang = 'en'`, and these operators measure
+  * exactly how well). The reference ships no model evaluation at all
+  * (`/root/reference/src/transform/transform.py` stops at aggregates); this
+  * tier is the beyond-reference LLM-pipeline surface.
+  */
+object Evaluation {
+
+  /** Quality score joined with the binary English label. The score is a
+    * pure per-row map over documents; the label join is a PK equi-join on
+    * doc_id (co-partitioned at scale, never skewed — doc_id is unique).
+    */
+  private def scoredWithLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = Curation.qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+    val labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    scores.join(labels, "doc_id")
+  }
+
+  /** ROC-AUC of the quality score against the English label, computed by
+    * the Mann–Whitney identity AUC = U₁/(n₁·n₂) — never materializing the
+    * O(n₁·n₂) pair space and never ranking rows globally. From per-score
+    * counts (c1 = positives, c2 = negatives at that score value),
+    * 2·U₁ = Σ_v c1(v)·(2·cum2(v) − c2(v)) with cum2 the negatives
+    * at-or-below v — strictly-below pairs count 1, tied pairs ½, doubled to
+    * stay in exact BIGINT until the single final division. The cumulative
+    * counts come from [[Statistics.cumulativeGroupCounts]] — the q203/q204
+    * two-phase engine (value-range buckets + broadcast prefix offsets), so
+    * no single-task window touches the near-unique score stream. Scale
+    * shape: one scan-speed scoring pass, one PK join, one per-value
+    * aggregate, the two-phase cumulative, one final fold — the 100 TB AUC.
+    */
+  def rocAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = scoredWithLabel(spark, sfDir)
+      .groupBy(col("score").as("x"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c2"))
+    val cum = Statistics.cumulativeGroupCounts(counts)
+    val s = cum.agg(
+      max(col("cum1")).as("n_pos"), max(col("cum2")).as("n_neg"),
+      sum(col("c1") * (lit(2L) * col("cum2") - col("c2"))).as("auc_num2"))
+    val auc = col("auc_num2").cast("double") /
+      (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))
+    s.select(col("n_pos"), col("n_neg"), col("auc_num2"),
+      auc.as("auc"), (lit(2.0) * auc - lit(1.0)).as("gini_rank"))
+  }
+
+  /** CALIBRATION (reliability) TABLE + per-bin Brier decomposition: scores
+    * land in ten fixed-width bins on [0,1]; each bin reports its count,
+    * exact mean predicted probability, observed positive rate, and mean
+    * squared error (the Brier contribution). A well-calibrated filter has
+    * avg_score ≈ pos_rate per bin — the audit that catches a quality model
+    * whose threshold silently drifts as the corpus mix shifts.
+    *
+    * Determinism: the bin is floor(score·10) clamped to 9 (score = 1.0
+    * occurs when the 9-decimal quantized exp underflows to 0); the mean
+    * folds 12-decimal-quantized scores exactly; the squared error quantizes
+    * each per-row double square to 12 decimals before the exact decimal
+    * fold (the q233 recipe), so every aggregate is order-independent and
+    * the only doubles are fixed correctly-rounded trees. Scale shape: one
+    * scan-speed scoring pass, one PK join, one 10-group aggregate — no
+    * window, no shuffle beyond the final tiny groupBy.
+    */
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val err = col("score") - col("y").cast("double")
+    scoredWithLabel(spark, sfDir)
+      .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        Num.decToDouble(sum(q12(col("score")))).as("sum_score"),
+        Num.decToDouble(sum(q12(err * err))).as("sum_sq_err"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("sum_score") / col("n").cast("double")).as("avg_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        (col("sum_sq_err") / col("n").cast("double")).as("brier"))
+  }
+}

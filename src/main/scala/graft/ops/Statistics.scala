@@ -358,7 +358,7 @@ object Statistics {
     * |buckets|-row frame, and bucket-LOCAL running sums offset by the
     * bucket's prefix. Every window is either |buckets|-rows or partitioned.
     */
-  private def cumulativeGroupCounts(byValue: DataFrame, nBuckets: Int = 64): DataFrame = {
+  private[graft] def cumulativeGroupCounts(byValue: DataFrame, nBuckets: Int = 64): DataFrame = {
     val range = byValue.agg(min(col("x")).as("__mn"), max(col("x")).as("__mx"))
     val span = col("__mx") - col("__mn")
     val fwd = floor((col("x") - col("__mn")) / (span / nBuckets)).cast("long")
