@@ -270,6 +270,7 @@ object SparkEntry {
     "q234_span_corruption" -> ((s, d) => graft.ops.Corpus.spanCorruption(s, d)),
     "q235_roc_auc"         -> ((s, d) => graft.ops.Evaluation.rocAuc(s, d)),
     "q236_calibration"     -> ((s, d) => graft.ops.Evaluation.calibrationBins(s, d)),
+    "q237_gk_equidepth"    -> ((s, d) => graft.ops.Statistics.equiDepthBinsSketch(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1803,6 +1804,27 @@ object SparkEntry {
          |  CAST(CAST(sum(CAST(CAST(err * err AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS brier
          |FROM b GROUP BY 1""".stripMargin,
+
+    // q237: equi-depth binning on GK-SKETCH boundaries — the oracle pins the
+    // CONTRACT (per-bin population inside the tie-adjusted ±εn rank bracket,
+    // all bounds integer DIV arithmetic), not the engine-specific boundary
+    // values; within_bound must come back TRUE for every bin
+    "q237_gk_equidepth" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+        |mm AS (SELECT CAST(max(c) AS BIGINT) AS m FROM (
+        |  SELECT count(*) AS c FROM orders GROUP BY o_totalprice)),
+        |b AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bin),
+        |k AS (SELECT bin, n, m,
+        |  CASE WHEN bin = 10 THEN n ELSE (n * (bin * 10000 - 10)) // 100000 END AS ub_l,
+        |  CASE WHEN bin = 10 THEN n ELSE (n * (bin * 10000 + 10) + 99999) // 100000 END AS ub_h,
+        |  CASE WHEN bin = 1 THEN CAST(0 AS BIGINT)
+        |       ELSE (n * ((bin - 1) * 10000 - 10)) // 100000 END AS lb_l,
+        |  CASE WHEN bin = 1 THEN CAST(0 AS BIGINT)
+        |       ELSE (n * ((bin - 1) * 10000 + 10) + 99999) // 100000 END AS lb_h
+        |  FROM b, nn, mm)
+        |SELECT bin, ub_l - lb_h - (m - 1) AS lo_bound,
+        |  ub_h - lb_l + (m - 1) AS hi_bound, TRUE AS within_bound
+        |FROM k""".stripMargin,
 
     // q218: PCA top component — 8 unrolled power rounds over the exact-int
     // centered Gram (helper builds the quantization-ladder CTEs)

@@ -362,18 +362,28 @@ object Corpus {
     * length ties), i.e. pure rank arithmetic (rank−1)/(n−1) — one exact
     * integer ratio per row, cross-engine deterministic with no bridging.
     *
-    * Scale shape: one partitioned window over (lang, n_chars, doc_id)
-    * triples — languages partition the work, text never enters the sort.
-    * A corpus dominated by ONE language concentrates that group in one
-    * task: the in-repo swap is q184's two-phase rank run per-language
-    * (bucket by (lang, length-range), offsets per language) — same
-    * algebra, gated by q184/q189.
+    * Scale shape: q184's TWO-PHASE RANK run per language
+    * ([[graft.ops.Relational.twoPhaseRankBy]]): buckets cut on a broadcast
+    * per-language (min,max) length range, offsets prefix-summed per
+    * language, every sort (lang, bucket)-local over bare (n_chars, doc_id)
+    * pairs — so a corpus dominated by ONE language (80%+ of real web text)
+    * still spreads that language over its 64 buckets instead of
+    * concentrating it in a single window task, and text never enters any
+    * sort. The rank is then pure arithmetic: pct = (rank−1)/(n_lang−1),
+    * the same integer ratio `percent_rank` computes (order totalized by
+    * doc_id ⇒ rank = row_number), cross-engine exact; a one-document
+    * language pins pct = 0 exactly as both engines define it.
     */
   def percentileNormalize(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
-    Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("pct", percent_rank().over(w))
+    val ns = docs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    graft.ops.Relational.twoPhaseRankBy(docs, Seq("lang"), "n_chars", "doc_id", "__rk")
+      .join(broadcast(ns), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .as("pct"))
   }
 
   /** T5-STYLE SPAN CORRUPTION (Raffel et al. 2020, public): tokens group

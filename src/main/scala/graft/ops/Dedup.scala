@@ -371,17 +371,52 @@ object Dedup {
     * exact ints; the two ratios and their max are identical-double
     * comparisons.
     */
+  /** The UN-PERSISTED scoring frame behind [[containmentPairs]] — factored
+    * out so ExplainAudit/PlanSpec can see the real attach-join shape (the
+    * public entry materializes through persist + localCheckpoint, whose
+    * executedPlan is a bare ExistingRDD scan — the q17 audit caveat).
+    */
+  private[graft] def containmentScoredCompute(spark: SparkSession, sfDir: String,
+      broadcastDocLimit: Long = 2000000L, nSalts: Int = 8): DataFrame = {
+    val (a, b) = containmentDocSides(spark, sfDir)
+    val pairs = lshCandidatePairs(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val attached =
+      if (Tables.documents(spark, sfDir).count() <= broadcastDocLimit)
+        pairs.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+      else {
+        // salt on pair-row identity: hot docs (duplicate-cluster members in
+        // many candidate pairs) fan out over nSalts tasks instead of one
+        val a2 = a.withColumnRenamed("doc_a", "__bkey_a")
+        val b2 = b.withColumnRenamed("doc_b", "__bkey_b")
+        Skew.saltedJoin(
+            Skew.saltedJoin(pairs, a2, "doc_a", "__bkey_a", nSalts).drop("__bkey_a"),
+            b2, "doc_b", "__bkey_b", nSalts)
+          .drop("__bkey_b")
+      }
+    attached.select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+      graft.functions.NgramJaccardExpr(col("norm_a"), col("norm_b"), 3)
+        .getField("n_common").as("n_common"))
+  }
+
+  /** The normalized per-doc (id, norm text, gram count) projections both
+    * containment paths attach — built once here so the compute helper and
+    * the public entry agree. */
+  private def containmentDocSides(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
+      .withColumn("ng", size(shingles(col("norm"), 3)).cast("long"))
+    (docs.select(col("doc_id").as("doc_a"), col("norm").as("norm_a"), col("ng").as("n_a")),
+     docs.select(col("doc_id").as("doc_b"), col("norm").as("norm_b"), col("ng").as("n_b")))
+  }
+
   def containmentPairs(spark: SparkSession, sfDir: String,
-      minContainment: Double = 0.5): DataFrame = {
+      minContainment: Double = 0.5,
+      broadcastDocLimit: Long = 2000000L, nSalts: Int = 8): DataFrame = {
     // sizes from one per-doc shingle pass; the per-pair intersection runs
     // through the NATIVE NgramJaccardExpr loop (array_intersect over the
     // gram arrays was measured 6× slower in-suite — per-element HOF
     // interpretation, the exact overhead the q17 expression exists to kill)
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
-      .withColumn("ng", size(shingles(col("norm"), 3)).cast("long"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("norm").as("norm_a"), col("ng").as("n_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("norm").as("norm_b"), col("ng").as("n_b"))
     val ca = col("n_common").cast("double") / col("n_a").cast("double")
     val cb = col("n_common").cast("double") / col("n_b").cast("double")
     // unlike q17, NO lang/length prefilter applies (containment is exactly
@@ -393,20 +428,18 @@ object Dedup {
     // the threshold filter's pushdown re-expands the scoring expression
     // ~6× per pair (no cross-operator subexpression elimination) — so the
     // NARROW pairs are spread by an explicit repartition, texts attach by
-    // BROADCAST (nothing heavy crosses the pair shuffle; a corpus too big
-    // to broadcast swaps in the salted shuffle join [Skew.saltedJoin]),
+    // BROADCAST when the corpus fits `broadcastDocLimit` docs (nothing
+    // heavy crosses the pair shuffle) and by the SALTED shuffle join
+    // [Skew.saltedJoin] past it — the gate is a runtime doc count off
+    // parquet row-group metadata (the triangleCensus broadcastEdgeLimit
+    // pattern; an ungated broadcast dies on the 8 GB cap at corpus scale),
     // and the scored frame is PERSISTED and materialized under normal AQE
     // execution so every pair is scored exactly once; (3) an eager
     // localCheckpoint as the barrier instead would execute its plan
     // without AQE and re-run the skewed band join unmitigated — it is
     // applied only to the final small result read FROM the persisted
     // scores.
-    val scored = lshCandidatePairs(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        graft.functions.NgramJaccardExpr(col("norm_a"), col("norm_b"), 3)
-          .getField("n_common").as("n_common"))
+    val scored = containmentScoredCompute(spark, sfDir, broadcastDocLimit, nSalts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count() // materialize with AQE; one scoring pass
     val result = scored

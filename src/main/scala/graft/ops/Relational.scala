@@ -646,19 +646,52 @@ object Relational {
     * bucket-local. Keeps all input columns plus `rankName`.
     */
   private[graft] def offsetRank(bucketed: DataFrame, bucketCol: String,
-      ordCols: Seq[Column], rankName: String): DataFrame = {
-    val offsets = bucketed.groupBy(col(bucketCol)).agg(count(lit(1)).as("__n"))
+      ordCols: Seq[Column], rankName: String): DataFrame =
+    offsetRankBy(bucketed, Nil, bucketCol, ordCols, rankName)
+
+  /** [[offsetRank]] generalized to a rank WITHIN each `partCols` group (the
+    * q199 shape: a global rank per language). Offsets prefix-sum over a
+    * (|groups|·|buckets|)-row frame partitioned by the group — so a group
+    * holding 80% of the corpus (the dominant-language case) still spreads
+    * over its buckets instead of one task. `partCols = Nil` degenerates to
+    * the single whitelisted boundary window of the global form.
+    */
+  private[graft] def offsetRankBy(bucketed: DataFrame, partCols: Seq[String],
+      bucketCol: String, ordCols: Seq[Column], rankName: String): DataFrame = {
+    val keyCols = partCols :+ bucketCol
+    val offsets = bucketed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(
-          Window.orderBy(col(bucketCol)).rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(partCols.map(col): _*).orderBy(col(bucketCol))
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col(bucketCol), col("__offset"))
-    bucketed.join(broadcast(offsets), Seq(bucketCol))
+      .select(keyCols.map(col) :+ col("__offset"): _*)
+    bucketed.join(broadcast(offsets), keyCols)
       .withColumn(rankName,
         (col("__offset") + row_number().over(
-          Window.partitionBy(col(bucketCol)).orderBy(ordCols: _*)))
+          Window.partitionBy(keyCols.map(col): _*).orderBy(ordCols: _*)))
           .cast("long"))
       .drop("__offset")
+  }
+
+  /** [[twoPhaseRank]] generalized per `partCols` group: value-range buckets
+    * from a broadcast per-group (min,max) frame, then [[offsetRankBy]] —
+    * `row_number() OVER (PARTITION BY part ORDER BY score, id)` with every
+    * sort (group, bucket)-local. Scores must be non-null.
+    */
+  private[graft] def twoPhaseRankBy(df: DataFrame, partCols: Seq[String],
+      scoreCol: String, idCol: String, rankName: String,
+      nBuckets: Int = 64): DataFrame = {
+    val range = df.groupBy(partCols.map(col): _*)
+      .agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+    val span = col("__mx") - col("__mn")
+    val fwd = floor((col(scoreCol) - col("__mn")) / (span / nBuckets)).cast("long")
+    val bucketed = df.join(broadcast(range), partCols)
+      .withColumn("__bucket",
+        when(span === 0, lit(0L)).otherwise(least(fwd, lit(nBuckets - 1L))))
+      .drop("__mn", "__mx")
+    offsetRankBy(bucketed, partCols, "__bucket",
+      Seq(col(scoreCol), col(idCol)), rankName).drop("__bucket")
   }
 
   /** Generalized TWO-PHASE GLOBAL RANK over an arbitrary frame — the

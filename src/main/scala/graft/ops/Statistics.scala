@@ -202,6 +202,67 @@ object Statistics {
         Num.sumMoney(col("price")).as("sum_price"))
   }
 
+  /** The 100 TB swap for [[equiDepthBins]] PROVEN END-TO-END, oracle-gated
+    * the q165 way: boundaries come from the GK sketch
+    * (`approx_percentile(price, array(i/nBins), accuracy)` — bounded-memory
+    * map-side summaries, associative merge, NO sort anywhere), binning is
+    * the identical broadcast-boundaries per-row count, and what the oracle
+    * pins is the CONTRACT rather than the engine-specific boundary values.
+    * Per q165's verbatim reading, boundary i's returned value has SOME rank
+    * in [⌊(p±ε)n⌋ᵢ] (ε = 1/accuracy); binning counts values ≤ the boundary,
+    * which under TIES can sit up to M−1 ranks past that (M = the column's
+    * max value multiplicity — an exact aggregate both engines compute
+    * identically), so bin i's population is bracketed by
+    *   lo = L(i) − H(i−1) − (M−1),  hi = H(i) − L(i−1) + (M−1)
+    * with L/H the floor/ceil rank bounds (boundary 0 ↦ rank 0, boundary
+    * nBins ↦ rank n exactly). Every bound is INTEGER arithmetic only
+    * (scaled by nBins·accuracy, floor/ceil as DIV) — no FP anywhere, so
+    * DuckDB reproduces (bin, lo_bound, hi_bound) bit-for-bit and pins
+    * `within_bound = TRUE`; a sketch drifting out of its documented bound
+    * fails the hash gate in CI. Empty bins surface as pop 0 (generated
+    * 1..nBins frame), failing the gate loudly instead of vanishing. This is
+    * the first query that actually RUNS on sketch boundaries instead of
+    * citing the swap; scale shape: one sketch aggregate + one broadcast
+    * binning scan + a |values|-group count for M — zero sorts.
+    */
+  def equiDepthBinsSketch(spark: SparkSession, sfDir: String,
+      nBins: Int = 10, accuracy: Int = 10000): DataFrame = {
+    val prices = Tables.orders(spark, sfDir).select(col("o_totalprice").as("price"))
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val sketch = prices.agg(
+      expr(s"approx_percentile(price, array(${ps.mkString(",")}), $accuracy)").as("bs"),
+      count(lit(1)).as("n"))
+    val mRow = prices.groupBy(col("price")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("m"))
+    val binned = prices.crossJoin(broadcast(sketch))
+      .select(col("n"),
+        (lit(1) + size(filter(col("bs"), b => b < col("price")))).cast("long").as("bin"))
+      .groupBy(col("bin"), col("n"))
+      .agg(count(lit(1)).as("n_rows"))
+    val allBins = sketch.select(col("n"),
+        explode(sequence(lit(1L), lit(nBins.toLong))).as("bin"))
+      .crossJoin(broadcast(mRow))
+    val nb = nBins.toLong
+    val acc = accuracy.toLong
+    val denom = nb * acc
+    allBins.join(binned, Seq("bin", "n"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .withColumn("ub_l", when(col("bin") === nb, col("n"))
+        .otherwise(expr(s"(n * (bin * $acc - $nb)) DIV $denom")))
+      .withColumn("ub_h", when(col("bin") === nb, col("n"))
+        .otherwise(expr(s"(n * (bin * $acc + $nb) + ${denom - 1}) DIV $denom")))
+      .withColumn("lb_l", when(col("bin") === 1, lit(0L))
+        .otherwise(expr(s"(n * ((bin - 1) * $acc - $nb)) DIV $denom")))
+      .withColumn("lb_h", when(col("bin") === 1, lit(0L))
+        .otherwise(expr(s"(n * ((bin - 1) * $acc + $nb) + ${denom - 1}) DIV $denom")))
+      .select(col("bin"),
+        (col("ub_l") - col("lb_h") - (col("m") - 1)).as("lo_bound"),
+        (col("ub_h") - col("lb_l") + (col("m") - 1)).as("hi_bound"),
+        (col("n_rows") >= col("ub_l") - col("lb_h") - (col("m") - 1) &&
+         col("n_rows") <= col("ub_h") - col("lb_l") + (col("m") - 1))
+          .as("within_bound"))
+  }
+
   /** Robust outlier census per event type: median / MAD (median absolute
     * deviation) flagging — the robust alternative to mean±kσ, immune to the
     * outliers it hunts (each pulls the mean and inflates σ, masking itself;

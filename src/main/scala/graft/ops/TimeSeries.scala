@@ -145,7 +145,8 @@ object TimeSeries {
       .select((col("a.dn") * 100000L + col("b.dn")).as("pid"),
         ((col("b.x") - col("a.x")).cast("double") /
           (col("b.dn") - col("a.dn")).cast("double")).as("slope"))
-    val n = pairs.count() // one count job; the rank needs the target index
+    val nd = daily.count() // the only count job: n_pairs = d·(d−1)/2 of it
+    val n = nd * (nd - 1) / 2
     val mid = (n + 1) / 2
     val slope = Relational.twoPhaseRank(pairs, "slope", "pid", "rk")
       .filter(col("rk") === mid)
@@ -153,7 +154,6 @@ object TimeSeries {
     val resid = daily.crossJoin(broadcast(slope))
       .select(col("dn"), col("x"), col("slope"), col("n_pairs"),
         (col("x").cast("double") - col("slope") * col("dn").cast("double")).as("r"))
-    val nd = daily.count()
     resid
       .withColumn("rr", row_number().over(
         Window.orderBy(col("r"), col("dn"))))

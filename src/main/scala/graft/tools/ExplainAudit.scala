@@ -79,8 +79,19 @@ object ExplainAudit {
     audit("q224_ab_test", graft.ops.Experiment.abTest(spark, sf))
     audit("q225_cuped", graft.ops.Experiment.cuped(spark, sf))
     audit("q228_bootstrap_ci", graft.ops.Statistics.bootstrapCi(spark, sf))
-    audit("q230_containment", graft.ops.Dedup.containmentPairs(spark, sf))
+    // q230 audits the UN-PERSISTED scoring frame (same caveat as q17): the
+    // broadcast path, then the 100 TB fallback — corpus "too big to
+    // broadcast" → both text attaches must come out as salted shuffle
+    // joins, no BroadcastExchange feeding the pair scoring
+    audit("q230_containment", graft.ops.Dedup.containmentScoredCompute(spark, sf))
+    audit("q230_containment_salted",
+      graft.ops.Dedup.containmentScoredCompute(spark, sf, broadcastDocLimit = 0L))
     audit("q231_cohort_ltv", graft.ops.Events.cohortLtv(spark, sf))
+    audit("q192_hits", graft.ops.Graph.hits(spark, sf))
+    audit("q218_pca_power", graft.ops.Similarity.pcaPower(spark, sf))
+    audit("q235_roc_auc", graft.ops.Evaluation.rocAuc(spark, sf))
+    audit("q199_pct_normalize", graft.ops.Corpus.percentileNormalize(spark, sf))
+    audit("q237_gk_equidepth", graft.ops.Statistics.equiDepthBinsSketch(spark, sf))
     spark.stop()
   }
 }

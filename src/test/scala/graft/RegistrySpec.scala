@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry hygiene gates — the two invariants that have drifted by hand in
+  * past rounds, now CI-enforced:
+  *
+  *  1. every `SparkEntry.queries` key carries an `oracleSql` twin, except the
+  *     three sketch-value queries that are rows-only BY DOCUMENTED DESIGN
+  *     (q61 HLL counts / q71 GK quantile values / q131 sketch table stats —
+  *     engine-specific values, each paired with a green oracle-gated
+  *     error-bound companion: q185 / q165 / q126), and every `oracleSql` key
+  *     names a registered query (no orphan oracles);
+  *  2. README.md's prose counts equal the registry's actual sizes — the
+  *     "N queries"/"M with a DuckDB-runnable oracle twin" sentence is parsed
+  *     from the file, so adding a query without bumping the README fails
+  *     `sbt test` instead of drifting for a round.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private val rowsOnlyByDesign =
+    Set("q61_approx_distinct", "q71_approx_quantiles", "q131_approx_stats")
+
+  test("every registered query has an oracle twin or sits on the documented rows-only whitelist") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    assert(missing.isEmpty,
+      s"queries with neither an oracle nor a whitelist entry: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the rows-only whitelist is exact (no silently un-oracled queries hide behind it)") {
+    val actualRowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actualRowsOnly == rowsOnlyByDesign,
+      s"rows-only set drifted: actual ${actualRowsOnly.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("no orphan oracles (every oracleSql key is a registered query)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: ${orphans.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("README.md's query counts match the registry") {
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")), "UTF-8")
+    val pat = """`SparkEntry\.queries` \((\d+) queries\), (\d+) with a""".r
+    pat.findFirstMatchIn(readme) match {
+      case Some(m) =>
+        assert(m.group(1).toInt == SparkEntry.queries.size,
+          s"README says ${m.group(1)} queries; registry has ${SparkEntry.queries.size}")
+        assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+          s"README says ${m.group(2)} oracle-gated; registry has ${SparkEntry.oracleSql.size}")
+      case None => fail("README.md no longer contains the counts sentence this test pins")
+    }
+  }
+}

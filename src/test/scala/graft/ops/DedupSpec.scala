@@ -93,6 +93,27 @@ class DedupSpec extends SparkSpec {
     // the symmetric jaccard is strictly below both containments' max
     assert(nC.toDouble / (nA + nB - nC) < mx)
   }
+
+  test("containment: salted-join fallback returns exactly the broadcast-path rows") {
+    import spark.implicits._
+    val d = tmpDir("containsalt")
+    val quote = "the quick brown fox jumps over the lazy dog again tonight for fun"
+    val host = quote + " and one more tail"
+    val other = "completely different content with no overlap to speak of at all right"
+    Seq((1L, quote, "en", quote.length), (2L, host, "en", host.length),
+        (3L, other, "en", other.length), (4L, other, "en", other.length))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def rows(limit: Long) = Dedup.containmentPairs(spark, d, broadcastDocLimit = limit)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+    val viaBroadcast = rows(Long.MaxValue)
+    val viaSalt = rows(0L) // corpus "too big": force the shuffle fallback
+    assert(viaBroadcast.nonEmpty)
+    assert(viaSalt === viaBroadcast,
+      "both text-attach paths must score identical pairs identically")
+  }
 }
 
 /** Test access to the package-private shingle builder. */
