@@ -375,11 +375,18 @@ object Corpus {
     * language pins pct = 0 exactly as both engines define it.
     */
   def percentileNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    // A NULL lang is its own partition — exactly as `percent_rank() OVER
+    // (PARTITION BY lang ...)` (and the q199 oracle) define it. The rank
+    // machinery attaches buckets/offsets/counts through EQUI-joins, which
+    // silently DROP null keys, so lang rides through a non-null surrogate
+    // ("\u0000" collides with no real language tag) and the original
+    // column is re-selected for output.
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val ns = docs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
-    graft.ops.Relational.twoPhaseRankBy(docs, Seq("lang"), "n_chars", "doc_id", "__rk")
-      .join(broadcast(ns), Seq("lang"))
+      .withColumn("__langk", coalesce(col("lang"), lit("\u0000")))
+    val ns = docs.groupBy(col("__langk")).agg(count(lit(1)).as("__n"))
+    graft.ops.Relational.twoPhaseRankBy(docs, Seq("__langk"), "n_chars", "doc_id", "__rk")
+      .join(broadcast(ns), Seq("__langk"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         when(col("__n") === 1, lit(0.0))
           .otherwise((col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double"))

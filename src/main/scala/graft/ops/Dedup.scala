@@ -377,12 +377,20 @@ object Dedup {
     * executedPlan is a bare ExistingRDD scan — the q17 audit caveat).
     */
   private[graft] def containmentScoredCompute(spark: SparkSession, sfDir: String,
-      broadcastDocLimit: Long = 2000000L, nSalts: Int = 8): DataFrame = {
+      broadcastTextCharsLimit: Long = 2L * 1024 * 1024 * 1024, nSalts: Int = 8): DataFrame = {
     val (a, b) = containmentDocSides(spark, sfDir)
     val pairs = lshCandidatePairs(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
+    // Broadcast feasibility is a BYTES question, not a doc-count one: 2M docs
+    // of 4KB+ text already exceed Spark's 8 GB broadcast cap, so the gate
+    // sums n_chars (one narrow-column aggregate; normalized text is ≤
+    // n_chars bytes in UTF-8-mostly-ASCII corpora). Each side broadcasts the
+    // full normalized corpus, so the 2 GiB default leaves ≥4× headroom under
+    // the cap and bounds per-executor memory at cluster scale.
+    val totalChars = Tables.documents(spark, sfDir)
+      .agg(coalesce(sum(col("n_chars")), lit(0L))).first().getLong(0)
     val attached =
-      if (Tables.documents(spark, sfDir).count() <= broadcastDocLimit)
+      if (totalChars <= broadcastTextCharsLimit)
         pairs.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
       else {
         // salt on pair-row identity: hot docs (duplicate-cluster members in
@@ -402,17 +410,21 @@ object Dedup {
   /** The normalized per-doc (id, norm text, gram count) projections both
     * containment paths attach — built once here so the compute helper and
     * the public entry agree. */
-  private def containmentDocSides(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  private[graft] def containmentDocSides(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    // the distinct-gram count rides the native packed-gram expression, NOT
+    // size(shingles(...)): the interpreted transform+array_distinct spelling
+    // measured ~250 µs/doc (ProfileQ230 — 12.4 s of q230's 14 s at sf0.1 was
+    // these two projections); the native count is one codepoint scan + sort
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
-      .withColumn("ng", size(shingles(col("norm"), 3)).cast("long"))
+      .withColumn("ng", graft.functions.NgramCountExpr(col("norm"), 3))
     (docs.select(col("doc_id").as("doc_a"), col("norm").as("norm_a"), col("ng").as("n_a")),
      docs.select(col("doc_id").as("doc_b"), col("norm").as("norm_b"), col("ng").as("n_b")))
   }
 
   def containmentPairs(spark: SparkSession, sfDir: String,
       minContainment: Double = 0.5,
-      broadcastDocLimit: Long = 2000000L, nSalts: Int = 8): DataFrame = {
+      broadcastTextCharsLimit: Long = 2L * 1024 * 1024 * 1024, nSalts: Int = 8): DataFrame = {
     // sizes from one per-doc shingle pass; the per-pair intersection runs
     // through the NATIVE NgramJaccardExpr loop (array_intersect over the
     // gram arrays was measured 6× slower in-suite — per-element HOF
@@ -420,26 +432,30 @@ object Dedup {
     val ca = col("n_common").cast("double") / col("n_a").cast("double")
     val cb = col("n_common").cast("double") / col("n_b").cast("double")
     // unlike q17, NO lang/length prefilter applies (containment is exactly
-    // the cross-size case), so every candidate is scored. Three measured
-    // traps (33 s → ~7 s in-suite at sf0.1): (1) string-array
-    // `array_intersect` per pair — per-element HOF interpretation, the
-    // overhead the native q17 expression exists to kill; (2) the band
-    // join's task layout is SKEWED onto duplicate-cluster hot bands and
-    // the threshold filter's pushdown re-expands the scoring expression
-    // ~6× per pair (no cross-operator subexpression elimination) — so the
+    // the cross-size case), so every candidate is scored. Measured cost:
+    // 8.99 s solo cold at sf0.1 on the repo harness (SPARK_GRAFT_ONLY,
+    // local[32]; was 19.35 s before the round-13 ProfileQ230-driven fixes —
+    // the dominant 12.4 s was the doc-sides' interpreted
+    // size(shingles(...)) projections, now the native NgramCountExpr; full
+    // stage split in SURVEY §6.1). Three measured traps: (1) string-array `array_intersect`
+    // per pair — per-element HOF interpretation, the overhead the native
+    // q17 expression exists to kill (was 6× slower); (2) the band join's
+    // task layout is SKEWED onto duplicate-cluster hot bands and the
+    // threshold filter's pushdown re-expands the scoring expression ~6×
+    // per pair (no cross-operator subexpression elimination) — so the
     // NARROW pairs are spread by an explicit repartition, texts attach by
-    // BROADCAST when the corpus fits `broadcastDocLimit` docs (nothing
-    // heavy crosses the pair shuffle) and by the SALTED shuffle join
-    // [Skew.saltedJoin] past it — the gate is a runtime doc count off
-    // parquet row-group metadata (the triangleCensus broadcastEdgeLimit
-    // pattern; an ungated broadcast dies on the 8 GB cap at corpus scale),
-    // and the scored frame is PERSISTED and materialized under normal AQE
+    // BROADCAST when the corpus fits `broadcastTextCharsLimit` total chars
+    // (nothing heavy crosses the pair shuffle) and by the SALTED shuffle
+    // join [Skew.saltedJoin] past it — the gate is a runtime sum(n_chars)
+    // (bytes, not docs: the triangleCensus broadcastEdgeLimit pattern; an
+    // ungated broadcast dies on the 8 GB cap at corpus scale), and the
+    // scored frame is PERSISTED and materialized under normal AQE
     // execution so every pair is scored exactly once; (3) an eager
     // localCheckpoint as the barrier instead would execute its plan
     // without AQE and re-run the skewed band join unmitigated — it is
     // applied only to the final small result read FROM the persisted
     // scores.
-    val scored = containmentScoredCompute(spark, sfDir, broadcastDocLimit, nSalts)
+    val scored = containmentScoredCompute(spark, sfDir, broadcastTextCharsLimit, nSalts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count() // materialize with AQE; one scoring pass
     val result = scored

@@ -145,6 +145,13 @@ object TimeSeries {
       .select((col("a.dn") * 100000L + col("b.dn")).as("pid"),
         ((col("b.x") - col("a.x")).cast("double") /
           (col("b.dn") - col("a.dn")).cast("double")).as("slope"))
+    // LOAD-BEARING INVARIANT: dailyCents groups by day, so `daily` holds
+    // exactly ONE row per day — that is what makes nd the distinct-day
+    // count and n = nd·(nd−1)/2 exactly |pairs| (the b.dn > a.dn join).
+    // A future dailyCents change emitting multiple rows per day would make
+    // this rank selection pick the wrong median, not fail — keep the
+    // one-row-per-day contract (pinned by TimeSeriesSpec's median check)
+    // or restore a pairs.count() here.
     val nd = daily.count() // the only count job: n_pairs = d·(d−1)/2 of it
     val n = nd * (nd - 1) / 2
     val mid = (n + 1) / 2

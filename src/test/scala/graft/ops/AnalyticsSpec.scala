@@ -529,6 +529,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("percentile normalization: NULL lang is its own partition, not dropped") {
+    import spark.implicits._
+    val d = tmpDir("pctnull")
+    // two null-lang docs (a 2-row partition: pct 0 and 1) + three "en"
+    Seq((1L, "aa", null.asInstanceOf[String], 10L), (2L, "bb", null.asInstanceOf[String], 20L),
+        (3L, "cc", "en", 5L), (4L, "dd", "en", 6L), (5L, "ee", "en", 7L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Corpus.percentileNormalize(spark, d).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getDouble(3)))
+    assert(rows.length === 5, "null-lang rows must survive the rank joins")
+    val nulls = rows.filter(_._2 == null).sortBy(_._1)
+    assert(nulls.map(_._3).toSeq === Seq(0.0, 1.0),
+      "the NULL partition ranks within itself, exactly percent_rank semantics")
+    assert(rows.filter(_._2 == "en").map(_._3).sorted.toSeq === Seq(0.0, 0.5, 1.0))
+  }
+
   test("min-max scaler apply: fixed points 0 and 1 per non-constant dimension") {
     val rows = graft.ops.Stats.scaledDimProfile(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Invariant checks for the model-evaluation tier (q235 ROC-AUC, q236
+  * calibration). The oracle gate pins exact values at sf0.01; these pin the
+  * mathematics: AUC must equal the O(n₁·n₂) pairwise concordance definition
+  * it was derived from, and the calibration table must partition the corpus
+  * with each bin's mean inside the bin's own interval.
+  */
+class EvaluationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("roc auc: equals the pairwise concordance recompute on a micro-fixture") {
+    import spark.implicits._
+    val d = tmpDir("aucmicro")
+    // stopword-dense English rows score high, consonant noise scores low,
+    // and two docs share IDENTICAL text across labels to force a TIE pair
+    // (the ½-credit branch of the Mann–Whitney identity)
+    val tie = "the of and to in it was that for as with on at by this"
+    val docs = Seq(
+      (1L, "the and is to of a in that it was for on are with as the of and", "en"),
+      (2L, "the cat sat on the mat and it was a good day for all of us there", "en"),
+      (3L, tie, "en"),
+      (4L, tie, "de"),
+      (5L, "zrk qwv xxj plm brr ttk wqp zzf mmv hkj", "de"),
+      (6L, "krz vvw jjq ppl rrn kkt qpw ffz vmm jhk lpo", "fr"))
+      .map { case (id, t, l) => (id, t, l, t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Evaluation.rocAuc(spark, d).collect().head
+    val (nPos, nNeg, auc) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    assert(nPos === 3 && nNeg === 3)
+    // concordance recompute from the same scores: 2U = Σ (2·[s⁺>s⁻] + [s⁺=s⁻])
+    val scores = Curation.qualityClassifier(spark, d)
+      .join(graft.core.Tables.documents(spark, d).select($"doc_id", $"lang"), "doc_id")
+      .collect().map(x => (x.getDouble(1), x.getAs[String]("lang") == "en"))
+    val pos = scores.filter(_._2).map(_._1)
+    val neg = scores.filterNot(_._2).map(_._1)
+    val u2 = (for { p <- pos; n <- neg } yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(u2 % 2 === 1, "the engineered tie pair must contribute its half")
+    assert(auc === u2.toDouble / (2.0 * pos.length * neg.length),
+      "Mann-Whitney AUC must equal the pairwise definition exactly")
+  }
+
+  test("roc auc: bounded, gini identity, pair accounting exact at sf0.001") {
+    val r = Evaluation.rocAuc(spark, sf).collect().head
+    val (nPos, nNeg) = (r.getLong(0), r.getLong(1))
+    val (auc, gini) = (r.getDouble(3), r.getDouble(4))
+    assert(nPos > 0 && nNeg > 0)
+    assert(nPos + nNeg === graft.core.Tables.documents(spark, sf).count())
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(gini === 2.0 * auc - 1.0)
+    // auc_num2 counts every (pos, neg) pair 0, 1 or 2 — never more
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 2L * nPos * nNeg)
+  }
+
+  test("calibration: bins partition the corpus, means bracket their bins") {
+    val rows = Evaluation.calibrationBins(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per bin")
+    rows.foreach { case (bin, n, nPos, avg, rate, brier) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(n > 0 && nPos >= 0 && nPos <= n)
+      // a bin's mean score lies inside the bin's own interval (bin 9 is
+      // closed at 1.0 — score 1.0 is clamped in)
+      assert(avg >= bin / 10.0 && avg <= (bin + 1) / 10.0,
+        s"bin $bin mean $avg escapes its interval")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(brier >= 0.0 && brier <= 1.0 + 1e-12)
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(rows.map(_._2).sum === docs.count(), "bins partition all predictions")
+    assert(rows.map(_._3).sum ===
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count(),
+      "positives partition to the English count")
+  }
+}

@@ -49,4 +49,28 @@ class RelationalSketchSpec extends SparkSpec {
       assert(r.getDouble(2) == exact((r.getString(0), r.getDouble(1))))
     }
   }
+
+  /** q237's rank-interval contract checked against INDEPENDENT ground truth:
+    * the exact equi-depth populations (q170 — boundaries at the true order
+    * statistics) must fall inside the sketch run's per-bin brackets, because
+    * both boundary sets' ≤-ranks live within ±εn (+ the tie width M−1) of the
+    * same ideal ranks. Also pins the bracket algebra: Σlo ≤ n ≤ Σhi.
+    */
+  test("equiDepthBinsSketch: brackets hold, contain the exact q170 populations") {
+    val sf = "/root/testdata/sf0.01"
+    val out = Statistics.equiDepthBinsSketch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.size === 10)
+    assert(out.values.forall(_._3), "a sketch bin drifted outside its bracket")
+    val n = graft.core.Tables.orders(spark, sf).count()
+    assert(out.values.map(_._1).sum <= n && n <= out.values.map(_._2).sum,
+      "bracket sums must straddle the row count")
+    Statistics.equiDepthBins(spark, sf).collect().foreach { r =>
+      val (bin, exactPop) = (r.getLong(0), r.getLong(1))
+      val (lo, hi, _) = out(bin)
+      assert(exactPop >= lo && exactPop <= hi,
+        s"bin $bin: exact population $exactPop outside sketch bracket [$lo, $hi]")
+    }
+  }
 }
