@@ -271,6 +271,10 @@ object SparkEntry {
     "q235_roc_auc"         -> ((s, d) => graft.ops.Evaluation.rocAuc(s, d)),
     "q236_calibration"     -> ((s, d) => graft.ops.Evaluation.calibrationBins(s, d)),
     "q237_gk_equidepth"    -> ((s, d) => graft.ops.Statistics.equiDepthBinsSketch(s, d)),
+    "q238_gk_winsorize"    -> ((s, d) => graft.ops.Statistics.winsorizedPricingSketch(s, d)),
+    "q239_auc_by_segment"  -> ((s, d) => graft.ops.Evaluation.rocAucBySegment(s, d)),
+    "q240_stratified_es"   -> ((s, d) => graft.ops.Corpus.stratifiedWeightedSample(s, d)),
+    "q241_session_funnel"  -> ((s, d) => graft.ops.Events.sessionFunnel(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -281,9 +285,13 @@ object SparkEntry {
     * (transformWithState): all four are the same semantics by design, and one
     * fragment keeps them from silently diverging.
     */
-  private val sessionizeOracle: String =
-    """WITH flagged AS (
-      |  SELECT user_id, ts, event_id, value,
+  /** The session-seq assignment CTEs alone (ending at `sess`), shared by
+    * [[sessionizeOracle]] and the q241 sessionized funnel — event_type rides
+    * along for q241's stage filters (projected away by the other consumers).
+    */
+  private val sessionSeqCtes: String =
+    """flagged AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
@@ -293,7 +301,10 @@ object SparkEntry {
       |  SELECT *, CAST(SUM(new_session) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-      |  FROM flagged)
+      |  FROM flagged)""".stripMargin
+
+  private val sessionizeOracle: String =
+    s"""WITH $sessionSeqCtes
       |SELECT user_id, session_seq,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events,
@@ -1464,6 +1475,26 @@ object SparkEntry {
         |ORDER BY es_key DESC, doc_id
         |LIMIT 200""".stripMargin,
 
+    // q240: stratified A-ES sample — q168's key per language with a
+    // row_number-per-stratum filter; same 12-decimal ln bridge
+    "q240_stratified_es" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST('0x' || substr(md5(doc_id || ':strat_v1'), 1, 8) AS BIGINT) AS h
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(CAST(CAST(CAST(ln(CAST(h + 1 AS DOUBLE) / 4294967297.0)
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars, es_key,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY es_key DESC, doc_id) AS rn
+        |  FROM keyed)
+        |SELECT doc_id, lang, n_chars, es_key FROM r WHERE rn <= 50""".stripMargin,
+
     // q169: association rules over baskets — support / confidence / lift
     // as single divisions of exact integer counts
     "q169_basket_pairs" ->
@@ -1788,6 +1819,45 @@ object SparkEntry {
          |    - CAST(1.0 AS DOUBLE) AS gini_rank
          |FROM s""".stripMargin,
 
+    // q239: per-length-band ROC-AUC — q235's exact-BIGINT identity with
+    // every window PARTITION BY segment; single-class segments yield NULL
+    // auc via the same guard in both engines
+    "q239_auc_by_segment" ->
+      s"""WITH $qualityScoreCtes,
+         |qlab2 AS (
+         |  SELECT s.doc_id, s.score,
+         |    CASE WHEN d.n_chars < 200 THEN 'short'
+         |         WHEN d.n_chars < 400 THEN 'medium'
+         |         ELSE 'long' END AS segment,
+         |    CASE WHEN d.lang = 'en' THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM qscore s JOIN documents d ON s.doc_id = d.doc_id),
+         |counts AS (
+         |  SELECT segment, score AS x, CAST(sum(y) AS BIGINT) AS c1,
+         |    CAST(sum(1 - y) AS BIGINT) AS c2
+         |  FROM qlab2 GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT segment, x, c1, c2,
+         |    CAST(sum(c2) OVER (PARTITION BY segment ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+         |  FROM counts),
+         |s AS (
+         |  SELECT segment, CAST(sum(c1) AS BIGINT) AS n_pos,
+         |    CAST(sum(c2) AS BIGINT) AS n_neg,
+         |    CAST(sum(c1 * (2 * cum2 - c2)) AS BIGINT) AS auc_num2
+         |  FROM cum GROUP BY 1)
+         |SELECT segment, n_pos, n_neg, auc_num2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    CAST(auc_num2 AS DOUBLE)
+         |      / (CAST(2.0 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         |  END AS auc,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    CAST(2.0 AS DOUBLE) * (CAST(auc_num2 AS DOUBLE)
+         |      / (CAST(2.0 AS DOUBLE) * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+         |      - CAST(1.0 AS DOUBLE)
+         |  END AS gini_rank
+         |FROM s""".stripMargin,
+
     // q236: calibration table — fixed-width score bins; exact 12-decimal
     // folds for mean score and per-bin Brier (the q233 quantize-then-fold
     // recipe); bin 9 absorbs the score = 1.0 edge (9-decimal exp underflow)
@@ -1824,6 +1894,30 @@ object SparkEntry {
         |  FROM b, nn, mm)
         |SELECT bin, ub_l - lb_h - (m - 1) AS lo_bound,
         |  ub_h - lb_l + (m - 1) AS hi_bound, TRUE AS within_bound
+        |FROM k""".stripMargin,
+
+    // q238: winsorize at GK-SKETCH boundaries — same contract family as
+    // q237: the oracle pins the tie-adjusted ±εn CLIP-COUNT brackets
+    // (reduced integer fractions: p±ε at p=1/20, 19/20, ε=1/10⁴), not the
+    // engine-specific boundary values; within_bound must come back TRUE
+    "q238_gk_winsorize" ->
+      """WITH nn AS (SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |mm AS (SELECT flag, CAST(max(c) AS BIGINT) AS m FROM (
+        |  SELECT l_returnflag AS flag, count(*) AS c FROM lineitem
+        |  GROUP BY 1, l_extendedprice) GROUP BY 1),
+        |k AS (SELECT nn.flag, n_rows, m,
+        |  (n_rows * 499) // 10000 AS lo_l,
+        |  (n_rows * 501 + 9999) // 10000 AS lo_h,
+        |  (n_rows * 9499) // 10000 AS hi_l,
+        |  (n_rows * 9501 + 9999) // 10000 AS hi_h
+        |  FROM nn JOIN mm USING (flag))
+        |SELECT flag, n_rows, m,
+        |  greatest(lo_l - m, 0) AS clip_lo_min,
+        |  lo_h - 1 AS clip_lo_max,
+        |  greatest(n_rows - hi_h - (m - 1), 0) AS clip_hi_min,
+        |  n_rows - hi_l AS clip_hi_max,
+        |  TRUE AS within_bound
         |FROM k""".stripMargin,
 
     // q218: PCA top component — 8 unrolled power rounds over the exact-int
@@ -4597,6 +4691,35 @@ object SparkEntry {
         |            WHEN c.click_ts IS NOT NULL THEN 2
         |            ELSE 1 END AS BIGINT) AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    // q241: sessionized funnel — q96's strict sequence within each q15
+    // session, each transition bounded by its conversion window; latencies
+    // in exact microseconds (epoch_us)
+    "q241_session_funnel" ->
+      s"""WITH $sessionSeqCtes,
+        |v AS (
+        |  SELECT user_id, session_seq, min(ts) AS view_ts FROM sess
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (
+        |  SELECT e.user_id, e.session_seq, min(e.ts) AS click_ts
+        |  FROM sess e JOIN v ON e.user_id = v.user_id AND e.session_seq = v.session_seq
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |    AND e.ts <= v.view_ts + INTERVAL 10 MINUTE
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT e.user_id, e.session_seq, min(e.ts) AS purchase_ts
+        |  FROM sess e JOIN c ON e.user_id = c.user_id AND e.session_seq = c.session_seq
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |    AND e.ts <= c.click_ts + INTERVAL 30 MINUTE
+        |  GROUP BY 1, 2)
+        |SELECT v.user_id, v.session_seq, v.view_ts, c.click_ts, p.purchase_ts,
+        |  CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |            WHEN c.click_ts IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS stage,
+        |  epoch_us(c.click_ts) - epoch_us(v.view_ts) AS click_lat_us,
+        |  epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS purchase_lat_us
+        |FROM v LEFT JOIN c USING (user_id, session_seq)
+        |  LEFT JOIN p USING (user_id, session_seq)""".stripMargin,
 
     // join-key skew report: per-key counts + multiple of the mean key load,
     // top-20 deterministic (count desc, key asc)

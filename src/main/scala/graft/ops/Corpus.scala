@@ -339,18 +339,45 @@ object Corpus {
     * Spark's sort-limit pushes the limit into each partition before the
     * single-task merge, so the full sort never happens and text never moves.
     */
-  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 200,
-      salt: String = "wsample_v1"): DataFrame = {
+  /** The Efraimidis–Spirakis key ln(u)/w with the deterministic md5-uniform
+    * u = (h+1)/(2³²+1) and the 12-decimal ln bridge — factored so the global
+    * (q168) and stratified (q240) samplers derive the IDENTICAL key.
+    */
+  private def esKey(salt: String): Column = {
     import org.apache.spark.sql.types.DecimalType
     val h = conv(substring(md5(concat(col("doc_id").cast("string"),
       lit(":" + salt))), 1, 8), 16, 10).cast("long")
     val u = (h + lit(1L)).cast("double") / lit(4294967297.0) // (h+1)/(2^32+1) ∈ (0,1)
-    val key = graft.core.Num.decToDouble(log(u).cast(DecimalType(18, 12))) /
+    graft.core.Num.decToDouble(log(u).cast(DecimalType(18, 12))) /
       col("n_chars").cast("double")
+  }
+
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 200,
+      salt: String = "wsample_v1"): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("es_key"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), esKey(salt).as("es_key"))
       .orderBy(col("es_key").desc, col("doc_id"))
       .limit(k)
+
+  /** STRATIFIED weighted sampling — [[weightedSample]]'s A-ES draw run
+    * independently per language: top-k es_keys WITHIN each stratum, so every
+    * language keeps k representatives (chars-weighted, deterministic,
+    * engine-independent) regardless of how skewed the language mix is — the
+    * per-slice eval-set draw a curation pipeline makes where a global sample
+    * would be swamped by the dominant language. The per-stratum selection
+    * runs on the NATIVE [[graft.plans.TopKPerGroup]] physical operator
+    * (per-partition bounded heaps + final per-group heap — never a full
+    * per-stratum sort, never more than |strata|·k rows past the partial
+    * stage), with doc_id as the total-order tiebreak. A stratum with fewer
+    * than k documents keeps them all, exactly as the oracle's row_number
+    * filter defines.
+    */
+  def stratifiedWeightedSample(spark: SparkSession, sfDir: String, k: Int = 50,
+      salt: String = "strat_v1"): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), esKey(salt).as("es_key"))
+    graft.plans.TopKPerGroup.topK(keyed, Seq("lang"),
+      Seq(("es_key", true), ("doc_id", false)), k)
   }
 
   /** PERCENTILE NORMALIZATION of a document feature per language — the

@@ -57,6 +57,40 @@ object Evaluation {
       auc.as("auc"), (lit(2.0) * auc - lit(1.0)).as("gini_rank"))
   }
 
+  /** PER-SEGMENT ROC-AUC — q235's Mann–Whitney machinery run within each
+    * document-length band (short <200 / medium <400 / long chars): the
+    * model-audit slice that catches a filter whose discrimination collapses
+    * on exactly the long documents a training mix needs most. Same exact
+    * BIGINT 2·U numerator per segment, cumulative counts per segment
+    * through [[Statistics.cumulativeGroupCountsBy]] (the grouped two-phase
+    * engine — no single-task window even when one segment dominates), one
+    * final division per segment; a single-class segment (no positives or no
+    * negatives) reports NULL auc rather than a division blow-up, in both
+    * engines via the same guard.
+    */
+  def rocAucBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = when(col("n_chars") < 200, "short")
+      .when(col("n_chars") < 400, "medium").otherwise("long")
+    val scores = Curation.qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+    val labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), seg.as("segment"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val counts = scores.join(labels, "doc_id")
+      .groupBy(col("segment"), col("score").as("x"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c2"))
+    val cum = Statistics.cumulativeGroupCountsBy(counts, Seq("segment"))
+    val s = cum.groupBy(col("segment")).agg(
+      max(col("cum1")).as("n_pos"), max(col("cum2")).as("n_neg"),
+      sum(col("c1") * (lit(2L) * col("cum2") - col("c2"))).as("auc_num2"))
+    val bothClasses = col("n_pos") > 0 && col("n_neg") > 0
+    val auc = col("auc_num2").cast("double") /
+      (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))
+    s.select(col("segment"), col("n_pos"), col("n_neg"), col("auc_num2"),
+      when(bothClasses, auc).as("auc"),
+      when(bothClasses, lit(2.0) * auc - lit(1.0)).as("gini_rank"))
+  }
+
   /** CALIBRATION (reliability) TABLE + per-bin Brier decomposition: scores
     * land in ten fixed-width bins on [0,1]; each bin reports its count,
     * exact mean predicted probability, observed positive rate, and mean

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -353,6 +353,52 @@ object Events {
         when(col("purchase_ts").isNotNull, 3L)
           .when(col("click_ts").isNotNull, 2L)
           .otherwise(1L))
+  }
+
+  /** SESSIONIZED CONVERSION FUNNEL with bounded conversion windows — the
+    * q96 × q105 composition: the strict view → click → purchase sequence
+    * evaluated WITHIN each 30-min-gap session, and each transition must
+    * land inside its conversion window (click ≤ `clickWindowMin` after the
+    * session's first view; purchase ≤ `purchaseWindowMin` after that
+    * click). The global q96 funnel credits a purchase days after the view;
+    * attribution windows are how production funnels actually count.
+    * Latencies are exact microsecond integers (the q212 epoch_us recipe —
+    * no cross-engine second-truncation ambiguity).
+    *
+    * Scale shape: ONE window pass assigns session_seq (partitioned by
+    * user — parallel, the q15 machinery), then q96's three narrow hash
+    * aggregates keyed by (user, session) chained by equi-joins; no
+    * per-session event array, nothing event-sized crosses a second
+    * shuffle. AQE broadcasts the stage frames while they fit.
+    */
+  def sessionFunnel(spark: SparkSession, sfDir: String,
+      clickWindowMin: Int = 10, purchaseWindowMin: Int = 30): DataFrame = {
+    val ev = withSessionSeq(Tables.events(spark, sfDir))
+      .select(col("user_id"), col("session_seq"), col("event_type"), col("ts"))
+    val key = Seq("user_id", "session_seq")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(views, key)
+      .filter(col("ts") > col("view_ts") &&
+        col("ts") <= col("view_ts") + expr(s"INTERVAL $clickWindowMin MINUTES"))
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, key)
+      .filter(col("ts") > col("click_ts") &&
+        col("ts") <= col("click_ts") + expr(s"INTERVAL $purchaseWindowMin MINUTES"))
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("purchase_ts"))
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    views
+      .join(clicks, key, "left")
+      .join(purchases, key, "left")
+      .select(col("user_id"), col("session_seq"), col("view_ts"),
+        col("click_ts"), col("purchase_ts"),
+        when(col("purchase_ts").isNotNull, 3L)
+          .when(col("click_ts").isNotNull, 2L)
+          .otherwise(1L).as("stage"),
+        (us(col("click_ts")) - us(col("view_ts"))).as("click_lat_us"),
+        (us(col("purchase_ts")) - us(col("click_ts"))).as("purchase_lat_us"))
   }
 
   /** Hourly volume anomalies per event type: an hour is a spike when its

@@ -51,6 +51,69 @@ object Statistics {
         min(col("p_lo")).as("p_lo"), min(col("p_hi")).as("p_hi"))
   }
 
+  /** The GK rank-interval contract's two bounds, factored for every
+    * sketch-gated operator (q237 equi-depth, q238 winsorize): ⌊n·a/b⌋ and
+    * ⌈n·a/b⌉ as exact BIGINT expressions over a column named `nCol` and an
+    * integer sub-expression `aExpr` (a column reference or a reduced
+    * constant). Callers must keep a/b the REDUCED fraction so n·a stays
+    * inside int64 at extreme n, and aExpr NON-NEGATIVE: Spark's DIV
+    * truncates toward zero while DuckDB's `//` floors — they agree only on
+    * non-negative numerators, which every (p−ε) numerator here is.
+    */
+  private[graft] def gkFloorRank(nCol: String, aExpr: String, b: Long): Column =
+    expr(s"($nCol * ($aExpr)) DIV $b")
+  private[graft] def gkCeilRank(nCol: String, aExpr: String, b: Long): Column =
+    expr(s"($nCol * ($aExpr) + ${b - 1}) DIV $b")
+
+  /** The 100 TB swap for [[winsorizedPricing]], oracle-gated like q237: clip
+    * boundaries come from the GK sketch (`approx_percentile` per group —
+    * bounded memory, mergeable, NO per-group sort), and the oracle pins the
+    * rank-interval CONTRACT on the CLIP COUNTS rather than the
+    * engine-specific boundary values. The sketch's p-boundary value v has
+    * SOME rank in [L, H] = [⌊(p−ε)n⌋, ⌈(p+ε)n⌉]; v's occupied ranks span
+    * m_v ≤ M consecutive positions (M = the group's max value multiplicity,
+    * exact in both engines), so
+    *   #\{price < v_lo\}  ∈ [max(L_lo − M, 0), H_lo − 1]
+    *   #\{price > v_hi\}  ∈ [max(n − H_hi − (M−1), 0), n − L_hi]
+    * — all-integer brackets (reduced fractions: p±ε at p=1/20, 19/20,
+    * ε=1/10⁴) that DuckDB reproduces bit-for-bit and `within_bound = TRUE`
+    * is hash-gated in CI. The exact q150 clip counts fall inside the same
+    * brackets (its rank-⌈p·n⌉ boundary sits in [L, H] too) — spec-pinned.
+    * Scale shape: one sketch aggregate + one broadcast join back + one
+    * counting scan + a (flag, price)-group max — zero sorts.
+    */
+  def winsorizedPricingSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
+    val sketch = li.groupBy(col("flag")).agg(
+      expr("approx_percentile(price, array(0.05, 0.95), 10000)").as("ps"),
+      count(lit(1)).as("n_rows"))
+      .select(col("flag"), col("ps")(0).as("v_lo"), col("ps")(1).as("v_hi"),
+        col("n_rows"))
+    val mults = li.groupBy(col("flag"), col("price")).agg(count(lit(1)).as("c"))
+      .groupBy(col("flag")).agg(max(col("c")).as("m"))
+    val counts = li.join(broadcast(sketch), "flag")
+      .groupBy(col("flag"), col("n_rows"))
+      .agg(
+        sum(when(col("price") < col("v_lo"), 1L).otherwise(0L)).as("clip_lo"),
+        sum(when(col("price") > col("v_hi"), 1L).otherwise(0L)).as("clip_hi"))
+    val k = counts.join(broadcast(mults), "flag")
+      .withColumn("lo_l", gkFloorRank("n_rows", "499", 10000))
+      .withColumn("lo_h", gkCeilRank("n_rows", "501", 10000))
+      .withColumn("hi_l", gkFloorRank("n_rows", "9499", 10000))
+      .withColumn("hi_h", gkCeilRank("n_rows", "9501", 10000))
+    k.select(col("flag"), col("n_rows"), col("m"),
+      greatest(col("lo_l") - col("m"), lit(0L)).as("clip_lo_min"),
+      (col("lo_h") - 1).as("clip_lo_max"),
+      greatest(col("n_rows") - col("hi_h") - (col("m") - 1), lit(0L)).as("clip_hi_min"),
+      (col("n_rows") - col("hi_l")).as("clip_hi_max"),
+      (col("clip_lo") >= greatest(col("lo_l") - col("m"), lit(0L)) &&
+        col("clip_lo") <= col("lo_h") - 1 &&
+        col("clip_hi") >= greatest(col("n_rows") - col("hi_h") - (col("m") - 1), lit(0L)) &&
+        col("clip_hi") <= col("n_rows") - col("hi_l"))
+        .as("within_bound"))
+  }
+
   /** Population stability index of the price distribution between the
     * pre-/post-1998-06 shipment cohorts — the standard drift alarm a
     * production pipeline runs between a reference batch and today's. Equi-
@@ -248,13 +311,13 @@ object Statistics {
     allBins.join(binned, Seq("bin", "n"), "left")
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
       .withColumn("ub_l", when(col("bin") === nb, col("n"))
-        .otherwise(expr(s"(n * (bin * $acc - $nb)) DIV $denom")))
+        .otherwise(gkFloorRank("n", s"bin * $acc - $nb", denom)))
       .withColumn("ub_h", when(col("bin") === nb, col("n"))
-        .otherwise(expr(s"(n * (bin * $acc + $nb) + ${denom - 1}) DIV $denom")))
+        .otherwise(gkCeilRank("n", s"bin * $acc + $nb", denom)))
       .withColumn("lb_l", when(col("bin") === 1, lit(0L))
-        .otherwise(expr(s"(n * ((bin - 1) * $acc - $nb)) DIV $denom")))
+        .otherwise(gkFloorRank("n", s"(bin - 1) * $acc - $nb", denom)))
       .withColumn("lb_h", when(col("bin") === 1, lit(0L))
-        .otherwise(expr(s"(n * ((bin - 1) * $acc + $nb) + ${denom - 1}) DIV $denom")))
+        .otherwise(gkCeilRank("n", s"(bin - 1) * $acc + $nb", denom)))
       .select(col("bin"),
         (col("ub_l") - col("lb_h") - (col("m") - 1)).as("lo_bound"),
         (col("ub_h") - col("lb_l") + (col("m") - 1)).as("hi_bound"),
@@ -440,6 +503,43 @@ object Statistics {
       .select(col("x"), col("c1"), col("c2"),
         (col("__o1") + sum(col("c1")).over(local)).as("cum1"),
         (col("__o2") + sum(col("c2")).over(local)).as("cum2"))
+  }
+
+  /** [[cumulativeGroupCounts]] generalized to run WITHIN each `partCols`
+    * group (the q239 shape: one cumulative-count stream per segment) — the
+    * same offsetRank→offsetRankBy generalization the rank engine got in
+    * round 12. Ranges come from a broadcast per-group (min, max), offsets
+    * prefix-sum over the (|groups|·|buckets|)-row frame partitioned by the
+    * group, running sums are (group, bucket)-local — a segment holding 80%
+    * of the stream still spreads over its buckets. Kept SEPARATE from the
+    * global form (not delegated) so the green q203/q204/q235 plans keep
+    * their exact audited shape; the two bodies mirror line for line.
+    */
+  private[graft] def cumulativeGroupCountsBy(byValue: DataFrame,
+      partCols: Seq[String], nBuckets: Int = 64): DataFrame = {
+    require(partCols.nonEmpty, "use cumulativeGroupCounts for the global form")
+    val range = byValue.groupBy(partCols.map(col): _*)
+      .agg(min(col("x")).as("__mn"), max(col("x")).as("__mx"))
+    val span = col("__mx") - col("__mn")
+    val fwd = floor((col("x") - col("__mn")) / (span / nBuckets)).cast("long")
+    val bucketed = byValue.join(broadcast(range), partCols)
+      .withColumn("__bucket",
+        when(span === 0, lit(0L)).otherwise(least(fwd, lit(nBuckets - 1L))))
+      .drop("__mn", "__mx")
+    val prior = Window.partitionBy(partCols.map(col): _*).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy((partCols :+ "__bucket").map(col): _*)
+      .agg(sum(col("c1")).as("__b1"), sum(col("c2")).as("__b2"))
+      .select(partCols.map(col) ++ Seq(col("__bucket"),
+        coalesce(sum(col("__b1")).over(prior), lit(0L)).as("__o1"),
+        coalesce(sum(col("__b2")).over(prior), lit(0L)).as("__o2")): _*)
+    val local = Window.partitionBy((partCols :+ "__bucket").map(col): _*)
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), partCols :+ "__bucket")
+      .select(partCols.map(col) ++ Seq(col("x"), col("c1"), col("c2"),
+        (col("__o1") + sum(col("c1")).over(local)).as("cum1"),
+        (col("__o2") + sum(col("c2")).over(local)).as("cum2")): _*)
   }
 
   /** Per-value counts for the two compared order-priority samples. */

@@ -92,6 +92,10 @@ object ExplainAudit {
     audit("q235_roc_auc", graft.ops.Evaluation.rocAuc(spark, sf))
     audit("q199_pct_normalize", graft.ops.Corpus.percentileNormalize(spark, sf))
     audit("q237_gk_equidepth", graft.ops.Statistics.equiDepthBinsSketch(spark, sf))
+    audit("q238_gk_winsorize", graft.ops.Statistics.winsorizedPricingSketch(spark, sf))
+    audit("q239_auc_by_segment", graft.ops.Evaluation.rocAucBySegment(spark, sf))
+    audit("q240_stratified_es", graft.ops.Corpus.stratifiedWeightedSample(spark, sf))
+    audit("q241_session_funnel", graft.ops.Events.sessionFunnel(spark, sf))
     spark.stop()
   }
 }

@@ -213,6 +213,25 @@ class AnalyticsSpec extends SparkSpec {
       "content-addressed draw is rerun-stable")
   }
 
+  test("stratified weighted sample: exact per-stratum top-k of the full key set") {
+    val k = 5
+    val picked = Corpus.stratifiedWeightedSample(spark, sf, k = k).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(3)))
+    assert(picked.nonEmpty)
+    // the full keyed population: k larger than any stratum keeps everything
+    val all = Corpus.stratifiedWeightedSample(spark, sf, k = Int.MaxValue).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(3)))
+    val expect = all.groupBy(_._1).map { case (lang, g) =>
+      lang -> g.sortBy(x => (-x._3, x._2)).take(k).map(_._2).toSet
+    }
+    val got = picked.groupBy(_._1).map { case (lang, g) => lang -> g.map(_._2).toSet }
+    assert(got.keySet === expect.keySet, "every stratum represented")
+    got.foreach { case (lang, ids) =>
+      assert(ids === expect(lang), s"$lang: not the exact ES top-$k")
+      assert(ids.size === math.min(k, all.count(_._1 == lang)), lang)
+    }
+  }
+
   test("MAD outliers: groups partition the table, outliers strictly beyond the cut") {
     import org.apache.spark.sql.functions._
     val rows = Statistics.madOutliers(spark, sf).collect()

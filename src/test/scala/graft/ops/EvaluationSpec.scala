@@ -58,6 +58,28 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getLong(2) >= 0L && r.getLong(2) <= 2L * nPos * nNeg)
   }
 
+  test("auc by segment: segments partition the corpus, per-segment pair accounting") {
+    val rows = Evaluation.rocAucBySegment(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per segment")
+    assert(rows.map(x => x._2 + x._3).sum ===
+      graft.core.Tables.documents(spark, sf).count(),
+      "segment class counts partition all documents")
+    // the global q235 positives are exactly the segment positives' sum
+    val global = Evaluation.rocAuc(spark, sf).collect().head
+    assert(rows.map(_._2).sum === global.getLong(0))
+    assert(rows.map(_._3).sum === global.getLong(1))
+    rows.foreach { case (seg, nPos, nNeg, num2, auc) =>
+      assert(num2 >= 0L && num2 <= 2L * nPos * nNeg, s"$seg pair accounting")
+      if (nPos > 0 && nNeg > 0) {
+        assert(auc.isDefined && auc.get >= 0.0 && auc.get <= 1.0, seg)
+        assert(auc.get === num2.toDouble / (2.0 * nPos * nNeg), seg)
+      } else assert(auc.isEmpty, s"$seg: single-class segment must yield NULL auc")
+    }
+  }
+
   test("calibration: bins partition the corpus, means bracket their bins") {
     val rows = Evaluation.calibrationBins(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -272,4 +272,32 @@ class EventsSpec extends SparkSpec {
       .select("o_custkey").distinct().count()
     assert(rows.groupBy(_._1).map(_._2.head._3).sum === nCust)
   }
+
+  test("session funnel: one row per viewing session, windows and ordering hold") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.sessionFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // exactly the sessions whose event path contains a view, each once
+    val viewing = Events.sessionPaths(spark, sf).collect()
+      .filter(_.getString(2).split(">").contains("view"))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === viewing)
+    assert(rows.length === viewing.size, "one funnel row per viewing session")
+    rows.foreach { r =>
+      val stage = r.getLong(5)
+      assert(stage >= 1 && stage <= 3)
+      assert(r.isNullAt(3) === (stage < 2), "click_ts present iff stage >= 2")
+      assert(r.isNullAt(4) === (stage < 3), "purchase_ts present iff stage = 3")
+      if (stage >= 2) {
+        val lat = r.getLong(6)
+        assert(lat > 0 && lat <= 10L * 60 * 1000000, s"click window: $lat")
+      } else assert(r.isNullAt(6))
+      if (stage == 3) {
+        val lat = r.getLong(7)
+        assert(lat > 0 && lat <= 30L * 60 * 1000000, s"purchase window: $lat")
+      } else assert(r.isNullAt(7))
+    }
+    // strict ordering (view < click < purchase) is already pinned by the
+    // positive-latency checks above — the latencies ARE the µs differences
+  }
 }

@@ -73,4 +73,29 @@ class RelationalSketchSpec extends SparkSpec {
         s"bin $bin: exact population $exactPop outside sketch bracket [$lo, $hi]")
     }
   }
+
+  /** q238's contract against independent ground truth, same shape as the
+    * q237 test: the EXACT winsorize clip counts (q150 — boundaries at the
+    * true rank-⌈p·n⌉ order statistics) must fall inside q238's sketch-run
+    * brackets, because the exact boundary's rank sits inside the same
+    * [⌊(p−ε)n⌋, ⌈(p+ε)n⌉] interval the sketch is held to.
+    */
+  test("winsorizedPricingSketch: brackets hold, contain the exact q150 clip counts") {
+    val sf = "/root/testdata/sf0.01"
+    val out = Statistics.winsorizedPricingSketch(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .toMap
+    assert(out.size === 3)
+    assert(out.values.forall(_._5), "a sketch clip count drifted outside its bracket")
+    Statistics.winsorizedPricing(spark, sf).collect().foreach { r =>
+      val flag = r.getString(0)
+      val (exLo, exHi) = (r.getLong(2), r.getLong(3))
+      val (loMin, loMax, hiMin, hiMax, _) = out(flag)
+      assert(exLo >= loMin && exLo <= loMax,
+        s"$flag: exact low clip $exLo outside [$loMin, $loMax]")
+      assert(exHi >= hiMin && exHi <= hiMax,
+        s"$flag: exact high clip $exHi outside [$hiMin, $hiMax]")
+    }
+  }
 }
