@@ -275,6 +275,8 @@ object SparkEntry {
     "q239_auc_by_segment"  -> ((s, d) => graft.ops.Evaluation.rocAucBySegment(s, d)),
     "q240_stratified_es"   -> ((s, d) => graft.ops.Corpus.stratifiedWeightedSample(s, d)),
     "q241_session_funnel"  -> ((s, d) => graft.ops.Events.sessionFunnel(s, d)),
+    "q242_threshold_metrics" -> ((s, d) => graft.ops.Evaluation.thresholdMetrics(s, d)),
+    "q243_chi_square"      -> ((s, d) => graft.ops.Statistics.chiSquareLangLength(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1857,6 +1859,78 @@ object SparkEntry {
          |      - CAST(1.0 AS DOUBLE)
          |  END AS gini_rank
          |FROM s""".stripMargin,
+
+    // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
+    // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound
+    // 2PR/(P+R) tree); empty predicted-positive sets yield NULL precision
+    "q242_threshold_metrics" ->
+      s"""WITH $qualityLabeledCtes,
+         |counts AS (
+         |  SELECT score AS x, CAST(sum(y) AS BIGINT) AS c1,
+         |    CAST(sum(1 - y) AS BIGINT) AS c2
+         |  FROM qlab GROUP BY 1),
+         |ts AS (
+         |  SELECT CAST(i AS DOUBLE) / 10.0 AS t
+         |  FROM (SELECT unnest(generate_series(1, 9)) AS i)),
+         |cm AS (
+         |  SELECT t,
+         |    CAST(sum(CASE WHEN x >= t THEN c1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN x >= t THEN c2 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN x < t THEN c1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN x < t THEN c2 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM counts CROSS JOIN ts GROUP BY 1)
+         |SELECT t, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+         |  CASE WHEN tp + fn > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec,
+         |  CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+         |  END AS f1
+         |FROM cm""".stripMargin,
+
+    // q243: chi-square independence (lang × length band) — exact observed
+    // ints over the FULL grid (zero cells generated), E and each cell
+    // (O−E)²/E as fixed correctly-rounded double trees (rt·ct as DOUBLE —
+    // int64 overflows at extreme n), only the cell SUM through the
+    // 9-decimal fold
+    "q243_chi_square" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |         WHEN n_chars < 400 THEN 'medium'
+        |         ELSE 'long' END AS band
+        |  FROM documents),
+        |obs AS (SELECT lang, band, CAST(count(*) AS BIGINT) AS o
+        |  FROM d GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang FROM obs),
+        |bands AS (SELECT DISTINCT band FROM obs),
+        |rts AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+        |cts AS (SELECT band, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+        |  CAST(count(DISTINCT band) AS BIGINT) AS nb FROM obs),
+        |cells AS (
+        |  SELECT l.lang, b.band, COALESCE(obs.o, CAST(0 AS BIGINT)) AS o,
+        |    rts.rt, cts.ct,
+        |    CAST(rts.rt AS DOUBLE) * CAST(cts.ct AS DOUBLE)
+        |      / CAST(tot.n AS DOUBLE) AS expected,
+        |    nl, nb
+        |  FROM langs l CROSS JOIN bands b
+        |  LEFT JOIN obs ON obs.lang = l.lang AND obs.band = b.band
+        |  JOIN rts ON rts.lang = l.lang
+        |  JOIN cts ON cts.band = b.band
+        |  CROSS JOIN tot),
+        |cc AS (SELECT *,
+        |  (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
+        |    / expected AS cell_chi2
+        |  FROM cells),
+        |total AS (SELECT
+        |  CAST(CAST(sum(CAST(CAST(cell_chi2 AS VARCHAR) AS DECIMAL(28,9)))
+        |    AS VARCHAR) AS DOUBLE) AS chi2,
+        |  max((nl - 1) * (nb - 1)) AS dof FROM cc)
+        |SELECT lang, band, o, rt, ct, expected, cell_chi2, chi2, dof
+        |FROM cc CROSS JOIN total""".stripMargin,
 
     // q236: calibration table — fixed-width score bins; exact 12-decimal
     // folds for mean score and per-bin Brier (the q233 quantize-then-fold

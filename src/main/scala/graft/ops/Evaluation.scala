@@ -68,9 +68,16 @@ object Evaluation {
     * negatives) reports NULL auc rather than a division blow-up, in both
     * engines via the same guard.
     */
-  def rocAucBySegment(spark: SparkSession, sfDir: String): DataFrame = {
-    val seg = when(col("n_chars") < 200, "short")
+  /** The document length band shared by q239 and q243 — cut points chosen to
+    * tercile the synthetic corpus; ONE definition so the eval slices and the
+    * independence test always talk about the same segments.
+    */
+  private[ops] def lengthBand: Column =
+    when(col("n_chars") < 200, "short")
       .when(col("n_chars") < 400, "medium").otherwise("long")
+
+  def rocAucBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = lengthBand
     val scores = Curation.qualityClassifier(spark, sfDir)
       .select(col("doc_id"), col("score"))
     val labels = Tables.documents(spark, sfDir)
@@ -89,6 +96,45 @@ object Evaluation {
     s.select(col("segment"), col("n_pos"), col("n_neg"), col("auc_num2"),
       when(bothClasses, auc).as("auc"),
       when(bothClasses, lit(2.0) * auc - lit(1.0)).as("gini_rank"))
+  }
+
+  /** THRESHOLD SWEEP — precision / recall / F1 of the quality filter at the
+    * nine deciles 0.1..0.9: the operating-point table a pipeline reads
+    * before fixing a keep-threshold (q235's AUC summarizes ranking; this is
+    * the decision view). Every metric is ONE division of exact BIGINTs
+    * (F1 spelled 2·TP/(2·TP+FP+FN) — never the compound 2PR/(P+R) tree), so
+    * the doubles are cross-engine identical; an empty predicted-positive
+    * set yields NULL precision in both engines via the same guard.
+    * Scale shape: one scan-speed scoring pass collapses to per-score counts
+    * (|distinct scores| rows), the 9-row threshold frame broadcasts onto
+    * THAT — the raw corpus is never amplified.
+    */
+  def thresholdMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = scoredWithLabel(spark, sfDir)
+      .groupBy(col("score").as("x"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c2"))
+    val ts = spark.range(1, 10)
+      .select((col("id").cast("double") / 10.0).as("t"))
+    val cm = counts.crossJoin(broadcast(ts))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("x") >= col("t"), col("c1")).otherwise(0L)).as("tp"),
+        sum(when(col("x") >= col("t"), col("c2")).otherwise(0L)).as("fp"),
+        sum(when(col("x") < col("t"), col("c1")).otherwise(0L)).as("fn"),
+        sum(when(col("x") < col("t"), col("c2")).otherwise(0L)).as("tn"))
+    // "precision" is a type keyword in SQL dialects — prec/rec keep the
+    // oracle twin quoting-free
+    cm.select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+        .as("prec"),
+      when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+        .as("rec"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+        .as("f1"))
   }
 
   /** CALIBRATION (reliability) TABLE + per-bin Brier decomposition: scores

@@ -505,6 +505,51 @@ object Statistics {
         (col("__o2") + sum(col("c2")).over(local)).as("cum2"))
   }
 
+  /** CHI-SQUARE TEST OF INDEPENDENCE between document language and length
+    * band (q239's segments) — the categorical companion to the KS (q203) and
+    * rank-sum (q204) tests: does document length depend on language? A
+    * corpus where it does needs per-language length normalization (q199)
+    * before mixing. Observed counts are exact ints over the FULL lang×band
+    * grid (zero cells generated, not dropped — a missing cell still
+    * contributes its expectation); E = rt·ct/n multiplies as DOUBLES (rt·ct
+    * overflows int64 at extreme n) — a fixed correctly-rounded tree, so the
+    * per-cell (O−E)²/E doubles are cross-engine identical with NO
+    * quantization; only the cell SUM folds through the 9-decimal grid
+    * (cells ≤ ~10⁴ at gate scales — ulp-safe with 10³× margin, the §8.4
+    * magnitude rule). dof = (|langs|−1)·(|bands|−1) exact.
+    * Scale shape: one |langs|×3-cell aggregate off one scan; everything
+    * after runs on ≤ dozens of rows.
+    */
+  def chiSquareLangLength(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), Evaluation.lengthBand.as("band"))
+    val obs = docs.groupBy(col("lang"), col("band")).agg(count(lit(1)).as("o"))
+    val langs = obs.select(col("lang")).distinct()
+    val bands = obs.select(col("band")).distinct()
+    val rowTot = obs.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val colTot = obs.groupBy(col("band")).agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nl"), countDistinct(col("band")).as("nb"))
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    val cells = langs.crossJoin(bands)
+      .join(obs, Seq("lang", "band"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .join(broadcast(rowTot), "lang")
+      .join(broadcast(colTot), "band")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", e)
+      .withColumn("cell_chi2",
+        (col("o").cast("double") - col("expected")) *
+          (col("o").cast("double") - col("expected")) / col("expected"))
+    val total = cells.agg(
+      Num.decToDouble(sum(col("cell_chi2").cast("string")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9)))).as("chi2"),
+      max((col("nl") - 1) * (col("nb") - 1)).as("dof"))
+    cells.select(col("lang"), col("band"), col("o"), col("rt"), col("ct"),
+      col("expected"), col("cell_chi2"))
+      .crossJoin(broadcast(total))
+  }
+
   /** [[cumulativeGroupCounts]] generalized to run WITHIN each `partCols`
     * group (the q239 shape: one cumulative-count stream per segment) — the
     * same offsetRank→offsetRankBy generalization the rank engine got in

@@ -96,6 +96,8 @@ object ExplainAudit {
     audit("q239_auc_by_segment", graft.ops.Evaluation.rocAucBySegment(spark, sf))
     audit("q240_stratified_es", graft.ops.Corpus.stratifiedWeightedSample(spark, sf))
     audit("q241_session_funnel", graft.ops.Events.sessionFunnel(spark, sf))
+    audit("q242_threshold_metrics", graft.ops.Evaluation.thresholdMetrics(spark, sf))
+    audit("q243_chi_square", graft.ops.Statistics.chiSquareLangLength(spark, sf))
     spark.stop()
   }
 }

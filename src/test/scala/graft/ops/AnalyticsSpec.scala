@@ -548,6 +548,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("chi-square independence: full grid, marginals conserved, exact recompute") {
+    val rows = graft.ops.Statistics.chiSquareLangLength(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getLong(8)))
+    assert(rows.nonEmpty)
+    val langs = rows.map(_._1).distinct
+    val bands = rows.map(_._2).distinct
+    assert(rows.length === langs.length * bands.length, "every grid cell present")
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === n, "observed counts partition the corpus")
+    // marginals: each lang's rt is its observed row sum; same for bands
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.map(_._3).sum === g.head._4, s"$lang row marginal")
+    }
+    rows.groupBy(_._2).foreach { case (band, g) =>
+      assert(g.map(_._3).sum === g.head._5, s"$band column marginal")
+    }
+    assert(math.abs(rows.map(_._6).sum - n) < 1e-6 * n, "expectations sum to n")
+    val dof = rows.head._9
+    assert(dof === (langs.length - 1).toLong * (bands.length - 1))
+    // cell and total recomputed with the operator's own spelling
+    rows.foreach { case (_, _, o, _, _, e, cell, _, _) =>
+      assert(cell === (o.toDouble - e) * (o.toDouble - e) / e)
+    }
+    // quantize via the SHORTEST STRING (Spark casts double→decimal through
+    // the string form; BigDecimal(double) would use the full binary
+    // expansion — the documented §8.4 trap)
+    val total = rows.map(c => BigDecimal(c._7.toString)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(rows.head._8 === total, "chi2 equals the 9-decimal quantized fold")
+    assert(rows.map(_._8).distinct.length === 1, "one total broadcast to all rows")
+  }
+
   test("percentile normalization: NULL lang is its own partition, not dropped") {
     import spark.implicits._
     val d = tmpDir("pctnull")

@@ -80,6 +80,33 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("threshold metrics: constant class totals, monotone counts, exact ratios") {
+    val rows = Evaluation.thresholdMetrics(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+      .sortBy(_._1)
+    assert(rows.length === 9)
+    assert(rows.map(_._1) === (1 to 9).map(_ / 10.0))
+    val nPos = rows.head._2 + rows.head._4 // tp + fn
+    val nNeg = rows.head._3 + rows.head._5 // fp + tn
+    rows.foreach { case (_, tp, fp, fn, tn, p, r, f1) =>
+      assert(tp + fn === nPos, "positives conserved at every threshold")
+      assert(fp + tn === nNeg, "negatives conserved at every threshold")
+      if (tp + fp > 0) assert(p.get === tp.toDouble / (tp + fp)) else assert(p.isEmpty)
+      assert(r.get === tp.toDouble / nPos)
+      if (2 * tp + fp + fn > 0)
+        assert(f1.get === (2.0 * tp) / (2 * tp + fp + fn))
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, "tp monotone non-increasing")
+      assert(b._3 <= a._3, "fp monotone non-increasing")
+    case _ => ()
+    }
+  }
+
   test("calibration: bins partition the corpus, means bracket their bins") {
     val rows = Evaluation.calibrationBins(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
