@@ -277,6 +277,8 @@ object SparkEntry {
     "q241_session_funnel"  -> ((s, d) => graft.ops.Events.sessionFunnel(s, d)),
     "q242_threshold_metrics" -> ((s, d) => graft.ops.Evaluation.thresholdMetrics(s, d)),
     "q243_chi_square"      -> ((s, d) => graft.ops.Statistics.chiSquareLangLength(s, d)),
+    "q244_pmi_collocations" -> ((s, d) => graft.ops.TermStats.pmiCollocations(s, d)),
+    "q245_split_divergence" -> ((s, d) => graft.ops.TermStats.splitDivergence(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -3944,6 +3946,46 @@ object SparkEntry {
         |FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         |CROSS JOIN ca""".stripMargin,
 
+    // q244: PMI collocations per language — bigram-position marginals (one
+    // consistent sample space, exact ints), four bridged lns in ONE fixed
+    // tree, top-10 per lang with the bigram text as tiebreak
+    "q244_pmi_collocations" -> {
+      def lnB(x: String): String =
+        s"CAST(CAST(CAST(CAST(ln(CAST($x AS DOUBLE)) AS VARCHAR) " +
+          s"AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)"
+      s"""WITH d AS (
+        |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang,
+        |    unnest(CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)),
+        |        i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+        |    ELSE [] END) AS bigram
+        |  FROM d),
+        |cab AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM b GROUP BY 1, 2),
+        |w AS (SELECT lang, bigram, c_ab,
+        |  split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+        |  FROM cab),
+        |ca AS (SELECT lang, w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM w GROUP BY 1, 2),
+        |cb AS (SELECT lang, w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM w GROUP BY 1, 2),
+        |nb AS (SELECT lang, CAST(sum(c_ab) AS BIGINT) AS n_bi FROM w GROUP BY 1),
+        |sc AS (
+        |  SELECT w.lang, w.bigram, w.c_ab, ca.c_a, cb.c_b, nb.n_bi,
+        |    (${lnB("w.c_ab")} + ${lnB("nb.n_bi")})
+        |      - ${lnB("ca.c_a")} - ${lnB("cb.c_b")} AS pmi
+        |  FROM w
+        |  JOIN ca ON ca.lang = w.lang AND ca.w1 = w.w1
+        |  JOIN cb ON cb.lang = w.lang AND cb.w2 = w.w2
+        |  JOIN nb ON nb.lang = w.lang
+        |  WHERE w.c_ab >= 5),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY pmi DESC, bigram) AS rn FROM sc)
+        |SELECT lang, bigram, c_ab, c_a, c_b, n_bi, pmi FROM r
+        |WHERE rn <= 10""".stripMargin
+    },
+
     // DSIR-shaped importance weights: hashed-bigram bucket probabilities per
     // slice in exact ppm fixed point, evidence = occurrence-weighted tp - rp
     "q111_dsir_weights" ->
@@ -4165,6 +4207,55 @@ object SparkEntry {
         |       WHEN CAST('0x' || substr(md5(doc_id || ':split_v1'), 1, 8) AS BIGINT) % 1000 < 950 THEN 'valid'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    // q245: train/valid JS + KL divergence — Laplace-smoothed unigram dists
+    // over the joint vocab; p/q single divisions of exact ints, each
+    // p·ln(·) term a fixed tree over the 12-decimal ln bridge, sums through
+    // the quantized fold; split is the q50 hash, inlined (no join)
+    "q245_split_divergence" -> {
+      def lnB(x: String): String =
+        s"CAST(CAST(CAST(CAST(ln($x) AS VARCHAR) " +
+          s"AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)"
+      def q12(x: String): String =
+        s"CAST(CAST($x AS VARCHAR) AS DECIMAL(28,12))"
+      s"""WITH d AS (
+        |  SELECT CASE
+        |      WHEN CAST('0x' || substr(md5(doc_id || ':split_v1'), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+        |      WHEN CAST('0x' || substr(md5(doc_id || ':split_v1'), 1, 8) AS BIGINT) % 1000 < 950 THEN 'valid'
+        |      ELSE 'test' END AS split,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tc AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS cv
+        |  FROM d WHERE split IN ('train', 'valid') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cv) AS BIGINT) AS nv,
+        |  CAST(count(*) AS BIGINT) AS v FROM tc),
+        |terms AS (
+        |  SELECT nt, nv, v,
+        |    CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE) AS p,
+        |    CAST(cv + 1 AS DOUBLE) / CAST(nv + v AS DOUBLE) AS q
+        |  FROM tc CROSS JOIN tot),
+        |contrib AS (
+        |  SELECT nt, nv, v,
+        |    p * ${lnB("CAST(2 AS DOUBLE) * p / (p + q)")} AS jt,
+        |    q * ${lnB("CAST(2 AS DOUBLE) * q / (p + q)")} AS jv,
+        |    p * ${lnB("p / q")} AS kt,
+        |    q * ${lnB("q / p")} AS kv
+        |  FROM terms),
+        |folded AS (
+        |  SELECT nt, nv, v,
+        |    CAST(CAST(sum(${q12("jt")}) AS VARCHAR) AS DOUBLE) AS fjt,
+        |    CAST(CAST(sum(${q12("jv")}) AS VARCHAR) AS DOUBLE) AS fjv,
+        |    CAST(CAST(sum(${q12("kt")}) AS VARCHAR) AS DOUBLE) AS kl_train_valid,
+        |    CAST(CAST(sum(${q12("kv")}) AS VARCHAR) AS DOUBLE) AS kl_valid_train
+        |  FROM contrib GROUP BY 1, 2, 3)
+        |SELECT v AS n_vocab, nt AS n_train_tokens, nv AS n_valid_tokens,
+        |  CAST(0.5 AS DOUBLE) * (fjt + fjv) AS js_div,
+        |  kl_train_valid, kl_valid_train
+        |FROM folded""".stripMargin
+    },
 
     "q51_shuffle_shards" ->
       """WITH s AS (

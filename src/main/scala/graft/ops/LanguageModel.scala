@@ -45,11 +45,12 @@ object LanguageModel {
   /** Adjacent-token bigrams, space-joined. Empty (never null) below 2 tokens
     * — `sequence(1, n)` REVERSES for n < 1, so the guard is load-bearing.
     */
-  private def bigrams(toks: Column): Column =
+  private[ops] def bigramsOf(toks: Column): Column =
     when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+  private def bigrams(toks: Column): Column = bigramsOf(toks)
 
   /** Per-document bigram-LM scores with a corpus-relative filter flag.
     *

@@ -290,6 +290,99 @@ object TermStats {
     * so slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) is two bridged sums divided once.
     * The ranking window sees only |lang|×|vocab| aggregated rows.
     */
+  /** PMI COLLOCATIONS per language — the strongest adjacent-word
+    * associations (Church & Hanks 1990, public), the phrase-mining /
+    * tokenizer-vocabulary primitive: PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over
+    * BIGRAM-POSITION marginals (c_a = bigrams starting with a, c_b =
+    * bigrams ending with b, N = bigrams in the language — one consistent
+    * sample space, every count an exact int). Each ln rides the 12-decimal
+    * bridge and the four terms fold in ONE fixed tree, so the doubles are
+    * cross-engine identical; `minCount` kills the hapax pairs PMI
+    * notoriously over-ranks. Top-k per language via the NATIVE
+    * [[graft.plans.TopKPerGroup]] operator (bounded heaps — never a
+    * per-language sort), bigram text as the total-order tiebreak.
+    * Scale shape: one tokenize+explode scan → per-(lang, bigram) counts;
+    * the position marginals and N aggregate the ALREADY-AGGREGATED bigram
+    * frame, and the top-k never moves more than |langs|·k rows.
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+      minCount: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def lnB(c: Column): Column =
+      graft.core.Num.decToDouble(log(c.cast("double")).cast(DecimalType(18, 12)))
+    val bi = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(LanguageModel.bigramsOf(tokens(col("text")))).as("bigram"))
+    val cab = bi.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val ca = cab.groupBy(col("lang"), col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy(col("lang"), col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val nb = cab.groupBy(col("lang")).agg(sum(col("c_ab")).as("n_bi"))
+    val scored = cab.filter(col("c_ab") >= minCount)
+      .join(ca, Seq("lang", "w1"))
+      .join(cb, Seq("lang", "w2"))
+      .join(broadcast(nb), Seq("lang"))
+      .select(col("lang"), col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_bi"),
+        ((lnB(col("c_ab")) + lnB(col("n_bi"))) - lnB(col("c_a")) - lnB(col("c_b")))
+          .as("pmi"))
+    graft.plans.TopKPerGroup.topK(scored, Seq("lang"),
+      Seq(("pmi", true), ("bigram", false)), k)
+      .drop("w1", "w2")
+  }
+
+  /** TRAIN/VALID TOKEN-DISTRIBUTION DIVERGENCE — Jensen–Shannon plus both
+    * KL directions between the unigram distributions of the q50 hash
+    * split's train and valid slices: the release-gate audit that catches a
+    * split whose validation set is not distributionally representative
+    * (the content-level companion to q232's membership leakage — q232 asks
+    * "did documents leak", this asks "do the slices even speak the same
+    * corpus"). Laplace +1 smoothing over the JOINT vocabulary keeps every
+    * log finite with no data-dependent epsilon; p and q are single
+    * divisions of exact ints; each p·ln(·) term is a fixed tree over the
+    * 12-decimal ln bridge, and only the term SUMS fold through the
+    * quantized grid. Split membership is the PURE hash function of doc_id
+    * (no join with a split table — zero extra shuffle).
+    * Scale shape: one tokenize+explode scan → one |vocab|-row aggregate →
+    * per-term arithmetic → one 6-number fold. The 100 TB JS divergence.
+    */
+  def splitDivergence(spark: SparkSession, sfDir: String,
+      salt: String = "split_v1"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def lnB(c: Column): Column =
+      graft.core.Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val bucket = Corpus.hashBucket(col("doc_id"), salt)
+    val split = when(bucket < 900, "train").when(bucket < 950, "valid")
+      .otherwise("test")
+    val tc = Tables.documents(spark, sfDir)
+      .select(split.as("split"), explode(tokens(col("text"))).as("term"))
+      .filter(col("split").isin("train", "valid"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("cv"))
+    val tot = tc.agg(sum(col("ct")).as("nt"), sum(col("cv")).as("nv"),
+      count(lit(1)).as("v"))
+    val p = (col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")
+    val q = (col("cv") + 1).cast("double") / (col("nv") + col("v")).cast("double")
+    val terms = tc.crossJoin(broadcast(tot))
+      .select(col("nt"), col("nv"), col("v"),
+        (p * lnB(lit(2.0) * p / (p + q))).as("jt"),
+        (q * lnB(lit(2.0) * q / (p + q))).as("jv"),
+        (p * lnB(p / q)).as("kt"),
+        (q * lnB(q / p)).as("kv"))
+    terms.groupBy(col("nt"), col("nv"), col("v"))
+      .agg(
+        graft.core.Num.decToDouble(sum(q12(col("jt")))).as("__jt"),
+        graft.core.Num.decToDouble(sum(q12(col("jv")))).as("__jv"),
+        graft.core.Num.decToDouble(sum(q12(col("kt")))).as("kl_train_valid"),
+        graft.core.Num.decToDouble(sum(q12(col("kv")))).as("kl_valid_train"))
+      .select(col("v").as("n_vocab"), col("nt").as("n_train_tokens"),
+        col("nv").as("n_valid_tokens"),
+        (lit(0.5) * (col("__jt") + col("__jv"))).as("js_div"),
+        col("kl_train_valid"), col("kl_valid_train"))
+  }
+
   def zipfSlope(spark: SparkSession, sfDir: String, topN: Int = 100): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val freq = Tables.documents(spark, sfDir)

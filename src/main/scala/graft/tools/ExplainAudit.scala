@@ -98,6 +98,8 @@ object ExplainAudit {
     audit("q241_session_funnel", graft.ops.Events.sessionFunnel(spark, sf))
     audit("q242_threshold_metrics", graft.ops.Evaluation.thresholdMetrics(spark, sf))
     audit("q243_chi_square", graft.ops.Statistics.chiSquareLangLength(spark, sf))
+    audit("q244_pmi_collocations", graft.ops.TermStats.pmiCollocations(spark, sf))
+    audit("q245_split_divergence", graft.ops.TermStats.splitDivergence(spark, sf))
     spark.stop()
   }
 }

@@ -53,4 +53,67 @@ class LanguageModelSpec extends SparkSpec {
     assert(rows(4L)._2 > rows(3L)._2, "mixed doc ranks above pure raw doc")
     assert(rows(5L) === ((0L, 0L, false)), "sub-bigram doc: zero features, zero weight")
   }
+
+  private def lnBridge(x: Double): Double =
+    BigDecimal(math.log(x).toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  test("pmi collocations: exact top-k of the full pair set, formula recomputed") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.TermStats.pmiCollocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, g) => assert(g.length <= 10, lang) }
+    rows.foreach { case (lang, bigram, cab, ca, cb, nbi, pmi) =>
+      assert(cab >= 5, s"$bigram below minCount")
+      assert(ca >= cab && cb >= cab && nbi >= ca && nbi >= cb, "marginal containment")
+      // the operator's own fixed tree: (ln c_ab + ln N) − ln c_a − ln c_b
+      assert(pmi === lnBridge(cab.toDouble) + lnBridge(nbi.toDouble)
+        - lnBridge(ca.toDouble) - lnBridge(cb.toDouble), s"$lang/$bigram")
+    }
+    // the k=10 pick is exactly the head of the full ≥minCount pair set
+    val all = graft.ops.TermStats.pmiCollocations(spark, sf, k = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(6)))
+    all.groupBy(_._1).foreach { case (lang, g) =>
+      val expect = g.sortBy(x => (-x._3, x._2)).take(10).map(_._2).toSet
+      assert(rows.filter(_._1 == lang).map(_._2).toSet === expect, lang)
+    }
+  }
+
+  test("split divergence: bounded, symmetric-construction identities hold") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.ops.TermStats.splitDivergence(spark, sf).collect().head
+    val (v, nt, nv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (js, klTv, klVt) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(v > 0 && nt > 0 && nv > 0)
+    assert(js >= -1e-9 && js <= math.log(2.0) + 1e-9, s"JS out of [0, ln2]: $js")
+    assert(klTv >= -1e-9 && klVt >= -1e-9, "smoothed KLs are non-negative")
+    // independent recompute from raw term counts, same bridges
+    import org.apache.spark.sql.functions._
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+    val split = graft.ops.Corpus.hashSplit(spark, sf).select(col("doc_id"), col("split"))
+    val counts = toks.join(split, "doc_id")
+      .filter(col("split").isin("train", "valid"))
+      .groupBy("term")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("split") === "valid", 1L).otherwise(0L)).as("cv"))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    val (sumT, sumV, nVoc) = (counts.map(_._1).sum, counts.map(_._2).sum, counts.length)
+    assert(nVoc.toLong === v && sumT === nt && sumV === nv)
+    def fold(xs: Seq[Double]): Double =
+      xs.map(x => BigDecimal(x.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val jt = fold(counts.map { case (ct, cv) =>
+      val p = (ct + 1).toDouble / (nt + v); val q = (cv + 1).toDouble / (nv + v)
+      p * lnBridge(2.0 * p / (p + q))
+    }.toSeq)
+    val jv = fold(counts.map { case (ct, cv) =>
+      val p = (ct + 1).toDouble / (nt + v); val q = (cv + 1).toDouble / (nv + v)
+      q * lnBridge(2.0 * q / (p + q))
+    }.toSeq)
+    assert(js === 0.5 * (jt + jv), "JS equals the independent recompute")
+  }
 }
