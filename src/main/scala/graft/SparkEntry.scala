@@ -279,6 +279,7 @@ object SparkEntry {
     "q243_chi_square"      -> ((s, d) => graft.ops.Statistics.chiSquareLangLength(s, d)),
     "q244_pmi_collocations" -> ((s, d) => graft.ops.TermStats.pmiCollocations(s, d)),
     "q245_split_divergence" -> ((s, d) => graft.ops.TermStats.splitDivergence(s, d)),
+    "q246_funnel_stream"   -> ((s, d) => graft.streaming.SessionStream.funnelAvailableNow(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -314,6 +315,36 @@ object SparkEntry {
       |  count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM sess GROUP BY 1, 2""".stripMargin
+
+  /** The sessionized-funnel oracle, shared VERBATIM by batch q241 and
+    * streaming q246 — the same batch/stream-parity contract the A/B monitor
+    * (q224/q226) established.
+    */
+  private val sessionFunnelOracle: String =
+    s"""WITH $sessionSeqCtes,
+      |v AS (
+      |  SELECT user_id, session_seq, min(ts) AS view_ts FROM sess
+      |  WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (
+      |  SELECT e.user_id, e.session_seq, min(e.ts) AS click_ts
+      |  FROM sess e JOIN v ON e.user_id = v.user_id AND e.session_seq = v.session_seq
+      |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      |    AND e.ts <= v.view_ts + INTERVAL 10 MINUTE
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT e.user_id, e.session_seq, min(e.ts) AS purchase_ts
+      |  FROM sess e JOIN c ON e.user_id = c.user_id AND e.session_seq = c.session_seq
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      |    AND e.ts <= c.click_ts + INTERVAL 30 MINUTE
+      |  GROUP BY 1, 2)
+      |SELECT v.user_id, v.session_seq, v.view_ts, c.click_ts, p.purchase_ts,
+      |  CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+      |            WHEN c.click_ts IS NOT NULL THEN 2
+      |            ELSE 1 END AS BIGINT) AS stage,
+      |  epoch_us(c.click_ts) - epoch_us(v.view_ts) AS click_lat_us,
+      |  epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS purchase_lat_us
+      |FROM v LEFT JOIN c USING (user_id, session_seq)
+      |  LEFT JOIN p USING (user_id, session_seq)""".stripMargin
 
   private val enrichJoin: String =
     """FROM lineitem
@@ -4859,32 +4890,10 @@ object SparkEntry {
 
     // q241: sessionized funnel — q96's strict sequence within each q15
     // session, each transition bounded by its conversion window; latencies
-    // in exact microseconds (epoch_us)
-    "q241_session_funnel" ->
-      s"""WITH $sessionSeqCtes,
-        |v AS (
-        |  SELECT user_id, session_seq, min(ts) AS view_ts FROM sess
-        |  WHERE event_type = 'view' GROUP BY 1, 2),
-        |c AS (
-        |  SELECT e.user_id, e.session_seq, min(e.ts) AS click_ts
-        |  FROM sess e JOIN v ON e.user_id = v.user_id AND e.session_seq = v.session_seq
-        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
-        |    AND e.ts <= v.view_ts + INTERVAL 10 MINUTE
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT e.user_id, e.session_seq, min(e.ts) AS purchase_ts
-        |  FROM sess e JOIN c ON e.user_id = c.user_id AND e.session_seq = c.session_seq
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
-        |    AND e.ts <= c.click_ts + INTERVAL 30 MINUTE
-        |  GROUP BY 1, 2)
-        |SELECT v.user_id, v.session_seq, v.view_ts, c.click_ts, p.purchase_ts,
-        |  CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
-        |            WHEN c.click_ts IS NOT NULL THEN 2
-        |            ELSE 1 END AS BIGINT) AS stage,
-        |  epoch_us(c.click_ts) - epoch_us(v.view_ts) AS click_lat_us,
-        |  epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS purchase_lat_us
-        |FROM v LEFT JOIN c USING (user_id, session_seq)
-        |  LEFT JOIN p USING (user_id, session_seq)""".stripMargin,
+    // in exact microseconds (epoch_us). SHARED VERBATIM with the streaming
+    // q246 (the q224/q226 batch-stream parity pattern).
+    "q241_session_funnel" -> sessionFunnelOracle,
+    "q246_funnel_stream" -> sessionFunnelOracle,
 
     // join-key skew report: per-key counts + multiple of the mean key load,
     // top-20 deterministic (count desc, key asc)

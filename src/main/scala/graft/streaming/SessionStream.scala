@@ -25,6 +25,20 @@ final case class SessionRow(
     session_start: LocalDateTime, session_end: LocalDateTime,
     n_events: Long, session_value: Double)
 
+/** The in-flight funnel kept per user (q246): session extent + the three
+  * write-once stage timestamps.
+  */
+final case class OpenFunnel(start: LocalDateTime, end: LocalDateTime,
+    view: Option[LocalDateTime], click: Option[LocalDateTime],
+    purchase: Option[LocalDateTime])
+final case class UserFunnelState(nextSeq: Long, open: Option[OpenFunnel])
+
+/** One emitted funnel row — q241's exact output schema. */
+final case class FunnelRow(
+    user_id: Long, session_seq: Long, view_ts: LocalDateTime,
+    click_ts: Option[LocalDateTime], purchase_ts: Option[LocalDateTime],
+    stage: Long, click_lat_us: Option[Long], purchase_lat_us: Option[Long])
+
 /** Stateful streaming sessionization — `flatMapGroupsWithState` over
   * `groupByKey(user_id)`, the custom-state tier of the Structured Streaming
   * surface (SURVEY §2.9). Gap rule identical to the batch
@@ -233,6 +247,109 @@ object SessionStream {
     * one exactly), so the max row is the final state and the dedup is
     * deterministic.
     */
+  /** STREAMING SESSIONIZED FUNNEL — q241's semantics as per-user streaming
+    * state, the q226 pattern (batch/stream parity against the SAME oracle
+    * SQL): the state per user is ONE open funnel (session extent + the three
+    * first-stage timestamps) plus the session counter — constant bytes per
+    * user, never the event history. The stage machine folds each event in
+    * order: first view opens the funnel, the first click strictly after the
+    * view and within 10 min locks `click_ts`, the first purchase strictly
+    * after that click and within 30 min locks `purchase_ts` — each field
+    * write-once, so an open session's re-emissions only ever move the stage
+    * FORWARD and the update-mode dedup (max stage per session) is exact.
+    * Sessions without a view consume a sequence number but emit nothing,
+    * matching the batch numbering. In-batch events are sorted (ts,
+    * event_id); the funnel fields are exact within any prefix of batches
+    * whose events arrive in order — the AvailableNow gate runs ONE batch, so
+    * parity with batch q241 is exact (a cross-batch straggler view earlier
+    * than an already-locked click is the same accepted-staleness class the
+    * documented watermark caveats cover).
+    */
+  private[streaming] def advanceFunnel(
+      userId: Long,
+      st: UserFunnelState,
+      events: Array[SessionEvent]): (Seq[FunnelRow], UserFunnelState) = {
+    val evs = events.sortBy(e => (e.ts, e.event_id))
+    var seq = st.nextSeq
+    var open = st.open
+    val out = ArrayBuffer.empty[FunnelRow]
+    def fresh(e: SessionEvent): OpenFunnel =
+      OpenFunnel(e.ts, e.ts,
+        if (e.event_type == "view") Some(e.ts) else None, None, None)
+    def folded(o: OpenFunnel, e: SessionEvent): OpenFunnel = {
+      val end = if (e.ts.isAfter(o.end)) e.ts else o.end
+      e.event_type match {
+        case "view" if o.view.isEmpty =>
+          o.copy(end = end, view = Some(e.ts))
+        case "click" if o.view.isDefined && o.click.isEmpty &&
+            e.ts.isAfter(o.view.get) &&
+            !e.ts.isAfter(o.view.get.plusMinutes(10)) =>
+          o.copy(end = end, click = Some(e.ts))
+        case "purchase" if o.click.isDefined && o.purchase.isEmpty &&
+            e.ts.isAfter(o.click.get) &&
+            !e.ts.isAfter(o.click.get.plusMinutes(30)) =>
+          o.copy(end = end, purchase = Some(e.ts))
+        case _ => o.copy(end = end)
+      }
+    }
+    def emitF(o: OpenFunnel): Unit = o.view.foreach { v =>
+      val us = java.time.temporal.ChronoUnit.MICROS
+      out += FunnelRow(userId, seq, v, o.click, o.purchase,
+        if (o.purchase.isDefined) 3L else if (o.click.isDefined) 2L else 1L,
+        o.click.map(c => us.between(v, c)),
+        o.purchase.map(p => us.between(o.click.get, p)))
+    }
+    evs.foreach { e =>
+      open match {
+        case Some(o) if Duration.between(o.end, e.ts)
+            .compareTo(Duration.ofMinutes(GapMinutes)) <= 0 =>
+          open = Some(folded(o, e))
+        case Some(o) =>
+          emitF(o) // closed by the gap — final
+          seq += 1
+          open = Some(fresh(e))
+        case None =>
+          open = Some(fresh(e))
+      }
+    }
+    open.foreach(emitF) // still-open funnel, update semantics
+    (out.toSeq, UserFunnelState(seq, open))
+  }
+
+  private[streaming] def updateFunnelUser(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[UserFunnelState]): Iterator[FunnelRow] = {
+    val (out, next) = advanceFunnel(userId,
+      state.getOption.getOrElse(UserFunnelState(1L, None)), events.toArray)
+    state.update(next)
+    out.iterator
+  }
+
+  /** Run the streaming funnel to completion (AvailableNow) and return the
+    * final per-session funnel rows — gated against q241's EXACT oracle SQL.
+    */
+  def funnelAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = spark.readStream
+      .schema(EventStream.eventsSchema)
+      .parquet(EventStream.eventsDir(spark, sfDir))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFunnelUser)
+    val drained = Drain.toMemoryTable(spark, rows, "update", "graft_stream_funnel")
+    // stage is write-once-forward, so rows for one session at equal stage are
+    // identical — max stage IS the final emission
+    val latest = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("stage").desc)
+    drained
+      .withColumn("__rn", row_number().over(latest))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("session_seq"), col("view_ts"),
+        col("click_ts"), col("purchase_ts"), col("stage"),
+        col("click_lat_us"), col("purchase_lat_us"))
+  }
+
   private def drainSessions(
       spark: SparkSession,
       sessions: org.apache.spark.sql.Dataset[SessionRow]): DataFrame = {

@@ -515,4 +515,18 @@ class EventStreamSpec extends SparkSpec {
     assert(stream.head === batch.head,
       "the drained per-user state must feed the identical statistical readout")
   }
+
+  test("streaming funnel reproduces the batch sessionized funnel row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val stream = SessionStream.funnelAvailableNow(spark, sf).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    val batch = graft.ops.Events.sessionFunnel(spark, sf).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    assert(stream.nonEmpty)
+    assert(stream.keySet === batch.keySet, "same viewing sessions")
+    stream.foreach { case (k, row) =>
+      assert(row === batch(k), s"session $k: stream and batch funnel disagree")
+    }
+  }
 }
