@@ -280,6 +280,8 @@ object SparkEntry {
     "q244_pmi_collocations" -> ((s, d) => graft.ops.TermStats.pmiCollocations(s, d)),
     "q245_split_divergence" -> ((s, d) => graft.ops.TermStats.splitDivergence(s, d)),
     "q246_funnel_stream"   -> ((s, d) => graft.streaming.SessionStream.funnelAvailableNow(s, d)),
+    "q247_rolling_median"  -> ((s, d) => graft.ops.TimeSeries.rollingMedianRevenue(s, d)),
+    "q248_nelson_aalen"    -> ((s, d) => graft.ops.TimeSeries.nelsonAalen(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -315,6 +317,28 @@ object SparkEntry {
       |  count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM sess GROUP BY 1, 2""".stripMargin
+
+  /** The survival risk-set CTEs (lifetimes → per-t death/censor counts →
+    * suffix-sum risk sets), shared verbatim by Kaplan–Meier (q222) and
+    * Nelson–Aalen (q248) — one fragment so the two estimators can never
+    * disagree about who was at risk.
+    */
+  private val survivalRiskCtes: String =
+    """h AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+      |life AS (
+      |  SELECT
+      |    CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+      |      max(CAST(o_orderdate AS DATE))) AS BIGINT) AS t,
+      |    date_diff('day', max(CAST(o_orderdate AS DATE)), h.max_d) > 90 AS event
+      |  FROM orders, h GROUP BY o_custkey, h.max_d),
+      |byt AS (
+      |  SELECT t, CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM life GROUP BY 1),
+      |risk AS (
+      |  SELECT t, d, c, CAST(sum(d + c) OVER (ORDER BY t
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+      |  FROM byt)""".stripMargin
 
   /** The sessionized-funnel oracle, shared VERBATIM by batch q241 and
     * streaming q246 — the same batch/stream-parity contract the A/B monitor
@@ -2467,21 +2491,7 @@ object SparkEntry {
     // q222: Kaplan-Meier — suffix-sum risk sets, product-limit as
     // exp(Sigma bridged ln), exact-0 pin when an event empties the risk set
     "q222_kaplan_meier" ->
-      """WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
-        |life AS (
-        |  SELECT
-        |    CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
-        |      max(CAST(o_orderdate AS DATE))) AS BIGINT) AS t,
-        |    date_diff('day', max(CAST(o_orderdate AS DATE)), h.max_d) > 90 AS event
-        |  FROM orders, h GROUP BY o_custkey, h.max_d),
-        |byt AS (
-        |  SELECT t, CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |    CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
-        |  FROM life GROUP BY 1),
-        |risk AS (
-        |  SELECT t, d, c, CAST(sum(d + c) OVER (ORDER BY t
-        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
-        |  FROM byt),
+      s"""WITH $survivalRiskCtes,
         |terms AS (
         |  SELECT t, d, c, n_risk,
         |    CASE WHEN d > 0 AND d < n_risk THEN
@@ -2502,6 +2512,42 @@ object SparkEntry {
         |  CASE WHEN z = 1 THEN CAST(0.0 AS DOUBLE)
         |       ELSE CAST(CAST(CAST(CAST(exp(lsum) AS VARCHAR) AS DECIMAL(18,12))
         |         AS VARCHAR) AS DOUBLE) END AS survival
+        |FROM cum""".stripMargin,
+
+    // q247: rolling 7-day median of daily revenue — ENTIRELY integer
+    // (lower median of a sorted ≤7-element cents buffer), zero FP anywhere
+    "q247_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT day, x, list_sort(array_agg(x) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS buf
+        |  FROM daily)
+        |SELECT day, x, CAST(len(buf) AS BIGINT) AS n_window,
+        |  buf[CAST((len(buf) + 1) // 2 AS INT)] AS rolling_median_cents
+        |FROM b""".stripMargin,
+
+    // q248: Nelson–Aalen cumulative hazard — q222's risk sets verbatim,
+    // each d/n one exact-int division, H the exact-decimal cumulative of
+    // 12-decimal-quantized terms, exp(−H) through the 12-decimal bridge
+    "q248_nelson_aalen" ->
+      s"""WITH $survivalRiskCtes,
+        |terms AS (
+        |  SELECT t, d, c, n_risk,
+        |    CAST(CAST(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS VARCHAR)
+        |      AS DECIMAL(28,12)) AS hq
+        |  FROM risk),
+        |cum AS (
+        |  SELECT t, d, c, n_risk,
+        |    CAST(CAST(sum(hq) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+        |      AS cum_hazard
+        |  FROM terms)
+        |SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored, cum_hazard,
+        |  CAST(CAST(CAST(CAST(exp(-cum_hazard) AS VARCHAR) AS DECIMAL(18,9))
+        |    AS VARCHAR) AS DOUBLE) AS surv_na
         |FROM cum""".stripMargin,
 
     // q223: walk-forward backtest of the q211 smoother — relative errors

@@ -218,6 +218,80 @@ object TimeSeries {
         col("c").as("n_censored"), col("survival"))
   }
 
+  /** ROLLING MEDIAN of daily revenue over the trailing 7 OBSERVED days —
+    * the robust smoother beside the EWMA (q211): a single spiked day drags
+    * any mean-based window, the median moves by at most one rank. ENTIRELY
+    * integer: daily cents are exact longs, the window buffer is ≤ 7
+    * elements, and the lower median is `sorted[(n+1) DIV 2]` — an observed
+    * value, no interpolation, so the oracle matches bit-for-bit with zero
+    * FP anywhere. The first `window−1` days report the median of their
+    * shorter prefix (n_window says which), never NULL.
+    * Scale shape: the window runs over the AGGREGATED daily frame (≤ a few
+    * thousand rows per decade — the documented calendar-frame window
+    * class), not raw orders; the only order-sized job is the first hash
+    * aggregate.
+    */
+  def rollingMedianRevenue(spark: SparkSession, sfDir: String,
+      window: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-(window - 1), 0)
+    dailyCents(spark, sfDir)
+      .withColumn("buf", collect_list(col("x")).over(w))
+      .select(col("day"), col("x"),
+        size(col("buf")).cast("long").as("n_window"),
+        // `/` on ints yields DOUBLE in the Column algebra; the cast back to
+        // int truncates (n+1)/2 exactly — n ≤ window, no precision risk
+        element_at(array_sort(col("buf")), ((size(col("buf")) + 1) / 2).cast("int"))
+          .as("rolling_median_cents"))
+  }
+
+  /** NELSON–AALEN CUMULATIVE HAZARD over the q222 lifetimes — the
+    * estimator survival analysis pairs with Kaplan–Meier (Nelson 1972 /
+    * Aalen 1978, public): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the same risk sets,
+    * with the KM-consistency check exp(−H) ≈ S built into the output. Each
+    * dᵢ/nᵢ is ONE division of exact ints; the cumulative sum folds
+    * 12-decimal-quantized terms in EXACT decimal (order-free), and
+    * exp(−H) rides the 12-decimal exp bridge — H ≤ ~10 keeps both bridges
+    * in the magnitude-safe regime (§8.4). Shares [[kaplanMeier]]'s
+    * suffix-sum risk-set machinery verbatim: one per-customer aggregate,
+    * one |lifetimes|-row frame, both windows over that aggregated frame.
+    */
+  def nelsonAalen(spark: SparkSession, sfDir: String,
+      censorDays: Int = 90): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val horizon = Tables.orders(spark, sfDir)
+      .agg(max(to_date(col("o_orderdate"))).as("max_d"))
+    val life = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+      .crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+        (datediff(col("max_d"), col("last_d")) > censorDays).as("event"))
+    val byT = life.groupBy(col("t")).agg(
+      sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+    val later = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prior = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(later))
+      .withColumn("hq",
+        (col("d").cast("double") / col("n_risk").cast("double"))
+          .cast("string").cast(DecimalType(28, 12)))
+      .withColumn("cum_hazard",
+        Num.decToDouble(sum(col("hq")).over(prior)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("cum_hazard"),
+        // exp OUTPUT bridged at NINE decimals, not twelve: JVM and libm exp
+        // can differ 1 ulp on identical input, and on (0,1] a 5e-13 grid
+        // midpoint sits ~2e-4/row within an ulp (measured: one row of 1574
+        // at sf0.1 flipped); the 9-decimal grid shrinks that to ~4e-7 (the
+        // q195 lesson applied to exp)
+        Num.decToDouble(exp(-col("cum_hazard")).cast(DecimalType(18, 9)))
+          .as("surv_na"))
+  }
+
   /** FORECAST BACKTEST of the [[ewmaRevenue]] smoother: yesterday's
     * normalized EWMA is today's one-step-ahead forecast, scored per month
     * with MAE, RMSE and MAPE — the walk-forward evaluation loop any

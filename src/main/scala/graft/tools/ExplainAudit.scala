@@ -100,6 +100,8 @@ object ExplainAudit {
     audit("q243_chi_square", graft.ops.Statistics.chiSquareLangLength(spark, sf))
     audit("q244_pmi_collocations", graft.ops.TermStats.pmiCollocations(spark, sf))
     audit("q245_split_divergence", graft.ops.TermStats.splitDivergence(spark, sf))
+    audit("q247_rolling_median", graft.ops.TimeSeries.rollingMedianRevenue(spark, sf))
+    audit("q248_nelson_aalen", graft.ops.TimeSeries.nelsonAalen(spark, sf))
     spark.stop()
   }
 }

@@ -183,4 +183,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(weighted - 1.0) < 1e-9, s"weighted index mean $weighted")
     rows.foreach(t => assert(t._4 > 0 && t._5 > 0))
   }
+
+  test("rolling median: exact sliding-window recompute, all-integer") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TimeSeries.rollingMedianRevenue(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length > 10)
+    val xs = rows.map(_._2)
+    rows.zipWithIndex.foreach { case ((day, _, nw, med), i) =>
+      val window = xs.slice(math.max(0, i - 6), i + 1)
+      assert(nw === window.length, day)
+      assert(med === window.sorted.apply((window.length + 1) / 2 - 1),
+        s"$day: lower median mismatch")
+    }
+  }
+
+  test("nelson-aalen: hazard cumulates exactly, risk sets match kaplan-meier") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TimeSeries.nelsonAalen(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // cumulative hazard recomputed with the operator's own quantize/fold
+    var acc = BigDecimal(0)
+    rows.foreach { case (t, nRisk, d, _, h, sna) =>
+      acc += BigDecimal((d.toDouble / nRisk).toString)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      assert(h === acc.toDouble, s"t=$t hazard fold")
+      assert(sna > 0.0 && sna <= 1.0)
+    }
+    assert(rows.map(_._5).sliding(2).forall {
+      case Array(a, b) => b >= a; case _ => true }, "hazard monotone")
+    // same risk sets as the KM estimator (shared machinery, pinned)
+    val km = TimeSeries.kaplanMeier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (t, nRisk, _, _, _, _) => assert(km(t) === nRisk, s"t=$t") }
+  }
 }
