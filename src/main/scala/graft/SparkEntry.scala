@@ -282,6 +282,8 @@ object SparkEntry {
     "q246_funnel_stream"   -> ((s, d) => graft.streaming.SessionStream.funnelAvailableNow(s, d)),
     "q247_rolling_median"  -> ((s, d) => graft.ops.TimeSeries.rollingMedianRevenue(s, d)),
     "q248_nelson_aalen"    -> ((s, d) => graft.ops.TimeSeries.nelsonAalen(s, d)),
+    "q249_concentration"   -> ((s, d) => graft.ops.Statistics.revenueConcentration(s, d)),
+    "q250_cramers_v"       -> ((s, d) => graft.ops.Statistics.cramersV(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -317,6 +319,46 @@ object SparkEntry {
       |  count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM sess GROUP BY 1, 2""".stripMargin
+
+  /** The chi-square grid CTEs (observed over the FULL lang×band grid,
+    * marginals, expectations, per-cell terms, quantized-fold total), shared
+    * verbatim by q243 (the per-cell table) and q250 (Cramér's V).
+    */
+  private val chiSquareCtes: String =
+    """d AS (
+      |  SELECT lang,
+      |    CASE WHEN n_chars < 200 THEN 'short'
+      |         WHEN n_chars < 400 THEN 'medium'
+      |         ELSE 'long' END AS band
+      |  FROM documents),
+      |obs AS (SELECT lang, band, CAST(count(*) AS BIGINT) AS o
+      |  FROM d GROUP BY 1, 2),
+      |langs AS (SELECT DISTINCT lang FROM obs),
+      |bands AS (SELECT DISTINCT band FROM obs),
+      |rts AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+      |cts AS (SELECT band, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+      |  CAST(count(DISTINCT band) AS BIGINT) AS nb FROM obs),
+      |cells AS (
+      |  SELECT l.lang, b.band, COALESCE(obs.o, CAST(0 AS BIGINT)) AS o,
+      |    rts.rt, cts.ct,
+      |    CAST(rts.rt AS DOUBLE) * CAST(cts.ct AS DOUBLE)
+      |      / CAST(tot.n AS DOUBLE) AS expected,
+      |    nl, nb
+      |  FROM langs l CROSS JOIN bands b
+      |  LEFT JOIN obs ON obs.lang = l.lang AND obs.band = b.band
+      |  JOIN rts ON rts.lang = l.lang
+      |  JOIN cts ON cts.band = b.band
+      |  CROSS JOIN tot),
+      |cc AS (SELECT *,
+      |  (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
+      |    / expected AS cell_chi2
+      |  FROM cells),
+      |total AS (SELECT
+      |  CAST(CAST(sum(CAST(CAST(cell_chi2 AS VARCHAR) AS DECIMAL(28,9)))
+      |    AS VARCHAR) AS DOUBLE) AS chi2,
+      |  max((nl - 1) * (nb - 1)) AS dof FROM cc)""".stripMargin
 
   /** The survival risk-set CTEs (lifetimes → per-t death/censor counts →
     * suffix-sum risk sets), shared verbatim by Kaplan–Meier (q222) and
@@ -1952,42 +1994,49 @@ object SparkEntry {
     // int64 overflows at extreme n), only the cell SUM through the
     // 9-decimal fold
     "q243_chi_square" ->
-      """WITH d AS (
-        |  SELECT lang,
-        |    CASE WHEN n_chars < 200 THEN 'short'
-        |         WHEN n_chars < 400 THEN 'medium'
-        |         ELSE 'long' END AS band
-        |  FROM documents),
-        |obs AS (SELECT lang, band, CAST(count(*) AS BIGINT) AS o
-        |  FROM d GROUP BY 1, 2),
-        |langs AS (SELECT DISTINCT lang FROM obs),
-        |bands AS (SELECT DISTINCT band FROM obs),
-        |rts AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
-        |cts AS (SELECT band, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
-        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS nl,
-        |  CAST(count(DISTINCT band) AS BIGINT) AS nb FROM obs),
-        |cells AS (
-        |  SELECT l.lang, b.band, COALESCE(obs.o, CAST(0 AS BIGINT)) AS o,
-        |    rts.rt, cts.ct,
-        |    CAST(rts.rt AS DOUBLE) * CAST(cts.ct AS DOUBLE)
-        |      / CAST(tot.n AS DOUBLE) AS expected,
-        |    nl, nb
-        |  FROM langs l CROSS JOIN bands b
-        |  LEFT JOIN obs ON obs.lang = l.lang AND obs.band = b.band
-        |  JOIN rts ON rts.lang = l.lang
-        |  JOIN cts ON cts.band = b.band
-        |  CROSS JOIN tot),
-        |cc AS (SELECT *,
-        |  (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
-        |    / expected AS cell_chi2
-        |  FROM cells),
-        |total AS (SELECT
-        |  CAST(CAST(sum(CAST(CAST(cell_chi2 AS VARCHAR) AS DECIMAL(28,9)))
-        |    AS VARCHAR) AS DOUBLE) AS chi2,
-        |  max((nl - 1) * (nb - 1)) AS dof FROM cc)
+      s"""WITH $chiSquareCtes
         |SELECT lang, band, o, rt, ct, expected, cell_chi2, chi2, dof
         |FROM cc CROSS JOIN total""".stripMargin,
+
+    // q250: Cramér's V — the bounded effect size off the SAME chi-square
+    // CTEs; sqrt is IEEE-correctly-rounded in both engines, one fixed tree
+    "q250_cramers_v" ->
+      s"""WITH $chiSquareCtes
+        |SELECT total.chi2, total.dof, s.n,
+        |  total.chi2 / CAST(s.n AS DOUBLE) AS phi2,
+        |  sqrt(total.chi2 / (CAST(s.n AS DOUBLE)
+        |    * CAST(least(s.nl - 1, s.nb - 1) AS DOUBLE))) AS cramers_v
+        |FROM total CROSS JOIN (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n, max(nl) AS nl, max(nb) AS nb
+        |  FROM cc) s""".stripMargin,
+
+    // q249: revenue concentration deciles (the Lorenz table) — rank tiles
+    // by floor distribution ((rk−1)·10 DIV n), exact cents everywhere, one
+    // share division per tile
+    "q249_concentration" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total FROM cust),
+        |r AS (
+        |  SELECT cents, n, total,
+        |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk
+        |  FROM cust CROSS JOIN t),
+        |tiles AS (
+        |  SELECT ((rk - 1) * 10) // n + 1 AS tile, n, total,
+        |    CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS tile_cents
+        |  FROM r GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT tile, n_customers, tile_cents, total,
+        |    CAST(sum(tile_cents) OVER (ORDER BY tile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM tiles)
+        |SELECT tile, n_customers, tile_cents, cum_cents,
+        |  CAST(cum_cents AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+        |  CAST(tile_cents AS DOUBLE) / CAST(total AS DOUBLE) AS tile_share
+        |FROM c""".stripMargin,
 
     // q236: calibration table — fixed-width score bins; exact 12-decimal
     // folds for mean score and per-bin Brier (the q233 quantize-then-fold

@@ -505,6 +505,41 @@ object Statistics {
         (col("__o2") + sum(col("c2")).over(local)).as("cum2"))
   }
 
+  /** REVENUE CONCENTRATION TABLE (the Lorenz-curve deciles) — the "what
+    * share do the top customers hold" readout beside q205's scalar Gini:
+    * customers rank by lifetime revenue (two-phase rank — no single-task
+    * sort even over 10⁸ customers), deal into `nTiles` rank tiles, and each
+    * tile reports its population, exact cents, cumulative cents and
+    * cumulative share. EVERYTHING integer until the one share division per
+    * tile: tile = (rk−1)·nTiles DIV n (floor-distribution ntile — a pure
+    * function of the rank, engine-independent, never ntile()'s
+    * remainder-splitting), cumulative sums over the nTiles-row frame.
+    * Scale shape: one per-customer aggregate, the q184 rank machinery,
+    * one nTiles-group aggregate + an nTiles-row window.
+    */
+  def revenueConcentration(spark: SparkSession, sfDir: String,
+      nTiles: Int = 10): DataFrame = {
+    val cust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+    val n = cust.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val tiled = Relational.twoPhaseRank(cust, "cents", "o_custkey", "rk")
+      .crossJoin(broadcast(n))
+      .withColumn("tile", expr(s"((rk - 1) * $nTiles) DIV n") + 1)
+    val byTile = tiled.groupBy(col("tile"), col("n"), col("total"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("tile_cents"))
+    val cum = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byTile
+      .withColumn("cum_cents", sum(col("tile_cents")).over(cum))
+      .select(col("tile"), col("n_customers"), col("tile_cents"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("total").cast("double"))
+          .as("cum_share"),
+        (col("tile_cents").cast("double") / col("total").cast("double"))
+          .as("tile_share"))
+  }
+
   /** CHI-SQUARE TEST OF INDEPENDENCE between document language and length
     * band (q239's segments) — the categorical companion to the KS (q203) and
     * rank-sum (q204) tests: does document length depend on language? A
@@ -549,6 +584,23 @@ object Statistics {
       col("expected"), col("cell_chi2"))
       .crossJoin(broadcast(total))
   }
+
+  /** CRAMÉR'S V — the bounded [0,1] effect size of [[chiSquareLangLength]]:
+    * V = √(χ²/(n·min(r−1, c−1))), the number a release gate can threshold
+    * where raw χ² scales with n (at 10⁹ documents EVERYTHING is
+    * "significant"; V says whether the dependence is material). One fixed
+    * correctly-rounded tree over the already-deterministic χ² — sqrt is
+    * IEEE-exact in both engines. φ² = χ²/n reported beside it.
+    */
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame =
+    chiSquareLangLength(spark, sfDir)
+      .groupBy(col("chi2"), col("dof"))
+      .agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("nl"), countDistinct(col("band")).as("nb"))
+      .select(col("chi2"), col("dof"), col("n"),
+        (col("chi2") / col("n").cast("double")).as("phi2"),
+        sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("nl") - 1, col("nb") - 1).cast("double"))).as("cramers_v"))
 
   /** [[cumulativeGroupCounts]] generalized to run WITHIN each `partCols`
     * group (the q239 shape: one cumulative-count stream per segment) — the

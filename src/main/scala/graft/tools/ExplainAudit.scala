@@ -102,6 +102,8 @@ object ExplainAudit {
     audit("q245_split_divergence", graft.ops.TermStats.splitDivergence(spark, sf))
     audit("q247_rolling_median", graft.ops.TimeSeries.rollingMedianRevenue(spark, sf))
     audit("q248_nelson_aalen", graft.ops.TimeSeries.nelsonAalen(spark, sf))
+    audit("q249_concentration", graft.ops.Statistics.revenueConcentration(spark, sf))
+    audit("q250_cramers_v", graft.ops.Statistics.cramersV(spark, sf))
     spark.stop()
   }
 }

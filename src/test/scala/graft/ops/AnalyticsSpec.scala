@@ -581,6 +581,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._8).distinct.length === 1, "one total broadcast to all rows")
   }
 
+  test("concentration: tiles partition customers, Lorenz curve convex, shares exact") {
+    val rows = graft.ops.Statistics.revenueConcentration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.length === 10)
+    val nCust = graft.core.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum === nCust, "tiles partition the customers")
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1,
+      "floor distribution keeps tile sizes within one")
+    val total = rows.map(_._3).sum
+    assert(rows.last._4 === total && rows.last._5 === 1.0, "curve ends at 1")
+    rows.foldLeft(0L) { case (acc, (t, _, tc, cc, cs, ts)) =>
+      assert(cc === acc + tc, s"tile $t cumulative telescopes")
+      assert(cs === cc.toDouble / total && ts === tc.toDouble / total, s"tile $t shares")
+      cc
+    }
+    // convexity: mean revenue per customer is non-decreasing across tiles
+    val means = rows.map(r => r._3.toDouble / r._2)
+    assert(means.sliding(2).forall { case Array(a, b) => b >= a; case _ => true },
+      "ranked tiles must have non-decreasing per-customer revenue")
+  }
+
+  test("cramers v: bounded effect size, identities against the chi-square table") {
+    val r = graft.ops.Statistics.cramersV(spark, sf).collect().head
+    val (chi2, dof, n) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+    val (phi2, v) = (r.getDouble(3), r.getDouble(4))
+    assert(v >= 0.0 && v <= 1.0 + 1e-12)
+    assert(phi2 === chi2 / n)
+    val cells = graft.ops.Statistics.chiSquareLangLength(spark, sf).collect()
+    assert(chi2 === cells.head.getDouble(7) && dof === cells.head.getLong(8),
+      "summary rides the same chi-square")
+    assert(n === cells.map(_.getLong(2)).sum)
+    val k = math.min(cells.map(_.getString(0)).distinct.length - 1,
+      cells.map(_.getString(1)).distinct.length - 1)
+    assert(v === math.sqrt(chi2 / (n.toDouble * k)))
+  }
+
   test("percentile normalization: NULL lang is its own partition, not dropped") {
     import spark.implicits._
     val d = tmpDir("pctnull")
