@@ -326,7 +326,7 @@ object SparkEntry {
     */
   private val chiSquareCtes: String =
     """d AS (
-      |  SELECT lang,
+      |  SELECT COALESCE(lang, chr(0)) AS lang,
       |    CASE WHEN n_chars < 200 THEN 'short'
       |         WHEN n_chars < 400 THEN 'medium'
       |         ELSE 'long' END AS band
@@ -4080,7 +4080,8 @@ object SparkEntry {
         s"CAST(CAST(CAST(CAST(ln(CAST($x AS DOUBLE)) AS VARCHAR) " +
           s"AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)"
       s"""WITH d AS (
-        |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  SELECT COALESCE(lang, chr(0)) AS lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |  FROM documents),
         |b AS (
         |  SELECT lang,

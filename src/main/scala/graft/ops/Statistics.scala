@@ -556,8 +556,13 @@ object Statistics {
     * after runs on ≤ dozens of rows.
     */
   def chiSquareLangLength(spark: SparkSession, sfDir: String): DataFrame = {
+    // a NULL lang must be a VISIBLE category, not a silent exclusion: the
+    // grid/marginal equi-joins drop null keys in both engines identically,
+    // which would make Σcells < n without failing any gate (the q199
+    // null-partition class) — coalesce to NUL makes it a countable row
     val docs = Tables.documents(spark, sfDir)
-      .select(col("lang"), Evaluation.lengthBand.as("band"))
+      .select(coalesce(col("lang"), lit("\u0000")).as("lang"),
+        Evaluation.lengthBand.as("band"))
     val obs = docs.groupBy(col("lang"), col("band")).agg(count(lit(1)).as("o"))
     val langs = obs.select(col("lang")).distinct()
     val bands = obs.select(col("band")).distinct()

@@ -310,11 +310,27 @@ object TermStats {
     import org.apache.spark.sql.types.DecimalType
     def lnB(c: Column): Column =
       graft.core.Num.decToDouble(log(c.cast("double")).cast(DecimalType(18, 12)))
+    // NULL lang rides as an explicit NUL category — the marginal equi-joins
+    // would otherwise drop it silently in both engines (the q199 class).
+    // The token array is PROJECTED FIRST (the q110 shape): inlining
+    // tokens(text) into the bigram lambda re-evaluates the regexp per
+    // element_at reference — measured 8.5 s for a 265k-bigram explode vs
+    // ~1 s with the array materialized as its own column.
     val bi = Tables.documents(spark, sfDir)
-      .select(col("lang"), explode(LanguageModel.bigramsOf(tokens(col("text")))).as("bigram"))
+      .select(coalesce(col("lang"), lit("\u0000")).as("lang"),
+        tokens(col("text")).as("toks"))
+      .select(col("lang"),
+        explode(LanguageModel.bigramsOf(col("toks"))).as("bigram"))
+    // FOUR lineages (pair counts + two marginals + N) all need the bigram
+    // explode+aggregate; persisting the aggregated (vocab-sized, narrow)
+    // frame pays the explode ONCE — measured 7.1 s → explode-family class
+    // (~2 s) in-suite. Vocab-sized state is the same bounded class every
+    // marginal table here already materializes.
     val cab = bi.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("c_ab"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cab.count() // materialize: one explode pass feeds all four consumers
     val ca = cab.groupBy(col("lang"), col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val cb = cab.groupBy(col("lang"), col("w2")).agg(sum(col("c_ab")).as("c_b"))
     val nb = cab.groupBy(col("lang")).agg(sum(col("c_ab")).as("n_bi"))
@@ -326,9 +342,12 @@ object TermStats {
         col("n_bi"),
         ((lnB(col("c_ab")) + lnB(col("n_bi"))) - lnB(col("c_a")) - lnB(col("c_b")))
           .as("pmi"))
-    graft.plans.TopKPerGroup.topK(scored, Seq("lang"),
+    val result = graft.plans.TopKPerGroup.topK(scored, Seq("lang"),
       Seq(("pmi", true), ("bigram", false)), k)
       .drop("w1", "w2")
+      .localCheckpoint(true)
+    cab.unpersist()
+    result
   }
 
   /** TRAIN/VALID TOKEN-DISTRIBUTION DIVERGENCE — Jensen–Shannon plus both
