@@ -5,16 +5,22 @@ package graft.tools
   * three candidate owners: LSH candidate generation (minhash + band join),
   * NgramJaccardExpr scoring with the text attach, and the persist
   * materialization + final filter/checkpoint. `lshCandidatePairs` is NOT
-  * memoized, so a three-point cumulative split attributes them:
+  * memoized, so a five-point cumulative split attributes them — exploiting
+  * Catalyst's own column pruning in both directions (count() on the
+  * un-persisted frame PRUNES the scoring column and the doc-side gram
+  * counts; aggregating a computed column forces it):
   *
-  *   A = lshCandidatePairs.count()            → candidate generation
-  *   B = containmentScoredCompute.count()     → A + text attach + scoring
-  *   C = containmentPairs.count()             → B + persist + filter + ckpt
+  *   A  = lshCandidatePairs.count()           → candidate generation
+  *   S  = docSides agg(sum(n_a + len))        → ONE side's norm + gram count
+  *   B2 = scoredCompute agg(sum(n_common))    → A + attach + scoring forced
+  *   B  = scoredCompute.count()               → A + attach, scoring pruned
+  *   C  = containmentPairs.count()            → everything + persist + ckpt
   *
   * Each point re-executes its prefix (no cross-job shuffle reuse in Spark),
-  * so scoring ≈ B−A and persist/filter overhead ≈ C−B, with the parquet read
-  * warmed by the A pass for all three (run order fixed for that reason — the
-  * deltas compare like against like). Prints one JSON line.
+  * with the parquet read warmed by the A pass for all (run order fixed for
+  * that reason — the deltas compare like against like). This split is what
+  * located the round-13 fix: S was 12.4 s of C's 15.6 — the interpreted
+  * size(shingles(...)) projections, not the scoring. Prints one JSON line.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ProfileQ230"
   */
