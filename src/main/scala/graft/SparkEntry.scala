@@ -284,6 +284,7 @@ object SparkEntry {
     "q248_nelson_aalen"    -> ((s, d) => graft.ops.TimeSeries.nelsonAalen(s, d)),
     "q249_concentration"   -> ((s, d) => graft.ops.Statistics.revenueConcentration(s, d)),
     "q250_cramers_v"       -> ((s, d) => graft.ops.Statistics.cramersV(s, d)),
+    "q251_seasonal_decomp" -> ((s, d) => graft.ops.TimeSeries.seasonalDecompose(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -2562,6 +2563,39 @@ object SparkEntry {
         |       ELSE CAST(CAST(CAST(CAST(exp(lsum) AS VARCHAR) AS DECIMAL(18,12))
         |         AS VARCHAR) AS DOUBLE) END AS survival
         |FROM cum""".stripMargin,
+
+    // q251: additive seasonal decomposition — trend one exact-long division
+    // (centered 7-observed-day window), detrended a fixed tree, per-dow
+    // means through the SIX-decimal fold (~1e8-cent magnitudes, §8.4 rule)
+    "q251_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT day, x,
+        |    CAST(date_diff('day', DATE '1990-01-01', day) % 7 AS BIGINT) AS dow
+        |  FROM daily),
+        |t AS (
+        |  SELECT day, x, dow,
+        |    CAST(sum(x) OVER w AS BIGINT) AS w_sum,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_window
+        |  FROM d2
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tr AS (
+        |  SELECT day, x, dow, n_window,
+        |    CAST(w_sum AS DOUBLE) / CAST(n_window AS DOUBLE) AS trend,
+        |    CAST(x AS DOUBLE)
+        |      - CAST(w_sum AS DOUBLE) / CAST(n_window AS DOUBLE) AS detrended
+        |  FROM t),
+        |s AS (
+        |  SELECT dow,
+        |    CAST(CAST(sum(CAST(CAST(detrended AS VARCHAR) AS DECIMAL(28,6)))
+        |      AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS seasonal
+        |  FROM tr GROUP BY 1)
+        |SELECT tr.day, tr.x, tr.n_window, tr.trend, tr.dow, s.seasonal,
+        |  tr.detrended - s.seasonal AS residual
+        |FROM tr JOIN s ON tr.dow = s.dow""".stripMargin,
 
     // q247: rolling 7-day median of daily revenue — ENTIRELY integer
     // (lower median of a sorted ≤7-element cents buffer), zero FP anywhere

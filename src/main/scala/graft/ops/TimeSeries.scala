@@ -292,6 +292,44 @@ object TimeSeries {
           .as("surv_na"))
   }
 
+  /** SEASONAL DECOMPOSITION (additive, STL-lite) of daily revenue:
+    * x = trend + seasonal + residual, with trend the centered 7-observed-day
+    * moving average, seasonal the per-day-of-week mean of the detrended
+    * series (q213's engine-neutral dow arithmetic: days since a fixed
+    * Monday mod 7), and residual the leftover — the decomposition a
+    * forecasting pipeline runs before choosing a model, and the standard
+    * pre-whitening for the q194/q196 anomaly alarms (a raw z-spike alarm
+    * fires every weekend without it). Determinism: trend is ONE division of
+    * exact longs (window sum / window count); `detrended` is a fixed
+    * double tree; per-dow means fold SIX-decimal-quantized terms (values
+    * ~10⁸ cents — the §8.4 magnitude rule puts the grid ~66× the ulp)
+    * through exact decimal before one division; residual is a fixed tree.
+    * Scale shape: both windows and the 7-group aggregate run over the
+    * AGGREGATED daily frame (calendar-sized); raw orders reduce once.
+    */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCents(spark, sfDir)
+      .withColumn("dow",
+        (datediff(col("day"), lit("1990-01-01").cast("date")) % 7).cast("long"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("w_sum", sum(col("x")).over(w))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("trend",
+        col("w_sum").cast("double") / col("n_window").cast("double"))
+      .withColumn("detrended", col("x").cast("double") - col("trend"))
+    def q6(c: Column): Column = c.cast("string").cast(DecimalType(28, 6))
+    val seasonal = trended.groupBy(col("dow"))
+      .agg(Num.decToDouble(sum(q6(col("detrended")))).as("det_sum"),
+        count(lit(1)).as("n_dow"))
+      .select(col("dow"),
+        (col("det_sum") / col("n_dow").cast("double")).as("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("x"), col("n_window"), col("trend"), col("dow"),
+        col("seasonal"),
+        (col("detrended") - col("seasonal")).as("residual"))
+  }
+
   /** FORECAST BACKTEST of the [[ewmaRevenue]] smoother: yesterday's
     * normalized EWMA is today's one-step-ahead forecast, scored per month
     * with MAE, RMSE and MAPE — the walk-forward evaluation loop any

@@ -104,6 +104,7 @@ object ExplainAudit {
     audit("q248_nelson_aalen", graft.ops.TimeSeries.nelsonAalen(spark, sf))
     audit("q249_concentration", graft.ops.Statistics.revenueConcentration(spark, sf))
     audit("q250_cramers_v", graft.ops.Statistics.cramersV(spark, sf))
+    audit("q251_seasonal_decomp", graft.ops.TimeSeries.seasonalDecompose(spark, sf))
     spark.stop()
   }
 }

@@ -184,6 +184,38 @@ class TimeSeriesSpec extends SparkSpec {
     rows.foreach(t => assert(t._4 > 0 && t._5 > 0))
   }
 
+  test("seasonal decomposition: exact recompute of trend, seasonal and residual") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TimeSeries.seasonalDecompose(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    assert(rows.length > 10)
+    val xs = rows.map(_._2)
+    // trend and detrended recomputed with the operator's own trees
+    val det = rows.zipWithIndex.map { case ((day, x, nw, trend, _, _, _), i) =>
+      val window = xs.slice(math.max(0, i - 3), math.min(xs.length, i + 4))
+      assert(nw === window.length, day)
+      assert(trend === window.sum.toDouble / window.length, s"$day trend")
+      x.toDouble - trend
+    }
+    // per-dow seasonal: the 6-decimal quantized fold over detrended values
+    val seasonal = rows.map(_._5).zip(det).groupBy {
+      case (dow, _) => dow
+    }.map { case (dow, g) =>
+      dow -> g.map(x => BigDecimal(x._2.toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / g.length
+    }
+    rows.zip(det).foreach { case ((day, _, _, _, dow, s, resid), d) =>
+      assert(s === seasonal(dow), s"$day seasonal")
+      assert(resid === d - s, s"$day residual")
+    }
+    // the decomposition reconstructs the series to FP tolerance
+    rows.zip(det).foreach { case ((day, x, _, trend, _, s, resid), _) =>
+      assert(math.abs(trend + s + resid - x.toDouble) < 1e-6 * math.abs(x.toDouble),
+        s"$day reconstruction")
+    }
+  }
+
   test("rolling median: exact sliding-window recompute, all-integer") {
     val sf = "/root/testdata/sf0.001"
     val rows = TimeSeries.rollingMedianRevenue(spark, sf).collect()
