@@ -2614,7 +2614,9 @@ object SparkEntry {
 
     // q248: Nelson–Aalen cumulative hazard — q222's risk sets verbatim,
     // each d/n one exact-int division, H the exact-decimal cumulative of
-    // 12-decimal-quantized terms, exp(−H) through the 12-decimal bridge
+    // 12-decimal-quantized terms, exp(−H) bridged at NINE decimals
+    // (DECIMAL(18,9)) — the documented exp-midpoint lesson: exp output can
+    // land on a 12-decimal rounding midpoint where Spark and DuckDB split
     "q248_nelson_aalen" ->
       s"""WITH $survivalRiskCtes,
         |terms AS (

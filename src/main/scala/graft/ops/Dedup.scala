@@ -377,20 +377,23 @@ object Dedup {
     * executedPlan is a bare ExistingRDD scan — the q17 audit caveat).
     */
   private[graft] def containmentScoredCompute(spark: SparkSession, sfDir: String,
-      broadcastTextCharsLimit: Long = 2L * 1024 * 1024 * 1024, nSalts: Int = 8): DataFrame = {
+      broadcastTextBytesLimit: Long = 2L * 1024 * 1024 * 1024, nSalts: Int = 8): DataFrame = {
     val (a, b) = containmentDocSides(spark, sfDir)
     val pairs = lshCandidatePairs(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
     // Broadcast feasibility is a BYTES question, not a doc-count one: 2M docs
     // of 4KB+ text already exceed Spark's 8 GB broadcast cap, so the gate
-    // sums n_chars (one narrow-column aggregate; normalized text is ≤
-    // n_chars bytes in UTF-8-mostly-ASCII corpora). Each side broadcasts the
-    // full normalized corpus, so the 2 GiB default leaves ≥4× headroom under
-    // the cap and bounds per-executor memory at cluster scale.
-    val totalChars = Tables.documents(spark, sfDir)
-      .agg(coalesce(sum(col("n_chars")), lit(0L))).first().getLong(0)
+    // sums octet_length(text) — TRUE UTF-8 bytes, not characters (a char can
+    // be up to 4 bytes, so a char-count gate under-counts non-ASCII corpora
+    // by up to 4×; normalization only lowercases/collapses, so normalized
+    // bytes ≤ raw bytes). One narrow-column aggregate; the 2 GiB default
+    // leaves ≥4× headroom under the 8 GB cap regardless of script and
+    // bounds per-executor memory at cluster scale.
+    val totalBytes = Tables.documents(spark, sfDir)
+      .agg(coalesce(sum(octet_length(col("text")).cast("long")), lit(0L)))
+      .first().getLong(0)
     val attached =
-      if (totalChars <= broadcastTextCharsLimit)
+      if (totalBytes <= broadcastTextBytesLimit)
         pairs.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
       else {
         // salt on pair-row identity: hot docs (duplicate-cluster members in
@@ -424,7 +427,7 @@ object Dedup {
 
   def containmentPairs(spark: SparkSession, sfDir: String,
       minContainment: Double = 0.5,
-      broadcastTextCharsLimit: Long = 2L * 1024 * 1024 * 1024, nSalts: Int = 8): DataFrame = {
+      broadcastTextBytesLimit: Long = 2L * 1024 * 1024 * 1024, nSalts: Int = 8): DataFrame = {
     // sizes from one per-doc shingle pass; the per-pair intersection runs
     // through the NATIVE NgramJaccardExpr loop (array_intersect over the
     // gram arrays was measured 6× slower in-suite — per-element HOF
@@ -444,9 +447,9 @@ object Dedup {
     // threshold filter's pushdown re-expands the scoring expression ~6×
     // per pair (no cross-operator subexpression elimination) — so the
     // NARROW pairs are spread by an explicit repartition, texts attach by
-    // BROADCAST when the corpus fits `broadcastTextCharsLimit` total chars
+    // BROADCAST when the corpus fits `broadcastTextBytesLimit` total bytes
     // (nothing heavy crosses the pair shuffle) and by the SALTED shuffle
-    // join [Skew.saltedJoin] past it — the gate is a runtime sum(n_chars)
+    // join [Skew.saltedJoin] past it — the gate is a runtime sum(octet_length(text))
     // (bytes, not docs: the triangleCensus broadcastEdgeLimit pattern; an
     // ungated broadcast dies on the 8 GB cap at corpus scale), and the
     // scored frame is PERSISTED and materialized under normal AQE
@@ -455,7 +458,7 @@ object Dedup {
     // without AQE and re-run the skewed band join unmitigated — it is
     // applied only to the final small result read FROM the persisted
     // scores.
-    val scored = containmentScoredCompute(spark, sfDir, broadcastTextCharsLimit, nSalts)
+    val scored = containmentScoredCompute(spark, sfDir, broadcastTextBytesLimit, nSalts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count() // materialize with AQE; one scoring pass
     val result = scored

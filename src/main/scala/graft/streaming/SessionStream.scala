@@ -268,7 +268,9 @@ object SessionStream {
   private[streaming] def advanceFunnel(
       userId: Long,
       st: UserFunnelState,
-      events: Array[SessionEvent]): (Seq[FunnelRow], UserFunnelState) = {
+      events: Array[SessionEvent],
+      clickWindowMin: Int = 10,
+      purchaseWindowMin: Int = 30): (Seq[FunnelRow], UserFunnelState) = {
     val evs = events.sortBy(e => (e.ts, e.event_id))
     var seq = st.nextSeq
     var open = st.open
@@ -283,11 +285,11 @@ object SessionStream {
           o.copy(end = end, view = Some(e.ts))
         case "click" if o.view.isDefined && o.click.isEmpty &&
             e.ts.isAfter(o.view.get) &&
-            !e.ts.isAfter(o.view.get.plusMinutes(10)) =>
+            !e.ts.isAfter(o.view.get.plusMinutes(clickWindowMin.toLong)) =>
           o.copy(end = end, click = Some(e.ts))
         case "purchase" if o.click.isDefined && o.purchase.isEmpty &&
             e.ts.isAfter(o.click.get) &&
-            !e.ts.isAfter(o.click.get.plusMinutes(30)) =>
+            !e.ts.isAfter(o.click.get.plusMinutes(purchaseWindowMin.toLong)) =>
           o.copy(end = end, purchase = Some(e.ts))
         case _ => o.copy(end = end)
       }
@@ -316,27 +318,36 @@ object SessionStream {
     (out.toSeq, UserFunnelState(seq, open))
   }
 
+  // curried so the two conversion windows ride the closure, not the state:
+  // they are job config shared with batch Events.sessionFunnel, and storing
+  // them per-user would break resumed checkpoints on a config change
   private[streaming] def updateFunnelUser(
+      clickWindowMin: Int, purchaseWindowMin: Int)(
       userId: Long,
       events: Iterator[SessionEvent],
       state: GroupState[UserFunnelState]): Iterator[FunnelRow] = {
     val (out, next) = advanceFunnel(userId,
-      state.getOption.getOrElse(UserFunnelState(1L, None)), events.toArray)
+      state.getOption.getOrElse(UserFunnelState(1L, None)), events.toArray,
+      clickWindowMin, purchaseWindowMin)
     state.update(next)
     out.iterator
   }
 
   /** Run the streaming funnel to completion (AvailableNow) and return the
     * final per-session funnel rows — gated against q241's EXACT oracle SQL.
+    * The two conversion windows default to (and must match) the batch twin
+    * [[graft.ops.Events.sessionFunnel]]'s parameters for the parity contract.
     */
-  def funnelAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+  def funnelAvailableNow(spark: SparkSession, sfDir: String,
+      clickWindowMin: Int = 10, purchaseWindowMin: Int = 30): DataFrame = {
     import spark.implicits._
     val rows = spark.readStream
       .schema(EventStream.eventsSchema)
       .parquet(EventStream.eventsDir(spark, sfDir))
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFunnelUser)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateFunnelUser(clickWindowMin, purchaseWindowMin))
     val drained = Drain.toMemoryTable(spark, rows, "update", "graft_stream_funnel")
     // stage is write-once-forward, so rows for one session at equal stage are
     // identical — max stage IS the final emission

@@ -85,7 +85,7 @@ object ExplainAudit {
     // joins, no BroadcastExchange feeding the pair scoring
     audit("q230_containment", graft.ops.Dedup.containmentScoredCompute(spark, sf))
     audit("q230_containment_salted",
-      graft.ops.Dedup.containmentScoredCompute(spark, sf, broadcastTextCharsLimit = 0L))
+      graft.ops.Dedup.containmentScoredCompute(spark, sf, broadcastTextBytesLimit = 0L))
     audit("q231_cohort_ltv", graft.ops.Events.cohortLtv(spark, sf))
     audit("q192_hits", graft.ops.Graph.hits(spark, sf))
     audit("q218_pca_power", graft.ops.Similarity.pcaPower(spark, sf))

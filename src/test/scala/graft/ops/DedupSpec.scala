@@ -104,7 +104,7 @@ class DedupSpec extends SparkSpec {
         (3L, other, "en", other.length), (4L, other, "en", other.length))
       .toDF("doc_id", "text", "lang", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
-    def rows(limit: Long) = Dedup.containmentPairs(spark, d, broadcastTextCharsLimit = limit)
+    def rows(limit: Long) = Dedup.containmentPairs(spark, d, broadcastTextBytesLimit = limit)
       .orderBy("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
