@@ -47,6 +47,12 @@ object SessionFactory {
       // Tradeoff: a job that dies mid-commit can leave partial output; the
       // pipeline's run-stamped paths + ledger make reruns safe (SURVEY §2.10).
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // file:// permission writes without fork/exec: Hadoop's shell-chmod
+      // fallback costs ~130ms CPU per created file/dir on a big-heap JVM —
+      // see graft.io.NioLocalFileSystem (measured: a 2000-dir partitioned
+      // write burned 259 CPU-s in /bin/chmod forks). Local-FS only; HDFS/S3A
+      // schemes are untouched.
+      .config("spark.hadoop.fs.file.impl", "graft.io.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -76,11 +76,18 @@ object IoQueries {
     * partition tree deletes it directory-by-directory inside the write, which
     * is both slow and noisy to measure.
     */
-  def partitionedSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+  def partitionedSinkRoundtrip(spark: SparkSession, sfDir: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = synchronized {
+    def staged[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      onStage(label, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val base = scratch("sink_rt", sfDir)
-    deleteRecursively(base)
-    val path = ParquetSink.writePartitioned(
-      Marts.salesTeamMart(spark, sfDir), base, "run", Seq("sales_month", "store_id"))
+    staged("scratch_delete")(deleteRecursively(base))
+    val path = staged("mart_partitioned_write")(ParquetSink.writePartitioned(
+      Marts.salesTeamMart(spark, sfDir), base, "run", Seq("sales_month", "store_id")))
     spark.read.parquet(path)
       .withColumn("store_id", col("store_id").cast("int"))
       .withColumn("sales_month", col("sales_month").cast("string"))
@@ -95,30 +102,41 @@ object IoQueries {
     * from the source tables, so ingest→enrich→aggregate→JDBC-write→JDBC-read
     * must all be lossless for this to match.
     */
-  def pipelineEndToEnd(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+  def pipelineEndToEnd(spark: SparkSession, sfDir: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = synchronized {
+    def staged[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      onStage(label, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     val root = scratch("pipeline", sfDir)
     // Driver-side staging (Derby shutdown, scratch delete, CSV drop copy) is
     // timed separately via StagingClock so the bench can attribute wall time
     // to staging vs the measured pipeline run.
     graft.core.StagingClock.timed {
-      // shut down any Derby instance booted over these paths in this JVM before
-      // deleting — a booted instance would resurrect run-1 ledger state over the
-      // recreated directory and poison the idempotency filter (C4)
-      JdbcLedger.shutdownDerby(s"$root/ledgerdb")
-      JdbcLedger.shutdownDerby(s"$root/metricsdb")
-      deleteRecursively(root)
+      staged("stage_derby_shutdown") {
+        // shut down any Derby instance booted over these paths in this JVM before
+        // deleting — a booted instance would resurrect run-1 ledger state over the
+        // recreated directory and poison the idempotency filter (C4)
+        JdbcLedger.shutdownDerby(s"$root/ledgerdb")
+        JdbcLedger.shutdownDerby(s"$root/metricsdb")
+      }
+      staged("stage_scratch_delete")(deleteRecursively(root))
     }
     val inputDir = s"$root/input"
     graft.core.StagingClock.timed {
-      Files.createDirectories(Paths.get(inputDir))
+      staged("stage_csv_drop") {
+        Files.createDirectories(Paths.get(inputDir))
 
-      // stage the CSV drop: the same lineitem CSV parts the ingest query uses,
-      // plus a wrong-type file that must be quarantined, not processed
-      val csvDir = graft.ops.Relational.csvCopyOfLineitem(spark, sfDir)
-      new java.io.File(csvDir).listFiles().filter(_.getName.endsWith(".csv")).foreach { f =>
-        Files.copy(f.toPath, Paths.get(inputDir, f.getName))
+        // stage the CSV drop: the same lineitem CSV parts the ingest query uses,
+        // plus a wrong-type file that must be quarantined, not processed
+        val csvDir = graft.ops.Relational.csvCopyOfLineitem(spark, sfDir)
+        new java.io.File(csvDir).listFiles().filter(_.getName.endsWith(".csv")).foreach { f =>
+          Files.copy(f.toPath, Paths.get(inputDir, f.getName))
+        }
+        Files.writeString(Paths.get(inputDir, "notes.txt"), "not a csv")
       }
-      Files.writeString(Paths.get(inputDir, "notes.txt"), "not a csv")
     }
 
     val metricsConn = JdbcConn(s"jdbc:derby:$root/metricsdb;create=true")
@@ -129,9 +147,12 @@ object IoQueries {
       sfDir = sfDir,
       runId = "run_0001",
       runDate = java.time.LocalDate.of(2026, 1, 1))
-    val ledger = graft.core.StagingClock.timed { JdbcLedger.derby(s"$root/ledgerdb") }
+    val ledger = graft.core.StagingClock.timed {
+      staged("stage_ledger_boot")(JdbcLedger.derby(s"$root/ledgerdb"))
+    }
     try SalesEtlJob.run(spark, cfg, ledger,
-      (df, table) => Jdbc.write(df, metricsConn, table, maxConnections = Some(1)))
+      (df, table) => Jdbc.write(df, metricsConn, table, maxConnections = Some(1)),
+      onStage)
     finally ledger.close()
     Jdbc.read(spark, metricsConn, "customer_monthly_purchase")
   }

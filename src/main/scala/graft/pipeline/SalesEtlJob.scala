@@ -57,19 +57,30 @@ object SalesEtlJob {
 
   /** Run the pipeline once. `writeMetrics(df, tableName)` is the metric sink —
     * JDBC append in production (`graft.io.Jdbc.write(df, conn, table)`), a
-    * test-local sink in specs.
+    * test-local sink in specs. `onStage(label, seconds)` receives a wall-time
+    * split per sequential stage (default no-op) — the ProfileQ33 attribution
+    * hook; the job is inherently sequential, so in-place timing attributes
+    * exactly without the re-run-the-prefix protocol ProfileQ230 needs.
     */
   def run(
       spark: SparkSession,
       cfg: PipelineConfig,
       ledger: Ledger,
-      writeMetrics: (DataFrame, String) => Unit): RunReport = {
+      writeMetrics: (DataFrame, String) => Unit,
+      onStage: (String, Double) => Unit = (_, _) => ()): RunReport = {
+
+    def staged[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      onStage(label, (System.nanoTime() - t0) / 1e9)
+      r
+    }
 
     val archive = new ArchiveService(spark.sparkContext.hadoopConfiguration)
 
     // C1: refuse to start over a half-finished previous run.
     val present = archive.list(cfg.inputDir)
-    val stuck = ledger.inflight(present.map(baseName))
+    val stuck = staged("c1_inflight")(ledger.inflight(present.map(baseName)))
     if (stuck.nonEmpty)
       throw new IllegalStateException(
         s"previous run left ${stuck.size} file(s) in START state (${stuck.take(3).mkString(", ")}…); " +
@@ -86,22 +97,23 @@ object SalesEtlJob {
     archive.moveInto(wrongType, s"${cfg.stagingBase}/wrong_files/${cfg.runId}")
 
     // C4: drop files a previous run already completed.
-    val done = ledger.completed(csvs.map(baseName)).toSet
+    val done = staged("c4_idempotency")(ledger.completed(csvs.map(baseName)).toSet)
     val (skip, todo) = csvs.partition(f => done.contains(baseName(f)))
     archive.moveInto(skip, s"${cfg.stagingBase}/already_processed/${cfg.runId}")
     if (todo.isEmpty)
       throw new NoWorkException(s"no files left to process in ${cfg.inputDir}")
 
     // Ingest + validate (P1-P3, U1); bad/empty files quarantined.
-    val load = CsvBatchReader.validateAndLoad(
-      spark, todo, Tables.lineitemSchema.fieldNames.toSeq, Some(Tables.lineitemSchema))
+    val load = staged("ingest_validate")(CsvBatchReader.validateAndLoad(
+      spark, todo, Tables.lineitemSchema.fieldNames.toSeq, Some(Tables.lineitemSchema)))
     archive.moveInto(load.badSchemaFiles, s"${cfg.stagingBase}/wrong_files/${cfg.runId}")
     archive.moveInto(load.emptyFiles, s"${cfg.stagingBase}/wrong_files/${cfg.runId}")
     val fact = load.data.getOrElse(
       throw new NoWorkException("every remaining file failed validation"))
 
     // C5: evidence in the ledger BEFORE any data write.
-    ledger.insertStart(load.validFiles.map(baseName), cfg.inputDir, cfg.runDate)
+    staged("c5_ledger_start")(
+      ledger.insertStart(load.validFiles.map(baseName), cfg.inputDir, cfg.runDate))
 
     // Enrich once, reuse everywhere (marts + both metrics = 4 consumers).
     val enriched = Enrich.enrichedFromFact(
@@ -113,10 +125,11 @@ object SalesEtlJob {
       val customerMart = Marts.customerMartFrom(enriched)
       val salesMart = Marts.salesTeamMartFrom(enriched)
 
-      val customerMartPath =
-        ParquetSink.writeRunStamped(customerMart, s"${cfg.martBase}/customer_mart", cfg.runId)
-      val salesMartPath = ParquetSink.writePartitioned(
-        salesMart, s"${cfg.martBase}/sales_mart", cfg.runId, Seq("sales_month", "store_id"))
+      // the first action — pays the CSV scan + enrich materialization too
+      val customerMartPath = staged("mart_customer_write")(
+        ParquetSink.writeRunStamped(customerMart, s"${cfg.martBase}/customer_mart", cfg.runId))
+      val salesMartPath = staged("mart_sales_partitioned_write")(ParquetSink.writePartitioned(
+        salesMart, s"${cfg.martBase}/sales_mart", cfg.runId, Seq("sales_month", "store_id")))
 
       // persisted: each metric is consumed twice (sink + report count) and
       // must not re-aggregate the enriched frame both times
@@ -125,8 +138,10 @@ object SalesEtlJob {
       val incentive = Metrics.salesIncentiveFrom(enriched)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        writeMetrics(customerMetric, "customer_monthly_purchase")
-        writeMetrics(incentive, "sales_team_incentive")
+        staged("metrics_jdbc_write") {
+          writeMetrics(customerMetric, "customer_monthly_purchase")
+          writeMetrics(incentive, "sales_team_incentive")
+        }
 
         // counts BEFORE the archive step: if a cached partition is lost the
         // recompute still finds its source files; after moveInto the lineage's
@@ -137,8 +152,9 @@ object SalesEtlJob {
         // C7 then C6: archive first, finalize last — a crash between the two
         // leaves START rows, which C1 catches next run (reference order,
         // `main_1.py:620-676`).
-        archive.moveInto(load.validFiles, s"${cfg.stagingBase}/processed/${cfg.runId}")
-        ledger.markCompleted(load.validFiles.map(baseName))
+        staged("c7_archive")(
+          archive.moveInto(load.validFiles, s"${cfg.stagingBase}/processed/${cfg.runId}"))
+        staged("c6_ledger_complete")(ledger.markCompleted(load.validFiles.map(baseName)))
 
         RunReport(
           validFiles = load.validFiles,
