@@ -200,6 +200,39 @@ object Graph {
   private val clusterCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Canonical undirected part co-purchase edge list (u < v, distinct) —
+    * parts are linked when they appear in the same order. MEMOIZED once per
+    * (session, scale factor) through the same registry as the dedup chain:
+    * SIX graph queries (pageRank, triangleStats, kCore, labelPropagation,
+    * degreeAssortativity, bfsHops) consume exactly this frame, and each was
+    * paying the lineitem self-join + distinct (the expensive edge build)
+    * privately. At 100 TB the edge table is written to storage once and
+    * shared; the in-JVM analogue is one eager localCheckpoint. Two longs per
+    * edge, so holding it is cheap; the bench's cache_paid/cache_hit lists
+    * attribute which query materialized it in any given run order.
+    */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.cached(edgeCache, "copurchase_edges", spark, sfDir) {
+      val li = graft.core.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+    }
+
+  /** Both orientations of [[coPurchaseEdges]] — a union of two projections
+    * of the checkpointed frame (no shuffle, no recomputation of the edge
+    * build), so it needs no materialization of its own.
+    */
+  private[graft] def coPurchaseSym(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = coPurchaseEdges(spark, sfDir)
+    und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+  }
+
   /** HITS (Kleinberg 1999, public) over the BIPARTITE customer→part purchase
     * graph — buyers as hubs, products as authorities, the natural bipartite
     * reading of the algorithm:
@@ -239,18 +272,24 @@ object Graph {
       .localCheckpoint(true)
     var hub: DataFrame = null
     for (_ <- 1 to iters) {
+      // checkpoint the RAW aggregate (the expensive edges-join pass), not the
+      // normalized view: the total and the normalized scores both read the
+      // materialized frame, so each half-step executes the |E|-sized join
+      // ONCE (checkpointing after normalization ran it twice — once for the
+      // broadcast total, once for the checkpoint). The normalized frames
+      // stay lazy narrow projections; lineage is still cut every half-step.
       val hubRaw = edges.join(auth, "p")
         .groupBy(col("c")).agg(decSum(col("a")).as("h"))
+        .localCheckpoint(true)
       val hTot = hubRaw.agg(decSum(col("h")).as("t"))
       hub = hubRaw.crossJoin(broadcast(hTot))
         .select(col("c"), (col("h") / col("t")).as("h"))
-        .localCheckpoint(true)
       val authRaw = edges.join(hub, "c")
         .groupBy(col("p")).agg(decSum(col("h")).as("a"))
+        .localCheckpoint(true)
       val aTot = authRaw.agg(decSum(col("a")).as("t"))
       auth = authRaw.crossJoin(broadcast(aTot))
         .select(col("p"), (col("a") / col("t")).as("a"))
-        .localCheckpoint(true)
     }
     val result = hub
       .select(lit("hub").as("kind"), col("c").as("id"), col("h").as("score"))
@@ -274,8 +313,8 @@ object Graph {
     * double Σ would depend on shuffle merge order — the same trap as money
     * sums, one layer up the algorithm.
     *
-    * Scale shape: the edge list is built once (one self-join shuffle on
-    * orderkey, distinct) and cached with its out-degrees; each iteration is
+    * Scale shape: the edge list rides the memoized [[coPurchaseEdges]]
+    * frame (built once per session+SF) with its out-degrees; each iteration is
     * one broadcast-or-shuffle join ranks⋈edges plus one partial-aggregated
     * groupBy(dst) — the textbook O(iters × |E|) dataflow with nothing
     * driver-side. The co-purchase graph has no dangling nodes by
@@ -285,13 +324,10 @@ object Graph {
   def pageRank(spark: SparkSession, sfDir: String, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val li = graft.core.Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // both orientations of the memoized canonical edge list — the same set
+    // as the ordered-pair self-join (src ≠ dst sharing an order, distinct)
+    val edges = coPurchaseSym(spark, sfDir)
+      .select(col("u").as("src"), col("v").as("dst"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("id")).distinct()
@@ -320,7 +356,7 @@ object Graph {
     val result = ranks.join(outdeg, ranks("id") === outdeg("src"))
       .select(col("id").as("part_id"), col("rank"), col("deg").as("out_degree"))
       .localCheckpoint(true)
-    edges.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    outdeg.unpersist(); nodes.unpersist()
     result
   }
 
@@ -341,18 +377,12 @@ object Graph {
     * oracle use naive id-ordering while the engine uses degree-ordering.
     */
   def triangleStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = graft.core.Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = coPurchaseEdges(spark, sfDir)
     val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val result = triangleCensus(und, deg).localCheckpoint(true)
-    und.unpersist(); deg.unpersist()
+    deg.unpersist()
     result
   }
 
@@ -372,13 +402,7 @@ object Graph {
     */
   def kCore(spark: SparkSession, sfDir: String, k: Int = 80,
       rounds: Int = 8): DataFrame = {
-    val li = graft.core.Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = coPurchaseEdges(spark, sfDir)
     def degrees(edges: DataFrame): DataFrame =
       edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
@@ -395,7 +419,6 @@ object Graph {
     val result = deg.filter(col("deg") >= k)
       .select(col("id"), col("deg").as("core_deg"))
       .localCheckpoint(true)
-    und.unpersist()
     result
   }
 
@@ -416,15 +439,7 @@ object Graph {
     * against the declarative spelling.
     */
   def labelPropagation(spark: SparkSession, sfDir: String, rounds: Int = 2): DataFrame = {
-    val li = graft.core.Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    val sym = coPurchaseSym(spark, sfDir)
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
@@ -442,7 +457,6 @@ object Graph {
     val census = labels.groupBy(col("lbl").as("label"))
       .agg(count(lit(1)).as("n_members"))
       .localCheckpoint(true)
-    und.unpersist()
     census
   }
 
@@ -458,13 +472,7 @@ object Graph {
     * aggregate; nothing driver-side.
     */
   def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = graft.core.Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = coPurchaseEdges(spark, sfDir)
     val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     // symmetrize so the correlation is orientation-invariant
@@ -486,7 +494,6 @@ object Graph {
         sqrt(nD * d("syy") - d("sy") * d("sy")))
     val result = s.select(col("n").as("n_edge_ends"), r.as("assortativity"))
       .localCheckpoint(true)
-    und.unpersist()
     result
   }
 
@@ -504,13 +511,9 @@ object Graph {
     * frontier algebra is hash-gated against declarative reachability.
     */
   def bfsHops(spark: SparkSession, sfDir: String, maxHops: Int = 3): DataFrame = {
-    val li = graft.core.Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val adj = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // both orientations of the memoized canonical edge list — the same set
+    // as the ordered-pair self-join (u ≠ v sharing an order, distinct)
+    val adj = coPurchaseSym(spark, sfDir)
     val seeds = adj.select(col("u").as("id")).distinct()
       .filter(col("id") % 500 === 0)
       .withColumn("hop", lit(0L))
@@ -533,7 +536,6 @@ object Graph {
     val result = frontiers.reduce(_ union _)
       .groupBy(col("hop")).agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
-    adj.unpersist()
     result
   }
 
