@@ -285,6 +285,10 @@ object SparkEntry {
     "q249_concentration"   -> ((s, d) => graft.ops.Statistics.revenueConcentration(s, d)),
     "q250_cramers_v"       -> ((s, d) => graft.ops.Statistics.cramersV(s, d)),
     "q251_seasonal_decomp" -> ((s, d) => graft.ops.TimeSeries.seasonalDecompose(s, d)),
+    "q252_substring_dedup" -> ((s, d) => graft.ops.Dedup.substringDedup(s, d)),
+    "q253_calibration_drift" -> ((s, d) => graft.ops.Evaluation.calibrationBySource(s, d)),
+    "q254_seasonal_cusum"  -> ((s, d) => graft.ops.TimeSeries.seasonalCusum(s, d)),
+    "q255_sweep_stream"    -> ((s, d) => graft.streaming.ScoreStream.thresholdSweepAvailableNow(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1142,6 +1146,71 @@ object SparkEntry {
        |         ELSE CAST(0 AS BIGINT) END AS y
        |  FROM qscore s JOIN documents d ON s.doc_id = d.doc_id)""".stripMargin
 
+  /** The nine-decile threshold sweep over the quality score — shared
+    * VERBATIM by batch q242 and streaming q255 (the q241/q246 parity
+    * contract).
+    */
+  private val thresholdSweepSql: String =
+    s"""WITH $qualityLabeledCtes,
+       |counts AS (
+       |  SELECT score AS x, CAST(sum(y) AS BIGINT) AS c1,
+       |    CAST(sum(1 - y) AS BIGINT) AS c2
+       |  FROM qlab GROUP BY 1),
+       |ts AS (
+       |  SELECT CAST(i AS DOUBLE) / 10.0 AS t
+       |  FROM (SELECT unnest(generate_series(1, 9)) AS i)),
+       |cm AS (
+       |  SELECT t,
+       |    CAST(sum(CASE WHEN x >= t THEN c1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN x >= t THEN c2 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN x < t THEN c1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN x < t THEN c2 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM counts CROSS JOIN ts GROUP BY 1)
+       |SELECT t, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+       |  CASE WHEN tp + fn > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |    THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       |  END AS f1
+       |FROM cm""".stripMargin
+
+  /** q251's decomposition pipeline as shared CTEs (daily cents → dow →
+    * centered 7-observed-day trend → per-dow seasonal → residual), ending in
+    * `res` — shared VERBATIM by q251 and the q254 residual CUSUM.
+    */
+  private val seasonalDecompCtes: String =
+    """daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |d2 AS (
+      |  SELECT day, x,
+      |    CAST(date_diff('day', DATE '1990-01-01', day) % 7 AS BIGINT) AS dow
+      |  FROM daily),
+      |t AS (
+      |  SELECT day, x, dow,
+      |    CAST(sum(x) OVER w AS BIGINT) AS w_sum,
+      |    CAST(count(*) OVER w AS BIGINT) AS n_window
+      |  FROM d2
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tr AS (
+      |  SELECT day, x, dow, n_window,
+      |    CAST(w_sum AS DOUBLE) / CAST(n_window AS DOUBLE) AS trend,
+      |    CAST(x AS DOUBLE)
+      |      - CAST(w_sum AS DOUBLE) / CAST(n_window AS DOUBLE) AS detrended
+      |  FROM t),
+      |s AS (
+      |  SELECT dow,
+      |    CAST(CAST(sum(CAST(CAST(detrended AS VARCHAR) AS DECIMAL(28,6)))
+      |      AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS seasonal
+      |  FROM tr GROUP BY 1),
+      |res AS (
+      |  SELECT tr.day, tr.x, tr.n_window, tr.trend, tr.dow, s.seasonal,
+      |    tr.detrended - s.seasonal AS residual
+      |  FROM tr JOIN s ON tr.dow = s.dow)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -1963,31 +2032,39 @@ object SparkEntry {
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound
     // 2PR/(P+R) tree); empty predicted-positive sets yield NULL precision
-    "q242_threshold_metrics" ->
+    "q242_threshold_metrics" -> thresholdSweepSql,
+
+    // q255: the STREAMING sweep is gated against q242's oracle SHARED
+    // VERBATIM — the q241/q246 batch/stream parity contract: same scoring
+    // expression tree, same per-score-count state, same sweep arithmetic
+    "q255_sweep_stream" -> thresholdSweepSql,
+
+    // q253: per-source calibration drift — q236's bin algebra WITHIN each
+    // source, rolled to ECE = Σ (n_bin/n_src)·|avg_score − pos_rate| with
+    // the ≤10-term sum 12-decimal-quantized and folded exactly (q233
+    // recipe); max over doubles is order-free
+    "q253_calibration_drift" ->
       s"""WITH $qualityLabeledCtes,
-         |counts AS (
-         |  SELECT score AS x, CAST(sum(y) AS BIGINT) AS c1,
-         |    CAST(sum(1 - y) AS BIGINT) AS c2
-         |  FROM qlab GROUP BY 1),
-         |ts AS (
-         |  SELECT CAST(i AS DOUBLE) / 10.0 AS t
-         |  FROM (SELECT unnest(generate_series(1, 9)) AS i)),
-         |cm AS (
-         |  SELECT t,
-         |    CAST(sum(CASE WHEN x >= t THEN c1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(sum(CASE WHEN x >= t THEN c2 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(sum(CASE WHEN x < t THEN c1 ELSE 0 END) AS BIGINT) AS fn,
-         |    CAST(sum(CASE WHEN x < t THEN c2 ELSE 0 END) AS BIGINT) AS tn
-         |  FROM counts CROSS JOIN ts GROUP BY 1)
-         |SELECT t, tp, fp, fn, tn,
-         |  CASE WHEN tp + fp > 0
-         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
-         |  CASE WHEN tp + fn > 0
-         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec,
-         |  CASE WHEN 2 * tp + fp + fn > 0
-         |    THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
-         |  END AS f1
-         |FROM cm""".stripMargin,
+         |qsl AS (
+         |  SELECT q.score, q.y, d.source
+         |  FROM qlab q JOIN documents d ON q.doc_id = d.doc_id),
+         |bins AS (
+         |  SELECT source, least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(CAST(sum(CAST(CAST(score AS VARCHAR) AS DECIMAL(28,12)))
+         |      AS VARCHAR) AS DOUBLE) AS sum_score
+         |  FROM qsl GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src FROM bins GROUP BY 1),
+         |g AS (
+         |  SELECT b.source, b.n, t.n_src,
+         |    abs(b.sum_score / CAST(b.n AS DOUBLE)
+         |      - CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE)) AS gap
+         |  FROM bins b JOIN tot t ON b.source = t.source)
+         |SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+         |  CAST(CAST(sum(CAST(CAST(CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE) * gap
+         |    AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS ece,
+         |  max(gap) AS max_gap
+         |FROM g GROUP BY 1""".stripMargin,
 
     // q243: chi-square independence (lang × length band) — exact observed
     // ints over the FULL grid (zero cells generated), E and each cell
@@ -2568,34 +2645,69 @@ object SparkEntry {
     // (centered 7-observed-day window), detrended a fixed tree, per-dow
     // means through the SIX-decimal fold (~1e8-cent magnitudes, §8.4 rule)
     "q251_seasonal_decomp" ->
-      """WITH daily AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
-        |  FROM orders GROUP BY 1),
-        |d2 AS (
-        |  SELECT day, x,
-        |    CAST(date_diff('day', DATE '1990-01-01', day) % 7 AS BIGINT) AS dow
-        |  FROM daily),
-        |t AS (
-        |  SELECT day, x, dow,
-        |    CAST(sum(x) OVER w AS BIGINT) AS w_sum,
-        |    CAST(count(*) OVER w AS BIGINT) AS n_window
-        |  FROM d2
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |tr AS (
-        |  SELECT day, x, dow, n_window,
-        |    CAST(w_sum AS DOUBLE) / CAST(n_window AS DOUBLE) AS trend,
-        |    CAST(x AS DOUBLE)
-        |      - CAST(w_sum AS DOUBLE) / CAST(n_window AS DOUBLE) AS detrended
-        |  FROM t),
-        |s AS (
-        |  SELECT dow,
-        |    CAST(CAST(sum(CAST(CAST(detrended AS VARCHAR) AS DECIMAL(28,6)))
-        |      AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS seasonal
-        |  FROM tr GROUP BY 1)
-        |SELECT tr.day, tr.x, tr.n_window, tr.trend, tr.dow, s.seasonal,
-        |  tr.detrended - s.seasonal AS residual
-        |FROM tr JOIN s ON tr.dow = s.dow""".stripMargin,
+      s"""WITH $seasonalDecompCtes
+        |SELECT day, x, n_window, trend, dow, seasonal, residual
+        |FROM res""".stripMargin,
+
+    // q254: CUSUM on the seasonally adjusted residual — q251's CTEs shared
+    // VERBATIM, then q196's running-sum/running-min algebra in the exact
+    // decimal domain (residual enters quantized to 12 decimals; operand
+    // precisions pinned — (6,0)·(24,12), S at (30,12) — so neither engine's
+    // decimal promotion rounds anything); the alarm anchor is Σ|r|, the
+    // residual series' own total absolute deviation
+    "q254_seasonal_cusum" ->
+      s"""WITH $seasonalDecompCtes,
+        |tot AS (
+        |  SELECT CAST(count(*) AS DECIMAL(6,0)) AS n,
+        |    sum(CAST(CAST(residual AS VARCHAR) AS DECIMAL(24,12))) AS rt,
+        |    CAST(sum(CAST(CAST(abs(residual) AS VARCHAR) AS DECIMAL(24,12)))
+        |      AS DECIMAL(30,12)) AS ra
+        |  FROM res),
+        |dv AS (
+        |  SELECT day, residual, n, ra,
+        |    CAST(n * CAST(CAST(residual AS VARCHAR) AS DECIMAL(24,12)) - rt
+        |      AS DECIMAL(38,12)) AS dev
+        |  FROM res CROSS JOIN tot),
+        |w1 AS (
+        |  SELECT *, sum(dev) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS prefix
+        |  FROM dv),
+        |w2 AS (
+        |  SELECT *, min(prefix) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS runmin
+        |  FROM w1),
+        |sfr AS (
+        |  SELECT *, CAST(prefix - (CASE WHEN runmin < 0 THEN runmin
+        |    ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(30,12)) AS s2
+        |  FROM w2)
+        |SELECT day, residual,
+        |  CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_excess,
+        |  s2 * CAST(10 AS DECIMAL(2,0)) > n * ra AS alarm
+        |FROM sfr""".stripMargin,
+
+    // q252: exact-substring dedup — both engines fingerprint every stride-1
+    // 40-char window of the SAME normalized text with the SAME md5 prefix,
+    // so the buckets are byte-identical by construction; all counts exact
+    // ints. generate_series(1, n) is empty for n < 1 in DuckDB (ascending,
+    // inclusive), so the len(t) >= 40 guard is belt-and-braces there but
+    // load-bearing on the Spark side (sequence REVERSES below the start).
+    "q252_substring_dedup" ->
+      s"""WITH norm AS (SELECT doc_id, $normText AS t FROM documents),
+        |wins AS (
+        |  SELECT DISTINCT doc_id,
+        |    substr(md5(substr(t, CAST(i AS INT), 40)), 1, 16) AS fp
+        |  FROM norm,
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 39)) AS i) AS u
+        |  WHERE len(t) >= 40),
+        |eligible AS (
+        |  SELECT fp FROM wins GROUP BY fp HAVING count(*) BETWEEN 2 AND 100),
+        |cand AS (SELECT doc_id, fp FROM wins JOIN eligible USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_windows
+        |FROM cand a JOIN cand b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // q247: rolling 7-day median of daily revenue — ENTIRELY integer
     // (lower median of a sorted ≤7-element cents buffer), zero FP anywhere

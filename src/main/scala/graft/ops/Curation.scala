@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -260,7 +260,16 @@ object Curation {
     * interpolated into the oracle from these Scala doubles
     * (shortest-round-trip), never re-typed literals.
     */
-  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScored(Tables.documents(spark, sfDir))
+
+  /** The scoring map over any frame with the documents schema — a pure
+    * per-row projection, so the STREAMING sweep (q255) applies the identical
+    * expression tree to a streamed source and shares the batch oracles.
+    * `extra` columns pass through beside (doc_id, score, keep).
+    */
+  private[graft] def qualityScored(docs: DataFrame,
+      extra: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val (w0, wStop, wPunct, wMwl, wLen) = (-2.0, 4.0, -6.0, 0.3, 0.15)
     val lnChars = graft.core.Num.decToDouble(
@@ -269,14 +278,14 @@ object Curation {
       lit(wPunct) * TextAnalysis.punctPerChar +
       lit(wMwl) * TextAnalysis.meanWordLen +
       lit(wLen) * lnChars
-    Tables.documents(spark, sfDir)
+    docs
       .withColumn("zq", graft.core.Num.decToDouble(z.cast(DecimalType(18, 6))))
       .withColumn("e", graft.core.Num.decToDouble(
         exp(-abs(col("zq"))).cast(DecimalType(18, 9))))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         when(col("zq") >= 0, lit(1.0) / (lit(1.0) + col("e")))
           .otherwise(col("e") / (lit(1.0) + col("e"))).as("score"),
-        (col("zq") >= 0).as("keep"))
+        (col("zq") >= 0).as("keep")) ++ extra: _*)
   }
 
   /** TRAIN/VALID/TEST SPLIT LEAKAGE AUDIT: near-duplicate pairs (the

@@ -470,4 +470,53 @@ object Dedup {
     scored.unpersist()
     result
   }
+
+  /** EXACT SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data" shape, public): pairs of documents sharing at least `minShared`
+    * EXACT substrings of length `window` — verbatim-span duplication the
+    * shingle/chunk family misses (MinHash needs high set overlap; passage
+    * chunks need grid alignment; a 40-char quote inside two otherwise
+    * unrelated documents matches neither, but matches here).
+    *
+    * Dataflow (never all-pairs): every stride-1 window of the normalized
+    * text is fingerprinted to 16 hex chars of its md5 — IN the scan stage,
+    * codegen'd end to end (explode positions → substr → md5 → hash-agg
+    * distinct; the per-doc text never crosses an exchange, only
+    * (doc_id, fp) pairs do). Window sharing then buckets by fingerprint:
+    * a document-frequency gate keeps 2 ≤ df ≤ `maxDf` — df=1 windows pair
+    * with nothing, and a window in >maxDf docs is boilerplate (license
+    * headers, navigation chrome), not duplication; the gate is ALSO what
+    * bounds the bucket self-join at Σ df² ≤ maxDf·Σ df instead of
+    * quadratic on a hot window. The md5 fingerprint is the q16 trade:
+    * 64 bits collision-free in practice, and the DuckDB oracle computes
+    * the identical bytes so both engines bucket identically.
+    *
+    * Output: (doc_a, doc_b, n_shared_windows) — the count of DISTINCT
+    * shared window fingerprints per pair, doc_a < doc_b.
+    */
+  def substringDedup(spark: SparkSession, sfDir: String,
+      window: Int = 40, maxDf: Int = 100, minShared: Int = 1): DataFrame = {
+    val wins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("t"))
+      .filter(length(col("t")) >= window)
+      // explode POSITIONS, fingerprint in the same codegen stage: the
+      // generate→project pipeline never materializes a window string row —
+      // the interpreted-HOF spelling (transform over an array of windows)
+      // is the exact per-element-lambda overhead the q230 profile measured
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - lit(window - 1))).as("i"))
+      .select(col("doc_id"),
+        substring(md5(col("t").substr(col("i"), lit(window))), 1, 16).as("fp"))
+      .distinct()
+    val eligible = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df")) // wins is distinct per doc → df = doc frequency
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val cand = wins.join(eligible, "fp")
+    cand.as("a").join(cand.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .filter(col("n_shared_windows") >= minShared)
+  }
 }

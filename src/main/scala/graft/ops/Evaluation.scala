@@ -113,6 +113,15 @@ object Evaluation {
     val counts = scoredWithLabel(spark, sfDir)
       .groupBy(col("score").as("x"))
       .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c2"))
+    sweepFromCounts(spark, counts)
+  }
+
+  /** The q242 sweep tail over an already-aggregated per-score counts frame
+    * (x, c1, c2) — factored so the STREAMING sweep (q255) applies the
+    * identical arithmetic to its drained state and shares q242's oracle
+    * verbatim (the q241/q246 parity pattern).
+    */
+  private[graft] def sweepFromCounts(spark: SparkSession, counts: DataFrame): DataFrame = {
     val ts = spark.range(1, 10)
       .select((col("id").cast("double") / 10.0).as("t"))
     val cm = counts.crossJoin(broadcast(ts))
@@ -166,5 +175,47 @@ object Evaluation {
         (col("sum_score") / col("n").cast("double")).as("avg_score"),
         (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
         (col("sum_sq_err") / col("n").cast("double")).as("brier"))
+  }
+
+  /** GROUPED CALIBRATION DRIFT — q236's reliability table computed WITHIN
+    * each ingest `source`, rolled up to one Expected Calibration Error per
+    * source: ECE = Σ_bins (n_bin/n_source)·|avg_score − pos_rate|, plus the
+    * worst single-bin gap. Documents carry no timestamp, so `source` is the
+    * corpus's batch axis (crawl snapshots arrive per source) — the audit
+    * that catches a quality filter whose calibration holds globally but has
+    * silently drifted on one upstream feed, which per-bin global q236 (and
+    * the global threshold sweep q242) average away.
+    *
+    * Determinism: per-bin avg_score/pos_rate/gap are fixed trees over
+    * exact-decimal-folded sums; the ≤10-term per-source ECE sum quantizes
+    * each weighted gap to 12 decimals and folds exactly (the q233 recipe —
+    * a raw double Σ would depend on combine order); max over doubles is
+    * order-free. Scale shape: one scan-speed scoring pass, one 10×|sources|
+    * aggregate, then everything runs on the tiny bins frame (broadcast
+    * totals join, one aggregate per source).
+    */
+  def calibrationBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val scored = Curation.qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")), "doc_id")
+    val bins = scored
+      .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        Num.decToDouble(sum(q12(col("score")))).as("sum_score"))
+    val gap = abs(col("sum_score") / col("n").cast("double") -
+      col("n_pos").cast("double") / col("n").cast("double"))
+    val totals = bins.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    bins.join(broadcast(totals), "source")
+      .select(col("source"), col("n"), col("n_src"), gap.as("gap"))
+      .groupBy(col("source"))
+      .agg(max(col("n_src")).as("n_docs"),
+        Num.decToDouble(sum(q12(
+          col("n").cast("double") / col("n_src").cast("double") * col("gap"))))
+          .as("ece"),
+        max(col("gap")).as("max_gap"))
   }
 }

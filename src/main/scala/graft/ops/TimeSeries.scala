@@ -330,6 +330,53 @@ object TimeSeries {
         (col("detrended") - col("seasonal")).as("residual"))
   }
 
+  /** CUSUM ON THE SEASONALLY ADJUSTED RESIDUAL — q196's mean-shift detector
+    * run over [[seasonalDecompose]]'s residual instead of raw daily revenue
+    * (the composition q251's scaladoc promises): the raw-series CUSUM
+    * accumulates the weekly cycle itself, so a seasonal business never
+    * quiets the alarm; pre-whitening first means the cumulative excess
+    * measures genuine level shifts only.
+    *
+    * Determinism: the residual is already a cross-engine-identical double
+    * (q251 is hash-gated); it enters the fold quantized to 12 decimals, and
+    * from there the q196 algebra is verbatim in the exact-decimal domain —
+    * dev = n·r − Σr (no division), prefix/run-min window sums, S = prefix −
+    * min(run-min, 0). The alarm anchor is Σ|r| (the series' own total
+    * absolute deviation — the residual's mean is ~0, so q196's
+    * revenue-total anchor has no analogue): alarm when 10·S > n·Σ|r|, an
+    * exact-decimal comparison. Operand precisions are pinned (residual →
+    * DECIMAL(24,12), n → DECIMAL(6,0), Σ|r| → DECIMAL(30,12)) so neither
+    * engine's decimal-arithmetic promotion rules round anything.
+    *
+    * Scale shape: inherits q251's (windows over the AGGREGATED daily frame;
+    * raw orders touched once); everything here is calendar-sized.
+    */
+  def seasonalCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(24, 12))
+    val res = seasonalDecompose(spark, sfDir)
+      .select(col("day"), col("residual"))
+    val totals = res.agg(count(lit(1)).cast(DecimalType(6, 0)).as("n"),
+      sum(q12(col("residual"))).as("rt"),
+      sum(q12(abs(col("residual")))).cast(DecimalType(30, 12)).as("ra"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val zero = lit(0).cast(DecimalType(38, 12))
+    res.crossJoin(broadcast(totals))
+      .withColumn("dev",
+        (col("n") * q12(col("residual")) - col("rt")).cast(DecimalType(38, 12)))
+      .withColumn("prefix", sum(col("dev")).over(w))
+      .withColumn("runmin", min(col("prefix")).over(w))
+      // CASE, not least(): the q196 DuckDB least()-promotes-to-DOUBLE trap;
+      // S re-pinned to (30,12) (magnitude ≤ days²·max|r| ≈ 10¹⁵) so the ×10
+      // stays inside exact decimal under BOTH engines' promotion rules
+      .withColumn("s2",
+        (col("prefix") - when(col("runmin") < 0, col("runmin")).otherwise(zero))
+          .cast(DecimalType(30, 12)))
+      .select(col("day"), col("residual"),
+        (Num.decToDouble(col("s2")) / col("n").cast("double")).as("cusum_excess"),
+        (col("s2") * lit(10).cast(DecimalType(2, 0)) >
+          col("n") * col("ra")).as("alarm"))
+  }
+
   /** FORECAST BACKTEST of the [[ewmaRevenue]] smoother: yesterday's
     * normalized EWMA is today's one-step-ahead forecast, scored per month
     * with MAE, RMSE and MAPE — the walk-forward evaluation loop any

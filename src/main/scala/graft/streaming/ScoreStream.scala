@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Streaming document scoring — the q242 threshold sweep maintained as
+  * streaming state (the q241/q246 batch/stream parity pattern, third
+  * instance).
+  */
+object ScoreStream {
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The streaming file source needs a DIRECTORY; the testdata table is a
+    * single parquet file — stage a stable per-SF copy once (the
+    * [[EventStream.eventsDir]] pattern), timed as staging.
+    */
+  private[streaming] def docsDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val dest = s"/root/repo/target/tmp/docs/$sfName"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS"))) {
+      graft.core.StagingClock.timed {
+        graft.core.Tables.documents(spark, sfDir)
+          .write.mode("overwrite").parquet(dest)
+      }
+    }
+    dest
+  }
+
+  /** STREAMING THRESHOLD SWEEP: documents arrive as a stream, the quality
+    * score is the SAME per-row expression tree as the batch classifier
+    * ([[graft.ops.Curation.qualityScored]], shared verbatim), and the only
+    * state kept is the per-score-value (c1, c2) label counts — q242's own
+    * insight ("collapse to per-score counts before sweeping") is exactly
+    * what makes the sweep state-store friendly: state is |distinct scores|
+    * rows of three numbers, NOT the corpus. The 9-threshold confusion
+    * sweep then runs batch-side on the drained counts through
+    * [[graft.ops.Evaluation.sweepFromCounts]] — the identical arithmetic,
+    * so the query is hash-gated against q242's oracle SHARED VERBATIM.
+    *
+    * Update-mode re-emissions only ever GROW a score's counts (counts are
+    * monotone under accumulation), so the per-score max over the drained
+    * memory sink is the final state — the q246 dedup argument, element-wise.
+    */
+  def thresholdSweepAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.readStream.schema(docsSchema)
+      .parquet(docsDir(spark, sfDir))
+    val counts = graft.ops.Curation
+      .qualityScored(docs,
+        extra = Seq(when(col("lang") === "en", 1L).otherwise(0L).as("y")))
+      .groupBy(col("score").as("x"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c2"))
+    val drained = Drain.toMemoryTable(spark, counts, "update", "graft_stream_sweep")
+    val finalCounts = drained.groupBy(col("x"))
+      .agg(max(col("c1")).as("c1"), max(col("c2")).as("c2"))
+    graft.ops.Evaluation.sweepFromCounts(spark, finalCounts)
+  }
+}

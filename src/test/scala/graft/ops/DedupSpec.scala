@@ -114,6 +114,40 @@ class DedupSpec extends SparkSpec {
     assert(viaSalt === viaBroadcast,
       "both text-attach paths must score identical pairs identically")
   }
+
+  test("substring dedup finds a planted verbatim span and suppresses boilerplate windows") {
+    import spark.implicits._
+    val d = tmpDir("substringdedup")
+    val span = "the exact forty-plus character quotation that both documents share verbatim"
+    val boiler = "creative commons attribution license header boilerplate text repeated everywhere"
+    // docs 1 and 2 share `span` at different offsets inside unrelated text;
+    // docs 3-9 all carry ONLY the boilerplate line (df = 7 > maxDf = 5)
+    val docs = Seq(
+      (1L, s"completely unrelated preamble before $span and then a different tail", "en"),
+      (2L, s"$span with its own continuation that shares nothing else at all here", "en"),
+      // tails start with DISTINCT first characters: a window sliding one
+      // char past the boilerplate must not match across any two docs
+      (3L, s"$boiler alpha", "en"), (4L, s"$boiler beta", "en"),
+      (5L, s"$boiler gamma", "en"), (6L, s"$boiler delta", "en"),
+      (7L, s"$boiler epsilon", "en"), (8L, s"$boiler zeta", "en"),
+      (9L, s"$boiler kappa", "en"),
+      (10L, "short", "en")) // below the window length: no windows at all
+      .map { case (id, t, l) => (id, t, l, t.length) }
+    docs.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val pairs = Dedup.substringDedup(spark, d, window = 40, maxDf = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the planted span (len 76 ≥ 40) yields shared windows for (1,2); the
+    // boilerplate family pairs are suppressed by the df gate
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the planted pair, got $pairs")
+    // with the gate relaxed the boilerplate family IS pair-dense — the gate,
+    // not luck, is what kept it out
+    val ungated = Dedup.substringDedup(spark, d, window = 40, maxDf = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(ungated.size == 1 + 21, // (1,2) + C(7,2) boilerplate pairs
+      s"ungated should add all 21 boilerplate pairs, got ${ungated.size}")
+  }
 }
 
 /** Test access to the package-private shingle builder. */

@@ -129,4 +129,20 @@ class EvaluationSpec extends SparkSpec {
       docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count(),
       "positives partition to the English count")
   }
+
+  test("calibration drift: sources partition the corpus, ECE bounded by max gap") {
+    val rows = Evaluation.calibrationBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per source")
+    rows.foreach { case (src, n, ece, maxGap) =>
+      assert(n > 0, s"source $src empty")
+      // ECE is a convex combination of per-bin gaps: 0 ≤ ECE ≤ max gap ≤ 1
+      assert(ece >= 0.0 && ece <= maxGap + 1e-12,
+        s"source $src: ece $ece escapes [0, max_gap $maxGap]")
+      assert(maxGap >= 0.0 && maxGap <= 1.0)
+    }
+    assert(rows.map(_._2).sum === graft.core.Tables.documents(spark, sf).count(),
+      "source groups partition all documents")
+  }
 }

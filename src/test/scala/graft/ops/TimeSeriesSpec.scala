@@ -252,4 +252,30 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { case (t, nRisk, _, _, _, _) => assert(km(t) === nRisk, s"t=$t") }
   }
+
+  test("seasonal cusum: exact tabular-CUSUM recompute over q251's residuals") {
+    val sf = "/root/testdata/sf0.001"
+    val resid = TimeSeries.seasonalDecompose(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(6))).sortBy(_._1)
+    val rows = TimeSeries.seasonalCusum(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(rows.length === resid.length, "one CUSUM row per decomposition day")
+    // replay the exact-decimal fold: dev = n·q12(r) − Σq12(r), S = prefix − min(run-min, 0)
+    def q12(d: Double) = BigDecimal(d.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val n = BigDecimal(resid.length)
+    val rt = resid.map(r => q12(r._2)).sum
+    val ra = resid.map(r => q12(math.abs(r._2))).sum
+    var prefix = BigDecimal(0); var runmin = BigDecimal(0)
+    resid.zip(rows).foreach { case ((day, r), (day2, rOut, excess, alarm)) =>
+      assert(day === day2)
+      assert(rOut === r, s"$day residual passthrough")
+      prefix += n * q12(r) - rt
+      runmin = runmin.min(prefix)
+      val s = prefix - runmin.min(0)
+      assert(excess === (s.toDouble / resid.length.toDouble), s"$day excess")
+      assert(alarm === (s * 10 > n * ra), s"$day alarm")
+      assert(s >= 0, s"$day CUSUM statistic must be nonnegative")
+    }
+  }
 }

@@ -1,0 +1,23 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Batch/stream parity for the threshold sweep (q242 vs q255): both sides
+  * must produce the identical 9-row confusion table, because they share the
+  * scoring expression tree and the sweep arithmetic by construction.
+  */
+class ScoreStreamSpec extends SparkSpec {
+
+  test("streaming threshold sweep reproduces the batch sweep row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        Option(r.get(5)), Option(r.get(6)), Option(r.get(7)))
+    val batch = graft.ops.Evaluation.thresholdMetrics(spark, sf)
+      .orderBy("t").collect().map(key).toSeq
+    val stream = ScoreStream.thresholdSweepAvailableNow(spark, sf)
+      .orderBy("t").collect().map(key).toSeq
+    assert(batch.length === 9)
+    assert(stream === batch, "stream sweep diverged from batch")
+  }
+}
