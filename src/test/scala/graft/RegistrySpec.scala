@@ -56,6 +56,38 @@ class RegistrySpec extends AnyFunSuite {
       s"queries with no SURVEY.md mention: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every registered query has a number in the newest committed clean bench artifact") {
+    // the round-13 gap class: q251 landed with no committed per-query bench
+    // number anywhere (the driver artifact truncates; the clean artifacts
+    // stopped at the 250-query state). A query without a clean bench number
+    // has never had its cost read — so absence fails `sbt test`, exactly
+    // like the SURVEY ledger gate above. The newest BENCH_r*_clean*.json by
+    // (round, name) is the one the round's claims rest on.
+    val dir = java.nio.file.Paths.get(".")
+    val clean = java.nio.file.Files.list(dir).iterator()
+    val re = java.util.regex.Pattern.compile("BENCH_r(\\d+)_clean.*\\.json")
+    var best: Option[(Int, String, java.nio.file.Path)] = None
+    while (clean.hasNext) {
+      val p = clean.next()
+      val m = re.matcher(p.getFileName.toString)
+      if (m.matches()) {
+        val key = (m.group(1).toInt, p.getFileName.toString, p)
+        val ord = Ordering.Tuple2[Int, String]
+        if (best.forall(b => ord.gt((key._1, key._2), (b._1, b._2)))) best = Some(key)
+      }
+    }
+    assert(best.nonEmpty, "no committed BENCH_r*_clean*.json artifact found")
+    val json = new String(java.nio.file.Files.readAllBytes(best.get._3), "UTF-8")
+    val missing = SparkEntry.queries.keySet.filter { q =>
+      !json.contains("\"" + q + "\"")
+    }
+    assert(missing.isEmpty,
+      s"queries with no per-query number in ${best.get._2}: " +
+        missing.toSeq.sorted.mkString(", ") +
+        " — run the clean bench (SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 " +
+        "runMain graft.Bench) and commit the artifact")
+  }
+
   test("README.md's query counts match the registry") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")), "UTF-8")
