@@ -508,15 +508,23 @@ object Dedup {
       .select(col("doc_id"),
         substring(md5(col("t").substr(col("i"), lit(window))), 1, 16).as("fp"))
       .distinct()
+      // PERSISTED: the fingerprint pass has THREE consumers (the df gate and
+      // both self-join sides) and AQE does not exchange-reuse across them —
+      // measured 4 parquet scans / 0 ReusedExchange, 3× the md5 work
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wins.count() // materialize once, under AQE
     val eligible = wins.groupBy(col("fp"))
       .agg(count(lit(1)).as("df")) // wins is distinct per doc → df = doc frequency
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("fp"))
     val cand = wins.join(eligible, "fp")
-    cand.as("a").join(cand.as("b"),
+    val result = cand.as("a").join(cand.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_windows"))
       .filter(col("n_shared_windows") >= minShared)
+      .localCheckpoint(true) // pair-sized; frees the window table below
+    wins.unpersist()
+    result
   }
 }
