@@ -289,6 +289,8 @@ object SparkEntry {
     "q253_calibration_drift" -> ((s, d) => graft.ops.Evaluation.calibrationBySource(s, d)),
     "q254_seasonal_cusum"  -> ((s, d) => graft.ops.TimeSeries.seasonalCusum(s, d)),
     "q255_sweep_stream"    -> ((s, d) => graft.streaming.ScoreStream.thresholdSweepAvailableNow(s, d)),
+    "q256_mann_kendall"    -> ((s, d) => graft.ops.TimeSeries.mannKendall(s, d)),
+    "q257_ols_two_feature" -> ((s, d) => graft.ops.Statistics.olsTwoFeature(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -2028,6 +2030,86 @@ object SparkEntry {
          |      - CAST(1.0 AS DOUBLE)
          |  END AS gini_rank
          |FROM s""".stripMargin,
+
+    // q256: Mann–Kendall trend test — S an exact integer over the
+    // calendar-bounded day-pair join (sign as an explicit CASE over long
+    // cents, never a double signum); the tie-corrected variance NUMERATOR
+    // stays an exact BIGINT; only /18 and the continuity-corrected z are
+    // doubles (fixed trees). DuckDB lateral alias reference computes z once
+    "q256_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT CAST(date_diff('day', DATE '1990-01-01', day) AS BIGINT) AS dn, x
+        |  FROM daily),
+        |s AS (
+        |  SELECT CAST(coalesce(sum(
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        |  FROM d2 a JOIN d2 b ON b.dn > a.dn),
+        |ties AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d2 GROUP BY x)),
+        |k AS (
+        |  SELECT n_days, s_stat,
+        |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var_numer
+        |  FROM s CROSS JOIN ties)
+        |SELECT n_days, s_stat, var_numer,
+        |  CASE WHEN s_stat > 0 THEN
+        |      CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_numer AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN
+        |      CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_numer AS DOUBLE) / 18.0)
+        |    ELSE CAST(0 AS DOUBLE) END AS z,
+        |  abs(z) > CAST(1.96 AS DOUBLE) AS trend_at_95
+        |FROM k""".stripMargin,
+
+    // q257: two-feature OLS by normal equations — nine exact-decimal moment
+    // folds (the q143 cast class: 2-decimal money / integer quantities are
+    // exact at scale 4 under BOTH engines' double→decimal rules), then
+    // Cramer's rule as one fixed double tree spelled term for term like the
+    // Scala side
+    "q257_ols_two_feature" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))) AS s1_d,
+        |    sum(CAST(l_discount AS DECIMAL(19,4))) AS s2_d,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy_d,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS s11_d,
+        |    sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS s22_d,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS s12_d,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS s1y_d,
+        |    sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS s2y_d,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy_d
+        |  FROM lineitem),
+        |v AS (
+        |  SELECT n_rows, CAST(n_rows AS DOUBLE) AS n,
+        |    CAST(CAST(s1_d AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(s2_d AS VARCHAR) AS DOUBLE) AS s2,
+        |    CAST(CAST(sy_d AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(s11_d AS VARCHAR) AS DOUBLE) AS s11,
+        |    CAST(CAST(s22_d AS VARCHAR) AS DOUBLE) AS s22,
+        |    CAST(CAST(s12_d AS VARCHAR) AS DOUBLE) AS s12,
+        |    CAST(CAST(s1y_d AS VARCHAR) AS DOUBLE) AS s1y,
+        |    CAST(CAST(s2y_d AS VARCHAR) AS DOUBLE) AS s2y,
+        |    CAST(CAST(syy_d AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM m),
+        |k AS (
+        |  SELECT n_rows, n, s1, s2, sy, s11, s22, s12, s1y, s2y, syy,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM v)
+        |SELECT n_rows,
+        |  det0 / det AS beta0,
+        |  det1 / det AS beta_qty,
+        |  det2 / det AS beta_disc,
+        |  CAST(1.0 AS DOUBLE)
+        |    - (syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y))
+        |    / (syy - sy * sy / n) AS r2
+        |FROM k""".stripMargin,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound

@@ -815,6 +815,59 @@ object Statistics {
     * sum order across engines never matters). Scale: one groupBy(digit)
     * over the fact table; everything after runs on 9 rows.
     */
+  /** TWO-FEATURE OLS via normal equations — revenue regressed on quantity
+    * AND discount in ONE distributed pass (the multiple-regression upgrade
+    * of q143's single-feature recipe): nine exact-decimal moment folds
+    * (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²), then the 3×3
+    * normal system solved by Cramer's rule as ONE fixed double tree —
+    * cofactor expansion spelled in the identical operation order in both
+    * engines, so every intermediate is a correctly-rounded IEEE op over
+    * string-bridged moments. This is THE map-reduce regression shape: at
+    * 100 TB the only corpus-sized job is the moment aggregate (map-side
+    * combined); the solve runs on one row. R² from the same moments
+    * (SST = Σy²−(Σy)²/n, SSE = Σy² − βᵀXᵀy).
+    *
+    * Exactness: quantity/price at DECIMAL(14,4), discount at DECIMAL(6,4)
+    * — every product is an exact decimal (≤ (29,8)), every fold
+    * order-independent; doubles appear only after [[Num.decToDouble]].
+    */
+  def olsTwoFeature(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = DecimalType(14, 4)
+    val x1 = col("l_quantity").cast(d)
+    val x2 = col("l_discount").cast(DecimalType(6, 4))
+    val y = col("l_extendedprice").cast(d)
+    val m = Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(x1).as("s1_d"), sum(x2).as("s2_d"), sum(y).as("sy_d"),
+      sum(x1 * x1).as("s11_d"), sum(x2 * x2).as("s22_d"),
+      sum(x1 * x2).as("s12_d"),
+      sum(x1 * y).as("s1y_d"), sum(x2 * y).as("s2y_d"),
+      sum(y * y).as("syy_d"))
+    def dbl(name: String) = Num.decToDouble(col(name))
+    val n = col("n_rows").cast("double")
+    val s1 = dbl("s1_d"); val s2 = dbl("s2_d"); val sy = dbl("sy_d")
+    val s11 = dbl("s11_d"); val s22 = dbl("s22_d"); val s12 = dbl("s12_d")
+    val s1y = dbl("s1y_d"); val s2y = dbl("s2y_d"); val syy = dbl("syy_d")
+    // Cramer's rule, cofactor expansion along the first row — the oracle
+    // spells the SAME tree term for term
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val b0 = det0 / det
+    val b1 = det1 / det
+    val b2 = det2 / det
+    val sst = syy - sy * sy / n
+    val sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    m.select(col("n_rows"),
+      b0.as("beta0"), b1.as("beta_qty"), b2.as("beta_disc"),
+      (lit(1.0) - sse / sst).as("r2"))
+  }
+
   def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
     val expected = Seq(
       1 -> "0.301029995664", 2 -> "0.176091259056", 3 -> "0.124938736608",

@@ -169,6 +169,50 @@ object TimeSeries {
         col("r").as("intercept_cents"))
   }
 
+  /** MANN–KENDALL TREND TEST on daily revenue (Mann 1945 / Kendall 1975,
+    * public) — the nonparametric monotone-trend detector beside q221's
+    * Theil–Sen slope (the two are the canonical pair: MK says WHETHER the
+    * trend is significant, Theil–Sen says HOW STEEP):
+    *
+    *   S = Σ_{i<j} sign(x_j − x_i)          (exact integer)
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+    *   z = (S∓1)/√Var(S)                    (continuity-corrected)
+    *
+    * Every count is an exact integer (the sign is an explicit CASE over
+    * long cents, never a double signum); the variance NUMERATOR stays an
+    * exact long (n ≤ calendar days, so n³ ≲ 10¹⁰ ≪ 2⁶³) and only the final
+    * /18 and the z tree are doubles — fixed correctly-rounded trees, no
+    * bridging needed. Scale shape: q221's calendar-bounded O(d²) day-pair
+    * join over the AGGREGATED daily frame (the documented Theil–Sen trade);
+    * ties and n are two tiny aggregates on the same frame.
+    */
+  def mannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCents(spark, sfDir)
+      .withColumn("dn", datediff(col("day"), lit("1990-01-01").cast("date")).cast("long"))
+      .select(col("dn"), col("x"))
+    val sAgg = daily.as("a").join(daily.as("b"), col("b.dn") > col("a.dn"))
+      .agg(coalesce(sum(
+        when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L)
+          .otherwise(0L)), lit(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("x"))
+      .agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("n_days"),
+        coalesce(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)),
+          lit(0L)).as("tie_term"))
+    val varNum = col("n_days") * (col("n_days") - 1) *
+      (lit(2L) * col("n_days") + 5) - col("tie_term")
+    val varS = varNum.cast("double") / lit(18.0)
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - 1).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"), varNum.as("var_numer"),
+        z.as("z"), (abs(z) > 1.96).as("trend_at_95"))
+  }
+
   /** KAPLAN–MEIER SURVIVAL over customer lifetimes (Kaplan & Meier 1958,
     * public): duration = days between a customer's first and last order;
     * a customer whose last order falls within `censorDays` of the data

@@ -888,4 +888,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(rows.head._7 - total.toDouble) < 1e-9, "chi2 total folds the terms")
     assert(rows.forall(_._7 == rows.head._7), "total repeated on every row")
   }
+
+  test("two-feature OLS: betas match an independent Gaussian-elimination solve") {
+    val sf = "/root/testdata/sf0.001"
+    val row = Statistics.olsTwoFeature(spark, sf).collect().head
+    // independent recompute: exact BigDecimal moments off the raw rows,
+    // then Gaussian elimination with partial pivoting (a DIFFERENT solver
+    // than the operator's Cramer expansion)
+    val rows = graft.core.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_discount", "l_extendedprice").collect()
+      .map(r => (BigDecimal(r.getDouble(0).toString).setScale(4),
+        BigDecimal(r.getDouble(1).toString).setScale(4),
+        BigDecimal(r.getDouble(2).toString).setScale(4)))
+    val n = rows.length
+    def S(f: ((BigDecimal, BigDecimal, BigDecimal)) => BigDecimal): Double =
+      rows.map(f).sum.toDouble
+    val (s1, s2, sy) = (S(_._1), S(_._2), S(_._3))
+    val (s11, s22, s12) = (S(t => t._1 * t._1), S(t => t._2 * t._2), S(t => t._1 * t._2))
+    val (s1y, s2y, syy) = (S(t => t._1 * t._3), S(t => t._2 * t._3), S(t => t._3 * t._3))
+    val a = Array(
+      Array(n.toDouble, s1, s2, sy),
+      Array(s1, s11, s12, s1y),
+      Array(s2, s12, s22, s2y))
+    for (col <- 0 until 3) {
+      val p = (col until 3).maxBy(r => math.abs(a(r)(col)))
+      val tmp = a(col); a(col) = a(p); a(p) = tmp
+      for (r <- 0 until 3 if r != col) {
+        val f = a(r)(col) / a(col)(col)
+        for (c <- col until 4) a(r)(c) -= f * a(col)(c)
+      }
+    }
+    val beta = (0 until 3).map(i => a(i)(3) / a(i)(i))
+    assert(row.getLong(0) === n.toLong)
+    assert(math.abs(row.getDouble(1) - beta(0)) < 1e-6 * math.max(1.0, math.abs(beta(0))), "beta0")
+    assert(math.abs(row.getDouble(2) - beta(1)) < 1e-6 * math.max(1.0, math.abs(beta(1))), "beta_qty")
+    assert(math.abs(row.getDouble(3) - beta(2)) < 1e-6 * math.max(1.0, math.abs(beta(2))), "beta_disc")
+    val r2 = row.getDouble(4)
+    // the synthetic testdata draws price independently of quantity, so R²
+    // is tiny — only the mathematical bound is an invariant here
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2 out of [0,1]")
+  }
 }

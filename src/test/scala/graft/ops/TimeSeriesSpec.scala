@@ -253,6 +253,33 @@ class TimeSeriesSpec extends SparkSpec {
     rows.foreach { case (t, nRisk, _, _, _, _) => assert(km(t) === nRisk, s"t=$t") }
   }
 
+  test("mann-kendall: S, tie term and z recomputed exactly from the daily series") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      .orderBy("day").collect().map(r => r.getLong(1))
+    var s = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length)
+      s += java.lang.Long.signum(daily(j) - daily(i)).toLong
+    val n = daily.length.toLong
+    val tieTerm = daily.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varNum = n * (n - 1) * (2 * n + 5) - tieTerm
+    val row = TimeSeries.mannKendall(spark, sf).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === s, "S statistic")
+    assert(row.getLong(2) === varNum, "tie-corrected variance numerator")
+    val varS = varNum.toDouble / 18.0
+    val z = if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(varS) else 0.0
+    assert(row.getDouble(3) === z, "continuity-corrected z")
+    assert(row.getBoolean(4) === (math.abs(z) > 1.96))
+  }
+
   test("seasonal cusum: exact tabular-CUSUM recompute over q251's residuals") {
     val sf = "/root/testdata/sf0.001"
     val resid = TimeSeries.seasonalDecompose(spark, sf).collect()
