@@ -291,6 +291,17 @@ object SparkEntry {
     "q255_sweep_stream"    -> ((s, d) => graft.streaming.ScoreStream.thresholdSweepAvailableNow(s, d)),
     "q256_mann_kendall"    -> ((s, d) => graft.ops.TimeSeries.mannKendall(s, d)),
     "q257_ols_two_feature" -> ((s, d) => graft.ops.Statistics.olsTwoFeature(s, d)),
+    "q258_kruskal_wallis"  -> ((s, d) => graft.ops.Statistics.kruskalWallis(s, d)),
+    "q259_anova_f"         -> ((s, d) => graft.ops.Statistics.anovaF(s, d)),
+    "q260_brown_forsythe"  -> ((s, d) => graft.ops.Statistics.brownForsythe(s, d)),
+    "q261_residual_diag"   -> ((s, d) => graft.ops.TimeSeries.residualDiagnostics(s, d)),
+    "q262_cross_corr"      -> ((s, d) => graft.ops.TimeSeries.crossCorrelation(s, d)),
+    "q263_decomp_strength" -> ((s, d) => graft.ops.TimeSeries.decompositionStrength(s, d)),
+    "q264_kendall_tau"     -> ((s, d) => graft.ops.TimeSeries.kendallTau(s, d)),
+    "q265_cohens_kappa"    -> ((s, d) => graft.ops.Evaluation.cohensKappa(s, d)),
+    "q266_seasonal_mk"     -> ((s, d) => graft.ops.TimeSeries.seasonalMannKendall(s, d)),
+    "q267_ols_influence"   -> ((s, d) => graft.ops.Statistics.olsInfluence(s, d)),
+    "q268_anomaly_stream"  -> ((s, d) => graft.streaming.OrderStream.dailyAnomalyAvailableNow(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1213,6 +1224,46 @@ object SparkEntry {
       |    tr.detrended - s.seasonal AS residual
       |  FROM tr JOIN s ON tr.dow = s.dow)""".stripMargin
 
+  /** The k-sample tests' shared input (q258/q259/q260): per-(value, group)
+    * counts of order-total cents by priority — mirrors
+    * [[graft.ops.Statistics.centsByPriority]] verbatim.
+    */
+  private val priorityCentsCtes: String =
+    """bvg AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2)""".stripMargin
+
+  /** q194's trailing-window z oracle — shared VERBATIM with the streaming
+    * twin q268 (whose Spark side reuses the identical batch tail on the
+    * drained per-day state).
+    */
+  private val dailyAnomalySql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT day, n_orders,
+      |    CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS x,
+      |    count(*) OVER win AS cnt,
+      |    CAST(CAST(sum(tot) OVER win AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(tot * tot) OVER win AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM d
+      |  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |m1 AS (
+      |  SELECT *, CASE WHEN cnt = 7 THEN sx / cnt END AS mean_prior FROM w),
+      |m2 AS (
+      |  SELECT *, CASE WHEN cnt = 7 THEN
+      |      sqrt(greatest((sxx - sx * mean_prior) / (cnt - 1),
+      |        CAST(0 AS DOUBLE))) END AS sd_prior
+      |  FROM m1)
+      |SELECT day, n_orders, x AS total, mean_prior, sd_prior,
+      |  CASE WHEN sd_prior > 0 THEN (x - mean_prior) / sd_prior END AS z,
+      |  CASE WHEN sd_prior > 0 THEN abs((x - mean_prior) / sd_prior) > 2.0
+      |    ELSE false END AS is_anomaly
+      |FROM m2""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -2110,6 +2161,404 @@ object SparkEntry {
         |    - (syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y))
         |    / (syy - sy * sy / n) AS r2
         |FROM k""".stripMargin,
+
+    // q258: Kruskal–Wallis — doubled midranks keep tied ranks integer
+    // (2R_g = Σ c·(2·below + t + 1)); the cross-group Σ R_g²/n_g squares
+    // per group in DOUBLE (2R_g² can pass 2⁶³) then folds 12-decimal
+    // quantized; tie term and N³ stay exact BIGINT
+    "q258_kruskal_wallis" ->
+      s"""WITH $priorityCentsCtes,
+        |bv AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM bvg GROUP BY 1),
+        |cum AS (
+        |  SELECT x, t, CAST(coalesce(sum(t) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS below
+        |  FROM bv),
+        |pg AS (
+        |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(c * (2 * below + t + 1)) AS BIGINT) AS r2x
+        |  FROM bvg JOIN cum USING (x) GROUP BY 1),
+        |folded AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum(CAST(CAST(CAST(r2x AS DOUBLE) * CAST(r2x AS DOUBLE)
+        |      / (4.0 * CAST(n_g AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,12)))
+        |      AS term_sum_d
+        |  FROM pg),
+        |ties AS (
+        |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie3
+        |  FROM bv)
+        |SELECT k, n, tie3,
+        |  12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |    * CAST(CAST(term_sum_d AS VARCHAR) AS DOUBLE)
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        |  h / (1.0 - CAST(tie3 AS DOUBLE)
+        |    / CAST(n * n * n - n AS DOUBLE)) AS h_adj,
+        |  k - 1 AS df
+        |FROM folded CROSS JOIN ties""".stripMargin,
+
+    // q259: one-way ANOVA — cents² sums fold in HUGEINT (DuckDB) /
+    // DECIMAL(38,0) (Spark), both exact, both VARCHAR-bridged; each group's
+    // SSW term is a fixed double tree quantized to 12 before the exact fold
+    "q259_anova_f" ->
+      s"""WITH $priorityCentsCtes,
+        |pg AS (
+        |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(c * x) AS BIGINT) AS s_g,
+        |    sum(CAST(c AS HUGEINT) * x * x) AS ss_g
+        |  FROM bvg GROUP BY 1),
+        |folded AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s, sum(ss_g) AS ss,
+        |    sum(CAST(CAST(CAST(CAST(ss_g AS VARCHAR) AS DOUBLE)
+        |      - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,12))) AS ssw_d
+        |  FROM pg),
+        |k2 AS (
+        |  SELECT k, n,
+        |    CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sst,
+        |    CAST(CAST(ssw_d AS VARCHAR) AS DOUBLE) AS ssw
+        |  FROM folded)
+        |SELECT k, n, sst - ssw AS ssb, ssw,
+        |  ((sst - ssw) / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / CAST(n - k AS DOUBLE)) AS f_stat,
+        |  (sst - ssw) / sst AS eta_sq
+        |FROM k2""".stripMargin,
+
+    // q260: Brown–Forsythe — group LOWER medians (rank ⌈n_g/2⌉, the
+    // q156/q172 convention) off per-group cumulative counts, deviations
+    // exact longs on the counted frame, then the q259 fold verbatim on d
+    "q260_brown_forsythe" ->
+      s"""WITH $priorityCentsCtes,
+        |cum AS (
+        |  SELECT grp, x, c, CAST(sum(c) OVER (PARTITION BY grp ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM bvg),
+        |np AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g FROM bvg GROUP BY 1),
+        |med AS (
+        |  SELECT grp, min(x) AS med
+        |  FROM cum JOIN np USING (grp)
+        |  WHERE cum >= (n_g + 1) // 2 GROUP BY 1),
+        |dev AS (
+        |  SELECT grp, c, abs(x - med) AS d
+        |  FROM bvg JOIN med USING (grp)),
+        |pg AS (
+        |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(c * d) AS BIGINT) AS s_g,
+        |    sum(CAST(c AS HUGEINT) * d * d) AS ss_g
+        |  FROM dev GROUP BY 1),
+        |folded AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(s_g) AS BIGINT) AS s, sum(ss_g) AS ss,
+        |    sum(CAST(CAST(CAST(CAST(ss_g AS VARCHAR) AS DOUBLE)
+        |      - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,12))) AS ssw_d
+        |  FROM pg),
+        |k2 AS (
+        |  SELECT k, n,
+        |    CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sst,
+        |    CAST(CAST(ssw_d AS VARCHAR) AS DOUBLE) AS ssw
+        |  FROM folded)
+        |SELECT k, n, sst - ssw AS ssb_dev, ssw AS ssw_dev,
+        |  ((sst - ssw) / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / CAST(n - k AS DOUBLE)) AS w_stat
+        |FROM k2""".stripMargin,
+
+    // q261: residual whiteness — q251's CTEs verbatim; residual quantized
+    // to 12 decimals, DW squares are fixed double trees over bridged exact
+    // differences folded 12-decimal-quantized; runs counted over explicit
+    // CASE signs (quantized-zero residuals drop, the standard convention)
+    "q261_residual_diag" ->
+      s"""WITH $seasonalDecompCtes,
+        |e AS (
+        |  SELECT day, CAST(CAST(residual AS VARCHAR) AS DECIMAL(24,12)) AS e
+        |  FROM res),
+        |lagged AS (
+        |  SELECT e, lag(e, 1) OVER (ORDER BY day) AS e_prev FROM e),
+        |sq AS (
+        |  SELECT
+        |    CAST(sum(CAST(CAST(CAST(CAST(e AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(e AS VARCHAR) AS DOUBLE) AS VARCHAR)
+        |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sum_e2,
+        |    CAST(sum(CASE WHEN e_prev IS NOT NULL THEN
+        |      CAST(CAST(CAST(CAST(e - e_prev AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(e - e_prev AS VARCHAR) AS DOUBLE) AS VARCHAR)
+        |        AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS sum_d2,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM lagged),
+        |signs AS (
+        |  SELECT day, CASE WHEN e > 0 THEN 1 WHEN e < 0 THEN -1 ELSE 0 END AS s
+        |  FROM e),
+        |nz AS (SELECT day, s FROM signs WHERE s <> 0),
+        |runs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_signed,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(1 + sum(CASE WHEN s_prev IS NOT NULL AND s <> s_prev
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM (SELECT s, lag(s, 1) OVER (ORDER BY day) AS s_prev FROM nz)),
+        |r2 AS (SELECT *, n_signed - n_pos AS n_neg FROM runs)
+        |SELECT n_days,
+        |  CAST(CAST(sum_d2 AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sum_e2 AS VARCHAR) AS DOUBLE) AS dw,
+        |  n_pos, n_neg, n_runs,
+        |  2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+        |    / CAST(n_signed AS DOUBLE) + 1.0 AS mu_runs,
+        |  (CAST(n_runs AS DOUBLE) - mu_runs)
+        |    / sqrt((mu_runs - 1.0) * (mu_runs - 2.0)
+        |      / (CAST(n_signed AS DOUBLE) - 1.0)) AS z_runs
+        |FROM sq CROSS JOIN r2""".stripMargin,
+
+    // q262: lead–lag cross-correlation — q210's n-scaling trick on the
+    // paired (revenue, order-count) series; numerators/denominators fold
+    // in HUGEINT/DECIMAL(38,0), one bridged double division per lag
+    "q262_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT CAST(date_diff('day', DATE '1990-01-01', day) AS BIGINT) AS dn, x, y
+        |  FROM daily),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM d2),
+        |dev AS (
+        |  SELECT dn, n * x - sx AS ax, n * y - sy AS ay
+        |  FROM d2 CROSS JOIN tot),
+        |den AS (
+        |  SELECT sum(CAST(ax AS HUGEINT) * ax) AS dax,
+        |    sum(CAST(ay AS HUGEINT) * ay) AS day_
+        |  FROM dev),
+        |lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS "lag"),
+        |num AS (
+        |  SELECT "lag", CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(a.ay AS HUGEINT) * b.ax) AS num
+        |  FROM dev a CROSS JOIN lags JOIN dev b ON b.dn = a.dn + "lag"
+        |  GROUP BY 1)
+        |SELECT "lag", n_pairs,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / sqrt(CAST(CAST(dax AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(day_ AS VARCHAR) AS DOUBLE)) AS r
+        |FROM num CROSS JOIN den""".stripMargin,
+
+    // q263: decomposition strength — q251's CTEs verbatim; the three
+    // series' Σv / Σv² fold 12-decimal-quantized, population variances and
+    // the strength clamps spelled as the same fixed trees on both sides
+    "q263_decomp_strength" ->
+      s"""WITH $seasonalDecompCtes,
+        |base AS (
+        |  SELECT CAST(CAST(residual AS VARCHAR) AS DECIMAL(24,12)) AS r,
+        |    CAST(CAST(CAST(x AS DOUBLE) - seasonal AS VARCHAR)
+        |      AS DECIMAL(24,12)) AS tr2,
+        |    CAST(CAST(CAST(x AS DOUBLE) - trend AS VARCHAR)
+        |      AS DECIMAL(24,12)) AS sr
+        |  FROM res),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(r) AS s_r,
+        |    sum(CAST(CAST(CAST(CAST(r AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(r AS VARCHAR) AS DOUBLE) AS VARCHAR)
+        |      AS DECIMAL(38,12))) AS ss_r,
+        |    sum(tr2) AS s_tr,
+        |    sum(CAST(CAST(CAST(CAST(tr2 AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(tr2 AS VARCHAR) AS DOUBLE) AS VARCHAR)
+        |      AS DECIMAL(38,12))) AS ss_tr,
+        |    sum(sr) AS s_sr,
+        |    sum(CAST(CAST(CAST(CAST(sr AS VARCHAR) AS DOUBLE)
+        |      * CAST(CAST(sr AS VARCHAR) AS DOUBLE) AS VARCHAR)
+        |      AS DECIMAL(38,12))) AS ss_sr
+        |  FROM base),
+        |v AS (
+        |  SELECT n,
+        |    (CAST(CAST(ss_r AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s_r AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s_r AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS var_resid,
+        |    (CAST(CAST(ss_tr AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s_tr AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s_tr AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS var_deseasonalized,
+        |    (CAST(CAST(ss_sr AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(s_sr AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(s_sr AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS var_detrended
+        |  FROM m)
+        |SELECT n AS n_days, var_resid, var_deseasonalized, var_detrended,
+        |  greatest(CAST(0.0 AS DOUBLE),
+        |    1.0 - var_resid / var_deseasonalized) AS trend_strength,
+        |  greatest(CAST(0.0 AS DOUBLE),
+        |    1.0 - var_resid / var_detrended) AS seasonal_strength
+        |FROM v""".stripMargin,
+
+    // q264: Kendall τ-b — q256's day-pair join with the sign PRODUCT an
+    // explicit nested CASE; all counts exact BIGINT, τ one fixed tree
+    "q264_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |d2 AS (
+        |  SELECT CAST(date_diff('day', DATE '1990-01-01', day) AS BIGINT) AS dn, x, y
+        |  FROM daily),
+        |p AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(coalesce(sum(
+        |      (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |      * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)),
+        |      0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n1,
+        |    CAST(coalesce(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n2
+        |  FROM d2 a JOIN d2 b ON b.dn > a.dn)
+        |SELECT n0 AS n_pairs, s AS s_stat, n1 AS ties_x, n2 AS ties_y,
+        |  CAST(s AS DOUBLE) / sqrt(CAST(n0 - n1 AS DOUBLE)
+        |    * CAST(n0 - n2 AS DOUBLE)) AS tau_b
+        |FROM p""".stripMargin,
+
+    // q265: Cohen's kappa — κ as ONE division of exact BIGINTs
+    // (N·Σdiag − Σ r·g over shared classes) / (N² − Σ r·g); NULL labels an
+    // explicit '(null)' class
+    "q265_cohens_kappa" ->
+      s"""WITH p AS ($langIdSql),
+        |p2 AS (
+        |  SELECT coalesce(labeled_lang, '(null)') AS t, guessed_lang AS g
+        |  FROM p),
+        |cells AS (SELECT t, g, CAST(count(*) AS BIGINT) AS n FROM p2 GROUP BY 1, 2),
+        |marg AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN t = g THEN n ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cells),
+        |rt AS (SELECT t, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT g, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |pe AS (
+        |  SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS pe_num
+        |  FROM rt JOIN ct ON rt.t = ct.g)
+        |SELECT nn AS n_docs, diag AS n_agree, pe_num,
+        |  CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE) AS po,
+        |  CAST(pe_num AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe,
+        |  CAST(nn * diag - pe_num AS DOUBLE)
+        |    / CAST(nn * nn - pe_num AS DOUBLE) AS kappa
+        |FROM marg CROSS JOIN pe""".stripMargin,
+
+    // q266: seasonal Mann–Kendall — q256's arithmetic per dow series,
+    // S and variance numerators summed exact, z off the totals; the q243
+    // repeated-total convention for the combined columns
+    "q266_seasonal_mk" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |d3 AS (
+        |  SELECT CAST(date_diff('day', DATE '1990-01-01', day) AS BIGINT) AS dn,
+        |    CAST(date_diff('day', DATE '1990-01-01', day) % 7 AS BIGINT) AS dow,
+        |    x
+        |  FROM daily),
+        |sper AS (
+        |  SELECT a.dow, CAST(coalesce(sum(
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END), 0)
+        |    AS BIGINT) AS s_dow
+        |  FROM d3 a JOIN d3 b ON b.dow = a.dow AND b.dn > a.dn GROUP BY 1),
+        |tper AS (
+        |  SELECT dow, CAST(sum(t) AS BIGINT) AS n_dow,
+        |    CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        |      AS tie_term
+        |  FROM (SELECT dow, x, CAST(count(*) AS BIGINT) AS t
+        |        FROM d3 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |per AS (
+        |  SELECT dow, n_dow, s_dow,
+        |    n_dow * (n_dow - 1) * (2 * n_dow + 5) - tie_term AS var_numer_dow
+        |  FROM sper JOIN tper USING (dow)),
+        |tot AS (
+        |  SELECT CAST(sum(s_dow) AS BIGINT) AS s_total,
+        |    CAST(sum(var_numer_dow) AS BIGINT) AS var_numer_total
+        |  FROM per)
+        |SELECT dow, n_dow, s_dow, var_numer_dow, s_total, var_numer_total,
+        |  CASE WHEN s_total > 0 THEN
+        |      CAST(s_total - 1 AS DOUBLE)
+        |        / sqrt(CAST(var_numer_total AS DOUBLE) / 18.0)
+        |    WHEN s_total < 0 THEN
+        |      CAST(s_total + 1 AS DOUBLE)
+        |        / sqrt(CAST(var_numer_total AS DOUBLE) / 18.0)
+        |    ELSE CAST(0 AS DOUBLE) END AS z,
+        |  abs(z) > CAST(1.96 AS DOUBLE) AS trend_at_95
+        |FROM per CROSS JOIN tot""".stripMargin,
+
+    // q267: Cook's-distance top-20 — q257's moment/solve CTEs extended
+    // with the six adjugate entries; leverage and D are fixed per-row
+    // double trees over bridged scalars; deterministic boundary via
+    // (cook_d DESC, orderkey, linenumber) LIMIT in both engines
+    "q267_ols_influence" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4))) AS s1_d,
+        |    sum(CAST(l_discount AS DECIMAL(19,4))) AS s2_d,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy_d,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS s11_d,
+        |    sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS s22_d,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS s12_d,
+        |    sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS s1y_d,
+        |    sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS s2y_d,
+        |    sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy_d
+        |  FROM lineitem),
+        |v AS (
+        |  SELECT n_rows, CAST(n_rows AS DOUBLE) AS n,
+        |    CAST(CAST(s1_d AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(s2_d AS VARCHAR) AS DOUBLE) AS s2,
+        |    CAST(CAST(sy_d AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(s11_d AS VARCHAR) AS DOUBLE) AS s11,
+        |    CAST(CAST(s22_d AS VARCHAR) AS DOUBLE) AS s22,
+        |    CAST(CAST(s12_d AS VARCHAR) AS DOUBLE) AS s12,
+        |    CAST(CAST(s1y_d AS VARCHAR) AS DOUBLE) AS s1y,
+        |    CAST(CAST(s2y_d AS VARCHAR) AS DOUBLE) AS s2y,
+        |    CAST(CAST(syy_d AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM m),
+        |k AS (
+        |  SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM v),
+        |a AS (
+        |  SELECT n_rows,
+        |    det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+        |    syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y) AS sse,
+        |    s11 * s22 - s12 * s12 AS a00,
+        |    -(s1 * s22 - s12 * s2) AS a01,
+        |    s1 * s12 - s11 * s2 AS a02,
+        |    n * s22 - s2 * s2 AS a11,
+        |    -(n * s12 - s1 * s2) AS a12,
+        |    n * s11 - s1 * s1 AS a22,
+        |    det
+        |  FROM k)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice,
+        |  (a00 + a11 * l_quantity * l_quantity + a22 * l_discount * l_discount
+        |    + 2.0 * a01 * l_quantity + 2.0 * a02 * l_discount
+        |    + 2.0 * a12 * l_quantity * l_discount) / det AS leverage,
+        |  l_extendedprice - (b0 + b1 * l_quantity + b2 * l_discount) AS resid,
+        |  (l_extendedprice - (b0 + b1 * l_quantity + b2 * l_discount))
+        |    * (l_extendedprice - (b0 + b1 * l_quantity + b2 * l_discount))
+        |    / (3.0 * (sse / (CAST(n_rows AS DOUBLE) - 3.0)))
+        |    * (((a00 + a11 * l_quantity * l_quantity + a22 * l_discount * l_discount
+        |      + 2.0 * a01 * l_quantity + 2.0 * a02 * l_discount
+        |      + 2.0 * a12 * l_quantity * l_discount) / det)
+        |    / ((1.0 - ((a00 + a11 * l_quantity * l_quantity + a22 * l_discount * l_discount
+        |      + 2.0 * a01 * l_quantity + 2.0 * a02 * l_discount
+        |      + 2.0 * a12 * l_quantity * l_discount) / det))
+        |      * (1.0 - ((a00 + a11 * l_quantity * l_quantity + a22 * l_discount * l_discount
+        |      + 2.0 * a01 * l_quantity + 2.0 * a02 * l_discount
+        |      + 2.0 * a12 * l_quantity * l_discount) / det)))) AS cook_d
+        |FROM lineitem CROSS JOIN a
+        |ORDER BY cook_d DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound
@@ -3322,31 +3771,11 @@ object SparkEntry {
 
     // q194: trailing 7-day z-score anomalies — exact decimal window sums,
     // variance spelled (Σx² − Σx·mean)/(n−1) in the identical op order
-    "q194_daily_anomaly" ->
-      """WITH d AS (
-        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
-        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
-        |  FROM orders GROUP BY 1),
-        |w AS (
-        |  SELECT day, n_orders,
-        |    CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS x,
-        |    count(*) OVER win AS cnt,
-        |    CAST(CAST(sum(tot) OVER win AS VARCHAR) AS DOUBLE) AS sx,
-        |    CAST(CAST(sum(tot * tot) OVER win AS VARCHAR) AS DOUBLE) AS sxx
-        |  FROM d
-        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |m1 AS (
-        |  SELECT *, CASE WHEN cnt = 7 THEN sx / cnt END AS mean_prior FROM w),
-        |m2 AS (
-        |  SELECT *, CASE WHEN cnt = 7 THEN
-        |      sqrt(greatest((sxx - sx * mean_prior) / (cnt - 1),
-        |        CAST(0 AS DOUBLE))) END AS sd_prior
-        |  FROM m1)
-        |SELECT day, n_orders, x AS total, mean_prior, sd_prior,
-        |  CASE WHEN sd_prior > 0 THEN (x - mean_prior) / sd_prior END AS z,
-        |  CASE WHEN sd_prior > 0 THEN abs((x - mean_prior) / sd_prior) > 2.0
-        |    ELSE false END AS is_anomaly
-        |FROM m2""".stripMargin,
+    "q194_daily_anomaly" -> dailyAnomalySql,
+
+    // q268: the STREAMING daily-anomaly twin — per-day state only, the
+    // q194 tail shared verbatim batch-side, hence the IDENTICAL oracle
+    "q268_anomaly_stream" -> dailyAnomalySql,
 
     // q193: temperature-scaled source weights — n^α as exp(α·ln n) with
     // both transcendental outputs bridged to 12 decimals (pow is not

@@ -218,4 +218,38 @@ object Evaluation {
           .as("ece"),
         max(col("gap")).as("max_gap"))
   }
+
+  /** COHEN'S KAPPA (Cohen 1960, public) between the q23 language-ID
+    * heuristic and the labeled language — chance-corrected agreement, the
+    * inter-rater statistic read beside q220's raw confusion matrix (raw
+    * accuracy flatters a classifier on a skewed label mix; kappa does
+    * not). ENTIRELY exact until one division:
+    *   κ = (N·Σᵢnᵢᵢ − Σ_c r_c·g_c) / (N² − Σ_c r_c·g_c)
+    * — diagonal, row and column margins fold as BIGINTs off the
+    * |classes|² cell frame, so po and pe never divide separately inside
+    * the statistic. NULL labels stay visible as an explicit '(null)'
+    * class (the house rule — q199/q243 precedent). Scale shape: one
+    * classifier scan + one groupBy; everything after runs on ≤ |classes|²
+    * rows.
+    */
+  def cohensKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = TextAnalysis.langId(spark, sfDir)
+      .select(coalesce(col("labeled_lang"), lit("(null)")).as("t"),
+        col("guessed_lang").as("g"))
+    val cells = pred.groupBy(col("t"), col("g")).agg(count(lit(1)).as("n"))
+    val marg = cells.agg(sum(col("n")).as("nn"),
+      sum(when(col("t") === col("g"), col("n")).otherwise(0L)).as("diag"))
+    val rowT = cells.groupBy(col("t")).agg(sum(col("n")).as("r"))
+    val colT = cells.groupBy(col("g")).agg(sum(col("n")).as("c"))
+    // classes absent from one margin contribute r·0 = 0 — inner join
+    val pe = rowT.join(colT, col("t") === col("g"))
+      .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pe_num"))
+    marg.crossJoin(broadcast(pe)).select(
+      col("nn").as("n_docs"), col("diag").as("n_agree"), col("pe_num"),
+      (col("diag").cast("double") / col("nn").cast("double")).as("po"),
+      (col("pe_num").cast("double") /
+        (col("nn").cast("double") * col("nn").cast("double"))).as("pe"),
+      ((col("nn") * col("diag") - col("pe_num")).cast("double") /
+        (col("nn") * col("nn") - col("pe_num")).cast("double")).as("kappa"))
+  }
 }

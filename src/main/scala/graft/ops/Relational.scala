@@ -721,6 +721,41 @@ object Relational {
     offsetRank(bucketed, "__bucket", ord, rankName).drop("__bucket")
   }
 
+  /** [[twoPhaseRank]] with SKETCH-BOUNDARY buckets — the skew-robust form
+    * for heavy-tailed score distributions, where the uniform value grid
+    * collapses: q221's pairwise slopes set their min/max span by
+    * adjacent-day outliers, so virtually every pair lands in the middle
+    * bucket and phase 2 degenerates to exactly the single-task sort the
+    * machinery exists to avoid (measured: 9.9 s of q221's 11 s solo).
+    * Boundaries come from ONE mergeable GK sketch pass
+    * (`approx_percentile`, bounded memory, no sort anywhere); bucket =
+    * #{boundaries ≤ v} — a monotone pure function of the value with ties
+    * never split across buckets, which is ALL [[offsetRank]] requires, so
+    * the emitted rank is EXACT and boundary-invariant: sketch wobble moves
+    * bucket edges, never ranks (the q184-quantile argument, load-bearing
+    * here because approx_percentile's merge order is not deterministic).
+    */
+  private[graft] def twoPhaseRankSketch(df: DataFrame, scoreCol: String,
+      idCol: String, rankName: String, nBuckets: Int = 64): DataFrame = {
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
+    // The boundaries come back as a BOUNDED PROBE (≤ nBuckets−1 values —
+    // the sanctioned collect class) and expand into a flat codegen'd
+    // comparison sum. The array-HOF spelling (aggregate over a broadcast
+    // array column) measured 36 s on 2.9M rows: the lambda is interpreted
+    // and re-evaluated per downstream pass; 63 inlined comparisons
+    // whole-stage-compile to ~nothing.
+    val bs: Seq[Any] = Option(
+      df.agg(expr(s"approx_percentile($scoreCol, array($qs), 1000)").as("__bs"))
+        .head().getSeq[Any](0)).getOrElse(Seq.empty)
+    val bucketExpr =
+      if (bs.isEmpty) lit(0L)
+      else bs.map(b => when(col(scoreCol) >= lit(b), 1L).otherwise(0L))
+        .reduce(_ + _)
+    val bucketed = df.withColumn("__bucket", bucketExpr)
+    offsetRank(bucketed, "__bucket", Seq(col(scoreCol), col(idCol)), rankName)
+      .drop("__bucket")
+  }
+
   /** The SKEW-ROBUST boundary policy for [[globalPriceRank]] — the
     * refinement its scaladoc names: buckets cut at exact order statistics
     * (rank ⌈i·n/nBuckets⌉, the q170 convention) instead of a uniform value

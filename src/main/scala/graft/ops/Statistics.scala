@@ -448,6 +448,16 @@ object Statistics {
         col("o_totalprice").cast(DecimalType(18, 2)).as("t"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_orders"), sum(col("t")).as("tot"))
+    anomaliesFromDaily(daily, windowDays, zThresh)
+  }
+
+  /** The q194 trailing-window z tail over a (day, n_orders, tot) daily
+    * frame — shared VERBATIM by the batch alarm above and the streaming
+    * twin ([[graft.streaming.OrderStream.dailyAnomalyAvailableNow]]), so
+    * both tiers score anomalies with the identical, oracle-pinned trees.
+    */
+  private[graft] def anomaliesFromDaily(daily: DataFrame,
+      windowDays: Int = 7, zThresh: Double = 2.0): DataFrame = {
     val w = Window.orderBy(col("day")).rowsBetween(-windowDays, -1)
     val cnt = count(lit(1)).over(w)
     val sx = Num.decToDouble(sum(col("tot")).over(w))
@@ -815,6 +825,141 @@ object Statistics {
     * sum order across engines never matters). Scale: one groupBy(digit)
     * over the fact table; everything after runs on 9 rows.
     */
+  /** Per-(value, priority) counts of order-total CENTS — the shared input
+    * of the k-sample tests [[kruskalWallis]] / [[anovaF]] /
+    * [[brownForsythe]]. One corpus-sized aggregate; everything downstream
+    * runs on the |distinct values × 5| frame.
+    */
+  private def centsByPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("x"), col("o_orderpriority").as("grp"))
+      .groupBy(col("x"), col("grp")).agg(count(lit(1)).as("c"))
+
+  /** KRUSKAL–WALLIS H TEST (Kruskal & Wallis 1952, public) — "do the five
+    * order priorities draw total price from the same distribution?", the
+    * k-sample generalization of q204's rank-sum test, computed WITHOUT
+    * per-row global ranks: per-value midranks come from the [[ksTest]]
+    * two-phase cumulative engine over the per-value total counts (c1 = t,
+    * c2 = 0 — the engine's degenerate single-sample form), and the group
+    * rank sums fold as the exact BIGINT 2·R_g = Σ_v c_g(v)·(2·below(v) +
+    * t_v + 1) (doubled midranks stay integer under ties). The cross-group
+    * fold Σ R_g²/n_g squares per group in DOUBLE (2·R_g ≈ 2·n_g·N can pass
+    * 2⁶³ squared) — a fixed per-group tree — then sums the k=5 terms
+    * 12-decimal-quantized (the q233 recipe: double sums across groups are
+    * order-dependent, quantized decimal folds are not). Tie correction
+    * C = 1 − Σ(t³−t)/(N³−N) folds exact (N³ ≈ 3·10¹⁵ < 2⁶³).
+    * Scale shape: ONE corpus aggregate → |values| frame → two-phase
+    * cumulative → 5-row fold; no single-task sort anywhere.
+    */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val byValGrp = centsByPriority(spark, sfDir)
+    val byVal = byValGrp.groupBy(col("x")).agg(sum(col("c")).as("t"))
+    val cum = cumulativeGroupCounts(
+        byVal.select(col("x"), col("t").as("c1"), lit(0L).as("c2")))
+      .select(col("x"), col("c1").as("t"), (col("cum1") - col("c1")).as("below"))
+    val perGroup = byValGrp.join(cum, "x")
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c") * (lit(2L) * col("below") + col("t") + 1L)).as("r2x"))
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(38, 12))
+    val r2d = col("r2x").cast("double")
+    val term = r2d * r2d / (lit(4.0) * col("n_g").cast("double"))
+    val folded = perGroup.agg(count(lit(1)).as("k"),
+      sum(col("n_g")).as("n"), sum(q12(term)).as("term_sum_d"))
+    val ties = byVal.agg(
+      coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L))
+        .as("tie3"))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1.0)) *
+      Num.decToDouble(col("term_sum_d")) - lit(3.0) * (nD + 1.0)
+    val corr = lit(1.0) - col("tie3").cast("double") /
+      (col("n") * col("n") * col("n") - col("n")).cast("double")
+    folded.crossJoin(broadcast(ties))
+      .select(col("k"), col("n"), col("tie3"), h.as("h"),
+        (h / corr).as("h_adj"), (col("k") - 1L).as("df"))
+  }
+
+  /** ONE-WAY ANOVA F + eta² across order priorities on total-price CENTS —
+    * the parametric companion of [[kruskalWallis]]: per-group exact moment
+    * folds (n_g, Σx as BIGINT, Σx² as DECIMAL — cents² sums pass 2⁶³),
+    * then SSW = Σ_g (Σx²_g − (Σx_g)²/n_g) with each group's term a fixed
+    * double tree quantized to 12 decimals before the exact cross-group
+    * fold, SST from the same machinery at k=1, SSB = SST − SSW,
+    * F = (SSB/(k−1))/(SSW/(N−k)), eta² = SSB/SST. Scale shape: one
+    * map-side-combined aggregate over the fact table; the solve runs on
+    * 5 rows.
+    */
+  def anovaF(spark: SparkSession, sfDir: String): DataFrame = {
+    val xDec = col("x").cast(DecimalType(18, 0))
+    val perGroup = centsByPriority(spark, sfDir)
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("x")).as("s_g"),
+        sum(col("c").cast(DecimalType(18, 0)) * xDec * xDec).as("ss_g"))
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(38, 12))
+    val sswTerm = Num.decToDouble(col("ss_g")) -
+      col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")
+    val folded = perGroup.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+      sum(q12(sswTerm)).as("ssw_d"))
+    val sst = Num.decToDouble(col("ss")) -
+      col("s").cast("double") * col("s").cast("double") / col("n").cast("double")
+    val ssw = Num.decToDouble(col("ssw_d"))
+    val ssb = sst - ssw
+    val f = (ssb / (col("k") - 1L).cast("double")) /
+      (ssw / (col("n") - col("k")).cast("double"))
+    folded.select(col("k"), col("n"), ssb.as("ssb"), ssw.as("ssw"),
+      f.as("f_stat"), (ssb / sst).as("eta_sq"))
+  }
+
+  /** BROWN–FORSYTHE TEST (Brown & Forsythe 1974, public) — variance
+    * homogeneity across the five priorities: the [[anovaF]] machinery run
+    * on |x − median_g| instead of x (the median-based Levene variant —
+    * robust where the mean-based original mistakes skew for spread). The
+    * group LOWER medians (value at rank ⌈n_g/2⌉ — an observed value, the
+    * q156/q172 convention) come from the GROUPED two-phase cumulative
+    * engine ([[cumulativeGroupCountsBy]], c1 = count, c2 = 0): smallest x
+    * with cum ≥ ⌈n_g/2⌉ per group — no per-group sort. Deviations are
+    * exact longs computed on the per-(value,group) COUNTED frame, so the
+    * corpus is touched exactly once (the [[centsByPriority]] aggregate);
+    * W's moment folds and the 12-decimal cross-group recipe are verbatim
+    * [[anovaF]].
+    */
+  def brownForsythe(spark: SparkSession, sfDir: String): DataFrame = {
+    val byValGrp = centsByPriority(spark, sfDir)
+    val cum = cumulativeGroupCountsBy(
+      byValGrp.select(col("grp"), col("x"), col("c").as("c1"), lit(0L).as("c2")),
+      Seq("grp"))
+    val nPer = byValGrp.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
+    val medians = cum.join(broadcast(nPer), "grp")
+      // DIV, not `/`: Column./ on longs is DOUBLE division (a .5 threshold
+      // shifts even-sized groups' medians one rank up vs DuckDB's `//`)
+      .filter(col("cum1") >= expr("(n_g + 1) DIV 2"))
+      .groupBy(col("grp")).agg(min(col("x")).as("med"))
+    val dev = byValGrp.join(broadcast(medians), "grp")
+      .select(col("grp"), col("c"), abs(col("x") - col("med")).as("d"))
+    val dDec = col("d").cast(DecimalType(18, 0))
+    val perGroup = dev.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("d")).as("s_g"),
+        sum(col("c").cast(DecimalType(18, 0)) * dDec * dDec).as("ss_g"))
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(38, 12))
+    val sswTerm = Num.decToDouble(col("ss_g")) -
+      col("s_g").cast("double") * col("s_g").cast("double") /
+        col("n_g").cast("double")
+    val folded = perGroup.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+      sum(q12(sswTerm)).as("ssw_d"))
+    val sst = Num.decToDouble(col("ss")) -
+      col("s").cast("double") * col("s").cast("double") / col("n").cast("double")
+    val ssw = Num.decToDouble(col("ssw_d"))
+    val ssb = sst - ssw
+    val w = (ssb / (col("k") - 1L).cast("double")) /
+      (ssw / (col("n") - col("k")).cast("double"))
+    folded.select(col("k"), col("n"), ssb.as("ssb_dev"), ssw.as("ssw_dev"),
+      w.as("w_stat"))
+  }
+
   /** TWO-FEATURE OLS via normal equations — revenue regressed on quantity
     * AND discount in ONE distributed pass (the multiple-regression upgrade
     * of q143's single-feature recipe): nine exact-decimal moment folds
@@ -831,18 +976,26 @@ object Statistics {
     * — every product is an exact decimal (≤ (29,8)), every fold
     * order-independent; doubles appear only after [[Num.decToDouble]].
     */
-  def olsTwoFeature(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The nine exact-decimal OLS moment folds over lineitem — shared by
+    * [[olsTwoFeature]] and [[olsInfluence]] (one corpus pass each; the
+    * 1-row result broadcasts).
+    */
+  private def olsMoments(spark: SparkSession, sfDir: String): DataFrame = {
     val d = DecimalType(14, 4)
     val x1 = col("l_quantity").cast(d)
     val x2 = col("l_discount").cast(DecimalType(6, 4))
     val y = col("l_extendedprice").cast(d)
-    val m = Tables.lineitem(spark, sfDir).agg(
+    Tables.lineitem(spark, sfDir).agg(
       count(lit(1)).as("n_rows"),
       sum(x1).as("s1_d"), sum(x2).as("s2_d"), sum(y).as("sy_d"),
       sum(x1 * x1).as("s11_d"), sum(x2 * x2).as("s22_d"),
       sum(x1 * x2).as("s12_d"),
       sum(x1 * y).as("s1y_d"), sum(x2 * y).as("s2y_d"),
       sum(y * y).as("syy_d"))
+  }
+
+  def olsTwoFeature(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = olsMoments(spark, sfDir)
     def dbl(name: String) = Num.decToDouble(col(name))
     val n = col("n_rows").cast("double")
     val s1 = dbl("s1_d"); val s2 = dbl("s2_d"); val sy = dbl("sy_d")
@@ -866,6 +1019,66 @@ object Statistics {
     m.select(col("n_rows"),
       b0.as("beta0"), b1.as("beta_qty"), b2.as("beta_disc"),
       (lit(1.0) - sse / sst).as("r2"))
+  }
+
+  /** OLS INFLUENCE DIAGNOSTICS — the top-`k` most influential rows of the
+    * q257 regression by COOK'S DISTANCE (Cook 1977, public), entirely from
+    * the broadcast moments: with A the adjugate of the 3×3 normal matrix,
+    * per-row leverage hᵢ = xᵢᵀA xᵢ/det needs NO per-row matrix algebra —
+    * one fixed quadratic-form tree over six broadcast scalars — and
+    * Dᵢ = eᵢ²/(p·s²) · hᵢ/(1−hᵢ)². This is the 100 TB regression-audit
+    * shape: ONE moment pass (shared with q257), one broadcast, one
+    * scan-speed per-row map, and a distributed top-k (TakeOrdered — per-
+    * partition heaps, no global sort). Determinism: every per-row input is
+    * a raw parquet double or a string-bridged moment, every tree fixed and
+    * spelled identically in the oracle; ties at the boundary break on
+    * (orderkey, linenumber).
+    */
+  def olsInfluence(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val m = olsMoments(spark, sfDir)
+    def dbl(name: String) = Num.decToDouble(col(name))
+    val n = col("n_rows").cast("double")
+    val s1 = dbl("s1_d"); val s2 = dbl("s2_d"); val sy = dbl("sy_d")
+    val s11 = dbl("s11_d"); val s22 = dbl("s22_d"); val s12 = dbl("s12_d")
+    val s1y = dbl("s1y_d"); val s2y = dbl("s2y_d"); val syy = dbl("syy_d")
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val stats = m.select(col("n_rows"),
+      (det0 / det).as("b0"), (det1 / det).as("b1"), (det2 / det).as("b2"),
+      (syy - ((det0 / det) * sy + (det1 / det) * s1y + (det2 / det) * s2y))
+        .as("sse"),
+      // adjugate of the symmetric normal matrix [[n,s1,s2],[s1,s11,s12],
+      // [s2,s12,s22]] — six entries, spelled term for term in the oracle
+      (s11 * s22 - s12 * s12).as("a00"),
+      (-(s1 * s22 - s12 * s2)).as("a01"),
+      (s1 * s12 - s11 * s2).as("a02"),
+      (n * s22 - s2 * s2).as("a11"),
+      (-(n * s12 - s1 * s2)).as("a12"),
+      (n * s11 - s1 * s1).as("a22"),
+      det.as("det"))
+    val q = col("l_quantity"); val dd = col("l_discount")
+    val h = (col("a00") + col("a11") * q * q + col("a22") * dd * dd +
+      lit(2.0) * col("a01") * q + lit(2.0) * col("a02") * dd +
+      lit(2.0) * col("a12") * q * dd) / col("det")
+    val e = col("l_extendedprice") -
+      (col("b0") + col("b1") * q + col("b2") * dd)
+    val s2hat = col("sse") / (col("n_rows").cast("double") - 3.0)
+    val cook = e * e / (lit(3.0) * s2hat) * (h / ((lit(1.0) - h) * (lit(1.0) - h)))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_extendedprice"))
+      .crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_extendedprice"),
+        h.as("leverage"), e.as("resid"), cook.as("cook_d"))
+      .orderBy(col("cook_d").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
   }
 
   def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {

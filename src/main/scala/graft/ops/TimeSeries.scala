@@ -141,10 +141,18 @@ object TimeSeries {
     val daily = dailyCents(spark, sfDir)
       .withColumn("dn", datediff(col("day"), lit("1990-01-01").cast("date")).cast("long"))
       .select(col("dn"), col("x"))
-    val pairs = daily.as("a").join(daily.as("b"), col("b.dn") > col("a.dn"))
+    // MATERIALIZE the O(d²) slope pairs once: the two-phase rank chain
+    // reads them four times (range agg, per-bucket offsets, the ranked
+    // pass, and the broadcast of the filtered median row re-executes the
+    // lineage yet again) — without the persist the day-pair join and its
+    // slope projection run 4–5×, which profiled as ~⅔ of q221's clean
+    // 9.1 s. ~50 MB at calendar scale (d ≈ 2400 → 2.9M narrow rows);
+    // unpersisted after the eager checkpoint of the 1-row result below.
+    val pairs0 = daily.as("a").join(daily.as("b"), col("b.dn") > col("a.dn"))
       .select((col("a.dn") * 100000L + col("b.dn")).as("pid"),
         ((col("b.x") - col("a.x")).cast("double") /
           (col("b.dn") - col("a.dn")).cast("double")).as("slope"))
+    val pairs = pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // LOAD-BEARING INVARIANT: dailyCents groups by day, so `daily` holds
     // exactly ONE row per day — that is what makes nd the distinct-day
     // count and n = nd·(nd−1)/2 exactly |pairs| (the b.dn > a.dn join).
@@ -155,18 +163,24 @@ object TimeSeries {
     val nd = daily.count() // the only count job: n_pairs = d·(d−1)/2 of it
     val n = nd * (nd - 1) / 2
     val mid = (n + 1) / 2
-    val slope = Relational.twoPhaseRank(pairs, "slope", "pid", "rk")
+    val slope = Relational.twoPhaseRankSketch(pairs, "slope", "pid", "rk")
       .filter(col("rk") === mid)
       .select(col("slope"), lit(n).as("n_pairs"))
     val resid = daily.crossJoin(broadcast(slope))
       .select(col("dn"), col("x"), col("slope"), col("n_pairs"),
         (col("x").cast("double") - col("slope") * col("dn").cast("double")).as("r"))
-    resid
+    // eager checkpoint of the 1-row result, then release the pair blocks
+    // (the TermStats persist-then-checkpoint discipline — never strand
+    // cached blocks behind a lazily-consumed frame)
+    val out = resid
       .withColumn("rr", row_number().over(
         Window.orderBy(col("r"), col("dn"))))
       .filter(col("rr") === (nd + 1) / 2)
       .select(col("n_pairs"), col("slope").as("slope_cents_per_day"),
         col("r").as("intercept_cents"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    out
   }
 
   /** MANN–KENDALL TREND TEST on daily revenue (Mann 1945 / Kendall 1975,
@@ -211,6 +225,214 @@ object TimeSeries {
     sAgg.crossJoin(broadcast(ties))
       .select(col("n_days"), col("s_stat"), varNum.as("var_numer"),
         z.as("z"), (abs(z) > 1.96).as("trend_at_95"))
+  }
+
+  /** SEASONAL MANN–KENDALL (Hirsch & Slack 1984, public) — the
+    * weekly-seasonal variant of q256: an S statistic per day-of-week
+    * SERIES (pairs compare only Mondays with Mondays, …), summed with
+    * summed tie-corrected variances, so a strong weekly cycle can neither
+    * fake nor mask a monotone trend the way it can in the unstratified
+    * test. Arithmetic contract identical to q256 (sign an explicit CASE
+    * over long cents; per-season variance NUMERATORS exact BIGINT, /18
+    * deferred past the total). Output: one row per dow (its nₛ, Sₛ,
+    * variance numerator) with the combined S', total variance numerator
+    * and continuity-corrected z repeated — the q243 repeated-total
+    * convention. Scale shape: the q221/q256 day-pair join further gated by
+    * dow equality (≈ d²/14 pairs), all over the aggregated daily frame.
+    */
+  def seasonalMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCents(spark, sfDir)
+      .withColumn("dn", datediff(col("day"), lit("1990-01-01").cast("date")).cast("long"))
+      .withColumn("dow", (col("dn") % 7).cast("long"))
+      .select(col("dn"), col("dow"), col("x"))
+    val sPer = daily.as("a")
+      .join(daily.as("b"), col("b.dow") === col("a.dow") && col("b.dn") > col("a.dn"))
+      .groupBy(col("a.dow").as("dow"))
+      .agg(coalesce(sum(
+        when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L)
+          .otherwise(0L)), lit(0L)).as("s_dow"))
+    val tiesPer = daily.groupBy(col("dow"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_vals"), sum(col("t")).as("n_dow"),
+        coalesce(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)),
+          lit(0L)).as("tie_term"))
+    val perDow = sPer.join(tiesPer, "dow")
+      .select(col("dow"), col("n_dow"), col("s_dow"),
+        (col("n_dow") * (col("n_dow") - 1) * (lit(2L) * col("n_dow") + 5) -
+          col("tie_term")).as("var_numer_dow"))
+    val tot = perDow.agg(sum(col("s_dow")).as("s_total"),
+      sum(col("var_numer_dow")).as("var_numer_total"))
+    val varS = col("var_numer_total").cast("double") / lit(18.0)
+    val z = when(col("s_total") > 0,
+        (col("s_total") - 1).cast("double") / sqrt(varS))
+      .when(col("s_total") < 0,
+        (col("s_total") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    perDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_dow"), col("s_dow"), col("var_numer_dow"),
+        col("s_total"), col("var_numer_total"),
+        z.as("z"), (abs(z) > 1.96).as("trend_at_95"))
+  }
+
+  /** DURBIN–WATSON + WALD–WOLFOWITZ RUNS TEST on [[seasonalDecompose]]'s
+    * residual — "is anything left after trend and seasonality?": DW =
+    * Σ(eₜ−eₜ₋₁)²/Σeₜ² probes lag-1 autocorrelation, the runs test probes
+    * sign-pattern randomness; together they are the residual-whiteness
+    * audit run before trusting the q254 alarms. Determinism: the residual
+    * (cross-engine-identical, q251 is hash-gated) quantizes to 12 decimals;
+    * differences stay exact decimal, each SQUARE is a fixed double tree
+    * over the bridged exact operand, and squares fold 12-decimal-quantized
+    * (the q233 recipe). Signs are explicit CASE over the exact decimal (a
+    * quantized-zero residual drops out, the standard runs-test convention);
+    * runs count via lag over the day-ordered nonzero frame; z =
+    * (R−μ)/σ with μ = 2n₊n₋/n + 1, σ² = (μ−1)(μ−2)/(n−1) — exact-integer
+    * inputs, one fixed tree. Scale shape: inherits q251's (one corpus
+    * aggregate; calendar-sized windows after).
+    */
+  def residualDiagnostics(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(24, 12))
+    def q12w(c: Column): Column = c.cast("string").cast(DecimalType(38, 12))
+    val res = seasonalDecompose(spark, sfDir)
+      .select(col("day"), q12(col("residual")).as("e"))
+    val w = Window.orderBy(col("day"))
+    val sq = res.withColumn("e_prev", lag(col("e"), 1).over(w))
+      .select(
+        q12w(Num.decToDouble(col("e")) * Num.decToDouble(col("e"))).as("e2"),
+        when(col("e_prev").isNotNull,
+          q12w(Num.decToDouble(col("e") - col("e_prev")) *
+            Num.decToDouble(col("e") - col("e_prev")))).as("d2"))
+      .agg(sum(col("e2")).as("sum_e2"), sum(col("d2")).as("sum_d2"),
+        count(lit(1)).as("n_days"))
+    val signs = res.withColumn("s",
+        when(col("e") > 0, 1L).when(col("e") < 0, -1L).otherwise(0L))
+      .filter(col("s") =!= 0L)
+    val runs = signs.withColumn("s_prev", lag(col("s"), 1).over(w))
+      .agg(count(lit(1)).as("n_signed"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        (lit(1L) + sum(when(col("s_prev").isNotNull && col("s") =!= col("s_prev"),
+          1L).otherwise(0L))).as("n_runs"))
+      .withColumn("n_neg", col("n_signed") - col("n_pos"))
+    val nD = col("n_signed").cast("double")
+    val mu = lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double") /
+      nD + lit(1.0)
+    val sigma = sqrt((mu - 1.0) * (mu - 2.0) / (nD - 1.0))
+    sq.crossJoin(broadcast(runs))
+      .select(col("n_days"),
+        (Num.decToDouble(col("sum_d2")) / Num.decToDouble(col("sum_e2"))).as("dw"),
+        col("n_pos"), col("n_neg"), col("n_runs"), mu.as("mu_runs"),
+        ((col("n_runs").cast("double") - mu) / sigma).as("z_runs"))
+  }
+
+  /** Daily revenue (cents) AND order count — the paired series for the
+    * lead–lag diagnostics ([[crossCorrelation]], [[kendallTau]]).
+    */
+  private def dailyCentsCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"), count(lit(1)).as("y"))
+      .withColumn("dn", datediff(col("day"), lit("1990-01-01").cast("date")).cast("long"))
+
+  /** LAGGED CROSS-CORRELATION between daily order count and daily revenue
+    * at lags −`maxLag`..+`maxLag` — the lead–lag diagnostic ("do busy days
+    * predict rich days?") beside q210's single-series ACF, and computed by
+    * the same n-scaling trick: deviations scale by n into exact integers
+    * (aₜ = n·xₜ − Σx, bₜ = n·yₜ − Σy), the per-lag numerator Σ aₜ·bₜ₊ₗ and
+    * the full-series denominators Σa², Σb² fold exactly in DECIMAL(38,0)
+    * (HUGEINT in the oracle — products pass 2⁶³), and rₗ is ONE double
+    * division after the VARCHAR bridge. Scale shape: one per-day aggregate
+    * over the fact table; the lag pairing is |days|×(2·maxLag+1) — a join
+    * against a constant 15-row lag frame, calendar-sized forever.
+    */
+  def crossCorrelation(spark: SparkSession, sfDir: String, maxLag: Int = 7): DataFrame = {
+    val daily = dailyCentsCount(spark, sfDir)
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("dn"), (col("n") * col("x") - col("sx")).as("ax"),
+        (col("n") * col("y") - col("sy")).as("ay"))
+    val d38 = DecimalType(38, 0)
+    val den = dev.agg(
+      sum(col("ax").cast(d38) * col("ax").cast(d38)).as("dax"),
+      sum(col("ay").cast(d38) * col("ay").cast(d38)).as("day_"))
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L).select(col("id").as("lag"))
+    val num = dev.as("a").crossJoin(broadcast(lags))
+      .join(dev.as("b"), col("b.dn") === col("a.dn") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a.ay").cast(d38) * col("b.ax").cast(d38)).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        (Num.decToDouble(col("num")) /
+          sqrt(Num.decToDouble(col("dax")) * Num.decToDouble(col("day_"))))
+          .as("r"))
+  }
+
+  /** TREND / SEASONAL STRENGTH of the daily series (the Wang–Smith–Hyndman
+    * decomposition-strength measures, public — the STL features read before
+    * choosing a forecasting model): F_T = max(0, 1 − Var(R)/Var(T+R)) with
+    * T+R = x − S the deseasonalized series, F_S = max(0, 1 − Var(R)/
+    * Var(S+R)) with S+R = x − T the detrended one — both straight off
+    * [[seasonalDecompose]]'s hash-gated columns. Determinism: each series'
+    * Σv and Σv² fold 12-decimal-quantized (squares are fixed double trees
+    * over bridged operands); population variances spell (ss − s²/n)/n
+    * identically in both engines. Calendar-sized end to end after q251's
+    * one corpus aggregate.
+    */
+  def decompositionStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(24, 12))
+    def q12w(c: Column): Column = c.cast("string").cast(DecimalType(38, 12))
+    val base = seasonalDecompose(spark, sfDir)
+      .select(q12(col("residual")).as("r"),
+        q12(col("x").cast("double") - col("seasonal")).as("tr"),
+        q12(col("x").cast("double") - col("trend")).as("sr"))
+    def sq(c: Column): Column = q12w(Num.decToDouble(c) * Num.decToDouble(c))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("r")).as("s_r"), sum(sq(col("r"))).as("ss_r"),
+      sum(col("tr")).as("s_tr"), sum(sq(col("tr"))).as("ss_tr"),
+      sum(col("sr")).as("s_sr"), sum(sq(col("sr"))).as("ss_sr"))
+    val nD = col("n").cast("double")
+    def variance(s: String, ss: String): Column =
+      (Num.decToDouble(col(ss)) -
+        Num.decToDouble(col(s)) * Num.decToDouble(col(s)) / nD) / nD
+    val vR = variance("s_r", "ss_r")
+    val vTr = variance("s_tr", "ss_tr")
+    val vSr = variance("s_sr", "ss_sr")
+    m.select(col("n").as("n_days"), vR.as("var_resid"),
+      vTr.as("var_deseasonalized"), vSr.as("var_detrended"),
+      greatest(lit(0.0), lit(1.0) - vR / vTr).as("trend_strength"),
+      greatest(lit(0.0), lit(1.0) - vR / vSr).as("seasonal_strength"))
+  }
+
+  /** KENDALL'S τ-b between daily revenue and daily order count (Kendall
+    * 1945's tie-corrected form, public) — the rank-correlation companion of
+    * [[crossCorrelation]]'s lag-0 Pearson: concordances over the
+    * calendar-bounded day-pair join (the q221/q256 frame), every count an
+    * exact integer — the sign product is an explicit nested CASE, tie
+    * terms t(t−1)/2 fold as BIGINTs (pair counts ≈ d²/2 ≲ 10⁷ for calendar
+    * d) — and τ_b = (n_c − n_d)/√((n₀−n₁)(n₀−n₂)) is one fixed double
+    * tree. Scale shape: the documented Theil–Sen trade — O(d²) pairs of
+    * the AGGREGATED daily frame, corpus touched once.
+    */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCentsCount(spark, sfDir).select(col("dn"), col("x"), col("y"))
+    def sgn(b: Column, a: Column): Column =
+      when(b > a, 1L).when(b < a, -1L).otherwise(0L)
+    val pairs = daily.as("a").join(daily.as("b"), col("b.dn") > col("a.dn"))
+      .agg(count(lit(1)).as("n0"),
+        coalesce(sum(sgn(col("b.x"), col("a.x")) * sgn(col("b.y"), col("a.y"))),
+          lit(0L)).as("s"),
+        coalesce(sum(when(col("b.x") === col("a.x"), 1L).otherwise(0L)), lit(0L))
+          .as("n1"),
+        coalesce(sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L)), lit(0L))
+          .as("n2"))
+    val tau = col("s").cast("double") /
+      sqrt((col("n0") - col("n1")).cast("double") *
+        (col("n0") - col("n2")).cast("double"))
+    pairs.select(col("n0").as("n_pairs"), col("s").as("s_stat"),
+      col("n1").as("ties_x"), col("n2").as("ties_y"), tau.as("tau_b"))
   }
 
   /** KAPLAN–MEIER SURVIVAL over customer lifetimes (Kaplan & Meier 1958,

@@ -928,4 +928,156 @@ class AnalyticsSpec extends SparkSpec {
     // is tiny — only the mathematical bound is an invariant here
     assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2 out of [0,1]")
   }
+
+  /** (cents, priority) rows collected once for the k-sample test recomputes. */
+  private lazy val centsGroups: Array[(Long, String)] =
+    graft.core.Tables.orders(spark, sf)
+      .select("o_totalprice", "o_orderpriority").collect()
+      .map(r => ((BigDecimal(r.getDouble(0).toString).setScale(2) * 100).toLongExact,
+        r.getString(1)))
+
+  test("kruskal-wallis: H recomputed from an independent midrank sort") {
+    val row = Statistics.kruskalWallis(spark, sf).collect().head
+    val n = centsGroups.length
+    // midranks by full sort (a DIFFERENT algorithm than the two-phase
+    // cumulative engine): rank sum per group, then the H formula
+    val sorted = centsGroups.map(_._1).sorted
+    val firstRank = sorted.zipWithIndex.reverse.toMap.map { case (v, i) => (v, i + 1) }
+    val tieCount = sorted.groupBy(identity).map { case (v, a) => (v, a.length) }
+    def midrank(v: Long): Double = firstRank(v) + (tieCount(v) - 1) / 2.0
+    val byGroup = centsGroups.groupBy(_._2)
+    val k = byGroup.size
+    val sumTerm = byGroup.values.map { g =>
+      val r = g.map(t => midrank(t._1)).sum
+      r * r / g.length
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * sumTerm - 3.0 * (n + 1)
+    val tie3 = tieCount.values.map(t => t.toLong * t * t - t).sum
+    val hAdj = h / (1.0 - tie3.toDouble / (n.toLong * n * n - n))
+    assert(row.getLong(0) === k.toLong)
+    assert(row.getLong(1) === n.toLong)
+    assert(row.getLong(2) === tie3, "tie term")
+    assert(math.abs(row.getDouble(3) - h) < 1e-9 * math.abs(h), "H")
+    assert(math.abs(row.getDouble(4) - hAdj) < 1e-9 * math.abs(hAdj), "tie-adjusted H")
+    assert(row.getLong(5) === (k - 1).toLong)
+  }
+
+  test("anova F: SSB/SSW recomputed from exact BigInt moments; SST decomposes") {
+    val row = Statistics.anovaF(spark, sf).collect().head
+    val byGroup = centsGroups.groupBy(_._2)
+    def moments(xs: Iterable[Long]): (Long, BigInt, BigInt) =
+      (xs.size.toLong, xs.map(BigInt(_)).sum, xs.map(x => BigInt(x) * x).sum)
+    val (nT, sT, ssT) = moments(centsGroups.map(_._1))
+    val sst = ssT.toDouble - sT.toDouble * sT.toDouble / nT
+    val ssw = byGroup.values.map { g =>
+      val (ng, sg, ssg) = moments(g.map(_._1))
+      ssg.toDouble - sg.toDouble * sg.toDouble / ng
+    }.sum
+    val ssb = sst - ssw
+    assert(row.getLong(0) === byGroup.size.toLong)
+    assert(row.getLong(1) === nT)
+    assert(math.abs(row.getDouble(2) - ssb) < 1e-9 * ssb, "SSB")
+    assert(math.abs(row.getDouble(3) - ssw) < 1e-9 * ssw, "SSW")
+    val f = (ssb / (byGroup.size - 1)) / (ssw / (nT - byGroup.size))
+    assert(math.abs(row.getDouble(4) - f) < 1e-9 * math.abs(f), "F")
+    assert(row.getDouble(5) >= 0.0 && row.getDouble(5) <= 1.0, "eta² in [0,1]")
+  }
+
+  test("brown-forsythe: group lower medians and W recomputed independently") {
+    val row = Statistics.brownForsythe(spark, sf).collect().head
+    val byGroup = centsGroups.groupBy(_._2)
+    // lower median: value at rank ceil(n/2) of the sorted group
+    def lowerMedian(xs: Array[Long]): Long = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val devs = byGroup.values.flatMap { g =>
+      val m = lowerMedian(g.map(_._1))
+      g.map(t => math.abs(t._1 - m))
+    }.toArray
+    val devByGroup = byGroup.values.map { g =>
+      val m = lowerMedian(g.map(_._1))
+      g.map(t => math.abs(t._1 - m))
+    }
+    val nT = devs.length
+    val sT = devs.map(BigInt(_)).sum
+    val ssT = devs.map(d => BigInt(d) * d).sum
+    val sst = ssT.toDouble - sT.toDouble * sT.toDouble / nT
+    val ssw = devByGroup.map { g =>
+      val s = g.map(BigInt(_)).sum
+      val ss = g.map(d => BigInt(d) * d).sum
+      ss.toDouble - s.toDouble * s.toDouble / g.size
+    }.sum
+    val ssb = sst - ssw
+    val w = (ssb / (byGroup.size - 1)) / (ssw / (nT - byGroup.size))
+    assert(row.getLong(0) === byGroup.size.toLong)
+    assert(row.getLong(1) === nT.toLong)
+    assert(math.abs(row.getDouble(2) - ssb) < 1e-9 * math.abs(ssb), "SSB on deviations")
+    assert(math.abs(row.getDouble(3) - ssw) < 1e-9 * ssw, "SSW on deviations")
+    assert(math.abs(row.getDouble(4) - w) < 1e-9 * math.abs(w), "W")
+  }
+
+  test("ols influence: hat-matrix identities and an independent Cook ranking") {
+    val rows = Statistics.olsInfluence(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.length === 20)
+    // leverage of a 3-parameter model lives in (0, 1); top-20 is sorted
+    rows.foreach { case (_, _, _, _, _, h, _, d) =>
+      assert(h > 0.0 && h < 1.0, s"leverage $h out of (0,1)")
+      assert(d >= 0.0, "Cook's distance nonnegative")
+    }
+    assert(rows.map(_._8).sliding(2).forall { case Array(a, b) => a >= b },
+      "descending Cook order")
+    // independent recompute: fit the regression locally (Gaussian
+    // elimination over BigDecimal moments), then Cook's D per row; the
+    // operator's top-20 key set must equal the local top-20
+    val data = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val n = data.length
+    def S(f: ((Long, Long, Double, Double, Double)) => BigDecimal): Double =
+      data.map(f).sum.toDouble
+    def b4(d: Double) = BigDecimal(d.toString).setScale(4)
+    val s1 = S(t => b4(t._3)); val s2 = S(t => b4(t._4)); val sy = S(t => b4(t._5))
+    val s11 = S(t => b4(t._3) * b4(t._3)); val s22 = S(t => b4(t._4) * b4(t._4))
+    val s12 = S(t => b4(t._3) * b4(t._4)); val s1y = S(t => b4(t._3) * b4(t._5))
+    val s2y = S(t => b4(t._4) * b4(t._5)); val syy = S(t => b4(t._5) * b4(t._5))
+    val a = Array(
+      Array(n.toDouble, s1, s2, sy),
+      Array(s1, s11, s12, s1y),
+      Array(s2, s12, s22, s2y))
+    for (c <- 0 until 3) {
+      val p = (c until 3).maxBy(r => math.abs(a(r)(c)))
+      val tmp = a(c); a(c) = a(p); a(p) = tmp
+      for (r <- 0 until 3 if r != c) {
+        val f = a(r)(c) / a(c)(c)
+        for (cc <- c until 4) a(r)(cc) -= f * a(c)(cc)
+      }
+    }
+    val beta = (0 until 3).map(i => a(i)(3) / a(i)(i))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val (a00, a01, a02) = (s11 * s22 - s12 * s12, -(s1 * s22 - s12 * s2),
+      s1 * s12 - s11 * s2)
+    val (a11, a12, a22) = (n * s22 - s2 * s2, -(n * s12 - s1 * s2),
+      n * s11 - s1 * s1)
+    val sse = data.map { t =>
+      val e = t._5 - (beta(0) + beta(1) * t._3 + beta(2) * t._4); e * e
+    }.sum
+    val s2hat = sse / (n - 3)
+    val localTop = data.map { t =>
+      val h = (a00 + a11 * t._3 * t._3 + a22 * t._4 * t._4 + 2 * a01 * t._3 +
+        2 * a02 * t._4 + 2 * a12 * t._3 * t._4) / det
+      val e = t._5 - (beta(0) + beta(1) * t._3 + beta(2) * t._4)
+      ((t._1, t._2), e * e / (3 * s2hat) * (h / ((1 - h) * (1 - h))))
+    }.sortBy { case ((ok, ln), d) => (-d, ok, ln) }.take(20)
+    assert(rows.map(r => (r._1, r._2)).toSet === localTop.map(_._1).toSet,
+      "top-20 key set matches the independent solver's ranking")
+    rows.zip(localTop).foreach { case (r, (_, dLocal)) =>
+      assert(math.abs(r._8 - dLocal) < 1e-6 * math.max(1e-12, dLocal),
+        s"Cook's D near the independent recompute (${r._8} vs $dLocal)")
+    }
+  }
 }

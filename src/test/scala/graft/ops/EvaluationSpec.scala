@@ -145,4 +145,26 @@ class EvaluationSpec extends SparkSpec {
     assert(rows.map(_._2).sum === graft.core.Tables.documents(spark, sf).count(),
       "source groups partition all documents")
   }
+
+  test("cohen's kappa: recomputed from q220's own confusion matrix") {
+    val row = Evaluation.cohensKappa(spark, sf).collect().head
+    // rebuild the margins from the (independently oracle-gated) q220 cells
+    val cells = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => (Option(r.getString(0)).getOrElse("(null)"), r.getString(1),
+        r.getLong(2)))
+    val n = cells.map(_._3).sum
+    val diag = cells.filter(c => c._1 == c._2).map(_._3).sum
+    val rowT = cells.groupBy(_._1).map { case (t, cs) => (t, cs.map(_._3).sum) }
+    val colT = cells.groupBy(_._2).map { case (g, cs) => (g, cs.map(_._3).sum) }
+    val peNum = rowT.map { case (t, r) => r * colT.getOrElse(t, 0L) }.sum
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === diag, "diagonal agreement")
+    assert(row.getLong(2) === peNum, "chance-agreement numerator")
+    val kappa = (n * diag - peNum).toDouble / (n * n - peNum).toDouble
+    assert(row.getDouble(5) === kappa, "kappa is the single exact division")
+    assert(kappa <= 1.0, "kappa bounded above by 1")
+    // po and pe reconcile with kappa: κ = (po − pe)/(1 − pe)
+    val po = row.getDouble(3); val pe = row.getDouble(4)
+    assert(math.abs((po - pe) / (1.0 - pe) - kappa) < 1e-12)
+  }
 }

@@ -251,6 +251,20 @@ class PlanSpec extends SparkSpec {
       Relational.globalPriceRank(spark, sf)) == 0)
   }
 
+  test("round-14 k-sample / residual tier: no raw global windows, no cartesian") {
+    // q258/q260 ride the two-phase cumulative engines; q261/q263 window only
+    // the aggregated daily frame (the sanctioned calendar-sized class)
+    for (df <- Seq(
+        Statistics.kruskalWallis(spark, sf),
+        Statistics.brownForsythe(spark, sf),
+        TimeSeries.residualDiagnostics(spark, sf),
+        TimeSeries.crossCorrelation(spark, sf),
+        TimeSeries.decompositionStrength(spark, sf))) {
+      assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
   test("quantile-boundary rank: only the whitelisted bare-value boundary pass") {
     // the boundary pass sorts ONLY the bare value column — the documented
     // exception (GK swap gated by q165); phase 2 itself must stay at zero.

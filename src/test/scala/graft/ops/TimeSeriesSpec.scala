@@ -305,4 +305,165 @@ class TimeSeriesSpec extends SparkSpec {
       assert(s >= 0, s"$day CUSUM statistic must be nonnegative")
     }
   }
+
+  test("residual diagnostics: DW and runs-test replayed over q251's residuals") {
+    val sf = "/root/testdata/sf0.001"
+    def q12(d: Double) = BigDecimal(d.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val e = TimeSeries.seasonalDecompose(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, q12(r.getDouble(6)))).sortBy(_._1).map(_._2)
+    val row = TimeSeries.residualDiagnostics(spark, sf).collect().head
+    assert(row.getLong(0) === e.length.toLong)
+    def q12d(d: Double) = BigDecimal(d.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val sumE2 = e.map(v => q12d(v.toDouble * v.toDouble)).sum
+    val sumD2 = e.sliding(2).map { case Array(a, b) =>
+      q12d((b - a).toDouble * (b - a).toDouble) }.sum
+    val dw = sumD2.toDouble / sumE2.toDouble
+    assert(math.abs(row.getDouble(1) - dw) < 1e-12 * dw, "Durbin-Watson")
+    val signs = e.map(_.signum).filter(_ != 0)
+    val nPos = signs.count(_ == 1).toLong
+    val nNeg = signs.count(_ == -1).toLong
+    val nRuns = 1L + signs.sliding(2).count { case Array(a, b) => a != b }
+    assert(row.getLong(2) === nPos)
+    assert(row.getLong(3) === nNeg)
+    assert(row.getLong(4) === nRuns, "runs count")
+    val nS = (nPos + nNeg).toDouble
+    val mu = 2.0 * nPos * nNeg / nS + 1.0
+    val z = (nRuns - mu) / math.sqrt((mu - 1.0) * (mu - 2.0) / (nS - 1.0))
+    assert(math.abs(row.getDouble(6) - z) < 1e-9 * math.abs(z), "runs z")
+  }
+
+  test("cross-correlation: every lag's r recomputed from exact BigInt folds; lag 0 is Pearson") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")).as("day"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate.toEpochDay)
+      .map { case (dn, rs) =>
+        (dn, rs.map(r => (BigDecimal(r.getDouble(1).toString).setScale(2) * 100)
+          .toLongExact).sum, rs.length.toLong)
+      }.toArray.sortBy(_._1)
+    val n = daily.length
+    val sx = daily.map(d => BigInt(d._2)).sum
+    val sy = daily.map(d => BigInt(d._3)).sum
+    val dev = daily.map { case (dn, x, y) => (dn, BigInt(n) * x - sx, BigInt(n) * y - sy) }
+    val dax = dev.map(d => d._2 * d._2).sum.toDouble
+    val day_ = dev.map(d => d._3 * d._3).sum.toDouble
+    val byDn = dev.map(d => (d._1, d)).toMap
+    val rows = TimeSeries.crossCorrelation(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length === 15)
+    rows.foreach { case (lag, nPairs, r) =>
+      val pairs = dev.flatMap(a => byDn.get(a._1 + lag).map(b => (a, b)))
+      assert(nPairs === pairs.length.toLong, s"lag $lag pair count")
+      val num = pairs.map { case (a, b) => a._3 * b._2 }.sum.toDouble
+      val expected = num / math.sqrt(dax * day_)
+      assert(math.abs(r - expected) < 1e-12 * math.max(1.0, math.abs(expected)),
+        s"lag $lag r")
+      assert(r >= -1.0 && r <= 1.0, s"lag $lag r out of range")
+    }
+  }
+
+  test("decomposition strength: variances recomputed from q251's own columns") {
+    val sf = "/root/testdata/sf0.001"
+    def q12(d: Double) = BigDecimal(d.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val cols = TimeSeries.seasonalDecompose(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(5), r.getDouble(6)))
+    val row = TimeSeries.decompositionStrength(spark, sf).collect().head
+    def popVar(vs: Array[BigDecimal]): Double = {
+      val n = vs.length
+      val s = vs.sum
+      val ss = vs.map(v => q12(v.toDouble * v.toDouble)).sum
+      (ss.toDouble - s.toDouble * s.toDouble / n) / n
+    }
+    val vR = popVar(cols.map(c => q12(c._4)))
+    val vTr = popVar(cols.map(c => q12(c._1.toDouble - c._3)))
+    val vSr = popVar(cols.map(c => q12(c._1.toDouble - c._2)))
+    assert(row.getLong(0) === cols.length.toLong)
+    assert(math.abs(row.getDouble(1) - vR) < 1e-9 * vR, "var(resid)")
+    assert(math.abs(row.getDouble(2) - vTr) < 1e-9 * vTr, "var(deseasonalized)")
+    assert(math.abs(row.getDouble(3) - vSr) < 1e-9 * vSr, "var(detrended)")
+    val fT = row.getDouble(4); val fS = row.getDouble(5)
+    assert(fT >= 0.0 && fT <= 1.0, "trend strength in [0,1]")
+    assert(fS >= 0.0 && fS <= 1.0, "seasonal strength in [0,1]")
+    // residual variance can never exceed the series it was subtracted from
+    // by more than the clamp allows — strengths agree with the raw ratios
+    assert(math.abs(fT - math.max(0.0, 1.0 - vR / vTr)) < 1e-12)
+    assert(math.abs(fS - math.max(0.0, 1.0 - vR / vSr)) < 1e-12)
+  }
+
+  test("kendall tau-b: brute-force pair recompute, exact counts") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")).as("day"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate.toEpochDay)
+      .map { case (dn, rs) =>
+        (dn, rs.map(r => (BigDecimal(r.getDouble(1).toString).setScale(2) * 100)
+          .toLongExact).sum, rs.length.toLong)
+      }.toArray.sortBy(_._1)
+    var s = 0L; var n1 = 0L; var n2 = 0L; var n0 = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val a = daily(i); val b = daily(j)
+      n0 += 1
+      s += java.lang.Long.signum(b._2 - a._2).toLong *
+        java.lang.Long.signum(b._3 - a._3)
+      if (a._2 == b._2) n1 += 1
+      if (a._3 == b._3) n2 += 1
+    }
+    val row = TimeSeries.kendallTau(spark, sf).collect().head
+    assert(row.getLong(0) === n0)
+    assert(row.getLong(1) === s, "concordant-discordant balance")
+    assert(row.getLong(2) === n1, "x ties")
+    assert(row.getLong(3) === n2, "y ties")
+    val tau = s.toDouble / math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+    assert(math.abs(row.getDouble(4) - tau) < 1e-12 * math.max(1.0, math.abs(tau)))
+    assert(tau >= -1.0 && tau <= 1.0)
+  }
+
+  test("seasonal mann-kendall: per-dow S and variance recomputed; totals fold") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      .withColumn("dn", datediff(col("day"), lit("1990-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    val byDow = daily.groupBy(_._1 % 7)
+    val expected = byDow.map { case (dow, ds) =>
+      val xs = ds.sortBy(_._1).map(_._2)
+      var s = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length)
+        s += java.lang.Long.signum(xs(j) - xs(i)).toLong
+      val n = xs.length.toLong
+      val tie = xs.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      (dow, (n, s, n * (n - 1) * (2 * n + 5) - tie))
+    }
+    val rows = TimeSeries.seasonalMannKendall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.length === expected.size, "one row per day-of-week")
+    rows.foreach { case (dow, nDow, sDow, varDow, _, _, _) =>
+      val (n, s, v) = expected(dow)
+      assert(nDow === n, s"dow $dow n")
+      assert(sDow === s, s"dow $dow S")
+      assert(varDow === v, s"dow $dow variance numerator")
+    }
+    val sTot = expected.values.map(_._2).sum
+    val vTot = expected.values.map(_._3).sum
+    assert(rows.head._5 === sTot, "summed S")
+    assert(rows.head._6 === vTot, "summed variance numerator")
+    val varS = vTot.toDouble / 18.0
+    val z = if (sTot > 0) (sTot - 1).toDouble / math.sqrt(varS)
+      else if (sTot < 0) (sTot + 1).toDouble / math.sqrt(varS) else 0.0
+    assert(rows.head._7 === z, "combined z")
+    assert(rows.forall(r => r._5 == sTot && r._6 == vTot && r._7 == z),
+      "totals repeated on every row")
+  }
 }
