@@ -302,6 +302,18 @@ object SparkEntry {
     "q266_seasonal_mk"     -> ((s, d) => graft.ops.TimeSeries.seasonalMannKendall(s, d)),
     "q267_ols_influence"   -> ((s, d) => graft.ops.Statistics.olsInfluence(s, d)),
     "q268_anomaly_stream"  -> ((s, d) => graft.streaming.OrderStream.dailyAnomalyAvailableNow(s, d)),
+    "q269_silhouette"      -> ((s, d) => graft.ops.Similarity.silhouette(s, d)),
+    "q270_davies_bouldin"  -> ((s, d) => graft.ops.Similarity.daviesBouldin(s, d)),
+    "q271_jarque_bera"     -> ((s, d) => graft.ops.Statistics.jarqueBera(s, d)),
+    "q272_welch_t"         -> ((s, d) => graft.ops.Statistics.welchT(s, d)),
+    "q273_heaps_fit"       -> ((s, d) => graft.ops.TermStats.heapsFit(s, d)),
+    "q274_mcnemar"         -> ((s, d) => graft.ops.Evaluation.mcnemar(s, d)),
+    "q275_decile_lift"     -> ((s, d) => graft.ops.Evaluation.decileLift(s, d)),
+    "q276_classifier_ks"   -> ((s, d) => graft.ops.Evaluation.classifierKs(s, d)),
+    "q277_clustering_coef" -> ((s, d) => graft.ops.Graph.clusteringCoefficient(s, d)),
+    "q278_contamination"   -> ((s, d) => graft.ops.Curation.contaminationMatrix(s, d)),
+    "q279_cluster_sizes"   -> ((s, d) => graft.ops.Graph.clusterSizeHistogram(s, d)),
+    "q280_pacf"            -> ((s, d) => graft.ops.TimeSeries.pacf(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1233,6 +1245,39 @@ object SparkEntry {
       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
       |    o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS c
       |  FROM orders GROUP BY 1, 2)""".stripMargin
+
+  /** The q77 one-step chain extended with the per-vector top-2 centroid
+    * cosines — shared by the cluster-quality audits q269/q270. Ends in
+    * `t2(vec_id, cell, cos1, cos2)` (cos1 = own/argmax centroid, cos2 =
+    * runner-up) and keeps `c1n` in scope for centroid-pair separations.
+    */
+  private lazy val oneStepTop2Ctes: String =
+    s"""$scaledVecs,
+       |c0 AS (SELECT vec_id AS cent_id, svec AS cvec, norm2 AS cnorm2 FROM w WHERE vec_id < 16),
+       |a0r AS (SELECT w.vec_id, w.svec, w.norm2, c0.cent_id,
+       |         row_number() OVER (PARTITION BY w.vec_id
+       |           ORDER BY ${cosine("w.svec", "cvec", "w.norm2", "cnorm2")} DESC, c0.cent_id ASC) AS rn
+       |       FROM w CROSS JOIN c0),
+       |a0 AS (SELECT vec_id, svec, norm2, cent_id AS cell0 FROM a0r WHERE rn = 1),
+       |ex AS (SELECT cell0, d.i, svec[CAST(d.i AS INT)] AS val
+       |       FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+       |cm AS (SELECT cell0, i, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+       |       FROM ex GROUP BY 1, 2),
+       |c1 AS (SELECT cell0 AS cent_id, array_agg(comp ORDER BY i) AS cvec FROM cm GROUP BY 1),
+       |c1n AS (SELECT cent_id, cvec,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(cvec, x -> x * x)), (a, b) -> a + b) AS cnorm2
+       |        FROM c1),
+       |r2c AS (SELECT a0.vec_id, c1n.cent_id,
+       |         ${cosine("a0.svec", "c1n.cvec", "a0.norm2", "c1n.cnorm2")} AS cent_cos,
+       |         row_number() OVER (PARTITION BY a0.vec_id
+       |           ORDER BY ${cosine("a0.svec", "c1n.cvec", "a0.norm2", "c1n.cnorm2")} DESC, c1n.cent_id ASC) AS rn
+       |       FROM a0 CROSS JOIN c1n),
+       |t2 AS (SELECT vec_id,
+       |         min(CASE WHEN rn = 1 THEN cent_id END) AS cell,
+       |         min(CASE WHEN rn = 1 THEN cent_cos END) AS cos1,
+       |         min(CASE WHEN rn = 2 THEN cent_cos END) AS cos2
+       |       FROM r2c WHERE rn <= 2 GROUP BY 1)""".stripMargin
 
   /** q194's trailing-window z oracle — shared VERBATIM with the streaming
     * twin q268 (whose Spark side reuses the identical batch tail on the
@@ -2559,6 +2604,455 @@ object SparkEntry {
         |FROM lineitem CROSS JOIN a
         |ORDER BY cook_d DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+
+    // q269: simplified silhouette — the q77 chain + top-2 cosines; s is a
+    // fixed tree over the two exact-integer-dot cosines, means fold
+    // 12-decimal-quantized
+    "q269_silhouette" ->
+      s"""WITH $oneStepTop2Ctes,
+        |sil AS (
+        |  SELECT cell,
+        |    CASE WHEN greatest(1.0 - cos1, 1.0 - cos2) > 0
+        |      THEN ((1.0 - cos2) - (1.0 - cos1))
+        |        / greatest(1.0 - cos1, 1.0 - cos2)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS s
+        |  FROM t2),
+        |pc AS (
+        |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(CAST(CAST(s AS VARCHAR) AS DECIMAL(28,12)))
+        |      AS DECIMAL(38,12)) AS ssum,
+        |    min(s) AS min_sil, max(s) AS max_sil
+        |  FROM sil GROUP BY 1),
+        |ov AS (
+        |  SELECT CAST(sum(ssum) AS DECIMAL(38,12)) AS tsum,
+        |    CAST(sum(n_vecs) AS BIGINT) AS tn
+        |  FROM pc)
+        |SELECT cell, n_vecs,
+        |  CAST(CAST(ssum AS VARCHAR) AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        |    AS mean_sil,
+        |  min_sil, max_sil,
+        |  CAST(CAST(tsum AS VARCHAR) AS DOUBLE) / CAST(tn AS DOUBLE)
+        |    AS overall_mean_sil
+        |FROM pc CROSS JOIN ov""".stripMargin,
+
+    // q270: Davies–Bouldin — same chain; scatters are quantized-fold means
+    // of (1 − cos1), separations are centroid-pair cosines on the k²-row
+    // frame, the worst ratio per cluster breaks ties by partner id
+    "q270_davies_bouldin" ->
+      s"""WITH $oneStepTop2Ctes,
+        |sc AS (
+        |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(CAST(CAST(sum(CAST(CAST(1.0 - cos1 AS VARCHAR)
+        |      AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS s_i
+        |  FROM t2 GROUP BY 1),
+        |m AS (
+        |  SELECT i.cent_id AS cell, j.cent_id AS partner,
+        |    1.0 - ${cosine("i.cvec", "j.cvec", "i.cnorm2", "j.cnorm2")} AS m_ij
+        |  FROM c1n i CROSS JOIN c1n j
+        |  WHERE i.cent_id <> j.cent_id),
+        |ratios AS (
+        |  SELECT m.cell, m.partner,
+        |    CASE WHEN m.m_ij > 0
+        |      THEN (a.s_i + b.s_i) / m.m_ij END AS ratio
+        |  FROM m JOIN sc a ON m.cell = a.cell
+        |         JOIN sc b ON m.partner = b.cell),
+        |worst AS (
+        |  SELECT cell, partner AS worst_partner, ratio
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cell
+        |          ORDER BY ratio DESC NULLS LAST, partner ASC) AS rn
+        |        FROM ratios)
+        |  WHERE rn = 1),
+        |db AS (
+        |  SELECT CAST(CAST(CAST(sum(CAST(CAST(ratio AS VARCHAR)
+        |    AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS db_index
+        |  FROM worst)
+        |SELECT w2.cell, sc.n_vecs, sc.s_i, w2.worst_partner, w2.ratio,
+        |  db.db_index
+        |FROM worst w2 JOIN sc ON w2.cell = sc.cell CROSS JOIN db""".stripMargin,
+
+    // q271: Jarque–Bera on q251's residual — dollar-scaled raw power sums
+    // fold 6-decimal-quantized (lossless at these magnitudes, and x⁴ sums
+    // stay inside DECIMAL(38,6)); one-pass central-moment expansion
+    "q271_jarque_bera" ->
+      s"""WITH $seasonalDecompCtes,
+        |sums AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(CAST(residual / 100.0 AS VARCHAR) AS DECIMAL(38,6))) AS s1,
+        |    sum(CAST(CAST((residual / 100.0) * (residual / 100.0) AS VARCHAR)
+        |      AS DECIMAL(38,6))) AS s2,
+        |    sum(CAST(CAST((residual / 100.0) * (residual / 100.0)
+        |      * (residual / 100.0) AS VARCHAR) AS DECIMAL(38,6))) AS s3,
+        |    sum(CAST(CAST((residual / 100.0) * (residual / 100.0)
+        |      * (residual / 100.0) * (residual / 100.0) AS VARCHAR)
+        |      AS DECIMAL(38,6))) AS s4
+        |  FROM res),
+        |v2 AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS q1m,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS q2m,
+        |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS q3m,
+        |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS q4m
+        |  FROM sums),
+        |cm2 AS (
+        |  SELECT n, nd,
+        |    q2m - q1m * q1m AS m2,
+        |    q3m - 3.0 * q1m * q2m + 2.0 * q1m * q1m * q1m AS m3,
+        |    q4m - 4.0 * q1m * q3m + 6.0 * q1m * q1m * q2m
+        |      - 3.0 * q1m * q1m * q1m * q1m AS m4
+        |  FROM v2),
+        |k2 AS (
+        |  SELECT n, nd, m2,
+        |    m3 / sqrt(m2 * m2 * m2) AS skew,
+        |    m4 / (m2 * m2) AS kurt
+        |  FROM cm2)
+        |SELECT n AS n_days, m2, skew AS skewness, kurt AS kurtosis,
+        |  nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        |    AS jb_stat,
+        |  nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+        |    > CAST(5.991 AS DOUBLE) AS reject_normal_05
+        |FROM k2""".stripMargin,
+
+    // q272: Welch's t — exact cents moments per sample in ONE aggregate,
+    // variance/t/df fixed trees, the same two samples as q203/q204
+    "q272_welch_t" ->
+      """WITH g AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |mraw AS (
+        |  SELECT CAST(sum(is1) AS BIGINT) AS n1,
+        |    CAST(sum(1 - is1) AS BIGINT) AS n2,
+        |    CAST(sum(is1 * x) AS BIGINT) AS sx1,
+        |    CAST(sum((1 - is1) * x) AS BIGINT) AS sx2,
+        |    sum(CAST(is1 AS HUGEINT) * x * x) AS ss1,
+        |    sum(CAST(1 - is1 AS HUGEINT) * x * x) AS ss2
+        |  FROM g),
+        |v AS (
+        |  SELECT n1, n2,
+        |    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(CAST(ss1 AS VARCHAR) AS DOUBLE)
+        |      - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |    (CAST(CAST(ss2 AS VARCHAR) AS DOUBLE)
+        |      - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM mraw),
+        |k AS (
+        |  SELECT n1, n2, m1, m2, v1, v2,
+        |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM v)
+        |SELECT n1, n2, m1 AS mean1_cents, m2 AS mean2_cents,
+        |  (m1 - m2) / sqrt(se2) AS t_stat,
+        |  se2 * se2 / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0)
+        |    + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) - 1.0)) AS df_welch,
+        |  abs((m1 - m2) / sqrt(se2)) > CAST(1.96 AS DOUBLE)
+        |    AS reject_05_normal_approx
+        |FROM k""".stripMargin,
+
+    // q273: Heaps' law — prefix buckets by exact integer DIV over the
+    // broadcast max id; cumulative tokens/vocab over the 32-row frame;
+    // the q187 log-log OLS recipe (ln bridged at 12, folds at (28,14))
+    "q273_heaps_fit" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |mx AS (SELECT max(doc_id) AS mx FROM docs),
+        |b AS (
+        |  SELECT doc_id, toks, doc_id * 32 // (mx + 1) AS bucket
+        |  FROM docs CROSS JOIN mx),
+        |tc AS (
+        |  SELECT bucket, CAST(sum(len(toks)) AS BIGINT) AS btok
+        |  FROM b GROUP BY 1),
+        |tf AS (
+        |  SELECT term, CAST(min(bucket) AS BIGINT) AS fb
+        |  FROM (SELECT bucket, unnest(toks) AS term FROM b) GROUP BY 1),
+        |vc AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS nnew
+        |       FROM tf GROUP BY 1),
+        |joined AS (
+        |  SELECT tc.bucket, tc.btok, coalesce(vc.nnew, 0) AS nnew
+        |  FROM tc LEFT JOIN vc ON tc.bucket = vc.bucket),
+        |cums AS (
+        |  SELECT bucket,
+        |    CAST(sum(btok) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(sum(nnew) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_vocab
+        |  FROM joined),
+        |pts AS (
+        |  SELECT bucket, cum_tokens, cum_vocab,
+        |    CAST(CAST(CAST(CAST(ln(CAST(cum_tokens AS DOUBLE)) AS VARCHAR)
+        |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS x,
+        |    CAST(CAST(CAST(CAST(ln(CAST(cum_vocab AS DOUBLE)) AS VARCHAR)
+        |      AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS y
+        |  FROM cums
+        |  WHERE cum_tokens > 0 AND cum_vocab > 0),
+        |fit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(y AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(x * y AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(x * x AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM pts),
+        |f2 AS (
+        |  SELECT n_points,
+        |    (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS beta,
+        |    (sy - (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_points AS DOUBLE) * sxx - sx * sx) * sx)
+        |      / CAST(n_points AS DOUBLE) AS ln_k
+        |  FROM fit)
+        |SELECT bucket, cum_tokens, cum_vocab, n_points, beta, ln_k
+        |FROM pts CROSS JOIN f2""".stripMargin,
+
+    // q274: McNemar — discordant counts between the two English detectors,
+    // continuity-corrected χ² one fixed tree over exact BIGINTs, NULL when
+    // no discordant pairs exist
+    "q274_mcnemar" ->
+      s"""WITH p AS ($langIdSql),
+        |$qualityScoreCtes,
+        |j AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN p.guessed_lang = 'en' THEN 1 ELSE 0 END AS pred_a,
+        |    CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END AS pred_b,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents d
+        |  JOIN p ON d.doc_id = p.doc_id
+        |  JOIN qscore s ON d.doc_id = s.doc_id),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN pred_a = y AND pred_b = y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both_correct,
+        |    CAST(sum(CASE WHEN pred_a = y AND pred_b <> y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_only_a,
+        |    CAST(sum(CASE WHEN pred_a <> y AND pred_b = y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_only_b,
+        |    CAST(sum(CASE WHEN pred_a <> y AND pred_b <> y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both_wrong
+        |  FROM j)
+        |SELECT n_docs, n_both_correct, n_only_a, n_only_b, n_both_wrong,
+        |  CASE WHEN n_only_a + n_only_b > 0 THEN
+        |    CAST((abs(n_only_a - n_only_b) - 1) * (abs(n_only_a - n_only_b) - 1)
+        |      AS DOUBLE) / CAST(n_only_a + n_only_b AS DOUBLE)
+        |  END AS mcnemar_chi2,
+        |  CASE WHEN n_only_a + n_only_b > 0
+        |    THEN mcnemar_chi2 > CAST(3.841 AS DOUBLE)
+        |    ELSE false END AS reject_05
+        |FROM c""".stripMargin,
+
+    // q275: decile lift — per-score counts cumulated over the NEGATED
+    // score, each tie block dealt to its first row's floor-distribution
+    // decile, cumulative lift ONE division of exact products
+    "q275_decile_lift" ->
+      s"""WITH $qualityLabeledCtes,
+        |counts AS (
+        |  SELECT -score AS x, CAST(sum(y) AS BIGINT) AS c1,
+        |    CAST(sum(1 - y) AS BIGINT) AS c2
+        |  FROM qlab GROUP BY 1),
+        |cum AS (
+        |  SELECT x, c1, c2,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER w AS BIGINT) AS cum2
+        |  FROM counts
+        |  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(max(cum1) AS BIGINT) AS pos_total,
+        |    CAST(max(cum1 + cum2) AS BIGINT) AS n_total
+        |  FROM cum),
+        |bd AS (
+        |  SELECT (cum1 + cum2 - c1 - c2) * 10 // n_total AS decile,
+        |    CAST(sum(c1 + c2) AS BIGINT) AS n_rows,
+        |    CAST(sum(c1) AS BIGINT) AS n_pos,
+        |    CAST(max(pos_total) AS BIGINT) AS pos_total,
+        |    CAST(max(n_total) AS BIGINT) AS n_total
+        |  FROM cum CROSS JOIN tot GROUP BY 1),
+        |k AS (
+        |  SELECT decile, n_rows, n_pos,
+        |    CAST(sum(n_rows) OVER w2 AS BIGINT) AS cum_n,
+        |    CAST(sum(n_pos) OVER w2 AS BIGINT) AS cum_pos,
+        |    pos_total, n_total
+        |  FROM bd
+        |  WINDOW w2 AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, n_rows, n_pos, cum_n, cum_pos,
+        |  CAST(cum_pos * n_total AS DOUBLE)
+        |    / CAST(cum_n * pos_total AS DOUBLE) AS cum_lift
+        |FROM k""".stripMargin,
+
+    // q276: classifier KS — q203's exact-integer maximization over the
+    // per-score cumulative counts; threshold = min score among argmax ties
+    "q276_classifier_ks" ->
+      s"""WITH $qualityLabeledCtes,
+        |counts AS (
+        |  SELECT score AS x, CAST(sum(y) AS BIGINT) AS c1,
+        |    CAST(sum(1 - y) AS BIGINT) AS c2
+        |  FROM qlab GROUP BY 1),
+        |cum AS (
+        |  SELECT x, c1, c2,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER w AS BIGINT) AS cum2
+        |  FROM counts
+        |  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(max(cum1) AS BIGINT) AS n1,
+        |    CAST(max(cum2) AS BIGINT) AS n2
+        |  FROM cum),
+        |dd AS (
+        |  SELECT x, n1, n2,
+        |    CAST(abs(cum1 * n2 - cum2 * n1) AS BIGINT) AS dn
+        |  FROM cum CROSS JOIN tot),
+        |mx AS (SELECT n1, n2, CAST(max(dn) AS BIGINT) AS d_num
+        |       FROM dd GROUP BY 1, 2),
+        |arg AS (
+        |  SELECT dd.n1, dd.n2, mx.d_num, min(dd.x) AS threshold
+        |  FROM dd JOIN mx ON dd.n1 = mx.n1 AND dd.n2 = mx.n2 AND dd.dn = mx.d_num
+        |  GROUP BY 1, 2, 3)
+        |SELECT n1 AS n_pos, n2 AS n_neg, d_num,
+        |  CAST(d_num AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat,
+        |  threshold
+        |FROM arg""".stripMargin,
+
+    // q277: per-node clustering coefficient — q166's edge/degree CTEs, the
+    // naive a<b<c triple (orientation-invariant corners), LEFT join keeps
+    // triangle-free nodes, mean folds 12-decimal-quantized
+    "q277_clustering_coef" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a
+        |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |corners AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+        |       FROM corners GROUP BY 1),
+        |nodes AS (
+        |  SELECT d.id, d.deg, CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri
+        |  FROM d LEFT JOIN tc ON d.id = tc.id
+        |  WHERE d.deg >= 2),
+        |cc AS (
+        |  SELECT id, deg, n_tri,
+        |    CAST(2 * n_tri AS DOUBLE)
+        |      / CAST(deg * (deg - 1) AS DOUBLE) AS local_cc
+        |  FROM nodes),
+        |av AS (
+        |  SELECT CAST(CAST(CAST(sum(CAST(CAST(local_cc AS VARCHAR)
+        |    AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS VARCHAR) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_cc
+        |  FROM cc)
+        |SELECT id, deg, n_tri, local_cc, avg_cc
+        |FROM cc CROSS JOIN av""".stripMargin,
+
+    // q278: cross-source contamination — q232's verified-pair CTEs grouped
+    // by unordered SOURCE pair, rate = pairs / exact capacity (within:
+    // n(n−1) DIV 2; cross: n_a·n_b)
+    "q278_contamination" ->
+      s"""WITH $minhashSigs,
+        |$bandsCandCtes,
+        |docs3 AS (
+        |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
+        |pairs AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN docs3 x ON c.doc_a = x.doc_id
+        |  JOIN docs3 y ON c.doc_b = y.doc_id
+        |  WHERE x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 20
+        |    AND CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+        |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) >= 0.5),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |        FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT least(da.source, db.source) AS source_lo,
+        |    greatest(da.source, db.source) AS source_hi,
+        |    CAST(count(*) AS BIGINT) AS n_dup_pairs
+        |  FROM pairs p
+        |  JOIN documents da ON p.doc_a = da.doc_id
+        |  JOIN documents db ON p.doc_b = db.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT g.source_lo, g.source_hi, g.n_dup_pairs,
+        |  a.n AS n_docs_lo, b.n AS n_docs_hi,
+        |  CAST(g.n_dup_pairs AS DOUBLE) / CAST(
+        |    CASE WHEN g.source_lo = g.source_hi
+        |      THEN a.n * (a.n - 1) // 2
+        |      ELSE a.n * b.n END AS DOUBLE) AS dup_rate,
+        |  g.source_lo <> g.source_hi AS is_cross_source
+        |FROM g JOIN cnt a ON g.source_lo = a.source
+        |       JOIN cnt b ON g.source_hi = b.source""".stripMargin,
+
+    // q279: dup-cluster size histogram — q55's recursive components,
+    // one exact share division per size row
+    "q279_cluster_sizes" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+        |labels AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM labels GROUP BY 1),
+        |hist AS (
+        |  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |    cluster_size * CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM sizes GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM hist)
+        |SELECT cluster_size, n_clusters, n_docs,
+        |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_share
+        |FROM hist CROSS JOIN tot""".stripMargin,
+
+    // q280: PACF 1–3 — Durbin–Levinson unrolled as fixed trees over q210's
+    // bridged ACF values; three UNION ALL rows mirror the Spark explode
+    "q280_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+        |i AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(n * x - s AS HUGEINT) AS dev
+        |  FROM daily, t),
+        |den AS (SELECT sum(dev * dev) AS den FROM i),
+        |l AS (SELECT CAST(u AS BIGINT) AS lag FROM (SELECT unnest(generate_series(1, 7)) AS u)),
+        |p AS (
+        |  SELECT lag, sum(a.dev * b.dev) AS num
+        |  FROM l CROSS JOIN i a JOIN i b ON b.i = a.i + l.lag
+        |  GROUP BY 1),
+        |acfres AS (
+        |  SELECT lag,
+        |    CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
+        |  FROM p, den),
+        |rv AS (
+        |  SELECT min(CASE WHEN lag = 1 THEN acf END) AS r1,
+        |    min(CASE WHEN lag = 2 THEN acf END) AS r2,
+        |    min(CASE WHEN lag = 3 THEN acf END) AS r3
+        |  FROM acfres),
+        |ph AS (
+        |  SELECT r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+        |  FROM rv),
+        |ph2 AS (SELECT *, r1 - p2 * r1 AS phi21 FROM ph),
+        |ph3 AS (
+        |  SELECT *,
+        |    (r3 - phi21 * r2 - p2 * r1)
+        |      / (1.0 - phi21 * r1 - p2 * r2) AS p3
+        |  FROM ph2)
+        |SELECT CAST(1 AS BIGINT) AS "lag", r1 AS acf, r1 AS pacf FROM ph3
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), r2, p2 FROM ph3
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), r3, p3 FROM ph3""".stripMargin,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound

@@ -314,6 +314,42 @@ object Curation {
       .withColumn("is_leakage", col("split_lo") =!= col("split_hi"))
   }
 
+  /** CROSS-SOURCE CONTAMINATION MATRIX — the q232 split-leakage shape
+    * pivoted to PROVENANCE: verified near-dup pairs aggregated by
+    * unordered source pair, normalized by each pair's CAPACITY (within:
+    * n·(n−1)/2, integer DIV; cross: n_a·n_b) into an exact-count dup RATE
+    * — "which sources copy from which", the audit that decides whether a
+    * feed is scraped content before it floods a training mix. Rides the
+    * session-memoized LSH→verify pair table (paid once per session, like
+    * q232/q55); everything after is a |sources|²-row frame. Source pairs
+    * with zero verified pairs are absent by construction (a sparse matrix
+    * — documented).
+    */
+  def contaminationMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val cnt = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val g = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    g.join(broadcast(cnt.select(col("source").as("source_lo"),
+        col("n").as("n_docs_lo"))), "source_lo")
+      .join(broadcast(cnt.select(col("source").as("source_hi"),
+        col("n").as("n_docs_hi"))), "source_hi")
+      .withColumn("capacity", when(col("source_lo") === col("source_hi"),
+        expr("n_docs_lo * (n_docs_lo - 1) DIV 2"))
+        .otherwise(col("n_docs_lo") * col("n_docs_hi")))
+      .select(col("source_lo"), col("source_hi"), col("n_dup_pairs"),
+        col("n_docs_lo"), col("n_docs_hi"),
+        (col("n_dup_pairs").cast("double") / col("capacity").cast("double"))
+          .as("dup_rate"),
+        (col("source_lo") =!= col("source_hi")).as("is_cross_source"))
+  }
+
   /** PER-SOURCE N-GRAM NOVELTY — how much of each source's text is unique
     * to the corpus: per document, the fraction of its distinct word
     * `n`-grams with corpus document-frequency 1, rolled up per source.

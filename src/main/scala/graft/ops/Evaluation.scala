@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -217,6 +218,114 @@ object Evaluation {
           col("n").cast("double") / col("n_src").cast("double") * col("gap"))))
           .as("ece"),
         max(col("gap")).as("max_gap"))
+  }
+
+  /** McNEMAR'S TEST (McNemar 1947, public) between the two English
+    * detectors the engine already ships — the q23 language-ID heuristic
+    * (A: guessed_lang = 'en') and the q195 quality classifier thresholded
+    * at 0.5 (B: score ≥ 0.5) — against the labeled truth: the PAIRED
+    * comparison that decides "is classifier B actually better than A on
+    * the same documents?", which two separate accuracies cannot (they
+    * ignore that both see the same rows). Only the DISCORDANT counts
+    * matter: b = A right ∧ B wrong, c = A wrong ∧ B right; the
+    * continuity-corrected χ² = (|b−c|−1)²/(b+c) is one fixed tree over
+    * exact BIGINTs (NULL-guarded when b+c = 0 — ANSI throws on the zero
+    * divide), df = 1, reject at 3.841. One scan joining two scan-speed
+    * per-row maps on the PK; the fold is a single aggregate.
+    */
+  def mcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = TextAnalysis.langId(spark, sfDir)
+      .select(col("doc_id"),
+        (col("guessed_lang") === "en").cast("long").as("pred_a"))
+    val b = Curation.qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), (col("score") >= 0.5).cast("long").as("pred_b"))
+    val y = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val counts = a.join(b, "doc_id").join(y, "doc_id")
+      .select((col("pred_a") === col("y")).as("ca"),
+        (col("pred_b") === col("y")).as("cb"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ca") && col("cb"), 1L).otherwise(0L)).as("n_both_correct"),
+        sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(!col("ca") && !col("cb"), 1L).otherwise(0L)).as("n_both_wrong"))
+    val bc = col("n_only_a") + col("n_only_b")
+    val diff = abs(col("n_only_a") - col("n_only_b")) - 1L
+    val chi2 = when(bc > 0,
+      (diff * diff).cast("double") / bc.cast("double"))
+    counts.select(col("n_docs"), col("n_both_correct"), col("n_only_a"),
+      col("n_only_b"), col("n_both_wrong"), chi2.as("mcnemar_chi2"),
+      when(bc > 0, chi2 > 3.841).otherwise(lit(false)).as("reject_05"))
+  }
+
+  /** DECILE LIFT / GAIN TABLE of the quality score against the English
+    * label — "how concentrated are the positives in the top-scored
+    * slices?", the campaign-targeting readout beside q235's AUC and q236's
+    * calibration. NO global row rank: per-score counts collapse first
+    * (q242's insight), the [[Statistics.cumulativeGroupCounts]] two-phase
+    * engine cumulates them over the NEGATED score (so at-or-below means
+    * at-or-above the raw score), and each distinct-score block lands in
+    * the decile of its FIRST row ((start−1)·10 DIV n — floor-distribution
+    * on the block's starting rank, a pure function of exact counts, so a
+    * tie block never splits nondeterministically). Per-decile and
+    * cumulative counts stay exact BIGINTs; cumulative lift =
+    * (cum_pos·n_total)/(cum_n·pos_total) is ONE division of exact products
+    * — never precision/base as two rounded ratios. Scale shape: scan →
+    * per-value aggregate → two-phase cumulative → 10-row frame.
+    */
+  def decileLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = scoredWithLabel(spark, sfDir)
+      .select((-col("score")).as("x"), col("y"))
+      .groupBy(col("x"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c2"))
+    val cum = Statistics.cumulativeGroupCounts(counts)
+    val tot = cum.agg(max(col("cum1")).as("pos_total"),
+      max(col("cum1") + col("cum2")).as("n_total"))
+    val byDecile = cum.crossJoin(broadcast(tot))
+      .withColumn("start", col("cum1") + col("cum2") - col("c1") - col("c2"))
+      .withColumn("decile", expr("start * 10 DIV n_total"))
+      .groupBy(col("decile"))
+      .agg(sum(col("c1") + col("c2")).as("n_rows"), sum(col("c1")).as("n_pos"),
+        max(col("pos_total")).as("pos_total"), max(col("n_total")).as("n_total"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("cum_n", sum(col("n_rows")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("decile"), col("n_rows"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        ((col("cum_pos") * col("n_total")).cast("double") /
+          (col("cum_n") * col("pos_total")).cast("double")).as("cum_lift"))
+  }
+
+  /** CLASSIFIER KS (the Kolmogorov–Smirnov separation statistic, the
+    * credit-scoring industry's standard model metric): max over thresholds
+    * of |TPR − FPR|, computed as q203's exact-integer maximization over
+    * the per-score cumulative counts — max |cum1·n₂ − cum2·n₁| stays
+    * BIGINT, ONE division at the end, and the achieving threshold is the
+    * smallest score among ties (deterministic). Same machinery as
+    * [[rocAuc]]; KS and AUC read the same cumulative frame two ways.
+    */
+  def classifierKs(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = scoredWithLabel(spark, sfDir)
+      .select(col("score").as("x"), col("y"))
+      .groupBy(col("x"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c2"))
+    val cum = Statistics.cumulativeGroupCounts(counts)
+    val tot = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
+    val d = cum.crossJoin(broadcast(tot))
+      .select(col("x"), col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"))
+    val mx = d.groupBy(col("n1"), col("n2")).agg(max(col("dn")).as("d_num"))
+    val arg = d.join(broadcast(mx), Seq("n1", "n2"))
+      .filter(col("dn") === col("d_num"))
+      .groupBy(col("n1"), col("n2"), col("d_num"))
+      .agg(min(col("x")).as("threshold"))
+    arg.select(col("n1").as("n_pos"), col("n2").as("n_neg"), col("d_num"),
+      (col("d_num").cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double"))).as("ks_stat"),
+      col("threshold"))
   }
 
   /** COHEN'S KAPPA (Cohen 1960, public) between the q23 language-ID

@@ -386,6 +386,87 @@ object Graph {
     result
   }
 
+  /** DUP-CLUSTER SIZE HISTOGRAM — the duplication-depth census over q55's
+    * connected components: how many clusters of each size, how many
+    * documents they hold, and each size's share of the corpus (one exact
+    * division per row). Size 1 = unique documents, so the histogram reads
+    * directly as "what fraction of the corpus is duplicated how deep" —
+    * the number a dedup budget is sized from. Rides the session-memoized
+    * cluster frame; everything here is |distinct sizes| rows.
+    */
+  def clusterSizeHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = dupClusters(spark, sfDir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val hist = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val tot = hist.agg(sum(col("n_docs")).as("n_total"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("doc_share"))
+  }
+
+  /** PER-NODE CLUSTERING COEFFICIENT of the co-purchase graph — the local
+    * companion of q166's global census: Cᵤ = 2·tᵤ/(degᵤ·(degᵤ−1)) over
+    * nodes with deg ≥ 2, where tᵤ counts triangles AT u. Triangles come
+    * from the SAME degree-oriented wedge-closure as [[triangleStats]]
+    * (each triangle found once, O(m^1.5) candidate wedges — the
+    * skew-robust shape), but the matched rows keep their three corners and
+    * explode into per-node counts; nodes in no triangle enter via a LEFT
+    * join with a zero count (the q273 saturation lesson, at graph tier).
+    * The deg ≥ 2 filter makes the divisor provably nonzero (ANSI throws on
+    * zero divides — §8.4). The mean Cᵤ folds 12-decimal-quantized and
+    * rides along every row (the q243 repeated-total convention). Edges and
+    * the pivot/closure frames ride the session-memoized
+    * [[coPurchaseEdges]] like the rest of the graph tier.
+    */
+  def clusteringCoefficient(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = coPurchaseEdges(spark, sfDir)
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        greatest(col("du"), col("dv")).as("ddst"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("p"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+    val tri = wedges.join(broadcast(oriented.select(col("src"), col("dst"))),
+        col("x") === col("src") && col("y") === col("dst"))
+      .select(col("p"), col("x"), col("y"))
+    val triPer = tri
+      .select(explode(array(col("p"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val nodes = deg.filter(col("deg") >= 2)
+      .join(triPer, Seq("id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("local_cc",
+        (lit(2L) * col("n_tri")).cast("double") /
+          (col("deg") * (col("deg") - 1L)).cast("double"))
+    def q12(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast(org.apache.spark.sql.types.DecimalType(28, 12))
+    val avg = nodes.agg(
+      (graft.core.Num.decToDouble(sum(q12(col("local_cc")))) /
+        count(lit(1)).cast("double")).as("avg_cc"))
+    val result = nodes.crossJoin(broadcast(avg))
+      .select(col("id"), col("deg"), col("n_tri"), col("local_cc"), col("avg_cc"))
+      .localCheckpoint(true)
+    deg.unpersist()
+    result
+  }
+
   /** K-CORE DECOMPOSITION (membership) of the part co-purchase graph:
     * iteratively peel nodes of induced degree < k; survivors form the
     * k-core — the standard density backbone (spam/community pre-filter) of

@@ -303,7 +303,12 @@ object Similarity {
       }))
   }
 
-  def kmeansStep(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+  /** The q77 one-step Lloyd state, factored for the cluster-quality audits
+    * (q269 silhouette / q270 Davies–Bouldin): the initial assignment frame
+    * (with svec/norm2 kept) and the updated integer centroids.
+    */
+  private def oneStepState(spark: SparkSession, sfDir: String,
+      k: Int): (DataFrame, DataFrame) = {
     val vecs = withScaled(Tables.embeddings(spark, sfDir))
     val assigned0 = assignCells(
       vecs,
@@ -321,8 +326,111 @@ object Similarity {
         x => x.getField("comp")).as("cvec"))
       .select(col("cell0").as("cent_id"), col("cvec"),
         idot(col("cvec"), col("cvec")).as("cnorm2"))
+    (assigned0, cents1)
+  }
+
+  def kmeansStep(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val (assigned0, cents1) = oneStepState(spark, sfDir, k)
     assignCells(assigned0, cents1, "cell1")
       .select(col("vec_id"), col("cell0"), col("cell1"))
+  }
+
+  /** Per-vector top-2 centroid cosines over the one-step centroids — the
+    * shared scoring pass under [[silhouette]] and [[daviesBouldin]]: cos1
+    * is the cosine to the OWN (argmax) centroid, cos2 to the runner-up.
+    */
+  private def top2Centroids(spark: SparkSession, sfDir: String,
+      k: Int): (DataFrame, DataFrame) = {
+    val (assigned0, cents1) = oneStepState(spark, sfDir, k)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val top2 = assigned0.join(broadcast(cents1))
+      .withColumn("cent_cos", cosine(col("svec"), col("cvec"), col("norm2"), col("cnorm2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("rn") === 1, col("cent_id"))).as("cell"),
+        min(when(col("rn") === 1, col("cent_cos"))).as("cos1"),
+        min(when(col("rn") === 2, col("cent_cos"))).as("cos2"))
+    (top2, cents1)
+  }
+
+  /** SIMPLIFIED SILHOUETTE per cluster (Hruschka et al. 2004, public — the
+    * centroid form of Rousseeuw 1987) over the q77 one-step k-means state,
+    * in the COSINE-DISTANCE domain the assignment itself uses: a = 1 −
+    * cos(x, own centroid), b = 1 − cos(x, runner-up centroid) — because
+    * assignment is argmax-cosine, the runner-up IS the nearest other
+    * centroid — s = (b − a)/max(a, b). This is the cluster-quality audit
+    * run after ANY clustering lands in a pipeline, and the centroid form
+    * is THE 100 TB spelling: the full Rousseeuw silhouette is all-pairs
+    * within clusters (unshippable); this is one scan × k broadcast
+    * centroids. Determinism: cosines are the engine's exact-integer-dot
+    * fixed trees; per-vector s is a fixed tree over them (ties in the
+    * top-2 window break on cent_id); per-cluster means fold s quantized to
+    * 12 decimals (the q233 recipe).
+    */
+  def silhouette(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val (top2, _) = top2Centroids(spark, sfDir, k)
+    val a = lit(1.0) - col("cos1")
+    val b = lit(1.0) - col("cos2")
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    def q12(c: Column): Column = c.cast("string").cast(org.apache.spark.sql.types.DecimalType(28, 12))
+    val perCell = top2.select(col("cell"), s.as("sil"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(q12(col("sil"))).as("ssum"),
+        min(col("sil")).as("min_sil"), max(col("sil")).as("max_sil"))
+    val overall = perCell.agg(sum(col("ssum")).as("tsum"), sum(col("n_vecs")).as("tn"))
+    perCell.crossJoin(broadcast(overall))
+      .select(col("cell"), col("n_vecs"),
+        (graft.core.Num.decToDouble(col("ssum")) / col("n_vecs").cast("double"))
+          .as("mean_sil"),
+        col("min_sil"), col("max_sil"),
+        (graft.core.Num.decToDouble(col("tsum")) / col("tn").cast("double"))
+          .as("overall_mean_sil"))
+  }
+
+  /** DAVIES–BOULDIN INDEX (Davies & Bouldin 1979, public) over the same
+    * one-step state and the same cosine-distance domain: per-cluster
+    * scatter Sᵢ = mean(1 − cos(x, own centroid)) (own = cos1, the argmax),
+    * centroid separation Mᵢⱼ = 1 − cos(cᵢ, cⱼ), DB = (1/k)·Σᵢ maxⱼ≠ᵢ
+    * (Sᵢ+Sⱼ)/Mᵢⱼ. Everything after the one scoring scan runs on k and k²
+    * rows; scatters fold 12-decimal-quantized, each ratio is a fixed tree,
+    * the max breaks ties by partner id, and the final mean folds the k
+    * quantized ratios exactly. Output: one row per cluster (its scatter,
+    * worst partner, ratio) with the index repeated — the q243 convention.
+    */
+  def daviesBouldin(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val (top2, cents1) = top2Centroids(spark, sfDir, k)
+    def q12(c: Column): Column = c.cast("string").cast(org.apache.spark.sql.types.DecimalType(28, 12))
+    val scatter = top2
+      .select(col("cell"), (lit(1.0) - col("cos1")).as("d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(q12(col("d"))).as("dsum"))
+      .select(col("cell"), col("n_vecs"),
+        (graft.core.Num.decToDouble(col("dsum")) / col("n_vecs").cast("double"))
+          .as("s_i"))
+    val m = cents1.as("i").crossJoin(broadcast(cents1.as("j")))
+      .filter(col("i.cent_id") =!= col("j.cent_id"))
+      .select(col("i.cent_id").as("cell"), col("j.cent_id").as("partner"),
+        (lit(1.0) - cosine(col("i.cvec"), col("j.cvec"),
+          col("i.cnorm2"), col("j.cnorm2"))).as("m_ij"))
+    val ratios = m.join(broadcast(scatter), "cell")
+      .join(broadcast(scatter.select(col("cell").as("partner"), col("s_i").as("s_j"))),
+        "partner")
+      .select(col("cell"), col("partner"),
+        when(col("m_ij") > 0, (col("s_i") + col("s_j")) / col("m_ij")).as("ratio"))
+    val wWorst = Window.partitionBy(col("cell"))
+      .orderBy(col("ratio").desc, col("partner").asc)
+    val worst = ratios.withColumn("rn", row_number().over(wWorst))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("partner").as("worst_partner"), col("ratio"))
+    val db = worst.agg(
+      (graft.core.Num.decToDouble(sum(q12(col("ratio")))) /
+        count(lit(1)).cast("double")).as("db_index"))
+    worst.join(broadcast(scatter.select(col("cell"), col("n_vecs"), col("s_i"))), "cell")
+      .crossJoin(broadcast(db))
+      .select(col("cell"), col("n_vecs"), col("s_i"), col("worst_partner"),
+        col("ratio"), col("db_index"))
   }
 
   /** HARD-NEGATIVE TRIPLET MINING over the IVF cells — the candidate
@@ -402,7 +510,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cos").as("other_cos"))
-    def q12(c: Column): Column = c.cast("string").cast(DecimalType(18, 12))
+    def q12(c: Column): Column = c.cast("string").cast(org.apache.spark.sql.types.DecimalType(18, 12))
     own.join(other, "vec_id")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -458,7 +566,7 @@ object Similarity {
     val gBridged = gRaw.crossJoin(broadcast(gMax))
       .select(col("i"), col("j"), (col("gv") / col("gm")).as("gv"))
       .localCheckpoint(true)
-    def q12(c: Column): Column = c.cast("string").cast(DecimalType(18, 12))
+    def q12(c: Column): Column = c.cast("string").cast(org.apache.spark.sql.types.DecimalType(18, 12))
     def matVec(v: DataFrame, out: String): DataFrame =
       gBridged.join(broadcast(v), "j")
         .groupBy(col("i"))

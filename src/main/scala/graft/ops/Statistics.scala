@@ -1081,6 +1081,86 @@ object Statistics {
       .limit(k)
   }
 
+  /** JARQUE–BERA NORMALITY TEST (Jarque & Bera 1980, public) on q251's
+    * seasonal residual — "is what's left after trend+season Gaussian?",
+    * the distributional companion of q261's DW/runs whiteness audit (a
+    * residual can be serially white yet heavy-tailed; JB catches exactly
+    * that). ONE corpus-shaped pass: raw power sums Σx..Σx⁴ of the
+    * DOLLAR-scaled residual fold 6-decimal-quantized in DECIMAL(38,6)
+    * (dollars keep x⁴ sums ≈ 10²⁸ inside the 32 integer digits; 6
+    * decimals sit far below double ULP at these magnitudes, so the
+    * quantization is lossless), central moments come from the one-pass
+    * expansion (m₂ = q₂−m², m₃ = q₃−3mq₂+2m³, m₄ = q₄−4mq₃+6m²q₂−3m⁴),
+    * and skewness/kurtosis/JB are fixed trees. JB = n/6·(S² + (K−3)²/4),
+    * reject at the χ²₂ 5% point 5.991.
+    */
+  def jarqueBera(spark: SparkSession, sfDir: String): DataFrame = {
+    def q6(c: Column): Column = c.cast("string").cast(DecimalType(38, 6))
+    val x = col("residual") / 100.0
+    val sums = TimeSeries.seasonalDecompose(spark, sfDir)
+      .select(x.as("x"))
+      .agg(count(lit(1)).as("n"),
+        sum(q6(col("x"))).as("s1"),
+        sum(q6(col("x") * col("x"))).as("s2"),
+        sum(q6(col("x") * col("x") * col("x"))).as("s3"),
+        sum(q6(col("x") * col("x") * col("x") * col("x"))).as("s4"))
+    val nD = col("n").cast("double")
+    def b(name: String) = Num.decToDouble(col(name))
+    val m = b("s1") / nD
+    val q2 = b("s2") / nD
+    val q3 = b("s3") / nD
+    val q4 = b("s4") / nD
+    val m2 = q2 - m * m
+    val m3 = q3 - lit(3.0) * m * q2 + lit(2.0) * m * m * m
+    val m4 = q4 - lit(4.0) * m * q3 + lit(6.0) * m * m * q2 -
+      lit(3.0) * m * m * m * m
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / lit(6.0) * (skew * skew +
+      (kurt - 3.0) * (kurt - 3.0) / lit(4.0))
+    sums.select(col("n").as("n_days"), m2.as("m2"), skew.as("skewness"),
+      kurt.as("kurtosis"), jb.as("jb_stat"),
+      (jb > 5.991).as("reject_normal_05"))
+  }
+
+  /** WELCH'S t-TEST (Welch 1947, public) between the urgent and low
+    * priority order-total samples — the unequal-variance two-sample
+    * location test beside q204's rank-sum (same two samples as q203/q204,
+    * so the three tests triangulate one comparison): exact cents moments
+    * per group (Σx BIGINT, Σx² DECIMAL/HUGEINT, VARCHAR-bridged), sample
+    * variances v = (Σx² − (Σx)²/n)/(n−1), t = (m₁−m₂)/√(v₁/n₁ + v₂/n₂),
+    * and the Welch–Satterthwaite df — all fixed trees after two exact
+    * group folds in ONE aggregate over the fact table.
+    */
+  def welchT(spark: SparkSession, sfDir: String): DataFrame = {
+    val xDec = col("x").cast(DecimalType(18, 0))
+    val g = Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("x"), col("o_orderpriority").as("grp"))
+      .filter(col("grp").isin("1-URGENT", "5-LOW"))
+      .withColumn("is1", (col("grp") === "1-URGENT").cast("long"))
+      .agg(
+        sum(col("is1")).as("n1"), sum(lit(1L) - col("is1")).as("n2"),
+        sum(col("is1") * col("x")).as("sx1"),
+        sum((lit(1L) - col("is1")) * col("x")).as("sx2"),
+        sum(col("is1").cast(DecimalType(18, 0)) * xDec * xDec).as("ss1"),
+        sum((lit(1L) - col("is1")).cast(DecimalType(18, 0)) * xDec * xDec).as("ss2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val m1 = col("sx1").cast("double") / n1
+    val m2 = col("sx2").cast("double") / n2
+    val v1 = (Num.decToDouble(col("ss1")) -
+      col("sx1").cast("double") * col("sx1").cast("double") / n1) / (n1 - 1.0)
+    val v2 = (Num.decToDouble(col("ss2")) -
+      col("sx2").cast("double") * col("sx2").cast("double") / n2) / (n2 - 1.0)
+    val se2 = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / sqrt(se2)
+    val df = se2 * se2 /
+      ((v1 / n1) * (v1 / n1) / (n1 - 1.0) + (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    g.select(col("n1"), col("n2"), m1.as("mean1_cents"), m2.as("mean2_cents"),
+      t.as("t_stat"), df.as("df_welch"),
+      (abs(t) > 1.96).as("reject_05_normal_approx"))
+  }
+
   def benfordDigits(spark: SparkSession, sfDir: String): DataFrame = {
     val expected = Seq(
       1 -> "0.301029995664", 2 -> "0.176091259056", 3 -> "0.124938736608",

@@ -129,14 +129,14 @@ object TermStats {
     // needs a 1-ulp disagreement AND a 12-digit tie at once
     val idf = Num.decToDouble(
       log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-        .cast(DecimalType(18, 12)))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
     val norm = lit(1.0) - lit(b) + lit(b) * col("len") / col("avg_len")
     val termScore = idf * (col("tf") * lit(k1 + 1.0)) / (col("tf") + lit(k1) * norm)
     tf.join(df, "t")
       .crossJoin(broadcast(corpus))
       .groupBy(col("doc_id"))
       .agg(
-        Num.decToDouble(sum(termScore.cast(DecimalType(28, 14)))).as("score"),
+        Num.decToDouble(sum(termScore.cast(org.apache.spark.sql.types.DecimalType(28, 14)))).as("score"),
         count(lit(1)).as("n_terms_matched"))
   }
 
@@ -217,12 +217,12 @@ object TermStats {
     // ln(p) rounds to 12 decimals first for the same 1-ulp reason as
     // bm25Scores' idf (see there); the term then rounds to (28,14) for the
     // exact order-independent fold
-    val lnP = Num.decToDouble(log(p).cast(DecimalType(18, 12)))
+    val lnP = Num.decToDouble(log(p).cast(org.apache.spark.sql.types.DecimalType(18, 12)))
     counts.groupBy(col("source"))
       .agg(
         max(col("total")).as("n_tokens"),
         count(lit(1)).as("vocab"),
-        Num.decToDouble(sum((-(p * lnP)).cast(DecimalType(28, 14))))
+        Num.decToDouble(sum((-(p * lnP)).cast(org.apache.spark.sql.types.DecimalType(28, 14))))
           .as("entropy"))
   }
 
@@ -265,7 +265,7 @@ object TermStats {
     val global = bySource.groupBy(col("term")).agg(sum(col("c_s")).as("c_g"))
     val allTotal = srcTotals.agg(sum(col("n_s")).as("n_g"))
     def lnB(c: org.apache.spark.sql.Column) =
-      graft.core.Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+      graft.core.Num.decToDouble(log(c).cast(org.apache.spark.sql.types.DecimalType(18, 12)))
     val scored = bySource
       .join(broadcast(srcTotals), "source")
       .join(broadcast(global), "term")
@@ -309,7 +309,7 @@ object TermStats {
       minCount: Int = 5, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def lnB(c: Column): Column =
-      graft.core.Num.decToDouble(log(c.cast("double")).cast(DecimalType(18, 12)))
+      graft.core.Num.decToDouble(log(c.cast("double")).cast(org.apache.spark.sql.types.DecimalType(18, 12)))
     // NULL lang rides as an explicit NUL category — the marginal equi-joins
     // would otherwise drop it silently in both engines (the q199 class).
     // The token array is PROJECTED FIRST (the q110 shape): inlining
@@ -369,8 +369,8 @@ object TermStats {
       salt: String = "split_v1"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def lnB(c: Column): Column =
-      graft.core.Num.decToDouble(log(c).cast(DecimalType(18, 12)))
-    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+      graft.core.Num.decToDouble(log(c).cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+    def q12(c: Column): Column = c.cast("string").cast(org.apache.spark.sql.types.DecimalType(28, 12))
     val bucket = Corpus.hashBucket(col("doc_id"), salt)
     val split = when(bucket < 900, "train").when(bucket < 950, "valid")
       .otherwise("test")
@@ -411,11 +411,11 @@ object TermStats {
         Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))))
       .filter(col("rank") <= topN)
     def lnB(c: org.apache.spark.sql.Column) =
-      graft.core.Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+      graft.core.Num.decToDouble(log(c).cast(org.apache.spark.sql.types.DecimalType(18, 12)))
     val xy = freq.select(col("lang"),
       lnB(col("rank").cast("double")).as("x"), lnB(col("n").cast("double")).as("y"))
     def s(c: org.apache.spark.sql.Column) =
-      graft.core.Num.decToDouble(sum(c.cast(DecimalType(28, 14))))
+      graft.core.Num.decToDouble(sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 14))))
     xy.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_points"), s(col("x")).as("sx"), s(col("y")).as("sy"),
         s(col("x") * col("y")).as("sxy"), s(col("x") * col("x")).as("sxx"))
@@ -460,7 +460,7 @@ object TermStats {
         Num.decToDouble(
           log((col("n_ab") * col("n_docs")).cast("double") /
             (col("df_a") * col("df_b")))
-            .cast(DecimalType(18, 12))).as("pmi"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 12))).as("pmi"))
       .localCheckpoint(true)
     docTerm.unpersist()
     out
@@ -483,5 +483,69 @@ object TermStats {
       .select(col("term"), col("df"),
         concat_ws(",", transform(col("top"),
           x => x.getField("doc_id").cast("string"))).as("top_docs"))
+  }
+
+  /** HEAPS' LAW FIT (Heaps 1978, public) — vocabulary growth V(N) ≈ K·N^β
+    * over the corpus in doc_id order, the scaling diagnostic a curation
+    * pipeline reads before sizing tokenizers and dedup budgets (β ≈ 0.5
+    * natural text; β near 1 flags boilerplate/noise that never saturates).
+    * DISTRIBUTED SHAPE: docs deal into `nBuckets` prefix buckets by a pure
+    * function of doc_id (value grid over the broadcast max — ids are
+    * dense, no sort); cumulative tokens = prefix-sum of per-bucket token
+    * counts and cumulative vocab = prefix-sum of per-bucket NEW-term
+    * counts (each term attributed to its min bucket — one groupBy(term)
+    * aggregate, the corpus' only heavy job); both windows ride the
+    * |buckets|-row frame. The log-log OLS slope is the q187 recipe: ln
+    * bridged to 12 decimals, moment folds quantized at (28,14), slope and
+    * intercept fixed trees. Output: one row per bucket with the fit
+    * repeated (the q243 convention).
+    */
+  def heapsFit(spark: SparkSession, sfDir: String, nBuckets: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // the max id is a bounded ONE-VALUE probe (exact — the boundary-probe
+    // class), so the bucket divisor is a folded constant: DIV, not
+    // Column./ (double division — the q260 lesson), and a constant
+    // divisor sidesteps an ANSI-mode DIVIDE_BY_ZERO thrown from the
+    // subexpression-eliminated column form inside the final self-join
+    val mxVal = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val bucketed = docs
+      .withColumn("bucket", expr(s"doc_id * $nBuckets DIV ${mxVal + 1L}"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val perBucket = bucketed
+      .select(col("bucket"), size(col("toks")).cast("long").as("ntok"))
+      .groupBy(col("bucket")).agg(sum(col("ntok")).as("btok"))
+    val newTerms = bucketed
+      .select(col("bucket"), explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("nnew"))
+      .withColumnRenamed("fb", "bucket")
+    // LEFT join + coalesce: a bucket introducing NO new term (a saturated
+    // vocabulary — the synthetic corpus saturates in bucket 0) must still
+    // carry the cumulative forward, or the curve collapses to one point
+    val joined = perBucket.join(newTerms, Seq("bucket"), "left")
+      .withColumn("nnew", coalesce(col("nnew"), lit(0L)))
+      .select(col("bucket"), sum(col("btok")).over(w).as("cum_tokens"),
+        sum(col("nnew")).over(w).as("cum_vocab"))
+    def lnB(c: Column): Column =
+      graft.core.Num.decToDouble(log(c).cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+    val pts = joined
+      .filter(col("cum_tokens") > 0 && col("cum_vocab") > 0)
+      .select(col("bucket"), col("cum_tokens"), col("cum_vocab"),
+        lnB(col("cum_tokens").cast("double")).as("x"),
+        lnB(col("cum_vocab").cast("double")).as("y"))
+    def s(c: Column) = graft.core.Num.decToDouble(sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 14))))
+    val fit = pts.agg(count(lit(1)).as("n_points"),
+      s(col("x")).as("sx"), s(col("y")).as("sy"),
+      s(col("x") * col("y")).as("sxy"), s(col("x") * col("x")).as("sxx"))
+    val nP = col("n_points").cast("double")
+    val beta = (nP * col("sxy") - col("sx") * col("sy")) /
+      (nP * col("sxx") - col("sx") * col("sx"))
+    val lnK = (col("sy") - beta * col("sx")) / nP
+    pts.crossJoin(broadcast(fit.select(beta.as("beta"), lnK.as("ln_k"),
+        col("n_points"))))
+      .select(col("bucket"), col("cum_tokens"), col("cum_vocab"),
+        col("n_points"), col("beta"), col("ln_k"))
   }
 }

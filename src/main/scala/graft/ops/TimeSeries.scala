@@ -59,6 +59,37 @@ object TimeSeries {
         (Num.decToDouble(col("num")) / Num.decToDouble(col("den"))).as("acf"))
   }
 
+  /** PARTIAL AUTOCORRELATION at lags 1–3 via the Durbin–Levinson recursion
+    * (Durbin 1960 / Levinson 1947, public), UNROLLED over [[revenueAcf]]'s
+    * hash-gated ACF values — the other half of the Box–Jenkins order-
+    * selection readout (ACF says MA order, PACF says AR order):
+    *   φ₁₁ = r₁;  φ₂₂ = (r₂ − r₁²)/(1 − r₁²);  φ₂₁ = r₁ − φ₂₂·r₁;
+    *   φ₃₃ = (r₃ − φ₂₁·r₂ − φ₂₂·r₁)/(1 − φ₂₁·r₁ − φ₂₂·r₂).
+    * The recursion is inherently sequential, but at FIXED small depth it is
+    * a handful of fixed double trees over already-cross-engine-identical
+    * doubles — the same trade q248's bounded unroll makes. Scale shape:
+    * inherits q210's entirely (the pivot and algebra run on a ≤7-row
+    * frame).
+    */
+  def pacf(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = revenueAcf(spark, sfDir).agg(
+      min(when(col("lag") === 1, col("acf"))).as("r1"),
+      min(when(col("lag") === 2, col("acf"))).as("r2"),
+      min(when(col("lag") === 3, col("acf"))).as("r3"))
+    val phi22 = (col("r2") - col("r1") * col("r1")) /
+      (lit(1.0) - col("r1") * col("r1"))
+    val phi21 = col("r1") - phi22 * col("r1")
+    val phi33 = (col("r3") - phi21 * col("r2") - phi22 * col("r1")) /
+      (lit(1.0) - phi21 * col("r1") - phi22 * col("r2"))
+    r.select(explode(array(
+        struct(lit(1L).as("lag"), col("r1").as("acf"), col("r1").as("pacf")),
+        struct(lit(2L).as("lag"), col("r2").as("acf"), phi22.as("pacf")),
+        struct(lit(3L).as("lag"), col("r3").as("acf"), phi33.as("pacf"))))
+        .as("e"))
+      .select(col("e.lag").as("lag"), col("e.acf").as("acf"),
+        col("e.pacf").as("pacf"))
+  }
+
   /** EXPONENTIALLY-WEIGHTED MOVING SUM of daily revenue, α = 1/2, window
     * truncated at `maxLag` terms — smoothing WITHOUT the sequential
     * recursion: s̃ₜ = Σ_{j<maxLag} 2^{-(j+1)}·xₜ₋ⱼ. The recursion

@@ -1016,6 +1016,94 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - w) < 1e-9 * math.abs(w), "W")
   }
 
+  test("jarque-bera: moments recomputed from q251's residuals via a two-pass central solve") {
+    val row = Statistics.jarqueBera(spark, sf).collect().head
+    val xs = TimeSeries.seasonalDecompose(spark, sf).collect()
+      .map(_.getDouble(6) / 100.0)
+    val n = xs.length
+    // independent TWO-PASS recompute (the operator expands one-pass raw
+    // moments; agreeing central moments prove the expansion)
+    val mean = xs.sum / n
+    def cm(k: Int) = xs.map(x => math.pow(x - mean, k)).sum / n
+    val m2 = cm(2); val m3 = cm(3); val m4 = cm(4)
+    val skew = m3 / math.sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2)
+    val jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    assert(row.getLong(0) === n.toLong)
+    assert(math.abs(row.getDouble(1) - m2) < 1e-6 * m2, "m2")
+    assert(math.abs(row.getDouble(2) - skew) < 1e-6 * math.max(1.0, math.abs(skew)), "skewness")
+    assert(math.abs(row.getDouble(3) - kurt) < 1e-6 * kurt, "kurtosis")
+    assert(math.abs(row.getDouble(4) - jb) < 1e-5 * math.max(1.0, jb), "JB")
+    assert(row.getBoolean(5) === (row.getDouble(4) > 5.991))
+  }
+
+  test("welch t: moments, variance, t and df recomputed from exact BigInt folds") {
+    val row = Statistics.welchT(spark, sf).collect().head
+    val groups = centsGroups.filter(t => t._2 == "1-URGENT" || t._2 == "5-LOW")
+      .groupBy(_._2).map { case (g, xs) => (g, xs.map(_._1)) }
+    val x1 = groups("1-URGENT"); val x2 = groups("5-LOW")
+    def stats(xs: Array[Long]): (Long, Double, Double) = {
+      val n = xs.length
+      val s = xs.map(BigInt(_)).sum
+      val ss = xs.map(x => BigInt(x) * x).sum
+      val v = (ss.toDouble - s.toDouble * s.toDouble / n) / (n - 1.0)
+      (n.toLong, s.toDouble / n, v)
+    }
+    val (n1, m1, v1) = stats(x1); val (n2, m2, v2) = stats(x2)
+    val se2 = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / math.sqrt(se2)
+    val df = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1.0) +
+      (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    assert(row.getLong(0) === n1)
+    assert(row.getLong(1) === n2)
+    assert(math.abs(row.getDouble(2) - m1) < 1e-9 * m1, "mean1")
+    assert(math.abs(row.getDouble(3) - m2) < 1e-9 * m2, "mean2")
+    assert(math.abs(row.getDouble(4) - t) < 1e-9 * math.max(1.0, math.abs(t)), "t")
+    assert(math.abs(row.getDouble(5) - df) < 1e-6 * df, "Welch df")
+    assert(df >= math.min(n1, n2) - 1.0 && df <= n1 + n2 - 2.0,
+      "Welch df bracketed by the classical bounds")
+  }
+
+  test("heaps fit: cumulatives recomputed exactly; the fit solves its own normal equations") {
+    val rows = TermStats.heapsFit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length === 32, "one row per prefix bucket")
+    // exact recompute of both cumulatives from the raw corpus
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toArray))
+    val mx = docs.map(_._1).max
+    def bucket(id: Long) = id * 32 / (mx + 1)
+    val tokPer = docs.groupBy(d => bucket(d._1)).map { case (b, ds) =>
+      (b, ds.map(_._2.length.toLong).sum) }
+    val firstB = docs.flatMap(d => d._2.map(t => (t, bucket(d._1))))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }
+    val newPer = firstB.groupBy(identity).map { case (b, xs) => (b, xs.size.toLong) }
+    var ct = 0L; var cv = 0L
+    rows.sortBy(_._1).foreach { case (b, cumT, cumV, nPts, beta, lnK) =>
+      ct += tokPer.getOrElse(b, 0L); cv += newPer.getOrElse(b, 0L)
+      assert(cumT === ct, s"bucket $b cumulative tokens")
+      assert(cumV === cv, s"bucket $b cumulative vocab")
+      assert(nPts === 32L)
+      assert(beta === rows.head._5 && lnK === rows.head._6, "fit repeated")
+    }
+    // the OLS fit satisfies its own normal equations on the 32 log points
+    val pts = rows.sortBy(_._1).map(r => (math.log(r._2.toDouble), math.log(r._3.toDouble)))
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxx, sxy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._1 * p._2).sum)
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val lnK = (sy - beta * sx) / n
+    assert(math.abs(rows.head._5 - beta) < 1e-6 * math.max(1.0, math.abs(beta)), "beta")
+    assert(math.abs(rows.head._6 - lnK) < 1e-6 * math.max(1.0, math.abs(lnK)), "lnK")
+    // the synthetic corpus saturates its 31-term vocabulary immediately, so
+    // beta must be ~0 here; natural corpora sit near 0.5 — only the
+    // saturation invariant is data-independent
+    assert(rows.head._5 >= -0.01 && rows.head._5 <= 1.0, "beta in a sane range")
+  }
+
   test("ols influence: hat-matrix identities and an independent Cook ranking") {
     val rows = Statistics.olsInfluence(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2), r.getDouble(3),

@@ -186,4 +186,31 @@ class CurationSpec extends SparkSpec {
     }
     assert(rows.values.map(_._1).sum === pairs.length.toLong, "every pair counted once")
   }
+
+  test("contamination matrix: cells recount the verified pairs; rates use exact capacities") {
+    val sf = "/root/testdata/sf0.001"
+    val src = graft.core.Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = src.values.groupBy(identity).map { case (s, xs) => (s, xs.size.toLong) }
+    val pairs = Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa < sb) sa else sb, if (sa < sb) sb else sa)
+    }.map { case (k, v) => k -> v.length.toLong }
+    val rows = Curation.contaminationMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(rows.keySet === expect.keySet)
+    rows.foreach { case (k @ (lo, hi), (n, nLo, nHi, rate, cross)) =>
+      assert(n === expect(k), s"cell $k")
+      assert(nLo === counts(lo) && nHi === counts(hi), s"cell $k source counts")
+      val cap = if (lo == hi) nLo * (nLo - 1) / 2 else nLo * nHi
+      assert(rate === n.toDouble / cap.toDouble, s"cell $k rate")
+      assert(cross === (lo != hi))
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(rows.values.map(_._1).sum === pairs.length.toLong, "every pair counted once")
+  }
 }

@@ -146,6 +146,79 @@ class EvaluationSpec extends SparkSpec {
       "source groups partition all documents")
   }
 
+  test("mcnemar: cells partition the corpus; chi2 is the discordant identity") {
+    val row = Evaluation.mcnemar(spark, sf).collect().head
+    val n = row.getLong(0); val bothC = row.getLong(1)
+    val onlyA = row.getLong(2); val onlyB = row.getLong(3); val bothW = row.getLong(4)
+    assert(bothC + onlyA + onlyB + bothW === n, "four cells partition the docs")
+    assert(n === graft.core.Tables.documents(spark, sf).count())
+    // independent recompute of the discordant cells from the two classifiers
+    val a = TextAnalysis.langId(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(7) == "en")).toMap
+    val truth = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).contains("en"))).toMap
+    val b = Curation.qualityClassifier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1) >= 0.5)).toMap
+    var oa = 0L; var ob = 0L
+    truth.foreach { case (id, y) =>
+      val ca = a(id) == y; val cb = b(id) == y
+      if (ca && !cb) oa += 1
+      if (!ca && cb) ob += 1
+    }
+    assert(onlyA === oa, "A-right-B-wrong count")
+    assert(onlyB === ob, "B-right-A-wrong count")
+    if (oa + ob > 0) {
+      val chi2 = (math.abs(oa - ob) - 1.0) * (math.abs(oa - ob) - 1.0) / (oa + ob)
+      assert(math.abs(row.getDouble(5) - chi2) < 1e-12 * math.max(1.0, chi2))
+      assert(row.getBoolean(6) === (row.getDouble(5) > 3.841))
+    }
+  }
+
+  test("decile lift: partitions the corpus, last cumulative lift is exactly 1") {
+    val rows = Evaluation.decileLift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= 10)
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "deciles partition all docs")
+    assert(rows.last._4 === total, "cumulative n ends at the corpus size")
+    assert(rows.last._6 === 1.0, "final cumulative lift is exactly 1.0")
+    // cumulative columns are consistent prefix sums; each lift is the
+    // exact single-division identity over them
+    val posTotal = rows.map(_._3).sum
+    var cn = 0L; var cp = 0L
+    rows.foreach { case (_, nr, np, cumN, cumP, lift) =>
+      cn += nr; cp += np
+      assert(cumN === cn && cumP === cp, "prefix sums")
+      assert(lift === (cumP * total).toDouble / (cumN * posTotal).toDouble,
+        "lift is one exact-product division")
+    }
+  }
+
+  test("classifier KS: equals the max CDF gap recomputed from sorted scores") {
+    val row = Evaluation.classifierKs(spark, sf).collect().head
+    val scored = Curation.qualityClassifier(spark, sf)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val en = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).contains("en"))).toMap
+    val xs = scored.map { case (id, s) => (s, en(id)) }.sortBy(_._1)
+    val n1 = xs.count(_._2).toLong; val n2 = xs.length - n1
+    var c1 = 0L; var c2 = 0L; var best = 0L; var bestX = Double.MaxValue
+    xs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (x, g) =>
+      c1 += g.count(_._2); c2 += g.count(!_._2)
+      val dn = math.abs(c1 * n2 - c2 * n1)
+      if (dn > best) { best = dn; bestX = x }
+      else if (dn == best && x < bestX) bestX = x
+    }
+    assert(row.getLong(0) === n1)
+    assert(row.getLong(1) === n2)
+    assert(row.getLong(2) === best, "exact integer KS numerator")
+    assert(row.getDouble(3) === best.toDouble / (n1.toDouble * n2.toDouble))
+    assert(row.getDouble(4) === bestX, "threshold is the smallest argmax score")
+  }
+
   test("cohen's kappa: recomputed from q220's own confusion matrix") {
     val row = Evaluation.cohensKappa(spark, sf).collect().head
     // rebuild the margins from the (independently oracle-gated) q220 cells

@@ -126,4 +126,63 @@ class GraphSpec extends SparkSpec {
     assert(r >= -1.0 && r <= 1.0)
     assert(row.getLong(0) > 0)
   }
+
+  test("cluster-size histogram: partitions the corpus, identities hold, sizes recount q55") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Graph.clusterSizeHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === total, "histogram covers every document")
+    val expected = Graph.dupClusters(spark, sf).collect()
+      .map(_.getLong(1)).groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => (sz, cs.size.toLong) }
+    assert(rows.map(r => (r._1, r._2)).toMap === expected,
+      "size histogram recounts the cluster frame")
+    rows.foreach { case (size, nCl, nDocs, share) =>
+      assert(size >= 1L)
+      assert(nDocs === size * nCl, "n_docs identity")
+      assert(share === nDocs.toDouble / total.toDouble, "exact share division")
+    }
+  }
+
+  test("clustering coefficient: per-node triangles match a brute-force adjacency recompute") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    val triPer = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) =>
+      // common neighbors ABOVE v close a triangle counted once per (u,v,w)
+      adj(u).intersect(adj(v)).filter(w => w > v).foreach { w =>
+        triPer(u) += 1; triPer(v) += 1; triPer(w) += 1
+      }
+    }
+    val rows = Graph.clusteringCoefficient(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val expected = adj.filter(_._2.size >= 2)
+    assert(rows.length === expected.size, "one row per deg>=2 node")
+    rows.foreach { case (id, deg, nTri, cc, avg) =>
+      assert(deg === adj(id).size.toLong, s"node $id degree")
+      assert(nTri === triPer(id), s"node $id triangle count")
+      val e = 2.0 * nTri / (deg.toDouble * (deg - 1))
+      assert(cc === e, s"node $id local cc")
+      assert(cc >= 0.0 && cc <= 1.0)
+      assert(avg === rows.head._5, "average repeated")
+    }
+    def q12(d: Double) = BigDecimal(d.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val mean = rows.map(r => q12(r._4)).sum.toDouble / rows.length
+    assert(math.abs(rows.head._5 - mean) < 1e-9 * math.max(1e-9, mean),
+      "average is the quantized-fold mean")
+  }
 }

@@ -265,6 +265,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-14 eval/cluster/corpus tier: no raw global windows") {
+    // every window in these queries rides an aggregated frame (per-score
+    // counts, 10-row deciles, |sizes| histogram, 7-row ACF) or the
+    // two-phase engines — the detector must stay at zero
+    for (df <- Seq(
+        graft.ops.Evaluation.decileLift(spark, sf),
+        graft.ops.Evaluation.classifierKs(spark, sf),
+        graft.ops.Evaluation.mcnemar(spark, sf),
+        graft.ops.Curation.contaminationMatrix(spark, sf),
+        graft.ops.Graph.clusterSizeHistogram(spark, sf),
+        TimeSeries.pacf(spark, sf))) {
+      assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+    }
+  }
+
   test("quantile-boundary rank: only the whitelisted bare-value boundary pass") {
     // the boundary pass sorts ONLY the bare value column — the documented
     // exception (GK swap gated by q165); phase 2 itself must stay at zero.

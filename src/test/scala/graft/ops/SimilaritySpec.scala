@@ -227,4 +227,43 @@ class SimilaritySpec extends SparkSpec {
     val expect = vecs(qa).zip(vecs(qb)).map { case (x, y) => (x - y) * (x - y) }.sum
     assert(d2o === expect, "exact int64 original distance")
   }
+
+  test("silhouette: bounded, clusters partition the corpus, cells match kmeansStep") {
+    val rows = Similarity.silhouette(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "clusters partition all vectors")
+    rows.foreach { case (cell, n, mean, mn, mx, overall) =>
+      assert(n > 0)
+      assert(mn >= -1.0 && mx <= 1.0, s"cell $cell silhouette out of [-1,1]")
+      assert(mean >= mn - 1e-12 && mean <= mx + 1e-12, s"cell $cell mean outside [min,max]")
+      assert(overall === rows.head._6, "overall mean repeated")
+    }
+    // the q269 cell (argmax over the one-step centroids) must agree with
+    // q77's cell1 assignment — same centroids, same argmax, same tiebreak
+    val fromStep = Similarity.kmeansStep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val bySize = rows.map(r => (r._1, r._2)).toMap
+    val stepSizes = fromStep.values.groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+    assert(bySize === stepSizes, "per-cell populations match kmeansStep's cell1")
+  }
+
+  test("davies-bouldin: index is the mean of per-cluster worst ratios, all positive") {
+    val rows = Similarity.daviesBouldin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cell, n, sI, partner, ratio, db) =>
+      assert(n > 0)
+      assert(sI >= 0.0, s"cell $cell scatter negative")
+      assert(ratio > 0.0, s"cell $cell worst ratio not positive")
+      assert(partner != cell, "worst partner is another cluster")
+      assert(db === rows.head._6, "db index repeated")
+    }
+    def q12(d: Double) = BigDecimal(d.toString).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val mean = rows.map(r => q12(r._5)).sum.toDouble / rows.length
+    assert(math.abs(rows.head._6 - mean) < 1e-9 * mean, "index is the quantized-fold mean")
+  }
 }

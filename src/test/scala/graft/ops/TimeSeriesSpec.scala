@@ -424,6 +424,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(tau >= -1.0 && tau <= 1.0)
   }
 
+  test("pacf: Durbin-Levinson recursion replayed over q210's own ACF values") {
+    val sf = "/root/testdata/sf0.001"
+    val acf = TimeSeries.revenueAcf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val (r1, r2, r3) = (acf(1L), acf(2L), acf(3L))
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val phi21 = r1 - p2 * r1
+    val p3 = (r3 - phi21 * r2 - p2 * r1) / (1.0 - phi21 * r1 - p2 * r2)
+    val rows = TimeSeries.pacf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.length === 3)
+    assert(rows(0) === ((1L, r1, r1)), "lag 1: pacf = acf")
+    assert(rows(1)._2 === r2)
+    assert(math.abs(rows(1)._3 - p2) < 1e-15, "lag-2 partial")
+    assert(rows(2)._2 === r3)
+    assert(math.abs(rows(2)._3 - p3) < 1e-15, "lag-3 partial")
+  }
+
   test("seasonal mann-kendall: per-dow S and variance recomputed; totals fold") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions._
