@@ -314,6 +314,18 @@ object SparkEntry {
     "q278_contamination"   -> ((s, d) => graft.ops.Curation.contaminationMatrix(s, d)),
     "q279_cluster_sizes"   -> ((s, d) => graft.ops.Graph.clusterSizeHistogram(s, d)),
     "q280_pacf"            -> ((s, d) => graft.ops.TimeSeries.pacf(s, d)),
+    "q281_term_burstiness" -> ((s, d) => graft.ops.TermStats.termBurstiness(s, d)),
+    "q282_info_gain"       -> ((s, d) => graft.ops.Evaluation.infoGain(s, d)),
+    "q283_forecast_compare" -> ((s, d) => graft.ops.TimeSeries.forecastCompare(s, d)),
+    "q284_spearman"        -> ((s, d) => graft.ops.TimeSeries.spearman(s, d)),
+    "q285_theil_u"         -> ((s, d) => graft.ops.TimeSeries.theilU(s, d)),
+    "q286_path_entropy"    -> ((s, d) => graft.ops.Events.pathEntropy(s, d)),
+    "q287_point_biserial"  -> ((s, d) => graft.ops.Evaluation.pointBiserial(s, d)),
+    "q288_cliffs_delta"    -> ((s, d) => graft.ops.Statistics.cliffsDelta(s, d)),
+    "q289_hosmer_lemeshow" -> ((s, d) => graft.ops.Evaluation.hosmerLemeshow(s, d)),
+    "q290_wasserstein"     -> ((s, d) => graft.ops.Statistics.wasserstein1d(s, d)),
+    "q291_cochrans_q"      -> ((s, d) => graft.ops.Evaluation.cochransQ(s, d)),
+    "q292_runs_test"       -> ((s, d) => graft.ops.TimeSeries.runsTest(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -3053,6 +3065,459 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), r2, p2 FROM ph3
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), r3, p3 FROM ph3""".stripMargin,
+
+    // q281: Church–Gale overdispersion — VMR = (N·S − T²)/(N·T), exact
+    // BIGINT numerator/denominator, ONE double division; top-50 with a
+    // term tiebreak in both engines
+    "q281_term_burstiness" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |pt AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS t_total,
+        |    CAST(sum(tf * tf) AS BIGINT) AS s2
+        |  FROM tf GROUP BY 1)
+        |SELECT term, df, t_total, n_docs,
+        |  CAST(n_docs * s2 - t_total * t_total AS DOUBLE)
+        |    / CAST(n_docs * t_total AS DOUBLE) AS vmr
+        |FROM pt CROSS JOIN n
+        |WHERE df >= 5
+        |ORDER BY vmr DESC, term
+        |LIMIT 50""".stripMargin,
+
+    // q282: information gain — every probability a ratio of exact counts,
+    // every ln through the 12-decimal bridge, cell terms quantized before
+    // the exact fold; H(y) repeated on both feature rows
+    "q282_info_gain" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN n_chars < 200 THEN 'short'
+        |    WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS band,
+        |    source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'length_band' AS feature, band AS v, y FROM base
+        |  UNION ALL SELECT 'source', source, y FROM base),
+        |cells AS (
+        |  SELECT feature, v, y, CAST(count(*) AS BIGINT) AS c_vy
+        |  FROM u GROUP BY 1, 2, 3),
+        |vt AS (SELECT feature, v, CAST(sum(c_vy) AS BIGINT) AS c_v
+        |       FROM cells GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |hy AS (
+        |  SELECT -CAST(CAST(sum(CAST(CAST(
+        |      (CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(CAST(CAST(CAST(ln(CAST(c_y AS DOUBLE) / CAST(n AS DOUBLE))
+        |        AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS h_y
+        |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS c_y FROM base GROUP BY 1)
+        |  CROSS JOIN nn),
+        |cond AS (
+        |  SELECT feature,
+        |    -CAST(CAST(sum(CAST(CAST(
+        |      (CAST(c_vy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(CAST(CAST(CAST(ln(CAST(c_vy AS DOUBLE) / CAST(c_v AS DOUBLE))
+        |        AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS h_y_given
+        |  FROM cells JOIN vt USING (feature, v) CROSS JOIN nn
+        |  GROUP BY 1)
+        |SELECT feature, h_y, h_y_given, h_y - h_y_given AS info_gain
+        |FROM cond CROSS JOIN hy""".stripMargin,
+
+    // q283: forecaster head-to-head — q223's EWMA error chain joined on
+    // the same days with an AR(1) arm (φ = q210's bridged r₁); monthly
+    // MAEs from quantized folds, the winner compared on the EXACT decimal
+    // sums, never the divided doubles
+    "q283_forecast_compare" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |i AS (SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+        |o AS (SELECT CAST(u AS BIGINT) AS j FROM (SELECT unnest(generate_series(0, 39)) AS u)),
+        |c AS (
+        |  SELECT i.i + o.j AS i,
+        |    CAST(CAST(CAST(x AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS termq,
+        |    CAST(CAST(CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS wq
+        |  FROM i CROSS JOIN o),
+        |s AS (
+        |  SELECT i, CAST(CAST(sum(termq) AS VARCHAR) AS DOUBLE) AS ewma_cents,
+        |    CAST(CAST(sum(wq) AS VARCHAR) AS DOUBLE) AS w_mass
+        |  FROM c GROUP BY 1),
+        |e0 AS (
+        |  SELECT day, x AS total_cents, ewma_cents / w_mass AS ewma_norm
+        |  FROM i JOIN s USING (i)),
+        |f AS (
+        |  SELECT day, total_cents, lag(ewma_norm) OVER (ORDER BY day) AS forecast
+        |  FROM e0),
+        |sc AS (
+        |  SELECT day, CAST(total_cents AS DOUBLE) - forecast AS e
+        |  FROM f WHERE forecast IS NOT NULL),
+        |t2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        |i2 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(n * x - sx AS HUGEINT) AS dev
+        |  FROM daily, t2),
+        |den2 AS (SELECT sum(dev * dev) AS den FROM i2),
+        |num2 AS (SELECT sum(a.dev * b.dev) AS num FROM i2 a JOIN i2 b ON b.i = a.i + 1),
+        |ph AS (
+        |  SELECT CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS phi
+        |  FROM num2, den2),
+        |arr AS (SELECT day, x, lag(x) OVER (ORDER BY day) AS x_prev FROM daily),
+        |ar AS (
+        |  SELECT day,
+        |    abs(CAST(x AS DOUBLE) - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + phi * (CAST(x_prev AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) AS ae_ar
+        |  FROM arr CROSS JOIN ph CROSS JOIN t2
+        |  WHERE x_prev IS NOT NULL),
+        |j AS (
+        |  SELECT sc.day, abs(sc.e) AS ae_ewma, ar.ae_ar
+        |  FROM sc JOIN ar USING (day)),
+        |mth AS (
+        |  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(CAST(ae_ewma AS VARCHAR) AS DECIMAL(28,12))) AS se,
+        |    sum(CAST(CAST(ae_ar AS VARCHAR) AS DECIMAL(28,12))) AS sa
+        |  FROM j GROUP BY 1)
+        |SELECT month, n_days,
+        |  CAST(CAST(se AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae_ewma_cents,
+        |  CAST(CAST(sa AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae_ar1_cents,
+        |  sa < se AS ar1_wins
+        |FROM mth""".stripMargin,
+
+    // q284: Spearman ρ — ties carried as the INTEGER doubled average rank
+    // r2 = 2m + t + 1, so all five moments are exact BIGINTs and ρ is one
+    // fixed double tree identical in both engines
+    "q284_spearman" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |gx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1),
+        |rx AS (
+        |  SELECT v, CAST(2 * COALESCE(CAST(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + t + 1 AS BIGINT) AS u
+        |  FROM gx),
+        |gc AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1),
+        |rc AS (
+        |  SELECT v, CAST(2 * COALESCE(CAST(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    + t + 1 AS BIGINT) AS w
+        |  FROM gc),
+        |j AS (
+        |  SELECT u, w FROM daily
+        |  JOIN rx ON daily.x = rx.v
+        |  JOIN rc ON daily.c = rc.v),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(w) AS BIGINT) AS sv,
+        |    CAST(sum(u * u) AS BIGINT) AS suu, CAST(sum(w * w) AS BIGINT) AS svv,
+        |    CAST(sum(u * w) AS BIGINT) AS suv
+        |  FROM j)
+        |SELECT n AS n_days, suv,
+        |  CAST(n * suv - su * sv AS DOUBLE)
+        |    / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+        |       * sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS rho
+        |FROM s""".stripMargin,
+
+    // q285: Theil's U₂ — both q283 arms vs persistence; every bridged
+    // square is a relative error in [0,~1] (magnitude-safe at any SF)
+    "q285_theil_u" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |i AS (SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+        |o AS (SELECT CAST(u AS BIGINT) AS j FROM (SELECT unnest(generate_series(0, 39)) AS u)),
+        |c AS (
+        |  SELECT i.i + o.j AS i,
+        |    CAST(CAST(CAST(x AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS termq,
+        |    CAST(CAST(CAST(1.0 AS DOUBLE)
+        |      / CAST(CAST(1 AS BIGINT) << CAST(o.j + 1 AS INTEGER) AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(28,12)) AS wq
+        |  FROM i CROSS JOIN o),
+        |s AS (
+        |  SELECT i, CAST(CAST(sum(termq) AS VARCHAR) AS DOUBLE) AS ewma_cents,
+        |    CAST(CAST(sum(wq) AS VARCHAR) AS DOUBLE) AS w_mass
+        |  FROM c GROUP BY 1),
+        |e0 AS (
+        |  SELECT day, x, ewma_cents / w_mass AS ewma_norm
+        |  FROM i JOIN s USING (i)),
+        |f AS (
+        |  SELECT day, lag(ewma_norm) OVER (ORDER BY day) AS f_ewma
+        |  FROM e0),
+        |t2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        |i2 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(n * x - sx AS HUGEINT) AS dev
+        |  FROM daily, t2),
+        |den2 AS (SELECT sum(dev * dev) AS den FROM i2),
+        |num2 AS (SELECT sum(a.dev * b.dev) AS num FROM i2 a JOIN i2 b ON b.i = a.i + 1),
+        |ph AS (
+        |  SELECT CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS phi
+        |  FROM num2, den2),
+        |arr AS (SELECT day, x, lag(x) OVER (ORDER BY day) AS x_prev FROM daily),
+        |b AS (
+        |  SELECT arr.day, arr.x, arr.x_prev,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + phi * (CAST(x_prev AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS f_ar,
+        |    f.f_ewma
+        |  FROM arr CROSS JOIN ph CROSS JOIN t2
+        |  JOIN f ON f.day = arr.day
+        |  WHERE arr.x_prev IS NOT NULL AND f.f_ewma IS NOT NULL),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(CAST(
+        |      ((f_ewma - CAST(x AS DOUBLE)) / CAST(x_prev AS DOUBLE))
+        |      * ((f_ewma - CAST(x AS DOUBLE)) / CAST(x_prev AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(28,12))) AS sm_e,
+        |    sum(CAST(CAST(
+        |      ((f_ar - CAST(x AS DOUBLE)) / CAST(x_prev AS DOUBLE))
+        |      * ((f_ar - CAST(x AS DOUBLE)) / CAST(x_prev AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(28,12))) AS sm_a,
+        |    sum(CAST(CAST(
+        |      ((CAST(x_prev AS DOUBLE) - CAST(x AS DOUBLE)) / CAST(x_prev AS DOUBLE))
+        |      * ((CAST(x_prev AS DOUBLE) - CAST(x AS DOUBLE)) / CAST(x_prev AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(28,12))) AS sm_n
+        |  FROM b)
+        |SELECT n_days,
+        |  sqrt(CAST(CAST(sm_e AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sm_n AS VARCHAR) AS DOUBLE)) AS u2_ewma,
+        |  sqrt(CAST(CAST(sm_a AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sm_n AS VARCHAR) AS DOUBLE)) AS u2_ar1
+        |FROM agg""".stripMargin,
+
+    // q286: path predictability — q142's transition cells through the q282
+    // entropy bridges; H(next), H(next|cur) and their mutual-information gap
+    "q286_path_entropy" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cells AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c_ft
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(c_ft) AS BIGINT) AS c_f
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT to_type, CAST(sum(c_ft) AS BIGINT) AS c_t
+        |       FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c_ft) AS BIGINT) AS n FROM cells),
+        |hc AS (
+        |  SELECT -CAST(CAST(sum(CAST(CAST(
+        |      (CAST(c_ft AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(CAST(CAST(CAST(ln(CAST(c_ft AS DOUBLE) / CAST(c_f AS DOUBLE))
+        |        AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS h_next_given_cur
+        |  FROM cells JOIN ft USING (from_type) CROSS JOIN nn),
+        |hm AS (
+        |  SELECT max(n) AS n_transitions,
+        |    -CAST(CAST(sum(CAST(CAST(
+        |      (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * CAST(CAST(CAST(CAST(ln(CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE))
+        |        AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS h_next
+        |  FROM tt CROSS JOIN nn)
+        |SELECT n_transitions, h_next, h_next_given_cur,
+        |  h_next - h_next_given_cur AS mutual_info
+        |FROM hm CROSS JOIN hc""".stripMargin,
+
+    // q287: point-biserial r — five exact moments, products in HUGEINT /
+    // DECIMAL(38,0), one VARCHAR-bridged division
+    "q287_point_biserial" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+        |  FROM documents)
+        |SELECT n, n1, n - n1 AS n0,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_en_chars,
+        |  CAST(sx - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS mean_other_chars,
+        |  CAST(CAST(CAST(n AS HUGEINT) * s1 - CAST(n1 AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+        |    / (sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+        |       * sqrt(CAST(CAST(CAST(n AS HUGEINT) * q - CAST(sx AS HUGEINT) * sx
+        |           AS VARCHAR) AS DOUBLE))) AS r_pb
+        |FROM s""".stripMargin,
+
+    // q288: Cliff's delta — GT/TIE/LT exact BIGINTs off q204's cumulative
+    // frame; delta is ONE double division
+    "q288_cliffs_delta" ->
+      """WITH v AS (
+        |  SELECT o_totalprice AS x,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |c AS (
+        |  SELECT x, CAST(sum(g) AS BIGINT) AS c1,
+        |    CAST(sum(1 - g) AS BIGINT) AS c2
+        |  FROM v GROUP BY 1),
+        |cc AS (
+        |  SELECT x, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |  FROM c),
+        |s AS (
+        |  SELECT max(cum1) AS n1, max(cum2) AS n2,
+        |    CAST(sum(c1 * (cum2 - c2)) AS BIGINT) AS gt,
+        |    CAST(sum(c1 * c2) AS BIGINT) AS ties
+        |  FROM cc)
+        |SELECT n1, n2, gt, ties, n1 * n2 - gt - ties AS lt,
+        |  CAST(gt - (n1 * n2 - gt - ties) AS DOUBLE)
+        |    / CAST(n1 * n2 AS DOUBLE) AS delta
+        |FROM s""".stripMargin,
+
+    // q289: Hosmer–Lemeshow — q236's bins, E1 from the quantized score
+    // fold; per-bin terms quantized before the ≤10-term exact fold;
+    // zero-expectation bins excluded with the used count reported
+    "q289_hosmer_lemeshow" ->
+      s"""WITH $qualityLabeledCtes,
+         |b AS (
+         |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y
+         |  FROM qlab),
+         |bins AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS o1,
+         |    CAST(CAST(sum(CAST(CAST(score AS VARCHAR) AS DECIMAL(28,12)))
+         |      AS VARCHAR) AS DOUBLE) AS e1
+         |  FROM b GROUP BY 1),
+         |t AS (
+         |  SELECT bin, n, o1, e1,
+         |    CAST(n AS DOUBLE) - e1 AS e0,
+         |    CAST(n - o1 AS DOUBLE) AS o0
+         |  FROM bins)
+         |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(CASE WHEN e1 > 0 AND e0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bins_used,
+         |  CAST(CAST(sum(CASE WHEN e1 > 0 AND e0 > 0 THEN
+         |      CAST(CAST(
+         |        (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / e1
+         |        + (o0 - e0) * (o0 - e0) / e0
+         |      AS VARCHAR) AS DECIMAL(28,12))
+         |    ELSE NULL END) AS VARCHAR) AS DOUBLE) AS hl_stat,
+         |  CAST(sum(CASE WHEN e1 > 0 AND e0 > 0 THEN 1 ELSE 0 END) - 2 AS BIGINT) AS df
+         |FROM t""".stripMargin,
+
+    // q290: 1-D Wasserstein — W₁·n₁n₂ folds as exact |cum1·n₂ − cum2·n₁|
+    // ·gap segment integers in HUGEINT/DECIMAL(38,0); ONE bridged division
+    "q290_wasserstein" ->
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS x,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (
+        |  SELECT x, CAST(sum(g) AS BIGINT) AS c1,
+        |    CAST(sum(1 - g) AS BIGINT) AS c2
+        |  FROM v GROUP BY 1),
+        |cc AS (
+        |  SELECT x, c1, c2,
+        |    CAST(sum(c1) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |  FROM c),
+        |t AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM cc),
+        |sg AS (
+        |  SELECT cum1, cum2, lead(x) OVER (ORDER BY x) - x AS gap
+        |  FROM cc),
+        |s AS (
+        |  SELECT n1, n2,
+        |    CAST(sum(CAST(abs(cum1 * n2 - cum2 * n1) AS HUGEINT) * gap)
+        |      AS HUGEINT) AS num
+        |  FROM sg CROSS JOIN t WHERE gap IS NOT NULL GROUP BY 1, 2)
+        |SELECT n1, n2, CAST(CAST(num AS VARCHAR) AS DOUBLE) AS moved_mass,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS w1_chars
+        |FROM s""".stripMargin,
+
+    // q291: Cochran's Q across the three English detectors — every moment
+    // an exact BIGINT from ONE aggregate; Q one guarded double division
+    "q291_cochrans_q" ->
+      s"""WITH $qualityLabeledCtes,
+         |lid AS ($langIdSql),
+         |m AS (
+         |  SELECT CASE WHEN lid.guessed_lang = 'en' THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN q.score >= 0.5 THEN 1 ELSE 0 END AS b,
+         |    CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS c
+         |  FROM lid
+         |  JOIN qlab q ON lid.doc_id = q.doc_id
+         |  JOIN documents d ON lid.doc_id = d.doc_id),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a) AS BIGINT) AS ga, CAST(sum(b) AS BIGINT) AS gb,
+         |    CAST(sum(c) AS BIGINT) AS gc,
+         |    CAST(sum(a + b + c) AS BIGINT) AS sl,
+         |    CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sll
+         |  FROM m)
+         |SELECT n, ga AS g_langid, gb AS g_clf, gc AS g_len,
+         |  CASE WHEN 3 * sl - sll > 0 THEN
+         |    CAST(2 * (3 * (ga * ga + gb * gb + gc * gc)
+         |        - (ga + gb + gc) * (ga + gb + gc)) AS DOUBLE)
+         |      / CAST(3 * sl - sll AS DOUBLE)
+         |  END AS q_stat,
+         |  CAST(2 AS BIGINT) AS df
+         |FROM s""".stripMargin,
+
+    // q292: runs test — doubled-median comparisons stay in BIGINT (ties
+    // drop); R, n₊, n₋ exact; μ, σ, z one fixed double tree
+    "q292_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM daily),
+        |rk AS (
+        |  SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY x, day) AS BIGINT) AS r
+        |  FROM daily),
+        |m AS (
+        |  SELECT CAST(sum(CASE WHEN r = (n_all + 1) // 2 THEN x ELSE 0 END)
+        |    + sum(CASE WHEN r = (n_all + 2) // 2 THEN x ELSE 0 END)
+        |    AS BIGINT) AS m2
+        |  FROM rk CROSS JOIN nn),
+        |sg AS (
+        |  SELECT day,
+        |    CASE WHEN x * 2 > m2 THEN 1 WHEN x * 2 < m2 THEN -1 END AS s
+        |  FROM daily CROSS JOIN m),
+        |f AS (
+        |  SELECT day, s, lag(s) OVER (ORDER BY day) AS prev
+        |  FROM sg WHERE s IS NOT NULL),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |  FROM f)
+        |SELECT n_above, n_below, runs,
+        |  2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |    / CAST(n_above + n_below AS DOUBLE) + 1.0 AS mu,
+        |  (CAST(runs AS DOUBLE)
+        |    - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |       / CAST(n_above + n_below AS DOUBLE) + 1.0))
+        |  / sqrt((2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |      * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |         - CAST(n_above + n_below AS DOUBLE)))
+        |    / (CAST(n_above + n_below AS DOUBLE) * CAST(n_above + n_below AS DOUBLE)
+        |       * (CAST(n_above + n_below AS DOUBLE) - 1.0))) AS z
+        |FROM agg""".stripMargin,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound

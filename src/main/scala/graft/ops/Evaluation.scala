@@ -220,6 +220,154 @@ object Evaluation {
         max(col("gap")).as("max_gap"))
   }
 
+  /** INFORMATION GAIN of the two candidate stratification features
+    * (length band, source) about the English label — the feature-selection
+    * primitive (mutual information I(y; f) = H(y) − H(y|f)) read before
+    * choosing what to stratify a corpus split or a quality audit by.
+    * Exactness: every probability is a ratio of exact BIGINT counts;
+    * every ln crosses the 12-decimal bridge (the house ln rule); each
+    * cell's −(c_vy/n)·ln(c_vy/c_v) term quantizes to 12 decimals before
+    * the exact fold, so accumulation order never matters. H(y) folds the
+    * same way from the label margin (identical on every row — the q243
+    * repeated-total convention). Scale: one counts aggregate per feature
+    * over the corpus; everything after runs on |values|·2 cells.
+    */
+  def infoGain(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    def lnB(c: Column): Column =
+      Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    val base = Tables.documents(spark, sfDir)
+      .select(lengthBand.as("band"),
+        col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val cells = base.select(lit("length_band").as("feature"),
+        col("band").as("v"), col("y"))
+      .unionByName(base.select(lit("source").as("feature"),
+        col("source").as("v"), col("y")))
+      .groupBy(col("feature"), col("v"), col("y"))
+      .agg(count(lit(1)).as("c_vy"))
+    val vTot = cells.groupBy(col("feature"), col("v"))
+      .agg(sum(col("c_vy")).as("c_v"))
+    val n = base.agg(count(lit(1)).as("n"))
+    // H(y) from the label margin (feature-independent)
+    val yTot = base.groupBy(col("y")).agg(count(lit(1)).as("c_y"))
+      .crossJoin(broadcast(n))
+      .select(q12((col("c_y").cast("double") / col("n").cast("double")) *
+        lnB(col("c_y").cast("double") / col("n").cast("double"))).as("t"))
+      .agg((-Num.decToDouble(sum(col("t")))).as("h_y"))
+    val cond = cells.join(vTot, Seq("feature", "v"))
+      .crossJoin(broadcast(n))
+      .select(col("feature"),
+        q12((col("c_vy").cast("double") / col("n").cast("double")) *
+          lnB(col("c_vy").cast("double") / col("c_v").cast("double"))).as("t"))
+      .groupBy(col("feature"))
+      .agg((-Num.decToDouble(sum(col("t")))).as("h_y_given"))
+    cond.crossJoin(broadcast(yTot))
+      .select(col("feature"), col("h_y"), col("h_y_given"),
+        (col("h_y") - col("h_y_given")).as("info_gain"))
+  }
+
+  /** POINT-BISERIAL CORRELATION (public, the Pearson r of a binary and a
+    * continuous variable) between the English label and document LENGTH —
+    * the one-number leakage audit ("does length predict the label?") read
+    * before trusting any length-correlated quality feature, and the
+    * continuous-feature sibling of q282's categorical information gain.
+    * ENTIRELY exact until one fixed tree: with n, n₁, S = Σx, S₁ = Σx·y,
+    * Q = Σx² all exact integers, r = (n·S₁ − n₁·S)/(√(n₁·n₀)·√(n·Q − S²))
+    * — products fold in DECIMAL(38,0) (the q205 integer-decimal rule, safe
+    * at any corpus size), cross the VARCHAR bridge, and divide once.
+    * Scale: ONE scan-speed aggregate over documents; no joins, no windows.
+    */
+  def pointBiserial(spark: SparkSession, sfDir: String): DataFrame = {
+    def d38(c: Column): Column = c.cast(DecimalType(38, 0))
+    val s = Tables.documents(spark, sfDir)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("n_chars").cast("long").as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n1"),
+        sum(col("x")).as("sx"), sum(col("y") * col("x")).as("s1"),
+        sum((d38(col("x")) * col("x")).cast(DecimalType(38, 0))).as("q"))
+    s.select(col("n"), col("n1"), (col("n") - col("n1")).as("n0"),
+      (col("s1").cast("double") / col("n1").cast("double")).as("mean_en_chars"),
+      ((col("sx") - col("s1")).cast("double") /
+        (col("n") - col("n1")).cast("double")).as("mean_other_chars"),
+      (Num.decToDouble((d38(col("n")) * col("s1") - d38(col("n1")) * col("sx"))
+          .cast(DecimalType(38, 0))) /
+        (sqrt(col("n1").cast("double") * (col("n") - col("n1")).cast("double")) *
+          sqrt(Num.decToDouble((d38(col("n")) * col("q") - d38(col("sx")) * col("sx"))
+            .cast(DecimalType(38, 0)))))).as("r_pb"))
+  }
+
+  /** HOSMER–LEMESHOW GOODNESS-OF-FIT (Hosmer & Lemeshow 1980, public) for
+    * the q195 quality classifier against the English label, over q236's own
+    * ten fixed score bins: HL = Σ_bins [(O₁−E₁)²/E₁ + (O₀−E₀)²/E₀] with
+    * O₁ the observed positives and E₁ = Σp the expected — the TEST that
+    * turns q236's per-bin calibration table into one χ²(bins−2) decision.
+    * Determinism: E₁ folds 12-decimal-quantized scores exactly (the q236
+    * recipe); each bin's two terms are a fixed double tree, quantized to 12
+    * decimals before the ≤10-term exact fold. Bins where E₁ or E₀ is zero
+    * carry no information and are excluded, with the used-bin count
+    * reported (df = used − 2). Scale shape: q236's — one scan-speed scoring
+    * pass, one PK join, one 10-group aggregate; everything after is ≤10 rows.
+    */
+  def hosmerLemeshow(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val bins = scoredWithLabel(spark, sfDir)
+      .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("o1"),
+        Num.decToDouble(sum(q12(col("score")))).as("e1"))
+    val e0 = col("n").cast("double") - col("e1")
+    val o0 = (col("n") - col("o1")).cast("double")
+    val d1 = col("o1").cast("double") - col("e1")
+    val d0 = o0 - e0
+    val used = col("e1") > 0.0 && e0 > 0.0
+    val term = when(used,
+      q12(d1 * d1 / col("e1") + d0 * d0 / e0)).otherwise(lit(null))
+    bins.agg(count(lit(1)).as("n_bins"),
+        sum(when(used, 1L).otherwise(0L)).as("n_bins_used"),
+        Num.decToDouble(sum(term)).as("hl_stat"))
+      .select(col("n_bins"), col("n_bins_used"), col("hl_stat"),
+        (col("n_bins_used") - 2L).as("df"))
+  }
+
+  /** COCHRAN'S Q TEST (Cochran 1950, public) across THREE binary English
+    * detectors on the same documents — the k-sample generalization of
+    * q274's McNemar pair: the q23 stopword heuristic (guessed = 'en'), the
+    * q195 classifier at 0.5, and a length-≥300 strawman baseline. Q =
+    * (k−1)·[k·ΣG_j² − (ΣG_j)²] / (k·ΣL − ΣL²) with G_j the per-detector
+    * positive totals and L each document's row sum (0..3) — EVERY term an
+    * exact BIGINT (ΣL and ΣL² fold in the same one aggregate), Q one
+    * guarded double division, df = k−1. Rejecting says the three detectors
+    * have genuinely different positive rates — run BEFORE pairwise
+    * McNemars, which otherwise multiply α. Scale shape: one scan-speed
+    * scoring pass (the langid regexes + the q195 score), two PK joins, ONE
+    * aggregate; nothing after exceeds one row.
+    */
+  def cochransQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val lid = TextAnalysis.langId(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("guessed_lang") === "en", 1L).otherwise(0L).as("a"))
+    val clf = Curation.qualityClassifier(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("score") >= 0.5, 1L).otherwise(0L).as("b"))
+    val len = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("c"))
+    val l = col("a") + col("b") + col("c")
+    val s = lid.join(clf, "doc_id").join(len, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("a")).as("ga"), sum(col("b")).as("gb"), sum(col("c")).as("gc"),
+        sum(l).as("sl"), sum(l * l).as("sll"))
+    val num = lit(2L) * (lit(3L) * (col("ga") * col("ga") +
+      col("gb") * col("gb") + col("gc") * col("gc")) -
+      (col("ga") + col("gb") + col("gc")) * (col("ga") + col("gb") + col("gc")))
+    val den = lit(3L) * col("sl") - col("sll")
+    s.select(col("n"), col("ga").as("g_langid"), col("gb").as("g_clf"),
+      col("gc").as("g_len"),
+      when(den > 0L, num.cast("double") / den.cast("double")).as("q_stat"),
+      lit(2L).as("df"))
+  }
+
   /** McNEMAR'S TEST (McNemar 1947, public) between the two English
     * detectors the engine already ships — the q23 language-ID heuristic
     * (A: guessed_lang = 'en') and the q195 quality classifier thresholded

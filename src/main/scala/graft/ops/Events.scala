@@ -449,6 +449,50 @@ object Events {
           sum(col("n_transitions")).over(Window.partitionBy("from_type")))
   }
 
+  /** SESSION-PATH PREDICTABILITY: the conditional entropy H(next | current)
+    * of q142's transition matrix, beside the marginal H(next) and their
+    * difference — the mutual information the current step carries about
+    * the next. The one-number answer to "are user journeys structured or
+    * random?": H(next|cur) ≈ H(next) means the funnel order is noise;
+    * a large gap means paths are predictable (and a path model is worth
+    * training). Exactness: the q282 recipe verbatim — every probability a
+    * ratio of exact BIGINT transition counts, every ln through the
+    * 12-decimal bridge, each −(c/N)·ln(·) term quantized to 12 decimals
+    * before the exact decimal fold, so accumulation order never matters.
+    * Scale shape: ONE corpus-sized job (the per-user lead window + the
+    * |types|² count aggregate q142 already pays); everything after runs on
+    * the ≤|types|² cells frame.
+    */
+  def pathEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    def lnB(c: Column): Column =
+      graft.core.Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    val byUserTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUserTime))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c_ft"))
+    val fromTot = cells.groupBy(col("from_type")).agg(sum(col("c_ft")).as("c_f"))
+    val toTot = cells.groupBy(col("to_type")).agg(sum(col("c_ft")).as("c_t"))
+    val n = cells.agg(sum(col("c_ft")).as("n"))
+    val hCond = cells.join(broadcast(fromTot), "from_type")
+      .crossJoin(broadcast(n))
+      .select(q12((col("c_ft").cast("double") / col("n").cast("double")) *
+        lnB(col("c_ft").cast("double") / col("c_f").cast("double"))).as("t"))
+      .agg((-graft.core.Num.decToDouble(sum(col("t")))).as("h_next_given_cur"))
+    val hMarg = toTot.crossJoin(broadcast(n))
+      .select(max(col("n")).as("n_transitions"),
+        (-graft.core.Num.decToDouble(sum(q12(
+          (col("c_t").cast("double") / col("n").cast("double")) *
+            lnB(col("c_t").cast("double") / col("n").cast("double"))))))
+          .as("h_next"))
+    hMarg.crossJoin(hCond)
+      .select(col("n_transitions"), col("h_next"), col("h_next_given_cur"),
+        (col("h_next") - col("h_next_given_cur")).as("mutual_info"))
+  }
+
   /** Gap-filled hourly series: a dense (event_type × hour) spine over the
     * table's full time range, observed hours joined in, missing hours
     * filled with n=0 and a FORWARD-FILLED last observed hourly value sum

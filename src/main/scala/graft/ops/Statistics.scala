@@ -724,6 +724,65 @@ object Statistics {
       sigma.as("sigma"), ((u1 - mu) / sigma).as("z"))
   }
 
+  /** 1-D WASSERSTEIN (earth-mover) DISTANCE between two sources' document-
+    * length distributions — the drift metric that, unlike KS (q203) or PSI
+    * (q155), weights HOW FAR mass moved, not just whether CDFs separate:
+    * W₁ = ∫|F̂₁ − F̂₂| dx. EXACT INTEGER DOMAIN until one division: the CDFs
+    * only change at observed values, so W₁·n₁·n₂ = Σ_v |cum1·n₂ − cum2·n₁|
+    * ·(v₊ − v) over consecutive distinct lengths — per-segment products
+    * fold in DECIMAL(38,0)/HUGEINT (safe at any corpus size), then ONE
+    * bridged division by n₁·n₂. Scale shape: one per-value aggregate over
+    * documents, the q203 two-phase cumulative engine, one lead window over
+    * the |values|-row aggregated frame (the sanctioned class), one fold.
+    */
+  def wasserstein1d(spark: SparkSession, sfDir: String,
+      srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("n_chars").cast("long").as("x"),
+        when(col("source") === srcA, 1L).otherwise(0L).as("g"))
+      .groupBy(col("x"))
+      .agg(sum(col("g")).as("c1"), sum(lit(1L) - col("g")).as("c2"))
+    val cum = cumulativeGroupCounts(counts)
+    val tot = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
+    val w = Window.orderBy(col("x"))
+    val segs = cum.withColumn("gap", lead(col("x"), 1).over(w) - col("x"))
+      .filter(col("gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        (abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+          .cast(DecimalType(38, 0)) * col("gap")).cast(DecimalType(38, 0))
+          .as("seg"))
+    segs.groupBy(col("n1"), col("n2"))
+      .agg(sum(col("seg")).cast(DecimalType(38, 0)).as("num"))
+      .select(col("n1"), col("n2"), Num.decToDouble(col("num")).as("moved_mass"),
+        (Num.decToDouble(col("num")) /
+          (col("n1").cast("double") * col("n2").cast("double"))).as("w1_chars"))
+  }
+
+  /** CLIFF'S DELTA (Cliff 1993, public) over the same two priority samples
+    * as q203/q204 — the ORDINAL effect size those tests lack: δ =
+    * (#{x₁ > x₂} − #{x₁ < x₂})/(n₁·n₂) in [−1, 1], the number that says
+    * whether a significant rank-sum z is a real shift or a giant-n mirage.
+    * ENTIRELY exact until one division: from the same per-value counts +
+    * two-phase cumulative frame q204 rides, GT = Σ c1·(cum2 − c2) (group-2
+    * values strictly below), TIE = Σ c1·c2, LT = n₁n₂ − GT − TIE — all
+    * exact BIGINTs — and δ = (GT − LT)/(n₁·n₂) is ONE double division.
+    * Scale shape identical to q203/q204: aggregate → two-phase cumulative
+    * → one fold (the documented int64 boundary on n₁·n₂ applies as there).
+    */
+  def cliffsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = prioritySamples(spark, sfDir, "1-URGENT", "5-LOW")
+    val cum = cumulativeGroupCounts(counts)
+    val s = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"),
+      sum(col("c1") * (col("cum2") - col("c2"))).as("gt"),
+      sum(col("c1") * col("c2")).as("ties"))
+    s.select(col("n1"), col("n2"), col("gt"), col("ties"),
+      (col("n1") * col("n2") - col("gt") - col("ties")).as("lt"),
+      ((col("gt") - (col("n1") * col("n2") - col("gt") - col("ties")))
+        .cast("double") / (col("n1") * col("n2")).cast("double")).as("delta"))
+  }
+
   /** GINI COEFFICIENT of customer lifetime spend per market segment — the
     * inequality audit behind "do 20% of customers drive 80% of revenue?".
     * Rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with i the

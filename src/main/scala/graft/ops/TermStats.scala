@@ -485,6 +485,40 @@ object TermStats {
           x => x.getField("doc_id").cast("string"))).as("top_docs"))
   }
 
+  /** TERM OVERDISPERSION (the Church–Gale 1995 burstiness observation,
+    * public): variance-to-mean ratio of a term's per-document counts
+    * across the WHOLE corpus — VMR ≈ 1 is Poisson scatter (function
+    * words); VMR ≫ 1 is a bursty topical term that clumps into few
+    * documents. The q212 statistic at TERM granularity, and a
+    * boilerplate/template detector beside q215's novelty. ENTIRELY exact
+    * until one division: with T = Σtf and S = Σtf² over the N docs
+    * (absent docs contribute zero to both, so zeros never materialize),
+    * VMR = var/mean = (N·S − T²)/(N·T) — numerator and denominator exact
+    * BIGINTs, one double division (N·S ≈ 10¹² at sf0.1, safely inside
+    * int64; at extreme corpus scale the same identity folds in
+    * DECIMAL(38,0)). Top-`k` by VMR via distributed TakeOrdered
+    * (tie-break on term), df ≥ `minDf` kills one-doc noise.
+    */
+  def termBurstiness(spark: SparkSession, sfDir: String,
+      minDf: Int = 5, k: Int = 50): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val perTerm = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("t_total"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+    perTerm.select(col("term"), col("df"), col("t_total"),
+        col("n_docs"),
+        ((col("n_docs") * col("s2") - col("t_total") * col("t_total"))
+          .cast("double") /
+          (col("n_docs") * col("t_total")).cast("double")).as("vmr"))
+      .orderBy(col("vmr").desc, col("term"))
+      .limit(k)
+  }
+
   /** HEAPS' LAW FIT (Heaps 1978, public) — vocabulary growth V(N) ≈ K·N^β
     * over the corpus in doc_id order, the scaling diagnostic a curation
     * pipeline reads before sizing tokenizers and dedup budgets (β ≈ 0.5

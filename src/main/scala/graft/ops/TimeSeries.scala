@@ -714,6 +714,183 @@ object TimeSeries {
       (col("sar") / col("n_days").cast("double")).as("mape"))
   }
 
+  /** FORECASTER HEAD-TO-HEAD: the q223 EWMA one-step-ahead forecast vs an
+    * AR(1) forecast x̂ₜ = m + φ·(xₜ₋₁ − m) with φ = r₁ (q210's hash-gated
+    * lag-1 autocorrelation — the Yule–Walker AR(1) estimate) and m the
+    * series mean, scored per month by MAE on the SAME days — the
+    * model-selection loop run before promoting either forecaster (a
+    * single-model backtest can look fine while losing to a one-line
+    * alternative; q223 alone cannot see that). Per-day errors are fixed
+    * double trees over the two arms' already-deterministic forecasts;
+    * monthly MAE folds 12-decimal-quantized; the winner flag compares the
+    * two folded sums (exact decimals) — never the divided doubles.
+    * Scale shape: inherits q210/q223 (one per-day aggregate; calendar-
+    * sized lag windows; the ~40-term EWMA convolution).
+    */
+  def forecastCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val ew = dailyForecastErrors(spark, sfDir)
+      .select(col("day"), col("total_cents"), abs(col("e")).as("ae_ewma"))
+    val phi = revenueAcf(spark, sfDir).filter(col("lag") === 1)
+      .select(col("acf").as("phi"))
+    val daily = dailyCents(spark, sfDir)
+    val m = daily.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+    val ar = daily.crossJoin(broadcast(phi)).crossJoin(broadcast(m))
+      .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("x_prev", lag(col("x"), 1).over(w))
+      .filter(col("x_prev").isNotNull)
+      .select(col("day"),
+        abs(col("x").cast("double") -
+          (col("mean") + col("phi") *
+            (col("x_prev").cast("double") - col("mean")))).as("ae_ar"))
+    ew.join(ar, "day")
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(q12(col("ae_ewma"))).as("se"), sum(q12(col("ae_ar"))).as("sa"))
+      .select(col("month"), col("n_days"),
+        (Num.decToDouble(col("se")) / col("n_days").cast("double"))
+          .as("mae_ewma_cents"),
+        (Num.decToDouble(col("sa")) / col("n_days").cast("double"))
+          .as("mae_ar1_cents"),
+        (col("sa") < col("se")).as("ar1_wins"))
+  }
+
+  /** SPEARMAN RANK CORRELATION (Spearman 1904, public) between daily
+    * revenue and daily order COUNT — the monotone-association readout that
+    * is immune to the revenue distribution's heavy tail (Pearson on these
+    * two series is dominated by a few spike days; ranks are not), and the
+    * robustness companion to q264's Kendall τ on the same pair of series.
+    * ENTIRELY exact until one final tree: ties take AVERAGE ranks, carried
+    * as the INTEGER doubled rank r2 = 2·m + t + 1 (m = count of strictly
+    * smaller values via one cumulative window over the per-value counts,
+    * t = tie-group size), so Σu, Σu², Σuv are exact BIGINTs and ρ =
+    * (nΣuv − ΣuΣv)/(√(nΣu² − (Σu)²)·√(nΣv² − (Σv)²)) is one fixed double
+    * tree (the doubling cancels between numerator and denominator).
+    * Scale shape: one per-day aggregate is the only corpus-sized job;
+    * ranks and moments run on the calendar-sized frame (global windows
+    * over aggregated input — the sanctioned class; magnitudes ~4n³ stay
+    * far inside int64 for any calendar).
+    */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCents(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("c")), "day")
+    def doubledRanks(v: String, out: String): DataFrame = {
+      val below = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      daily.groupBy(col(v).as("__v")).agg(count(lit(1)).as("__t"))
+        .select(col("__v"),
+          (lit(2L) * coalesce(sum(col("__t")).over(below), lit(0L)) +
+            col("__t") + 1L).as(out))
+    }
+    val rx = doubledRanks("x", "u")
+    val rc = doubledRanks("c", "v")
+    val j = daily
+      .join(rx, daily("x") === rx("__v")).drop("__v")
+      .join(rc, daily("c") === rc("__v")).drop("__v")
+    val s = j.agg(count(lit(1)).as("n"),
+      sum(col("u")).as("su"), sum(col("v")).as("sv"),
+      sum(col("u") * col("u")).as("suu"),
+      sum(col("v") * col("v")).as("svv"),
+      sum(col("u") * col("v")).as("suv"))
+    s.select(col("n").as("n_days"), col("suv"),
+      ((col("n") * col("suv") - col("su") * col("sv")).cast("double") /
+        (sqrt((col("n") * col("suu") - col("su") * col("su")).cast("double")) *
+          sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast("double"))))
+        .as("rho"))
+  }
+
+  /** THEIL'S U₂ FORECAST SKILL (Theil 1966, public) for BOTH of q283's
+    * arms against the naive x̂ₜ = xₜ₋₁ benchmark: U₂ = √(Σ((x̂ₜ−xₜ)/xₜ₋₁)² /
+    * Σ((xₜ₋₁−xₜ)/xₜ₋₁)²) — U₂ < 1 means the model beats persistence, the
+    * single number that decides whether a forecaster earns its complexity
+    * (a model can win q283's head-to-head while still losing to doing
+    * nothing). All three error series divide by xₜ₋₁, so every bridged
+    * square lives in the magnitude-safe ~[0,1] regime at ANY scale factor
+    * (the q223 relative-error lesson); each square quantizes to 12
+    * decimals before the exact fold, and each U₂ is one bridged division
+    * plus a √. Scale shape: inherits q283 (one per-day aggregate, then
+    * calendar-sized frames).
+    */
+  def theilU(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val ew = dailyForecastErrors(spark, sfDir)
+      .select(col("day"), col("forecast").as("f_ewma"))
+    val phi = revenueAcf(spark, sfDir).filter(col("lag") === 1)
+      .select(col("acf").as("phi"))
+    val m = dailyCents(spark, sfDir)
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day"))
+    val base = dailyCents(spark, sfDir)
+      .withColumn("x_prev", lag(col("x"), 1).over(w))
+      .filter(col("x_prev").isNotNull)
+      .crossJoin(broadcast(phi)).crossJoin(broadcast(m))
+      .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
+      .withColumn("f_ar", col("mean") +
+        col("phi") * (col("x_prev").cast("double") - col("mean")))
+      .join(ew, "day")
+    def relSq(f: Column): Column = {
+      val r = (f - col("x").cast("double")) / col("x_prev").cast("double")
+      q12(r * r)
+    }
+    base.agg(count(lit(1)).as("n_days"),
+        sum(relSq(col("f_ewma"))).as("sm_e"),
+        sum(relSq(col("f_ar"))).as("sm_a"),
+        sum(relSq(col("x_prev").cast("double"))).as("sm_n"))
+      .select(col("n_days"),
+        sqrt(Num.decToDouble(col("sm_e")) / Num.decToDouble(col("sm_n")))
+          .as("u2_ewma"),
+        sqrt(Num.decToDouble(col("sm_a")) / Num.decToDouble(col("sm_n")))
+          .as("u2_ar1"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST (1940, public) for randomness of the daily-
+    * revenue series around its own MEDIAN — the model-free "is this series
+    * i.i.d. noise or does it trend/oscillate?" gate read before fitting
+    * anything (too FEW runs ⇒ trending/clustered, too MANY ⇒ oscillating;
+    * the nonparametric companion to q256's Mann–Kendall). ENTIRELY exact
+    * until the final tree: the median rides the doubled order statistic
+    * m2 = x₍ₖ₁₎ + x₍ₖ₂₎ (no division — 2x vs m2 comparisons stay in
+    * BIGINT; equal-to-median days drop, the standard rule), runs count via
+    * one lag over the day-ordered frame, and z = (R − μ)/σ with
+    * μ = 2n₁n₂/n + 1, σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) one fixed double
+    * tree over exact integers. Scale shape: one per-day aggregate, then
+    * calendar-sized windows (the sanctioned class).
+    */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCents(spark, sfDir)
+    val byVal = Window.orderBy(col("x"), col("day"))
+    val ranked = daily.withColumn("r", row_number().over(byVal).cast("long"))
+    val n = ranked.agg(count(lit(1)).as("n_all"))
+    val med2 = ranked.crossJoin(broadcast(n))
+      .agg(sum(when(col("r") === expr("(n_all + 1) div 2"), col("x"))
+          .otherwise(0L)).as("m_lo"),
+        sum(when(col("r") === expr("(n_all + 2) div 2"), col("x"))
+          .otherwise(0L)).as("m_hi"))
+      .select((col("m_lo") + col("m_hi")).as("m2"))
+    val signed = daily.crossJoin(broadcast(med2))
+      .withColumn("s", when(col("x") * 2L > col("m2"), 1L)
+        .when(col("x") * 2L < col("m2"), -1L))
+      .filter(col("s").isNotNull)
+    val byDay = Window.orderBy(col("day"))
+    val runs = signed
+      .withColumn("prev", lag(col("s"), 1).over(byDay))
+      .agg(sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("runs"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("n_below"))
+    val n1d = col("n_above").cast("double")
+    val n2d = col("n_below").cast("double")
+    val nd = (col("n_above") + col("n_below")).cast("double")
+    val mu = lit(2.0) * n1d * n2d / nd + lit(1.0)
+    val sig2 = (lit(2.0) * n1d * n2d * (lit(2.0) * n1d * n2d - nd)) /
+      (nd * nd * (nd - lit(1.0)))
+    runs.select(col("n_above"), col("n_below"), col("runs"), mu.as("mu"),
+      ((col("runs").cast("double") - mu) / sqrt(sig2)).as("z"))
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVAL for the EWMA forecast (Vovk et
     * al.; Lei et al. 2018 — public): the calibration period's absolute
     * residuals yield q̂ = the ⌈(n+1)(1−α)⌉-th order statistic, and

@@ -752,6 +752,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(z === (u1 - mu) / sigma)
   }
 
+  test("cliff's delta: GT/TIE/LT equal the naive pairwise census") {
+    val r = Statistics.cliffsDelta(spark, sf).collect().head
+    val (s1, s2) = prioritySamplePair()
+    var gt = 0L; var tie = 0L; var lt = 0L
+    for (a <- s1; b <- s2) {
+      if (a > b) gt += 1 else if (a == b) tie += 1 else lt += 1
+    }
+    assert(r.getLong(0) === s1.length.toLong)
+    assert(r.getLong(1) === s2.length.toLong)
+    assert(r.getLong(2) === gt, "greater pairs")
+    assert(r.getLong(3) === tie, "tied pairs")
+    assert(r.getLong(4) === lt, "lesser pairs")
+    val delta = (gt - lt).toDouble / (s1.length.toLong * s2.length.toLong).toDouble
+    assert(r.getDouble(5) === delta, "one exact division")
+    assert(delta >= -1.0 && delta <= 1.0)
+  }
+
+  test("wasserstein: the CDF-segment fold equals the naive integral recompute") {
+    val r = Statistics.wasserstein1d(spark, sf).collect().head
+    val docs = graft.core.Tables.documents(spark, sf)
+      .selectExpr("source", "CAST(n_chars AS BIGINT) AS x")
+      .collect().map(t => (t.getString(0), t.getLong(1)))
+      .filter(t => t._1 == "src0" || t._1 == "src1")
+    val s1 = docs.filter(_._1 == "src0").map(_._2).sorted
+    val s2 = docs.filter(_._1 == "src1").map(_._2).sorted
+    val support = (s1 ++ s2).distinct.sorted
+    var num = BigInt(0)
+    support.dropRight(1).zip(support.drop(1)).foreach { case (v, next) =>
+      val cum1 = s1.count(_ <= v).toLong
+      val cum2 = s2.count(_ <= v).toLong
+      num += BigInt((cum1 * s2.length - cum2 * s1.length).abs) * (next - v)
+    }
+    assert(r.getLong(0) === s1.length.toLong)
+    assert(r.getLong(1) === s2.length.toLong)
+    assert(r.getDouble(2) === num.toString.toDouble, "segment fold")
+    assert(r.getDouble(3) ===
+      num.toString.toDouble / (s1.length.toDouble * s2.length.toDouble))
+    // W₁ dominates the mean shift (1-Lipschitz duality)
+    val meanGap = math.abs(s1.sum.toDouble / s1.length - s2.sum.toDouble / s2.length)
+    assert(r.getDouble(3) >= meanGap - 1e-9)
+  }
+
   test("gini: matches the exact rank-formula recompute, bounded in [0, 1)") {
     val rows = Statistics.giniBySegment(spark, sf).collect()
     assert(rows.length === 5, "one row per market segment")
@@ -1167,5 +1209,30 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(r._8 - dLocal) < 1e-6 * math.max(1e-12, dLocal),
         s"Cook's D near the independent recompute (${r._8} vs $dLocal)")
     }
+  }
+
+  test("term burstiness: VMR recomputed exactly from raw per-doc counts") {
+    val rows = TermStats.termBurstiness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("text").collect()
+      .map(r => "[a-z0-9]+".r.findAllIn(r.getString(0).toLowerCase).toArray)
+    val nDocs = docs.length.toLong
+    val expected = docs.flatMap(_.groupBy(identity)
+        .map { case (t, xs) => (t, xs.length.toLong) })
+      .groupBy(_._1).toSeq.collect { case (t, xs) if xs.length >= 5 =>
+        val tfs = xs.map(_._2)
+        val (tt, s2) = (tfs.sum, tfs.map(v => v * v).sum)
+        // the op's exact-integer identity: VMR = (N·S − T²)/(N·T)
+        (t, tfs.length.toLong, tt, nDocs,
+          (nDocs * s2 - tt * tt).toDouble / (nDocs * tt).toDouble)
+      }.sortBy(x => (-x._5, x._1)).take(50)
+    assert(rows.toSeq === expected,
+      "top-50 by VMR matches the driver recompute, order and values exact")
+    // burstiness sanity: every retained VMR is ≥ the Poisson floor would
+    // be meaningless (terms can be under-dispersed); but df ≥ 5 must hold
+    assert(rows.forall(_._2 >= 5L), "min-df gate")
   }
 }

@@ -240,4 +240,134 @@ class EvaluationSpec extends SparkSpec {
     val po = row.getDouble(3); val pe = row.getDouble(4)
     assert(math.abs((po - pe) / (1.0 - pe) - kappa) < 1e-12)
   }
+
+  test("info gain: entropies recomputed through the 12-decimal bridge, gain bounded") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    // driver mirror of the house bridges: ln quantized to 12 decimals then
+    // back to double; each cell term quantized to 12 decimals before the
+    // exact decimal fold; the folded sum crosses back via toString
+    def lnB(x: Double): Double =
+      new BD(java.lang.Double.toString(math.log(x)))
+        .setScale(12, RoundingMode.HALF_UP).toPlainString.toDouble
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    val base = graft.core.Tables.documents(spark, sf)
+      .selectExpr(
+        "CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS band",
+        "source", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val n = base.length.toDouble
+    def entropy(cells: Map[(String, Int), Long]): Double = {
+      val vTot = cells.groupBy(_._1._1).map { case (v, cs) => (v, cs.values.sum) }
+      val folded = cells.toSeq.map { case ((v, _), cVy) =>
+        q12((cVy / n) * lnB(cVy.toDouble / vTot(v).toDouble))
+      }.reduce(_ add _)
+      -folded.toPlainString.toDouble
+    }
+    val hY = entropy(base.groupBy(d => ("all", d._3))
+      .map { case (k, ds) => (k, ds.length.toLong) })
+    val hBand = entropy(base.groupBy(d => (d._1, d._3))
+      .map { case (k, ds) => (k, ds.length.toLong) })
+    val hSrc = entropy(base.groupBy(d => (d._2, d._3))
+      .map { case (k, ds) => (k, ds.length.toLong) })
+    val rows = Evaluation.infoGain(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toList
+    assert(rows.map(_._1) === List("length_band", "source"))
+    rows.foreach { case (f, hy, hyg, ig) =>
+      assert(hy === hY, s"$f: marginal entropy")
+      assert(ig === hy - hyg, s"$f: gain is the plain difference")
+      val expected = if (f == "source") hSrc else hBand
+      assert(math.abs(hyg - expected) < 1e-12, s"$f: conditional entropy")
+      // conditioning never increases entropy (up to bridge rounding)
+      assert(ig >= -1e-9 && ig <= hy + 1e-9, s"$f: gain in [0, H(y)]")
+    }
+  }
+
+  test("point-biserial: exact-moment identity recomputed; r bounded") {
+    val row = Evaluation.pointBiserial(spark, sf).collect().head
+    val docs = graft.core.Tables.documents(spark, sf)
+      .selectExpr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        "CAST(n_chars AS BIGINT) AS x")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val n1 = docs.count(_._1 == 1).toLong
+    val sx = docs.map(_._2).sum
+    val s1 = docs.collect { case (1, x) => x }.sum
+    val q = docs.map(d => BigInt(d._2) * d._2).sum
+    val num = BigInt(n) * s1 - BigInt(n1) * sx
+    val r = num.toString.toDouble /
+      (math.sqrt(n1.toDouble * (n - n1).toDouble) *
+        math.sqrt((BigInt(n) * q - BigInt(sx) * sx).toString.toDouble))
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === n1)
+    assert(row.getLong(2) === n - n1)
+    assert(row.getDouble(3) === s1.toDouble / n1.toDouble, "en mean")
+    assert(row.getDouble(4) === (sx - s1).toDouble / (n - n1).toDouble)
+    assert(row.getDouble(5) === r, "r is the one fixed tree")
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
+  test("cochran's q: recomputed from the three detectors' own outputs") {
+    val guesses = TextAnalysis.langId(spark, sf)
+      .select("doc_id", "guessed_lang").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en")).toMap
+    val scores = Curation.qualityClassifier(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1) >= 0.5)).toMap
+    val rows = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS x").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        (if (guesses(id)) 1L else 0L, if (scores(id)) 1L else 0L,
+          if (r.getLong(1) >= 300L) 1L else 0L)
+      }
+    val (ga, gb, gc) = (rows.map(_._1).sum, rows.map(_._2).sum, rows.map(_._3).sum)
+    val ls = rows.map(t => t._1 + t._2 + t._3)
+    val (sl, sll) = (ls.sum, ls.map(l => l * l).sum)
+    val num = 2L * (3L * (ga * ga + gb * gb + gc * gc) -
+      (ga + gb + gc) * (ga + gb + gc))
+    val den = 3L * sl - sll
+    val row = Evaluation.cochransQ(spark, sf).collect().head
+    assert(row.getLong(0) === rows.length.toLong)
+    assert(row.getLong(1) === ga, "langid positives")
+    assert(row.getLong(2) === gb, "classifier positives")
+    assert(row.getLong(3) === gc, "length-baseline positives")
+    assert(den > 0L, "the corpus is non-degenerate")
+    assert(row.getDouble(4) === num.toDouble / den.toDouble, "Q one division")
+    assert(row.getLong(5) === 2L)
+    assert(row.getDouble(4) >= 0.0)
+  }
+
+  test("hosmer-lemeshow: recomputed from the scored corpus through both bridges") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    val labels = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val scored = Curation.qualityClassifier(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => (math.min(math.floor(r.getDouble(1) * 10).toLong, 9L),
+        r.getDouble(1), labels(r.getLong(0))))
+    val byBin = scored.groupBy(_._1).toSeq.map { case (bin, xs) =>
+      val n = xs.length.toLong
+      val o1 = xs.count(_._3 == 1).toLong
+      val e1 = xs.map(x => q12(x._2)).reduce(_ add _).toPlainString.toDouble
+      (bin, n, o1, e1)
+    }
+    val usable = byBin.filter { case (_, n, _, e1) => e1 > 0.0 && n - e1 > 0.0 }
+    val hl = usable.map { case (_, n, o1, e1) =>
+      val e0 = n.toDouble - e1
+      val d1 = o1.toDouble - e1
+      val d0 = (n - o1).toDouble - e0
+      q12(d1 * d1 / e1 + d0 * d0 / e0)
+    }.reduce(_ add _).toPlainString.toDouble
+    val row = Evaluation.hosmerLemeshow(spark, sf).collect().head
+    assert(row.getLong(0) === byBin.length.toLong, "bin count")
+    assert(row.getLong(1) === usable.length.toLong, "usable bins")
+    assert(row.getDouble(2) === hl, "HL statistic through both bridges")
+    assert(row.getLong(3) === usable.length.toLong - 2L)
+    assert(hl >= 0.0)
+  }
 }

@@ -300,4 +300,32 @@ class EventsSpec extends SparkSpec {
     // strict ordering (view < click < purchase) is already pinned by the
     // positive-latency checks above — the latencies ARE the µs differences
   }
+
+  test("path entropy: bridged entropies recomputed off q142's own cells") {
+    val sf = "/root/testdata/sf0.001"
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def lnB(x: Double): Double =
+      new BD(java.lang.Double.toString(math.log(x)))
+        .setScale(12, RoundingMode.HALF_UP).toPlainString.toDouble
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    val cells = Events.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = cells.map(_._3).sum
+    val fromTot = cells.groupBy(_._1).map { case (f, cs) => (f, cs.map(_._3).sum) }
+    val toTot = cells.groupBy(_._2).map { case (t, cs) => (t, cs.map(_._3).sum) }
+    val hCond = -cells.map { case (f, _, c) =>
+      q12((c.toDouble / n.toDouble) * lnB(c.toDouble / fromTot(f).toDouble))
+    }.reduce(_ add _).toPlainString.toDouble
+    val hMarg = -toTot.values.map { c =>
+      q12((c.toDouble / n.toDouble) * lnB(c.toDouble / n.toDouble))
+    }.reduce(_ add _).toPlainString.toDouble
+    val row = Events.pathEntropy(spark, sf).collect().head
+    assert(row.getLong(0) === n)
+    assert(row.getDouble(1) === hMarg, "marginal next-step entropy")
+    assert(row.getDouble(2) === hCond, "conditional entropy")
+    assert(row.getDouble(3) === hMarg - hCond, "mutual info is the difference")
+    // conditioning never increases entropy (up to bridge rounding)
+    assert(row.getDouble(3) >= -1e-9)
+  }
 }

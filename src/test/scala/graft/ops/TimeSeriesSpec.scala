@@ -484,4 +484,147 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.forall(r => r._5 == sTot && r._6 == vTot && r._7 == z),
       "totals repeated on every row")
   }
+
+  test("forecast compare: AR arm recomputed from phi and the mean; months partition") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    val rows = TimeSeries.forecastCompare(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length === rows.length, "months unique")
+    val xs = series()
+    // both arms drop the first day (no lag), so the joined error frame
+    // partitions the remaining |days| − 1 across the months
+    assert(rows.map(_._2).sum === xs.length - 1L, "n_days partition")
+    // AR(1) arm: x̂ₜ = m + φ(xₜ₋₁ − m), φ = the gated lag-1 ACF, m the mean
+    val phi = TimeSeries.revenueAcf(spark, sf).collect()
+      .find(_.getLong(0) == 1L).get.getDouble(2)
+    val m = xs.sum.toDouble / xs.length.toDouble
+    val days = graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day")).distinct().collect()
+      .map(_.getDate(0).toLocalDate).sortBy(_.toEpochDay)
+    val aeAr = days.zip(xs).drop(1).zip(xs.dropRight(1)).map {
+      case ((d, x), xp) =>
+        (d.toString.substring(0, 7), math.abs(x.toDouble - (m + phi * (xp.toDouble - m))))
+    }
+    val monthly = aeAr.groupBy(_._1).map { case (mo, es) =>
+      val folded = es.map(e => q12(e._2)).reduce(_ add _)
+      (mo, folded.toPlainString.toDouble / es.length.toDouble)
+    }
+    rows.foreach { case (mo, nDays, maeEw, maeAr, wins) =>
+      val expected = monthly(mo.substring(0, 7))
+      assert(math.abs(maeAr - expected) < 1e-9 * math.max(1.0, expected),
+        s"$mo: AR MAE near the driver recompute ($maeAr vs $expected)")
+      assert(maeEw >= 0.0 && maeAr >= 0.0)
+      // the winner flag compares the exact decimal sums; with a shared
+      // n_days divisor that ordering must agree with the divided MAEs
+      // whenever they are not a rounding hair apart
+      if (math.abs(maeAr - maeEw) > 1e-9)
+        assert(wins === (maeAr < maeEw), s"$mo: winner flag")
+    }
+  }
+
+  test("spearman: doubled-rank moments recomputed exactly; rho bounded") {
+    val row = TimeSeries.spearman(spark, sf).collect().head
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect().groupBy(_.getDate(0).toLocalDate)
+      .map { case (_, rs) =>
+        (rs.map(r => (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum,
+          rs.length.toLong) }
+      .toArray
+    def doubled(vs: Array[Long]): Map[Long, Long] = {
+      var below = 0L
+      vs.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+        .map { case (v, t) => val r = 2 * below + t + 1; below += t; (v, r) }
+        .toMap
+    }
+    val (ux, uc) = (doubled(daily.map(_._1)), doubled(daily.map(_._2)))
+    val us = daily.map(d => ux(d._1)); val ws = daily.map(d => uc(d._2))
+    val n = daily.length.toLong
+    val (su, sv) = (us.sum, ws.sum)
+    // doubled average ranks always sum to n(n+1) — tie-invariant
+    assert(su === n * (n + 1) && sv === n * (n + 1))
+    val suu = us.map(u => u * u).sum
+    val svv = ws.map(w => w * w).sum
+    val suv = us.zip(ws).map { case (u, w) => u * w }.sum
+    val rho = (n * suv - su * sv).toDouble /
+      (math.sqrt((n * suu - su * su).toDouble) *
+        math.sqrt((n * svv - sv * sv).toDouble))
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === suv, "cross moment exact")
+    assert(row.getDouble(2) === rho, "rho is the one fixed tree")
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
+  test("theil u: both arms recomputed through the full bridged chains") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    def bridge(b: BD): Double = b.toPlainString.toDouble
+    val row = TimeSeries.theilU(spark, sf).collect().head
+    val xs = series()
+    val n = xs.length
+    assert(row.getLong(0) === n - 1L, "n_days drops only the first day")
+    // EWMA arm: the q211 convolution replayed — term and weight quantized,
+    // folded exactly, bridged, then normalized and lagged one day
+    val ewmaNorm = (1 to n).map { k =>
+      val js = 0 until math.min(40, k)
+      val num = js.map(j => q12(xs(k - 1 - j).toDouble / (1L << (j + 1)).toDouble))
+        .reduce(_ add _)
+      val den = js.map(j => q12(1.0 / (1L << (j + 1)).toDouble)).reduce(_ add _)
+      bridge(num) / bridge(den)
+    }
+    // AR arm: phi = gated lag-1 ACF, m the series mean
+    val phi = TimeSeries.revenueAcf(spark, sf).collect()
+      .find(_.getLong(0) == 1L).get.getDouble(2)
+    val m = xs.sum.toDouble / n.toDouble
+    def u2(fc: Int => Double): Double = {
+      var sm = new BD(0); var sn = new BD(0)
+      (1 until n).foreach { t =>
+        val xPrev = xs(t - 1).toDouble
+        val rm = (fc(t) - xs(t).toDouble) / xPrev
+        val rn = (xPrev - xs(t).toDouble) / xPrev
+        sm = sm.add(q12(rm * rm)); sn = sn.add(q12(rn * rn))
+      }
+      math.sqrt(bridge(sm) / bridge(sn))
+    }
+    val u2Ewma = u2(t => ewmaNorm(t - 1))
+    val u2Ar = u2(t => m + phi * (xs(t - 1).toDouble - m))
+    assert(math.abs(row.getDouble(1) - u2Ewma) < 1e-12 * math.max(1.0, u2Ewma),
+      "EWMA arm U2")
+    assert(math.abs(row.getDouble(2) - u2Ar) < 1e-12 * math.max(1.0, u2Ar),
+      "AR arm U2")
+    assert(row.getDouble(1) > 0.0 && row.getDouble(2) > 0.0)
+  }
+
+  test("runs test: runs, split and z recomputed from the raw day-ordered series") {
+    val row = TimeSeries.runsTest(spark, sf).collect().head
+    val xs = series()
+    val sorted = xs.sorted
+    val n = xs.length
+    val m2 = sorted((n + 1) / 2 - 1) + sorted((n + 2) / 2 - 1)
+    val signs = xs.flatMap { x =>
+      if (x * 2 > m2) Some(1) else if (x * 2 < m2) Some(-1) else None
+    }
+    val nAbove = signs.count(_ == 1).toLong
+    val nBelow = signs.count(_ == -1).toLong
+    var runs = 0L
+    signs.zipWithIndex.foreach { case (s, i) =>
+      if (i == 0 || signs(i - 1) != s) runs += 1
+    }
+    assert(row.getLong(0) === nAbove)
+    assert(row.getLong(1) === nBelow)
+    assert(row.getLong(2) === runs, "run count")
+    // the split around the median is as balanced as ties allow
+    assert(math.abs(nAbove - nBelow) <= 1L)
+    val (n1d, n2d, nd) = (nAbove.toDouble, nBelow.toDouble, (nAbove + nBelow).toDouble)
+    val mu = 2.0 * n1d * n2d / nd + 1.0
+    val sig2 = (2.0 * n1d * n2d * (2.0 * n1d * n2d - nd)) / (nd * nd * (nd - 1.0))
+    assert(row.getDouble(3) === mu)
+    assert(row.getDouble(4) === (runs.toDouble - mu) / math.sqrt(sig2), "z")
+  }
 }
