@@ -326,6 +326,14 @@ object SparkEntry {
     "q290_wasserstein"     -> ((s, d) => graft.ops.Statistics.wasserstein1d(s, d)),
     "q291_cochrans_q"      -> ((s, d) => graft.ops.Evaluation.cochransQ(s, d)),
     "q292_runs_test"       -> ((s, d) => graft.ops.TimeSeries.runsTest(s, d)),
+    "q293_degree_powerlaw" -> ((s, d) => graft.ops.Graph.degreePowerLaw(s, d)),
+    "q294_markov_stationary" -> ((s, d) => graft.ops.Events.markovStationary(s, d)),
+    "q295_source_divergence" -> ((s, d) => graft.ops.TermStats.sourceDivergence(s, d)),
+    "q296_ann_recall"      -> ((s, d) => Similarity.annRecall(s, d)),
+    "q297_funnel_wilson"   -> ((s, d) => graft.ops.Events.funnelWilson(s, d)),
+    "q298_source_perplexity" -> ((s, d) => graft.ops.TermStats.sourcePerplexity(s, d)),
+    "q299_cluster_split"   -> ((s, d) => graft.ops.Curation.clusterSplit(s, d)),
+    "q300_split_profile"   -> ((s, d) => graft.ops.Curation.splitProfile(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -954,6 +962,47 @@ object SparkEntry {
     * binary expansion — bridging makes DuckDB round the same shortest
     * string Spark does.
     */
+  /** DuckDB twin of Events.markovStationary: q142's cells restricted to
+    * states with outgoing mass, then `iters` unrolled sum-normalized power
+    * rounds — contributions VARCHAR-bridged into DECIMAL(28,18) exactly as
+    * [[pageRankOracle]] does (Spark's double→decimal cast rounds the
+    * shortest string; DuckDB's rounds the binary expansion).
+    */
+  private def markovOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT to_type,
+         |    CAST(CAST(sum(CAST(CAST(prob * p AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS raw
+         |  FROM pm JOIN d${i - 1} ON pm.from_type = d${i - 1}.state
+         |  GROUP BY 1),
+         |t$i AS (SELECT CAST(CAST(sum(CAST(CAST(raw AS VARCHAR) AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS t
+         |  FROM r$i),
+         |d$i AS MATERIALIZED (SELECT s.state, COALESCE(r.raw, CAST(0 AS DOUBLE)) / t AS prob
+         |  FROM states s LEFT JOIN r$i r ON s.state = r.to_type CROSS JOIN t$i)"""
+        .stripMargin
+    }
+    s"""WITH pp AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |                           ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |cells AS MATERIALIZED (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c_ft
+       |  FROM pp WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |states AS MATERIALIZED (SELECT DISTINCT from_type AS state FROM cells),
+       |kept AS (SELECT c.from_type, c.to_type, c.c_ft
+       |         FROM cells c JOIN states s ON c.to_type = s.state),
+       |den AS (SELECT from_type, CAST(sum(c_ft) AS BIGINT) AS c_f
+       |        FROM kept GROUP BY 1),
+       |pm AS MATERIALIZED (SELECT k.from_type, k.to_type,
+       |         CAST(k.c_ft AS DOUBLE) / CAST(d.c_f AS DOUBLE) AS p
+       |       FROM kept k JOIN den d USING (from_type)),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+       |d0 AS (SELECT state, CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE) AS prob
+       |       FROM states CROSS JOIN kk),
+       |${steps.mkString(",\n")}
+       |SELECT state AS event_type, prob AS stationary_p FROM d$iters""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int, damping: Double): String = {
     val steps = (1 to iters).map { i =>
       s"""s$i AS (SELECT e.dst,
@@ -3518,6 +3567,208 @@ object SparkEntry {
         |    / (CAST(n_above + n_below AS DOUBLE) * CAST(n_above + n_below AS DOUBLE)
         |       * (CAST(n_above + n_below AS DOUBLE) - 1.0))) AS z
         |FROM agg""".stripMargin,
+
+    // q293: Clauset–Shalizi–Newman continuous MLE over the co-purchase
+    // degree tail — exact degree counts, bridged ln terms, one division
+    "q293_degree_powerlaw" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |t AS (SELECT deg FROM deg WHERE deg >= 5),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_tail,
+        |    CAST(max(deg) AS BIGINT) AS max_deg,
+        |    CAST(CAST(sum(CAST(CAST(
+        |      CAST(CAST(CAST(CAST(ln(CAST(deg AS DOUBLE) / CAST(5.0 AS DOUBLE))
+        |        AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sum_ln
+        |  FROM t)
+        |SELECT CAST(5 AS BIGINT) AS x_min, n_tail, max_deg,
+        |  CASE WHEN sum_ln > 0 THEN
+        |    CAST(1.0 AS DOUBLE) + CAST(n_tail AS DOUBLE) / sum_ln
+        |  END AS alpha
+        |FROM s""".stripMargin,
+
+    // q294: stationary distribution of the q142 chain — 8 unrolled
+    // sum-normalized power rounds, PageRank's decimal-fold discipline
+    "q294_markov_stationary" -> markovOracle(iters = 8),
+
+    // q295: per-source unigram KL from the corpus — subset support needs
+    // no smoothing; three-division ln arguments stay magnitude-safe
+    "q295_source_divergence" ->
+      """WITH st AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |srct AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM srct)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  CAST(CAST(sum(CAST(CAST(
+        |    (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |    * CAST(CAST(CAST(CAST(ln(
+        |        (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |        / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS kl_from_corpus
+        |FROM st JOIN tt USING (term) JOIN srct USING (source) CROSS JOIN nn
+        |GROUP BY 1""".stripMargin,
+
+    // q296: recall@3 of the q26 LSH index against the q25 exact top-k —
+    // both arms' oracle chains ridden verbatim; recall ONE exact division
+    "q296_ann_recall" ->
+      s"""WITH $scaledVecs,
+         |q AS (SELECT vec_id AS query_id, svec AS qvec, norm2 AS qnorm2
+         |      FROM w WHERE vec_id < 20),
+         |ce AS (SELECT query_id, vec_id,
+         |        ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |      FROM q, w WHERE query_id <> vec_id),
+         |ex AS (SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id ASC) AS rk
+         |  FROM ce QUALIFY rk <= 3),
+         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec")} AS bucket FROM w),
+         |qb AS (SELECT vec_id AS query_id, svec AS qvec, norm2 AS qnorm2,
+         |         bucket AS qbucket
+         |       FROM vb WHERE vec_id < 20),
+         |ca AS (SELECT query_id, vec_id,
+         |        ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |      FROM qb JOIN vb ON qbucket = bucket AND query_id <> vec_id),
+         |ap AS (SELECT query_id, vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id ASC) AS rk
+         |  FROM ca QUALIFY rk <= 3),
+         |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM ex e JOIN ap a ON e.query_id = a.query_id
+         |        AND e.neighbor_id = a.neighbor_id
+         |      GROUP BY 1)
+         |SELECT qq.query_id, CAST(3 AS BIGINT) AS k,
+         |  COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |  CAST(COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE)
+         |    / CAST(3.0 AS DOUBLE) AS recall
+         |FROM (SELECT DISTINCT query_id FROM ex) qq
+         |LEFT JOIN h ON qq.query_id = h.query_id""".stripMargin,
+
+    // q297: Wilson 95% CIs on q96's two conversion steps — exact counts,
+    // one fixed double tree per bound, z = 1.96 a shared literal
+    "q297_funnel_wilson" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)),
+        |steps AS (
+        |  SELECT 'view_to_click' AS step, n1 AS n, n2 AS k FROM s
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', n2, n3 FROM s),
+        |w AS (
+        |  SELECT step, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+        |  FROM steps)
+        |SELECT step, n, k, rate,
+        |  ((rate + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        |   - 1.96 * sqrt(rate * (1.0 - rate) / CAST(n AS DOUBLE)
+        |       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |  / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lo,
+        |  ((rate + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+        |   + 1.96 * sqrt(rate * (1.0 - rate) / CAST(n AS DOUBLE)
+        |       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |  / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_hi
+        |FROM w""".stripMargin,
+
+    // q298: per-source unigram entropy + perplexity — q282's ln bridges;
+    // e^H crosses a 9-decimal quantization (the q195 exp discipline)
+    "q298_source_perplexity" ->
+      """WITH st AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |srct AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |h AS (
+        |  SELECT source, max(n_s) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
+        |    -CAST(CAST(sum(CAST(CAST(
+        |      (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |      * CAST(CAST(CAST(CAST(ln(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |        AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS h_unigram
+        |  FROM st JOIN srct USING (source)
+        |  GROUP BY 1)
+        |SELECT source, n_tokens, vocab, h_unigram,
+        |  CAST(CAST(CAST(CAST(exp(h_unigram) AS VARCHAR) AS DECIMAL(18,9))
+        |    AS VARCHAR) AS DOUBLE) AS perplexity
+        |FROM h""".stripMargin,
+
+    // q299: cluster-level split — q55's labels hashed by CLUSTER id; the
+    // cross-split verified-pair count is zero BY CONSTRUCTION and the
+    // oracle hash-checks that zero on every row
+    "q299_cluster_split" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT doc_id, cluster_id,
+         |    CASE WHEN CAST('0x' || substr(md5(cluster_id || ':cluster_split_v1'), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(cluster_id || ':cluster_split_v1'), 1, 8) AS BIGINT) % 1000 < 950 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM lab),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM sp),
+         |leaks AS (
+         |  SELECT CAST(COALESCE(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS cross_split_dup_pairs
+         |  FROM verified v
+         |  JOIN sp sa ON v.doc_a = sa.doc_id
+         |  JOIN sp sb ON v.doc_b = sb.doc_id),
+         |ps AS (
+         |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+         |  FROM sp GROUP BY 1)
+         |SELECT split, n_docs, n_clusters,
+         |  CAST(n_docs AS DOUBLE) / CAST(n_docs_total AS DOUBLE) AS doc_share,
+         |  cross_split_dup_pairs
+         |FROM ps CROSS JOIN nn CROSS JOIN leaks""".stripMargin,
+
+    // q300: per-(split × source) census of the q299 split — cluster-unit
+    // hashing no longer guarantees source balance, so it must be CHECKED
+    "q300_split_profile" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST('0x' || substr(md5(cluster_id || ':cluster_split_v1'), 1, 8) AS BIGINT) % 1000 < 900 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(cluster_id || ':cluster_split_v1'), 1, 8) AS BIGINT) % 1000 < 950 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM lab),
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |cells AS (
+         |  SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |  FROM d JOIN sp USING (doc_id) GROUP BY 1, 2),
+         |st AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS n_split
+         |       FROM cells GROUP BY 1)
+         |SELECT split, source, n_docs, n_tokens,
+         |  CAST(n_docs AS DOUBLE) / CAST(n_split AS DOUBLE) AS share_in_split
+         |FROM cells JOIN st USING (split)""".stripMargin,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound

@@ -314,6 +314,85 @@ object Curation {
       .withColumn("is_leakage", col("split_lo") =!= col("split_hi"))
   }
 
+  /** DEDUP-AWARE (cluster-level) SPLIT ASSIGNMENT — the FIX for what q232
+    * measures: hash-split by CLUSTER id (q55's connected components over
+    * the verified near-dup graph), so every member inherits its cluster's
+    * bucket and a near-dup pair can never straddle train/test. Emits the
+    * per-split census (docs, clusters, exact shares) plus the cross-split
+    * verified-pair count as a GATED invariant — the construction makes it
+    * ZERO, and the oracle hash-checks that zero (the q243 repeated-total
+    * convention puts it on every row). Membership depends only on
+    * cluster_id + salt, so a grown corpus never moves an old cluster
+    * between splits — unless new edges MERGE two clusters, which is
+    * exactly when membership SHOULD move (and q95's corpus diff shows it).
+    * Scale shape: labels and verified edges ride the session-memoized
+    * dedup chain; after that it's two joins against a doc_id→split
+    * projection and two tiny aggregates.
+    */
+  /** The (doc_id, cluster_id, split) assignment shared by [[clusterSplit]]
+    * and [[splitProfile]] — one derivation, so the census and the profile
+    * always describe the same split.
+    */
+  private[graft] def clusterSplitAssign(spark: SparkSession, sfDir: String,
+      salt: String): DataFrame =
+    Graph.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("bucket", Corpus.hashBucket(col("cluster_id"), salt))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "valid")
+          .otherwise("test"))
+
+  def clusterSplit(spark: SparkSession, sfDir: String,
+      salt: String = "cluster_split_v1"): DataFrame = {
+    val assigned = clusterSplitAssign(spark, sfDir, salt)
+    val n = assigned.agg(count(lit(1)).as("n_docs_total"))
+    val perSplit = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    val sp = assigned.select(col("doc_id"), col("split"))
+    val leaks = Dedup.ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+        .as("cross_split_dup_pairs"))
+    perSplit.crossJoin(broadcast(n)).crossJoin(broadcast(leaks))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        (col("n_docs").cast("double") / col("n_docs_total").cast("double"))
+          .as("doc_share"),
+        coalesce(col("cross_split_dup_pairs"), lit(0L))
+          .as("cross_split_dup_pairs"))
+  }
+
+  /** PER-(SPLIT × SOURCE) PROFILE of the cluster-level split — "what does
+    * my train set actually look like": document and token counts plus each
+    * source's share WITHIN its split, the readout that catches a split
+    * whose test fold lost a whole source to cluster clumping (cluster-level
+    * hashing moves documents in CLUSTER units, so source balance is no
+    * longer guaranteed by the hash — it must be CHECKED, which is this
+    * query). Tokens are the engine's standard [a-z0-9]+ count; shares are
+    * one exact division per row. Scale shape: the dedup chain is memoized;
+    * then one scan-speed tokenize + one |splits|·|sources| aggregate.
+    */
+  def splitProfile(spark: SparkSession, sfDir: String,
+      salt: String = "cluster_split_v1"): DataFrame = {
+    val sp = clusterSplitAssign(spark, sfDir, salt)
+      .select(col("doc_id"), col("split"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_toks"))
+    val cells = docs.join(sp, "doc_id")
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val splitTot = cells.groupBy(col("split")).agg(sum(col("n_docs")).as("n_split"))
+    cells.join(broadcast(splitTot), "split")
+      .select(col("split"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("n_split").cast("double"))
+          .as("share_in_split"))
+  }
+
   /** CROSS-SOURCE CONTAMINATION MATRIX — the q232 split-leakage shape
     * pivoted to PROVENANCE: verified near-dup pairs aggregated by
     * unordered source pair, normalized by each pair's CAPACITY (within:

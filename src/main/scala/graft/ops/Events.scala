@@ -355,6 +355,38 @@ object Events {
           .otherwise(1L))
   }
 
+  /** WILSON 95% CONFIDENCE INTERVALS (Wilson 1927, public) on q96's two
+    * funnel conversion steps — the uncertainty the raw rates lack: a
+    * 40%-conversion step estimated from 50 users and one from 50,000 look
+    * identical in q96 but decide differently, and Wilson (unlike the normal
+    * interval) stays inside [0,1] and behaves at small k. Counts are exact
+    * BIGINTs off q96's stage column (ONE aggregate); p̂, the interval
+    * center (p̂ + z²/2n)/(1 + z²/n) and radius are fixed double trees with
+    * z = 1.96 a shared literal. Scale shape: q96's three user-grouped
+    * aggregates, then everything runs on one row exploded to two.
+    */
+  def funnelWilson(spark: SparkSession, sfDir: String, z: Double = 1.96): DataFrame = {
+    val s = conversionFunnel(spark, sfDir)
+      .agg(count(lit(1)).as("n1"),
+        sum(when(col("stage") >= 2L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("stage") === 3L, 1L).otherwise(0L)).as("n3"))
+    val steps = s.select(explode(array(
+        struct(lit("view_to_click").as("step"),
+          col("n1").as("n"), col("n2").as("k")),
+        struct(lit("click_to_purchase").as("step"),
+          col("n2").as("n"), col("n3").as("k")))).as("st"))
+      .select(col("st.step").as("step"), col("st.n").as("n"), col("st.k").as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val rad = lit(z) * sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
+    steps.select(col("step"), col("n"), col("k"), p.as("rate"),
+      ((center - rad) / denom).as("wilson_lo"),
+      ((center + rad) / denom).as("wilson_hi"))
+  }
+
   /** SESSIONIZED CONVERSION FUNNEL with bounded conversion windows — the
     * q96 × q105 composition: the strict view → click → purchase sequence
     * evaluated WITHIN each 30-min-gap session, and each transition must
@@ -491,6 +523,53 @@ object Events {
     hMarg.crossJoin(hCond)
       .select(col("n_transitions"), col("h_next"), col("h_next_given_cur"),
         (col("h_next") - col("h_next_given_cur")).as("mutual_info"))
+  }
+
+  /** STATIONARY DISTRIBUTION of q142's empirical event-transition chain by
+    * `iters` unrolled power-iteration rounds (the PageRank/HITS dataflow on
+    * the |types|² matrix) — where user attention settles if journeys run
+    * long: the equilibrium read before sizing per-surface capacity, and the
+    * chain-level companion of q286's one-step entropy. The chain restricts
+    * to states with outgoing mass (dangling targets drop; each round
+    * sum-normalizes, the q192 discipline), contributions round to
+    * DECIMAL(28,18) and fold exactly (order-free), totals ride broadcast
+    * one-row frames. Scale shape: ONE corpus-sized job (q142's per-user
+    * lead window) pays once into a localCheckpoint; all `iters` rounds run
+    * on the k²-row matrix.
+    */
+  def markovStationary(spark: SparkSession, sfDir: String, iters: Int = 8): DataFrame = {
+    val byUserTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUserTime))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c_ft"))
+    val states = cells.select(col("from_type").as("state")).distinct()
+    val kept = cells.join(states.select(col("state").as("to_type")), "to_type")
+    val denom = kept.groupBy(col("from_type")).agg(sum(col("c_ft")).as("c_f"))
+    val p = kept.join(denom, "from_type")
+      .select(col("from_type"), col("to_type"),
+        (col("c_ft").cast("double") / col("c_f").cast("double")).as("p"))
+      .localCheckpoint(true) // the corpus-sized window pays once
+    val k = states.agg(count(lit(1)).as("k"))
+    var dist = states.crossJoin(broadcast(k))
+      .select(col("state"), (lit(1.0) / col("k").cast("double")).as("prob"))
+    for (_ <- 1 to iters) {
+      val raw = p.join(dist, p("from_type") === dist("state"))
+        .select(col("to_type"), (col("prob") * col("p")).as("contrib"))
+        .groupBy(col("to_type"))
+        .agg(graft.core.Num.decToDouble(
+          sum(col("contrib").cast(DecimalType(28, 18)))).as("raw"))
+      val tot = raw.agg(graft.core.Num.decToDouble(
+        sum(col("raw").cast(DecimalType(28, 18)))).as("t"))
+      dist = states.join(raw, states("state") === raw("to_type"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("state"),
+          (coalesce(col("raw"), lit(0.0)) / col("t")).as("prob"))
+        .localCheckpoint(true) // cut per-round lineage growth (k rows)
+    }
+    dist.select(col("state").as("event_type"), col("prob").as("stationary_p"))
   }
 
   /** Gap-filled hourly series: a dense (event_type × hour) spine over the

@@ -552,6 +552,36 @@ object Graph {
     * no bridging needed anywhere. One degree join per endpoint, one
     * aggregate; nothing driver-side.
     */
+  /** POWER-LAW TAIL FIT of the co-purchase degree distribution — the
+    * continuous MLE α̂ = 1 + n·[Σ ln(dᵢ/x_min)]⁻¹ (Clauset, Shalizi &
+    * Newman 2009, public) over nodes with degree ≥ x_min — the scale-
+    * free-or-not diagnostic read before trusting mean-degree capacity
+    * planning (α ≤ 3 means the variance diverges and hub-aware salting
+    * is mandatory). Degrees are exact counts off the memoized edge frame;
+    * each ln crosses the 12-decimal bridge and each term quantizes to 12
+    * decimals before the exact fold (order-free); α is one bridged
+    * division. Scale shape: the edge build is the shared one-time cost;
+    * the fit is one |nodes|-row aggregate.
+    */
+  def degreePowerLaw(spark: SparkSession, sfDir: String, xMin: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q12(c: org.apache.spark.sql.Column) =
+      c.cast("string").cast(DecimalType(28, 12))
+    def lnB(c: org.apache.spark.sql.Column) =
+      graft.core.Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    val und = coPurchaseEdges(spark, sfDir)
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tail = deg.filter(col("deg") >= xMin)
+    tail.agg(count(lit(1)).as("n_tail"), max(col("deg")).as("max_deg"),
+        graft.core.Num.decToDouble(
+          sum(q12(lnB(col("deg").cast("double") / lit(xMin.toDouble)))))
+          .as("sum_ln"))
+      .select(lit(xMin).as("x_min"), col("n_tail"), col("max_deg"),
+        when(col("sum_ln") > 0.0,
+          lit(1.0) + col("n_tail").cast("double") / col("sum_ln")).as("alpha"))
+  }
+
   def degreeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
     val und = coPurchaseEdges(spark, sfDir)
     val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))

@@ -125,6 +125,34 @@ object Similarity {
         col("rk").cast("long").as("rk"), col("cosine"))
   }
 
+  /** RECALL@k OF THE SIGN-LSH ANN against the exact brute-force top-k —
+    * the evaluation loop every approximate index ships with: per query,
+    * |approx ∩ exact|/k. This is the number that justifies (or vetoes) the
+    * bucket-bits setting before the index serves traffic — recall is
+    * TUNABLE (fewer bits → bigger buckets → higher recall, more compute),
+    * and this query is the tuning instrument. Both arms are the engine's
+    * own oracle-gated queries ridden verbatim (q25 exact, q26 LSH) at the
+    * same k; the intersection is one (query, neighbor) equi-join and the
+    * recall one exact division. Scale shape: both arms broadcast the tiny
+    * query side and stream the corpus once; the join runs on 2·|queries|·k
+    * rows.
+    */
+  def annRecall(spark: SparkSession, sfDir: String,
+      nQueries: Int = 20, k: Int = 3): DataFrame = {
+    val exact = cosineTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annBucketTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k.toLong).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("recall"))
+  }
+
   /** CROSS-CORPUS semantic linkage — the two-table member of the ANN family:
     * every document of corpus A (even embedding labels) linked to its k
     * nearest in corpus B (odd labels), the record-linkage / retrieval-

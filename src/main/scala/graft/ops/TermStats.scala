@@ -519,6 +519,78 @@ object TermStats {
       .limit(k)
   }
 
+  /** PER-SOURCE UNIGRAM KL DIVERGENCE from the whole-corpus distribution —
+    * KL(P_s ‖ P) = Σ_t (c_st/N_s)·ln((c_st/N_s)/(c_t/N)) — the topical-
+    * outlier detector a mix designer reads next to q92's source shares: a
+    * source whose unigrams diverge hard is a different REGISTER (code, spam,
+    * another domain) and shifts the training mix even at a small share.
+    * Every probability is a ratio of exact BIGINT counts (a source's terms
+    * are a subset of the corpus', so q > 0 always and the sum needs no
+    * smoothing); the ln argument is a fixed three-division double tree
+    * (magnitude-safe at any corpus size — never a product of counts), ln
+    * crosses the 12-decimal bridge, each term quantizes to 12 decimals
+    * before the exact per-source fold. Scale shape: ONE tokenize+aggregate
+    * to (source, term) counts; the global margin is a second small
+    * aggregate OF THAT FRAME (not a rescan); everything after runs on
+    * |vocab|·|sources| rows.
+    */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    def lnB(c: Column): Column =
+      Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val termTot = st.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = srcTot.agg(sum(col("n_s")).as("n"))
+    st.join(termTot, "term").join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        q12((col("c_st").cast("double") / col("n_s").cast("double")) *
+          lnB((col("c_st").cast("double") / col("n_s").cast("double")) /
+            (col("c_t").cast("double") / col("n").cast("double")))).as("t"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        Num.decToDouble(sum(col("t"))).as("kl_from_corpus"))
+  }
+
+  /** PER-SOURCE UNIGRAM ENTROPY AND PERPLEXITY — H_s = −Σ p·ln p over each
+    * source's own term distribution and PP = e^{H_s}, the "effective
+    * vocabulary size" a tokenizer/compressor sees per feed: a source whose
+    * perplexity collapses is template/boilerplate text (the corpus-level
+    * twin of q76's per-doc repetition signals), one whose perplexity spikes
+    * is noise or another language — read NEXT TO q295's KL, which says
+    * "different from the corpus" but not "degenerate on its own". The q282
+    * entropy bridges verbatim; perplexity crosses exp through a 9-decimal
+    * quantization (the q195 discipline — H ≤ ln|vocab| keeps e^H inside
+    * the DECIMAL(18,9) grid for any real vocabulary). Scale shape: the
+    * same ONE tokenize+aggregate as q295; everything after runs on
+    * |vocab|·|sources| rows.
+    */
+  def sourcePerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    def lnB(c: Column): Column =
+      Num.decToDouble(log(c).cast(DecimalType(18, 12)))
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    st.join(broadcast(srcTot), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        (-Num.decToDouble(sum(q12(
+          (col("c_st").cast("double") / col("n_s").cast("double")) *
+            lnB(col("c_st").cast("double") / col("n_s").cast("double"))))))
+          .as("h_unigram"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("h_unigram"),
+        Num.decToDouble(exp(col("h_unigram")).cast(DecimalType(18, 9)))
+          .as("perplexity"))
+  }
+
   /** HEAPS' LAW FIT (Heaps 1978, public) — vocabulary growth V(N) ≈ K·N^β
     * over the corpus in doc_id order, the scaling diagnostic a curation
     * pipeline reads before sizing tokenizers and dedup budgets (β ≈ 0.5

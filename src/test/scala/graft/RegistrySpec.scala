@@ -66,14 +66,21 @@ class RegistrySpec extends AnyFunSuite {
     val dir = java.nio.file.Paths.get(".")
     val clean = java.nio.file.Files.list(dir).iterator()
     val re = java.util.regex.Pattern.compile("BENCH_r(\\d+)_clean.*\\.json")
+    // ordering: (round, numeric rev suffix, name). The rev number must
+    // compare NUMERICALLY — plain string order put rev10 < rev9 and
+    // silently froze the gate at the rev9 artifact; suffix-less variants
+    // (clean_rev/clean_full/clean_fwd) rank as rev 0.
+    def revNum(name: String): Int =
+      "_rev(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
     var best: Option[(Int, String, java.nio.file.Path)] = None
     while (clean.hasNext) {
       val p = clean.next()
       val m = re.matcher(p.getFileName.toString)
       if (m.matches()) {
         val key = (m.group(1).toInt, p.getFileName.toString, p)
-        val ord = Ordering.Tuple2[Int, String]
-        if (best.forall(b => ord.gt((key._1, key._2), (b._1, b._2)))) best = Some(key)
+        val ord = Ordering.Tuple3[Int, Int, String]
+        if (best.forall(b => ord.gt((key._1, revNum(key._2), key._2),
+          (b._1, revNum(b._2), b._2)))) best = Some(key)
       }
     }
     assert(best.nonEmpty, "no committed BENCH_r*_clean*.json artifact found")

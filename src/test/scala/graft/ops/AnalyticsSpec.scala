@@ -1211,6 +1211,77 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("source divergence: per-source KL recomputed through both bridges, nonnegative") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def bridgeLn(x: Double): Double =
+      new BD(java.lang.Double.toString(math.log(x)))
+        .setScale(12, RoundingMode.HALF_UP).toPlainString.toDouble
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toArray))
+    val st = docs.flatMap { case (s, ts) => ts.map(t => (s, t)) }
+      .groupBy(identity).map { case ((s, t), xs) => ((s, t), xs.length.toLong) }
+    val ct = st.groupBy(_._1._2).map { case (t, xs) => (t, xs.values.sum) }
+    val ns = st.groupBy(_._1._1).map { case (s, xs) => (s, xs.values.sum) }
+    val n = ns.values.sum
+    val expected = st.groupBy(_._1._1).map { case (s, cells) =>
+      val kl = cells.toSeq.map { case ((_, t), cSt) =>
+        val pOwn = cSt.toDouble / ns(s).toDouble
+        q12(pOwn * bridgeLn(pOwn / (ct(t).toDouble / n.toDouble)))
+      }.reduce(_ add _).toPlainString.toDouble
+      (s, (ns(s), kl))
+    }
+    val rows = TermStats.sourceDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet === expected.keySet, "every source present")
+    rows.foreach { case (s, nTok, kl) =>
+      assert(nTok === expected(s)._1, s"$s token total")
+      assert(kl === expected(s)._2, s"$s KL through both bridges")
+      assert(kl >= -1e-9, s"$s KL nonnegative (Gibbs)")
+    }
+  }
+
+  test("source perplexity: entropy recomputed; e^H bridged; PP within [1, vocab]") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def bridgeLn(x: Double): Double =
+      new BD(java.lang.Double.toString(math.log(x)))
+        .setScale(12, RoundingMode.HALF_UP).toPlainString.toDouble
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toArray))
+    val expected = docs.groupBy(_._1).map { case (s, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(x => x)
+        .map { case (_, xs) => xs.length.toLong }.toSeq
+      val nS = counts.sum
+      val h = -counts.map { c =>
+        val p = c.toDouble / nS.toDouble
+        q12(p * bridgeLn(p))
+      }.reduce(_ add _).toPlainString.toDouble
+      val pp = new BD(java.lang.Double.toString(math.exp(h)))
+        .setScale(9, RoundingMode.HALF_UP).toPlainString.toDouble
+      (s, (nS, counts.length.toLong, h, pp))
+    }
+    val rows = TermStats.sourcePerplexity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet === expected.keySet)
+    rows.foreach { case (s, nTok, vocab, h, pp) =>
+      val (en, ev, eh, ep) = expected(s)
+      assert(nTok === en, s"$s tokens")
+      assert(vocab === ev, s"$s vocab")
+      assert(h === eh, s"$s entropy through the bridges")
+      assert(pp === ep, s"$s perplexity through the exp bridge")
+      assert(pp >= 1.0 - 1e-9 && pp <= vocab.toDouble + 1e-9,
+        s"$s effective vocabulary bounded by the real one")
+    }
+  }
+
   test("term burstiness: VMR recomputed exactly from raw per-doc counts") {
     val rows = TermStats.termBurstiness(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

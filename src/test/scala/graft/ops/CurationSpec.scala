@@ -213,4 +213,71 @@ class CurationSpec extends SparkSpec {
     }
     assert(rows.values.map(_._1).sum === pairs.length.toLong, "every pair counted once")
   }
+
+  test("cluster split: census recomputed off q55's labels; zero leakage by construction") {
+    val sf = "/root/testdata/sf0.001"
+    def bucket(clusterId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$clusterId:cluster_split_v1".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    def split(b: Long): String =
+      if (b < 900) "train" else if (b < 950) "valid" else "test"
+    val labels = Graph.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val assign = labels.map { case (d, c) => (d, c, split(bucket(c))) }
+    val bySplit = assign.groupBy(_._3)
+    val rows = Curation.clusterSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSet === bySplit.keySet)
+    rows.foreach { case (s, nDocs, nClusters, share, leaks) =>
+      assert(nDocs === bySplit(s).length.toLong, s"$s doc count")
+      assert(nClusters === bySplit(s).map(_._2).distinct.length.toLong,
+        s"$s cluster count")
+      assert(share === nDocs.toDouble / labels.length.toDouble)
+      assert(leaks === 0L,
+        "cluster-level hashing makes cross-split dup pairs structurally zero")
+    }
+    // the construction argument, checked directly: both endpoints of every
+    // verified pair share a cluster, hence a split
+    val byDoc = assign.map(a => (a._1, a._3)).toMap
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) === byDoc(b), s"pair ($a,$b) straddles splits")
+    }
+  }
+
+  test("split profile: cells partition q299's census; shares sum to one; tokens recount") {
+    val sf = "/root/testdata/sf0.001"
+    val census = Curation.clusterSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = Curation.splitProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val bySplit = rows.groupBy(_._1)
+    assert(bySplit.keySet === census.keySet)
+    bySplit.foreach { case (s, cells) =>
+      assert(cells.map(_._3).sum === census(s), s"$s docs partition the census")
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-9, s"$s shares sum to 1")
+    }
+    // token counts recomputed from the raw text for one split's cells
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        "[a-z0-9]+".r.findAllIn(r.getString(2).toLowerCase).size.toLong))
+    val firstSplit = bySplit.keySet.toSeq.sorted.head
+    val inSplit = Curation.clusterSplitAssign(spark, sf, "cluster_split_v1")
+      .select("doc_id", "split").collect()
+      .filter(_.getString(1) == firstSplit).map(_.getLong(0)).toSet
+    val expectedTok = docs.filter(d => inSplit(d._1)).groupBy(_._2)
+      .map { case (src, ds) => (src, ds.map(_._3).sum) }
+    bySplit(firstSplit).foreach { case (_, src, _, nTok, _) =>
+      assert(nTok === expectedTok(src), s"$firstSplit/$src token recount")
+    }
+  }
 }

@@ -328,4 +328,62 @@ class EventsSpec extends SparkSpec {
     // conditioning never increases entropy (up to bridge rounding)
     assert(row.getDouble(3) >= -1e-9)
   }
+
+  test("funnel wilson: counts off q96's own stages; intervals bracket the rate") {
+    val sf = "/root/testdata/sf0.001"
+    val stages = Events.conversionFunnel(spark, sf).collect()
+      .map(_.getLong(4))
+    val n1 = stages.length.toLong
+    val n2 = stages.count(_ >= 2L).toLong
+    val n3 = stages.count(_ == 3L).toLong
+    val rows = Events.funnelWilson(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toList ===
+      List(("click_to_purchase", n2, n3), ("view_to_click", n1, n2)))
+    rows.foreach { case (step, n, k, rate, lo, hi) =>
+      assert(rate === k.toDouble / n.toDouble, s"$step rate")
+      val z = 1.96; val z2 = z * z
+      val nD = n.toDouble
+      val center = rate + z2 / (2.0 * nD)
+      val rad = z * math.sqrt(rate * (1.0 - rate) / nD + z2 / (4.0 * nD * nD))
+      val denom = 1.0 + z2 / nD
+      assert(lo === (center - rad) / denom, s"$step lower bound tree")
+      assert(hi === (center + rad) / denom, s"$step upper bound tree")
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= rate && rate <= hi,
+        s"$step Wilson bracket inside [0,1]")
+    }
+  }
+
+  test("markov stationary: the 8 bridged power rounds replayed off q142's cells") {
+    val sf = "/root/testdata/sf0.001"
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def q18(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(18, RoundingMode.HALF_UP)
+    def bridge(b: BD): Double = b.toPlainString.toDouble
+    val cells = Events.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = cells.map(_._1).distinct.sorted
+    val kept = cells.filter(c => states.contains(c._2))
+    val cf = kept.groupBy(_._1).map { case (f, cs) => (f, cs.map(_._3).sum) }
+    val p = kept.map(c => ((c._1, c._2), c._3.toDouble / cf(c._1).toDouble)).toMap
+    var dist = states.map(s => (s, 1.0 / states.length.toDouble)).toMap
+    (1 to 8).foreach { _ =>
+      val raw = states.map { to =>
+        val terms = kept.filter(_._2 == to)
+          .map(c => q18(dist(c._1) * p((c._1, c._2))))
+        (to, if (terms.isEmpty) 0.0
+        else bridge(terms.reduce(_ add _)))
+      }.toMap
+      val tot = bridge(states.map(s => q18(raw(s))).reduce(_ add _))
+      dist = states.map(s => (s, raw(s) / tot)).toMap
+    }
+    val rows = Events.markovStationary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows.keySet === dist.keySet)
+    states.foreach { s =>
+      assert(rows(s) === dist(s), s"$s stationary probability")
+    }
+    assert(math.abs(rows.values.sum - 1.0) < 1e-12, "a distribution")
+  }
 }

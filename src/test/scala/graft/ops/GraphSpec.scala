@@ -127,6 +127,34 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(0) > 0)
   }
 
+  test("degree power-law: tail MLE recomputed through the ln bridge") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def bridgeLn(x: Double): Double =
+      new BD(java.lang.Double.toString(math.log(x)))
+        .setScale(12, RoundingMode.HALF_UP).toPlainString.toDouble
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    val sf = "/root/testdata/sf0.001"
+    val row = Graph.degreePowerLaw(spark, sf).collect().head
+    val li: Seq[(Long, Long)] = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(x => x).map { case (_, xs) => xs.size.toLong }
+    val tail = deg.filter(_ >= 5L).toSeq
+    val sumLn = tail.map(d => q12(bridgeLn(d.toDouble / 5.0)))
+      .reduce(_ add _).toPlainString.toDouble
+    assert(row.getLong(0) === 5L)
+    assert(row.getLong(1) === tail.length.toLong, "tail size")
+    assert(row.getLong(2) === tail.max, "max degree")
+    assert(row.getDouble(3) === 1.0 + tail.length.toDouble / sumLn, "alpha MLE")
+    assert(row.getDouble(3) > 1.0)
+  }
+
   test("cluster-size histogram: partitions the corpus, identities hold, sizes recount q55") {
     val sf = "/root/testdata/sf0.001"
     val rows = Graph.clusterSizeHistogram(spark, sf).collect()

@@ -280,6 +280,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-14 batches six through twelve: no raw global windows, no cartesian") {
+    // every global window in these twenty queries rides an aggregated frame
+    // (per-value counts, the daily calendar, the |vocab| or |types|² cells)
+    // or a per-key partition; all non-equi joins broadcast one tiny side
+    for (df <- Seq(
+        TermStats.termBurstiness(spark, sf),
+        Evaluation.infoGain(spark, sf),
+        TimeSeries.forecastCompare(spark, sf),
+        TimeSeries.spearman(spark, sf),
+        TimeSeries.theilU(spark, sf),
+        Events.pathEntropy(spark, sf),
+        Evaluation.pointBiserial(spark, sf),
+        Statistics.cliffsDelta(spark, sf),
+        Evaluation.hosmerLemeshow(spark, sf),
+        Statistics.wasserstein1d(spark, sf),
+        Evaluation.cochransQ(spark, sf),
+        TimeSeries.runsTest(spark, sf),
+        Graph.degreePowerLaw(spark, sf),
+        Events.markovStationary(spark, sf),
+        TermStats.sourceDivergence(spark, sf),
+        Similarity.annRecall(spark, sf),
+        Events.funnelWilson(spark, sf),
+        TermStats.sourcePerplexity(spark, sf),
+        Curation.clusterSplit(spark, sf),
+        Curation.splitProfile(spark, sf))) {
+      assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
   test("quantile-boundary rank: only the whitelisted bare-value boundary pass") {
     // the boundary pass sorts ONLY the bare value column — the documented
     // exception (GK swap gated by q165); phase 2 itself must stay at zero.

@@ -73,6 +73,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"mean recall@5 over int8 codes = $recall%.2f")
   }
 
+  test("ann recall query: per-query hits recomputed off its own two gated arms") {
+    val sf = "/root/testdata/sf0.001"
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = sets(Similarity.cosineTopK(spark, sf, 20, 3))
+    val approx = sets(Similarity.annBucketTopK(spark, sf, 20, 3))
+    val rows = Similarity.annRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet === exact.keySet, "one row per query")
+    rows.foreach { case (q, k, hits, recall) =>
+      assert(k === 3L)
+      val expected = (exact(q) & approx.getOrElse(q, Set.empty)).size.toLong
+      assert(hits === expected, s"query $q hit count")
+      assert(recall === hits.toDouble / 3.0)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("PQ codes are complete and bounded; ADC search recall vs exact stays useful") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
