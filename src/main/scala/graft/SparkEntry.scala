@@ -334,6 +334,15 @@ object SparkEntry {
     "q298_source_perplexity" -> ((s, d) => graft.ops.TermStats.sourcePerplexity(s, d)),
     "q299_cluster_split"   -> ((s, d) => graft.ops.Curation.clusterSplit(s, d)),
     "q300_split_profile"   -> ((s, d) => graft.ops.Curation.splitProfile(s, d)),
+    "q301_good_turing"     -> ((s, d) => graft.ops.TermStats.goodTuringCoverage(s, d)),
+    "q302_freq_spectrum"   -> ((s, d) => graft.ops.TermStats.frequencySpectrum(s, d)),
+    "q303_order_gaps"      -> ((s, d) => graft.ops.TimeSeries.orderGapProfile(s, d)),
+    "q304_monthly_psi"     -> ((s, d) => graft.ops.Statistics.monthlyMixPsi(s, d)),
+    "q305_brand_hhi"       -> ((s, d) => graft.ops.Statistics.brandHhi(s, d)),
+    "q306_seasonal_index"  -> ((s, d) => graft.ops.TimeSeries.monthlySeasonalIndex(s, d)),
+    "q307_vocab_jaccard"   -> ((s, d) => graft.ops.TermStats.sourceVocabJaccard(s, d)),
+    "q308_order_size_vmr"  -> ((s, d) => graft.ops.Statistics.orderSizeVmr(s, d)),
+    "q309_ship_lag_drift"  -> ((s, d) => graft.ops.TimeSeries.shipLagDrift(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -3769,6 +3778,196 @@ object SparkEntry {
          |SELECT split, source, n_docs, n_tokens,
          |  CAST(n_docs AS DOUBLE) / CAST(n_split AS DOUBLE) AS share_in_split
          |FROM cells JOIN st USING (split)""".stripMargin,
+
+    // q301: Good–Turing coverage — spectrum counts exact BIGINTs off the
+    // (source, term) aggregate; coverage = 1 − n₁/N, one division
+    "q301_good_turing" ->
+      """WITH st AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c_st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |    CAST(sum(CASE WHEN c_st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+        |  FROM st GROUP BY 1)
+        |SELECT source, n_tokens, vocab, n_hapax, n_dis,
+        |  1.0 - CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+        |FROM g""".stripMargin,
+
+    // q302: frequency-of-frequencies — exact spectrum with an 11+ tail
+    // bucket; per-bucket vocabulary share one division
+    "q302_freq_spectrum" ->
+      """WITH tc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c_t
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM tc)
+        |SELECT least(c_t, 11) AS k, CAST(count(*) AS BIGINT) AS n_terms, vocab,
+        |  CAST(count(*) AS DOUBLE) / CAST(vocab AS DOUBLE) AS vocab_share
+        |FROM tc CROSS JOIN v
+        |GROUP BY 1, vocab""".stripMargin,
+
+    // q303: inter-order gaps per segment — exact integer day gaps; σ, CV
+    // and Goh–Barabási B one fixed tree off n·Σg² − (Σg)² (HUGEINT bridge)
+    "q303_order_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    datediff('day',
+        |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |      CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders),
+        |s AS (
+        |  SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap) AS BIGINT) AS sg,
+        |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sgg
+        |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+        |  WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT segment, n_gaps,
+        |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_days,
+        |  sqrt(CAST(CAST(CAST(n_gaps AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg
+        |      AS VARCHAR) AS DOUBLE)) / CAST(n_gaps AS DOUBLE) AS sd_gap_days,
+        |  (sqrt(CAST(CAST(CAST(n_gaps AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg
+        |      AS VARCHAR) AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+        |    / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS cv,
+        |  ((sqrt(CAST(CAST(CAST(n_gaps AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg
+        |      AS VARCHAR) AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+        |   - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |  / ((sqrt(CAST(CAST(CAST(n_gaps AS HUGEINT) * sgg - CAST(sg AS HUGEINT) * sg
+        |      AS VARCHAR) AS DOUBLE)) / CAST(n_gaps AS DOUBLE))
+        |     + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+        |FROM s""".stripMargin,
+
+    // q304: monthly priority-mix PSI vs the corpus mix — q155's Laplace
+    // smoothing and ln bridge, dense-filled buckets, one fold per month
+    "q304_monthly_psi" ->
+      """WITH cells AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_mp
+        |  FROM orders GROUP BY 1, 2),
+        |pris AS (SELECT pri, CAST(sum(n_mp) AS BIGINT) AS n_p FROM cells GROUP BY 1),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |         CAST(sum(n_p) AS BIGINT) AS n_total FROM pris),
+        |dense AS (
+        |  SELECT m.month, p.pri, p.n_p, COALESCE(c.n_mp, CAST(0 AS BIGINT)) AS n_mp
+        |  FROM (SELECT DISTINCT month FROM cells) m
+        |  CROSS JOIN pris p
+        |  LEFT JOIN cells c ON c.month = m.month AND c.pri = p.pri),
+        |mt AS (SELECT month, CAST(sum(n_mp) AS BIGINT) AS n_m FROM dense GROUP BY 1),
+        |j AS (
+        |  SELECT d.month, mt.n_m,
+        |    CAST(d.n_mp + 1 AS DOUBLE) / (mt.n_m + nb.n_buckets) AS p_cur,
+        |    CAST(d.n_p + 1 AS DOUBLE) / (nb.n_total + nb.n_buckets) AS p_ref
+        |  FROM dense d JOIN mt ON d.month = mt.month CROSS JOIN nb)
+        |SELECT month, max(n_m) AS n_orders,
+        |  CAST(CAST(sum(CAST(CAST(
+        |    (p_cur - p_ref) * CAST(CAST(CAST(CAST(ln(p_cur / p_ref)
+        |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE)
+        |  AS VARCHAR) AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS psi
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // q305: brand-revenue HHI per region — exact integer cents in
+    // HUGEINT/DECIMAL(38,0), VARCHAR-bridged share divisions, quantized
+    // square fold per region
+    "q305_brand_hhi" ->
+      """WITH cells AS (
+        |  SELECT r.r_name AS region, p.p_brand AS brand,
+        |    CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS HUGEINT) AS rev
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT region, CAST(sum(rev) AS HUGEINT) AS tot
+        |        FROM cells GROUP BY 1)
+        |SELECT region, CAST(count(*) AS BIGINT) AS n_brands,
+        |  CAST(CAST(sum(CAST(CAST(
+        |    (CAST(CAST(rev AS VARCHAR) AS DOUBLE) / CAST(CAST(tot AS VARCHAR) AS DOUBLE))
+        |    * (CAST(CAST(rev AS VARCHAR) AS DOUBLE) / CAST(CAST(tot AS VARCHAR) AS DOUBLE))
+        |  AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS hhi
+        |FROM cells JOIN tot USING (region)
+        |GROUP BY 1""".stripMargin,
+
+    // q306: multiplicative seasonal index by calendar month — exact sums,
+    // a fixed four-division tree
+    "q306_seasonal_index" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(x) AS BIGINT) AS sx_all,
+        |        CAST(count(*) AS BIGINT) AS n_all FROM daily)
+        |SELECT CAST(month(day) AS BIGINT) AS month_of_year,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_daily_cents,
+        |  (CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    / (CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS seasonal_index
+        |FROM daily CROSS JOIN t
+        |GROUP BY 1, sx_all, n_all""".stripMargin,
+
+    // q307: source-vocabulary Jaccard — exact set sizes and intersections,
+    // one division per pair
+    "q307_vocab_jaccard" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, term
+        |  FROM (SELECT source,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |        FROM documents)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.v AS v_a, sb.v AS v_b, n_common,
+        |  CAST(n_common AS DOUBLE)
+        |    / CAST(sa.v + sb.v - n_common AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON inter.src_a = sa.source
+        |JOIN sz sb ON inter.src_b = sb.source""".stripMargin,
+
+    // q308: order-size VMR — q281's exact-integer identity at order grain;
+    // zero-line orders contribute zero to both sums
+    "q308_order_size_vmr" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+        |  FROM lineitem GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_with_lines,
+        |    CAST(sum(k) AS BIGINT) AS t, CAST(sum(k * k) AS BIGINT) AS s2
+        |  FROM per)
+        |SELECT n_orders, n_with_lines, t AS n_lines,
+        |  CAST(t AS DOUBLE) / CAST(n_orders AS DOUBLE) AS mean_lines,
+        |  CAST(n_orders * s2 - t * t AS DOUBLE)
+        |    / CAST(n_orders * t AS DOUBLE) AS vmr
+        |FROM s CROSS JOIN n""".stripMargin,
+
+    // q309: ship-lag drift — exact integer day lags off the orderkey join;
+    // μ/σ one fixed tree per month off the HUGEINT-bridged n·Σl² − (Σl)²
+    "q309_ship_lag_drift" ->
+      """WITH lags AS (
+        |  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        |    datediff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS lag
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |s AS (
+        |  SELECT month, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(lag) AS BIGINT) AS sl,
+        |    CAST(sum(CAST(lag AS HUGEINT) * lag) AS HUGEINT) AS sll
+        |  FROM lags GROUP BY 1)
+        |SELECT month, n_lines,
+        |  CAST(sl AS DOUBLE) / CAST(n_lines AS DOUBLE) AS mean_lag_days,
+        |  sqrt(CAST(CAST(CAST(n_lines AS HUGEINT) * sll - CAST(sl AS HUGEINT) * sl
+        |      AS VARCHAR) AS DOUBLE)) / CAST(n_lines AS DOUBLE) AS sd_lag_days
+        |FROM s""".stripMargin,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound

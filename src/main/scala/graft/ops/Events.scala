@@ -567,7 +567,10 @@ object Events {
         .crossJoin(broadcast(tot))
         .select(col("state"),
           (coalesce(col("raw"), lit(0.0)) / col("t")).as("prob"))
-        .localCheckpoint(true) // cut per-round lineage growth (k rows)
+        // cut per-round lineage growth: measured 11.9 s solo WITH the
+        // k-row checkpoints vs 14.5 s without (the 8-round analyzed plan
+        // costs more than the 8 tiny checkpoint jobs)
+        .localCheckpoint(true)
     }
     dist.select(col("state").as("event_type"), col("prob").as("stationary_p"))
   }

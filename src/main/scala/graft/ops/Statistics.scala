@@ -158,6 +158,102 @@ object Statistics {
       max(col("t_cur")).as("n_cur_rows"))
   }
 
+  /** MONTHLY ORDER-PRIORITY MIX PSI against the corpus-wide mix — q155's
+    * drift alarm TIME-SLICED: one PSI per month over the five priority
+    * buckets (dense-filled, so a month missing a priority contributes its
+    * absence rather than silently dropping the bucket), Laplace-smoothed
+    * exactly as [[psiFromCounts]]; the monitor that turns "did the mix
+    * drift" into "WHEN did it drift". Each (p_m − p_ref)·ln(p_m/p_ref)
+    * term rides the 12-decimal ln bridge and decimal-folds per month.
+    * Scale shape: one (month × priority) aggregate over orders; everything
+    * after runs on |months|·5 rows.
+    */
+  def monthlyMixPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.orders(spark, sfDir)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderpriority").as("pri"))
+      .groupBy(col("month"), col("pri")).agg(count(lit(1)).as("n_mp"))
+    val pris = cells.groupBy(col("pri")).agg(sum(col("n_mp")).as("n_p"))
+    val nb = pris.agg(count(lit(1)).as("n_buckets"), sum(col("n_p")).as("n_total"))
+    val dense = cells.select(col("month")).distinct()
+      .crossJoin(broadcast(pris))
+      .join(cells, Seq("month", "pri"), "left")
+      .withColumn("n_mp", coalesce(col("n_mp"), lit(0L)))
+    val mTot = dense.groupBy(col("month")).agg(sum(col("n_mp")).as("n_m"))
+    val j = dense.join(broadcast(mTot), "month").crossJoin(broadcast(nb))
+    val pCur = (col("n_mp") + lit(1L)).cast("double") /
+      (col("n_m") + col("n_buckets"))
+    val pRef = (col("n_p") + lit(1L)).cast("double") /
+      (col("n_total") + col("n_buckets"))
+    val lnRatio = Num.decToDouble(log(pCur / pRef).cast(DecimalType(18, 12)))
+    j.groupBy(col("month"))
+      .agg(max(col("n_m")).as("n_orders"),
+        Num.decToDouble(sum(((pCur - pRef) * lnRatio).cast(DecimalType(28, 14))))
+          .as("psi"))
+  }
+
+  /** HERFINDAHL–HIRSCHMAN CONCENTRATION INDEX of brand revenue per region —
+    * HHI = Σ shareᵢ² over each region's part brands, THE antitrust/market-
+    * structure number (10000·HHI > 2500 ⇒ concentrated): for a pipeline,
+    * the skew early-warning that says one brand's keys will dominate a
+    * region's partitions. Revenue folds as exact integer cents in
+    * DECIMAL(38,0) (safe at any scale); each share is ONE division of
+    * VARCHAR-bridged totals (the q205 decimal→double rule), each square
+    * quantizes to 12 decimals before the per-region exact fold. Scale
+    * shape: one fact-sized join chain (all dims broadcast), one
+    * (region × brand) aggregate, then |regions|·|brands| rows.
+    */
+  def brandHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    def q12(c: Column): Column = c.cast("string").cast(DecimalType(28, 12))
+    val cells = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))), "l_partkey")
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))), "l_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_regionkey"))),
+        "s_nationkey")
+      .join(broadcast(Tables.region(spark, sfDir)
+        .select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+        "n_regionkey")
+      .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+      .agg(sum(col("cents").cast(DecimalType(38, 0)))
+        .cast(DecimalType(38, 0)).as("rev"))
+    val tot = cells.groupBy(col("region"))
+      .agg(sum(col("rev")).cast(DecimalType(38, 0)).as("tot"))
+    val share = Num.decToDouble(col("rev")) / Num.decToDouble(col("tot"))
+    cells.join(broadcast(tot), "region")
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_brands"),
+        Num.decToDouble(sum(q12(share * share))).as("hhi"))
+  }
+
+  /** ORDER-SIZE OVERDISPERSION — the Church–Gale variance-to-mean identity
+    * (q281's trick) at ORDER grain: lines per order across ALL orders,
+    * VMR = (N·S − T²)/(N·T) with T = Σk, S = Σk² exact BIGINTs (orders
+    * with no lineitem rows contribute zero to both, so they never
+    * materialize) — VMR ≈ 1 says order sizes are Poisson scatter and
+    * mean-based planning holds; VMR ≫ 1 says bulk orders clump and the
+    * orderkey join is skew-prone (the q97 alarm's distributional cousin).
+    * One groupBy over lineitem, one fold, one double division.
+    */
+  def orderSizeVmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+    val n = Tables.orders(spark, sfDir).agg(count(lit(1)).as("n_orders"))
+    per.agg(count(lit(1)).as("n_with_lines"),
+        sum(col("k")).as("t"), sum(col("k") * col("k")).as("s2"))
+      .crossJoin(broadcast(n))
+      .select(col("n_orders"), col("n_with_lines"), col("t").as("n_lines"),
+        (col("t").cast("double") / col("n_orders").cast("double"))
+          .as("mean_lines"),
+        ((col("n_orders") * col("s2") - col("t") * col("t")).cast("double") /
+          (col("n_orders") * col("t")).cast("double")).as("vmr"))
+  }
+
   /** Exact quantile table per group: the value at rank ceil(p·n) for each
     * requested p — [[winsorizedPricing]]'s order-statistic machinery
     * generalized to a long-format profile (the numeric summary a feature

@@ -591,6 +591,82 @@ object TermStats {
           .as("perplexity"))
   }
 
+  /** GOOD–TURING COVERAGE per source (Good 1953, public): the Turing
+    * estimate of UNSEEN probability mass is the singleton share n₁/N, so
+    * coverage = 1 − n₁/N — "how much of this feed's true vocabulary have we
+    * actually seen", the number that says whether more crawl of a source
+    * buys new tokens or repeats. ENTIRELY exact until one division: n₁
+    * (hapax count), n₂ (dis legomena, the next spectrum point Good–Turing
+    * smoothing needs), vocab and N are exact BIGINTs off the one
+    * (source, term) aggregate q295/q298 already define. Scale shape: ONE
+    * tokenize+aggregate; everything after runs on |vocab|·|sources| rows.
+    */
+  def goodTuringCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    st.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c_st") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c_st") === 2L, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("n_hapax"), col("n_dis"),
+        (lit(1.0) - col("n_hapax").cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+  }
+
+  /** TOKEN FREQUENCY-OF-FREQUENCIES SPECTRUM (the Good–Turing input table):
+    * for k = 1..10, how many distinct terms occur exactly k times, plus one
+    * 11+ tail bucket — the corpus-shape fingerprint that distinguishes
+    * natural text (smoothly decaying spectrum) from templated or synthetic
+    * feeds (spiky), and the sanity readout before any smoothing that needs
+    * n_k. Exact counts all the way; each bucket's share of the vocabulary
+    * is one division. Scale shape: one tokenize+aggregate to term counts,
+    * one 11-group aggregate of THAT frame.
+    */
+  def frequencySpectrum(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val v = tc.agg(count(lit(1)).as("vocab"))
+    tc.select(least(col("c_t"), lit(11L)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_terms"))
+      .crossJoin(broadcast(v))
+      .select(col("k"), col("n_terms"), col("vocab"),
+        (col("n_terms").cast("double") / col("vocab").cast("double"))
+          .as("vocab_share"))
+  }
+
+  /** SOURCE-VOCABULARY JACCARD MATRIX — exact J(A,B) = |A∩B|/|A∪B| over
+    * each pair of sources' term SETS: the feed-level near-copy detector at
+    * VOCABULARY grain (two mirrors share a vocabulary even when q278's
+    * document-level near-dup rate is low because articles differ), read
+    * with q295's KL — Jaccard says "same words", KL says "same
+    * frequencies". Exact integers until one division per pair: the
+    * (source, term) presence set is one distinct aggregate, |A∩B| one
+    * term-keyed self-join count, sizes broadcast. Scale shape: the join
+    * fans each term to its ≤|sources| holders — output and intermediate
+    * are |sources|²-bounded per term, never corpus².
+    */
+  def sourceVocabJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    st.as("a").join(st.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("v").as("v_a"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("v").as("v_b"))),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("v_a") + col("v_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
   /** HEAPS' LAW FIT (Heaps 1978, public) — vocabulary growth V(N) ≈ K·N^β
     * over the corpus in doc_id order, the scaling diagnostic a curation
     * pipeline reads before sizing tokenizers and dedup budgets (β ≈ 0.5

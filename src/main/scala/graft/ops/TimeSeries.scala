@@ -891,6 +891,103 @@ object TimeSeries {
       ((col("runs").cast("double") - mu) / sqrt(sig2)).as("z"))
   }
 
+  /** INTER-ORDER GAP PROFILE per market segment — mean, population CV and
+    * the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of the days between a
+    * customer's consecutive orders, grouped by segment: the purchase-rhythm
+    * readout (B→1 bursty campaign-driven buying, ≈0 Poisson, <0 periodic
+    * replenishment) that q212 computes for the event stream, here at
+    * ORDER/segment grain where retention and inventory decisions live.
+    * Gaps are EXACT integer days (a per-customer lag window, totalized by
+    * (date, orderkey)); per-segment Σg and Σg² fold exactly (Σg² in
+    * DECIMAL(38,0) — safe at any corpus size); σ, μ, CV and B are one
+    * fixed correctly-rounded tree per segment off the n-scaled integer
+    * identity n·Σg² − (Σg)². One customer-shuffle, two joins to the
+    * customer dim (broadcast), one |segments|-row aggregate.
+    */
+  def orderGapProfile(spark: SparkSession, sfDir: String, minGaps: Int = 1): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+      .filter(col("gap").isNotNull)
+    val seg = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
+    val s = gaps.join(broadcast(seg), "o_custkey")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum((col("gap").cast(DecimalType(38, 0)) * col("gap"))
+          .cast(DecimalType(38, 0))).as("sgg"))
+      .filter(col("n_gaps") >= minGaps.toLong)
+    val nD = col("n_gaps").cast("double")
+    val mu = col("sg").cast("double") / nD
+    // population variance via the exact integer n·Σg² − (Σg)², bridged
+    val varNum = (col("n_gaps").cast(DecimalType(38, 0)) * col("sgg") -
+      col("sg").cast(DecimalType(38, 0)) * col("sg").cast(DecimalType(38, 0)))
+      .cast(DecimalType(38, 0))
+    val sigma = sqrt(Num.decToDouble(varNum)) / nD
+    s.select(col("segment"), col("n_gaps"), mu.as("mean_gap_days"),
+      sigma.as("sd_gap_days"), (sigma / mu).as("cv"),
+      ((sigma - mu) / (sigma + mu)).as("burstiness"))
+  }
+
+  /** MULTIPLICATIVE SEASONAL INDEX by calendar month — mean daily revenue
+    * in each month-of-year divided by the overall mean daily revenue, the
+    * classical ratio-to-moving-average seasonal table (index 1.10 = "this
+    * month runs 10% hot") that planning reads next to q213's DOW profile
+    * and q251's additive decomposition. ENTIRELY exact until two
+    * divisions: per-month Σcents and day counts are exact BIGINTs; the
+    * index is (sx_m/n_m)/(SX/N), a fixed four-division double tree
+    * identical in both engines. One per-day aggregate, then a 12-row
+    * frame with a broadcast one-row total.
+    */
+  def monthlySeasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyCents(spark, sfDir)
+    val tot = daily.agg(sum(col("x")).as("sx_all"), count(lit(1)).as("n_all"))
+    daily.groupBy(month(col("day")).cast("long").as("month_of_year"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
+      .crossJoin(broadcast(tot))
+      .select(col("month_of_year"), col("n_days"),
+        (col("sx").cast("double") / col("n_days").cast("double"))
+          .as("mean_daily_cents"),
+        ((col("sx").cast("double") / col("n_days").cast("double")) /
+          (col("sx_all").cast("double") / col("n_all").cast("double")))
+          .as("seasonal_index"))
+  }
+
+  /** SHIP-LAG DRIFT BY ORDER MONTH — mean and population σ of the days
+    * between an order's placement and each line's ship date, per calendar
+    * month of placement: the operational-latency drift monitor (a mean
+    * that creeps or a σ that widens is a fulfillment regression long
+    * before SLAs fire), the q303 machinery pointed at the ship pipeline.
+    * Lags are EXACT integer days off the orderkey join (co-partitioned
+    * fact⋈fact shuffle — the one corpus-sized exchange); Σlag and Σlag²
+    * fold exactly (DECIMAL(38,0)/HUGEINT); μ and σ are one fixed tree per
+    * month off n·Σl² − (Σl)².
+    */
+  def shipLagDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val lags = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          to_date(col("o_orderdate")).as("odate")), "l_orderkey")
+      .select(date_trunc("month", col("odate")).cast("date").as("month"),
+        datediff(col("ship"), col("odate")).cast("long").as("lag"))
+    val s = lags.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("lag")).as("sl"),
+        sum((col("lag").cast(DecimalType(38, 0)) * col("lag"))
+          .cast(DecimalType(38, 0))).as("sll"))
+    val nD = col("n_lines").cast("double")
+    val mu = col("sl").cast("double") / nD
+    val varNum = (col("n_lines").cast(DecimalType(38, 0)) * col("sll") -
+      col("sl").cast(DecimalType(38, 0)) * col("sl").cast(DecimalType(38, 0)))
+      .cast(DecimalType(38, 0))
+    s.select(col("month"), col("n_lines"), mu.as("mean_lag_days"),
+      (sqrt(Num.decToDouble(varNum)) / nD).as("sd_lag_days"))
+  }
+
   /** SPLIT-CONFORMAL PREDICTION INTERVAL for the EWMA forecast (Vovk et
     * al.; Lei et al. 2018 — public): the calibration period's absolute
     * residuals yield q̂ = the ⌈(n+1)(1−α)⌉-th order statistic, and

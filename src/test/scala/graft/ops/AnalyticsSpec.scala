@@ -1282,6 +1282,197 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("monthly mix psi: dense-filled cells recomputed through the ln bridge; psi >= 0") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def bridgeLn(x: Double): Double =
+      new BD(java.lang.Double.toString(math.log(x)))
+        .setScale(12, RoundingMode.HALF_UP).toPlainString.toDouble
+    def q14(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(14, RoundingMode.HALF_UP)
+    val orders = graft.core.Tables.orders(spark, sf)
+      .selectExpr("CAST(date_trunc('month', o_orderdate) AS DATE) AS m", "o_orderpriority")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)))
+    val pris = orders.groupBy(_._2).map { case (p, xs) => (p, xs.length.toLong) }
+    val nTotal = orders.length.toLong
+    val k = pris.size.toLong
+    val rows = Statistics.monthlyMixPsi(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    val byMonth = orders.groupBy(_._1)
+    assert(rows.map(_._1).toSet === byMonth.keySet)
+    rows.foreach { case (m, nOrders, psi) =>
+      val cells = byMonth(m).groupBy(_._2).map { case (p, xs) => (p, xs.length.toLong) }
+      val nM = byMonth(m).length.toLong
+      assert(nOrders === nM, s"$m order count")
+      val expected = pris.toSeq.map { case (p, nP) =>
+        val pCur = (cells.getOrElse(p, 0L) + 1L).toDouble / (nM + k)
+        val pRef = (nP + 1L).toDouble / (nTotal + k)
+        q14((pCur - pRef) * bridgeLn(pCur / pRef))
+      }.reduce(_ add _).toPlainString.toDouble
+      assert(psi === expected, s"$m PSI through the bridges")
+      assert(psi >= -1e-12, s"$m PSI nonnegative (same-sign terms)")
+    }
+  }
+
+  test("brand hhi: shares recomputed from exact cents; hhi bounded by [1/n, 1]") {
+    import java.math.{BigDecimal => BD, RoundingMode}
+    def q12(x: Double): BD =
+      new BD(java.lang.Double.toString(x)).setScale(12, RoundingMode.HALF_UP)
+    val nationRegion = graft.core.Tables.nation(spark, sf)
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "CAST(n_regionkey AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val regionName = graft.core.Tables.region(spark, sf)
+      .selectExpr("CAST(r_regionkey AS BIGINT)", "r_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val suppNation = graft.core.Tables.supplier(spark, sf)
+      .selectExpr("CAST(s_suppkey AS BIGINT)", "CAST(s_nationkey AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val partBrand = graft.core.Tables.part(spark, sf)
+      .selectExpr("CAST(p_partkey AS BIGINT)", "p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val cells = graft.core.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)",
+        "l_extendedprice").collect()
+      .map { r =>
+        val cents = (BigDecimal(r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        ((regionName(nationRegion(suppNation(r.getLong(1)))),
+          partBrand(r.getLong(0))), BigInt(cents))
+      }.groupBy(_._1).map { case (key, xs) => (key, xs.map(_._2).sum) }
+    val rows = Statistics.brandHhi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byRegion = cells.groupBy(_._1._1)
+    assert(rows.map(_._1).toSet === byRegion.keySet)
+    rows.foreach { case (reg, nBrands, hhi) =>
+      val revs = byRegion(reg).values.toSeq
+      assert(nBrands === revs.length.toLong, s"$reg brand count")
+      val tot = revs.sum
+      val expected = revs.map { rev =>
+        val share = rev.toString.toDouble / tot.toString.toDouble
+        q12(share * share)
+      }.reduce(_ add _).toPlainString.toDouble
+      assert(hhi === expected, s"$reg HHI through the bridges")
+      assert(hhi >= 1.0 / nBrands.toDouble - 1e-9 && hhi <= 1.0 + 1e-9,
+        s"$reg HHI in [1/n, 1]")
+    }
+  }
+
+  test("vocab jaccard: exact set intersections recomputed for every source pair") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSet))
+    val vocab = docs.groupBy(_._1).map { case (s, ds) =>
+      (s, ds.map(_._2).reduce(_ ++ _)) }
+    val rows = TermStats.sourceVocabJaccard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val sources = vocab.keys.toSeq.sorted
+    val expectedPairs = (for {
+      a <- sources; b <- sources if a < b
+      common = (vocab(a) & vocab(b)).size.toLong if common > 0
+    } yield ((a, b), common)).toMap
+    assert(rows.map(r => (r._1, r._2)).toSet === expectedPairs.keySet,
+      "every overlapping pair present once")
+    rows.foreach { case (a, b, va, vb, common, j) =>
+      assert(va === vocab(a).size.toLong, s"$a vocab size")
+      assert(vb === vocab(b).size.toLong, s"$b vocab size")
+      assert(common === expectedPairs((a, b)), s"($a,$b) intersection")
+      assert(j === common.toDouble / (va + vb - common).toDouble)
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("order-size vmr: the exact-integer identity recomputed from per-order counts") {
+    val ks = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey").collect().map(_.getLong(0))
+      .groupBy(x => x).map { case (_, xs) => xs.length.toLong }.toSeq
+    val nOrders = graft.core.Tables.orders(spark, sf).count()
+    val (t, s2) = (ks.sum, ks.map(k => k * k).sum)
+    val row = Statistics.orderSizeVmr(spark, sf).collect().head
+    assert(row.getLong(0) === nOrders)
+    assert(row.getLong(1) === ks.length.toLong)
+    assert(row.getLong(2) === t, "line total")
+    assert(row.getDouble(3) === t.toDouble / nOrders.toDouble)
+    assert(row.getDouble(4) ===
+      (nOrders * s2 - t * t).toDouble / (nOrders * t).toDouble, "VMR identity")
+    assert(row.getDouble(4) >= 0.0)
+  }
+
+  test("good-turing coverage: spectrum counts recomputed; coverage identity holds") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toArray))
+    val expected = docs.groupBy(_._1).map { case (s, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(x => x)
+        .map { case (_, xs) => xs.length.toLong }.toSeq
+      (s, (counts.sum, counts.length.toLong,
+        counts.count(_ == 1L).toLong, counts.count(_ == 2L).toLong))
+    }
+    val rows = TermStats.goodTuringCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSet === expected.keySet)
+    rows.foreach { case (s, n, v, h, d2, cov) =>
+      val (en, ev, eh, ed) = expected(s)
+      assert((n, v, h, d2) === ((en, ev, eh, ed)), s"$s spectrum counts")
+      assert(cov === 1.0 - h.toDouble / n.toDouble, s"$s coverage identity")
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+  }
+
+  test("frequency spectrum: buckets partition the vocabulary, shares sum to one") {
+    val counts = graft.core.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(r => "[a-z0-9]+".r.findAllIn(r.getString(0).toLowerCase))
+      .groupBy(x => x).map { case (_, xs) => xs.length.toLong }.toSeq
+    val vocab = counts.length.toLong
+    val expected = counts.map(c => math.min(c, 11L)).groupBy(x => x)
+      .map { case (k, xs) => (k, xs.length.toLong) }
+    val rows = TermStats.frequencySpectrum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet === expected.keySet)
+    assert(rows.map(_._2).sum === vocab, "buckets partition the vocabulary")
+    rows.foreach { case (k, n, v, share) =>
+      assert(n === expected(k), s"bucket $k count")
+      assert(v === vocab)
+      assert(share === n.toDouble / vocab.toDouble)
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, "shares sum to 1")
+  }
+
+  test("order gaps: per-segment moments recomputed; burstiness bounded") {
+    val orders = graft.core.Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS day", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val seg = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val gaps = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val sorted = os.sortBy(o => (o._2.toEpochDay, o._3))
+      sorted.drop(1).zip(sorted.dropRight(1)).map { case (b, a) =>
+        (seg(ck), b._2.toEpochDay - a._2.toEpochDay)
+      }
+    }
+    val rows = TimeSeries.orderGapProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val bySeg = gaps.groupBy(_._1)
+    assert(rows.map(_._1).toSet === bySeg.keySet)
+    rows.foreach { case (s, n, mean, sd, cv, b) =>
+      val gs = bySeg(s).map(_._2)
+      assert(n === gs.length.toLong, s"$s gap count")
+      val (sg, sgg) = (gs.sum, gs.map(g => BigInt(g) * g).sum)
+      val mu = sg.toDouble / n.toDouble
+      val sigma = math.sqrt((BigInt(n) * sgg - BigInt(sg) * sg).toString.toDouble) / n.toDouble
+      assert(mean === mu, s"$s mean")
+      assert(sd === sigma, s"$s sd")
+      assert(cv === sigma / mu, s"$s cv")
+      assert(b === (sigma - mu) / (sigma + mu), s"$s burstiness")
+      assert(b > -1.0 && b < 1.0)
+    }
+  }
+
   test("term burstiness: VMR recomputed exactly from raw per-doc counts") {
     val rows = TermStats.termBurstiness(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -304,7 +304,16 @@ class PlanSpec extends SparkSpec {
         Events.funnelWilson(spark, sf),
         TermStats.sourcePerplexity(spark, sf),
         Curation.clusterSplit(spark, sf),
-        Curation.splitProfile(spark, sf))) {
+        Curation.splitProfile(spark, sf),
+        TermStats.goodTuringCoverage(spark, sf),
+        TermStats.frequencySpectrum(spark, sf),
+        TimeSeries.orderGapProfile(spark, sf),
+        Statistics.monthlyMixPsi(spark, sf),
+        Statistics.brandHhi(spark, sf),
+        TimeSeries.monthlySeasonalIndex(spark, sf),
+        TermStats.sourceVocabJaccard(spark, sf),
+        Statistics.orderSizeVmr(spark, sf),
+        TimeSeries.shipLagDrift(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }

@@ -601,6 +601,56 @@ class TimeSeriesSpec extends SparkSpec {
     assert(row.getDouble(1) > 0.0 && row.getDouble(2) > 0.0)
   }
 
+  test("seasonal index: means recomputed; day-weighted indices average to one") {
+    val rows = TimeSeries.monthlySeasonalIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet === (1L to 12L).toSet, "all twelve months")
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect().groupBy(_.getDate(0).toLocalDate)
+      .toSeq.map { case (d, rs) => (d.getMonthValue.toLong,
+        rs.map(r => (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum) }
+    val overall = daily.map(_._2).sum.toDouble / daily.length.toDouble
+    val byMonth = daily.groupBy(_._1)
+    rows.foreach { case (m, nDays, mean, idx) =>
+      val xs = byMonth(m).map(_._2)
+      assert(nDays === xs.length.toLong, s"month $m day count")
+      assert(mean === xs.sum.toDouble / xs.length.toDouble, s"month $m mean")
+      assert(idx === mean / overall, s"month $m index")
+      assert(idx > 0.0)
+    }
+    val weighted = rows.map(r => r._2.toDouble * r._4).sum / daily.length.toDouble
+    assert(math.abs(weighted - 1.0) < 1e-9, "day-weighted mean index is 1")
+  }
+
+  test("ship-lag drift: monthly moments recomputed from exact day lags") {
+    val odate = graft.core.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS d").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toMap
+    val lags = graft.core.Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS s").collect()
+      .map { r =>
+        val o = odate(r.getLong(0))
+        (o.withDayOfMonth(1).toString, r.getDate(1).toLocalDate.toEpochDay - o.toEpochDay)
+      }
+    val rows = TimeSeries.shipLagDrift(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val byMonth = lags.groupBy(_._1)
+    assert(rows.map(_._1).toSet === byMonth.keySet)
+    rows.foreach { case (m, n, mean, sd) =>
+      val ls = byMonth(m).map(_._2)
+      assert(n === ls.length.toLong, s"$m line count")
+      val (sl, sll) = (ls.sum, ls.map(l => BigInt(l) * l).sum)
+      assert(mean === sl.toDouble / n.toDouble, s"$m mean lag")
+      val sigma = math.sqrt((BigInt(n) * sll - BigInt(sl) * sl).toString.toDouble) / n.toDouble
+      assert(sd === sigma, s"$m sd lag")
+      // the synthetic ship dates are not anchored to order dates, so the
+      // mean lag may be negative here — only σ has a sign guarantee
+      assert(sd >= 0.0)
+    }
+  }
+
   test("runs test: runs, split and z recomputed from the raw day-ordered series") {
     val row = TimeSeries.runsTest(spark, sf).collect().head
     val xs = series()
