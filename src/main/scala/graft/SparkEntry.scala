@@ -343,6 +343,9 @@ object SparkEntry {
     "q307_vocab_jaccard"   -> ((s, d) => graft.ops.TermStats.sourceVocabJaccard(s, d)),
     "q308_order_size_vmr"  -> ((s, d) => graft.ops.Statistics.orderSizeVmr(s, d)),
     "q309_ship_lag_drift"  -> ((s, d) => graft.ops.TimeSeries.shipLagDrift(s, d)),
+    "q310_cluster_folds"   -> ((s, d) => graft.ops.Curation.clusterFolds(s, d)),
+    "q311_negative_samples" -> ((s, d) => graft.ops.Corpus.negativeSamples(s, d)),
+    "q312_class_weights"   -> ((s, d) => graft.ops.Corpus.classWeights(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -3968,6 +3971,64 @@ object SparkEntry {
         |  sqrt(CAST(CAST(CAST(n_lines AS HUGEINT) * sll - CAST(sl AS HUGEINT) * sl
         |      AS VARCHAR) AS DOUBLE)) / CAST(n_lines AS DOUBLE) AS sd_lag_days
         |FROM s""".stripMargin,
+
+    // q310: cluster-level K folds — q299's construction at fold grain; the
+    // cross-fold verified-pair count is zero BY CONSTRUCTION, hash-checked
+    "q310_cluster_folds" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST('0x' || substr(md5(cluster_id || ':fold_v1'), 1, 8) AS BIGINT)
+         |      % 1000 % 5 AS fold
+         |  FROM lab),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM sp),
+         |leaks AS (
+         |  SELECT CAST(COALESCE(sum(CASE WHEN sa.fold <> sb.fold THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS cross_fold_dup_pairs
+         |  FROM verified v
+         |  JOIN sp sa ON v.doc_a = sa.doc_id
+         |  JOIN sp sb ON v.doc_b = sb.doc_id),
+         |pf AS (
+         |  SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+         |  FROM sp GROUP BY 1)
+         |SELECT fold, n_docs, n_clusters,
+         |  CAST(n_docs AS DOUBLE) / CAST(n_docs_total AS DOUBLE) AS doc_share,
+         |  cross_fold_dup_pairs
+         |FROM pf CROSS JOIN nn CROSS JOIN leaks""".stripMargin,
+
+    // q311: deterministic negative sampling — content-addressed draws
+    // (md5 mod |parts|), positives anti-joined away; collisions drop
+    "q311_negative_samples" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+        |draws AS (
+        |  SELECT c.c_custkey AS user_id, CAST(d.i AS BIGINT) AS draw,
+        |    CAST('0x' || substr(md5(c.c_custkey || ':' || d.i || ':neg_v1'), 1, 8)
+        |      AS BIGINT) % n_parts AS item
+        |  FROM customer c
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) d
+        |  CROSS JOIN np)
+        |SELECT user_id, draw, item
+        |FROM draws
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pos
+        |  WHERE pos.user_id = draws.user_id AND pos.item = draws.item)""".stripMargin,
+
+    // q312: inverse-frequency class weights — exact counts, one fixed tree
+    "q312_class_weights" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |        CAST(count(*) AS BIGINT) AS k_classes FROM c)
+        |SELECT lang, n_docs, n_total, k_classes,
+        |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |  CAST(n_total AS DOUBLE) / CAST(k_classes * n_docs AS DOUBLE) AS weight
+        |FROM c CROSS JOIN t""".stripMargin,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound

@@ -48,6 +48,61 @@ object Corpus {
     conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
       .cast("long") % 1000
 
+  /** INVERSE-FREQUENCY CLASS WEIGHTS for the language label — w_c =
+    * N/(k·n_c), the standard imbalanced-training reweighting table (a
+    * balanced corpus gets every w = 1; a rare class is up-weighted by its
+    * scarcity) emitted as the artifact a trainer joins per-example. Every
+    * count exact; the weight is one fixed tree over N, k, n_c. ONE
+    * scan-speed aggregate; the k-row weights frame broadcasts back to
+    * training joins for free.
+    */
+  def classWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("k_classes"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_total"), col("k_classes"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        (col("n_total").cast("double") /
+          (col("k_classes") * col("n_docs")).cast("double")).as("weight"))
+  }
+
+  /** DETERMINISTIC NEGATIVE SAMPLING for recommender / contrastive
+    * training data: k content-addressed candidate items per customer
+    * (md5(custkey:draw:salt) mod |parts| — partkeys are contiguous
+    * 0..P−1), with the customer's true purchases anti-joined away. The
+    * SCALE-CORRECT spelling of "sample items the user did NOT buy": no
+    * rand() (re-runs and retried tasks produce identical rows), no
+    * per-user collected item sets — one generated frame and one
+    * co-keyed LEFT ANTI join. Collisions with positives DROP rather than
+    * redraw (the emitted count per user is ≤ k; the share lost is the
+    * user's positive rate, which the output makes visible) — redraw loops
+    * are sequential and have no bounded-step distributed form. |parts|
+    * rides a broadcast one-row aggregate.
+    */
+  def negativeSamples(spark: SparkSession, sfDir: String, k: Int = 8,
+      salt: String = "neg_v1"): DataFrame = {
+    val pos = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("item")),
+        "o_orderkey")
+      .select(col("o_custkey").as("user_id"), col("item"))
+      .distinct()
+    val nParts = Tables.part(spark, sfDir).agg(count(lit(1)).as("n_parts"))
+    val draws = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"))
+      .crossJoin(broadcast(nParts))
+      .crossJoin(broadcast(spark.range(0, k.toLong).select(col("id").as("draw"))))
+      .select(col("user_id"), col("draw"),
+        (conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+          col("draw").cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+          .cast("long") % col("n_parts")).as("item"))
+    draws.join(pos, Seq("user_id", "item"), "left_anti")
+  }
+
   /** Train/valid/test split by deterministic hash bucket (900/50/50 ‰).
     * The classic leakage-safe corpus split: membership depends only on
     * doc_id + salt, so re-running over a grown corpus never moves an old

@@ -365,6 +365,39 @@ object Curation {
           .as("cross_split_dup_pairs"))
   }
 
+  /** CLUSTER-LEVEL K-FOLD ASSIGNMENT — q299's leakage-free construction
+    * generalized to cross-validation: fold = cluster-hash bucket mod k, so
+    * every near-dup family lands whole in ONE fold and no validation fold
+    * ever contains a near-duplicate of a training document. Emits the
+    * per-fold census plus the cross-fold verified-pair count (zero BY
+    * CONSTRUCTION, oracle-hash-checked at zero — the q299 convention).
+    * Scale shape: identical to q299 (memoized dedup chain, two joins, two
+    * tiny aggregates).
+    */
+  def clusterFolds(spark: SparkSession, sfDir: String, k: Int = 5,
+      salt: String = "fold_v1"): DataFrame = {
+    val assigned = Graph.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("fold", Corpus.hashBucket(col("cluster_id"), salt) % k.toLong)
+    val n = assigned.agg(count(lit(1)).as("n_docs_total"))
+    val perFold = assigned.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    val sp = assigned.select(col("doc_id"), col("fold"))
+    val leaks = Dedup.ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sp.select(col("doc_id").as("doc_a"), col("fold").as("fa")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("fold").as("fb")), "doc_b")
+      .agg(sum(when(col("fa") =!= col("fb"), 1L).otherwise(0L))
+        .as("cross_fold_dup_pairs"))
+    perFold.crossJoin(broadcast(n)).crossJoin(broadcast(leaks))
+      .select(col("fold"), col("n_docs"), col("n_clusters"),
+        (col("n_docs").cast("double") / col("n_docs_total").cast("double"))
+          .as("doc_share"),
+        coalesce(col("cross_fold_dup_pairs"), lit(0L))
+          .as("cross_fold_dup_pairs"))
+  }
+
   /** PER-(SPLIT × SOURCE) PROFILE of the cluster-level split — "what does
     * my train set actually look like": document and token counts plus each
     * source's share WITHIN its split, the readout that catches a split

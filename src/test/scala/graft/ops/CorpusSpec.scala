@@ -122,4 +122,54 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
     assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
+
+  test("negative samples: draws recomputed from the hash; no emitted pair is a positive") {
+    val sf = "/root/testdata/sf0.001"
+    def hash8(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(8), 16)
+    }
+    val nParts = graft.core.Tables.part(spark, sf).count()
+    val users = graft.core.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val pos = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val positives = graft.core.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => pos.get(r.getLong(0)).map(u => (u, r.getLong(1)))).toSet
+    val expected = (for {
+      u <- users; i <- 0 until 8
+      item = hash8(s"$u:$i:neg_v1") % nParts
+      if !positives((u, item))
+    } yield (u, i.toLong, item)).toSet
+    val rows = Corpus.negativeSamples(spark, sf)
+      .select("user_id", "draw", "item").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === expected, "exact draw-and-drop set")
+    assert(rows.forall(r => r._3 >= 0 && r._3 < nParts), "items in range")
+    assert(rows.forall(r => !positives((r._1, r._3))), "never a positive")
+  }
+
+  test("class weights: inverse-frequency identity; total weight is preserved") {
+    val sf = "/root/testdata/sf0.001"
+    val counts = graft.core.Tables.documents(spark, sf)
+      .select("lang").collect().map(_.getString(0))
+      .groupBy(x => x).map { case (l, xs) => (l, xs.length.toLong) }
+    val n = counts.values.sum
+    val k = counts.size.toLong
+    val rows = Corpus.classWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSet === counts.keySet)
+    rows.foreach { case (l, nc, nt, kc, share, w) =>
+      assert(nc === counts(l)); assert(nt === n); assert(kc === k)
+      assert(share === nc.toDouble / n.toDouble)
+      assert(w === n.toDouble / (k * nc).toDouble, s"$l weight")
+    }
+    // Σ n_c · w_c = N — reweighting preserves the total example mass
+    val total = rows.map(r => r._2.toDouble * r._6).sum
+    assert(math.abs(total - n.toDouble) < 1e-6 * n, "mass preserved")
+  }
 }

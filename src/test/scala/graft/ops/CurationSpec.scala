@@ -252,6 +252,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cluster folds: census recomputed; zero cross-fold leakage by construction") {
+    val sf = "/root/testdata/sf0.001"
+    def bucket(clusterId: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$clusterId:$salt".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    val labels = Graph.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val assign = labels.map { case (d, c) => (d, c, bucket(c, "fold_v1") % 5) }
+    val byFold = assign.groupBy(_._3)
+    val rows = Curation.clusterFolds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSet === byFold.keySet)
+    rows.foreach { case (f, nDocs, nClusters, share, leaks) =>
+      assert(nDocs === byFold(f).length.toLong, s"fold $f docs")
+      assert(nClusters === byFold(f).map(_._2).distinct.length.toLong)
+      assert(share === nDocs.toDouble / labels.length.toDouble)
+      assert(leaks === 0L, "cluster-unit folds cannot leak near-dups")
+    }
+    val byDoc = assign.map(a => (a._1, a._3)).toMap
+    Dedup.ngramJaccard(spark, sf).select("doc_a", "doc_b").collect()
+      .foreach { r =>
+        assert(byDoc(r.getLong(0)) === byDoc(r.getLong(1)),
+          "verified pair endpoints share a fold")
+      }
+  }
+
   test("split profile: cells partition q299's census; shares sum to one; tokens recount") {
     val sf = "/root/testdata/sf0.001"
     val census = Curation.clusterSplit(spark, sf).collect()

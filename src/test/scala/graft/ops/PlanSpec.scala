@@ -313,7 +313,10 @@ class PlanSpec extends SparkSpec {
         TimeSeries.monthlySeasonalIndex(spark, sf),
         TermStats.sourceVocabJaccard(spark, sf),
         Statistics.orderSizeVmr(spark, sf),
-        TimeSeries.shipLagDrift(spark, sf))) {
+        TimeSeries.shipLagDrift(spark, sf),
+        Curation.clusterFolds(spark, sf),
+        Corpus.negativeSamples(spark, sf),
+        Corpus.classWeights(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
