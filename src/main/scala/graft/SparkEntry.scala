@@ -346,6 +346,7 @@ object SparkEntry {
     "q310_cluster_folds"   -> ((s, d) => graft.ops.Curation.clusterFolds(s, d)),
     "q311_negative_samples" -> ((s, d) => graft.ops.Corpus.negativeSamples(s, d)),
     "q312_class_weights"   -> ((s, d) => graft.ops.Corpus.classWeights(s, d)),
+    "q313_dedup_savings"   -> ((s, d) => graft.ops.Curation.dedupSavings(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -4029,6 +4030,24 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
         |  CAST(n_total AS DOUBLE) / CAST(k_classes * n_docs AS DOUBLE) AS weight
         |FROM c CROSS JOIN t""".stripMargin,
+
+    // q313: dedup token savings — representative flags off q55's labels,
+    // exact token counts, one division
+    "q313_dedup_savings" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |t AS (
+         |  SELECT d.doc_id,
+         |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_toks,
+         |    (l.doc_id = l.cluster_id) AS is_rep
+         |  FROM documents d JOIN lab l ON d.doc_id = l.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
+         |  CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(CASE WHEN is_rep THEN n_toks ELSE 0 END) AS BIGINT) AS deduped_tokens,
+         |  CAST(sum(n_toks) - sum(CASE WHEN is_rep THEN n_toks ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n_toks) AS DOUBLE) AS token_savings
+         |FROM t""".stripMargin,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound

@@ -398,6 +398,33 @@ object Curation {
           .as("cross_fold_dup_pairs"))
   }
 
+  /** DEDUP TOKEN SAVINGS — the one-row answer to "what does near-dup
+    * dedup actually buy at training time": raw corpus tokens vs tokens of
+    * the q55 cluster REPRESENTATIVES only, and the saved share. This is
+    * the number that justifies (or not) the LSH pipeline's cost before a
+    * training run pays for duplicate epochs. Counts are exact BIGINTs
+    * ([a-z0-9]+ tokens, the engine's standard); the savings share is ONE
+    * division. Scale shape: labels ride the memoized dedup chain; then one
+    * scan-speed tokenize + one single-row aggregate.
+    */
+  def dedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_toks"))
+    toks.join(Graph.dupClusters(spark, sfDir)
+        .select(col("doc_id"), col("is_representative")), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_representative"), 1L).otherwise(0L)).as("n_reps"),
+        sum(col("n_toks")).as("raw_tokens"),
+        sum(when(col("is_representative"), col("n_toks")).otherwise(0L))
+          .as("deduped_tokens"))
+      .select(col("n_docs"), col("n_reps"), col("raw_tokens"),
+        col("deduped_tokens"),
+        ((col("raw_tokens") - col("deduped_tokens")).cast("double") /
+          col("raw_tokens").cast("double")).as("token_savings"))
+  }
+
   /** PER-(SPLIT × SOURCE) PROFILE of the cluster-level split — "what does
     * my train set actually look like": document and token counts plus each
     * source's share WITHIN its split, the readout that catches a split

@@ -283,6 +283,26 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("dedup savings: recounted off q55's own labels; savings in [0, 1)") {
+    val sf = "/root/testdata/sf0.001"
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).size.toLong)).toMap
+    val labels = Graph.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val raw = labels.map(l => toks(l._1)).sum
+    val kept = labels.collect { case (d, c) if d == c => toks(d) }.sum
+    val row = Curation.dedupSavings(spark, sf).collect().head
+    assert(row.getLong(0) === labels.length.toLong)
+    assert(row.getLong(1) === labels.count(l => l._1 == l._2).toLong)
+    assert(row.getLong(2) === raw, "raw token total")
+    assert(row.getLong(3) === kept, "representative token total")
+    assert(row.getDouble(4) === (raw - kept).toDouble / raw.toDouble)
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) < 1.0)
+  }
+
   test("split profile: cells partition q299's census; shares sum to one; tokens recount") {
     val sf = "/root/testdata/sf0.001"
     val census = Curation.clusterSplit(spark, sf).collect()

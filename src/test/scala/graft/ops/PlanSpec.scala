@@ -316,7 +316,8 @@ class PlanSpec extends SparkSpec {
         TimeSeries.shipLagDrift(spark, sf),
         Curation.clusterFolds(spark, sf),
         Corpus.negativeSamples(spark, sf),
-        Corpus.classWeights(spark, sf))) {
+        Corpus.classWeights(spark, sf),
+        Curation.dedupSavings(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
