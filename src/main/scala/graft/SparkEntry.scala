@@ -347,6 +347,14 @@ object SparkEntry {
     "q311_negative_samples" -> ((s, d) => graft.ops.Corpus.negativeSamples(s, d)),
     "q312_class_weights"   -> ((s, d) => graft.ops.Corpus.classWeights(s, d)),
     "q313_dedup_savings"   -> ((s, d) => graft.ops.Curation.dedupSavings(s, d)),
+    "q314_perplexity_filter" -> ((s, d) => graft.ops.LanguageModel.perplexityFilter(s, d)),
+    "q315_lsh_recall"      -> ((s, d) => Dedup.lshRecall(s, d)),
+    "q316_stream_decontam" -> ((s, d) => graft.streaming.ScoreStream.contaminationMonitorAvailableNow(s, d)),
+    "q317_fold_eval"       -> ((s, d) => graft.ops.Curation.foldEval(s, d)),
+    "q318_robust_anomaly"  -> ((s, d) => graft.ops.Statistics.robustDailyAnomalies(s, d)),
+    "q319_vocab_growth"    -> ((s, d) => graft.ops.TermStats.vocabularyGrowth(s, d)),
+    "q320_lsh_cost"        -> ((s, d) => Dedup.lshCandidateCost(s, d)),
+    "q321_stream_robust"   -> ((s, d) => graft.streaming.OrderStream.robustDailyAnomalyAvailableNow(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -559,6 +567,97 @@ object SparkEntry {
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
        |  WHERE r.lbl < e.dst)""".stripMargin
+
+  /** DuckDB twin of LanguageModel.perDocTotals — the add-one-smoothed bigram
+    * LM in exact ppm fixed point, ending at `per_doc` (doc_id, ppm_sum,
+    * n_bigrams; one row per doc with ≥ 1 bigram) with the tokenized corpus
+    * still visible as `d`. Shared by q110 (corpus-mean flag) and q314
+    * (percentile filter) so both oracles score under the identical model.
+    */
+  private lazy val bigramLmCtes: String =
+    """d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) >= 2 THEN
+      |      list_transform(range(1, len(toks)),
+      |        i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
+      |    ELSE [] END) AS bigram
+      |  FROM d),
+      |db AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+      |c12 AS (SELECT bigram, sum(n) AS c12 FROM db GROUP BY 1),
+      |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(n) AS c1 FROM db GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t.term) AS v
+      |      FROM (SELECT unnest(toks) AS term FROM d) t),
+      |scored AS (
+      |  SELECT db.doc_id, db.n,
+      |    ((c12.c12 + 1) * 1000000) // (c1.c1 + v.v) AS ppm
+      |  FROM db
+      |  JOIN c12 ON db.bigram = c12.bigram
+      |  JOIN c1 ON split_part(db.bigram, ' ', 1) = c1.w1
+      |  CROSS JOIN v),
+      |per_doc AS (
+      |  SELECT doc_id, sum(n * ppm) AS ppm_sum, sum(n) AS n_bigrams
+      |  FROM scored GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of Curation.decontaminate — shared verbatim by q75 (batch)
+    * and q316 (the streaming contamination monitor), so the parity pair is
+    * gated by ONE SQL string.
+    */
+  private lazy val decontaminateOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, is_eval,
+      |    CASE WHEN len(toks) >= 5 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 3),
+      |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+      |    ELSE [] END AS grams
+      |  FROM d),
+      |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
+      |t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval),
+      |hits AS (
+      |  SELECT t.doc_id, count(*) AS n_grams, count(e.gram) AS n_hits
+      |  FROM t LEFT JOIN e ON t.gram = e.gram GROUP BY t.doc_id)
+      |SELECT g.doc_id,
+      |  CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+      |FROM g LEFT JOIN hits h USING (doc_id)
+      |WHERE NOT g.is_eval""".stripMargin
+
+  /** DuckDB twin of Statistics.robustFromDaily over the orders dailies —
+    * shared verbatim by q318 (batch) and q321 (the streaming twin), the
+    * sixth batch/stream parity pair.
+    */
+  private lazy val robustAnomalyOracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT day, total_cents, list_sort(array_agg(total_cents) OVER (ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS buf
+      |  FROM daily),
+      |m AS (SELECT day, total_cents, buf,
+      |        CASE WHEN len(buf) = 7 THEN buf[4] END AS med_prior FROM b),
+      |m2 AS (
+      |  SELECT day, total_cents, med_prior,
+      |    CASE WHEN med_prior IS NOT NULL
+      |         THEN list_sort(list_transform(buf, v -> abs(v - med_prior)))[4]
+      |    END AS mad_prior
+      |  FROM m)
+      |SELECT day, total_cents, med_prior, mad_prior,
+      |  CASE WHEN mad_prior > 0
+      |       THEN CAST(total_cents - med_prior AS DOUBLE) / mad_prior
+      |  END AS dev_over_mad,
+      |  coalesce(abs(total_cents - med_prior) > 5 * mad_prior, false) AS is_anomaly
+      |FROM m2""".stripMargin
 
   /** DuckDB twin of TextAnalysis.qualityScore, shared by q40/q67/q81. */
   private lazy val qualityScoreSql: String =
@@ -4049,6 +4148,161 @@ object SparkEntry {
          |    / CAST(sum(n_toks) AS DOUBLE) AS token_savings
          |FROM t""".stripMargin,
 
+    // q315: LSH band-layout recall — exact ground truth (all qualifying
+    // pairs, stratum + lang + ±20-char gates, 3-gram Jaccard ≥ 0.5), the
+    // 16-entry signature agreement vector, and each band layout's catch
+    // unrolled to literal boolean trees (no lambda-capture dependence)
+    "q315_lsh_recall" -> {
+      val aList = graft.ops.Dedup.hashA.mkString("[", ", ", "]")
+      val bList = graft.ops.Dedup.hashB.mkString("[", ", ", "]")
+      def caught(nb: Int, r: Int): String =
+        (0 until nb).map { bi =>
+          (0 until r).map(j => s"eq[${bi * r + j + 1}]").mkString("(", " AND ", ")")
+        }.mkString("(", " OR ", ")")
+      val arms = Seq(16 -> 1, 8 -> 2, 4 -> 4, 2 -> 8, 1 -> 16).map { case (nb, r) =>
+        s"""SELECT CAST($nb AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+           |  CAST(count(*) AS BIGINT) AS n_true_pairs,
+           |  CAST(sum(CASE WHEN ${caught(nb, r)} THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           |  CAST(sum(CASE WHEN ${caught(nb, r)} THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM tp""".stripMargin
+      }
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS g3,
+         |    list_transform(range(0, 16), i -> list_min(list_transform(
+         |      list_transform(${shingles(4)},
+         |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)),
+         |      v -> ($aList[CAST(i AS INT) + 1] * v
+         |        + $bList[CAST(i AS INT) + 1]) % ${graft.ops.Dedup.HashP}))) AS sig,
+         |    n_chars // 20 AS bkt
+         |  FROM documents
+         |  WHERE CAST('0x' || substr(md5(doc_id || ':recall_v1'), 1, 8) AS BIGINT)
+         |    % 1000 < 100),
+         |pr AS (SELECT *, unnest([bkt - 1, bkt, bkt + 1]) AS k FROM s),
+         |tp AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    list_transform(range(0, 16),
+         |      i -> coalesce(x.sig[CAST(i AS INT) + 1] = y.sig[CAST(i AS INT) + 1],
+         |        false)) AS eq
+         |  FROM pr x JOIN s y ON x.lang = y.lang AND x.k = y.bkt
+         |  WHERE x.doc_id < y.doc_id AND abs(x.n_chars - y.n_chars) <= 20
+         |    AND CAST(len(list_intersect(x.g3, y.g3)) AS DOUBLE)
+         |      / (len(x.g3) + len(y.g3) - len(list_intersect(x.g3, y.g3))) >= 0.5)
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // q317: per-fold train/validate statistics over the q310 fold
+    // assignment — exact tokens, DECIMAL(18,12)-quantized quality folded
+    // exactly (the q215 convention), train side = totals − fold
+    "q317_fold_eval" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(cluster_id || ':fold_v1'), 1, 8) AS BIGINT)
+         |      % 1000 % 5 AS fold
+         |  FROM lab),
+         |dq AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks,
+         |    CAST(CAST(($qualityScoreSql) AS VARCHAR) AS DECIMAL(18,12)) AS q
+         |  FROM documents),
+         |cells AS (
+         |  SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens, sum(q) AS q_sum
+         |  FROM dq JOIN sp USING (doc_id) GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS nd_tot,
+         |    CAST(sum(n_tokens) AS BIGINT) AS nt_tot, sum(q_sum) AS q_tot
+         |  FROM cells)
+         |SELECT fold, n_docs AS n_valid_docs, nd_tot - n_docs AS n_train_docs,
+         |  n_tokens AS valid_tokens, nt_tot - n_tokens AS train_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(nt_tot AS DOUBLE) AS valid_token_share,
+         |  CAST(CAST(q_sum AS VARCHAR) AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    AS avg_quality_valid,
+         |  CAST(CAST(CAST(q_tot AS DECIMAL(32,12)) - CAST(q_sum AS DECIMAL(32,12))
+         |    AS VARCHAR) AS DOUBLE)
+         |    / CAST(nd_tot - n_docs AS DOUBLE) AS avg_quality_train
+         |FROM cells CROSS JOIN tot""".stripMargin,
+
+    // q318: robust daily anomalies — q247's exact cents dailies, trailing
+    // 7-day sorted buffer, median = buf[4], MAD = sorted |v−med|[4], alarm
+    // the exact integer |x−med| > 5·MAD (nulls → false, q194's warmup rows).
+    // q321 is the STREAMING producer of the identical readout and shares
+    // this SQL verbatim — the sixth batch/stream parity instance
+    "q318_robust_anomaly" -> robustAnomalyOracle,
+    "q321_stream_robust" -> robustAnomalyOracle,
+
+    // q320: LSH candidate-cost curve — bucket census per band layout on the
+    // q315 stratum; generated pairs by the n·(n−1)/2 identity, distinct
+    // candidates by the layout's own band self-join (arms unrolled, no
+    // lambda-capture dependence)
+    "q320_lsh_cost" -> {
+      val aList = graft.ops.Dedup.hashA.mkString("[", ", ", "]")
+      val bList = graft.ops.Dedup.hashB.mkString("[", ", ", "]")
+      val layouts = Seq(16 -> 1, 8 -> 2, 4 -> 4, 2 -> 8, 1 -> 16)
+      val ctes = layouts.map { case (nb, r) =>
+        val key = (0 until r).map(j =>
+          s"CAST(sig[CAST(b.i * $r + $j + 1 AS INT)] AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"""bands_$nb AS (
+           |  SELECT doc_id, b.i AS band_idx, $key AS key
+           |  FROM s CROSS JOIN (SELECT unnest(range(0, $nb)) AS i) b),
+           |bk_$nb AS (
+           |  SELECT band_idx, key, CAST(count(*) AS BIGINT) AS n
+           |  FROM bands_$nb GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      val arms = layouts.map { case (nb, r) =>
+        s"""SELECT CAST($nb AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bk_$nb) AS n_buckets,
+           |  (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) FROM bk_$nb)
+           |    AS generated_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (
+           |     SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |     FROM bands_$nb a JOIN bands_$nb b
+           |       ON a.band_idx = b.band_idx AND a.key = b.key
+           |      AND a.doc_id < b.doc_id) t) AS distinct_candidates""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s0 AS (
+         |  SELECT doc_id, list_transform(range(0, 16), i -> list_min(list_transform(
+         |    list_transform(${shingles(4)},
+         |      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)),
+         |    v -> ($aList[CAST(i AS INT) + 1] * v
+         |      + $bList[CAST(i AS INT) + 1]) % ${graft.ops.Dedup.HashP}))) AS sig
+         |  FROM documents
+         |  WHERE CAST('0x' || substr(md5(doc_id || ':recall_v1'), 1, 8) AS BIGINT)
+         |    % 1000 < 100),
+         |s AS (SELECT * FROM s0 WHERE sig[1] IS NOT NULL),
+         |$ctes
+         |$arms""".stripMargin
+    },
+
+    // q319: vocabulary-growth series — one (source, term, batch) aggregate,
+    // first-seen = min(batch), cumulative vocab over the |sources|·|batches|
+    // frame; batch is the content-addressed crawl stand-in (md5 % 1000 % 8)
+    "q319_vocab_growth" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST('0x' || substr(md5(doc_id || ':crawl_v1'), 1, 8) AS BIGINT)
+        |      % 1000 % 8 AS batch,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |cells AS (SELECT source, term, batch, CAST(count(*) AS BIGINT) AS n
+        |          FROM t GROUP BY 1, 2, 3),
+        |pb AS (SELECT source, batch, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS batch_vocab
+        |       FROM cells GROUP BY 1, 2),
+        |fs AS (SELECT source, term, min(batch) AS batch FROM cells GROUP BY 1, 2),
+        |nw AS (SELECT source, batch, CAST(count(*) AS BIGINT) AS n_new_terms
+        |       FROM fs GROUP BY 1, 2)
+        |SELECT pb.source, pb.batch, pb.n_tokens, pb.batch_vocab,
+        |  CAST(coalesce(nw.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+        |  CAST(sum(coalesce(nw.n_new_terms, 0)) OVER (PARTITION BY pb.source
+        |    ORDER BY pb.batch) AS BIGINT) AS cum_vocab,
+        |  CAST(coalesce(nw.n_new_terms, 0) AS DOUBLE) / CAST(pb.n_tokens AS DOUBLE)
+        |    AS new_term_rate
+        |FROM pb LEFT JOIN nw USING (source, batch)""".stripMargin,
+
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound
     // 2PR/(P+R) tree); empty predicted-positive sets yield NULL precision
@@ -6183,31 +6437,7 @@ object SparkEntry {
     // add-one-smoothed bigram LM in exact ppm fixed point (log-free, like
     // q57's rational TF-IDF): Spark `div` ≡ DuckDB `//` on non-negative longs
     "q110_bigram_lm" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id,
-        |    unnest(CASE WHEN len(toks) >= 2 THEN
-        |      list_transform(range(1, len(toks)),
-        |        i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])
-        |    ELSE [] END) AS bigram
-        |  FROM d),
-        |db AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
-        |c12 AS (SELECT bigram, sum(n) AS c12 FROM db GROUP BY 1),
-        |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(n) AS c1 FROM db GROUP BY 1),
-        |v AS (SELECT count(DISTINCT t.term) AS v
-        |      FROM (SELECT unnest(toks) AS term FROM d) t),
-        |scored AS (
-        |  SELECT db.doc_id, db.n,
-        |    ((c12.c12 + 1) * 1000000) // (c1.c1 + v.v) AS ppm
-        |  FROM db
-        |  JOIN c12 ON db.bigram = c12.bigram
-        |  JOIN c1 ON split_part(db.bigram, ' ', 1) = c1.w1
-        |  CROSS JOIN v),
-        |per_doc AS (
-        |  SELECT doc_id, sum(n * ppm) AS ppm_sum, sum(n) AS n_bigrams
-        |  FROM scored GROUP BY 1),
+      s"""WITH $bigramLmCtes,
         |ca AS (SELECT CAST(sum(ppm_sum) AS DOUBLE) / sum(n_bigrams) AS corpus_avg
         |       FROM per_doc)
         |SELECT d.doc_id,
@@ -6219,6 +6449,30 @@ object SparkEntry {
         |    AS below_corpus_avg
         |FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         |CROSS JOIN ca""".stripMargin,
+
+    // q314: per-doc LM perplexity filter — q110's model chain verbatim
+    // (shared CTE fragment), global (avg_ppm, doc_id) rank, keep line the
+    // exact integer rk > (n·200)//1000; unscoreable docs kept=false
+    "q314_perplexity_filter" ->
+      s"""WITH $bigramLmCtes,
+        |sc AS (
+        |  SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |    CAST(ppm_sum AS DOUBLE) / n_bigrams AS avg_ppm
+        |  FROM per_doc),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_scored FROM sc),
+        |r AS (
+        |  SELECT doc_id, n_bigrams, avg_ppm,
+        |    CAST(row_number() OVER (ORDER BY avg_ppm, doc_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT doc_id, n_bigrams, avg_ppm, rk,
+        |  rk > (n_scored * 200) // 1000 AS kept
+        |FROM r CROSS JOIN nn
+        |UNION ALL
+        |SELECT d.doc_id, CAST(0 AS BIGINT) AS n_bigrams,
+        |  CAST(NULL AS DOUBLE) AS avg_ppm, CAST(NULL AS BIGINT) AS rk,
+        |  false AS kept
+        |FROM d LEFT JOIN per_doc p USING (doc_id)
+        |WHERE p.doc_id IS NULL""".stripMargin,
 
     // q244: PMI collocations per language — bigram-position marginals (one
     // consistent sample space, exact ints), four bridged lns in ONE fixed
@@ -6784,30 +7038,10 @@ object SparkEntry {
 
     // eval/train decontamination by 5-word-gram overlap; the eval slice is the
     // 200‰ hash split under salt eval_v1 (Corpus.hashBucket twin)
-    "q75_decontaminate" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, is_eval,
-        |    CASE WHEN len(toks) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 3),
-        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
-        |    ELSE [] END AS grams
-        |  FROM d),
-        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
-        |t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval),
-        |hits AS (
-        |  SELECT t.doc_id, count(*) AS n_grams, count(e.gram) AS n_hits
-        |  FROM t LEFT JOIN e ON t.gram = e.gram GROUP BY t.doc_id)
-        |SELECT g.doc_id,
-        |  CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
-        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
-        |FROM g LEFT JOIN hits h USING (doc_id)
-        |WHERE NOT g.is_eval""".stripMargin,
+    // shared VERBATIM by q316 (the streaming contamination monitor) — the
+    // q268 batch/stream parity convention: one SQL string, two engines' tiers
+    "q75_decontaminate" -> decontaminateOracle,
+    "q316_stream_decontam" -> decontaminateOracle,
 
     // Gopher-style repetition signals: repeated-token fraction + share of the
     // most frequent bigram. [NULL] keeps zero-bigram docs in the output with

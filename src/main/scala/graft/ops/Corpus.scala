@@ -44,7 +44,7 @@ object Corpus {
     * is what makes splits/samples reproducible on a cluster. Per-row, no
     * shuffle, codegen'd.
     */
-  private[ops] def hashBucket(id: Column, salt: String): Column =
+  private[graft] def hashBucket(id: Column, salt: String): Column =
     conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
       .cast("long") % 1000
 

@@ -23,7 +23,7 @@ object Curation {
     * HOF formulation below is kept as the executable spec it is
     * equivalence-tested against.
     */
-  private[ops] def wordGrams(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+  private[graft] def wordGrams(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     graft.functions.WordGramsExpr(text, n)
 
   /** HOF executable spec of [[wordGrams]]. Guard: Spark `sequence(1, k)`
@@ -396,6 +396,58 @@ object Curation {
           .as("doc_share"),
         coalesce(col("cross_fold_dup_pairs"), lit(0L))
           .as("cross_fold_dup_pairs"))
+  }
+
+  /** PER-FOLD TRAIN/VALIDATE STATISTICS over [[clusterFolds]]' assignment —
+    * the readout a cross-validation run consults BEFORE training: with fold f
+    * as the validation set and the other k−1 folds as training, each row
+    * reports both sides' document counts, exact token counts, the validation
+    * share, and each side's mean quality score. Cluster-grain hashing keeps
+    * folds leakage-free (q310's construction) but makes their SIZE and
+    * QUALITY balance an emergent property — this is the query that checks it.
+    *
+    * Exactness: tokens are exact BIGINTs; each side's mean quality folds
+    * per-doc scores quantized to DECIMAL(18,12) (the q215 convention) into an
+    * exact decimal sum, one division per mean. Train-side aggregates are
+    * TOTAL − fold (one broadcast totals row), so the whole query is ONE
+    * scan-speed tokenize+score pass, the memoized dedup-chain labels, and a
+    * k-row aggregate — never k passes over the corpus.
+    */
+  def foldEval(spark: SparkSession, sfDir: String, k: Int = 5,
+      salt: String = "fold_v1"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val assigned = Graph.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("fold", Corpus.hashBucket(col("cluster_id"), salt) % k.toLong)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_toks"),
+        TextAnalysis.qualityScore.cast("string").cast(DecimalType(18, 12)).as("q"))
+    val cells = docs.join(assigned, "doc_id")
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("q")).as("q_sum"))
+    val tot = cells.agg(sum(col("n_docs")).as("nd_tot"),
+      sum(col("n_tokens")).as("nt_tot"), sum(col("q_sum")).as("q_tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("fold"),
+        col("n_docs").as("n_valid_docs"),
+        (col("nd_tot") - col("n_docs")).as("n_train_docs"),
+        col("n_tokens").as("valid_tokens"),
+        (col("nt_tot") - col("n_tokens")).as("train_tokens"),
+        (col("n_tokens").cast("double") / col("nt_tot").cast("double"))
+          .as("valid_token_share"),
+        (graft.core.Num.decToDouble(col("q_sum")) /
+          col("n_docs").cast("double")).as("avg_quality_valid"),
+        // subtract at DECIMAL(32,12): Spark's (38,12)−(28,12) needs precision
+        // 39, and the overflow handler silently drops to scale 11 — a
+        // 12th-decimal rounding DuckDB doesn't apply (caught by selfcheck at
+        // sf0.01). (32,12)−(32,12) → (33,12), exact on both engines; 20
+        // integer digits holds any corpus (Σ quality < 2·n_docs).
+        (graft.core.Num.decToDouble(col("q_tot").cast(DecimalType(32, 12)) -
+            col("q_sum").cast(DecimalType(32, 12))) /
+          (col("nd_tot") - col("n_docs")).cast("double")).as("avg_quality_train"))
   }
 
   /** DEDUP TOKEN SAVINGS — the one-row answer to "what does near-dup

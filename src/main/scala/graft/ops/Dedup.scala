@@ -71,6 +71,12 @@ object Dedup {
   private def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** A 16-entry all-null signature — what a null text's signature coalesces
+    * to wherever per-entry arithmetic needs a fixed width.
+    */
+  private def allNullSig: Column =
+    array((0 until MinhashFuncs).map(_ => lit(null).cast("long")): _*)
+
   /** MinHash signatures, long form: (doc_id, h_idx, minhash). One md5 per
     * shingle, then 16 affine integer mixes; the signature entry is the minimum
     * over the document's 4-gram shingles. Evaluated by the native
@@ -80,11 +86,10 @@ object Dedup {
     // NULL text must still yield 16 (null) signature rows — the expression
     // returns NULL for NULL input and posexplode would silently drop the
     // document, where the HOF spec and the oracle both keep it
-    val allNull = array((0 until MinhashFuncs).map(_ => lit(null).cast("long")): _*)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         posexplode(coalesce(
-          graft.functions.MinhashSigExpr(TextAnalysis.normText(col("text"))), allNull))
+          graft.functions.MinhashSigExpr(TextAnalysis.normText(col("text"))), allNullSig))
           .as(Seq("h_idx", "minhash")))
   }
 
@@ -287,6 +292,137 @@ object Dedup {
         abs(col("est_jaccard") - col("jc.jaccard")).as("abs_err"))
   }
 
+  /** LSH-DEDUP RECALL INSTRUMENT — q296's tuning shape pointed at the
+    * MinHash index: nothing in the q19 pipeline says whether 4 bands × 4
+    * rows actually CATCHES the near-duplicates the verify would confirm.
+    * This query measures it: on a deterministic hash stratum of the corpus,
+    * compute the exact ground truth (ALL qualifying pairs with 3-gram
+    * Jaccard ≥ `tau` — the q17 verify predicate, including its same-lang and
+    * ±20-char gates) and score EVERY band layout of the 16-entry signature
+    * ((16×1), (8×2), (4×4), (2×8), (1×16)) by the share of true pairs it
+    * would band together. This is the number that sizes bands before a
+    * 100 TB run: more rows per band = fewer, cleaner candidates but lower
+    * recall — the row that matters is (4, 4), the production layout, read
+    * against its neighbors.
+    *
+    * Ground truth is honest only if it is NOT LSH-derived, which forces a
+    * pair scan — bounded two ways: the stratum (content-addressed
+    * `strataPermille`‰ of documents; at a fixed corpus this is the q62
+    * bounded-probe class, and at 100 TB the knob drops to hold the stratum
+    * at a FIXED absolute size, documented here rather than discovered in
+    * production), and the ±20-char length gate spelled as an EQUI-join:
+    * length buckets of width 20, each doc probing its three adjacent
+    * buckets, so the pair generator is (lang, bucket)-local — never a
+    * cartesian within the stratum.
+    *
+    * A band "catches" a pair iff every signature entry in the band matches
+    * (null entries — sub-4-char texts — match nothing, exactly as q19 drops
+    * null bands). Output: one row per layout — (n_bands, rows_per_band,
+    * n_true_pairs, n_caught, recall); n_true_pairs repeats by the q243
+    * repeated-total convention.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String,
+      strataPermille: Int = 100, salt: String = "recall_v1",
+      tau: Double = 0.5): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .filter(Corpus.hashBucket(col("doc_id"), salt) < strataPermille)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.normText(col("text")).as("norm"))
+      .withColumn("sig",
+        graft.functions.MinhashSigExpr(col("norm")))
+      .withColumn("bkt", expr("n_chars div 20"))
+    val a = base.select(col("doc_id").as("doc_a"), col("lang"),
+        col("n_chars").as("nc_a"), col("norm").as("norm_a"), col("sig").as("sig_a"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("k"))
+    val b = base.select(col("doc_id").as("doc_b"), col("lang"),
+      col("n_chars").as("nc_b"), col("norm").as("norm_b"), col("sig").as("sig_b"),
+      col("bkt").as("k"))
+    val truth = a.join(b, Seq("lang", "k"))
+      .filter(col("doc_a") < col("doc_b") && abs(col("nc_a") - col("nc_b")) <= 20)
+      .withColumn("jc", graft.functions.NgramJaccardExpr(col("norm_a"), col("norm_b"), 3))
+      .filter(col("jc.jaccard") >= tau)
+      // per-entry signature agreement; null entries (short/null text) never
+      // match — the same contract under which q19 drops null bands. A null
+      // SIGNATURE coalesces to 16 null entries so eq is always 16 wide.
+      .withColumn("eq", zip_with(
+        coalesce(col("sig_a"), allNullSig),
+        coalesce(col("sig_b"), allNullSig),
+        (x, y) => coalesce(x === y, lit(false))))
+    val layouts = Seq(16 -> 1, 8 -> 2, 4 -> 4, 2 -> 8, 1 -> 16)
+    val scoredLayouts = layouts.map { case (nb, r) =>
+      val caught = (0 until nb).map { bi =>
+        (0 until r).map(j => element_at(col("eq"), bi * r + j + 1)).reduce(_ && _)
+      }.reduce(_ || _)
+      struct(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+        caught.as("caught"))
+    }
+    truth.select(explode(array(scoredLayouts: _*)).as("s"))
+      .groupBy(col("s.n_bands").as("n_bands"),
+        col("s.rows_per_band").as("rows_per_band"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(when(col("s.caught"), 1L).otherwise(0L)).as("n_caught"))
+      .select(col("n_bands"), col("rows_per_band"), col("n_true_pairs"),
+        col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true_pairs").cast("double"))
+          .as("recall"))
+  }
+
+  /** LSH CANDIDATE-COST CURVE — the other axis of [[lshRecall]]'s tuning
+    * table: recall says what a band layout CATCHES; this says what it
+    * COSTS. For every layout of the 16-entry signature, on the same
+    * content-addressed stratum: the number of non-trivial buckets (a
+    * (band_idx, band key) shared by ≥ 2 docs), the GENERATED pair count
+    * Σ n·(n−1)/2 over buckets (the band join's actual output volume — the
+    * work the verify stage is billed for, counting a pair once per band
+    * that produces it), and the DISTINCT candidate count (the verify set
+    * after dedup). Read beside q315: more rows per band buys fewer, cleaner
+    * candidates at lower recall — these two tables ARE the band-sizing
+    * decision for a 100 TB run.
+    *
+    * Scale: bucket statistics are pure aggregates (no pairs materialize for
+    * `generated_pairs` — the n·(n−1)/2 identity does it); the distinct-
+    * candidate arm does materialize pairs, which is why the instrument runs
+    * on the stratum (the q315 boundedness argument; generated ≤ Σ df² is
+    * NOT df-gated here because measuring the ungated cost is the point).
+    * Null signatures (sub-4-char texts) never band — all-or-nothing per doc
+    * (MinhashSigExpr yields no partial nulls), same q19 contract.
+    */
+  def lshCandidateCost(spark: SparkSession, sfDir: String,
+      strataPermille: Int = 100, salt: String = "recall_v1"): DataFrame = {
+    // eagerly checkpointed: ten consumers below (bands × 2 per layout) would
+    // otherwise each re-pay the per-shingle md5 pass; the frame is stratum ×
+    // 17 values — trivially held
+    val sigs = Tables.documents(spark, sfDir)
+      .filter(Corpus.hashBucket(col("doc_id"), salt) < strataPermille)
+      .select(col("doc_id"),
+        graft.functions.MinhashSigExpr(TextAnalysis.normText(col("text"))).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .localCheckpoint(true)
+    val layouts = Seq(16 -> 1, 8 -> 2, 4 -> 4, 2 -> 8, 1 -> 16)
+    layouts.map { case (nb, r) =>
+      val bandCols = (0 until nb).map { bi =>
+        struct(lit(bi).as("band_idx"),
+          concat_ws("|", (0 until r).map(j =>
+            element_at(col("sig"), bi * r + j + 1).cast("string")): _*).as("key"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.key").as("key"))
+      val buckets = bands.groupBy(col("band_idx"), col("key"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      val gen = buckets.agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("generated_pairs"))
+      val dc = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .agg(count(lit(1)).as("distinct_candidates"))
+      gen.crossJoin(dc)
+        .select(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_buckets"), col("generated_pairs"), col("distinct_candidates"))
+    }.reduce(_ unionByName _)
+  }
+
   /** 48-bit polynomial token hash, Horner form: acc·131 + ascii(ch) mod 2^48.
     * Stays within int64 (2^48·131 < 2^63) and is expressible in any engine with
     * integer arithmetic — no dependence on a specific hash builtin.
@@ -479,17 +615,19 @@ object Dedup {
     * unrelated documents matches neither, but matches here).
     *
     * Dataflow (never all-pairs): every stride-1 window of the normalized
-    * text is fingerprinted to 16 hex chars of its md5 — IN the scan stage,
-    * codegen'd end to end (explode positions → substr → md5 → hash-agg
-    * distinct; the per-doc text never crosses an exchange, only
-    * (doc_id, fp) pairs do). Window sharing then buckets by fingerprint:
-    * a document-frequency gate keeps 2 ≤ df ≤ `maxDf` — df=1 windows pair
-    * with nothing, and a window in >maxDf docs is boilerplate (license
-    * headers, navigation chrome), not duplication; the gate is ALSO what
-    * bounds the bucket self-join at Σ df² ≤ maxDf·Σ df instead of
-    * quadratic on a hot window. The md5 fingerprint is the q16 trade:
-    * 64 bits collision-free in practice, and the DuckDB oracle computes
-    * the identical bytes so both engines bucket identically.
+    * text is fingerprinted IN the scan stage by the native rolling-hash
+    * expression ([[graft.functions.RollingWindowFpExpr]] — one codepoint
+    * pass per document, per-doc distinct included; the per-doc text never
+    * crosses an exchange, only (doc_id, fp) longs do). Window sharing then
+    * buckets by fingerprint: a document-frequency gate keeps
+    * 2 ≤ df ≤ `maxDf` — df=1 windows pair with nothing, and a window in
+    * >maxDf docs is boilerplate (license headers, navigation chrome), not
+    * duplication; the gate is ALSO what bounds the bucket self-join at
+    * Σ df² ≤ maxDf·Σ df instead of quadratic on a hot window. The
+    * fingerprint is the q16 trade: 62 bits collision-free in practice, so
+    * distinct-counts (and therefore the pair output) are the same as the
+    * oracle's md5 buckets — [[substringDedupMd5]] keeps the md5 spelling as
+    * the executable spec the rolling form is equivalence-tested against.
     *
     * Output: (doc_a, doc_b, n_shared_windows) — the count of DISTINCT
     * shared window fingerprints per pair, doc_a < doc_b.
@@ -499,18 +637,20 @@ object Dedup {
     val wins = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextAnalysis.normText(col("text")).as("t"))
       .filter(length(col("t")) >= window)
-      // explode POSITIONS, fingerprint in the same codegen stage: the
-      // generate→project pipeline never materializes a window string row —
-      // the interpreted-HOF spelling (transform over an array of windows)
-      // is the exact per-element-lambda overhead the q230 profile measured
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - lit(window - 1))).as("i"))
+      // ONE codepoint pass per document: the native rolling-hash expression
+      // emits the document's DISTINCT window fingerprints directly, so the
+      // per-doc distinct that was a (doc_id, fp) shuffle in the md5 spelling
+      // (explode positions → substr → md5 → distinct, kept below as the
+      // executable spec) is now free, and each exploded row is one LONG
+      // instead of a 16-char hex string. The fingerprint is engine-internal
+      // — the oracle still fingerprints with md5, which gates the same
+      // pair/count output because a distinct-count only moves if a
+      // fingerprint COLLIDES (see RollingWindowFpExpr's scaladoc).
       .select(col("doc_id"),
-        substring(md5(col("t").substr(col("i"), lit(window))), 1, 16).as("fp"))
-      .distinct()
+        explode(graft.functions.RollingWindowFpExpr(col("t"), window)).as("fp"))
       // PERSISTED: the fingerprint pass has THREE consumers (the df gate and
       // both self-join sides) and AQE does not exchange-reuse across them —
-      // measured 4 parquet scans / 0 ReusedExchange, 3× the md5 work
+      // measured 4 parquet scans / 0 ReusedExchange, 3× the window-pass work
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     wins.count() // materialize once, under AQE
     val eligible = wins.groupBy(col("fp"))
@@ -526,5 +666,32 @@ object Dedup {
       .localCheckpoint(true) // pair-sized; frees the window table below
     wins.unpersist()
     result
+  }
+
+  /** The md5 window-fingerprint spelling [[substringDedup]] replaced — the
+    * executable spec (and the oracle's own fingerprint) the rolling-hash
+    * form is equivalence-tested against: identical pair output unless a
+    * fingerprint collides in exactly one of the two schemes.
+    */
+  private[graft] def substringDedupMd5(spark: SparkSession, sfDir: String,
+      window: Int = 40, maxDf: Int = 100, minShared: Int = 1): DataFrame = {
+    val wins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.normText(col("text")).as("t"))
+      .filter(length(col("t")) >= window)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - lit(window - 1))).as("i"))
+      .select(col("doc_id"),
+        substring(md5(col("t").substr(col("i"), lit(window))), 1, 16).as("fp"))
+      .distinct()
+    val eligible = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val cand = wins.join(eligible, "fp")
+    cand.as("a").join(cand.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .filter(col("n_shared_windows") >= minShared)
   }
 }

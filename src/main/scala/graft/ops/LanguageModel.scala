@@ -61,6 +61,26 @@ object LanguageModel {
     * n_bigrams = 0 and null score, never silently dropped.
     */
   def bigramLmScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = perDocTotals(spark, sfDir)
+
+    // Corpus mean = one IEEE division of two exact longs (broadcast, no collect).
+    val corpusAvg = perDoc
+      .agg((sum(col("ppm_sum")).cast("double") / sum(col("n_bigrams"))).as("corpus_avg"))
+
+    allDocScores(spark, sfDir, perDoc)
+      .crossJoin(broadcast(corpusAvg))
+      .withColumn("below_corpus_avg",
+        coalesce(col("avg_ppm") < col("corpus_avg"), lit(false)))
+      .select(col("doc_id"), col("n_bigrams"), col("ppm_sum"), col("avg_ppm"),
+        col("below_corpus_avg"))
+  }
+
+  /** Exact per-document LM totals (doc_id, ppm_sum, n_bigrams) — one row per
+    * document WITH at least one bigram. Shared by [[bigramLmScores]] and the
+    * q314 perplexity filter so both consumers score under the identical model
+    * trees (the q268 shared-definition convention, applied to a batch pair).
+    */
+  private[ops] def perDocTotals(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
@@ -91,24 +111,61 @@ object LanguageModel {
       .crossJoin(broadcast(vocab))
       .withColumn("ppm", expr(s"((c12 + 1L) * ${Scale}L) div (c1 + v)"))
 
-    val perDoc = scored.groupBy(col("doc_id"))
+    scored.groupBy(col("doc_id"))
       .agg(sum(col("n") * col("ppm")).as("ppm_sum"), sum(col("n")).as("n_bigrams"))
+  }
 
-    // Corpus mean = one IEEE division of two exact longs (broadcast, no collect).
-    val corpusAvg = perDoc
-      .agg((sum(col("ppm_sum")).cast("double") / sum(col("n_bigrams"))).as("corpus_avg"))
-
-    docs.select(col("doc_id"))
+  /** [[perDocTotals]] left-joined back onto the full corpus: every document
+    * surfaces, unscoreable ones (< 2 tokens) with zero counts and null score.
+    */
+  private def allDocScores(spark: SparkSession, sfDir: String,
+      perDoc: DataFrame): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
       .withColumn("ppm_sum", coalesce(col("ppm_sum"), lit(0L)))
       .withColumn("avg_ppm",
         when(col("n_bigrams") > 0, col("ppm_sum").cast("double") / col("n_bigrams")))
-      .crossJoin(broadcast(corpusAvg))
-      .withColumn("below_corpus_avg",
-        coalesce(col("avg_ppm") < col("corpus_avg"), lit(false)))
-      .select(col("doc_id"), col("n_bigrams"), col("ppm_sum"), col("avg_ppm"),
-        col("below_corpus_avg"))
+
+  /** PER-DOCUMENT LM QUALITY FILTER (the CCNet/Gopher perplexity gate): every
+    * scoreable document ranks by its [[bigramLmScores]] likelihood and the
+    * bottom `dropPermille`‰ is marked dropped — the classic "train a cheap LM
+    * on the corpus, filter the tail that looks least like language" stage,
+    * which the corpus-MEAN flag of q110 cannot express (a percentile keeps
+    * the kept-set SIZE stable as the score distribution drifts; a mean
+    * threshold does not).
+    *
+    * Exactness: avg_ppm is one IEEE division of two exact longs per doc
+    * (bit-reproducible); the global ordering (avg_ppm, doc_id) is computed by
+    * [[Relational.twoPhaseRank]] — value-range buckets + bucket-local sorts,
+    * NEVER a single-task global window — and the keep line is the exact
+    * integer comparison rk > (n_scored·dropPermille) div 1000. Documents with
+    * no bigram (< 2 tokens) cannot be scored: they surface with rank null and
+    * kept = false (a quality filter drops what it cannot score), never
+    * silently vanish.
+    *
+    * Scale shape: the model chain is q110's (map-side-combined per-doc gram
+    * aggregate, vocab-bounded model tables); the rank adds one broadcast
+    * (min, max) probe and one |buckets|-row offset frame. Output: (doc_id,
+    * n_bigrams, avg_ppm, rk, kept).
+    */
+  def perplexityFilter(spark: SparkSession, sfDir: String,
+      dropPermille: Int = 200): DataFrame = {
+    val perDoc = perDocTotals(spark, sfDir)
+    val scored = perDoc
+      .withColumn("avg_ppm", col("ppm_sum").cast("double") / col("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_ppm"))
+    val n = scored.agg(count(lit(1)).as("n_scored"))
+    val ranked = Relational.twoPhaseRank(scored, "avg_ppm", "doc_id", "rk")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_ppm"), col("rk"),
+        (col("rk") > expr(s"(n_scored * ${dropPermille}L) div 1000L")).as("kept"))
+    val unscored = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("n_bigrams"),
+        lit(null).cast("double").as("avg_ppm"), lit(null).cast("long").as("rk"),
+        lit(false).as("kept"))
+    ranked.unionByName(unscored)
   }
 
   /** DSIR-shaped importance weights (Xie et al. 2023, "Data Selection via

@@ -575,6 +575,58 @@ object Statistics {
           .otherwise(lit(false)).as("is_anomaly"))
   }
 
+  /** ROBUST (median/MAD) DAILY ANOMALIES — q194's trailing-window alarm with
+    * the mean/σ replaced by median and median-absolute-deviation, the
+    * heavy-tail-proof variant: one genuine spike inside the trailing window
+    * inflates σ enough to mask the NEXT spike (masking), while the median and
+    * MAD ignore up to half the window. The alarm is the EXACT integer
+    * comparison |x − med| > k·MAD over cents (no FP anywhere in the
+    * decision); the reported `dev_over_mad` ratio is one IEEE division of
+    * exact longs. A zero-MAD window (≥ windowDays/2+1 identical prior days)
+    * makes ANY deviation an alarm — the robust-z limit, documented rather
+    * than special-cased. Days without a full prior window emit null
+    * med/mad and is_anomaly = false, exactly like q194's warmup rows.
+    *
+    * Scale shape: one per-day aggregate over orders; the trailing median/MAD
+    * run on the |days|-row aggregated frame (the sanctioned window class) via
+    * a sorted ≤windowDays-element buffer per row — collect_list over the
+    * daily frame, never over facts.
+    */
+  def robustDailyAnomalies(spark: SparkSession, sfDir: String,
+      windowDays: Int = 7, k: Int = 5): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("total_cents"))
+    robustFromDaily(daily, windowDays, k)
+  }
+
+  /** The q318 median/MAD tail over a (day, total_cents) daily frame — shared
+    * VERBATIM by the batch alarm above and the streaming twin
+    * ([[graft.streaming.OrderStream.robustDailyAnomalyAvailableNow]]), the
+    * [[anomaliesFromDaily]] convention at robust grain.
+    */
+  private[graft] def robustFromDaily(daily: DataFrame,
+      windowDays: Int = 7, k: Int = 5): DataFrame = {
+    require(windowDays % 2 == 1, "odd trailing window so the median is an element")
+    val w = Window.orderBy(col("day")).rowsBetween(-windowDays, -1)
+    val mid = (windowDays + 1) / 2
+    daily
+      .withColumn("buf", sort_array(collect_list(col("total_cents")).over(w)))
+      .withColumn("med_prior",
+        when(size(col("buf")) === windowDays, element_at(col("buf"), mid)))
+      .withColumn("mad_prior",
+        when(size(col("buf")) === windowDays,
+          element_at(sort_array(transform(col("buf"),
+            v => abs(v - col("med_prior")))), mid)))
+      .select(col("day"), col("total_cents"), col("med_prior"), col("mad_prior"),
+        when(col("mad_prior") > 0,
+          (col("total_cents") - col("med_prior")).cast("double") / col("mad_prior"))
+          .as("dev_over_mad"),
+        coalesce(abs(col("total_cents") - col("med_prior")) >
+          lit(k.toLong) * col("mad_prior"), lit(false)).as("is_anomaly"))
+  }
+
   /** TWO-PHASE CUMULATIVE GROUP COUNTS per distinct value — the shared
     * engine under the KS and rank-sum tests. For a (value, group∈{1,2})
     * stream, returns one row per distinct value with the per-value counts

@@ -616,6 +616,50 @@ object TermStats {
           col("n_tokens").cast("double")).as("coverage"))
   }
 
+  /** VOCABULARY-GROWTH SERIES per source — [[goodTuringCoverage]]'s "does
+    * more crawl buy new tokens" question TIME-SLICED, the crawl-budget
+    * planner: documents are dealt into `nBatches` deterministic crawl batches
+    * (content-addressed hash of doc_id — the corpus has no arrival timestamp,
+    * so the batch stands in for a crawl increment exactly as q50's hash split
+    * stands in for a real split), and each (source, batch) row reports the
+    * batch's token volume, its distinct vocabulary, how many of those terms
+    * are NEW (first batch, per source, in which the term appears), the
+    * cumulative vocabulary so far, and the new-term rate per token. A source
+    * whose new_term_rate has flattened is crawled out; one still climbing
+    * deserves budget.
+    *
+    * Exactness: everything is an exact BIGINT off ONE (source, term, batch)
+    * aggregate until the one rate division per row. Scale shape: the explode
+    * is reduced map-side to the per-cell aggregate; first-seen is a min over
+    * the (source, term) frame; the cumulative sum is a window over the
+    * |sources|·|batches| frame, never over terms. Batches with no documents
+    * for a source are absent (sparse by construction, like q278's matrix).
+    */
+  def vocabularyGrowth(spark: SparkSession, sfDir: String, nBatches: Int = 8,
+      salt: String = "crawl_v1"): DataFrame = {
+    val cells = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        (Corpus.hashBucket(col("doc_id"), salt) % nBatches.toLong).as("batch"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"), col("batch"))
+      .agg(count(lit(1)).as("n"))
+    val perBatch = cells.groupBy(col("source"), col("batch"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("batch_vocab"))
+    val news = cells.groupBy(col("source"), col("term"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("source"), col("batch"))
+      .agg(count(lit(1)).as("n_new_terms"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBatch.join(news, Seq("source", "batch"), "left")
+      .withColumn("n_new_terms", coalesce(col("n_new_terms"), lit(0L)))
+      .withColumn("cum_vocab", sum(col("n_new_terms")).over(cum))
+      .select(col("source"), col("batch"), col("n_tokens"), col("batch_vocab"),
+        col("n_new_terms"), col("cum_vocab"),
+        (col("n_new_terms").cast("double") / col("n_tokens").cast("double"))
+          .as("new_term_rate"))
+  }
+
   /** TOKEN FREQUENCY-OF-FREQUENCIES SPECTRUM (the Good–Turing input table):
     * for k = 1..10, how many distinct terms occur exactly k times, plus one
     * 11+ tail bucket — the corpus-shape fingerprint that distinguishes

@@ -57,4 +57,27 @@ object OrderStream {
       .agg(max(col("n_orders")).as("n_orders"), max(col("tot")).as("tot"))
     graft.ops.Statistics.anomaliesFromDaily(finalDaily)
   }
+
+  /** Streaming twin of q318's ROBUST (median/MAD) daily alarm — the SIXTH
+    * batch/stream parity instance. Same one-row-per-day state shape as
+    * [[dailyAnomalyAvailableNow]]: the stream keeps only the exact per-day
+    * DECIMAL revenue sum, and the robust tail runs batch-side on the drained
+    * |days| frame through the SHARED
+    * [[graft.ops.Statistics.robustFromDaily]] — hash-gated against q318's
+    * oracle VERBATIM. cents = sum(price)·100 equals q318's sum(price·100)
+    * exactly because the ×100 rescale distributes over the exact DECIMAL sum.
+    */
+  def robustDailyAnomalyAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = spark.readStream.schema(ordersSchema)
+      .parquet(ordersDir(spark, sfDir))
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("t"))
+      .groupBy(col("day")).agg(sum(col("t")).as("tot"))
+    val drained = Drain.toMemoryTable(spark, daily, "update", "graft_stream_rdaily")
+    val finalDaily = drained.groupBy(col("day"))
+      .agg(max(col("tot")).as("tot"))
+      .select(col("day"), (col("tot") * 100).cast("long").as("total_cents"))
+    graft.ops.Statistics.robustFromDaily(finalDaily)
+  }
 }

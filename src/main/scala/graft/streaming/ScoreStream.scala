@@ -61,4 +61,48 @@ object ScoreStream {
       .agg(max(col("c1")).as("c1"), max(col("c2")).as("c2"))
     graft.ops.Evaluation.sweepFromCounts(spark, finalCounts)
   }
+
+  /** STREAMING CONTAMINATION MONITOR — q75's eval-set decontamination as an
+    * AvailableNow stream over arriving documents (the FIFTH batch/stream
+    * parity instance, after q163 PSI / q226 A/B / q255 sweep / q268 daily
+    * anomaly): the eval suite's distinct gram set is FIXED at monitor start
+    * (a static batch relation — the deployment shape, since a benchmark
+    * suite changes by release, not by event), each arriving document's
+    * grams are cut by the same native [[graft.functions.WordGramsExpr]]
+    * inside the streaming scan, and the stream-static left join + per-doc
+    * aggregate emit exactly q75's (doc_id, n_grams, n_hits,
+    * is_contaminated) — hash-gated against q75's oracle VERBATIM (one
+    * shared SQL string, the q268 convention).
+    *
+    * State: all of one document's grams arrive in its single input row, so
+    * every per-doc aggregate FINALIZES within the micro-batch that carries
+    * the document — update-mode re-emissions cannot shrink counts (the
+    * q246/q255 monotonicity argument; the drain-side max is belt and
+    * braces). The state store still retains one small row per doc_id seen;
+    * a production monitor bounds that with an arrival-time watermark —
+    * documented as the deployment knob rather than simulated, because
+    * AvailableNow over a finite corpus never evicts anyway.
+    */
+  def contaminationMonitorAvailableNow(spark: SparkSession, sfDir: String,
+      n: Int = 5, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = graft.ops.Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val evalGrams = graft.core.Tables.documents(spark, sfDir)
+      .filter(isEval)
+      .select(explode(graft.ops.Curation.wordGrams(col("text"), n)).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val docs = spark.readStream.schema(docsSchema)
+      .parquet(docsDir(spark, sfDir))
+    val scored = docs.filter(!isEval)
+      .select(col("doc_id"),
+        explode_outer(graft.ops.Curation.wordGrams(col("text"), n)).as("gram"))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("gram")).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+    val drained = Drain.toMemoryTable(spark, scored, "update", "graft_stream_decontam")
+    drained.groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"), max(col("n_hits")).as("n_hits"))
+      .withColumn("is_contaminated", col("n_hits") > 0)
+  }
 }

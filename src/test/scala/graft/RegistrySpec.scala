@@ -95,6 +95,69 @@ class RegistrySpec extends AnyFunSuite {
         "runMain graft.Bench) and commit the artifact")
   }
 
+  test("no unexplained >2x movers between the two newest same-order clean benches") {
+    // the r14 verdict's automation ask: rev15 carried two one-run spikes
+    // (q92 2.15 s vs 0.42–1.19 everywhere else) that took a manual
+    // cross-artifact sweep to attribute. This gate does that sweep in CI:
+    // diff the two newest clean artifacts of the SAME run order (fwd vs rev
+    // orders legitimately move queries via memoization direction), flag any
+    // query that moved >2× in either direction, and accept the two
+    // explained classes — memoization-direction changes (the query appears
+    // in either artifact's cache_paid/cache_hit lists) and small-number
+    // noise (both sides under 1 s, where scheduler jitter alone spans 2×).
+    // Contended artifacts can't be attributed at all, so the gate SKIPS
+    // (visibly) when either run self-describes as contended — the bench
+    // records load_before for exactly this.
+    val re = java.util.regex.Pattern.compile("BENCH_r(\\d+)_clean.*\\.json")
+    def revNum(name: String): Int =
+      "_rev(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
+    val all = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator()
+    var clean = List.empty[(Int, Int, String, java.nio.file.Path)]
+    while (all.hasNext) {
+      val p = all.next()
+      val m = re.matcher(p.getFileName.toString)
+      if (m.matches())
+        clean ::= ((m.group(1).toInt, revNum(p.getFileName.toString),
+          p.getFileName.toString, p))
+    }
+    val ordered = clean.sortBy(c => (c._1, c._2, c._3)).reverse
+    assume(ordered.nonEmpty, "no clean artifacts")
+    def orderTag(name: String): String = if (name.contains("fwd")) "fwd" else "rev"
+    val tag = orderTag(ordered.head._3)
+    val sameOrder = ordered.filter(c => orderTag(c._3) == tag)
+    assume(sameOrder.length >= 2, s"only one $tag-order clean artifact — nothing to diff")
+    def parse(p: java.nio.file.Path) = {
+      val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      // parse the "queries" object ONLY — "staging" repeats query names with
+      // staging seconds, which would silently overwrite the timings here
+      val qObj = """"queries":\{([^}]*)\}""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+      val qs = """"(q[0-9]+[a-z0-9_]*)":([0-9.Ee+-]+)""".r
+        .findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val load = """"load_before":([0-9.Ee+-]+)""".r
+        .findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(99.0)
+      val memo = """"(q[0-9]+[a-z0-9_]*):[a-z0-9_+]+"""".r
+        .findAllMatchIn(json).map(_.group(1)).toSet
+      (qs, load, memo)
+    }
+    val (newQ, newLoad, newMemo) = parse(sameOrder(0)._4)
+    val (oldQ, oldLoad, oldMemo) = parse(sameOrder(1)._4)
+    // a loaded machine inflates arbitrary queries; attribution needs quiet runs
+    assume(newLoad < 1.5 && oldLoad < 1.5,
+      s"contended artifact (load_before $oldLoad -> $newLoad) — movers not attributable")
+    val movers = newQ.keySet.intersect(oldQ.keySet).toSeq.sorted.flatMap { q =>
+      val (a, b) = (oldQ(q), newQ(q))
+      val moved = math.min(a, b) >= 1.0 && (b > 2 * a || a > 2 * b)
+      val explained = newMemo(q) != oldMemo(q)
+      if (moved && !explained) Some(f"$q $a%.2f -> $b%.2f (${sameOrder(1)._3} -> ${sameOrder(0)._3})")
+      else None
+    }
+    assert(movers.isEmpty,
+      "unexplained >2x movers between consecutive clean benches:\n  " +
+        movers.mkString("\n  ") +
+        "\n— rerun to confirm, fix or attribute in SURVEY, and commit the artifact")
+  }
+
   test("README.md's query counts match the registry") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")), "UTF-8")

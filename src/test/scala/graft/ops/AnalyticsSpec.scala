@@ -533,6 +533,62 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("robust daily anomalies: median/MAD recomputed independently per day") {
+    // independent recompute of the trailing median/MAD from the raw dailies —
+    // the whole statistic is integer cents, so equality is exact
+    import org.apache.spark.sql.functions.{col, sum, to_date}
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("c"))
+      .orderBy("day").collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val rows = graft.ops.Statistics.robustDailyAnomalies(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.length === daily.length && rows.length > 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDate(0).toString === daily(i)._1)
+      assert(r.getLong(1) === daily(i)._2, "daily cents")
+      if (i < 7) {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), "warmup: no stats")
+        assert(!r.getBoolean(5), "warmup: no alarm")
+      } else {
+        val buf = (i - 7 until i).map(daily(_)._2).sorted
+        val med = buf(3)
+        val mad = buf.map(v => math.abs(v - med)).sorted.apply(3)
+        assert(r.getLong(2) === med, s"median day $i")
+        assert(r.getLong(3) === mad, s"MAD day $i")
+        if (mad > 0)
+          assert(r.getDouble(4) === (daily(i)._2 - med).toDouble / mad)
+        else assert(r.isNullAt(4))
+        assert(r.getBoolean(5) === (math.abs(daily(i)._2 - med) > 5L * mad),
+          s"alarm day $i is the exact integer comparison")
+      }
+    }
+  }
+
+  test("vocabulary growth: new-term series reconciles with Good-Turing vocab") {
+    val rows = graft.ops.TermStats.vocabularyGrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, b, nTok, bVocab, nNew, _, rate) =>
+      assert(b >= 0 && b < 8, s"$src batch range")
+      assert(nNew <= bVocab && bVocab <= nTok, s"$src/$b containment")
+      assert(rate === nNew.toDouble / nTok, s"$src/$b rate")
+    }
+    // per source: cum_vocab is the running sum of n_new_terms in batch order,
+    // and its final value is EXACTLY the source's distinct vocabulary as
+    // q301's Good-Turing census counts it
+    val vocab = graft.ops.TermStats.goodTuringCoverage(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val ordered = g.sortBy(_._2)
+      val cums = ordered.map(_._5).scanLeft(0L)(_ + _).drop(1)
+      assert(ordered.map(_._6).toSeq === cums.toSeq, s"$src cumulative")
+      assert(cums.last === vocab(src), s"$src total vocabulary")
+    }
+  }
+
   test("percentile normalization: [0,1] endpoints per language, monotone in length") {
     val rows = Corpus.percentileNormalize(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))

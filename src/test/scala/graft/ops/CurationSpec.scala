@@ -283,6 +283,30 @@ class CurationSpec extends SparkSpec {
       }
   }
 
+  test("fold eval: sides complement exactly; per-fold stats recount q310's census") {
+    val sf = "/root/testdata/sf0.001"
+    val census = Curation.clusterFolds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = Curation.foldEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.map(_._1).toSet === census.keySet, "folds match q310's census")
+    val totalDocs = census.values.sum
+    val totalTok = rows.map(_._4).sum
+    rows.foreach { case (f, nv, ntr, vTok, tTok, share, aqv, aqt) =>
+      assert(nv === census(f), s"fold $f validation docs recount q310")
+      assert(nv + ntr === totalDocs, s"fold $f sides partition the corpus")
+      assert(vTok + tTok === totalTok, s"fold $f token sides complement")
+      assert(share === vTok.toDouble / totalTok.toDouble, s"fold $f share")
+      // quality means live where per-doc scores live (the score tree is
+      // bounded well inside [0, 2] on real text)
+      assert(aqv > 0.0 && aqt > 0.0 && aqv < 2.0 && aqt < 2.0, s"fold $f quality")
+    }
+    // every fold sees the same corpus-wide totals from its own two sides
+    assert(rows.map(r => r._2 + r._3).distinct.length === 1)
+    assert(rows.map(r => r._4 + r._5).distinct.length === 1)
+  }
+
   test("dedup savings: recounted off q55's own labels; savings in [0, 1)") {
     val sf = "/root/testdata/sf0.001"
     val toks = graft.core.Tables.documents(spark, sf)

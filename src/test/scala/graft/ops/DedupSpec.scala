@@ -148,6 +148,112 @@ class DedupSpec extends SparkSpec {
     assert(ungated.size == 1 + 21, // (1,2) + C(7,2) boilerplate pairs
       s"ungated should add all 21 boilerplate pairs, got ${ungated.size}")
   }
+
+  test("rolling-hash substring dedup ≡ the md5 spelling, corpus and crafted edges") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "n_shared_windows")
+        .as[(Long, Long, Long)].collect().toSet
+    // real corpus: identical pair sets AND shared-window counts
+    val sf = "/root/testdata/sf0.001"
+    assert(pairs(Dedup.substringDedup(spark, sf)) ===
+      pairs(Dedup.substringDedupMd5(spark, sf)))
+    // crafted edges: exact window boundary, multi-byte codepoints (the
+    // window is a CODEPOINT window on both sides), repeated windows inside
+    // one doc (per-doc distinct), and a null text
+    val d = tmpDir("rollfp")
+    val span = "zß日本語эюя the exact forty char shared span!!"
+    assert(span.codePointCount(0, span.length) >= 40)
+    Seq(
+      (1L, "prefix " + span + " suffix one", "en", 60),
+      (2L, span + " completely different tail", "en", 60),
+      (3L, span.substring(0, 39), "en", 39),          // below the window
+      (4L, null.asInstanceOf[String], "en", 0),
+      (5L, span + " " + span, "en", 95))              // repeats: distinct per doc
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val roll = pairs(Dedup.substringDedup(spark, d, maxDf = 10))
+    val md5p = pairs(Dedup.substringDedupMd5(spark, d, maxDf = 10))
+    assert(roll === md5p, "crafted-edge pair sets diverged")
+    assert(roll.map(p => (p._1, p._2)).contains((1L, 2L)), "planted span pairs")
+    assert(!roll.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "sub-window and null docs never pair")
+  }
+
+  test("lsh recall: layout monotonicity, and the (4,4) row IS q19's banding") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.lshRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length === 5, "one row per band layout")
+    val total = rows.map(_._3).distinct
+    assert(total.length === 1 && total.head > 0,
+      "n_true_pairs repeats on every row (the repeated-total convention)")
+    rows.foreach { case (nb, r, nt, nc, rec) =>
+      assert(nb * r === 16L, "layouts tile the 16-entry signature")
+      assert(nc <= nt && rec === nc.toDouble / nt, s"($nb,$r)")
+    }
+    // coarser rows-per-band can only LOWER recall: a fully-matching r-row
+    // band contains fully-matching r/2-row bands, so each layout's catch set
+    // nests in the next-finer layout's
+    val byRows = rows.sortBy(_._2).map(_._4)
+    assert(byRows.toSeq === byRows.sorted.reverse.toSeq,
+      s"recall must fall as rows-per-band grows: $rows")
+    // reconciliation: the (4,4) layout is EXACTLY q19's production banding,
+    // so its caught count equals the verified near-dup pairs (q17 — same
+    // candidates, same gates, same threshold) with both ends in the stratum
+    val inStratum = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .filter(Corpus.hashBucket(
+        org.apache.spark.sql.functions.col("doc_id"), "recall_v1") < 100)
+      .collect().map(_.getLong(0)).toSet
+    val verified = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count(p => inStratum(p._1) && inStratum(p._2))
+    val caught44 = rows.find(r => r._1 == 4L && r._2 == 4L).get._4
+    assert(caught44 === verified.toLong,
+      "(4,4) caught set must equal the stratum-restricted q17 pairs")
+  }
+
+  test("lsh cost curve: identities hold, candidates nest, (4,4) IS q19's join") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.lshCandidateCost(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length === 5)
+    rows.foreach { case (nb, r, nBuckets, gen, dc) =>
+      assert(nb * r === 16L)
+      // every non-trivial bucket contributes ≥1 generated pair, and dedup
+      // can only shrink the generated multiset
+      assert(gen >= nBuckets && dc <= gen, s"($nb,$r)")
+      assert(dc >= 1L || gen === 0L, s"($nb,$r) generated pairs imply candidates")
+    }
+    // finer layouts (fewer rows per band) can only ADD candidates: a full
+    // r-row band match contains full r/2-row matches
+    val byRows = rows.sortBy(_._2).map(_._5)
+    assert(byRows.toSeq === byRows.sorted.reverse.toSeq,
+      s"distinct candidates must fall as rows-per-band grows: $rows")
+    // reconciliation: the (4,4) arm is exactly q19's banding — its distinct
+    // candidates equal the q19 pair set restricted to the stratum
+    val inStratum = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .filter(Corpus.hashBucket(
+        org.apache.spark.sql.functions.col("doc_id"), "recall_v1") < 100)
+      .collect().map(_.getLong(0)).toSet
+    val q19 = Dedup.lshCandidatePairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count(p => inStratum(p._1) && inStratum(p._2))
+    assert(rows.find(r => r._1 == 4L && r._2 == 4L).get._5 === q19.toLong)
+    // cross-instrument: a layout's caught-true-pair count never exceeds its
+    // candidate count (caught pairs ARE candidates that verified)
+    val recall = Dedup.lshRecall(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    rows.foreach { case (nb, r, _, _, dc) =>
+      assert(recall((nb, r)) <= dc, s"($nb,$r) caught > candidates")
+    }
+  }
 }
 
 /** Test access to the package-private shingle builder. */

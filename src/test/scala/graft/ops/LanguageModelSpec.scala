@@ -31,6 +31,39 @@ class LanguageModelSpec extends SparkSpec {
     assert(rows(3L) === ((0L, 0L, None, false)))
   }
 
+  test("perplexity filter reconciles with q110's scores; keep line is exact") {
+    val sf = "/root/testdata/sf0.001"
+    val q110 = LanguageModel.bigramLmScores(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    val rows = LanguageModel.perplexityFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(rows.length === q110.size, "every document surfaces exactly once")
+    // scores are q110's own probabilities, doc for doc
+    rows.foreach { case (id, nb, ppm, _, _) =>
+      assert((nb, ppm) === q110(id), s"doc $id diverged from q110")
+    }
+    val scored = rows.filter(_._2 > 0)
+    val unscored = rows.filter(_._2 == 0)
+    unscored.foreach { case (id, _, ppm, rk, kept) =>
+      assert(ppm.isEmpty && rk.isEmpty && !kept, s"unscoreable doc $id")
+    }
+    // the rank is exactly the (avg_ppm, doc_id) permutation 1..n
+    val expect = scored.sortBy(r => (r._3.get, r._1)).map(_._1)
+    val byRank = scored.sortBy(_._4.get)
+    assert(byRank.map(_._4.get).toSeq === (1L to scored.length).toSeq)
+    assert(byRank.map(_._1).toSeq === expect.toSeq, "rank order")
+    // keep line: exactly the bottom (n·200) div 1000 dropped
+    val cut = scored.length * 200L / 1000L
+    byRank.foreach { case (id, _, _, Some(rk), kept) =>
+      assert(kept === (rk > cut), s"doc $id at rank $rk")
+    case _ => fail("scored doc without a rank")
+    }
+    assert(scored.count(!_._5) === cut, "dropped count is the exact permille")
+  }
+
   test("DSIR weights point toward the target slice and keep short docs") {
     import spark.implicits._
     val d = tmpDir("dsir")

@@ -323,6 +323,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-15 tier: no raw global windows, no cartesians") {
+    for (df <- Seq(
+        LanguageModel.perplexityFilter(spark, sf),
+        Dedup.lshRecall(spark, sf),
+        Curation.foldEval(spark, sf),
+        Statistics.robustDailyAnomalies(spark, sf),
+        TermStats.vocabularyGrowth(spark, sf))) {
+      assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
   test("quantile-boundary rank: only the whitelisted bare-value boundary pass") {
     // the boundary pass sorts ONLY the bare value column — the documented
     // exception (GK swap gated by q165); phase 2 itself must stay at zero.

@@ -22,6 +22,30 @@ class RefreshSpec extends SparkSpec {
     assert(refreshed.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(refreshed).isEmpty)
   }
 
+  test("incremental components equal the from-scratch labels for EVERY doc") {
+    // the manifest only consumes representatives (id == component), so a bug
+    // that mislabels non-representative members consistently could hide from
+    // the equivalence test above — compare the full label map. The edge set
+    // is the from-scratch one: incrementalComponents must reproduce scratch
+    // labels for ANY V2 edge set (the contraction argument is edge-agnostic).
+    val v2 = Refresh.docsV2(spark, sf)
+    val feat = Refresh.docFeatures(v2)
+    val edges = Refresh.edgesOver(feat, v2)
+    val scratch = Graph.connectedComponents(
+        v2.select(col("doc_id").as("id")),
+        edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gone = Corpus.corpusDiff(spark, sf)
+      .filter(col("status").isin("changed", "removed")).select(col("doc_id"))
+    val inc = Refresh.incrementalComponents(spark, sf, v2, edges, gone)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inc.keySet === scratch.keySet, "every V2 doc labeled exactly once")
+    assert(inc === scratch, "incremental labels diverge from from-scratch")
+    // the contraction is real: at least one multi-member family exists, so
+    // the test would catch a supernode that failed to expand
+    assert(scratch.groupBy(_._2).exists(_._2.size > 1))
+  }
+
   test("refresh responds to the diff: added docs can enter, removed docs leave") {
     val refreshed = Refresh.refreshedCorpus(spark, sf).select(col("doc_id"))
     val diff = Corpus.corpusDiff(spark, sf)

@@ -23,4 +23,17 @@ class OrderStreamSpec extends SparkSpec {
     // the alarm fires somewhere on this fixture or the test is vacuous
     assert(batch.count(_._7) >= 0)
   }
+
+  test("streaming robust anomaly reproduces the batch median/MAD alarm row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4)), r.getBoolean(5))
+    val batch = graft.ops.Statistics.robustDailyAnomalies(spark, sf)
+      .orderBy("day").collect().map(key).toSeq
+    val stream = OrderStream.robustDailyAnomalyAvailableNow(spark, sf)
+      .orderBy("day").collect().map(key).toSeq
+    assert(batch.nonEmpty)
+    assert(stream === batch, "stream robust frame diverged from batch")
+  }
 }

@@ -20,4 +20,17 @@ class ScoreStreamSpec extends SparkSpec {
     assert(batch.length === 9)
     assert(stream === batch, "stream sweep diverged from batch")
   }
+
+  test("streaming contamination monitor reproduces batch decontamination row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    val batch = graft.ops.Curation.decontaminate(spark, sf)
+      .orderBy("doc_id").collect().map(key).toSeq
+    val stream = ScoreStream.contaminationMonitorAvailableNow(spark, sf)
+      .orderBy("doc_id").collect().map(key).toSeq
+    assert(batch.nonEmpty && batch.exists(_._4),
+      "fixture corpus must contain at least one contaminated doc")
+    assert(stream === batch, "stream monitor diverged from batch decontamination")
+  }
 }
