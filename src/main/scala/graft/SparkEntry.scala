@@ -355,6 +355,12 @@ object SparkEntry {
     "q319_vocab_growth"    -> ((s, d) => graft.ops.TermStats.vocabularyGrowth(s, d)),
     "q320_lsh_cost"        -> ((s, d) => Dedup.lshCandidateCost(s, d)),
     "q321_stream_robust"   -> ((s, d) => graft.streaming.OrderStream.robustDailyAnomalyAvailableNow(s, d)),
+    "q322_length_pcts"     -> ((s, d) => graft.ops.TextAnalysis.lengthPercentiles(s, d)),
+    "q323_fertility"       -> ((s, d) => graft.ops.TextAnalysis.tokenizerFertility(s, d)),
+    "q324_sim_histogram"   -> ((s, d) => Dedup.similarityHistogram(s, d)),
+    "q325_budget_curve"    -> ((s, d) => graft.ops.Corpus.qualityBudgetCurve(s, d)),
+    "q326_ivf_nprobe"      -> ((s, d) => Similarity.ivfRecallCurve(s, d)),
+    "q327_multiprobe"      -> ((s, d) => Similarity.multiProbeRecall(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -4982,6 +4988,190 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_shared_windows
         |FROM cand a JOIN cand b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // q322: per-source exact length percentiles — order statistic at rank
+    // ceil(pct·n/100) under (n_chars, doc_id), all integers
+    "q322_length_pcts" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+        |  FROM d),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT source, n_docs, CAST(p.pct AS BIGINT) AS pct,
+        |    (CAST(p.pct AS BIGINT) * n_docs + 99) // 100 AS rk
+        |  FROM n CROSS JOIN (SELECT unnest([10, 25, 50, 75, 90]) AS pct) p)
+        |SELECT t.source, t.pct, t.n_docs, r.n_chars AS value
+        |FROM t JOIN r ON r.source = t.source AND r.rk = t.rk""".stripMargin,
+
+    // q323: tokenizer fertility by language — q21's segmentations rolled up,
+    // two divisions of exact longs
+    "q323_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS b
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(w) AS BIGINT) AS word_tokens,
+        |  CAST(sum(b) AS BIGINT) AS bpe_ish_tokens,
+        |  CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(b) AS DOUBLE) AS chars_per_token
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // q324: verified-pair similarity histogram — q17's pairs bucketed by
+    // floor(jaccard·20) on the identical int/int division
+    "q324_sim_histogram" ->
+      s"""WITH $minhashSigs,
+         |$bandsCandCtes,
+         |docs3 AS (
+         |  SELECT doc_id, lang, n_chars, ${shingles(3)} AS grams FROM documents),
+         |p AS (
+         |  SELECT CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+         |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)))
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN docs3 x ON c.doc_a = x.doc_id
+         |  JOIN docs3 y ON c.doc_b = y.doc_id
+         |  WHERE x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 20
+         |    AND CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+         |      / (len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams))) >= 0.5),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_total FROM p),
+         |h AS (SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
+         |        CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM p GROUP BY 1)
+         |SELECT CAST(bucket AS DOUBLE) / 20 AS jaccard_lo, n_pairs, n_pairs_total,
+         |  CAST(n_pairs AS DOUBLE) / CAST(n_pairs_total AS DOUBLE) AS share
+         |FROM h CROSS JOIN tot""".stripMargin,
+
+    // q325: quality->token budget curve — global (quality DESC, doc_id)
+    // rank, floor-distribution deciles, exact token sums, one share division
+    "q325_budget_curve" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ($qualityScoreSql) AS q,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(n_toks) AS BIGINT) AS total_toks FROM d),
+         |r AS (SELECT d.*, CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rk
+         |      FROM d),
+         |t AS (SELECT ((rk - 1) * 10) // n + 1 AS tile, n_toks, total_toks
+         |      FROM r CROSS JOIN n),
+         |b AS (SELECT tile, total_toks, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_toks) AS BIGINT) AS tile_tokens
+         |      FROM t GROUP BY 1, 2)
+         |SELECT CAST(tile AS BIGINT) AS tile, n_docs, tile_tokens,
+         |  CAST(sum(tile_tokens) OVER (ORDER BY tile) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(tile_tokens) OVER (ORDER BY tile) AS DOUBLE)
+         |    / CAST(total_toks AS DOUBLE) AS cum_token_share
+         |FROM b""".stripMargin,
+
+    // q326: IVF recall-vs-nprobe curve — q36's assignment chain + q25's
+    // exact arm verbatim; one top-k arm per probe level, macro recall over
+    // the fixed 20-query denominator
+    "q326_ivf_nprobe" -> {
+      val arms = Seq(1, 2, 4, 8).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, CAST(3 AS BIGINT) AS k,
+           |  CAST(20 AS BIGINT) AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT)
+           |   FROM (SELECT query_id, vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cosine DESC, vec_id ASC) AS rk
+           |         FROM cand WHERE rn <= $np QUALIFY rk <= 3) t
+           |   JOIN ex e ON t.query_id = e.query_id
+           |     AND t.neighbor_id = e.neighbor_id) AS n_hits,
+           |  CAST((SELECT count(*)
+           |   FROM (SELECT query_id, vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cosine DESC, vec_id ASC) AS rk
+           |         FROM cand WHERE rn <= $np QUALIFY rk <= 3) t
+           |   JOIN ex e ON t.query_id = e.query_id
+           |     AND t.neighbor_id = e.neighbor_id) AS DOUBLE)
+           |    / CAST(60.0 AS DOUBLE) AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $scaledVecs,
+         |c AS (SELECT vec_id AS cent_id, svec AS cvec, norm2 AS cnorm2
+         |      FROM w WHERE vec_id < 16),
+         |ac AS (SELECT w.vec_id, w.svec, w.norm2, c.cent_id,
+         |         row_number() OVER (PARTITION BY w.vec_id
+         |           ORDER BY ${cosine("w.svec", "cvec", "w.norm2", "cnorm2")} DESC,
+         |             c.cent_id ASC) AS rn
+         |       FROM w CROSS JOIN c),
+         |asg AS (SELECT vec_id, svec, norm2, cent_id AS cell FROM ac WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, svec AS qvec, norm2 AS qnorm2
+         |      FROM w WHERE vec_id < 20),
+         |route AS (SELECT q.query_id, q.qvec, q.qnorm2, c.cent_id,
+         |            row_number() OVER (PARTITION BY q.query_id
+         |              ORDER BY ${cosine("qvec", "cvec", "qnorm2", "cnorm2")} DESC,
+         |                c.cent_id ASC) AS rn
+         |          FROM q CROSS JOIN c),
+         |ce AS (SELECT query_id, vec_id,
+         |         ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |       FROM q, w WHERE query_id <> vec_id),
+         |ex AS (SELECT query_id, vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, vec_id ASC) AS rk
+         |       FROM ce QUALIFY rk <= 3),
+         |cand AS (SELECT r.query_id, a.vec_id, r.rn,
+         |           ${cosine("r.qvec", "a.svec", "r.qnorm2", "a.norm2")} AS cosine
+         |         FROM route r JOIN asg a ON r.cent_id = a.cell
+         |           AND r.query_id <> a.vec_id)
+         |$arms""".stripMargin
+    },
+
+    // q327: multi-probe sign-LSH recall — ring 0 = own bucket, ring 1 adds
+    // the four Hamming-1 buckets via xor; both rings scored against the
+    // exact arm with the fixed 20-query denominator
+    "q327_multiprobe" -> {
+      def ringArm(ring: Int, candCte: String): String =
+        s"""SELECT CAST($ring AS BIGINT) AS probe_ring, CAST(3 AS BIGINT) AS k,
+           |  CAST(20 AS BIGINT) AS n_queries,
+           |  (SELECT CAST(count(*) AS BIGINT)
+           |   FROM (SELECT query_id, vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cosine DESC, vec_id ASC) AS rk
+           |         FROM $candCte QUALIFY rk <= 3) t
+           |   JOIN ex e ON t.query_id = e.query_id
+           |     AND t.neighbor_id = e.neighbor_id) AS n_hits,
+           |  CAST((SELECT count(*)
+           |   FROM (SELECT query_id, vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cosine DESC, vec_id ASC) AS rk
+           |         FROM $candCte QUALIFY rk <= 3) t
+           |   JOIN ex e ON t.query_id = e.query_id
+           |     AND t.neighbor_id = e.neighbor_id) AS DOUBLE)
+           |    / CAST(60.0 AS DOUBLE) AS recall""".stripMargin
+      s"""WITH $scaledVecs,
+         |vb AS (SELECT vec_id, svec, norm2, ${signBucket("svec")} AS bucket FROM w),
+         |qb AS (SELECT vec_id AS query_id, svec AS qvec, norm2 AS qnorm2,
+         |         bucket AS qbucket
+         |       FROM vb WHERE vec_id < 20),
+         |ex0 AS (SELECT q.query_id, w.vec_id,
+         |          ${cosine("q.qvec", "w.svec", "q.qnorm2", "w.norm2")} AS cosine
+         |        FROM qb q, w WHERE q.query_id <> w.vec_id),
+         |ex AS (SELECT query_id, vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, vec_id ASC) AS rk
+         |       FROM ex0 QUALIFY rk <= 3),
+         |c0 AS (SELECT q.query_id, v.vec_id,
+         |         ${cosine("q.qvec", "v.svec", "q.qnorm2", "v.norm2")} AS cosine
+         |       FROM qb q JOIN vb v ON q.qbucket = v.bucket
+         |         AND q.query_id <> v.vec_id),
+         |pr AS (SELECT query_id, qvec, qnorm2,
+         |         unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2),
+         |                 xor(qbucket, 4), xor(qbucket, 8)]) AS bucket
+         |       FROM qb),
+         |c1 AS (SELECT p.query_id, v.vec_id,
+         |         ${cosine("p.qvec", "v.svec", "p.qnorm2", "v.norm2")} AS cosine
+         |       FROM pr p JOIN vb v ON p.bucket = v.bucket
+         |         AND p.query_id <> v.vec_id)
+         |${ringArm(0, "c0")}
+         |UNION ALL
+         |${ringArm(1, "c1")}""".stripMargin
+    },
 
     // q247: rolling 7-day median of daily revenue — ENTIRELY integer
     // (lower median of a sorted ≤7-element cents buffer), zero FP anywhere

@@ -256,6 +256,41 @@ object Corpus {
       .join(clean, Seq("doc_id"), "left_semi")
   }
 
+  /** QUALITY→TOKEN BUDGET CURVE — the curation-planning readout that turns
+    * "train on the best X% " into a token number: documents rank by
+    * (quality_score DESC, doc_id) through the two-phase global rank (no
+    * single-task sort), deal into 10 floor-distribution rank tiles (the
+    * q206 convention — a pure function of the rank, never ntile()'s
+    * remainder-splitting), and each tile reports its documents, exact
+    * tokens, cumulative tokens and cumulative token share. Reading the
+    * curve top-down answers "where do I cut quality to hit a token
+    * budget" — cumulative share at tile k IS the budget fraction a
+    * keep-top-k policy buys. Scale shape: one scan-speed score+tokenize
+    * projection, the q184 rank machinery, a 10-group aggregate and a
+    * 10-row window.
+    */
+  def qualityBudgetCurve(spark: SparkSession, sfDir: String,
+      nTiles: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.qualityScore.as("q"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_toks"))
+    val n = docs.agg(count(lit(1)).as("n"), sum(col("n_toks")).as("total_toks"))
+    val tiled = graft.ops.Relational
+      .twoPhaseRank(docs, "q", "doc_id", "rk", descending = true)
+      .crossJoin(broadcast(n))
+      .withColumn("tile", expr(s"((rk - 1) * $nTiles) DIV n") + 1)
+    val byTile = tiled.groupBy(col("tile"), col("total_toks"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tile_tokens"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("tile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byTile
+      .withColumn("cum_tokens", sum(col("tile_tokens")).over(cum))
+      .select(col("tile"), col("n_docs"), col("tile_tokens"), col("cum_tokens"),
+        (col("cum_tokens").cast("double") / col("total_toks").cast("double"))
+          .as("cum_token_share"))
+  }
+
   /** Content-addressed corpus diff — the incremental-refresh primitive: given
     * two corpus versions, classify every document as added / removed /
     * changed / unchanged by comparing content hashes, so a 100 TB refresh

@@ -423,6 +423,31 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** VERIFIED-PAIR SIMILARITY HISTOGRAM — the distribution of exact Jaccard
+    * over the q17 near-dup pairs, in 0.05-wide buckets from the 0.5
+    * threshold up: the τ-tuning census (a mass pile-up just above the
+    * threshold means the cut is arbitrary and τ should move; a bimodal
+    * shape separates true duplicates from boilerplate cousins) read BEFORE
+    * committing a threshold to a 100 TB dedup run. Bucketing is
+    * floor(jaccard·20) on the bit-identical int/int division both engines
+    * compute, so bucket membership is exact; pairs at jaccard = 1.0 land in
+    * their own top bucket. Rides the session-memoized verified-pair table;
+    * everything after is a ≤11-row aggregate.
+    */
+  def similarityHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir)
+    val total = pairs.agg(count(lit(1)).as("n_pairs_total"))
+    pairs
+      .withColumn("bucket", floor(col("jaccard") * 20).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select((col("bucket").cast("double") / 20.0).as("jaccard_lo"),
+        col("n_pairs"), col("n_pairs_total"),
+        (col("n_pairs").cast("double") / col("n_pairs_total").cast("double"))
+          .as("share"))
+  }
+
   /** 48-bit polynomial token hash, Horner form: acc·131 + ascii(ch) mod 2^48.
     * Stays within int64 (2^48·131 < 2^63) and is expressible in any engine with
     * integer arithmetic — no dependence on a specific hash builtin.

@@ -153,6 +153,107 @@ object Similarity {
           lit(k.toDouble)).as("recall"))
   }
 
+  /** IVF RECALL-vs-NPROBE CURVE — the tuning instrument for the IVF index's
+    * one real knob: searching the query's top-`nprobe` cells instead of one
+    * trades compute for recall, and this emits the whole curve (nprobe ∈
+    * 1, 2, 4, 8) in one query so the 100 TB operator picks its operating
+    * point from data, exactly as q315/q320 size the MinHash bands. Each
+    * probe level routes every query to its `nprobe` highest-cosine
+    * centroids, searches those cells ([[ivfTopK]]'s join shape — the
+    * candidate set only widens, the shape never changes), takes top-k, and
+    * scores against the exact brute-force top-k (q25's arm verbatim, the
+    * q296 convention). Macro recall: total hits / (k·|queries|), queries
+    * with empty probe rings still count in the denominator. All cosines the
+    * exact integer-scaled arithmetic; one division per row.
+    */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String, nCentroids: Int = 16,
+      nQueries: Int = 20, k: Int = 3,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val assigned = ivfAssigned(spark, sfDir, nCentroids)
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+    val cents = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("svec").as("cvec"),
+        col("norm2").as("cnorm2"))
+    val toCent = cosine(col("qvec"), col("cvec"), col("qnorm2"), col("cnorm2"))
+    val wRoute = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val routed = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("svec").as("qvec"),
+        col("norm2").as("qnorm2"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qvec"), col("qnorm2"), col("cent_id"),
+        toCent.as("cent_cos"))
+      .withColumn("rn", row_number().over(wRoute))
+      .filter(col("rn") <= probes.max)
+    val exact = cosineTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cos = cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    probes.map { np =>
+      val topk = routed.filter(col("rn") <= np)
+        .select(col("query_id"), col("qvec"), col("qnorm2"),
+          col("cent_id").as("cell"))
+        .join(assigned, "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), cos.as("cosine"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      topk.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np.toLong).as("nprobe"), lit(k.toLong).as("k"),
+          lit(nQueries.toLong).as("n_queries"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            lit((k * nQueries).toDouble)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** MULTI-PROBE SIGN-LSH RECALL — closes the scale path [[annBucketTopK]]'s
+    * scaladoc names: beside searching the query's own bucket (ring 0), probe
+    * ring 1 ALSO searches every bucket at Hamming distance 1 (one sign bit
+    * flipped — the standard multi-probe LSH move, public in Lv et al. 2007),
+    * multiplying candidates by ≤ bits+1 while the join stays a bucket
+    * equi-join (the probe list is a per-query explode, never a widened
+    * key space). Emits both rings' macro recall against the exact top-k in
+    * one output so the probe-vs-compute trade reads directly.
+    */
+  def multiProbeRecall(spark: SparkSession, sfDir: String, nQueries: Int = 20,
+      k: Int = 3, bits: Int = 4): DataFrame = {
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+      .withColumn("bucket", signBucket(col("svec"), bits))
+    val exact = cosineTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cos = cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    Seq(0, 1).map { ring =>
+      val probeList =
+        if (ring == 0) array(col("qbucket"))
+        else array(col("qbucket") +:
+          (0 until bits).map(i => col("qbucket").bitwiseXOR(lit(1L << i))): _*)
+      val topk = vecs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("svec").as("qvec"),
+          col("norm2").as("qnorm2"), col("bucket").as("qbucket"))
+        .withColumn("bucket", explode(probeList))
+        .join(vecs.select(col("vec_id"), col("svec"), col("norm2"), col("bucket")),
+          Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), cos.as("cosine"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      topk.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(ring.toLong).as("probe_ring"), lit(k.toLong).as("k"),
+          lit(nQueries.toLong).as("n_queries"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            lit((k * nQueries).toDouble)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** CROSS-CORPUS semantic linkage — the two-table member of the ANN family:
     * every document of corpus A (even embedding labels) linked to its k
     * nearest in corpus B (odd labels), the record-linkage / retrieval-

@@ -68,6 +68,57 @@ object TextAnalysis {
       meanWordLen.as("mean_word_len"),
       qualityScore.as("quality_score"))
 
+  /** PER-SOURCE LENGTH PERCENTILES — the corpus-shape table a curation run
+    * reads before setting length gates: exact P10/P25/P50/P75/P90 of
+    * `n_chars` per source, each the q170-convention order statistic (value
+    * at rank ⌈q·n/100⌉ under (n_chars, doc_id) order — ties deterministic,
+    * no interpolation, engine-independent). A source whose P90 collapsed
+    * since the last crawl lost its long documents; one whose P10 dropped is
+    * accumulating fragments.
+    *
+    * Scale shape: [[Relational.twoPhaseRankBy]] gives the per-source global
+    * rank with every sort (source, bucket)-local — no single-task window
+    * even for a source holding most of the corpus; the 5 target ranks per
+    * source ride a broadcast |sources|×5 frame into one equi-join. All
+    * integers end to end.
+    */
+  def lengthPercentiles(spark: SparkSession, sfDir: String,
+      pcts: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val ranked = Relational.twoPhaseRankBy(docs, Seq("source"), "n_chars", "doc_id", "rk")
+    val targets = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+      // ceil(pct·n/100) in exact integers
+      .withColumn("rk", expr("(pct * n_docs + 99) div 100"))
+    ranked.join(broadcast(targets), Seq("source", "rk"))
+      .select(col("source"), col("pct"), col("n_docs"), col("n_chars").as("value"))
+  }
+
+  /** TOKENIZER FERTILITY BY LANGUAGE — the token-budget planner's exchange
+    * rates: per language, exact totals of characters, word tokens and
+    * BPE-ish tokens (q21's segmentation), and the two ratios every budget
+    * conversion needs — fertility (BPE-ish per word: how many subword units
+    * a word costs) and chars per BPE-ish token (how much raw text a token
+    * buys — zh is the outlier a per-corpus average silently mis-prices).
+    * ONE scan-speed aggregate; ratios are single divisions of exact longs.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = size(alphaTokens(col("text"))).cast("long")
+    val bpe = size(regexp_extract_all(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(words).as("word_tokens"), sum(bpe).as("bpe_ish_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("word_tokens"),
+        col("bpe_ish_tokens"),
+        (col("bpe_ish_tokens").cast("double") / col("word_tokens").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("bpe_ish_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
   /** Language ID by stopword-hit counting — the classic n-gram/function-word
     * heuristic. Deterministic argmax: first language in a fixed order whose count
     * equals the maximum.

@@ -589,6 +589,70 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("length percentiles: exact order statistics recomputed per source") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = TextAnalysis.lengthPercentiles(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val bySource = docs.groupBy(_._1)
+    assert(rows.keySet === bySource.keySet.flatMap(s =>
+      Seq(10L, 25L, 50L, 75L, 90L).map(s -> _)), "full source x pct grid")
+    bySource.foreach { case (src, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._2)).map(_._3)
+      Seq(10L, 25L, 50L, 75L, 90L).foreach { p =>
+        val rk = ((p * ordered.length + 99) / 100).toInt
+        assert(rows((src, p)) === ((ordered.length.toLong, ordered(rk - 1))),
+          s"$src P$p")
+      }
+    }
+  }
+
+  test("tokenizer fertility: per-language rollup recounted from raw text") {
+    val rows = TextAnalysis.tokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    rows.foreach { case (lang, nDocs, nChars, w, b, fert, cpt) =>
+      val ds = docs.filter(_._1 == lang)
+      assert(nDocs === ds.length.toLong, s"$lang docs")
+      assert(nChars === ds.map(_._3).sum, s"$lang chars")
+      assert(w === ds.map(d => "[a-z0-9]+".r.findAllIn(d._2.toLowerCase).size.toLong).sum)
+      assert(b === ds.map(d => bpeRe.findAllIn(d._2).size.toLong).sum, s"$lang bpe")
+      assert(fert === b.toDouble / w && cpt === nChars.toDouble / b, s"$lang ratios")
+    }
+  }
+
+  test("quality budget curve: tiles partition the corpus; cumulative share reaches 1") {
+    val rows = Corpus.qualityBudgetCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 10L).toSeq, "all ten tiles present")
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum === nDocs, "tiles partition the documents")
+    // cumulative columns are the running sums of the tile columns
+    val cums = rows.map(_._3).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_._4).toSeq === cums.toSeq)
+    assert(math.abs(rows.last._5 - 1.0) < 1e-12, "full corpus = share 1")
+    assert(rows.map(_._5).toSeq === rows.map(_._5).sorted.toSeq, "share monotone")
+    // top tile holds the HIGHEST-quality docs: recompute the top decile's
+    // token sum from the raw scores
+    import org.apache.spark.sql.functions.{col, expr, lower, regexp_extract_all, size, lit}
+    val scored = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.qualityScore.as("q"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byRank = scored.sortBy(d => (-d._2, d._1))
+    val tile1 = byRank.zipWithIndex
+      .filter { case (_, i) => i.toLong * 10 / scored.length == 0 }.map(_._1)
+    assert(rows.head._3 === tile1.map(_._3).sum, "top tile token recount")
+  }
+
   test("percentile normalization: [0,1] endpoints per language, monotone in length") {
     val rows = Corpus.percentileNormalize(spark, sf).collect()
       .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))

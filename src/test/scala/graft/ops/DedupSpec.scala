@@ -254,6 +254,22 @@ class DedupSpec extends SparkSpec {
       assert(recall((nb, r)) <= dc, s"($nb,$r) caught > candidates")
     }
   }
+
+  test("similarity histogram: buckets recount q17's own pairs exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Dedup.ngramJaccard(spark, sf).select("jaccard").collect()
+      .map(_.getDouble(0))
+    val rows = Dedup.similarityHistogram(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && pairs.nonEmpty)
+    assert(rows.map(_._2).sum === pairs.length.toLong, "buckets partition the pairs")
+    rows.foreach { case (lo, n, tot, share) =>
+      assert(lo >= 0.5 && lo <= 1.0, s"bucket $lo below the verify threshold")
+      assert(tot === pairs.length.toLong && share === n.toDouble / tot)
+      assert(n === pairs.count(j => math.floor(j * 20) / 20.0 == lo).toLong,
+        s"bucket $lo recount")
+    }
+  }
 }
 
 /** Test access to the package-private shingle builder. */

@@ -93,6 +93,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf nprobe curve: recall monotone in probes; nprobe=1 recounts q36's index") {
+    val rows = Similarity.ivfRecallCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    rows.foreach { case (_, k, nq, hits, recall) =>
+      assert(k === 3L && nq === 20L && hits <= 60L)
+      assert(recall === hits.toDouble / 60.0)
+    }
+    // widening the probe ring can only ADD candidates → hits non-decreasing
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq, s"monotone: $rows")
+    // nprobe = 1 IS q36's single-cell search: recount its hits directly
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (pairs(Similarity.ivfTopK(spark, sf)) &
+      pairs(Similarity.cosineTopK(spark, sf, 20, 3))).size.toLong
+    assert(rows.head._4 === expected, "nprobe=1 hits recount the gated q36 arm")
+  }
+
+  test("multi-probe recall: ring 1 dominates ring 0, which recounts q296's hits") {
+    val rows = Similarity.multiProbeRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L))
+    assert(rows(0)._2 <= rows(1)._2, "Hamming-1 probing can only add candidates")
+    rows.foreach { case (_, hits, recall) => assert(recall === hits.toDouble / 60.0) }
+    // ring 0 is exactly the q296 single-bucket search: its total hits match
+    val q296 = Similarity.annRecall(spark, sf).collect().map(_.getLong(2)).sum
+    assert(rows(0)._2 === q296, "ring-0 hits recount q296's per-query totals")
+  }
+
   test("PQ codes are complete and bounded; ADC search recall vs exact stays useful") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
