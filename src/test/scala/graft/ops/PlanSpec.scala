@@ -329,7 +329,14 @@ class PlanSpec extends SparkSpec {
         Dedup.lshRecall(spark, sf),
         Curation.foldEval(spark, sf),
         Statistics.robustDailyAnomalies(spark, sf),
-        TermStats.vocabularyGrowth(spark, sf))) {
+        TermStats.vocabularyGrowth(spark, sf),
+        Dedup.lshCandidateCost(spark, sf),
+        TextAnalysis.lengthPercentiles(spark, sf),
+        TextAnalysis.tokenizerFertility(spark, sf),
+        Dedup.similarityHistogram(spark, sf),
+        Corpus.qualityBudgetCurve(spark, sf),
+        Similarity.ivfRecallCurve(spark, sf),
+        Similarity.multiProbeRecall(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
