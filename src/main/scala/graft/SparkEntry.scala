@@ -361,6 +361,8 @@ object SparkEntry {
     "q325_budget_curve"    -> ((s, d) => graft.ops.Corpus.qualityBudgetCurve(s, d)),
     "q326_ivf_nprobe"      -> ((s, d) => Similarity.ivfRecallCurve(s, d)),
     "q327_multiprobe"      -> ((s, d) => Similarity.multiProbeRecall(s, d)),
+    "q328_leak_hotspots"   -> ((s, d) => graft.ops.Curation.evalLeakHotspots(s, d)),
+    "q329_family_profile"  -> ((s, d) => graft.ops.Curation.dupFamilyProfile(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -5172,6 +5174,47 @@ object SparkEntry {
          |UNION ALL
          |${ringArm(1, "c1")}""".stripMargin
     },
+
+    // q328: eval-leak hotspots — q75's gram CTEs, inner join on the gram,
+    // top-20 by (n_docs DESC, gram); per-doc grams are distinct so count(*)
+    // is the distinct-doc count
+    "q328_leak_hotspots" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_eval,
+        |    CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END AS grams
+        |  FROM d),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
+        |t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval)
+        |SELECT t.gram, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM t JOIN e ON t.gram = e.gram
+        |GROUP BY 1
+        |ORDER BY n_docs DESC, t.gram
+        |LIMIT 20""".stripMargin,
+
+    // q329: near-dup family profile — q55's labels joined to the corpus,
+    // one aggregate per multi-member cluster; rep id IS the cluster id
+    "q329_family_profile" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |t AS (
+         |  SELECT l.cluster_id, d.source, d.lang,
+         |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+         |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT source) > 1 AS is_cross_source
+         |FROM t GROUP BY 1
+         |HAVING count(*) >= 2""".stripMargin,
 
     // q247: rolling 7-day median of daily revenue — ENTIRELY integer
     // (lower median of a sorted ≤7-element cents buffer), zero FP anywhere

@@ -100,6 +100,58 @@ object Curation {
       docs.filter(inSuite).select(col("text")), n)
   }
 
+  /** EVAL-LEAK HOTSPOTS — the diagnostic behind [[decontaminate]]'s verdicts:
+    * the top `k` eval-suite n-grams ranked by how many TRAINING documents
+    * they flag. A handful of boilerplate grams driving most contamination
+    * means the eval suite (not the corpus) needs cleaning — the standard
+    * triage step before throwing away training data over a benchmark's
+    * navigation chrome. Per-doc grams are distinct by construction, so the
+    * per-gram count IS the distinct-document count — one inner join on the
+    * gram hash + one aggregate; the top-k is a global (n_docs DESC, gram)
+    * order with LIMIT — TakeOrdered, per-partition heaps, never a global
+    * sort. Ties break on the gram hash for a deterministic tail.
+    */
+  def evalLeakHotspots(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1", k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val evalGrams = docs.filter(isEval)
+      .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
+    docs.filter(!isEval)
+      .select(col("doc_id"), explode(wordGrams(col("text"), n)).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** NEAR-DUP FAMILY PROFILE — the per-cluster detail table beside q279's
+    * size histogram: for every multi-member family, its member count, how
+    * many distinct sources and languages it spans, its exact token mass,
+    * and whether it crosses sources (the per-family grain of q278's matrix
+    * — the row an audit drills into after the matrix flags a source pair).
+    * The representative is the cluster id itself (min member id, the q55
+    * convention — pinned by spec). Rides the memoized label table; one
+    * doc_id join + one |clusters|-row aggregate.
+    */
+  def dupFamilyProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_toks"))
+    Graph.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(docs, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).as("total_tokens"))
+      .filter(col("n_members") >= 2)
+      .withColumn("is_cross_source", col("n_sources") > 1)
+  }
+
   /** Repetition-based quality signals (the Gopher rule family, adapted to a
     * single-line corpus): fraction of repeated word tokens, and the share of
     * the document's bigrams taken by its single most frequent bigram.

@@ -307,6 +307,63 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(r => r._4 + r._5).distinct.length === 1)
   }
 
+  test("eval-leak hotspots: every hotspot is a real eval gram; counts recount q75") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.evalLeakHotspots(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // descending by count with the gram tiebreak — the emitted order's ranks
+    val sorted = rows.sortBy(r => (-r._2, r._1))
+    assert(rows.toSeq === sorted.toSeq, "hotspots ordered (n_docs DESC, gram)")
+    // recount each hotspot from the raw gram tables: distinct training docs
+    // carrying the gram, gram present in the eval slice
+    import org.apache.spark.sql.functions.{col, explode}
+    val isEval = Corpus.hashBucket(col("doc_id"), "eval_v1") < 200
+    val docs = graft.core.Tables.documents(spark, sf)
+    val evalGrams = docs.filter(isEval)
+      .select(explode(Curation.wordGrams(col("text"), 5)).as("gram"))
+      .collect().map(_.getString(0)).toSet
+    val trainGrams = docs.filter(!isEval)
+      .select(col("doc_id"), explode(Curation.wordGrams(col("text"), 5)).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { case (gram, n) =>
+      assert(evalGrams(gram), s"hotspot $gram not in the eval slice")
+      assert(n === trainGrams.filter(_._2 == gram).map(_._1).distinct.length.toLong,
+        s"hotspot $gram count")
+    }
+    // total contaminated grams implies the hotspot list is the true top-k
+    val counts = trainGrams.filter(t => evalGrams(t._2)).groupBy(_._2)
+      .map { case (g, xs) => (g, xs.map(_._1).distinct.length.toLong) }.toSeq
+    val expected = counts.sortBy(r => (-r._2, r._1)).take(20).toSeq
+    assert(rows.toSeq === expected, "exact top-k of the full hotspot census")
+  }
+
+  test("dup family profile: per-cluster census recounted off q55's labels") {
+    val sf = "/root/testdata/sf0.001"
+    val labels = Graph.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2)),
+        "[a-z0-9]+".r.findAllIn(r.getString(3).toLowerCase).size.toLong))).toMap
+    val rows = Curation.dupFamilyProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val families = labels.groupBy(_._2).filter(_._2.length >= 2)
+    assert(rows.map(_._1).toSet === families.keySet, "every multi-member family")
+    rows.foreach { case (c, nm, ns, nl, toks, cross) =>
+      val members = families(c).map(_._1)
+      assert(members.min === c, "representative is the min member = cluster id")
+      assert(nm === members.length.toLong)
+      assert(ns === members.map(docs(_)._1).distinct.length.toLong, s"cluster $c sources")
+      assert(nl === members.flatMap(m => docs(m)._2).distinct.length.toLong,
+        s"cluster $c langs")
+      assert(toks === members.map(docs(_)._3).sum, s"cluster $c tokens")
+      assert(cross === (ns > 1))
+    }
+  }
+
   test("dedup savings: recounted off q55's own labels; savings in [0, 1)") {
     val sf = "/root/testdata/sf0.001"
     val toks = graft.core.Tables.documents(spark, sf)

@@ -336,7 +336,9 @@ class PlanSpec extends SparkSpec {
         Dedup.similarityHistogram(spark, sf),
         Corpus.qualityBudgetCurve(spark, sf),
         Similarity.ivfRecallCurve(spark, sf),
-        Similarity.multiProbeRecall(spark, sf))) {
+        Similarity.multiProbeRecall(spark, sf),
+        Curation.evalLeakHotspots(spark, sf),
+        Curation.dupFamilyProfile(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
