@@ -356,12 +356,26 @@ object Dedup {
       struct(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
         caught.as("caught"))
     }
-    truth.select(explode(array(scoredLayouts: _*)).as("s"))
+    val counts = truth.select(explode(array(scoredLayouts: _*)).as("s"))
       .groupBy(col("s.n_bands").as("n_bands"),
         col("s.rows_per_band").as("rows_per_band"))
       .agg(count(lit(1)).as("n_true_pairs"),
         sum(when(col("s.caught"), 1L).otherwise(0L)).as("n_caught"))
-      .select(col("n_bands"), col("rows_per_band"), col("n_true_pairs"),
+    // every layout surfaces even when the truth set is EMPTY (a scale factor
+    // whose stratum holds no Jaccard ≥ τ pair): the oracle's five ungrouped
+    // arms emit (n_true_pairs 0, n_caught NULL, recall NULL) there, while a
+    // bare groupBy would emit zero rows — so the five layouts are a static
+    // broadcast frame left-joined against the grouped counts, and the two
+    // engines agree on the empty shape as well as the populated one.
+    val layoutRows = spark.range(1).select(explode(array(layouts.map {
+        case (nb, r) => struct(lit(nb.toLong).as("n_bands"),
+          lit(r.toLong).as("rows_per_band"))
+      }: _*)).as("l"))
+      .select(col("l.n_bands").as("n_bands"),
+        col("l.rows_per_band").as("rows_per_band"))
+    broadcast(layoutRows).join(counts, Seq("n_bands", "rows_per_band"), "left")
+      .select(col("n_bands"), col("rows_per_band"),
+        coalesce(col("n_true_pairs"), lit(0L)).as("n_true_pairs"),
         col("n_caught"),
         (col("n_caught").cast("double") / col("n_true_pairs").cast("double"))
           .as("recall"))

@@ -21,6 +21,32 @@ class RegistrySpec extends AnyFunSuite {
   private val rowsOnlyByDesign =
     Set("q61_approx_distinct", "q71_approx_quantiles", "q131_approx_stats")
 
+  /** Committed clean-bench artifacts in the repo root. `Files.list` returns a
+    * stream backed by an open directory handle — both bench gates below used
+    * to call it bare, leaking one handle per test run, so the listing is
+    * centralized here behind a try/finally close.
+    */
+  private def cleanBenchArtifacts(): List[java.nio.file.Path] = {
+    val re = java.util.regex.Pattern.compile("BENCH_r(\\d+)_clean.*\\.json")
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    try {
+      val it = s.iterator()
+      var out = List.empty[java.nio.file.Path]
+      while (it.hasNext) {
+        val p = it.next()
+        if (re.matcher(p.getFileName.toString).matches()) out ::= p
+      }
+      out
+    } finally s.close()
+  }
+
+  /** Numeric rev suffix for artifact ordering — plain string order put rev10
+    * < rev9 and silently froze the first gate at the rev9 artifact;
+    * suffix-less variants (clean_rev/clean_full/clean_fwd) rank as rev 0.
+    */
+  private def revNum(name: String): Int =
+    "_rev(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
+
   test("every registered query has an oracle twin or sits on the documented rows-only whitelist") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty,
@@ -63,18 +89,10 @@ class RegistrySpec extends AnyFunSuite {
     // has never had its cost read — so absence fails `sbt test`, exactly
     // like the SURVEY ledger gate above. The newest BENCH_r*_clean*.json by
     // (round, name) is the one the round's claims rest on.
-    val dir = java.nio.file.Paths.get(".")
-    val clean = java.nio.file.Files.list(dir).iterator()
     val re = java.util.regex.Pattern.compile("BENCH_r(\\d+)_clean.*\\.json")
-    // ordering: (round, numeric rev suffix, name). The rev number must
-    // compare NUMERICALLY — plain string order put rev10 < rev9 and
-    // silently froze the gate at the rev9 artifact; suffix-less variants
-    // (clean_rev/clean_full/clean_fwd) rank as rev 0.
-    def revNum(name: String): Int =
-      "_rev(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
+    // ordering: (round, numeric rev suffix, name) — see revNum above.
     var best: Option[(Int, String, java.nio.file.Path)] = None
-    while (clean.hasNext) {
-      val p = clean.next()
+    for (p <- cleanBenchArtifacts()) {
       val m = re.matcher(p.getFileName.toString)
       if (m.matches()) {
         val key = (m.group(1).toInt, p.getFileName.toString, p)
@@ -109,12 +127,8 @@ class RegistrySpec extends AnyFunSuite {
     // (visibly) when either run self-describes as contended — the bench
     // records load_before for exactly this.
     val re = java.util.regex.Pattern.compile("BENCH_r(\\d+)_clean.*\\.json")
-    def revNum(name: String): Int =
-      "_rev(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
-    val all = java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator()
     var clean = List.empty[(Int, Int, String, java.nio.file.Path)]
-    while (all.hasNext) {
-      val p = all.next()
+    for (p <- cleanBenchArtifacts()) {
       val m = re.matcher(p.getFileName.toString)
       if (m.matches())
         clean ::= ((m.group(1).toInt, revNum(p.getFileName.toString),
@@ -129,7 +143,11 @@ class RegistrySpec extends AnyFunSuite {
     def parse(p: java.nio.file.Path) = {
       val json = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       // parse the "queries" object ONLY — "staging" repeats query names with
-      // staging seconds, which would silently overwrite the timings here
+      // staging seconds, which would silently overwrite the timings here.
+      // The [^}]* capture assumes the object is FLAT (name:number pairs, no
+      // nested braces) — that is Bench.scala's committed artifact format; a
+      // future nested field inside "queries" would silently truncate this
+      // parse, so change both together.
       val qObj = """"queries":\{([^}]*)\}""".r
         .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
       val qs = """"(q[0-9]+[a-z0-9_]*)":([0-9.Ee+-]+)""".r

@@ -216,6 +216,22 @@ class DedupSpec extends SparkSpec {
       "(4,4) caught set must equal the stratum-restricted q17 pairs")
   }
 
+  test("lsh recall: all five layouts surface on an EMPTY truth set (oracle shape)") {
+    // strataPermille = 0 empties the stratum, so no qualifying pair exists.
+    // The DuckDB oracle's five ungrouped arms still emit one row per layout
+    // there (n_true_pairs 0, n_caught NULL, recall NULL); the static layout
+    // frame left-joined in lshRecall makes the Spark side agree on that
+    // shape instead of emitting zero rows from a bare groupBy.
+    val rows = Dedup.lshRecall(spark, "/root/testdata/sf0.001",
+      strataPermille = 0).collect()
+    assert(rows.length === 5, "one row per layout even with no true pairs")
+    rows.foreach { r =>
+      assert(r.getLong(0) * r.getLong(1) === 16L, "layouts tile the signature")
+      assert(r.getLong(2) === 0L, "n_true_pairs must coalesce to 0")
+      assert(r.isNullAt(3) && r.isNullAt(4), "n_caught/recall NULL on empty")
+    }
+  }
+
   test("lsh cost curve: identities hold, candidates nest, (4,4) IS q19's join") {
     val sf = "/root/testdata/sf0.001"
     val rows = Dedup.lshCandidateCost(spark, sf).collect()
