@@ -377,14 +377,74 @@ object Graph {
     * oracle use naive id-ordering while the engine uses degree-ordering.
     */
   def triangleStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = coPurchaseEdges(spark, sfDir)
-    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val result = triangleCensus(und, deg).localCheckpoint(true)
-    deg.unpersist()
-    result
+    // a four-value aggregate of the memoized per-node census: each edge
+    // contributes 2 to Σdeg and each triangle is counted at its 3 corners,
+    // so n_edges = Σdeg div 2 and n_triangles = Σn_tri div 3 — integer `div`
+    // keeps both exact past the 2^53 double bound a `/`-then-cast would hit
+    // on a 100 TB graph. n_wedges keeps its original spelling (same value).
+    nodeTriangleCounts(spark, sfDir).agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"),
+      expr("sum(n_tri) div 3").as("n_triangles"))
   }
+
+  /** Per-node triangle participation of the co-purchase graph — (id, deg,
+    * n_tri) for every node of [[coPurchaseEdges]] — MEMOIZED once per
+    * (session, scale factor) through the same registry as the edge frame:
+    * the degree-oriented wedge-closure join is the priciest shared
+    * computation left in the graph tier, and q166's global census and
+    * q277's local coefficients each paid it privately (~8 s apiece at
+    * sf0.1) even though both already rode the memoized edge table. This
+    * frame is their common factor: the global census is a four-value
+    * aggregate of it and the local coefficients are a projection of it.
+    * Three longs per node, so holding it costs what the edge frame does;
+    * the bench's cache_paid/cache_hit lists attribute which query
+    * materialized it in any given run order. The closure broadcast is
+    * runtime-gated exactly as [[triangleCensus]] (10M oriented edges ≈
+    * 160 MB of two longs), falling back to the shuffle equi-join when the
+    * graph outgrows the budget. `deg` is deliberately NOT persisted: it is
+    * one cheap groupBy over the checkpointed edge frame, paid once while
+    * `oriented` materializes and once in the final left join — cheaper than
+    * carrying persist/unpersist lifecycle across the memo boundary.
+    */
+  private val censusCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def nodeTriangleCounts(spark: SparkSession, sfDir: String,
+      broadcastEdgeLimit: Long = 10000000L): DataFrame =
+    Dedup.cached(censusCache, "triangle_census", spark, sfDir) {
+      val und = coPurchaseEdges(spark, sfDir)
+      val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val oriented = und
+        .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"),
+          greatest(col("du"), col("dv")).as("ddst"))
+        .localCheckpoint(true)
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") &&
+            (col("e1.ddst") < col("e2.ddst") ||
+              (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+        .select(col("e1.src").as("p"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+      val closure = oriented.select(col("src"), col("dst"))
+      val closureSide =
+        if (oriented.count() <= broadcastEdgeLimit) broadcast(closure) else closure
+      val triPer = wedges.join(closureSide,
+          col("x") === col("src") && col("y") === col("dst"))
+        .select(explode(array(col("p"), col("x"), col("y"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+      deg.join(triPer, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    }
 
   /** DUP-CLUSTER SIZE HISTOGRAM — the duplication-depth census over q55's
     * connected components: how many clusters of each size, how many
@@ -422,36 +482,12 @@ object Graph {
     * [[coPurchaseEdges]] like the rest of the graph tier.
     */
   def clusteringCoefficient(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = coPurchaseEdges(spark, sfDir)
-    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val oriented = und
-      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("dst"),
-        greatest(col("du"), col("dv")).as("ddst"))
-      .localCheckpoint(true)
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          (col("e1.ddst") < col("e2.ddst") ||
-            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.src").as("p"), col("e1.dst").as("x"), col("e2.dst").as("y"))
-    val tri = wedges.join(broadcast(oriented.select(col("src"), col("dst"))),
-        col("x") === col("src") && col("y") === col("dst"))
-      .select(col("p"), col("x"), col("y"))
-    val triPer = tri
-      .select(explode(array(col("p"), col("x"), col("y"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-    val nodes = deg.filter(col("deg") >= 2)
-      .join(triPer, Seq("id"), "left")
-      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+    // a projection of the memoized per-node census (the wedge-closure join
+    // is paid once per session by whichever of q166/q277 runs first); the
+    // deg ≥ 2 filter and zero-coalesce contract are unchanged — the memo
+    // carries every node with n_tri already coalesced to 0
+    val nodes = nodeTriangleCounts(spark, sfDir)
+      .filter(col("deg") >= 2)
       .withColumn("local_cc",
         (lit(2L) * col("n_tri")).cast("double") /
           (col("deg") * (col("deg") - 1L)).cast("double"))
@@ -460,11 +496,8 @@ object Graph {
     val avg = nodes.agg(
       (graft.core.Num.decToDouble(sum(q12(col("local_cc")))) /
         count(lit(1)).cast("double")).as("avg_cc"))
-    val result = nodes.crossJoin(broadcast(avg))
+    nodes.crossJoin(broadcast(avg))
       .select(col("id"), col("deg"), col("n_tri"), col("local_cc"), col("avg_cc"))
-      .localCheckpoint(true)
-    deg.unpersist()
-    result
   }
 
   /** K-CORE DECOMPOSITION (membership) of the part co-purchase graph:

@@ -79,8 +79,25 @@ object LanguageModel {
     * document WITH at least one bigram. Shared by [[bigramLmScores]] and the
     * q314 perplexity filter so both consumers score under the identical model
     * trees (the q268 shared-definition convention, applied to a batch pair).
+    *
+    * MEMOIZED once per (session, scale factor) through the same registry as
+    * the dedup/graph frames: training the bigram model (the explode +
+    * vocab-squared aggregates above this frame) was still paid privately by
+    * each consumer — q110 and q314 both re-ran it (~4 s apiece at sf0.1)
+    * even though they score under one model definition. Three longs per
+    * document, so holding it costs what the cluster-label frame does; the
+    * bench's cache_paid/cache_hit lists attribute which query materialized
+    * it. At 100 TB this is the "score the corpus once, gate it many ways"
+    * shape: the scored table is written once and every filter reads it.
     */
-  private[ops] def perDocTotals(spark: SparkSession, sfDir: String): DataFrame = {
+  private val perDocCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[ops] def perDocTotals(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.cached(perDocCache, "lm_perdoc", spark, sfDir)(
+      perDocTotalsCompute(spark, sfDir))
+
+  private[ops] def perDocTotalsCompute(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 

@@ -213,4 +213,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(rows.head._5 - mean) < 1e-9 * math.max(1e-9, mean),
       "average is the quantized-fold mean")
   }
+
+  test("triangle census is paid once per session and shared by q166/q277") {
+    // the round-16 memo: both consumers ride one per-node (id, deg, n_tri)
+    // frame, so after running both, the census label shows exactly one more
+    // miss than before and at least one hit — the wedge-closure join ran
+    // once. Also reconciles the two consumers against each other: q166's
+    // global triangle count must equal Σ n_tri/3 over q277's per-node rows
+    // plus the deg<2 nodes the filter drops (which can hold no triangle).
+    val sf = "/root/testdata/sf0.001"
+    val m0 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("triangle_census", 0L)
+    val stats = Graph.triangleStats(spark, sf).head
+    val cc = Graph.clusteringCoefficient(spark, sf).collect()
+    val m1 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("triangle_census", 0L)
+    val h1 = Dedup.counterSnapshot(Dedup.cacheHits).getOrElse("triangle_census", 0L)
+    assert(m1 - m0 <= 1L, "census materialized at most once for both consumers")
+    assert(h1 >= 1L, "the second consumer rode the memo")
+    assert(stats.getAs[Long]("n_triangles") === cc.map(_.getAs[Long]("n_tri")).sum / 3,
+      "global census = per-node counts / 3 (deg<2 nodes hold no triangle)")
+  }
 }

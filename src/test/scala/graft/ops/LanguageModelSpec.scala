@@ -64,6 +64,21 @@ class LanguageModelSpec extends SparkSpec {
     assert(scored.count(!_._5) === cut, "dropped count is the exact permille")
   }
 
+  test("LM per-doc totals are paid once per session and shared by q110/q314") {
+    // the round-16 memo: both consumers score off one materialized
+    // (doc_id, ppm_sum, n_bigrams) frame, so after running both, the
+    // lm_perdoc label shows at most one more miss and at least one hit —
+    // the bigram model trained once for the pair.
+    val sf = "/root/testdata/sf0.001"
+    val m0 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("lm_perdoc", 0L)
+    LanguageModel.bigramLmScores(spark, sf).collect()
+    LanguageModel.perplexityFilter(spark, sf).collect()
+    val m1 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("lm_perdoc", 0L)
+    val h1 = Dedup.counterSnapshot(Dedup.cacheHits).getOrElse("lm_perdoc", 0L)
+    assert(m1 - m0 <= 1L, "model trained at most once for both consumers")
+    assert(h1 >= 1L, "the second consumer rode the memo")
+  }
+
   test("DSIR weights point toward the target slice and keep short docs") {
     import spark.implicits._
     val d = tmpDir("dsir")

@@ -136,13 +136,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bigram LM reduces the token explosion map-side before any model join") {
-    val p = plan(LanguageModel.bigramLmScores(spark, sf))
+    // audited on the COMPUTE chain: the public perDocTotals is session-
+    // memoized (round 16), so its executedPlan is a bare checkpoint scan —
+    // the q17 audit caveat, same treatment as the triangle census
+    val p = plan(LanguageModel.perDocTotalsCompute(spark, sf))
     // the explode feeds a partial hash aggregate (map-side combine on
     // (doc_id, bigram)) — the exchange never carries per-occurrence rows
     assert(p.contains("HashAggregate") && p.contains("Generate"))
     assert(!p.contains("CartesianProduct"))
-    // both one-row frames (V, corpus mean) enter as broadcast joins
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2)
+    // the one-row V frame enters as a broadcast join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1)
+    // the consumer layers only cheap joins on the memo: corpus mean enters
+    // broadcast, and nothing degenerates to a cartesian product
+    val pc = plan(LanguageModel.bigramLmScores(spark, sf))
+    assert(!pc.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pc).size >= 1)
   }
 
   test("DSIR model tables join by bucket equi-keys, never a cross join") {
