@@ -363,6 +363,11 @@ object SparkEntry {
     "q327_multiprobe"      -> ((s, d) => Similarity.multiProbeRecall(s, d)),
     "q328_leak_hotspots"   -> ((s, d) => graft.ops.Curation.evalLeakHotspots(s, d)),
     "q329_family_profile"  -> ((s, d) => graft.ops.Curation.dupFamilyProfile(s, d)),
+    "q330_vocab_stream"    -> ((s, d) => graft.streaming.ScoreStream.vocabGrowthAvailableNow(s, d)),
+    "q331_passage_decontam" -> ((s, d) => graft.ops.Curation.passageDecontaminate(s, d)),
+    "q332_domain_mix"      -> ((s, d) => graft.ops.TrainingMix.domainMix(s, d)),
+    "q333_family_drift"    -> ((s, d) => graft.ops.Curation.familyDrift(s, d)),
+    "q334_decontam_savings" -> ((s, d) => graft.ops.Curation.decontamSavings(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -637,6 +642,33 @@ object SparkEntry {
       |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
       |FROM g LEFT JOIN hits h USING (doc_id)
       |WHERE NOT g.is_eval""".stripMargin
+
+  /** DuckDB twin of TermStats.vocabularyGrowth — shared verbatim by q319
+    * (batch) and q330 (the streaming twin), the seventh batch/stream parity
+    * pair.
+    */
+  private lazy val vocabGrowthOracle: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST('0x' || substr(md5(doc_id || ':crawl_v1'), 1, 8) AS BIGINT)
+      |      % 1000 % 8 AS batch,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |cells AS (SELECT source, term, batch, CAST(count(*) AS BIGINT) AS n
+      |          FROM t GROUP BY 1, 2, 3),
+      |pb AS (SELECT source, batch, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS batch_vocab
+      |       FROM cells GROUP BY 1, 2),
+      |fs AS (SELECT source, term, min(batch) AS batch FROM cells GROUP BY 1, 2),
+      |nw AS (SELECT source, batch, CAST(count(*) AS BIGINT) AS n_new_terms
+      |       FROM fs GROUP BY 1, 2)
+      |SELECT pb.source, pb.batch, pb.n_tokens, pb.batch_vocab,
+      |  CAST(coalesce(nw.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+      |  CAST(sum(coalesce(nw.n_new_terms, 0)) OVER (PARTITION BY pb.source
+      |    ORDER BY pb.batch) AS BIGINT) AS cum_vocab,
+      |  CAST(coalesce(nw.n_new_terms, 0) AS DOUBLE) / CAST(pb.n_tokens AS DOUBLE)
+      |    AS new_term_rate
+      |FROM pb LEFT JOIN nw USING (source, batch)""".stripMargin
 
   /** DuckDB twin of Statistics.robustFromDaily over the orders dailies —
     * shared verbatim by q318 (batch) and q321 (the streaming twin), the
@@ -2977,10 +3009,14 @@ object SparkEntry {
         |  WHERE cum_tokens > 0 AND cum_vocab > 0),
         |fit AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_points,
-        |    CAST(CAST(sum(CAST(x AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sx,
-        |    CAST(CAST(sum(CAST(y AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sy,
-        |    CAST(CAST(sum(CAST(x * y AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sxy,
-        |    CAST(CAST(sum(CAST(x * x AS DECIMAL(28,14))) AS VARCHAR) AS DOUBLE) AS sxx
+        |    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,14)))
+        |      AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(28,14)))
+        |      AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(28,14)))
+        |      AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(28,14)))
+        |      AS VARCHAR) AS DOUBLE) AS sxx
         |  FROM pts),
         |f2 AS (
         |  SELECT n_points,
@@ -4287,29 +4323,11 @@ object SparkEntry {
 
     // q319: vocabulary-growth series — one (source, term, batch) aggregate,
     // first-seen = min(batch), cumulative vocab over the |sources|·|batches|
-    // frame; batch is the content-addressed crawl stand-in (md5 % 1000 % 8)
-    "q319_vocab_growth" ->
-      """WITH t AS (
-        |  SELECT source,
-        |    CAST('0x' || substr(md5(doc_id || ':crawl_v1'), 1, 8) AS BIGINT)
-        |      % 1000 % 8 AS batch,
-        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        |  FROM documents),
-        |cells AS (SELECT source, term, batch, CAST(count(*) AS BIGINT) AS n
-        |          FROM t GROUP BY 1, 2, 3),
-        |pb AS (SELECT source, batch, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |         CAST(count(*) AS BIGINT) AS batch_vocab
-        |       FROM cells GROUP BY 1, 2),
-        |fs AS (SELECT source, term, min(batch) AS batch FROM cells GROUP BY 1, 2),
-        |nw AS (SELECT source, batch, CAST(count(*) AS BIGINT) AS n_new_terms
-        |       FROM fs GROUP BY 1, 2)
-        |SELECT pb.source, pb.batch, pb.n_tokens, pb.batch_vocab,
-        |  CAST(coalesce(nw.n_new_terms, 0) AS BIGINT) AS n_new_terms,
-        |  CAST(sum(coalesce(nw.n_new_terms, 0)) OVER (PARTITION BY pb.source
-        |    ORDER BY pb.batch) AS BIGINT) AS cum_vocab,
-        |  CAST(coalesce(nw.n_new_terms, 0) AS DOUBLE) / CAST(pb.n_tokens AS DOUBLE)
-        |    AS new_term_rate
-        |FROM pb LEFT JOIN nw USING (source, batch)""".stripMargin,
+    // frame; batch is the content-addressed crawl stand-in (md5 % 1000 % 8).
+    // q330 is the STREAMING producer of the identical series and shares the
+    // oracle VERBATIM (the q268 batch/stream parity convention, 7th instance)
+    "q319_vocab_growth" -> vocabGrowthOracle,
+    "q330_vocab_stream" -> vocabGrowthOracle,
 
     // q242: threshold sweep — P/R/F1 at the nine deciles, every metric ONE
     // division of exact BIGINTs (F1 as 2TP/(2TP+FP+FN), never the compound
@@ -5215,6 +5233,152 @@ object SparkEntry {
          |  count(DISTINCT source) > 1 AS is_cross_source
          |FROM t GROUP BY 1
          |HAVING count(*) >= 2""".stripMargin,
+
+    // q331: passage-grain decontamination — q75's eval gram set, q86's
+    // passage unit; every gram assigned to the passage its START token
+    // falls in ((i-1) div 8 on the 1-based start), distinct per
+    // (doc, passage), so doc-grain flags reconcile as any(passage flags)
+    "q331_passage_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END) AS gram
+        |  FROM d WHERE is_eval),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        |  FROM d WHERE NOT is_eval AND len(toks) >= 5),
+        |pg AS (
+        |  SELECT DISTINCT doc_id, (i - 1) // 8 AS passage,
+        |    md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS gram
+        |  FROM s)
+        |SELECT pg.doc_id, CAST(pg.passage AS BIGINT) AS passage,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(e.gram) AS BIGINT) AS n_hits,
+        |  count(e.gram) > 0 AS is_flagged
+        |FROM pg LEFT JOIN e ON pg.gram = e.gram
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q332: domain-mix reweighting — independence-product target over the
+    // observed (source, lang) cells; marginal shares are IEEE divisions of
+    // exact BIGINTs, the product is 14-decimal-bridged (q193 discipline)
+    // and the normalizer folds as an exact DECIMAL(28,14) sum; budget is
+    // the exact integer half of the corpus token total
+    "q332_domain_mix" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      AS avail_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(avail_tokens) AS BIGINT) AS tok_s
+        |       FROM cells GROUP BY 1),
+        |lt AS (SELECT lang, CAST(sum(avail_tokens) AS BIGINT) AS tok_l
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS tok_t,
+        |         CAST(sum(avail_tokens) // 2 AS BIGINT) AS budget_tokens
+        |       FROM cells),
+        |p AS (
+        |  SELECT c.source, c.lang, c.n_docs, c.avail_tokens, tt.budget_tokens,
+        |    CAST(c.avail_tokens AS DOUBLE) / CAST(tt.tok_t AS DOUBLE) AS avail_share,
+        |    CAST(CAST(CAST(CAST(
+        |      (CAST(st.tok_s AS DOUBLE) / CAST(tt.tok_t AS DOUBLE)) *
+        |      (CAST(lt.tok_l AS DOUBLE) / CAST(tt.tok_t AS DOUBLE))
+        |      AS VARCHAR) AS DECIMAL(18,14)) AS VARCHAR) AS DOUBLE) AS p_raw
+        |  FROM cells c
+        |  JOIN st USING (source) JOIN lt USING (lang) CROSS JOIN tt),
+        |z AS (SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(28,14)))
+        |        AS VARCHAR) AS DOUBLE) AS z FROM p)
+        |SELECT source, lang, n_docs, avail_tokens, avail_share,
+        |  p_raw / z.z AS target_share,
+        |  (p_raw / z.z) / avail_share AS weight,
+        |  CAST(floor((p_raw / z.z) * budget_tokens) AS BIGINT) AS required_tokens,
+        |  CAST(floor((p_raw / z.z) * budget_tokens) AS BIGINT) <= avail_tokens
+        |    AS feasible,
+        |  budget_tokens
+        |FROM p CROSS JOIN z""".stripMargin,
+
+    // q333: near-dup family drift — q55's labels (singletons included)
+    // sliced by q319's crawl batches; a family's founding batch is the min
+    // over members, and each batch reports founders vs docs inflating
+    // families founded earlier
+    "q333_family_drift" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |t AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST('0x' || substr(md5(doc_id || ':crawl_v1'), 1, 8) AS BIGINT)
+         |      % 1000 % 8 AS batch
+         |  FROM lab),
+         |f AS (SELECT cluster_id, min(batch) AS founded_batch FROM t GROUP BY 1),
+         |pb AS (
+         |  SELECT t.batch, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT CASE WHEN t.batch = f.founded_batch
+         |      THEN t.cluster_id END) AS BIGINT) AS n_new_families,
+         |    CAST(sum(CASE WHEN t.batch = f.founded_batch THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_docs_new,
+         |    CAST(sum(CASE WHEN t.batch > f.founded_batch THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_docs_existing
+         |  FROM t JOIN f USING (cluster_id) GROUP BY 1)
+         |SELECT batch, n_docs, n_new_families, n_docs_new, n_docs_existing,
+         |  CAST(n_docs_existing AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    AS existing_share,
+         |  CAST(sum(n_new_families) OVER (ORDER BY batch) AS BIGINT)
+         |    AS cum_families
+         |FROM pb""".stripMargin,
+
+    // q334: decontamination token-savings — q331's passage verdicts rolled
+    // into the two-policy readout (drop the doc vs excise the passage);
+    // flagged-passage token spans pro-rate the tail as least(8, len − 8p);
+    // exact BIGINTs until the one rescued-share division
+    "q334_decontam_savings" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END) AS gram
+        |  FROM d WHERE is_eval),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        |  FROM d WHERE NOT is_eval AND len(toks) >= 5),
+        |pg AS (
+        |  SELECT DISTINCT doc_id, (i - 1) // 8 AS passage,
+        |    md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS gram
+        |  FROM s),
+        |hits AS (
+        |  SELECT pg.doc_id, pg.passage, count(e.gram) > 0 AS is_flagged
+        |  FROM pg LEFT JOIN e ON pg.gram = e.gram GROUP BY 1, 2),
+        |tr AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+        |       FROM d WHERE NOT is_eval),
+        |df AS (SELECT doc_id, bool_or(is_flagged) AS doc_flagged
+        |       FROM hits GROUP BY 1),
+        |t AS (SELECT tr.doc_id, tr.n_toks, coalesce(df.doc_flagged, false) AS doc_flagged
+        |      FROM tr LEFT JOIN df USING (doc_id)),
+        |a1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN doc_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+        |    CAST(sum(CASE WHEN doc_flagged THEN 0 ELSE n_toks END) AS BIGINT)
+        |      AS retained_doc_grain
+        |  FROM t),
+        |a2 AS (
+        |  SELECT CAST(coalesce(sum(least(8, tr.n_toks - h.passage * 8)), 0) AS BIGINT)
+        |    AS removed_passage
+        |  FROM hits h JOIN tr USING (doc_id) WHERE h.is_flagged)
+        |SELECT n_docs, total_tokens, n_docs_flagged, retained_doc_grain,
+        |  total_tokens - removed_passage AS retained_passage_grain,
+        |  CAST(total_tokens - removed_passage - retained_doc_grain AS DOUBLE)
+        |    / CAST(total_tokens AS DOUBLE) AS tokens_rescued_share
+        |FROM a1 CROSS JOIN a2""".stripMargin,
 
     // q247: rolling 7-day median of daily revenue — ENTIRELY integer
     // (lower median of a sorted ≤7-element cents buffer), zero FP anywhere

@@ -100,6 +100,107 @@ object Curation {
       docs.filter(inSuite).select(col("text")), n)
   }
 
+  /** Positional word n-grams — [[wordGramsHof]] WITHOUT the distinct, so
+    * array index i (0-based) is the gram starting at token i+1. The
+    * positional form is what lets a gram be assigned to the passage its
+    * start token falls in; dedup then happens per (doc, passage, gram).
+    */
+  private[ops] def posWordGrams(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val toks = TextAnalysis.alphaTokens(text)
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** PASSAGE-GRAIN DECONTAMINATION — [[decontaminate]]'s verdict refined to
+    * the passage level: q75 flags whole documents, but an eval-gram match
+    * that taints one 40-char span should not discard a 10k-token document —
+    * the production remedy is to excise the leaking PASSAGE (q86's unit: the
+    * fixed `w`-token chunk) and keep the rest. Every gram of a non-eval
+    * document is assigned to the passage its START token falls in (so the
+    * doc's gram set is exactly the union of its passages' gram sets — no
+    * boundary gram is lost, which is what makes the doc-grain verdict
+    * reconcile as doc_flagged = any(passage_flagged), spec-pinned), grams
+    * are distinct per (doc, passage), and each passage is scored against
+    * the SAME eval gram set as q75 (same slice, same salt, same n).
+    *
+    * Output: one row per (doc, passage) with ≥1 gram starting in it —
+    * doc_id, passage (0-based), n_grams, n_hits, is_flagged. Documents
+    * under `n` tokens carry no grams and surface nowhere (they cannot leak).
+    *
+    * Scale shape: the explode carries (doc_id, passage, md5) — three narrow
+    * values, text never shuffles; the per-passage distinct is a hash
+    * aggregate on those keys; the eval join is the q75 un-hinted equi-join
+    * (AQE promotes a small suite to broadcast at runtime, a corpus-growing
+    * one degrades to shuffle instead of OOM).
+    */
+  def passageDecontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val evalGrams = docs.filter(isEval)
+      .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter(!isEval)
+      .select(col("doc_id"),
+        posexplode(posWordGrams(col("text"), n)).as(Seq("gpos", "gram")))
+      .select(col("doc_id"), expr(s"gpos div $w").as("passage"), col("gram"))
+      .distinct()
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("passage"))
+      .agg(count(col("gram")).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("is_flagged", col("n_hits") > 0)
+  }
+
+  /** DECONTAMINATION TOKEN-SAVINGS — the capstone readout over
+    * [[passageDecontaminate]] (the q313 pattern applied to decontamination):
+    * how many training tokens does the passage-grain remedy RESCUE relative
+    * to q75's discard-the-document policy? One row: training doc/token
+    * totals, flagged-doc count, tokens retained under the doc-grain policy
+    * (drop every contaminated document), tokens retained under the
+    * passage-grain policy (excise only flagged passages — a flagged
+    * passage's token span is `w` tokens, short tail passages pro-rated
+    * exactly as min(w, len − w·p)), and the rescued share (one IEEE
+    * division of exact BIGINTs). The doc-grain arm rides q331's
+    * any(passage) reconciliation, so the two policies are compared on the
+    * SAME verdicts. Everything before the division is exact integers.
+    *
+    * Scale shape: one per-doc token-count projection plus q331's own plan;
+    * the policy arms are two global aggregates over narrow frames.
+    */
+  def decontamSavings(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val train = Tables.documents(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"),
+        size(TextAnalysis.alphaTokens(col("text"))).cast("long").as("n_toks"))
+    val pd = passageDecontaminate(spark, sfDir, n, w, evalPermille, salt)
+      .localCheckpoint(true) // two policy arms below read it
+    val perDocFlag = pd.groupBy(col("doc_id"))
+      .agg(max(col("is_flagged")).as("doc_flagged"))
+    val t = train.join(perDocFlag, Seq("doc_id"), "left")
+      .withColumn("doc_flagged", coalesce(col("doc_flagged"), lit(false)))
+    val docArm = t.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("total_tokens"),
+      sum(when(col("doc_flagged"), 1L).otherwise(0L)).as("n_docs_flagged"),
+      sum(when(!col("doc_flagged"), col("n_toks")).otherwise(0L))
+        .as("retained_doc_grain"))
+    val passageArm = pd.filter(col("is_flagged"))
+      .join(train, "doc_id")
+      .agg(coalesce(sum(least(lit(w.toLong),
+        col("n_toks") - col("passage") * w)), lit(0L)).as("removed_passage"))
+    docArm.crossJoin(broadcast(passageArm))
+      .select(col("n_docs"), col("total_tokens"), col("n_docs_flagged"),
+        col("retained_doc_grain"),
+        (col("total_tokens") - col("removed_passage"))
+          .as("retained_passage_grain"),
+        ((col("total_tokens") - col("removed_passage") -
+          col("retained_doc_grain")).cast("double") /
+          col("total_tokens").cast("double")).as("tokens_rescued_share"))
+  }
+
   /** EVAL-LEAK HOTSPOTS — the diagnostic behind [[decontaminate]]'s verdicts:
     * the top `k` eval-suite n-grams ranked by how many TRAINING documents
     * they flag. A handful of boilerplate grams driving most contamination
@@ -150,6 +251,54 @@ object Curation {
         sum(col("n_toks")).as("total_tokens"))
       .filter(col("n_members") >= 2)
       .withColumn("is_cross_source", col("n_sources") > 1)
+  }
+
+  /** NEAR-DUP FAMILY DRIFT — [[dupFamilyProfile]]'s census sliced by q319's
+    * content-addressed crawl batches: for each batch, are its documents
+    * FOUNDING new duplicate families or INFLATING existing ones? A crawl
+    * whose later batches mostly land in families founded earlier is
+    * re-fetching content it already has — the duplicate-growth early
+    * warning a crawl operator reads per increment, next to q319's
+    * vocabulary-novelty curve (novel words AND novel families should both
+    * be climbing for a crawl to deserve budget).
+    *
+    * Every document (singleton families included — a unique doc founds a
+    * family of one) gets its q55 cluster label and its q319 crawl batch;
+    * a family's FOUNDING batch is the min batch over members. Output per
+    * batch: n_docs, n_new_families (families founded in the batch),
+    * n_docs_new (docs landing in families founded in their own batch),
+    * n_docs_existing (docs landing in families founded earlier),
+    * existing_share (one IEEE division), and the cumulative family count.
+    *
+    * Scale shape: rides the session-memoized label table; the founding
+    * batch is one min-aggregate over the (doc, label, batch) frame, joined
+    * back by cluster_id; everything after is a ≤|batches|-row window.
+    */
+  def familyDrift(spark: SparkSession, sfDir: String, nBatches: Int = 8,
+      salt: String = "crawl_v1"): DataFrame = {
+    val labeled = Graph.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"),
+        (Corpus.hashBucket(col("doc_id"), salt) % nBatches.toLong).as("batch"))
+    val founding = labeled.groupBy(col("cluster_id"))
+      .agg(min(col("batch")).as("founded_batch"))
+    val perBatch = labeled.join(founding, "cluster_id")
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(when(col("batch") === col("founded_batch"),
+          col("cluster_id"))).as("n_new_families"),
+        sum(when(col("batch") === col("founded_batch"), 1L).otherwise(0L))
+          .as("n_docs_new"),
+        sum(when(col("batch") > col("founded_batch"), 1L).otherwise(0L))
+          .as("n_docs_existing"))
+    val cum = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBatch
+      .withColumn("existing_share",
+        col("n_docs_existing").cast("double") / col("n_docs").cast("double"))
+      .withColumn("cum_families", sum(col("n_new_families")).over(cum))
+      .select(col("batch"), col("n_docs"), col("n_new_families"),
+        col("n_docs_new"), col("n_docs_existing"), col("existing_share"),
+        col("cum_families"))
   }
 
   /** Repetition-based quality signals (the Gopher rule family, adapted to a

@@ -636,13 +636,30 @@ object TermStats {
     * for a source are absent (sparse by construction, like q278's matrix).
     */
   def vocabularyGrowth(spark: SparkSession, sfDir: String, nBatches: Int = 8,
-      salt: String = "crawl_v1"): DataFrame = {
-    val cells = Tables.documents(spark, sfDir)
-      .select(col("source"),
+      salt: String = "crawl_v1"): DataFrame =
+    growthFromCells(
+      vocabCells(Tables.documents(spark, sfDir), nBatches, salt))
+
+  /** The (source, term, batch, n) cell aggregate underlying
+    * [[vocabularyGrowth]] — factored out so the batch operator and its
+    * streaming twin build their cells from the SAME expression tree over any
+    * documents relation (the q268 shared-definition convention): in a
+    * stream, this groupBy IS the state, bounded by vocabulary × batches
+    * rather than the corpus.
+    */
+  private[graft] def vocabCells(docs: DataFrame, nBatches: Int,
+      salt: String): DataFrame =
+    docs.select(col("source"),
         (Corpus.hashBucket(col("doc_id"), salt) % nBatches.toLong).as("batch"),
         explode(tokens(col("text"))).as("term"))
       .groupBy(col("source"), col("term"), col("batch"))
       .agg(count(lit(1)).as("n"))
+
+  /** The growth-series arithmetic over a finalized cell frame (first-seen =
+    * min batch, cumulative vocabulary, new-term rate) — shared verbatim by
+    * the batch operator and the streaming twin's drain-side finisher.
+    */
+  private[graft] def growthFromCells(cells: DataFrame): DataFrame = {
     val perBatch = cells.groupBy(col("source"), col("batch"))
       .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("batch_vocab"))
     val news = cells.groupBy(col("source"), col("term"))

@@ -91,4 +91,72 @@ object TrainingMix {
         floor((col("p_raw") / col("t")) * tokenBudget).cast("long")
           .as("tokens_alloc"))
   }
+
+  /** DOMAIN-MIX REWEIGHTING (DoReMi-lite, after arXiv 2305.10429's framing
+    * of per-domain sampling weights — the weights here come from a declared
+    * TARGET distribution rather than a trained proxy model): turns a target
+    * token distribution over (source, lang) cells into per-domain sampling
+    * weights with a feasibility readout. The target is the INDEPENDENCE
+    * product of the observed marginals — target(s, l) ∝ share(s)·share(l),
+    * renormalized over the observed cells — i.e. "keep each source's and
+    * each language's overall share, but break the source↔language coupling"
+    * (a real mix correction: a corpus where one source supplies all of one
+    * language gets its coupled cells down-weighted). The budget is half the
+    * corpus's exact token total (T div 2), so the readout is self-contained.
+    *
+    * Output per observed cell: exact n_docs / avail_tokens, avail_share
+    * (one IEEE division of exact longs), target_share, weight =
+    * target_share / avail_share (>1 means upsample), required_tokens =
+    * ⌊target_share·budget⌋, feasible = required ≤ available (an infeasible
+    * cell caps the mix: the q313-style readout a sampling job checks BEFORE
+    * burning compute), and the budget riding every row (the q243
+    * repeated-total convention).
+    *
+    * Cross-engine determinism: marginal shares and the independence product
+    * are IEEE arithmetic on exact longs (correctly rounded everywhere); the
+    * only order-dependent step — normalizing Σ target over cells — folds as
+    * an exact DECIMAL(28,14) sum of the 14-decimal-quantized products (the
+    * q193 discipline), then one IEEE division per cell. Scale shape: ONE
+    * corpus-sized tokenize+aggregate to the |sources|·|langs| cell frame;
+    * marginals and the normalizer are broadcast one-row/1-col frames;
+    * everything after is per-cell arithmetic.
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"),
+        TextAnalysis.qualityTokens.cast("long").as("nt"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("avail_tokens"))
+      .localCheckpoint(true)
+    val srcTok = cells.groupBy(col("source"))
+      .agg(sum(col("avail_tokens")).as("tok_s"))
+    val langTok = cells.groupBy(col("lang"))
+      .agg(sum(col("avail_tokens")).as("tok_l"))
+    val tot = cells.agg(sum(col("avail_tokens")).as("tok_t"),
+      expr("sum(avail_tokens) div 2").as("budget_tokens"))
+    val withShares = cells
+      .join(broadcast(srcTok), "source")
+      .join(broadcast(langTok), "lang")
+      .crossJoin(broadcast(tot))
+      .withColumn("avail_share",
+        col("avail_tokens").cast("double") / col("tok_t").cast("double"))
+      .withColumn("p_raw",
+        graft.core.Num.decToDouble(
+          ((col("tok_s").cast("double") / col("tok_t").cast("double")) *
+            (col("tok_l").cast("double") / col("tok_t").cast("double")))
+            .cast(DecimalType(18, 14))))
+    val norm = withShares.agg(graft.core.Num.decToDouble(
+      sum(col("p_raw").cast(DecimalType(28, 14)))).as("z"))
+    withShares.crossJoin(broadcast(norm))
+      .withColumn("target_share", col("p_raw") / col("z"))
+      .withColumn("required_tokens",
+        floor(col("target_share") * col("budget_tokens")).cast("long"))
+      .select(col("source"), col("lang"), col("n_docs"), col("avail_tokens"),
+        col("avail_share"), col("target_share"),
+        (col("target_share") / col("avail_share")).as("weight"),
+        col("required_tokens"),
+        (col("required_tokens") <= col("avail_tokens")).as("feasible"),
+        col("budget_tokens"))
+  }
 }

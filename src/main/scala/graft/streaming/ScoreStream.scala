@@ -105,4 +105,40 @@ object ScoreStream {
       .agg(max(col("n_grams")).as("n_grams"), max(col("n_hits")).as("n_hits"))
       .withColumn("is_contaminated", col("n_hits") > 0)
   }
+
+  /** STREAMING VOCABULARY-NOVELTY MONITOR — q319's first-seen new-term
+    * growth series as an AvailableNow stream over arriving documents (the
+    * SEVENTH batch/stream parity instance): the crawl-batch assignment and
+    * tokenization are the SAME expression tree as the batch operator
+    * ([[graft.ops.TermStats.vocabCells]], shared verbatim), and the only
+    * state kept is the (source, term, batch) occurrence counts — bounded by
+    * vocabulary × batches, never the corpus. All of one document's terms
+    * arrive in its single input row, so every cell a document touches
+    * finalizes within the micro-batch that carries the document; update-mode
+    * re-emissions only ever GROW a cell's count (the q246/q255 monotonicity
+    * argument), so the drain-side per-cell max is the final count. The
+    * growth arithmetic (first-seen = min batch, cumulative vocabulary,
+    * new-term rate) then runs batch-side on the drained cells through
+    * [[graft.ops.TermStats.growthFromCells]] — identical code — so the query
+    * is hash-gated against q319's oracle SHARED VERBATIM (one SQL string,
+    * the q268 convention). This is the crawl operator's live readout: a
+    * source whose new-term rate flattens mid-crawl stops deserving budget
+    * before the crawl finishes.
+    */
+  def vocabGrowthAvailableNow(spark: SparkSession, sfDir: String,
+      nBatches: Int = 8, salt: String = "crawl_v1"): DataFrame = {
+    val docs = spark.readStream.schema(docsSchema)
+      .parquet(docsDir(spark, sfDir))
+    val cells = graft.ops.TermStats.vocabCells(docs, nBatches, salt)
+    val drained = Drain.toMemoryTable(spark, cells, "update", "graft_stream_vocab")
+    // materialized before the finisher: growthFromCells branches the cell
+    // frame (per-batch totals vs first-seen news) into a self-join, and the
+    // analyzer cannot dedup conflicting references through a memory-sink
+    // view — a checkpointed frame self-joins fine (and pays the drained
+    // state exactly once for both branches)
+    val finalCells = drained.groupBy(col("source"), col("term"), col("batch"))
+      .agg(max(col("n")).as("n"))
+      .localCheckpoint(true)
+    graft.ops.TermStats.growthFromCells(finalCells)
+  }
 }

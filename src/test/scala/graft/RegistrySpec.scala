@@ -176,6 +176,28 @@ class RegistrySpec extends AnyFunSuite {
         "\n— rerun to confirm, fix or attribute in SURVEY, and commit the artifact")
   }
 
+  test("oracle double-folds are VARCHAR-bridged (no direct double→decimal cast in a sum)") {
+    // the q273 regression class (round 16): Spark casts a double to DECIMAL
+    // by rounding its SHORTEST string, DuckDB rounds the exact binary
+    // expansion — a direct CAST inside an oracle moment fold diverges
+    // whenever a value straddles the grid (three straddles measured at
+    // sf0.001 in q273's x·y fold; invisible at sf0.01 only by the luck of
+    // that fixed dataset). The 12/14-decimal grids are the double-fold
+    // scales by convention (exact-value folds use coarser scales), so every
+    // `sum(CAST(… AS DECIMAL(p,12|14)))` in an oracle must bridge through
+    // VARCHAR — this gate turns the next forgotten bridge into a red build
+    // instead of a scale-dependent hash mystery.
+    val pat = java.util.regex.Pattern.compile(
+      """sum\(CAST\((?!CAST\()[\s\S]{0,200}?AS DECIMAL\(\d+,\s*1[24]\)\)""")
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (q, sql) =>
+      val m = pat.matcher(sql)
+      if (m.find()) Some(s"$q: ${m.group(0).linesIterator.next()}") else None
+    }
+    assert(offenders.isEmpty,
+      "unbridged double→decimal folds in oracle SQL (wrap the summand in " +
+        "CAST(… AS VARCHAR) first):\n  " + offenders.mkString("\n  "))
+  }
+
   test("README.md's query counts match the registry") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")), "UTF-8")

@@ -521,6 +521,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("domain mix: independence target, weight identity, exact feasibility") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val rows = graft.ops.TrainingMix.domainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7),
+        r.getBoolean(8), r.getLong(9)))
+    assert(rows.length >= 2)
+    // exact inputs recomputed from the corpus
+    val cells = graft.core.Tables.documents(spark, sf)
+      .select(col("source"), col("lang"),
+        graft.ops.TextAnalysis.qualityTokens.cast("long").as("nt"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nd"), sum(col("nt")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val totTok = cells.values.map(_._2).sum
+    val srcTok = cells.groupBy(_._1._1).map { case (s, m) => s -> m.values.map(_._2).sum }
+    val langTok = cells.groupBy(_._1._2).map { case (l, m) => l -> m.values.map(_._2).sum }
+    assert(rows.map(t => (t._1, t._2)).toSet === cells.keySet, "one row per observed cell")
+    // the independence product, renormalized — recomputed in plain doubles
+    // (the engine's 14-decimal bridge is within 1e-12 of this)
+    val praw = cells.keys.map { k =>
+      k -> (srcTok(k._1).toDouble / totTok) * (langTok(k._2).toDouble / totTok)
+    }.toMap
+    val z = praw.values.sum
+    rows.foreach { case (s, l, nd, tok, aShare, tShare, w, req, feas, budget) =>
+      val k = (s, l)
+      assert((nd, tok) === cells(k), s"cell $k exact counts")
+      assert(aShare === tok.toDouble / totTok, s"cell $k avail share")
+      assert(math.abs(tShare - praw(k) / z) < 1e-12, s"cell $k target share")
+      assert(w === tShare / aShare, s"cell $k weight identity")
+      assert(budget === totTok / 2, "budget rides every row")
+      assert(req === math.floor(tShare * budget).toLong, s"cell $k allocation")
+      assert(feas === (req <= tok), s"cell $k feasibility")
+    }
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-9, "target shares sum to 1")
+    // an upsampled cell (weight > 1) must be one whose coupled share falls
+    // short of the independence product, and vice versa
+    rows.foreach { case (_, _, _, _, aShare, tShare, w, _, _, _) =>
+      assert((w > 1.0) === (tShare > aShare))
+    }
+  }
+
   test("daily anomalies: no stats without a full prior window; flags match z") {
     val rows = graft.ops.Statistics.dailyAnomalies(spark, sf)
       .orderBy("day").collect()

@@ -57,6 +57,108 @@ class CurationSpec extends SparkSpec {
     assert(out(trainIds(2)) == ((0L, 0L, false)))    // short doc: no fabricated grams
   }
 
+  test("passage decontamination isolates the leaking passage; doc verdicts reconcile") {
+    import spark.implicits._
+    val (evalIds, trainIds) = splitIds(50)
+    assert(evalIds.nonEmpty && trainIds.size >= 2)
+    // the shared span is 9 tokens, so its 5-grams all START in tokens 1..5 —
+    // entirely inside passage 0 (w=8) — while the clean tail fills passage 1+
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val tail = "clean astronomy words about orbital mechanics and stellar spectra continue here today"
+    val d = tmpDir("pdecon")
+    Seq(
+      (evalIds.head, shared, "en", shared.length.toLong),
+      (trainIds(0), shared + " " + tail, "en", 120L),  // leak in passage 0 only
+      (trainIds(1), tail + " " + tail, "en", 170L))    // never flagged
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Curation.passageDecontaminate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // the leaking doc keeps its clean passages: only passage 0 is flagged
+    val leaky = rows.filter(_._1._1 == trainIds(0))
+    assert(leaky((trainIds(0), 0L))._3, "leaking passage flagged")
+    assert(leaky.size >= 2 && leaky.filter(_._1._2 > 0L).forall(!_._2._3),
+      "clean passages of a leaking doc survive — the point of the grain")
+    assert(rows.filter(_._1._1 == trainIds(1)).forall(!_._2._3))
+    assert(!rows.keys.exists(_._1 == evalIds.head), "eval docs never emitted")
+    // doc-grain reconciliation on the REAL corpus: q75's verdict equals
+    // any(passage flags), and docs with no grams surface on neither side
+    val sf = "/root/testdata/sf0.001"
+    val docGrain = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    val byDoc = Curation.passageDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4)))
+      .groupBy(_._1).map { case (id, ps) => id -> ps.exists(_._2) }
+    assert(byDoc.nonEmpty && byDoc.values.exists(identity),
+      "fixture corpus must contain at least one flagged passage")
+    byDoc.foreach { case (id, anyFlag) =>
+      assert(docGrain(id)._2 === anyFlag, s"doc $id grain verdicts diverge")
+    }
+    docGrain.foreach { case (id, (nGrams, flag)) =>
+      if (!byDoc.contains(id)) assert(nGrams === 0L && !flag,
+        s"doc $id missing at passage grain despite having grams")
+    }
+  }
+
+  test("decontam savings: both policy arms recounted from q331/q75's own verdicts") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Curation.decontamSavings(spark, sf).head
+    val (nDocs, total, nFlag, retDoc, retPass, rescued) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+    // doc-grain arm recounted from q75's verdicts + raw token counts
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r2 => r2.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r2.getString(1).toLowerCase).size.toLong).toMap
+    val q75 = Curation.decontaminate(spark, sf).collect()
+      .map(r2 => (r2.getLong(0), r2.getBoolean(3)))
+    assert(nDocs === q75.length.toLong, "one training doc per q75 row")
+    assert(total === q75.map(d => toks(d._1)).sum)
+    assert(nFlag === q75.count(_._2).toLong)
+    assert(retDoc === q75.filter(!_._2).map(d => toks(d._1)).sum)
+    // passage-grain arm recounted from q331's flagged passages
+    val removed = Curation.passageDecontaminate(spark, sf).collect()
+      .filter(_.getBoolean(4))
+      .map(r2 => math.min(8L, toks(r2.getLong(0)) - 8L * r2.getLong(1))).sum
+    assert(retPass === total - removed)
+    assert(retPass >= retDoc, "excising passages never keeps less than dropping docs")
+    assert(rescued === (retPass - retDoc).toDouble / total.toDouble)
+    assert(nFlag > 0 && rescued > 0.0,
+      "fixture corpus must show actual rescued tokens for the readout to mean anything")
+  }
+
+  test("family drift: per-batch census recounted from the labels and hash batches") {
+    import org.apache.spark.sql.functions.{col => c}
+    val sf = "/root/testdata/sf0.001"
+    val labeled = Graph.dupClusters(spark, sf)
+      .select(c("doc_id"), c("cluster_id"),
+        (Corpus.hashBucket(c("doc_id"), "crawl_v1") % 8L).as("batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val founded = labeled.groupBy(_._2).map { case (cl, ms) => cl -> ms.map(_._3).min }
+    val byBatch = labeled.groupBy(_._3)
+    val rows = Curation.familyDrift(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(rows.keySet === byBatch.keySet, "one row per non-empty batch")
+    var cum = 0L
+    rows.keys.toSeq.sorted.foreach { b =>
+      val (nDocs, nNewFam, nNew, nExist, share, cumFam) = rows(b)
+      val docs = byBatch(b)
+      assert(nDocs === docs.length.toLong, s"batch $b docs")
+      assert(nNewFam === docs.filter(d => founded(d._2) == b).map(_._2).distinct.length.toLong,
+        s"batch $b new families")
+      assert(nNew === docs.count(d => founded(d._2) == b).toLong, s"batch $b founders")
+      assert(nExist === docs.count(d => founded(d._2) < b).toLong, s"batch $b inflators")
+      assert(nNew + nExist === nDocs, "every doc founds or inflates")
+      assert(share === nExist.toDouble / nDocs.toDouble, s"batch $b share")
+      cum += nNewFam
+      assert(cumFam === cum, s"batch $b cumulative families")
+    }
+    assert(cum === founded.size.toLong, "cumulative families end at the family count")
+  }
+
   test("repetitionStats is a pure per-row map with exact counts and guarded edges") {
     import spark.implicits._
     val d = tmpDir("repet")

@@ -352,6 +352,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-16 tier: no raw global windows, no cartesians") {
+    // familyDrift's cumulative window is batch-grain (input is the ≤8-row
+    // per-batch aggregate — the detector's aggregate-input exemption, same
+    // as q319); domainMix's one-row marginal frames enter broadcast
+    for (df <- Seq(
+        Curation.passageDecontaminate(spark, sf),
+        TrainingMix.domainMix(spark, sf),
+        Curation.familyDrift(spark, sf),
+        Curation.decontamSavings(spark, sf))) {
+      assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
   test("quantile-boundary rank: only the whitelisted bare-value boundary pass") {
     // the boundary pass sorts ONLY the bare value column — the documented
     // exception (GK swap gated by q165); phase 2 itself must stay at zero.

@@ -33,4 +33,22 @@ class ScoreStreamSpec extends SparkSpec {
       "fixture corpus must contain at least one contaminated doc")
     assert(stream === batch, "stream monitor diverged from batch decontamination")
   }
+
+  test("streaming vocabulary-novelty monitor reproduces batch growth row for row") {
+    // the SEVENTH batch/stream parity pair (q319 vs q330): both sides build
+    // their (source, term, batch) cells from the same expression tree and
+    // finish through the same growth arithmetic, so the series must be
+    // identical — including the one IEEE division per row.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+    val batch = graft.ops.TermStats.vocabularyGrowth(spark, sf)
+      .orderBy("source", "batch").collect().map(key).toSeq
+    val stream = ScoreStream.vocabGrowthAvailableNow(spark, sf)
+      .orderBy("source", "batch").collect().map(key).toSeq
+    assert(batch.nonEmpty && batch.exists(_._5 > 0),
+      "fixture corpus must show new terms in some batch")
+    assert(stream === batch, "stream growth series diverged from batch")
+  }
 }
