@@ -368,6 +368,9 @@ object SparkEntry {
     "q332_domain_mix"      -> ((s, d) => graft.ops.TrainingMix.domainMix(s, d)),
     "q333_family_drift"    -> ((s, d) => graft.ops.Curation.familyDrift(s, d)),
     "q334_decontam_savings" -> ((s, d) => graft.ops.Curation.decontamSavings(s, d)),
+    "q335_temp_feasibility" -> ((s, d) => graft.ops.TrainingMix.temperatureFeasibility(s, d)),
+    "q336_mix_sample"      -> ((s, d) => graft.ops.TrainingMix.mixSample(s, d)),
+    "q337_mix_stream"      -> ((s, d) => graft.streaming.ScoreStream.domainMixAvailableNow(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -642,6 +645,43 @@ object SparkEntry {
       |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
       |FROM g LEFT JOIN hits h USING (doc_id)
       |WHERE NOT g.is_eval""".stripMargin
+
+  /** DuckDB twin of TrainingMix.domainMix — shared verbatim by q332
+    * (batch) and q337 (the streaming twin), the eighth batch/stream
+    * parity pair; also the spine CTE of q336's sampler oracle.
+    */
+  private lazy val domainMixOracle: String =
+        """WITH cells AS (
+          |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+          |      AS avail_tokens
+          |  FROM documents GROUP BY 1, 2),
+          |st AS (SELECT source, CAST(sum(avail_tokens) AS BIGINT) AS tok_s
+          |       FROM cells GROUP BY 1),
+          |lt AS (SELECT lang, CAST(sum(avail_tokens) AS BIGINT) AS tok_l
+          |       FROM cells GROUP BY 1),
+          |tt AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS tok_t,
+          |         CAST(sum(avail_tokens) // 2 AS BIGINT) AS budget_tokens
+          |       FROM cells),
+          |p AS (
+          |  SELECT c.source, c.lang, c.n_docs, c.avail_tokens, tt.budget_tokens,
+          |    CAST(c.avail_tokens AS DOUBLE) / CAST(tt.tok_t AS DOUBLE) AS avail_share,
+          |    CAST(CAST(CAST(CAST(
+          |      (CAST(st.tok_s AS DOUBLE) / CAST(tt.tok_t AS DOUBLE)) *
+          |      (CAST(lt.tok_l AS DOUBLE) / CAST(tt.tok_t AS DOUBLE))
+          |      AS VARCHAR) AS DECIMAL(18,14)) AS VARCHAR) AS DOUBLE) AS p_raw
+          |  FROM cells c
+          |  JOIN st USING (source) JOIN lt USING (lang) CROSS JOIN tt),
+          |z AS (SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(28,14)))
+          |        AS VARCHAR) AS DOUBLE) AS z FROM p)
+          |SELECT source, lang, n_docs, avail_tokens, avail_share,
+          |  p_raw / z.z AS target_share,
+          |  (p_raw / z.z) / avail_share AS weight,
+          |  CAST(floor((p_raw / z.z) * budget_tokens) AS BIGINT) AS required_tokens,
+          |  CAST(floor((p_raw / z.z) * budget_tokens) AS BIGINT) <= avail_tokens
+          |    AS feasible,
+          |  budget_tokens
+          |FROM p CROSS JOIN z""".stripMargin
 
   /** DuckDB twin of TermStats.vocabularyGrowth — shared verbatim by q319
     * (batch) and q330 (the streaming twin), the seventh batch/stream parity
@@ -5268,39 +5308,40 @@ object SparkEntry {
     // observed (source, lang) cells; marginal shares are IEEE divisions of
     // exact BIGINTs, the product is 14-decimal-bridged (q193 discipline)
     // and the normalizer folds as an exact DECIMAL(28,14) sum; budget is
-    // the exact integer half of the corpus token total
-    "q332_domain_mix" ->
-      """WITH cells AS (
-        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-        |      AS avail_tokens
-        |  FROM documents GROUP BY 1, 2),
-        |st AS (SELECT source, CAST(sum(avail_tokens) AS BIGINT) AS tok_s
-        |       FROM cells GROUP BY 1),
-        |lt AS (SELECT lang, CAST(sum(avail_tokens) AS BIGINT) AS tok_l
-        |       FROM cells GROUP BY 1),
-        |tt AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS tok_t,
-        |         CAST(sum(avail_tokens) // 2 AS BIGINT) AS budget_tokens
-        |       FROM cells),
-        |p AS (
-        |  SELECT c.source, c.lang, c.n_docs, c.avail_tokens, tt.budget_tokens,
-        |    CAST(c.avail_tokens AS DOUBLE) / CAST(tt.tok_t AS DOUBLE) AS avail_share,
-        |    CAST(CAST(CAST(CAST(
-        |      (CAST(st.tok_s AS DOUBLE) / CAST(tt.tok_t AS DOUBLE)) *
-        |      (CAST(lt.tok_l AS DOUBLE) / CAST(tt.tok_t AS DOUBLE))
-        |      AS VARCHAR) AS DECIMAL(18,14)) AS VARCHAR) AS DOUBLE) AS p_raw
-        |  FROM cells c
-        |  JOIN st USING (source) JOIN lt USING (lang) CROSS JOIN tt),
-        |z AS (SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(28,14)))
-        |        AS VARCHAR) AS DOUBLE) AS z FROM p)
-        |SELECT source, lang, n_docs, avail_tokens, avail_share,
-        |  p_raw / z.z AS target_share,
-        |  (p_raw / z.z) / avail_share AS weight,
-        |  CAST(floor((p_raw / z.z) * budget_tokens) AS BIGINT) AS required_tokens,
-        |  CAST(floor((p_raw / z.z) * budget_tokens) AS BIGINT) <= avail_tokens
-        |    AS feasible,
-        |  budget_tokens
-        |FROM p CROSS JOIN z""".stripMargin,
+    // the exact integer half of the corpus token total. q337 is the
+    // STREAMING producer of the identical solution and shares the oracle
+    // VERBATIM (8th parity pair); q336 embeds it as the sampler's spine
+    "q332_domain_mix" -> domainMixOracle,
+    "q337_mix_stream" -> domainMixOracle,
+
+    // q336: mix sampler — q332's solution realized by content-addressed
+    // permille draw; rate = min(1000, required·1000 div available) exact
+    "q336_mix_sample" ->
+      s"""WITH mix AS ($domainMixOracle),
+         |d AS (
+         |  SELECT source, lang,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt,
+         |    CAST('0x' || substr(md5(doc_id || ':mix_v1'), 1, 8) AS BIGINT)
+         |      % 1000 AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, lang, required_tokens,
+         |    least(1000, (required_tokens * 1000) // avail_tokens) AS rate_permille
+         |  FROM mix),
+         |sm AS (
+         |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_sampled_docs,
+         |    CAST(sum(d.nt) AS BIGINT) AS sampled_tokens
+         |  FROM d JOIN r USING (source, lang)
+         |  WHERE d.h < r.rate_permille GROUP BY 1, 2)
+         |SELECT r.source, r.lang, CAST(r.rate_permille AS BIGINT) AS rate_permille,
+         |  CAST(coalesce(sm.n_sampled_docs, 0) AS BIGINT) AS n_sampled_docs,
+         |  CAST(coalesce(sm.sampled_tokens, 0) AS BIGINT) AS sampled_tokens,
+         |  r.required_tokens,
+         |  CASE WHEN r.required_tokens > 0
+         |       THEN CAST(coalesce(sm.sampled_tokens, 0) AS DOUBLE)
+         |         / CAST(r.required_tokens AS DOUBLE) END AS achieved_ratio
+         |FROM r LEFT JOIN sm USING (source, lang)""".stripMargin,
+
 
     // q333: near-dup family drift — q55's labels (singletons included)
     // sliced by q319's crawl batches; a family's founding batch is the min
@@ -5941,6 +5982,48 @@ object SparkEntry {
          |  p_raw / t.t AS weight,
          |  CAST(floor((p_raw / t.t) * ${1000000L}) AS BIGINT) AS tokens_alloc
          |FROM p CROSS JOIN t""".stripMargin,
+
+    // q335: temperature-feasibility curve — q193's bridged weight chain per
+    // α, each arm's B* = min ⌊avail/weight⌋ with the binding source (ties
+    // to the lexicographically first); alphas interpolated from the
+    // operator's Scala defaults so both engines parse the same literal
+    "q335_temp_feasibility" -> {
+      val arms = Seq(0.2, 0.3, 0.5, 0.7, 1.0).zipWithIndex.map { case (a, i) =>
+        (s"""p$i AS (
+            |  SELECT source, n_tokens,
+            |    CAST(CAST(CAST(CAST(exp($a *
+            |      CAST(CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS VARCHAR)
+            |        AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE))
+            |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS p_raw
+            |  FROM s),
+            |t$i AS (
+            |  SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(28,14)))
+            |    AS VARCHAR) AS DOUBLE) AS t FROM p$i),
+            |c$i AS (
+            |  SELECT source,
+            |    CAST(floor(CAST(n_tokens AS DOUBLE) / (p_raw / t$i.t)) AS BIGINT) AS cap
+            |  FROM p$i CROSS JOIN t$i),
+            |a$i AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+            |    min(cap) AS budget_max,
+            |    min(CASE WHEN cap = (SELECT min(cap) FROM c$i) THEN source END)
+            |      AS binding_source
+            |  FROM c$i)""".stripMargin,
+          s"""SELECT CAST($a AS DOUBLE) AS alpha, n_sources, budget_max,
+             |  binding_source,
+             |  CAST(budget_max AS DOUBLE) / (SELECT CAST(tok_t AS DOUBLE) FROM tt)
+             |    AS feasible_share
+             |FROM a$i""".stripMargin)
+      }
+      s"""WITH s AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_t FROM s),
+         |${arms.map(_._1).mkString(",\n")}
+         |${arms.map(_._2).mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // q191: two-level k-anonymity / l-diversity audit over (nation|region,
     // segment) QI groups with the acctbal band as the sensitive attribute

@@ -136,7 +136,23 @@ object Curation {
     * one degrades to shuffle instead of OOM).
     */
   def passageDecontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
-      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame =
+    if (n == 5 && w == 8 && evalPermille == 200 && salt == "eval_v1")
+      // default-parameter calls are MEMOIZED once per (session, scale
+      // factor): q331's verdict table and q334's savings readout both pay
+      // the positional-gram explode + eval join otherwise (the round's own
+      // triangle-census lesson applied to its own new pair). Non-default
+      // calls (spec fixtures, ad-hoc suites) compute directly — the memo
+      // key is the session, so parameterized frames must not alias it.
+      Dedup.cached(passageFlagsCache, "passage_flags", spark, sfDir)(
+        passageDecontaminateCompute(spark, sfDir, 5, 8, 200, "eval_v1"))
+    else passageDecontaminateCompute(spark, sfDir, n, w, evalPermille, salt)
+
+  private val passageFlagsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def passageDecontaminateCompute(spark: SparkSession, sfDir: String,
+      n: Int, w: Int, evalPermille: Int, salt: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
     val evalGrams = docs.filter(isEval)
@@ -176,8 +192,9 @@ object Curation {
     val train = Tables.documents(spark, sfDir).filter(!isEval)
       .select(col("doc_id"),
         size(TextAnalysis.alphaTokens(col("text"))).cast("long").as("n_toks"))
+    // default-parameter calls ride the session memo (already checkpointed,
+    // shared with q331); the two policy arms below each read it
     val pd = passageDecontaminate(spark, sfDir, n, w, evalPermille, salt)
-      .localCheckpoint(true) // two policy arms below read it
     val perDocFlag = pd.groupBy(col("doc_id"))
       .agg(max(col("is_flagged")).as("doc_flagged"))
     val t = train.join(perDocFlag, Seq("doc_id"), "left")

@@ -72,12 +72,28 @@ object TrainingMix {
     * |sources|-row arithmetic.
     */
   def temperatureMix(spark: SparkSession, sfDir: String,
-      alpha: Double = 0.3, tokenBudget: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val perSource = Tables.documents(spark, sfDir)
+      alpha: Double = 0.3, tokenBudget: Long = 1000000L): DataFrame =
+    tempWeighted(sourceTokens(spark, sfDir), alpha)
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        floor(col("weight") * tokenBudget).cast("long").as("tokens_alloc"))
+
+  /** Per-source exact doc/token counts — the one corpus-sized aggregate the
+    * temperature chain starts from, shared by q193 and the q335 curve.
+    */
+  private def sourceTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("source"), TextAnalysis.qualityTokens.cast("long").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+
+  /** q193's weight arithmetic over a given per-source frame — n^α as
+    * exp(α·ln n) with both transcendental outputs 12-decimal-bridged and
+    * the normalizer folded as an exact DECIMAL(28,14) sum (see
+    * [[temperatureMix]]'s scaladoc for the full determinism argument).
+    * Output: (source, n_docs, n_tokens, weight).
+    */
+  private def tempWeighted(perSource: DataFrame, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val lnT = graft.core.Num.decToDouble(
       log(col("n_tokens").cast("double")).cast(DecimalType(18, 12)))
     val pRaw = graft.core.Num.decToDouble(
@@ -87,9 +103,90 @@ object TrainingMix {
       sum(col("p_raw").cast(DecimalType(28, 14)))).as("t"))
     scored.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        (col("p_raw") / col("t")).as("weight"),
-        floor((col("p_raw") / col("t")) * tokenBudget).cast("long")
-          .as("tokens_alloc"))
+        (col("p_raw") / col("t")).as("weight"))
+  }
+
+  /** MIX SAMPLER — the executor that REALIZES [[domainMix]]'s solution (the
+    * solver says how many tokens each (source, lang) cell owes; this emits
+    * the deterministic per-cell readout of actually drawing them): each
+    * cell's sampling rate is the exact integer permille
+    * min(1000, (required·1000) div available) — infeasible cells cap at
+    * keep-everything — and a document is drawn iff its content-addressed
+    * hash bucket falls under its cell's rate (the q50 split mechanism, so
+    * the draw is reproducible, join-free to audit, and independent of
+    * row order — the only sampling that composes at 100 TB). Output per
+    * cell: the rate, drawn docs/tokens, the requirement, and the achieved
+    * ratio (NULL when a cell owes zero tokens — no division fabricated).
+    *
+    * Scale shape: the solver's cell frame broadcasts to the one corpus scan;
+    * the draw is a per-row hash compare; one aggregate back to cell grain.
+    */
+  def mixSample(spark: SparkSession, sfDir: String,
+      salt: String = "mix_v1"): DataFrame = {
+    val rates = domainMix(spark, sfDir)
+      .select(col("source"), col("lang"), col("required_tokens"),
+        least(lit(1000L),
+          expr("(required_tokens * 1000) div avail_tokens")).as("rate_permille"))
+      .localCheckpoint(true) // two consumers: the draw join and the left spine
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"),
+        TextAnalysis.qualityTokens.cast("long").as("nt"),
+        Corpus.hashBucket(col("doc_id"), salt).as("h"))
+    val drawn = docs.join(broadcast(rates), Seq("source", "lang"))
+      .filter(col("h") < col("rate_permille"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_sampled_docs"),
+        sum(col("nt")).as("sampled_tokens"))
+    broadcast(rates).join(drawn, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("rate_permille"),
+        coalesce(col("n_sampled_docs"), lit(0L)).as("n_sampled_docs"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"),
+        col("required_tokens"),
+        when(col("required_tokens") > 0L,
+          coalesce(col("sampled_tokens"), lit(0L)).cast("double") /
+            col("required_tokens").cast("double")).as("achieved_ratio"))
+  }
+
+  /** TEMPERATURE-FEASIBILITY CURVE — the tuning instrument for
+    * [[temperatureMix]]'s α knob (the q315/q320/q326/q327 family, applied to
+    * the mix tier): for each α, the LARGEST token budget the corpus can
+    * serve without oversampling any source — B*(α) = min over sources of
+    * ⌊avail_s / weight_s⌋ — plus the binding source (the one that caps the
+    * mix; ties break to the lexicographically first) and B*'s share of the
+    * corpus total. Flatter mixes (small α) upsample small sources hard, so
+    * the smallest feed usually binds and B* collapses — this table is how
+    * an operator picks α against a target budget BEFORE launching a
+    * sampling job, instead of discovering the binding feed from its
+    * exhaustion mid-run.
+    *
+    * Exactness: weights ride q193's bridged chain verbatim; each cap is one
+    * IEEE division + floor of deterministic doubles; mins over exact longs.
+    * Scale shape: ONE corpus aggregate (checkpointed |sources|-row frame),
+    * then |alphas| × |sources| arithmetic — the α sweep never re-reads the
+    * corpus.
+    */
+  def temperatureFeasibility(spark: SparkSession, sfDir: String,
+      alphas: Seq[Double] = Seq(0.2, 0.3, 0.5, 0.7, 1.0)): DataFrame = {
+    val perSource = sourceTokens(spark, sfDir).localCheckpoint(true)
+    val tot = perSource.agg(sum(col("n_tokens")).as("tok_t"))
+    alphas.map { a =>
+      val caps = tempWeighted(perSource, a)
+        .select(col("source"),
+          floor(col("n_tokens").cast("double") / col("weight")).cast("long")
+            .as("cap"))
+      val capsMin = caps.crossJoin(broadcast(
+        caps.agg(min(col("cap")).as("budget_max"))))
+      capsMin.agg(
+          count(lit(1)).as("n_sources"),
+          min(col("budget_max")).as("budget_max"),
+          min(when(col("cap") === col("budget_max"), col("source")))
+            .as("binding_source"))
+        .crossJoin(broadcast(tot))
+        .select(lit(a).as("alpha"), col("n_sources"), col("budget_max"),
+          col("binding_source"),
+          (col("budget_max").cast("double") / col("tok_t").cast("double"))
+            .as("feasible_share"))
+    }.reduce(_ unionByName _)
   }
 
   /** DOMAIN-MIX REWEIGHTING (DoReMi-lite, after arXiv 2305.10429's framing
@@ -121,14 +218,26 @@ object TrainingMix {
     * marginals and the normalizer are broadcast one-row/1-col frames;
     * everything after is per-cell arithmetic.
     */
-  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val cells = Tables.documents(spark, sfDir)
-      .select(col("source"), col("lang"),
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame =
+    domainMixFromCells(domainCells(Tables.documents(spark, sfDir))
+      .localCheckpoint(true))
+
+  /** The (source, lang) cell aggregate underlying [[domainMix]] — factored
+    * out so the batch solver and its streaming twin build cells from the
+    * SAME expression tree over any documents relation (the q268 convention;
+    * in a stream this groupBy IS the state, |sources|·|langs| rows).
+    */
+  private[graft] def domainCells(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
         TextAnalysis.qualityTokens.cast("long").as("nt"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("avail_tokens"))
-      .localCheckpoint(true)
+
+  /** The solver arithmetic over a finalized cell frame — shared verbatim by
+    * the batch operator and the streaming twin's drain-side finisher.
+    */
+  private[graft] def domainMixFromCells(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val srcTok = cells.groupBy(col("source"))
       .agg(sum(col("avail_tokens")).as("tok_s"))
     val langTok = cells.groupBy(col("lang"))

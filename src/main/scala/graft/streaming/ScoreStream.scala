@@ -141,4 +141,32 @@ object ScoreStream {
       .localCheckpoint(true)
     graft.ops.TermStats.growthFromCells(finalCells)
   }
+
+  /** STREAMING DOMAIN-MIX MONITOR — q332's reweighting solver live over an
+    * arriving corpus (the EIGHTH batch/stream parity instance): the only
+    * state is the (source, lang) cell counts — |sources|·|langs| rows, built
+    * by the SAME `domainCells` expression tree as the batch solver — and
+    * every cell a document touches finalizes within its arrival micro-batch
+    * (doc and token counts are monotone under accumulation; the drain-side
+    * per-cell max is the final census — the q246 argument). The solver
+    * arithmetic (independence target, weights, feasibility) runs batch-side
+    * on the drained cells through the SAME `domainMixFromCells`, so the
+    * query is hash-gated against q332's oracle SHARED VERBATIM. This is the
+    * ingestion-time readout: the mix an operator would have to sample TODAY
+    * if the crawl stopped now, updating as feeds land.
+    */
+  def domainMixAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.readStream.schema(docsSchema)
+      .parquet(docsDir(spark, sfDir))
+    val cells = graft.ops.TrainingMix.domainCells(docs)
+    val drained = Drain.toMemoryTable(spark, cells, "update", "graft_stream_mix")
+    // checkpointed before the finisher: domainMixFromCells branches the cell
+    // frame four ways (marginals, total, shares) and a memory-sink view
+    // cannot dedup conflicting references (the q330 lesson)
+    val finalCells = drained.groupBy(col("source"), col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("avail_tokens")).as("avail_tokens"))
+      .localCheckpoint(true)
+    graft.ops.TrainingMix.domainMixFromCells(finalCells)
+  }
 }

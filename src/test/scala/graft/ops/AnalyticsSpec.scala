@@ -521,6 +521,62 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("temperature feasibility: alpha=0.3 arm recounts q193; budget monotone in alpha") {
+    val rows = graft.ops.TrainingMix.temperatureFeasibility(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0.2, 0.3, 0.5, 0.7, 1.0))
+    // the α = 0.3 arm must equal the cap/min/binding recompute from q193's
+    // own gated weights — same chain, same floors
+    val w = graft.ops.TrainingMix.temperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val caps = w.map { case (s, nt, wt) => (s, math.floor(nt.toDouble / wt).toLong) }
+    val bmax = caps.map(_._2).min
+    val arm = rows.find(_._1 == 0.3).get
+    assert(arm._2 === w.length.toLong)
+    assert(arm._3 === bmax, "budget_max recount from q193 weights")
+    assert(arm._4 === caps.filter(_._2 == bmax).map(_._1).min, "binding source")
+    val tot = w.map(_._2).sum
+    assert(arm._5 === bmax.toDouble / tot.toDouble, "feasible share division")
+    // flatter mixes (smaller α) upsample the binding source harder, so the
+    // feasible budget can only fall as α falls
+    val byAlpha = rows.map(_._3)
+    assert(byAlpha.toSeq === byAlpha.sorted.toSeq,
+      s"budget_max must be nondecreasing in alpha: $rows")
+    rows.foreach { case (_, _, b, _, share) =>
+      assert(b >= 0L && share <= 1.0 + 1e-9, "a budget never exceeds the corpus")
+    }
+  }
+
+  test("mix sampler: rates exact from q332's solution; draw recounted from the hash") {
+    import org.apache.spark.sql.functions.{col => c}
+    val mix = graft.ops.TrainingMix.domainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(7)))).toMap  // (avail_tokens, required_tokens)
+    val rows = graft.ops.TrainingMix.mixSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(rows.keySet === mix.keySet, "one sampler row per solver cell")
+    // independent draw recount: same hash, same permille threshold
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(c("source"), c("lang"),
+        graft.ops.TextAnalysis.qualityTokens.cast("long").as("nt"),
+        Corpus.hashBucket(c("doc_id"), "mix_v1").as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (k, (rate, nDocs, tok, req, ratio)) =>
+      val (avail, required) = mix(k)
+      assert(rate === math.min(1000L, required * 1000L / avail), s"cell $k rate")
+      assert(req === required)
+      val drawn = docs.filter(d => (d._1, d._2) == k && d._4 < rate)
+      assert(nDocs === drawn.length.toLong, s"cell $k drawn docs")
+      assert(tok === drawn.map(_._3).sum, s"cell $k drawn tokens")
+      if (required > 0)
+        assert(ratio.contains(tok.toDouble / required.toDouble), s"cell $k ratio")
+      else assert(ratio.isEmpty, s"cell $k zero-requirement cells carry no ratio")
+    }
+  }
+
   test("domain mix: independence target, weight identity, exact feasibility") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val rows = graft.ops.TrainingMix.domainMix(spark, sf).collect()

@@ -129,6 +129,20 @@ class CurationSpec extends SparkSpec {
       "fixture corpus must show actual rescued tokens for the readout to mean anything")
   }
 
+  test("passage verdicts are paid once per session and shared by q331/q334") {
+    // the round's memo lesson applied to its own new pair: the default-args
+    // passage-flag table materializes once; crafted-fixture calls (other
+    // params) bypass the memo so they can never alias the session key.
+    val sf = "/root/testdata/sf0.001"
+    val m0 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("passage_flags", 0L)
+    Curation.passageDecontaminate(spark, sf).collect()
+    Curation.decontamSavings(spark, sf).collect()
+    val m1 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("passage_flags", 0L)
+    val h1 = Dedup.counterSnapshot(Dedup.cacheHits).getOrElse("passage_flags", 0L)
+    assert(m1 - m0 <= 1L, "verdict table materialized at most once for both consumers")
+    assert(h1 >= 1L, "the second consumer rode the memo")
+  }
+
   test("family drift: per-batch census recounted from the labels and hash batches") {
     import org.apache.spark.sql.functions.{col => c}
     val sf = "/root/testdata/sf0.001"

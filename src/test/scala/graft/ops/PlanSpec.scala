@@ -360,7 +360,9 @@ class PlanSpec extends SparkSpec {
         Curation.passageDecontaminate(spark, sf),
         TrainingMix.domainMix(spark, sf),
         Curation.familyDrift(spark, sf),
-        Curation.decontamSavings(spark, sf))) {
+        Curation.decontamSavings(spark, sf),
+        TrainingMix.temperatureFeasibility(spark, sf),
+        TrainingMix.mixSample(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }

@@ -51,4 +51,21 @@ class ScoreStreamSpec extends SparkSpec {
       "fixture corpus must show new terms in some batch")
     assert(stream === batch, "stream growth series diverged from batch")
   }
+
+  test("streaming domain-mix monitor reproduces the batch solver row for row") {
+    // the EIGHTH batch/stream parity pair (q332 vs q337): same cell
+    // expression tree, same solver arithmetic over the drained census —
+    // every share, weight, floor and feasibility bit must match.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7),
+        r.getBoolean(8), r.getLong(9))
+    val batch = graft.ops.TrainingMix.domainMix(spark, sf)
+      .orderBy("source", "lang").collect().map(key).toSeq
+    val stream = ScoreStream.domainMixAvailableNow(spark, sf)
+      .orderBy("source", "lang").collect().map(key).toSeq
+    assert(batch.length >= 2)
+    assert(stream === batch, "stream mix solution diverged from batch")
+  }
 }
