@@ -371,6 +371,7 @@ object SparkEntry {
     "q335_temp_feasibility" -> ((s, d) => graft.ops.TrainingMix.temperatureFeasibility(s, d)),
     "q336_mix_sample"      -> ((s, d) => graft.ops.TrainingMix.mixSample(s, d)),
     "q337_mix_stream"      -> ((s, d) => graft.streaming.ScoreStream.domainMixAvailableNow(s, d)),
+    "q338_source_contam"   -> ((s, d) => graft.ops.Curation.sourceContamination(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -5313,6 +5314,29 @@ object SparkEntry {
     // VERBATIM (8th parity pair); q336 embeds it as the sampler's spine
     "q332_domain_mix" -> domainMixOracle,
     "q337_mix_stream" -> domainMixOracle,
+
+    // q338: per-source contamination profile — q75's verdicts (shared CTE
+    // spine) rolled to feed grain with exact token mass; the triage table
+    // that decides whether a feed gets dropped upstream
+    "q338_source_contam" ->
+      s"""WITH v AS ($decontaminateOracle),
+         |m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents
+         |  WHERE CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT)
+         |    % 1000 >= 200)
+         |SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN v.is_contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  CAST(sum(CASE WHEN v.is_contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS contamination_rate,
+         |  CAST(sum(m.n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.is_contaminated THEN m.n_toks ELSE 0 END) AS BIGINT)
+         |    AS contaminated_tokens
+         |FROM v JOIN m USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // q336: mix sampler — q332's solution realized by content-addressed
     // permille draw; rate = min(1000, required·1000 div available) exact

@@ -170,6 +170,39 @@ object Curation {
       .withColumn("is_flagged", col("n_hits") > 0)
   }
 
+  /** PER-SOURCE CONTAMINATION PROFILE — [[decontaminate]]'s verdicts rolled
+    * to feed grain (the CCNet-style per-source report): which SOURCES leak
+    * the eval suite, how hard, and how many tokens a doc-grain discard
+    * policy costs each feed. A single feed carrying most of the
+    * contamination usually means that feed scraped the benchmark site —
+    * the fix is upstream (drop or clean the feed), not corpus-wide
+    * filtering; this table is the triage that decides which, read next to
+    * q328's gram-grain hotspots. Output per source: training docs, flagged
+    * docs, the rate (one IEEE division), exact token mass and flagged
+    * token mass. Scale shape: q75's verdict table joined to the per-doc
+    * (source, tokens) projection on doc_id, one |sources|-row aggregate.
+    */
+  def sourceContamination(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val meta = Tables.documents(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.alphaTokens(col("text"))).cast("long").as("n_toks"))
+    decontaminate(spark, sfDir, n, evalPermille, salt)
+      .select(col("doc_id"), col("is_contaminated"))
+      .join(meta, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("is_contaminated"), col("n_toks")).otherwise(0L))
+          .as("contaminated_tokens"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("contamination_rate"),
+        col("n_tokens"), col("contaminated_tokens"))
+  }
+
   /** DECONTAMINATION TOKEN-SAVINGS — the capstone readout over
     * [[passageDecontaminate]] (the q313 pattern applied to decontamination):
     * how many training tokens does the passage-grain remedy RESCUE relative

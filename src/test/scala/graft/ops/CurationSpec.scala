@@ -101,6 +101,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("source contamination: feed-grain rollup recounted from q75 and raw tokens") {
+    val sf = "/root/testdata/sf0.001"
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        "[a-z0-9]+".r.findAllIn(r.getString(2).toLowerCase).size.toLong))).toMap
+    val q75 = Curation.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    val bySource = q75.groupBy(d => meta(d._1)._1)
+    val rows = Curation.sourceContamination(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.keySet === bySource.keySet, "one row per training source")
+    rows.foreach { case (s, (nd, nc, rate, nt, ct)) =>
+      val ds = bySource(s)
+      assert(nd === ds.length.toLong, s"source $s docs")
+      assert(nc === ds.count(_._2).toLong, s"source $s contaminated")
+      assert(rate === nc.toDouble / nd.toDouble, s"source $s rate")
+      assert(nt === ds.map(d => meta(d._1)._2).sum, s"source $s tokens")
+      assert(ct === ds.filter(_._2).map(d => meta(d._1)._2).sum, s"source $s flagged tokens")
+    }
+    assert(rows.values.map(_._2).sum === q75.count(_._2).toLong,
+      "sources partition the flagged docs")
+  }
+
   test("decontam savings: both policy arms recounted from q331/q75's own verdicts") {
     val sf = "/root/testdata/sf0.001"
     val r = Curation.decontamSavings(spark, sf).head

@@ -172,6 +172,12 @@ class DedupSpec extends SparkSpec {
       (5L, span + " " + span, "en", 95))              // repeats: distinct per doc
       .toDF("doc_id", "text", "lang", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // the r15 ADVICE note, applied at a gated scale: a 62-bit rolling-hash
+    // collision would surface here as an attributable pair diff against the
+    // md5 spec, not as an unexplained oracle-gate mystery at sf0.01
+    assert(pairs(Dedup.substringDedup(spark, "/root/testdata/sf0.01")) ===
+      pairs(Dedup.substringDedupMd5(spark, "/root/testdata/sf0.01")),
+      "rolling-hash vs md5 pair sets diverged at sf0.01 — collision suspect")
     val roll = pairs(Dedup.substringDedup(spark, d, maxDf = 10))
     val md5p = pairs(Dedup.substringDedupMd5(spark, d, maxDf = 10))
     assert(roll === md5p, "crafted-edge pair sets diverged")

@@ -362,7 +362,8 @@ class PlanSpec extends SparkSpec {
         Curation.familyDrift(spark, sf),
         Curation.decontamSavings(spark, sf),
         TrainingMix.temperatureFeasibility(spark, sf),
-        TrainingMix.mixSample(spark, sf))) {
+        TrainingMix.mixSample(spark, sf),
+        Curation.sourceContamination(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
