@@ -673,7 +673,7 @@ object SparkEntry {
           |      AS VARCHAR) AS DECIMAL(18,14)) AS VARCHAR) AS DOUBLE) AS p_raw
           |  FROM cells c
           |  JOIN st USING (source) JOIN lt USING (lang) CROSS JOIN tt),
-          |z AS (SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(28,14)))
+          |z AS (SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(38,14)))
           |        AS VARCHAR) AS DOUBLE) AS z FROM p)
           |SELECT source, lang, n_docs, avail_tokens, avail_share,
           |  p_raw / z.z AS target_share,
@@ -5997,10 +5997,10 @@ object SparkEntry {
          |    CAST(CAST(CAST(CAST(exp(${0.3} *
          |      CAST(CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS VARCHAR)
          |        AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE))
-         |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS p_raw
+         |      AS VARCHAR) AS DECIMAL(30,12)) AS VARCHAR) AS DOUBLE) AS p_raw
          |  FROM s),
          |t AS (
-         |  SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(28,14)))
+         |  SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(38,14)))
          |    AS VARCHAR) AS DOUBLE) AS t FROM p)
          |SELECT source, n_docs, n_tokens,
          |  p_raw / t.t AS weight,
@@ -6018,10 +6018,10 @@ object SparkEntry {
             |    CAST(CAST(CAST(CAST(exp($a *
             |      CAST(CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS VARCHAR)
             |        AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE))
-            |      AS VARCHAR) AS DECIMAL(18,12)) AS VARCHAR) AS DOUBLE) AS p_raw
+            |      AS VARCHAR) AS DECIMAL(30,12)) AS VARCHAR) AS DOUBLE) AS p_raw
             |  FROM s),
             |t$i AS (
-            |  SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(28,14)))
+            |  SELECT CAST(CAST(sum(CAST(CAST(p_raw AS VARCHAR) AS DECIMAL(38,14)))
             |    AS VARCHAR) AS DOUBLE) AS t FROM p$i),
             |c$i AS (
             |  SELECT source,

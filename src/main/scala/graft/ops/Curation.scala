@@ -151,7 +151,7 @@ object Curation {
   private val passageFlagsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def passageDecontaminateCompute(spark: SparkSession, sfDir: String,
+  private[ops] def passageDecontaminateCompute(spark: SparkSession, sfDir: String,
       n: Int, w: Int, evalPermille: Int, salt: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille

@@ -411,33 +411,22 @@ object Graph {
   private val censusCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private[graft] def nodeTriangleCounts(spark: SparkSession, sfDir: String,
-      broadcastEdgeLimit: Long = 10000000L): DataFrame =
+  private[graft] def nodeTriangleCounts(spark: SparkSession, sfDir: String): DataFrame =
+    // no broadcast-limit parameter: the memo key is only (session, sfDir),
+    // so a per-call plan knob would silently not apply after the first call
+    // (or pollute the memo for later callers) — the shared default is the
+    // only honest option here; triangleCensus keeps the explicit knob for
+    // the fallback-equivalence spec
     Dedup.cached(censusCache, "triangle_census", spark, sfDir) {
       val und = coPurchaseEdges(spark, sfDir)
       val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      val oriented = und
-        .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
-        .select(
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("u"))
-            .otherwise(col("v")).as("src"),
-          when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")), col("v"))
-            .otherwise(col("u")).as("dst"),
-          greatest(col("du"), col("dv")).as("ddst"))
-        .localCheckpoint(true)
-      val wedges = oriented.as("e1").join(oriented.as("e2"),
-          col("e1.src") === col("e2.src") &&
-            (col("e1.ddst") < col("e2.ddst") ||
-              (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
-        .select(col("e1.src").as("p"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+      val oriented = degreeOriented(und, deg)
       val closure = oriented.select(col("src"), col("dst"))
       val closureSide =
-        if (oriented.count() <= broadcastEdgeLimit) broadcast(closure) else closure
-      val triPer = wedges.join(closureSide,
+        if (oriented.count() <= DefaultBroadcastEdgeLimit) broadcast(closure)
+        else closure
+      val triPer = orientedWedges(oriented).join(closureSide,
           col("x") === col("src") && col("y") === col("dst"))
         .select(explode(array(col("p"), col("x"), col("y"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
@@ -445,6 +434,40 @@ object Graph {
         .select(col("id"), col("deg"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"))
     }
+
+  private[graft] val DefaultBroadcastEdgeLimit: Long = 10000000L
+
+  /** Degree-oriented edge list — src→dst iff (deg, id) is smaller at src,
+    * carrying the head's degree for the wedge order. This tie-break is the
+    * subtle core both census forms depend on (each triangle counted exactly
+    * once at its lowest corner, oriented out-degree O(√m)-bounded), so it
+    * lives in ONE place; checkpointed because every consumer self-joins it
+    * and probes its count for the broadcast gate.
+    */
+  private def degreeOriented(und: DataFrame, deg: DataFrame): DataFrame =
+    und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        greatest(col("du"), col("dv")).as("ddst"))
+      .localCheckpoint(true)
+
+  /** Candidate wedges at each pivot, ordered by the orientation's own total
+    * order so the closing edge is oriented exactly (x → y) — shared by the
+    * global census (which ignores the pivot) and the per-node counts.
+    */
+  private def orientedWedges(oriented: DataFrame): DataFrame =
+    oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("p"), col("e1.dst").as("x"), col("e2.dst").as("y"))
 
   /** DUP-CLUSTER SIZE HISTOGRAM — the duplication-depth census over q55's
     * connected components: how many clusters of each size, how many
@@ -694,41 +717,20 @@ object Graph {
     * change. The count probe is free: the frame is already checkpointed.
     */
   private[graft] def triangleCensus(und: DataFrame, deg: DataFrame,
-      broadcastEdgeLimit: Long = 10000000L): DataFrame = {
-    // orient u→v iff (deg(u), u) < (deg(v), v); carry the head's (deg, id)
-    // so wedge pairs can be ordered by the SAME total order downstream
-    val oriented = und
-      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("dst"),
-        greatest(col("du"), col("dv")).as("ddeg_hi"),
-        least(col("du"), col("dv")).as("ddeg_lo"))
-      .select(col("src"), col("dst"),
-        // head endpoint's (deg, id): dst is the <ord-larger endpoint, whose
-        // degree is ddeg_hi unless degrees tie (then both are ddeg_hi anyway)
-        col("ddeg_hi").as("ddst"))
-      .localCheckpoint(true)
-    // wedges at each pivot, ordered by the orientation's own total order, so
-    // the closing edge is oriented exactly (x → y) — one equi-join closes it.
-    // The closure side is BROADCAST while it fits: the wedge set is
-    // O(m^1.5) rows (the big side by far) and should never shuffle — with
-    // the edge table broadcast, wedges flow scan→generate→probe→
-    // partial-count entirely in-pipeline, zero exchanges of wedge rows. The
-    // edge table is 2 longs/edge; when m outgrows broadcastEdgeLimit the
-    // hint is DROPPED at runtime and the same equi-join shuffles wedges by
-    // (x, y) — correct either way, this is purely the "don't move the big
-    // side" rule with the budget enforced, not assumed.
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          (col("e1.ddst") < col("e2.ddst") ||
-            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
+      broadcastEdgeLimit: Long = DefaultBroadcastEdgeLimit): DataFrame = {
+    // the orientation and wedge construction are the shared
+    // [[degreeOriented]]/[[orientedWedges]] helpers (one home for the
+    // tie-break both census forms depend on). The closure side is BROADCAST
+    // while it fits: the wedge set is O(m^1.5) rows (the big side by far)
+    // and should never shuffle — with the edge table broadcast, wedges flow
+    // scan→generate→probe→partial-count entirely in-pipeline, zero
+    // exchanges of wedge rows. The edge table is 2 longs/edge; when m
+    // outgrows broadcastEdgeLimit the hint is DROPPED at runtime and the
+    // same equi-join shuffles wedges by (x, y) — correct either way, this
+    // is purely the "don't move the big side" rule with the budget
+    // enforced, not assumed.
+    val oriented = degreeOriented(und, deg)
+    val wedges = orientedWedges(oriented).select(col("x"), col("y"))
     val closure = oriented.select(col("src"), col("dst"))
     val closureSide =
       if (oriented.count() <= broadcastEdgeLimit) broadcast(closure) else closure

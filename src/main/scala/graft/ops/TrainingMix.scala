@@ -96,11 +96,18 @@ object TrainingMix {
     import org.apache.spark.sql.types.DecimalType
     val lnT = graft.core.Num.decToDouble(
       log(col("n_tokens").cast("double")).cast(DecimalType(18, 12)))
+    // p_raw = n^α reaches n itself at α = 1.0 (the q335 curve's top arm), so
+    // the bridge needs integer headroom for a 100 TB source's token count:
+    // DECIMAL(30,12) holds < 10^18 (vs (18,12)'s < 10^6, which overflowed to
+    // NULL and silently dropped the source from the normalizer and min-cap
+    // at roughly sf1). Widening only adds headroom — in-range values round
+    // identically at 12 decimals, so every gated number is unchanged. The
+    // normalizer fold widens to (38,14) for the same reason.
     val pRaw = graft.core.Num.decToDouble(
-      exp(lit(alpha) * lnT).cast(DecimalType(18, 12)))
+      exp(lit(alpha) * lnT).cast(DecimalType(30, 12)))
     val scored = perSource.withColumn("p_raw", pRaw)
     val tot = scored.agg(graft.core.Num.decToDouble(
-      sum(col("p_raw").cast(DecimalType(28, 14)))).as("t"))
+      sum(col("p_raw").cast(DecimalType(38, 14)))).as("t"))
     scored.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (col("p_raw") / col("t")).as("weight"))
@@ -219,8 +226,20 @@ object TrainingMix {
     * everything after is per-cell arithmetic.
     */
   def domainMix(spark: SparkSession, sfDir: String): DataFrame =
-    domainMixFromCells(domainCells(Tables.documents(spark, sfDir))
-      .localCheckpoint(true))
+    domainMixFromCells(domainCellsCached(spark, sfDir))
+
+  /** The corpus-sized (source, lang) census MEMOIZED once per (session,
+    * scale factor) — the round's two-consumer rule: q332's solver and
+    * q336's sampler (which re-derives rates through the solver) were each
+    * paying the full tokenize+aggregate. |sources|·|langs| rows of four
+    * values; cache_paid/cache_hit attribution rides the shared registry.
+    */
+  private val domainCellsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def domainCellsCached(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.cached(domainCellsCache, "domain_cells", spark, sfDir)(
+      domainCells(Tables.documents(spark, sfDir)))
 
   /** The (source, lang) cell aggregate underlying [[domainMix]] — factored
     * out so the batch solver and its streaming twin build cells from the

@@ -187,11 +187,22 @@ class RegistrySpec extends AnyFunSuite {
     // `sum(CAST(… AS DECIMAL(p,12|14)))` in an oracle must bridge through
     // VARCHAR — this gate turns the next forgotten bridge into a red build
     // instead of a scale-dependent hash mystery.
+    // two-step check instead of a lookahead: collect every
+    // sum(CAST(… AS DECIMAL(p,12|14))) span, then require the span itself
+    // to contain the "AS VARCHAR) AS DECIMAL" bridge — a bare negative
+    // lookahead on the inner CAST( would wave through
+    // sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(…))), which is exactly the
+    // unbridged class this gate exists to reject.
     val pat = java.util.regex.Pattern.compile(
-      """sum\(CAST\((?!CAST\()[\s\S]{0,200}?AS DECIMAL\(\d+,\s*1[24]\)\)""")
+      """sum\(CAST\([\s\S]{0,200}?AS DECIMAL\(\d+,\s*1[24]\)\)""")
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (q, sql) =>
       val m = pat.matcher(sql)
-      if (m.find()) Some(s"$q: ${m.group(0).linesIterator.next()}") else None
+      val bad = Iterator.continually(m)
+        .takeWhile(_.find())
+        .map(_.group(0))
+        .filterNot(_.replaceAll("\\s+", " ").contains("AS VARCHAR) AS DECIMAL"))
+        .toSeq
+      bad.headOption.map(b => s"$q: ${b.linesIterator.next()}")
     }
     assert(offenders.isEmpty,
       "unbridged double→decimal folds in oracle SQL (wrap the summand in " +

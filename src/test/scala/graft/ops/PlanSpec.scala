@@ -356,8 +356,11 @@ class PlanSpec extends SparkSpec {
     // familyDrift's cumulative window is batch-grain (input is the ≤8-row
     // per-batch aggregate — the detector's aggregate-input exemption, same
     // as q319); domainMix's one-row marginal frames enter broadcast
+    // the passage audit targets the COMPUTE chain: the public entry point is
+    // session-memoized, so its executedPlan is a bare checkpoint scan (the
+    // q17 audit caveat — same treatment as the LM and census audits)
     for (df <- Seq(
-        Curation.passageDecontaminate(spark, sf),
+        Curation.passageDecontaminateCompute(spark, sf, 5, 8, 200, "eval_v1"),
         TrainingMix.domainMix(spark, sf),
         Curation.familyDrift(spark, sf),
         Curation.decontamSavings(spark, sf),
