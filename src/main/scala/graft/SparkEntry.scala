@@ -372,6 +372,8 @@ object SparkEntry {
     "q336_mix_sample"      -> ((s, d) => graft.ops.TrainingMix.mixSample(s, d)),
     "q337_mix_stream"      -> ((s, d) => graft.streaming.ScoreStream.domainMixAvailableNow(s, d)),
     "q338_source_contam"   -> ((s, d) => graft.ops.Curation.sourceContamination(s, d)),
+    "q339_mix_epochs"      -> ((s, d) => graft.ops.TrainingMix.mixSampleEpochs(s, d)),
+    "q340_source_contam_stream" -> ((s, d) => graft.streaming.ScoreStream.sourceContamAvailableNow(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -646,6 +648,30 @@ object SparkEntry {
       |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
       |FROM g LEFT JOIN hits h USING (doc_id)
       |WHERE NOT g.is_eval""".stripMargin
+
+  /** DuckDB twin of Curation.sourceContamination — shared verbatim by q338
+    * (batch) and q340 (the streaming twin), the ninth batch/stream parity
+    * pair; q75's verdict CTE is the spine.
+    */
+  private lazy val sourceContamOracle: String =
+    s"""WITH v AS ($decontaminateOracle),
+       |m AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents
+       |  WHERE CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT)
+       |    % 1000 >= 200)
+       |SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN v.is_contaminated THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  CAST(sum(CASE WHEN v.is_contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS contamination_rate,
+       |  CAST(sum(m.n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.is_contaminated THEN m.n_toks ELSE 0 END) AS BIGINT)
+       |    AS contaminated_tokens
+       |FROM v JOIN m USING (doc_id)
+       |GROUP BY 1""".stripMargin
 
   /** DuckDB twin of TrainingMix.domainMix — shared verbatim by q332
     * (batch) and q337 (the streaming twin), the eighth batch/stream
@@ -5317,29 +5343,16 @@ object SparkEntry {
 
     // q338: per-source contamination profile — q75's verdicts (shared CTE
     // spine) rolled to feed grain with exact token mass; the triage table
-    // that decides whether a feed gets dropped upstream
-    "q338_source_contam" ->
-      s"""WITH v AS ($decontaminateOracle),
-         |m AS (
-         |  SELECT doc_id, source,
-         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
-         |      AS n_toks
-         |  FROM documents
-         |  WHERE CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT)
-         |    % 1000 >= 200)
-         |SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN v.is_contaminated THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_contaminated,
-         |  CAST(sum(CASE WHEN v.is_contaminated THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE) AS contamination_rate,
-         |  CAST(sum(m.n_toks) AS BIGINT) AS n_tokens,
-         |  CAST(sum(CASE WHEN v.is_contaminated THEN m.n_toks ELSE 0 END) AS BIGINT)
-         |    AS contaminated_tokens
-         |FROM v JOIN m USING (doc_id)
-         |GROUP BY 1""".stripMargin,
+    // that decides whether a feed gets dropped upstream. q340 is the
+    // STREAMING producer of the identical profile and shares the oracle
+    // VERBATIM (9th parity pair)
+    "q338_source_contam" -> sourceContamOracle,
+    "q340_source_contam_stream" -> sourceContamOracle,
 
     // q336: mix sampler — q332's solution realized by content-addressed
-    // permille draw; rate = min(1000, required·1000 div available) exact
+    // permille draw; rate = min(1000, required·1000 div available) exact,
+    // with the zero-available cell guarded to the keep-everything cap
+    // (rate 1000) instead of a NULL no-draw (r16 ADVICE)
     "q336_mix_sample" ->
       s"""WITH mix AS ($domainMixOracle),
          |d AS (
@@ -5350,7 +5363,9 @@ object SparkEntry {
          |  FROM documents),
          |r AS (
          |  SELECT source, lang, required_tokens,
-         |    least(1000, (required_tokens * 1000) // avail_tokens) AS rate_permille
+         |    CASE WHEN avail_tokens > 0
+         |         THEN least(1000, (required_tokens * 1000) // avail_tokens)
+         |         ELSE 1000 END AS rate_permille
          |  FROM mix),
          |sm AS (
          |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_sampled_docs,
@@ -5366,6 +5381,46 @@ object SparkEntry {
          |         / CAST(r.required_tokens AS DOUBLE) END AS achieved_ratio
          |FROM r LEFT JOIN sm USING (source, lang)""".stripMargin,
 
+
+    // q339: epoch-multiplicity sampler — the oversampling half of the
+    // DoReMi realization: k = required div available full passes, the
+    // remainder by content-addressed permille ((required mod avail)·1000
+    // div avail, < 1000 by construction); zero-avail cells ride the q336
+    // guard shape (epochs 0, permille 1000). All exact integers until the
+    // one achieved_ratio division
+    "q339_mix_epochs" ->
+      s"""WITH mix AS ($domainMixOracle),
+         |d AS (
+         |  SELECT source, lang,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt,
+         |    CAST('0x' || substr(md5(doc_id || ':mix_v1'), 1, 8) AS BIGINT)
+         |      % 1000 AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, lang, n_docs, avail_tokens, required_tokens,
+         |    CASE WHEN avail_tokens > 0
+         |         THEN required_tokens // avail_tokens ELSE 0 END AS epochs,
+         |    CASE WHEN avail_tokens > 0
+         |         THEN ((required_tokens % avail_tokens) * 1000) // avail_tokens
+         |         ELSE 1000 END AS remainder_permille
+         |  FROM mix),
+         |sm AS (
+         |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS rd,
+         |    CAST(sum(d.nt) AS BIGINT) AS rt
+         |  FROM d JOIN r USING (source, lang)
+         |  WHERE d.h < r.remainder_permille GROUP BY 1, 2)
+         |SELECT r.source, r.lang, r.avail_tokens, r.required_tokens,
+         |  CAST(r.epochs AS BIGINT) AS epochs,
+         |  CAST(r.remainder_permille AS BIGINT) AS remainder_permille,
+         |  CAST(coalesce(sm.rd, 0) AS BIGINT) AS remainder_docs,
+         |  CAST(coalesce(sm.rt, 0) AS BIGINT) AS remainder_tokens,
+         |  CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS BIGINT)
+         |    AS drawn_tokens,
+         |  CAST(r.epochs * r.n_docs + coalesce(sm.rd, 0) AS BIGINT) AS n_draws,
+         |  CASE WHEN r.required_tokens > 0
+         |       THEN CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS DOUBLE)
+         |         / CAST(r.required_tokens AS DOUBLE) END AS achieved_ratio
+         |FROM r LEFT JOIN sm USING (source, lang)""".stripMargin,
 
     // q333: near-dup family drift — q55's labels (singletons included)
     // sliced by q319's crawl batches; a family's founding batch is the min

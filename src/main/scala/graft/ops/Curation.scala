@@ -185,12 +185,21 @@ object Curation {
   def sourceContamination(spark: SparkSession, sfDir: String, n: Int = 5,
       evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
-    val meta = Tables.documents(spark, sfDir).filter(!isEval)
-      .select(col("doc_id"), col("source"),
-        size(TextAnalysis.alphaTokens(col("text"))).cast("long").as("n_toks"))
-    decontaminate(spark, sfDir, n, evalPermille, salt)
-      .select(col("doc_id"), col("is_contaminated"))
-      .join(meta, "doc_id")
+    val meta = Corpus.docTokens(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), col("source"), col("n_alpha_toks").as("n_toks"))
+    sourceContamRollup(
+      decontaminate(spark, sfDir, n, evalPermille, salt)
+        .select(col("doc_id"), col("is_contaminated"))
+        .join(meta, "doc_id"))
+  }
+
+  /** The feed-grain rollup over a (doc_id, source, n_toks, is_contaminated)
+    * verdict frame — factored out so the batch profile and its streaming
+    * twin (the ninth batch/stream parity instance) aggregate with the SAME
+    * expression tree (the q268 convention). One |sources|-row aggregate.
+    */
+  private[graft] def sourceContamRollup(verdicts: DataFrame): DataFrame =
+    verdicts
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
@@ -201,7 +210,6 @@ object Curation {
         (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
           .as("contamination_rate"),
         col("n_tokens"), col("contaminated_tokens"))
-  }
 
   /** DECONTAMINATION TOKEN-SAVINGS — the capstone readout over
     * [[passageDecontaminate]] (the q313 pattern applied to decontamination):
@@ -216,15 +224,25 @@ object Curation {
     * any(passage) reconciliation, so the two policies are compared on the
     * SAME verdicts. Everything before the division is exact integers.
     *
+    * Residual-gram caveat (r16 ADVICE, documented by design): the excised
+    * span is the flagged passage's own `w` tokens, but a matching n-gram
+    * whose START token sits near the passage end extends up to n−1 tokens
+    * into the NEXT passage — those trailing tokens are retained, so a
+    * sliver of the leaked gram can survive passage surgery and
+    * `tokens_rescued_share` slightly overstates effective decontamination.
+    * Both engines compute the same policy (the gate compares policies, not
+    * leak-freeness); a paranoid deployment widens the cut to
+    * start..start+n−1 at the cost of excising up to n−1 extra tokens per
+    * boundary gram.
+    *
     * Scale shape: one per-doc token-count projection plus q331's own plan;
     * the policy arms are two global aggregates over narrow frames.
     */
   def decontamSavings(spark: SparkSession, sfDir: String, n: Int = 5,
       w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
-    val train = Tables.documents(spark, sfDir).filter(!isEval)
-      .select(col("doc_id"),
-        size(TextAnalysis.alphaTokens(col("text"))).cast("long").as("n_toks"))
+    val train = Corpus.docTokens(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), col("n_alpha_toks").as("n_toks"))
     // default-parameter calls ride the session memo (already checkpointed,
     // shared with q331); the two policy arms below each read it
     val pd = passageDecontaminate(spark, sfDir, n, w, evalPermille, salt)
@@ -287,10 +305,9 @@ object Curation {
     * doc_id join + one |clusters|-row aggregate.
     */
   def dupFamilyProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Corpus.docTokens(spark, sfDir)
       .select(col("doc_id"), col("source"), col("lang"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
-          .cast("long").as("n_toks"))
+        col("n_alpha_toks").as("n_toks"))
     Graph.dupClusters(spark, sfDir)
       .select(col("doc_id"), col("cluster_id"))
       .join(docs, "doc_id")
@@ -711,10 +728,8 @@ object Curation {
     * scan-speed tokenize + one single-row aggregate.
     */
   def dedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
-          .cast("long").as("n_toks"))
+    val toks = Corpus.docTokens(spark, sfDir)
+      .select(col("doc_id"), col("n_alpha_toks").as("n_toks"))
     toks.join(Graph.dupClusters(spark, sfDir)
         .select(col("doc_id"), col("is_representative")), "doc_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -742,10 +757,8 @@ object Curation {
       salt: String = "cluster_split_v1"): DataFrame = {
     val sp = clusterSplitAssign(spark, sfDir, salt)
       .select(col("doc_id"), col("split"))
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
-          .cast("long").as("n_toks"))
+    val docs = Corpus.docTokens(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_alpha_toks").as("n_toks"))
     val cells = docs.join(sp, "doc_id")
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))

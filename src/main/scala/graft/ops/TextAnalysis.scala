@@ -24,7 +24,7 @@ object TextAnalysis {
 
   private def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 
-  private[ops] def alphaTokens(c: Column): Column =
+  private[graft] def alphaTokens(c: Column): Column =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
   /** Token statistics: whitespace tokens, regex word tokens, distinct words,

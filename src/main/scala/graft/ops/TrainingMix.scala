@@ -77,14 +77,14 @@ object TrainingMix {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
         floor(col("weight") * tokenBudget).cast("long").as("tokens_alloc"))
 
-  /** Per-source exact doc/token counts — the one corpus-sized aggregate the
-    * temperature chain starts from, shared by q193 and the q335 curve.
+  /** Per-source exact doc/token counts — the aggregate the temperature chain
+    * starts from, shared by q193 and the q335 curve; rides the session-wide
+    * [[Corpus.docTokens]] census instead of its own corpus scan (r17).
     */
   private def sourceTokens(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("source"), TextAnalysis.qualityTokens.cast("long").as("nt"))
+    Corpus.docTokens(spark, sfDir)
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ws_toks")).as("n_tokens"))
 
   /** q193's weight arithmetic over a given per-source frame — n^α as
     * exp(α·ln n) with both transcendental outputs 12-decimal-bridged and
@@ -130,14 +130,10 @@ object TrainingMix {
     */
   def mixSample(spark: SparkSession, sfDir: String,
       salt: String = "mix_v1"): DataFrame = {
-    val rates = domainMix(spark, sfDir)
-      .select(col("source"), col("lang"), col("required_tokens"),
-        least(lit(1000L),
-          expr("(required_tokens * 1000) div avail_tokens")).as("rate_permille"))
+    val rates = sampleRates(domainMix(spark, sfDir))
       .localCheckpoint(true) // two consumers: the draw join and the left spine
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("source"), col("lang"),
-        TextAnalysis.qualityTokens.cast("long").as("nt"),
+    val docs = Corpus.docTokens(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_ws_toks").as("nt"),
         Corpus.hashBucket(col("doc_id"), salt).as("h"))
     val drawn = docs.join(broadcast(rates), Seq("source", "lang"))
       .filter(col("h") < col("rate_permille"))
@@ -153,6 +149,87 @@ object TrainingMix {
           coalesce(col("sampled_tokens"), lit(0L)).cast("double") /
             col("required_tokens").cast("double")).as("achieved_ratio"))
   }
+
+  /** EPOCH-MULTIPLICITY MIX SAMPLER — the OVERSAMPLING half of the DoReMi
+    * realization [[mixSample]] deliberately caps away (r16 verdict: a
+    * weight > 1 cell under q336's ≤1000‰ draw silently under-delivers and
+    * only achieved_ratio confesses): a cell owing more tokens than it has
+    * draws every document k = required div available FULL times (k exact
+    * integer epochs — the standard small-source upsampling of a real mix
+    * job) plus a content-addressed remainder draw at the exact permille
+    * (required mod available)·1000 div available, which is < 1000 by
+    * construction. Output per cell: the plan (epochs, remainder_permille),
+    * the remainder draw's exact doc/token counts, drawn_tokens =
+    * epochs·available + remainder draw, n_draws (document draws counting
+    * multiplicity), and achieved_ratio. The remainder can miss its target
+    * by at most one permille bucket, so |achieved − 1| ≤ available/required
+    * for every cell with required > 0 — a HARD bound (remainder_drawn and
+    * the remainder target both live in [0, available]), spec-pinned; an
+    * epoch-sampled mix never under-delivers a weight-2 cell by half the way
+    * the capped sampler must.
+    *
+    * Zero-available cells ride [[sampleRates]]' guard semantics: epochs 0,
+    * remainder_permille 1000 (keep everything, deliver nothing, ratio
+    * confesses — never a NULL no-draw). Scale shape: identical to q336 —
+    * the solver's cell plan broadcasts to the one [[Corpus.docTokens]]
+    * census scan, the draw is a per-row hash compare, one aggregate back to
+    * cell grain; epochs multiply COUNTS, never rows (no explode by k — a
+    * 100-epoch cell costs the same one pass).
+    */
+  def mixSampleEpochs(spark: SparkSession, sfDir: String,
+      salt: String = "mix_v1"): DataFrame = {
+    val plan = epochPlan(domainMix(spark, sfDir))
+      .localCheckpoint(true) // two consumers: the draw join and the left spine
+    val docs = Corpus.docTokens(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_ws_toks").as("nt"),
+        Corpus.hashBucket(col("doc_id"), salt).as("h"))
+    val drawn = docs
+      .join(broadcast(plan.select(col("source"), col("lang"),
+        col("remainder_permille"))), Seq("source", "lang"))
+      .filter(col("h") < col("remainder_permille"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("rd"), sum(col("nt")).as("rt"))
+    broadcast(plan).join(drawn, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("avail_tokens"),
+        col("required_tokens"), col("epochs"), col("remainder_permille"),
+        coalesce(col("rd"), lit(0L)).as("remainder_docs"),
+        coalesce(col("rt"), lit(0L)).as("remainder_tokens"),
+        (col("epochs") * col("avail_tokens") + coalesce(col("rt"), lit(0L)))
+          .as("drawn_tokens"),
+        (col("epochs") * col("n_docs") + coalesce(col("rd"), lit(0L)))
+          .as("n_draws"),
+        when(col("required_tokens") > 0L,
+          (col("epochs") * col("avail_tokens") + coalesce(col("rt"), lit(0L)))
+            .cast("double") / col("required_tokens").cast("double"))
+          .as("achieved_ratio"))
+  }
+
+  /** The per-cell epoch plan off a [[domainMix]]-shaped frame — exact
+    * integer arithmetic only, factored out so the zero-available and
+    * upsample shapes are spec-pinnable on crafted frames (the q315 lesson).
+    */
+  private[graft] def epochPlan(mix: DataFrame): DataFrame =
+    mix.select(col("source"), col("lang"), col("n_docs"), col("avail_tokens"),
+      col("required_tokens"),
+      when(col("avail_tokens") > 0L,
+        expr("required_tokens div avail_tokens")).otherwise(0L).as("epochs"),
+      when(col("avail_tokens") > 0L,
+        expr("((required_tokens % avail_tokens) * 1000) div avail_tokens"))
+        .otherwise(lit(1000L)).as("remainder_permille"))
+
+  /** The per-cell draw rate off a [[domainMix]]-shaped frame, factored out so
+    * the zero-available-token shape is spec-pinnable on a crafted frame (the
+    * q315 lesson, r16 ADVICE): a cell whose documents all tokenize to zero
+    * would make `required·1000 div avail` NULL and silently never draw —
+    * the guard sends avail = 0 to the same keep-everything cap as an
+    * infeasible cell (rate 1000: every zero-token doc drawn, zero tokens
+    * delivered, achieved_ratio confesses 0 rather than NULL-hiding the cell).
+    */
+  private[graft] def sampleRates(mix: DataFrame): DataFrame =
+    mix.select(col("source"), col("lang"), col("required_tokens"),
+      when(col("avail_tokens") > 0L,
+        least(lit(1000L), expr("(required_tokens * 1000) div avail_tokens")))
+        .otherwise(lit(1000L)).as("rate_permille"))
 
   /** TEMPERATURE-FEASIBILITY CURVE — the tuning instrument for
     * [[temperatureMix]]'s α knob (the q315/q320/q326/q327 family, applied to
@@ -171,9 +248,18 @@ object TrainingMix {
     * Scale shape: ONE corpus aggregate (checkpointed |sources|-row frame),
     * then |alphas| × |sources| arithmetic — the α sweep never re-reads the
     * corpus.
+    *
+    * Edge bounds (r16 ADVICE): `alphas` must be non-empty (the union fold has
+    * no zero element — enforced loudly below, not by a throw from `reduce`).
+    * The cap `⌊avail/weight⌋` saturates at Long.MaxValue in Spark but DuckDB
+    * errors on BIGINT overflow; a cap only exceeds 2⁶³ when weight <
+    * avail/2⁶³ — i.e. a source holding under ~10⁻¹⁴ of a 10⁴⁹-token mix —
+    * so only the default-α oracle gate relies on it, and the bound is
+    * documented rather than branched.
     */
   def temperatureFeasibility(spark: SparkSession, sfDir: String,
       alphas: Seq[Double] = Seq(0.2, 0.3, 0.5, 0.7, 1.0)): DataFrame = {
+    require(alphas.nonEmpty, "temperatureFeasibility needs at least one alpha")
     val perSource = sourceTokens(spark, sfDir).localCheckpoint(true)
     val tot = perSource.agg(sum(col("n_tokens")).as("tok_t"))
     alphas.map { a =>
@@ -239,7 +325,11 @@ object TrainingMix {
 
   private def domainCellsCached(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.cached(domainCellsCache, "domain_cells", spark, sfDir)(
-      domainCells(Tables.documents(spark, sfDir)))
+      // the batch payer aggregates the doc_tokens census (r17) — same exact
+      // per-doc longs, one fewer corpus scan; the streaming twin still
+      // tokenizes in-stream via [[domainCells]]
+      cellsFromTokens(Corpus.docTokens(spark, sfDir)
+        .select(col("source"), col("lang"), col("n_ws_toks").as("nt"))))
 
   /** The (source, lang) cell aggregate underlying [[domainMix]] — factored
     * out so the batch solver and its streaming twin build cells from the
@@ -247,9 +337,15 @@ object TrainingMix {
     * in a stream this groupBy IS the state, |sources|·|langs| rows).
     */
   private[graft] def domainCells(docs: DataFrame): DataFrame =
-    docs.select(col("source"), col("lang"),
-        TextAnalysis.qualityTokens.cast("long").as("nt"))
-      .groupBy(col("source"), col("lang"))
+    cellsFromTokens(docs.select(col("source"), col("lang"),
+      TextAnalysis.qualityTokens.cast("long").as("nt")))
+
+  /** The cell groupBy over any (source, lang, nt) projection — one spelling
+    * whether nt comes from the in-scan tokenizer (streaming) or the
+    * [[Corpus.docTokens]] census (batch memo payer).
+    */
+  private def cellsFromTokens(tok: DataFrame): DataFrame =
+    tok.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("avail_tokens"))
 
   /** The solver arithmetic over a finalized cell frame — shared verbatim by

@@ -142,6 +142,53 @@ object ScoreStream {
     graft.ops.TermStats.growthFromCells(finalCells)
   }
 
+  /** STREAMING PER-SOURCE CONTAMINATION PROFILE — q338's feed-grain triage
+    * live over an arriving corpus (the NINTH batch/stream parity instance):
+    * the eval suite's distinct gram set is FIXED at monitor start (q316's
+    * deployment shape — a benchmark changes by release, not by event), each
+    * arriving document's grams are cut in-scan by the same native
+    * WordGramsExpr, and the stream emits one verdict row per document —
+    * (doc_id, source, n_toks, n_hits) — which finalizes within its arrival
+    * micro-batch (all of a document's grams travel in its single input
+    * row; hit counts are monotone under update-mode re-emission, so the
+    * drain-side per-doc max is the final verdict — the q246/q316 argument).
+    * The feed-grain rollup then runs batch-side on the drained verdicts
+    * through the SAME [[graft.ops.Curation.sourceContamRollup]] expression
+    * tree as q338, so the query is hash-gated against q338's oracle SHARED
+    * VERBATIM (one SQL val, the q268 convention). This is the crawl
+    * operator's live triage: a feed whose contamination rate climbs as its
+    * batches land gets cut off mid-crawl, not at the post-hoc audit.
+    *
+    * State: one small row per document seen (q316's class — an arrival-time
+    * watermark is the production eviction knob, documented not simulated,
+    * since AvailableNow over a finite corpus never evicts); the token count
+    * rides the state key, adding no growth (doc_id already keys it).
+    */
+  def sourceContamAvailableNow(spark: SparkSession, sfDir: String,
+      n: Int = 5, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = graft.ops.Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val evalGrams = graft.core.Tables.documents(spark, sfDir)
+      .filter(isEval)
+      .select(explode(graft.ops.Curation.wordGrams(col("text"), n)).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val docs = spark.readStream.schema(docsSchema)
+      .parquet(docsDir(spark, sfDir))
+    val scored = docs.filter(!isEval)
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextAnalysis.alphaTokens(col("text"))).cast("long")
+          .as("n_toks"),
+        explode_outer(graft.ops.Curation.wordGrams(col("text"), n)).as("gram"))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("source"), col("n_toks"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+    val drained = Drain.toMemoryTable(spark, scored, "update", "graft_stream_srccontam")
+    val verdicts = drained.groupBy(col("doc_id"), col("source"), col("n_toks"))
+      .agg(max(col("n_hits")).as("n_hits"))
+      .withColumn("is_contaminated", col("n_hits") > 0)
+    graft.ops.Curation.sourceContamRollup(verdicts)
+  }
+
   /** STREAMING DOMAIN-MIX MONITOR — q332's reweighting solver live over an
     * arriving corpus (the EIGHTH batch/stream parity instance): the only
     * state is the (source, lang) cell counts — |sources|·|langs| rows, built

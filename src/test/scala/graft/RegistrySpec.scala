@@ -187,19 +187,32 @@ class RegistrySpec extends AnyFunSuite {
     // `sum(CAST(… AS DECIMAL(p,12|14)))` in an oracle must bridge through
     // VARCHAR — this gate turns the next forgotten bridge into a red build
     // instead of a scale-dependent hash mystery.
-    // two-step check instead of a lookahead: collect every
-    // sum(CAST(… AS DECIMAL(p,12|14))) span, then require the span itself
-    // to contain the "AS VARCHAR) AS DECIMAL" bridge — a bare negative
-    // lookahead on the inner CAST( would wave through
-    // sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(…))), which is exactly the
-    // unbridged class this gate exists to reject.
-    val pat = java.util.regex.Pattern.compile(
-      """sum\(CAST\([\s\S]{0,200}?AS DECIMAL\(\d+,\s*1[24]\)\)""")
+    // balanced-paren scan instead of a bounded regex window (r16 ADVICE: the
+    // non-greedy {0,200} window was fail-OPEN — a summand longer than 200
+    // chars before its "AS DECIMAL(p,12|14)" never matched and an unbridged
+    // fold silently passed). Here every `sum(` span is cut to its MATCHING
+    // close paren, so summand length is irrelevant: if the span folds into a
+    // 12/14-scale DECIMAL anywhere, it must also carry the VARCHAR bridge.
+    val sumPat = java.util.regex.Pattern.compile("""sum\(CAST\(""")
+    val decPat = java.util.regex.Pattern.compile("""AS DECIMAL\(\d+,\s*1[24]\)""")
+    def sumSpan(sql: String, start: Int): String = {
+      // start points at the 's' of "sum(": scan from its open paren to the
+      // balanced close; SQL string literals in these oracles never contain
+      // parens, so a raw depth counter is exact
+      val open = sql.indexOf('(', start)
+      var (i, depth) = (open, 0)
+      while (i < sql.length && (i == open || depth > 0)) {
+        if (sql(i) == '(') depth += 1 else if (sql(i) == ')') depth -= 1
+        i += 1
+      }
+      sql.substring(start, i)
+    }
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (q, sql) =>
-      val m = pat.matcher(sql)
+      val m = sumPat.matcher(sql)
       val bad = Iterator.continually(m)
         .takeWhile(_.find())
-        .map(_.group(0))
+        .map(mm => sumSpan(sql, mm.start()))
+        .filter(span => decPat.matcher(span).find())
         .filterNot(_.replaceAll("\\s+", " ").contains("AS VARCHAR) AS DECIMAL"))
         .toSeq
       bad.headOption.map(b => s"$q: ${b.linesIterator.next()}")

@@ -577,6 +577,94 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("epoch sampler: plan identities, hard achieved-ratio bound, remainder recount") {
+    import org.apache.spark.sql.functions.{col => c}
+    val mix = graft.ops.TrainingMix.domainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(7)))).toMap // (n_docs, avail, required)
+    val rows = graft.ops.TrainingMix.mixSampleEpochs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getLong(9), Option(r.get(10)).map(_.asInstanceOf[Double])))).toMap
+    assert(rows.keySet === mix.keySet, "one epoch row per solver cell")
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(c("source"), c("lang"),
+        graft.ops.TextAnalysis.qualityTokens.cast("long").as("nt"),
+        Corpus.hashBucket(c("doc_id"), "mix_v1").as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (k, (avail, req, epochs, perm, rd, rt, drawn, nDraws, ratio)) =>
+      val (nDocs, availM, requiredM) = mix(k)
+      assert(avail === availM && req === requiredM, s"cell $k plan inputs")
+      assert(epochs === (if (avail > 0) req / avail else 0L), s"cell $k epochs")
+      assert(perm === (if (avail > 0) (req % avail) * 1000L / avail else 1000L),
+        s"cell $k remainder permille (< 1000 whenever avail > 0)")
+      if (avail > 0) assert(perm < 1000L, s"cell $k remainder is a strict fraction")
+      val drawnDocs = docs.filter(d => (d._1, d._2) == k && d._4 < perm)
+      assert(rd === drawnDocs.length.toLong && rt === drawnDocs.map(_._3).sum,
+        s"cell $k remainder draw recount")
+      assert(drawn === epochs * avail + rt, s"cell $k drawn identity")
+      assert(nDraws === epochs * nDocs + rd, s"cell $k draw-count identity")
+      if (req > 0) {
+        assert(ratio.contains(drawn.toDouble / req.toDouble), s"cell $k ratio")
+        // the HARD bound the epoch construction guarantees: remainder target
+        // and remainder draw both live in [0, avail], so the miss is ≤ avail
+        assert(math.abs(drawn - req) <= avail, s"cell $k |drawn−required| ≤ avail")
+      } else assert(ratio.isEmpty, s"cell $k zero-requirement carries no ratio")
+    }
+  }
+
+  test("epoch sampler: upsample cells actually oversample (crafted coupled corpus)") {
+    import spark.implicits._
+    // coupled sources: A is 90% lang x, B is 90% lang y — the independence
+    // target gives every cell 25% of a 100-token budget, so the two 10-token
+    // off-diagonal cells owe 25 tokens each: epochs 2, remainder 500‰. This
+    // is exactly the weight>1 shape q336's capped draw under-delivers
+    // (documented there); the epoch sampler must close it.
+    val d = tmpDir("epochs")
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (1 to 9).map(i => (i.toLong, text10, "x", "A", 60)) ++
+      Seq((10L, text10, "y", "A", 60), (11L, text10, "x", "B", 60)) ++
+      (12 to 20).map(i => (i.toLong, text10, "y", "B", 60))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.ops.TrainingMix.mixSampleEpochs(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(8),
+          r.get(10).asInstanceOf[Double]))).toMap
+    val (reqAy, epochsAy, permAy, drawnAy, ratioAy) = rows(("A", "y"))
+    assert(reqAy === 25L && epochsAy === 2L && permAy === 500L,
+      s"off-diagonal cell plan: required 25 of avail 10 → 2 epochs + 500‰")
+    // the single 10-token doc's hash decides the remainder draw; either way
+    // the hard bound holds and the cell is no longer starved at 40%
+    assert(drawnAy === 20L || drawnAy === 30L, s"drawn $drawnAy")
+    assert(math.abs(ratioAy - 1.0) <= 10.0 / 25.0 + 1e-12, "hard bound")
+    assert(drawnAy >= 2L * 10L, "never under the full epochs")
+    // the capped q336 sampler on the same corpus confesses the starvation
+    val capped = graft.ops.TrainingMix.mixSample(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped(("A", "y")) === 1000L, "q336 caps at keep-everything")
+  }
+
+  test("sampler plans: zero-available and upsample cell shapes (crafted frames)") {
+    import spark.implicits._
+    // the r16 ADVICE latent shape: a cell whose documents all tokenize to
+    // zero must not NULL-hide — both plan functions send it to the
+    // keep-everything cap instead of a silent no-draw
+    val mix = Seq(
+      ("s0", "l0", 3L, 0L, 7L),    // zero available, owes 7
+      ("s1", "l1", 2L, 10L, 25L),  // upsample: 2 epochs + 500‰
+      ("s2", "l2", 4L, 100L, 25L)) // plain downsample
+      .toDF("source", "lang", "n_docs", "avail_tokens", "required_tokens")
+    val rates = graft.ops.TrainingMix.sampleRates(mix).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rates("s0") === 1000L, "zero-avail cell: keep everything, no NULL")
+    assert(rates("s1") === 1000L && rates("s2") === 250L)
+    val plan = graft.ops.TrainingMix.epochPlan(mix).collect()
+      .map(r => r.getString(0) -> ((r.getLong(5), r.getLong(6)))).toMap
+    assert(plan("s0") === ((0L, 1000L)), "zero-avail cell: 0 epochs, keep-all")
+    assert(plan("s1") === ((2L, 500L)) && plan("s2") === ((0L, 250L)))
+  }
+
   test("domain mix: independence target, weight identity, exact feasibility") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val rows = graft.ops.TrainingMix.domainMix(spark, sf).collect()

@@ -52,6 +52,24 @@ class ScoreStreamSpec extends SparkSpec {
     assert(stream === batch, "stream growth series diverged from batch")
   }
 
+  test("streaming per-source contamination reproduces the batch profile row for row") {
+    // the NINTH batch/stream parity pair (q338 vs q340): per-doc verdicts
+    // finalize in their arrival micro-batch (a doc's grams travel in its one
+    // input row), the feed rollup is the SAME sourceContamRollup expression
+    // tree — every count, token mass and rate division must match.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))
+    val batch = graft.ops.Curation.sourceContamination(spark, sf)
+      .orderBy("source").collect().map(key).toSeq
+    val stream = ScoreStream.sourceContamAvailableNow(spark, sf)
+      .orderBy("source").collect().map(key).toSeq
+    assert(batch.nonEmpty && batch.exists(_._2 > 0),
+      "fixture corpus must contain at least one contaminated feed")
+    assert(stream === batch, "stream feed profile diverged from batch")
+  }
+
   test("streaming domain-mix monitor reproduces the batch solver row for row") {
     // the EIGHTH batch/stream parity pair (q332 vs q337): same cell
     // expression tree, same solver arithmetic over the drained census —
