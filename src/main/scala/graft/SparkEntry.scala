@@ -374,6 +374,8 @@ object SparkEntry {
     "q338_source_contam"   -> ((s, d) => graft.ops.Curation.sourceContamination(s, d)),
     "q339_mix_epochs"      -> ((s, d) => graft.ops.TrainingMix.mixSampleEpochs(s, d)),
     "q340_source_contam_stream" -> ((s, d) => graft.streaming.ScoreStream.sourceContamAvailableNow(s, d)),
+    "q341_savings_by_source" -> ((s, d) => graft.ops.Curation.decontamSavingsBySource(s, d)),
+    "q342_contam_by_quality" -> ((s, d) => graft.ops.Curation.contaminationByQuality(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -648,6 +650,36 @@ object SparkEntry {
       |  COALESCE(h.n_hits, 0) > 0 AS is_contaminated
       |FROM g LEFT JOIN hits h USING (doc_id)
       |WHERE NOT g.is_eval""".stripMargin
+
+  /** Shared passage-verdict CTE spine (q331's construction through the
+    * per-passage flags, plus the non-eval (doc, source, token) frame) —
+    * the spine of q334 (corpus savings), q341 (per-source savings) and
+    * q342 (quality × contamination).
+    */
+  private lazy val passageVerdictCtes: String =
+    """d AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 3),
+      |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+      |    ELSE [] END) AS gram
+      |  FROM d WHERE is_eval),
+      |s AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+      |  FROM d WHERE NOT is_eval AND len(toks) >= 5),
+      |pg AS (
+      |  SELECT DISTINCT doc_id, (i - 1) // 8 AS passage,
+      |    md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS gram
+      |  FROM s),
+      |hits AS (
+      |  SELECT pg.doc_id, pg.passage, count(e.gram) > 0 AS is_flagged
+      |  FROM pg LEFT JOIN e ON pg.gram = e.gram GROUP BY 1, 2),
+      |tr AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks
+      |       FROM d WHERE NOT is_eval)""".stripMargin
 
   /** DuckDB twin of Curation.sourceContamination — shared verbatim by q338
     * (batch) and q340 (the streaming twin), the ninth batch/stream parity
@@ -5454,31 +5486,10 @@ object SparkEntry {
     // q334: decontamination token-savings — q331's passage verdicts rolled
     // into the two-policy readout (drop the doc vs excise the passage);
     // flagged-passage token spans pro-rate the tail as least(8, len − 8p);
-    // exact BIGINTs until the one rescued-share division
+    // exact BIGINTs until the one rescued-share division. CTE spine shared
+    // with q341 (per-source savings) and q342 (quality×contamination)
     "q334_decontam_savings" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
-        |e AS (
-        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 3),
-        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
-        |    ELSE [] END) AS gram
-        |  FROM d WHERE is_eval),
-        |s AS (
-        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
-        |  FROM d WHERE NOT is_eval AND len(toks) >= 5),
-        |pg AS (
-        |  SELECT DISTINCT doc_id, (i - 1) // 8 AS passage,
-        |    md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS gram
-        |  FROM s),
-        |hits AS (
-        |  SELECT pg.doc_id, pg.passage, count(e.gram) > 0 AS is_flagged
-        |  FROM pg LEFT JOIN e ON pg.gram = e.gram GROUP BY 1, 2),
-        |tr AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
-        |       FROM d WHERE NOT is_eval),
+      s"""WITH $passageVerdictCtes,
         |df AS (SELECT doc_id, bool_or(is_flagged) AS doc_flagged
         |       FROM hits GROUP BY 1),
         |t AS (SELECT tr.doc_id, tr.n_toks, coalesce(df.doc_flagged, false) AS doc_flagged
@@ -5499,6 +5510,69 @@ object SparkEntry {
         |  CAST(total_tokens - removed_passage - retained_doc_grain AS DOUBLE)
         |    / CAST(total_tokens AS DOUBLE) AS tokens_rescued_share
         |FROM a1 CROSS JOIN a2""".stripMargin,
+
+    // q341: per-source decontamination savings — q334's two-policy
+    // arithmetic at feed grain on the SAME verdict spine; sources with no
+    // flagged docs keep zero removals via the left spine
+    "q341_savings_by_source" ->
+      s"""WITH $passageVerdictCtes,
+        |df AS (SELECT doc_id, bool_or(is_flagged) AS doc_flagged
+        |       FROM hits GROUP BY 1),
+        |t AS (SELECT tr.doc_id, tr.source, tr.n_toks,
+        |        coalesce(df.doc_flagged, false) AS doc_flagged
+        |      FROM tr LEFT JOIN df USING (doc_id)),
+        |a1 AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN doc_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+        |    CAST(sum(CASE WHEN doc_flagged THEN 0 ELSE n_toks END) AS BIGINT)
+        |      AS retained_doc_grain
+        |  FROM t GROUP BY 1),
+        |a2 AS (
+        |  SELECT tr.source,
+        |    CAST(sum(least(8, tr.n_toks - h.passage * 8)) AS BIGINT) AS removed_passage
+        |  FROM hits h JOIN tr USING (doc_id) WHERE h.is_flagged GROUP BY 1)
+        |SELECT a1.source, n_docs, total_tokens, n_docs_flagged, retained_doc_grain,
+        |  total_tokens - coalesce(removed_passage, 0) AS retained_passage_grain,
+        |  CAST(total_tokens - coalesce(removed_passage, 0) - retained_doc_grain AS DOUBLE)
+        |    / CAST(total_tokens AS DOUBLE) AS tokens_rescued_share
+        |FROM a1 LEFT JOIN a2 ON a1.source = a2.source""".stripMargin,
+
+    // q342: quality × contamination joint readout — q325's exact
+    // floor-distribution deciles over the NON-EVAL corpus joined to q331's
+    // passage verdicts; token masses exact BIGINTs, two divisions per tile
+    "q342_contam_by_quality" ->
+      s"""WITH $passageVerdictCtes,
+        |q AS (
+        |  SELECT doc_id, ($qualityScoreSql) AS q
+        |  FROM documents
+        |  WHERE CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT)
+        |    % 1000 >= 200),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |r AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rk
+        |      FROM q),
+        |ti AS (SELECT doc_id, ((rk - 1) * 10) // n + 1 AS tile FROM r CROSS JOIN nn),
+        |df AS (SELECT doc_id, bool_or(is_flagged) AS doc_flagged
+        |       FROM hits GROUP BY 1),
+        |rm AS (SELECT h.doc_id,
+        |         CAST(sum(least(8, tr.n_toks - h.passage * 8)) AS BIGINT) AS removed
+        |       FROM hits h JOIN tr USING (doc_id) WHERE h.is_flagged GROUP BY 1),
+        |pd2 AS (SELECT tr.doc_id, tr.n_toks, ti.tile,
+        |          coalesce(df.doc_flagged, false) AS fl,
+        |          coalesce(rm.removed, 0) AS removed
+        |        FROM tr JOIN ti USING (doc_id)
+        |        LEFT JOIN df USING (doc_id) LEFT JOIN rm USING (doc_id))
+        |SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+        |  CAST(sum(CASE WHEN fl THEN n_toks ELSE 0 END) AS BIGINT) AS flagged_tokens,
+        |  CAST(sum(CASE WHEN fl THEN n_toks ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_toks) AS DOUBLE) AS flagged_token_share,
+        |  CAST(sum(removed) AS BIGINT) AS removed_passage_tokens,
+        |  CAST(sum(CASE WHEN fl THEN n_toks ELSE 0 END) - sum(removed) AS DOUBLE)
+        |    / CAST(sum(n_toks) AS DOUBLE) AS tokens_rescued_share
+        |FROM pd2 GROUP BY 1""".stripMargin,
 
     // q247: rolling 7-day median of daily revenue — ENTIRELY integer
     // (lower median of a sorted ≤7-element cents buffer), zero FP anywhere

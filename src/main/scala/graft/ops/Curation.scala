@@ -269,6 +269,115 @@ object Curation {
           col("total_tokens").cast("double")).as("tokens_rescued_share"))
   }
 
+  /** PER-SOURCE DECONTAMINATION SAVINGS — the join of [[decontamSavings]]'
+    * corpus-wide policy comparison and [[sourceContamination]]'s feed triage
+    * (r16 verdict item 5): per source, the tokens retained under doc-drop vs
+    * passage-excise ON THE SAME VERDICTS — which feeds are RESCUED by
+    * passage surgery (high flagged share, high rescued share: the
+    * contamination is thin slivers) vs genuinely rotten (surgery saves
+    * little: the leak saturates whole documents, drop the feed upstream).
+    * This is the table a crawl owner acts on — q334 says whether surgery is
+    * worth running at all, this says where.
+    *
+    * Same arithmetic as q334 at source grain: flagged-passage spans
+    * pro-rated exactly as min(w, len − w·p), exact BIGINTs to the one
+    * rescued-share division per row; sources with no flagged docs carry
+    * zero removals (left spine = every source with training docs). Rides
+    * the `passage_flags` and `doc_tokens` session memos; the two policy
+    * arms are |sources|-row aggregates over narrow frames.
+    */
+  def decontamSavingsBySource(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val train = Corpus.docTokens(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), col("source"), col("n_alpha_toks").as("n_toks"))
+    val pd = passageDecontaminate(spark, sfDir, n, w, evalPermille, salt)
+    val perDocFlag = pd.groupBy(col("doc_id"))
+      .agg(max(col("is_flagged")).as("doc_flagged"))
+    val t = train.join(perDocFlag, Seq("doc_id"), "left")
+      .withColumn("doc_flagged", coalesce(col("doc_flagged"), lit(false)))
+    val docArm = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(when(col("doc_flagged"), 1L).otherwise(0L)).as("n_docs_flagged"),
+        sum(when(!col("doc_flagged"), col("n_toks")).otherwise(0L))
+          .as("retained_doc_grain"))
+    val passageArm = pd.filter(col("is_flagged"))
+      .join(train, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(least(lit(w.toLong), col("n_toks") - col("passage") * w))
+        .as("removed_passage"))
+    docArm.join(passageArm, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_docs_flagged"), col("retained_doc_grain"),
+        (col("total_tokens") - coalesce(col("removed_passage"), lit(0L)))
+          .as("retained_passage_grain"),
+        ((col("total_tokens") - coalesce(col("removed_passage"), lit(0L)) -
+          col("retained_doc_grain")).cast("double") /
+          col("total_tokens").cast("double")).as("tokens_rescued_share"))
+  }
+
+  /** QUALITY × CONTAMINATION JOINT READOUT (r16 verdict item 7) — q325's
+    * quality deciling and q331's passage verdicts are independent cuts of
+    * the same training corpus; this is their join: per quality decile of
+    * the NON-EVAL corpus (global (quality DESC, doc_id) rank, q325's exact
+    * floor-distribution tiles — tile 1 = best), the token mass, the
+    * doc-flagged share of that mass, and the share passage surgery rescues.
+    * Answers the triage question q334 leaves open: is the contamination
+    * concentrated in the junk a quality gate would drop anyway (flagged
+    * share rising toward tile 10 → decontaminate AFTER filtering and save
+    * the surgery), or spread into the best tiles (surgery is load-bearing)?
+    *
+    * Exactness: quality is the engine's standard IEEE tree; rank/tiles are
+    * exact integers via [[Relational.twoPhaseRank]] (no single-task window);
+    * token masses exact BIGINTs; two IEEE divisions per tile row.
+    * Scale shape: ONE corpus scan computes (quality, n_toks) per doc (the
+    * foldEval precedent — quality needs text anyway, so the token regexp
+    * rides the same pass rather than forcing a second frame); verdicts ride
+    * the `passage_flags` memo; everything after doc-grain joins is a
+    * 10-row aggregate.
+    */
+  def contaminationByQuality(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1",
+      nTiles: Int = 10): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val train = Tables.documents(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), TextAnalysis.qualityScore.as("q"),
+        size(TextAnalysis.alphaTokens(col("text"))).cast("long").as("n_toks"))
+    val nTot = train.agg(count(lit(1)).as("n"))
+    val tiled = Relational.twoPhaseRank(train, "q", "doc_id", "rk", descending = true)
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), col("n_toks"),
+        (expr(s"((rk - 1) * $nTiles) DIV n") + 1).as("tile"))
+    val pd = passageDecontaminate(spark, sfDir, n, w, evalPermille, salt)
+    val docFlag = pd.groupBy(col("doc_id"))
+      .agg(max(col("is_flagged")).as("doc_flagged"))
+    val removed = pd.filter(col("is_flagged"))
+      .join(tiled.select(col("doc_id"), col("n_toks")), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(w.toLong), col("n_toks") - col("passage") * w))
+        .as("removed_toks"))
+    tiled
+      .join(docFlag, Seq("doc_id"), "left")
+      .withColumn("doc_flagged", coalesce(col("doc_flagged"), lit(false)))
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("removed_toks", coalesce(col("removed_toks"), lit(0L)))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("doc_flagged"), 1L).otherwise(0L)).as("n_docs_flagged"),
+        sum(when(col("doc_flagged"), col("n_toks")).otherwise(0L))
+          .as("flagged_tokens"),
+        sum(col("removed_toks")).as("removed_passage_tokens"))
+      .select(col("tile"), col("n_docs"), col("n_tokens"),
+        col("n_docs_flagged"), col("flagged_tokens"),
+        (col("flagged_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("flagged_token_share"),
+        col("removed_passage_tokens"),
+        ((col("flagged_tokens") - col("removed_passage_tokens")).cast("double") /
+          col("n_tokens").cast("double")).as("tokens_rescued_share"))
+  }
+
   /** EVAL-LEAK HOTSPOTS — the diagnostic behind [[decontaminate]]'s verdicts:
     * the top `k` eval-suite n-grams ranked by how many TRAINING documents
     * they flag. A handful of boilerplate grams driving most contamination

@@ -154,6 +154,69 @@ class CurationSpec extends SparkSpec {
       "fixture corpus must show actual rescued tokens for the readout to mean anything")
   }
 
+  test("per-source savings: rows reconcile exactly against q334's corpus totals") {
+    // the verdict-item-5 gate: q341 is q334's arithmetic at feed grain, so
+    // the per-source rows must SUM to the corpus readout column for column,
+    // and each source's own arms must obey the same policy ordering.
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Curation.decontamSavings(spark, sf).head
+    val rows = Curation.decontamSavingsBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._2).sum === corpus.getLong(0), "n_docs partitions")
+    assert(rows.map(_._3).sum === corpus.getLong(1), "token mass partitions")
+    assert(rows.map(_._4).sum === corpus.getLong(2), "flagged docs partition")
+    assert(rows.map(_._5).sum === corpus.getLong(3), "doc-grain retention partitions")
+    assert(rows.map(_._6).sum === corpus.getLong(4), "passage-grain retention partitions")
+    rows.foreach { case (src, _, total, _, retDoc, retPass, rescued) =>
+      assert(retPass >= retDoc, s"$src: surgery never keeps less than dropping")
+      assert(rescued === (retPass - retDoc).toDouble / total.toDouble, s"$src share")
+    }
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 == 0),
+      "fixture must show both contaminated and clean feeds for the triage to rank")
+  }
+
+  test("quality × contamination: tiles partition the training corpus and reconcile q334") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Curation.decontamSavings(spark, sf).head
+    val rows = Curation.contaminationByQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6), r.getDouble(7)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to 10L).toSeq, "all ten deciles surface")
+    val nTrain = corpus.getLong(0)
+    assert(rows.map(_._2).sum === nTrain, "tiles partition the training docs")
+    // floor-distribution tiles: sizes within 1 of each other
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1L, "q325 tiling balance")
+    assert(rows.map(_._3).sum === corpus.getLong(1), "token mass partitions")
+    // flagged mass across tiles = total − doc-grain retention (same verdicts)
+    assert(rows.map(_._5).sum === corpus.getLong(1) - corpus.getLong(3),
+      "flagged tokens reconcile with q334's doc arm")
+    // removed mass across tiles = total − passage-grain retention
+    assert(rows.map(_._7).sum === corpus.getLong(1) - corpus.getLong(4),
+      "removed passage tokens reconcile with q334's passage arm")
+    rows.foreach { case (tile, _, nt, _, fl, flShare, rm, rescued) =>
+      assert(rm <= fl, s"tile $tile: can't excise more than the flagged mass")
+      assert(flShare === fl.toDouble / nt.toDouble, s"tile $tile flagged share")
+      assert(rescued === (fl - rm).toDouble / nt.toDouble, s"tile $tile rescued share")
+    }
+  }
+
+  test("doc_tokens census is paid once per session and shared across the tier") {
+    // verdict item 1's attribution gate: the per-doc token projection was
+    // recomputed at ~19 sites; now q313/q338 (and the whole mix tier) ride
+    // ONE memoized census.
+    val sf = "/root/testdata/sf0.001"
+    val m0 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("doc_tokens", 0L)
+    Curation.dedupSavings(spark, sf).collect()
+    Curation.sourceContamination(spark, sf).collect()
+    graft.ops.TrainingMix.domainMix(spark, sf).collect()
+    val m1 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("doc_tokens", 0L)
+    val h1 = Dedup.counterSnapshot(Dedup.cacheHits).getOrElse("doc_tokens", 0L)
+    assert(m1 - m0 <= 1L, "census materialized at most once for three consumers")
+    assert(h1 >= 1L, "later consumers rode the memo")
+  }
+
   test("passage verdicts are paid once per session and shared by q331/q334") {
     // the round's memo lesson applied to its own new pair: the default-args
     // passage-flag table materializes once; crafted-fixture calls (other

@@ -372,6 +372,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-17 tier: no raw global windows, no cartesians") {
+    // q339's epoch plan broadcasts like q336's rates; q341/q342 ride the
+    // passage_flags + doc_tokens memos, so their audited chains are the
+    // doc-grain joins + tile/source aggregates (contaminationByQuality's
+    // rank is the two-phase bucketed pass — never a single-task window)
+    for (df <- Seq(
+        TrainingMix.mixSampleEpochs(spark, sf),
+        Curation.decontamSavingsBySource(spark, sf),
+        Curation.contaminationByQuality(spark, sf))) {
+      assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
   test("quantile-boundary rank: only the whitelisted bare-value boundary pass") {
     // the boundary pass sorts ONLY the bare value column — the documented
     // exception (GK swap gated by q165); phase 2 itself must stay at zero.
