@@ -376,6 +376,9 @@ object SparkEntry {
     "q340_source_contam_stream" -> ((s, d) => graft.streaming.ScoreStream.sourceContamAvailableNow(s, d)),
     "q341_savings_by_source" -> ((s, d) => graft.ops.Curation.decontamSavingsBySource(s, d)),
     "q342_contam_by_quality" -> ((s, d) => graft.ops.Curation.contaminationByQuality(s, d)),
+    "q343_contam_escape"   -> ((s, d) => graft.ops.Curation.familyContamination(s, d)),
+    "q344_clean_mix"       -> ((s, d) => graft.ops.TrainingMix.cleanDomainMix(s, d)),
+    "q345_epoch_accounting" -> ((s, d) => graft.ops.TrainingMix.epochAccounting(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -709,12 +712,68 @@ object SparkEntry {
     * (batch) and q337 (the streaming twin), the eighth batch/stream
     * parity pair; also the spine CTE of q336's sampler oracle.
     */
-  private lazy val domainMixOracle: String =
-        """WITH cells AS (
-          |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-          |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-          |      AS avail_tokens
-          |  FROM documents GROUP BY 1, 2),
+  private lazy val domainMixOracle: String = domainMixOracleOver(
+    """cells AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS avail_tokens
+      |  FROM documents GROUP BY 1, 2)""".stripMargin)
+
+  /** DuckDB twin of TrainingMix.mixSampleEpochs — q339's table, aggregated
+    * verbatim by q345's accounting row.
+    */
+  private lazy val mixEpochsOracle: String =
+    s"""WITH mix AS ($domainMixOracle),
+       |d AS (
+       |  SELECT source, lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt,
+       |    CAST('0x' || substr(md5(doc_id || ':mix_v1'), 1, 8) AS BIGINT)
+       |      % 1000 AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, lang, n_docs, avail_tokens, required_tokens,
+       |    CASE WHEN avail_tokens > 0
+       |         THEN required_tokens // avail_tokens ELSE 0 END AS epochs,
+       |    CASE WHEN avail_tokens > 0
+       |         THEN ((required_tokens % avail_tokens) * 1000) // avail_tokens
+       |         ELSE 1000 END AS remainder_permille
+       |  FROM mix),
+       |sm AS (
+       |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS rd,
+       |    CAST(sum(d.nt) AS BIGINT) AS rt
+       |  FROM d JOIN r USING (source, lang)
+       |  WHERE d.h < r.remainder_permille GROUP BY 1, 2)
+       |SELECT r.source, r.lang, r.avail_tokens, r.required_tokens,
+       |  CAST(r.epochs AS BIGINT) AS epochs,
+       |  CAST(r.remainder_permille AS BIGINT) AS remainder_permille,
+       |  CAST(coalesce(sm.rd, 0) AS BIGINT) AS remainder_docs,
+       |  CAST(coalesce(sm.rt, 0) AS BIGINT) AS remainder_tokens,
+       |  CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS BIGINT)
+       |    AS drawn_tokens,
+       |  CAST(r.epochs * r.n_docs + coalesce(sm.rd, 0) AS BIGINT) AS n_draws,
+       |  CASE WHEN r.required_tokens > 0
+       |       THEN CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS DOUBLE)
+       |         / CAST(r.required_tokens AS DOUBLE) END AS achieved_ratio
+       |FROM r LEFT JOIN sm USING (source, lang)""".stripMargin
+
+  /** DuckDB twin of TrainingMix.cleanDomainMix (q344) — the SAME solver body
+    * over the decontaminated census (q75's verdict CTE as the filter).
+    */
+  private lazy val cleanDomainMixOracle: String = domainMixOracleOver(
+    s"""v AS ($decontaminateOracle),
+       |cells AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents JOIN v USING (doc_id)
+       |  WHERE NOT v.is_contaminated GROUP BY 1, 2)""".stripMargin)
+
+  /** The solver body over any `cells(source, lang, n_docs, avail_tokens)`
+    * CTE chain — one spelling for q332/q337's raw census and q344's
+    * decontaminated one, so the solver arithmetic can never desynchronize.
+    */
+  private def domainMixOracleOver(cellsCtes: String): String =
+        s"""WITH $cellsCtes,
           |st AS (SELECT source, CAST(sum(avail_tokens) AS BIGINT) AS tok_s
           |       FROM cells GROUP BY 1),
           |lt AS (SELECT lang, CAST(sum(avail_tokens) AS BIGINT) AS tok_l
@@ -5419,40 +5478,32 @@ object SparkEntry {
     // remainder by content-addressed permille ((required mod avail)·1000
     // div avail, < 1000 by construction); zero-avail cells ride the q336
     // guard shape (epochs 0, permille 1000). All exact integers until the
-    // one achieved_ratio division
-    "q339_mix_epochs" ->
-      s"""WITH mix AS ($domainMixOracle),
-         |d AS (
-         |  SELECT source, lang,
-         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt,
-         |    CAST('0x' || substr(md5(doc_id || ':mix_v1'), 1, 8) AS BIGINT)
-         |      % 1000 AS h
-         |  FROM documents),
-         |r AS (
-         |  SELECT source, lang, n_docs, avail_tokens, required_tokens,
-         |    CASE WHEN avail_tokens > 0
-         |         THEN required_tokens // avail_tokens ELSE 0 END AS epochs,
-         |    CASE WHEN avail_tokens > 0
-         |         THEN ((required_tokens % avail_tokens) * 1000) // avail_tokens
-         |         ELSE 1000 END AS remainder_permille
-         |  FROM mix),
-         |sm AS (
-         |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS rd,
-         |    CAST(sum(d.nt) AS BIGINT) AS rt
-         |  FROM d JOIN r USING (source, lang)
-         |  WHERE d.h < r.remainder_permille GROUP BY 1, 2)
-         |SELECT r.source, r.lang, r.avail_tokens, r.required_tokens,
-         |  CAST(r.epochs AS BIGINT) AS epochs,
-         |  CAST(r.remainder_permille AS BIGINT) AS remainder_permille,
-         |  CAST(coalesce(sm.rd, 0) AS BIGINT) AS remainder_docs,
-         |  CAST(coalesce(sm.rt, 0) AS BIGINT) AS remainder_tokens,
-         |  CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS BIGINT)
-         |    AS drawn_tokens,
-         |  CAST(r.epochs * r.n_docs + coalesce(sm.rd, 0) AS BIGINT) AS n_draws,
-         |  CASE WHEN r.required_tokens > 0
-         |       THEN CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS DOUBLE)
-         |         / CAST(r.required_tokens AS DOUBLE) END AS achieved_ratio
-         |FROM r LEFT JOIN sm USING (source, lang)""".stripMargin,
+    // one achieved_ratio division. q345 aggregates this oracle verbatim
+    "q339_mix_epochs" -> mixEpochsOracle,
+
+    // q344: decontaminated domain mix — the SAME solver body over the
+    // clean trainable pool (q75's verdict CTE filters the census); the
+    // q332-vs-q344 diff IS the contamination correction per cell
+    "q344_clean_mix" -> cleanDomainMixOracle,
+
+    // q345: data-constrained epoch accounting — one-row fresh-vs-repeat
+    // ledger over q339's plan (oversampled cells touch their whole
+    // availability; undersampled ones only their remainder draw)
+    "q345_epoch_accounting" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(CASE WHEN epochs >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cells_oversampled,
+         |  CAST(sum(required_tokens) AS BIGINT) AS total_required_tokens,
+         |  CAST(sum(drawn_tokens) AS BIGINT) AS total_drawn_tokens,
+         |  CAST(sum(CASE WHEN epochs >= 1 THEN avail_tokens
+         |           ELSE remainder_tokens END) AS BIGINT) AS unique_tokens,
+         |  CAST(sum(drawn_tokens) - sum(CASE WHEN epochs >= 1 THEN avail_tokens
+         |           ELSE remainder_tokens END) AS BIGINT) AS repeated_tokens,
+         |  CASE WHEN sum(drawn_tokens) > 0
+         |       THEN CAST(sum(drawn_tokens) - sum(CASE WHEN epochs >= 1
+         |             THEN avail_tokens ELSE remainder_tokens END) AS DOUBLE)
+         |         / CAST(sum(drawn_tokens) AS DOUBLE) END AS repeat_share
+         |FROM ($mixEpochsOracle) e""".stripMargin,
 
     // q333: near-dup family drift — q55's labels (singletons included)
     // sliced by q319's crawl batches; a family's founding batch is the min
@@ -5573,6 +5624,42 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN fl THEN n_toks ELSE 0 END) - sum(removed) AS DOUBLE)
         |    / CAST(sum(n_toks) AS DOUBLE) AS tokens_rescued_share
         |FROM pd2 GROUP BY 1""".stripMargin,
+
+    // q343: contamination escape via near-dup families — unflagged training
+    // docs sharing a q55 family with an eval doc (near-dup of the benchmark
+    // itself) or a direct-flagged member have escaped the gram filter;
+    // per-source direct vs family-closure rates
+    "q343_contam_escape" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |v AS ($decontaminateOracle),
+         |l2 AS (
+         |  SELECT lab.doc_id, lab.cluster_id,
+         |    CAST('0x' || substr(md5(lab.doc_id || ':eval_v1'), 1, 8) AS BIGINT)
+         |      % 1000 < 200 AS is_eval
+         |  FROM lab),
+         |ff AS (
+         |  SELECT cluster_id, bool_or(is_eval) AS fam_has_eval,
+         |    bool_or(coalesce(v.is_contaminated, false)) AS fam_has_flagged
+         |  FROM l2 LEFT JOIN v USING (doc_id) GROUP BY 1),
+         |t AS (
+         |  SELECT l2.doc_id, l2.cluster_id, v.is_contaminated, doc.source
+         |  FROM l2 JOIN v USING (doc_id) JOIN documents doc USING (doc_id)
+         |  WHERE NOT l2.is_eval)
+         |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN t.is_contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged_direct,
+         |  CAST(sum(CASE WHEN NOT t.is_contaminated
+         |    AND (ff.fam_has_eval OR ff.fam_has_flagged) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_escaped,
+         |  CAST(sum(CASE WHEN t.is_contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS direct_rate,
+         |  CAST(sum(CASE WHEN t.is_contaminated THEN 1 ELSE 0 END)
+         |    + sum(CASE WHEN NOT t.is_contaminated
+         |        AND (ff.fam_has_eval OR ff.fam_has_flagged) THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS family_rate
+         |FROM t JOIN ff USING (cluster_id)
+         |GROUP BY 1""".stripMargin,
 
     // q247: rolling 7-day median of daily revenue — ENTIRELY integer
     // (lower median of a sorted ≤7-element cents buffer), zero FP anywhere

@@ -49,7 +49,23 @@ object Curation {
     * is_contaminated.
     */
   def decontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
-      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame =
+    if (n == 5 && evalPermille == 200 && salt == "eval_v1")
+      // default-parameter verdicts are MEMOIZED once per (session, scale
+      // factor) — the two-consumer rule, round 17: q75, q338's rollup,
+      // q343's family closure and q344's clean-pool mix all pay the
+      // explode + eval join otherwise. Non-default calls (spec fixtures,
+      // ad-hoc suites) compute directly — the memo key is the session, so
+      // parameterized frames must not alias it (the passage_flags rule).
+      Dedup.cached(decontamFlagsCache, "decontam_flags", spark, sfDir)(
+        decontaminateCompute(spark, sfDir, 5, 200, "eval_v1"))
+    else decontaminateCompute(spark, sfDir, n, evalPermille, salt)
+
+  private val decontamFlagsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def decontaminateCompute(spark: SparkSession, sfDir: String, n: Int,
+      evalPermille: Int, salt: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
     decontaminateAgainst(
@@ -376,6 +392,58 @@ object Curation {
         col("removed_passage_tokens"),
         ((col("flagged_tokens") - col("removed_passage_tokens")).cast("double") /
           col("n_tokens").cast("double")).as("tokens_rescued_share"))
+  }
+
+  /** CONTAMINATION ESCAPE VIA NEAR-DUP FAMILIES — the audit that closes the
+    * gap between [[decontaminate]]'s gram-exact verdicts and q55's near-dup
+    * families: an n-gram check misses a PARAPHRASED or lightly-edited copy
+    * of a flagged document, but the near-dup graph catches it — so any
+    * unflagged training document sharing a family with (a) an eval document
+    * (it is a near-duplicate of the benchmark itself — the strongest leak)
+    * or (b) a direct-flagged training member has ESCAPED the gram filter.
+    * The per-source readout is the triage a release gate reads beside
+    * q338: direct rate vs family-closure rate; a source whose closure rate
+    * doubles its direct rate ships paraphrase-laundered benchmark content.
+    *
+    * Output per source: n_docs (training, family-labeled), n_flagged_direct,
+    * n_escaped (unflagged, family-implicated), direct_rate, family_rate =
+    * (direct + escaped)/n — two IEEE divisions of exact longs.
+    *
+    * Scale shape: rides THREE session memos (the q55 label table, the q75
+    * chain's gram work, `doc_tokens` for source) — family flags are one
+    * |clusters|-row aggregate over the (doc, label, eval, verdict) frame;
+    * everything after is doc_id equi-joins and a |sources|-row aggregate.
+    */
+  def familyContamination(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val lab = Graph.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("is_eval", isEval)
+    val verd = decontaminate(spark, sfDir, n, evalPermille, salt)
+      .select(col("doc_id"), col("is_contaminated"))
+    val famFlags = lab.join(verd, Seq("doc_id"), "left")
+      .groupBy(col("cluster_id"))
+      .agg(max(col("is_eval")).as("fam_has_eval"),
+        max(coalesce(col("is_contaminated"), lit(false))).as("fam_has_flagged"))
+    val src = Corpus.docTokens(spark, sfDir).select(col("doc_id"), col("source"))
+    lab.filter(!col("is_eval"))
+      .join(verd, "doc_id")
+      .join(famFlags, "cluster_id")
+      .join(src, "doc_id")
+      .select(col("source"), col("is_contaminated"),
+        (!col("is_contaminated") &&
+          (col("fam_has_eval") || col("fam_has_flagged"))).as("escaped"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_flagged_direct"),
+        sum(when(col("escaped"), 1L).otherwise(0L)).as("n_escaped"))
+      .select(col("source"), col("n_docs"), col("n_flagged_direct"),
+        col("n_escaped"),
+        (col("n_flagged_direct").cast("double") / col("n_docs").cast("double"))
+          .as("direct_rate"),
+        ((col("n_flagged_direct") + col("n_escaped")).cast("double") /
+          col("n_docs").cast("double")).as("family_rate"))
   }
 
   /** EVAL-LEAK HOTSPOTS — the diagnostic behind [[decontaminate]]'s verdicts:

@@ -314,6 +314,62 @@ object TrainingMix {
   def domainMix(spark: SparkSession, sfDir: String): DataFrame =
     domainMixFromCells(domainCellsCached(spark, sfDir))
 
+  /** DECONTAMINATED DOMAIN MIX — [[domainMix]]'s solver over the CLEAN
+    * TRAINABLE POOL (non-eval documents q75 clears): the mix a sampling job
+    * should actually draw from, since contaminated documents are dropped
+    * before training and a solution computed over the raw census quietly
+    * over-promises every cell whose feed carries contamination (q338's
+    * profile shows how unevenly — a 20%-contaminated feed's cells lose a
+    * fifth of their availability). Same independence-product target, same
+    * exact arithmetic, same self-contained half-the-pool budget — only the
+    * census changes, so the q332-vs-q344 diff IS the contamination
+    * correction, cell by cell.
+    *
+    * Scale shape: verdicts ride the new `decontam_flags` memo and tokens
+    * the `doc_tokens` memo — the cell census is one doc_id semi-join of two
+    * narrow memoized frames + the |sources|·|langs| aggregate; the solver
+    * is [[domainMixFromCells]] verbatim (third consumer).
+    */
+  def cleanDomainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = Curation.decontaminate(spark, sfDir)
+      .filter(!col("is_contaminated")).select(col("doc_id"))
+    domainMixFromCells(cellsFromTokens(
+      Corpus.docTokens(spark, sfDir).join(clean, "doc_id")
+        .select(col("source"), col("lang"), col("n_ws_toks").as("nt"))))
+  }
+
+  /** DATA-CONSTRAINED EPOCH ACCOUNTING — the one-row fresh-vs-repeat ledger
+    * over [[mixSampleEpochs]]' plan (after the data-constrained-scaling
+    * framing of arXiv 2305.16264: repeated epochs are worth less than fresh
+    * tokens, so a budget planner needs the split BEFORE committing
+    * compute): cells in the mix, cells that oversample (epochs ≥ 1), the
+    * exact required/drawn token totals, unique tokens actually touched
+    * (an oversampled cell touches its whole availability; an undersampled
+    * one touches only its remainder draw), repeated tokens = drawn −
+    * unique, and the repeat share (one IEEE division of exact BIGINTs).
+    * A mix whose repeat share climbs past the scaling paper's ~4-epoch
+    * value cliff needs more data, not more draws — this row says so in
+    * two integers. Scale shape: one aggregate over q339's |cells|-row
+    * frame; everything expensive underneath is already memoized.
+    */
+  def epochAccounting(spark: SparkSession, sfDir: String,
+      salt: String = "mix_v1"): DataFrame =
+    mixSampleEpochs(spark, sfDir, salt)
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("epochs") >= 1L, 1L).otherwise(0L)).as("n_cells_oversampled"),
+        sum(col("required_tokens")).as("total_required_tokens"),
+        sum(col("drawn_tokens")).as("total_drawn_tokens"),
+        sum(when(col("epochs") >= 1L, col("avail_tokens"))
+          .otherwise(col("remainder_tokens"))).as("unique_tokens"))
+      .select(col("n_cells"), col("n_cells_oversampled"),
+        col("total_required_tokens"), col("total_drawn_tokens"),
+        col("unique_tokens"),
+        (col("total_drawn_tokens") - col("unique_tokens")).as("repeated_tokens"),
+        when(col("total_drawn_tokens") > 0L,
+          (col("total_drawn_tokens") - col("unique_tokens")).cast("double") /
+            col("total_drawn_tokens").cast("double")).as("repeat_share"))
+
   /** The corpus-sized (source, lang) census MEMOIZED once per (session,
     * scale factor) — the round's two-consumer rule: q332's solver and
     * q336's sampler (which re-derives rates through the solver) were each

@@ -665,6 +665,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan("s1") === ((2L, 500L)) && plan("s2") === ((0L, 250L)))
   }
 
+  test("clean mix: census is q332's minus contaminated docs; solver identities hold") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.TrainingMix.cleanDomainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5), r.getLong(9)))).toMap
+    // clean census recomputed: non-eval docs q75 clears, ws-token masses
+    val verd = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val cells = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.ops.TextAnalysis.qualityTokens.cast("long").as("nt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .filter(d => verd.getOrElse(d._1, true) == false) // kept = scored AND clean
+      .groupBy(d => (d._2, d._3))
+      .map { case (k, ds) => k -> ((ds.size.toLong, ds.map(_._4).sum)) }
+    assert(rows.keySet === cells.keySet, "one row per observed CLEAN cell")
+    val budget = cells.values.map(_._2).sum / 2
+    rows.foreach { case (k, (nd, avail, tgt, b)) =>
+      assert((nd, avail) === cells(k), s"cell $k clean census")
+      assert(b === budget, "budget = half the CLEAN pool, riding every row")
+      assert(tgt > 0.0 && tgt <= 1.0)
+    }
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-9, "targets normalize")
+    // the correction is real on the fixture: at least one cell lost tokens
+    val raw = graft.ops.TrainingMix.domainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(rows.exists { case (k, (_, avail, _, _)) => raw(k) > avail },
+      "fixture must show contamination actually shrinking some cell")
+  }
+
+  test("epoch accounting: ledger recounted from q339's own cells") {
+    val sf = "/root/testdata/sf0.001"
+    val cells = graft.ops.TrainingMix.mixSampleEpochs(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7), r.getLong(8)))
+    // (avail, required, epochs, remainder_tokens, drawn)
+    val r = graft.ops.TrainingMix.epochAccounting(spark, sf).head
+    assert(r.getLong(0) === cells.length.toLong, "n_cells")
+    assert(r.getLong(1) === cells.count(_._3 >= 1).toLong, "oversampled cells")
+    assert(r.getLong(2) === cells.map(_._2).sum, "required total")
+    assert(r.getLong(3) === cells.map(_._5).sum, "drawn total")
+    val unique = cells.map(c => if (c._3 >= 1) c._1 else c._4).sum
+    assert(r.getLong(4) === unique, "unique = avail for oversampled, remainder else")
+    assert(r.getLong(5) === cells.map(_._5).sum - unique, "repeated = drawn − unique")
+    assert(r.getDouble(6) === (cells.map(_._5).sum - unique).toDouble / cells.map(_._5).sum)
+    assert(r.getLong(1) > 0 && r.getLong(5) > 0,
+      "fixture mix must actually oversample somewhere for the ledger to bite")
+  }
+
   test("domain mix: independence target, weight identity, exact feasibility") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val rows = graft.ops.TrainingMix.domainMix(spark, sf).collect()

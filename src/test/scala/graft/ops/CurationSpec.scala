@@ -202,6 +202,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("family contamination: escape channel recounted from q55 labels and q75 verdicts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.familyContamination(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    // independent recount: labels + verdicts + eval membership in plain Scala
+    val labels = Graph.dupClusters(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verd = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val srcOf = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalDocs = labels.keySet.filterNot(verd.contains) // verdicts cover exactly non-eval
+    val famEval = evalDocs.map(labels).toSet
+    val famFlag = verd.filter(_._2).keySet.map(labels).toSet
+    val perSrc = verd.keys.toSeq.groupBy(srcOf)
+    perSrc.foreach { case (src, docs) =>
+      val (n, direct, escaped, dr, fr) = rows(src)
+      assert(n === docs.length.toLong, s"$src n_docs")
+      assert(direct === docs.count(verd).toLong, s"$src direct")
+      val esc = docs.count(d => !verd(d) &&
+        (famEval(labels(d)) || famFlag(labels(d))))
+      assert(escaped === esc.toLong, s"$src escaped")
+      assert(dr === direct.toDouble / n && fr === (direct + escaped).toDouble / n)
+    }
+    assert(rows.keySet === perSrc.keySet, "one row per source with training docs")
+    assert(rows.values.map(_._3).sum > 0,
+      "fixture corpus must show at least one escaped doc for the audit to bite")
+  }
+
   test("doc_tokens census is paid once per session and shared across the tier") {
     // verdict item 1's attribution gate: the per-doc token projection was
     // recomputed at ~19 sites; now q313/q338 (and the whole mix tier) ride

@@ -380,7 +380,10 @@ class PlanSpec extends SparkSpec {
     for (df <- Seq(
         TrainingMix.mixSampleEpochs(spark, sf),
         Curation.decontamSavingsBySource(spark, sf),
-        Curation.contaminationByQuality(spark, sf))) {
+        Curation.contaminationByQuality(spark, sf),
+        Curation.familyContamination(spark, sf),
+        TrainingMix.cleanDomainMix(spark, sf),
+        TrainingMix.epochAccounting(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
