@@ -379,6 +379,8 @@ object SparkEntry {
     "q343_contam_escape"   -> ((s, d) => graft.ops.Curation.familyContamination(s, d)),
     "q344_clean_mix"       -> ((s, d) => graft.ops.TrainingMix.cleanDomainMix(s, d)),
     "q345_epoch_accounting" -> ((s, d) => graft.ops.TrainingMix.epochAccounting(s, d)),
+    "q346_passage_stream"  -> ((s, d) => graft.streaming.ScoreStream.passageDecontamAvailableNow(s, d)),
+    "q347_pool_mix"        -> ((s, d) => graft.ops.TrainingMix.poolMix(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -719,6 +721,36 @@ object SparkEntry {
       |      AS avail_tokens
       |  FROM documents GROUP BY 1, 2)""".stripMargin)
 
+  /** DuckDB twin of Curation.passageDecontaminate — shared verbatim by q331
+    * (batch) and q346 (the streaming twin), the tenth batch/stream parity
+    * pair.
+    */
+  private lazy val passageDecontamOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 3),
+      |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+      |    ELSE [] END) AS gram
+      |  FROM d WHERE is_eval),
+      |s AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+      |  FROM d WHERE NOT is_eval AND len(toks) >= 5),
+      |pg AS (
+      |  SELECT DISTINCT doc_id, (i - 1) // 8 AS passage,
+      |    md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS gram
+      |  FROM s)
+      |SELECT pg.doc_id, CAST(pg.passage AS BIGINT) AS passage,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(count(e.gram) AS BIGINT) AS n_hits,
+      |  count(e.gram) > 0 AS is_flagged
+      |FROM pg LEFT JOIN e ON pg.gram = e.gram
+      |GROUP BY 1, 2""".stripMargin
+
   /** DuckDB twin of TrainingMix.mixSampleEpochs — q339's table, aggregated
     * verbatim by q345's accounting row.
     */
@@ -755,6 +787,25 @@ object SparkEntry {
        |       THEN CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS DOUBLE)
        |         / CAST(r.required_tokens AS DOUBLE) END AS achieved_ratio
        |FROM r LEFT JOIN sm USING (source, lang)""".stripMargin
+
+  /** DuckDB twin of TrainingMix.poolMix (q347) — the SAME solver body over
+    * the fully-curated trainable pool: q55 representatives ∩ q195 quality
+    * keeps ∩ q75 clears.
+    */
+  private lazy val poolMixOracle: String = domainMixOracleOver(
+    s"""RECURSIVE $dupCcCtes,
+       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |v AS ($decontaminateOracle),
+       |$qualityScoreCtes,
+       |cells AS (
+       |  SELECT doc.source, doc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(trim(doc.text), '\\s+'))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents doc
+       |  JOIN lab ON doc.doc_id = lab.doc_id AND doc.doc_id = lab.cluster_id
+       |  JOIN v ON doc.doc_id = v.doc_id AND NOT v.is_contaminated
+       |  JOIN qscore q ON doc.doc_id = q.doc_id AND q.zq >= 0
+       |  GROUP BY 1, 2)""".stripMargin)
 
   /** DuckDB twin of TrainingMix.cleanDomainMix (q344) — the SAME solver body
     * over the decontaminated census (q75's verdict CTE as the filter).
@@ -5395,32 +5446,11 @@ object SparkEntry {
     // q331: passage-grain decontamination — q75's eval gram set, q86's
     // passage unit; every gram assigned to the passage its START token
     // falls in ((i-1) div 8 on the 1-based start), distinct per
-    // (doc, passage), so doc-grain flags reconcile as any(passage flags)
-    "q331_passage_decontam" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
-        |e AS (
-        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 3),
-        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
-        |    ELSE [] END) AS gram
-        |  FROM d WHERE is_eval),
-        |s AS (
-        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
-        |  FROM d WHERE NOT is_eval AND len(toks) >= 5),
-        |pg AS (
-        |  SELECT DISTINCT doc_id, (i - 1) // 8 AS passage,
-        |    md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS gram
-        |  FROM s)
-        |SELECT pg.doc_id, CAST(pg.passage AS BIGINT) AS passage,
-        |  CAST(count(*) AS BIGINT) AS n_grams,
-        |  CAST(count(e.gram) AS BIGINT) AS n_hits,
-        |  count(e.gram) > 0 AS is_flagged
-        |FROM pg LEFT JOIN e ON pg.gram = e.gram
-        |GROUP BY 1, 2""".stripMargin,
+    // (doc, passage), so doc-grain flags reconcile as any(passage flags).
+    // q346 is the STREAMING producer of the identical verdict table and
+    // shares the oracle VERBATIM (10th parity pair)
+    "q331_passage_decontam" -> passageDecontamOracle,
+    "q346_passage_stream" -> passageDecontamOracle,
 
     // q332: domain-mix reweighting — independence-product target over the
     // observed (source, lang) cells; marginal shares are IEEE divisions of
@@ -5485,6 +5515,11 @@ object SparkEntry {
     // clean trainable pool (q75's verdict CTE filters the census); the
     // q332-vs-q344 diff IS the contamination correction per cell
     "q344_clean_mix" -> cleanDomainMixOracle,
+
+    // q347: trainable-pool mix — the SAME solver body over the fully
+    // curated pool (q55 representatives ∩ q195 quality keeps ∩ q75 clears):
+    // the census the training job's sampler actually sees
+    "q347_pool_mix" -> poolMixOracle,
 
     // q345: data-constrained epoch accounting — one-row fresh-vs-repeat
     // ledger over q339's plan (oversampled cells touch their whole

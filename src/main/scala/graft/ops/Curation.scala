@@ -129,6 +129,22 @@ object Curation {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The DISTINCT (passage, gram) pairs of a document as ONE row-local array
+    * — [[posWordGrams]] zipped with its start index (gram i starts at token
+    * i+1, so its passage is i div w), deduped by `array_distinct` INSIDE the
+    * scan. All of a document's pairs live in its single row, so this
+    * per-row dedup is exactly the relation-level DISTINCT the passage
+    * verdict needs — with one fewer shuffle (the (doc, passage, gram)
+    * exchange the old spelling paid before the eval join), and it is the
+    * expression tree the STREAMING twin shares verbatim (a stream cannot
+    * run a relation-level distinct before its one aggregation).
+    */
+  private[graft] def passagePairs(text: org.apache.spark.sql.Column, n: Int,
+      w: Int): org.apache.spark.sql.Column =
+    array_distinct(transform(posWordGrams(text, n),
+      (g, i) => struct(floor(i / lit(w)).cast("long").as("passage"),
+        g.as("gram"))))
+
   /** PASSAGE-GRAIN DECONTAMINATION — [[decontaminate]]'s verdict refined to
     * the passage level: q75 flags whole documents, but an eval-gram match
     * that taints one 40-char span should not discard a 10k-token document —
@@ -175,10 +191,12 @@ object Curation {
       .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
       .withColumn("hit", lit(1L))
     docs.filter(!isEval)
-      .select(col("doc_id"),
-        posexplode(posWordGrams(col("text"), n)).as(Seq("gpos", "gram")))
-      .select(col("doc_id"), expr(s"gpos div $w").as("passage"), col("gram"))
-      .distinct()
+      // row-local (passage, gram) dedup inside the scan (r17: replaces the
+      // posexplode → relation-level DISTINCT spelling — one fewer shuffle,
+      // identical pairs since a doc's grams all live in its one row) and
+      // the expression tree the q346 streaming twin shares verbatim
+      .select(col("doc_id"), explode(passagePairs(col("text"), n, w)).as("pg"))
+      .select(col("doc_id"), col("pg.passage").as("passage"), col("pg.gram").as("gram"))
       .join(evalGrams, Seq("gram"), "left")
       .groupBy(col("doc_id"), col("passage"))
       .agg(count(col("gram")).as("n_grams"),

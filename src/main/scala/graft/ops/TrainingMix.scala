@@ -338,6 +338,36 @@ object TrainingMix {
         .select(col("source"), col("lang"), col("n_ws_toks").as("nt"))))
   }
 
+  /** TRAINABLE-POOL MIX — the solver over the pool a real pipeline actually
+    * trains on, i.e. the FULL curation chain composed: q55 near-dup
+    * REPRESENTATIVES only (duplicate families contribute one member), q195
+    * quality KEEPS (zq ≥ 0), and q75 decontamination CLEARS (non-eval,
+    * no benchmark grams). [[domainMix]] prices the raw crawl, [[cleanDomainMix]]
+    * subtracts contamination; this is the end-state census after every gate
+    * has fired — the numbers the training job's sampler actually sees, and
+    * the final answer to "what mix can we serve" (the q100-curation and
+    * q332-mix tiers joined at the hip). Same exact solver arithmetic
+    * ([[domainMixFromCells]], fourth consumer) and self-contained
+    * half-the-pool budget.
+    *
+    * Scale shape: three doc_id semi-joins of narrow memoized/scan-speed
+    * frames — the q55 label memo, the `decontam_flags` memo, and the
+    * codegen'd per-row quality keep — against the `doc_tokens` census; then
+    * the |sources|·|langs| aggregate and per-cell arithmetic.
+    */
+  def poolMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = graft.ops.Graph.dupClusters(spark, sfDir)
+      .filter(col("is_representative")).select(col("doc_id"))
+    val clean = Curation.decontaminate(spark, sfDir)
+      .filter(!col("is_contaminated")).select(col("doc_id"))
+    val keeps = Curation.qualityClassifier(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"))
+    domainMixFromCells(cellsFromTokens(
+      Corpus.docTokens(spark, sfDir)
+        .join(reps, "doc_id").join(clean, "doc_id").join(keeps, "doc_id")
+        .select(col("source"), col("lang"), col("n_ws_toks").as("nt"))))
+  }
+
   /** DATA-CONSTRAINED EPOCH ACCOUNTING — the one-row fresh-vs-repeat ledger
     * over [[mixSampleEpochs]]' plan (after the data-constrained-scaling
     * framing of arXiv 2305.16264: repeated epochs are worth less than fresh

@@ -189,6 +189,52 @@ object ScoreStream {
     graft.ops.Curation.sourceContamRollup(verdicts)
   }
 
+  /** STREAMING PASSAGE-GRAIN DECONTAMINATION — q331's verdict table live
+    * over an arriving corpus (the TENTH batch/stream parity instance): the
+    * eval gram set is fixed at monitor start (q316's shape), and each
+    * arriving document's DISTINCT (passage, gram) pairs are built by the
+    * SAME row-local [[graft.ops.Curation.passagePairs]] expression tree as
+    * the batch operator (the r17 refactor that moved the dedup inside the
+    * scan exists precisely so both sides share it — a stream cannot run a
+    * relation-level DISTINCT before its one aggregation). Every (doc,
+    * passage) verdict finalizes within its arrival micro-batch (a
+    * document's pairs travel in its single input row; counts are monotone
+    * under update-mode re-emission — the q246/q316 argument), so the
+    * drain-side per-(doc, passage) max is the final verdict, hash-gated
+    * against q331's oracle SHARED VERBATIM. The live form of the passage
+    * remedy: excision lists stream out as documents land, instead of a
+    * post-hoc sweep over the finished crawl.
+    *
+    * State: one small row per (doc, passage) seen — bounded by corpus
+    * passages, the q316 class (arrival watermark is the production
+    * eviction knob, documented not simulated).
+    */
+  def passageDecontamAvailableNow(spark: SparkSession, sfDir: String,
+      n: Int = 5, w: Int = 8, evalPermille: Int = 200,
+      salt: String = "eval_v1"): DataFrame = {
+    val isEval = graft.ops.Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val evalGrams = graft.core.Tables.documents(spark, sfDir)
+      .filter(isEval)
+      .select(explode(graft.ops.Curation.wordGrams(col("text"), n)).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val docs = spark.readStream.schema(docsSchema)
+      .parquet(docsDir(spark, sfDir))
+    val scored = docs.filter(!isEval)
+      .select(col("doc_id"),
+        explode(graft.ops.Curation.passagePairs(col("text"), n, w)).as("pg"))
+      .select(col("doc_id"), col("pg.passage").as("passage"),
+        col("pg.gram").as("gram"))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("passage"))
+      .agg(count(col("gram")).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+    val drained = Drain.toMemoryTable(spark, scored, "update", "graft_stream_passage")
+    drained.groupBy(col("doc_id"), col("passage"))
+      .agg(max(col("n_grams")).as("n_grams"), max(col("n_hits")).as("n_hits"))
+      .withColumn("is_flagged", col("n_hits") > 0)
+  }
+
   /** STREAMING DOMAIN-MIX MONITOR — q332's reweighting solver live over an
     * arriving corpus (the EIGHTH batch/stream parity instance): the only
     * state is the (source, lang) cell counts — |sources|·|langs| rows, built

@@ -697,6 +697,39 @@ class AnalyticsSpec extends SparkSpec {
       "fixture must show contamination actually shrinking some cell")
   }
 
+  test("pool mix: census is exactly reps ∩ quality-keeps ∩ clean; nests in the chain") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.TrainingMix.poolMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // the three gates recomputed independently, intersected doc by doc
+    val reps = Graph.dupClusters(spark, sf).filter(col("is_representative"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = Curation.decontaminate(spark, sf).collect()
+      .filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    val keeps = Curation.qualityClassifier(spark, sf).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val pool = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"),
+        graft.ops.TextAnalysis.qualityTokens.cast("long").as("nt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .filter(d => reps(d._1) && clean(d._1) && keeps(d._1))
+    val cells = pool.groupBy(d => (d._2, d._3))
+      .map { case (k, ds) => k -> ((ds.size.toLong, ds.map(_._4).sum)) }
+    assert(rows.keySet === cells.keySet, "one row per observed POOL cell")
+    rows.foreach { case (k, v) => assert(v === cells(k), s"cell $k pool census") }
+    // the pool nests strictly inside q344's clean pool on this fixture
+    val cleanMix = graft.ops.TrainingMix.cleanDomainMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    rows.foreach { case (k, (_, avail)) =>
+      assert(avail <= cleanMix(k), s"cell $k: pool ⊆ clean pool")
+    }
+    assert(rows.values.map(_._2).sum < cleanMix.values.sum,
+      "fixture must show the dedup/quality gates actually biting")
+  }
+
   test("epoch accounting: ledger recounted from q339's own cells") {
     val sf = "/root/testdata/sf0.001"
     val cells = graft.ops.TrainingMix.mixSampleEpochs(spark, sf).collect()

@@ -383,7 +383,8 @@ class PlanSpec extends SparkSpec {
         Curation.contaminationByQuality(spark, sf),
         Curation.familyContamination(spark, sf),
         TrainingMix.cleanDomainMix(spark, sf),
-        TrainingMix.epochAccounting(spark, sf))) {
+        TrainingMix.epochAccounting(spark, sf),
+        TrainingMix.poolMix(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }

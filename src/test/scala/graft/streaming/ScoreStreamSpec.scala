@@ -70,6 +70,22 @@ class ScoreStreamSpec extends SparkSpec {
     assert(stream === batch, "stream feed profile diverged from batch")
   }
 
+  test("streaming passage decontamination reproduces the batch verdicts row for row") {
+    // the TENTH batch/stream parity pair (q331 vs q346): both sides build a
+    // document's distinct (passage, gram) pairs from the SAME row-local
+    // passagePairs expression tree, so every verdict row must match.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val batch = graft.ops.Curation.passageDecontaminate(spark, sf)
+      .orderBy("doc_id", "passage").collect().map(key).toSeq
+    val stream = ScoreStream.passageDecontamAvailableNow(spark, sf)
+      .orderBy("doc_id", "passage").collect().map(key).toSeq
+    assert(batch.nonEmpty && batch.exists(_._5),
+      "fixture corpus must contain at least one flagged passage")
+    assert(stream === batch, "stream passage verdicts diverged from batch")
+  }
+
   test("streaming domain-mix monitor reproduces the batch solver row for row") {
     // the EIGHTH batch/stream parity pair (q332 vs q337): same cell
     // expression tree, same solver arithmetic over the drained census —
