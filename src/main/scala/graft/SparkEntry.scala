@@ -381,6 +381,8 @@ object SparkEntry {
     "q345_epoch_accounting" -> ((s, d) => graft.ops.TrainingMix.epochAccounting(s, d)),
     "q346_passage_stream"  -> ((s, d) => graft.streaming.ScoreStream.passageDecontamAvailableNow(s, d)),
     "q347_pool_mix"        -> ((s, d) => graft.ops.TrainingMix.poolMix(s, d)),
+    "q348_eval_saturation" -> ((s, d) => graft.ops.Curation.evalSaturation(s, d)),
+    "q349_burned_items"    -> ((s, d) => graft.ops.Curation.burnedEvalItems(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -5659,6 +5661,71 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN fl THEN n_toks ELSE 0 END) - sum(removed) AS DOUBLE)
         |    / CAST(sum(n_toks) AS DOUBLE) AS tokens_rescued_share
         |FROM pd2 GROUP BY 1""".stripMargin,
+
+    // q348: eval-suite saturation — the reverse of q75: how much of the
+    // BENCHMARK's distinct gram set appears in training (leaked share +
+    // total leak instances); the rotate-the-suite vs scrub-the-corpus call
+    "q348_eval_saturation" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END) AS gram
+        |  FROM d WHERE NOT is_eval),
+        |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+        |e AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END) AS gram
+        |  FROM d WHERE is_eval)
+        |SELECT CAST(count(*) AS BIGINT) AS n_eval_grams,
+        |  CAST(count(df.df) AS BIGINT) AS n_leaked_grams,
+        |  CAST(count(df.df) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS leaked_gram_share,
+        |  CAST(coalesce(sum(df.df), 0) AS BIGINT) AS leak_instances
+        |FROM e LEFT JOIN df USING (gram)""".stripMargin,
+
+    // q349: burned benchmark items — per EVAL document, the share of its
+    // grams found anywhere in training; fully-leaked items (is_burned)
+    // measure memorization, not ability, and get retired from the suite
+    "q349_burned_items" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END) AS gram
+        |  FROM d WHERE NOT is_eval),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END) AS gram
+        |  FROM d WHERE is_eval),
+        |hits AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(count(tg.gram) AS BIGINT) AS n_leaked
+        |  FROM g LEFT JOIN tg USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
+        |  CASE WHEN coalesce(h.n_grams, 0) > 0
+        |       THEN CAST(coalesce(h.n_leaked, 0) AS DOUBLE)
+        |         / CAST(h.n_grams AS DOUBLE) END AS leak_share,
+        |  coalesce(h.n_grams, 0) > 0
+        |    AND coalesce(h.n_leaked, 0) = coalesce(h.n_grams, 0) AS is_burned
+        |FROM d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.is_eval""".stripMargin,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

@@ -412,6 +412,75 @@ object Curation {
           col("n_tokens").cast("double")).as("tokens_rescued_share"))
   }
 
+  /** EVAL-SUITE SATURATION — the REVERSE readout of [[decontaminate]]
+    * (that one asks "how much training data is tainted"; this asks "how
+    * much of the BENCHMARK is compromised"): one row — the eval slice's
+    * distinct gram count, how many of those grams appear in ≥1 training
+    * document, the leaked share, and the total leak instances (Σ training
+    * document-frequency over leaked grams — the mass q328's hotspot list
+    * ranks). A benchmark with high saturation is stale for this corpus no
+    * matter how aggressively training is filtered — the number that decides
+    * "rotate the eval suite" vs "scrub the corpus".
+    *
+    * Scale shape: grams md5'd in-scan on both sides (text never shuffles);
+    * training df is one gram-keyed aggregate (per-doc-distinct grams make
+    * count(*) the df); the eval set left-joins it on the gram hash; one
+    * final fold. All exact longs to the one share division.
+    */
+  def evalSaturation(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val trainDf = docs.filter(!isEval)
+      .select(explode(wordGrams(col("text"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val evalGrams = docs.filter(isEval)
+      .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
+    evalGrams.join(trainDf, Seq("gram"), "left")
+      .agg(count(lit(1)).as("n_eval_grams"),
+        count(col("df")).as("n_leaked_grams"),
+        coalesce(sum(col("df")), lit(0L)).as("leak_instances"))
+      .select(col("n_eval_grams"), col("n_leaked_grams"),
+        (col("n_leaked_grams").cast("double") /
+          col("n_eval_grams").cast("double")).as("leaked_gram_share"),
+        col("leak_instances"))
+  }
+
+  /** BURNED BENCHMARK ITEMS — [[evalSaturation]]'s verdict at the grain a
+    * benchmark owner acts on: per EVAL document, how many of its distinct
+    * grams appear anywhere in training, the leak share, and the burned flag
+    * (every gram leaked — the item measures memorization, not ability, and
+    * must be dropped from the suite). The complement of q75: that table
+    * cleans the corpus against the suite; this one retires suite items the
+    * corpus has already absorbed. Short eval docs (< n tokens) carry zero
+    * grams: n_grams 0, NULL share, never burned (nothing to leak).
+    *
+    * Scale shape: the training gram SET is distinct on the md5 key (one
+    * aggregate); eval docs explode_outer so zero-gram items keep a row; one
+    * per-doc aggregate. The suite side is small; the un-hinted join lets
+    * AQE broadcast it (the q75 argument, sides swapped).
+    */
+  def burnedEvalItems(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val trainGrams = docs.filter(!isEval)
+      .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter(isEval)
+      .select(col("doc_id"), explode_outer(wordGrams(col("text"), n)).as("gram"))
+      .join(trainGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("gram")).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_leaked"))
+      .select(col("doc_id"), col("n_grams"), col("n_leaked"),
+        when(col("n_grams") > 0L,
+          col("n_leaked").cast("double") / col("n_grams").cast("double"))
+          .as("leak_share"),
+        (col("n_grams") > 0L && col("n_leaked") === col("n_grams"))
+          .as("is_burned"))
+  }
+
   /** CONTAMINATION ESCAPE VIA NEAR-DUP FAMILIES — the audit that closes the
     * gap between [[decontaminate]]'s gram-exact verdicts and q55's near-dup
     * families: an n-gram check misses a PARAPHRASED or lightly-edited copy

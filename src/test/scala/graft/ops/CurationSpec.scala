@@ -234,6 +234,50 @@ class CurationSpec extends SparkSpec {
       "fixture corpus must show at least one escaped doc for the audit to bite")
   }
 
+  test("eval saturation + burned items: both directions recounted from raw grams") {
+    val sf = "/root/testdata/sf0.001"
+    // plain-Scala gram sets (string 5-grams — md5 is injective for the compare)
+    def grams(text: String): Set[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      if (toks.size < 5) Set.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val evalIds = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .filter(Corpus.hashBucket(
+        org.apache.spark.sql.functions.col("doc_id"), "eval_v1") < 200)
+      .collect().map(_.getLong(0)).toSet
+    val (ev, tr) = docs.partition(d => evalIds(d._1))
+    val trainGrams = tr.iterator.flatMap(d => grams(d._2)).toSet
+    val trainDf = tr.iterator.flatMap(d => grams(d._2).toSeq)
+      .toSeq.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val evalGrams = ev.iterator.flatMap(d => grams(d._2)).toSet
+    // q348 recount
+    val s348 = Curation.evalSaturation(spark, sf).head
+    assert(s348.getLong(0) === evalGrams.size.toLong, "n_eval_grams")
+    val leaked = evalGrams.intersect(trainGrams)
+    assert(s348.getLong(1) === leaked.size.toLong, "n_leaked_grams")
+    assert(s348.getDouble(2) === leaked.size.toDouble / evalGrams.size)
+    assert(s348.getLong(3) === leaked.toSeq.map(trainDf).sum, "leak instances")
+    // q349 recount per eval item + cross-reconciliation with q348
+    val rows = Curation.burnedEvalItems(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+    assert(rows.keySet === ev.map(_._1).toSet, "one row per eval doc, short ones included")
+    ev.foreach { case (id, text) =>
+      val g = grams(text)
+      val (ng, nl, share, burned) = rows(id)
+      assert(ng === g.size.toLong && nl === g.count(trainGrams).toLong, s"doc $id")
+      if (g.nonEmpty) assert(share.contains(g.count(trainGrams).toDouble / g.size))
+      else assert(share.isEmpty, s"doc $id: zero grams carry no share")
+      assert(burned === (g.nonEmpty && g.forall(trainGrams)), s"doc $id burned")
+    }
+    assert(rows.values.exists(_._4), "fixture must contain at least one burned item")
+  }
+
   test("doc_tokens census is paid once per session and shared across the tier") {
     // verdict item 1's attribution gate: the per-doc token projection was
     // recomputed at ~19 sites; now q313/q338 (and the whole mix tier) ride

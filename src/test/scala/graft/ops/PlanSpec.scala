@@ -384,7 +384,9 @@ class PlanSpec extends SparkSpec {
         Curation.familyContamination(spark, sf),
         TrainingMix.cleanDomainMix(spark, sf),
         TrainingMix.epochAccounting(spark, sf),
-        TrainingMix.poolMix(spark, sf))) {
+        TrainingMix.poolMix(spark, sf),
+        Curation.evalSaturation(spark, sf),
+        Curation.burnedEvalItems(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
