@@ -383,6 +383,7 @@ object SparkEntry {
     "q347_pool_mix"        -> ((s, d) => graft.ops.TrainingMix.poolMix(s, d)),
     "q348_eval_saturation" -> ((s, d) => graft.ops.Curation.evalSaturation(s, d)),
     "q349_burned_items"    -> ((s, d) => graft.ops.Curation.burnedEvalItems(s, d)),
+    "q350_burn_stream"     -> ((s, d) => graft.streaming.ScoreStream.burnMonitorAvailableNow(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -722,6 +723,43 @@ object SparkEntry {
       |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
       |      AS avail_tokens
       |  FROM documents GROUP BY 1, 2)""".stripMargin)
+
+  /** DuckDB twin of Curation.burnedEvalItems — shared verbatim by q349
+    * (batch) and q350 (the streaming twin), the eleventh batch/stream
+    * parity pair.
+    */
+  private lazy val burnedItemsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |tg AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 3),
+      |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+      |    ELSE [] END) AS gram
+      |  FROM d WHERE NOT is_eval),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 3),
+      |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+      |    ELSE [] END) AS gram
+      |  FROM d WHERE is_eval),
+      |hits AS (
+      |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(count(tg.gram) AS BIGINT) AS n_leaked
+      |  FROM g LEFT JOIN tg USING (gram) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
+      |  CASE WHEN coalesce(h.n_grams, 0) > 0
+      |       THEN CAST(coalesce(h.n_leaked, 0) AS DOUBLE)
+      |         / CAST(h.n_grams AS DOUBLE) END AS leak_share,
+      |  coalesce(h.n_grams, 0) > 0
+      |    AND coalesce(h.n_leaked, 0) = coalesce(h.n_grams, 0) AS is_burned
+      |FROM d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.is_eval""".stripMargin
 
   /** DuckDB twin of Curation.passageDecontaminate — shared verbatim by q331
     * (batch) and q346 (the streaming twin), the tenth batch/stream parity
@@ -5693,39 +5731,11 @@ object SparkEntry {
 
     // q349: burned benchmark items — per EVAL document, the share of its
     // grams found anywhere in training; fully-leaked items (is_burned)
-    // measure memorization, not ability, and get retired from the suite
-    "q349_burned_items" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
-        |tg AS (
-        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 3),
-        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
-        |    ELSE [] END) AS gram
-        |  FROM d WHERE NOT is_eval),
-        |g AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 3),
-        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
-        |    ELSE [] END) AS gram
-        |  FROM d WHERE is_eval),
-        |hits AS (
-        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |    CAST(count(tg.gram) AS BIGINT) AS n_leaked
-        |  FROM g LEFT JOIN tg USING (gram) GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
-        |  CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
-        |  CASE WHEN coalesce(h.n_grams, 0) > 0
-        |       THEN CAST(coalesce(h.n_leaked, 0) AS DOUBLE)
-        |         / CAST(h.n_grams AS DOUBLE) END AS leak_share,
-        |  coalesce(h.n_grams, 0) > 0
-        |    AND coalesce(h.n_leaked, 0) = coalesce(h.n_grams, 0) AS is_burned
-        |FROM d LEFT JOIN hits h USING (doc_id)
-        |WHERE d.is_eval""".stripMargin,
+    // measure memorization, not ability, and get retired from the suite.
+    // q350 is the STREAMING producer of the identical table and shares the
+    // oracle VERBATIM (11th parity pair)
+    "q349_burned_items" -> burnedItemsOracle,
+    "q350_burn_stream" -> burnedItemsOracle,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

@@ -235,6 +235,53 @@ object ScoreStream {
       .withColumn("is_flagged", col("n_hits") > 0)
   }
 
+  /** STREAMING BENCHMARK-BURN MONITOR — q349's burned-items table live over
+    * an arriving TRAINING corpus (the ELEVENTH batch/stream parity
+    * instance, and the one with the tightest state bound of the whole
+    * suite): the eval suite's (eval_doc, gram) pairs are a FIXED static
+    * relation, each arriving training document's grams inner-join it, and
+    * the only state kept is the leaked-pair counts — bounded by the SUITE's
+    * own gram mass, never by the corpus streaming past (a 100 TB crawl
+    * monitors against a megabyte of benchmark state). Pair counts are
+    * monotone under update-mode re-emission (the q246 argument), so the
+    * drain-side distinct pairs are the final leak set; the per-item
+    * arithmetic (n_leaked, leak_share, is_burned) runs batch-side against
+    * the static per-item gram-count spine — zero-gram items keep their row
+    * (the q349 shape) — and the query is hash-gated against q349's oracle
+    * SHARED VERBATIM. This is the benchmark owner's live readout: an eval
+    * item burns the moment the crawl absorbs its last gram, not at the
+    * post-hoc audit.
+    */
+  def burnMonitorAvailableNow(spark: SparkSession, sfDir: String,
+      n: Int = 5, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = graft.ops.Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val statics = graft.core.Tables.documents(spark, sfDir).filter(isEval)
+    val evalPairs = statics
+      .select(col("doc_id").as("eval_doc"),
+        explode(graft.ops.Curation.wordGrams(col("text"), n)).as("gram"))
+    val spine = statics.select(col("doc_id"),
+      size(graft.ops.Curation.wordGrams(col("text"), n)).cast("long").as("n_grams"))
+    val docs = spark.readStream.schema(docsSchema)
+      .parquet(docsDir(spark, sfDir))
+    val leaked = docs.filter(!isEval)
+      .select(explode(graft.ops.Curation.wordGrams(col("text"), n)).as("gram"))
+      .join(evalPairs, Seq("gram"))
+      .groupBy(col("eval_doc"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val drained = Drain.toMemoryTable(spark, leaked, "update", "graft_stream_burn")
+    val perItem = drained.select(col("eval_doc").as("doc_id"), col("gram"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    spine.join(perItem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        when(col("n_grams") > 0L,
+          coalesce(col("n_leaked"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("leak_share"),
+        (col("n_grams") > 0L &&
+          coalesce(col("n_leaked"), lit(0L)) === col("n_grams")).as("is_burned"))
+  }
+
   /** STREAMING DOMAIN-MIX MONITOR — q332's reweighting solver live over an
     * arriving corpus (the EIGHTH batch/stream parity instance): the only
     * state is the (source, lang) cell counts — |sources|·|langs| rows, built

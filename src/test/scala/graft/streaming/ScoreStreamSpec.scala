@@ -86,6 +86,23 @@ class ScoreStreamSpec extends SparkSpec {
     assert(stream === batch, "stream passage verdicts diverged from batch")
   }
 
+  test("streaming burn monitor reproduces the batch burned-items table row for row") {
+    // the ELEVENTH batch/stream parity pair (q349 vs q350), and the one
+    // with the tightest state bound: leaked (eval_doc, gram) pairs only —
+    // the SUITE's gram mass, never the corpus streaming past.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))
+    val batch = graft.ops.Curation.burnedEvalItems(spark, sf)
+      .orderBy("doc_id").collect().map(key).toSeq
+    val stream = ScoreStream.burnMonitorAvailableNow(spark, sf)
+      .orderBy("doc_id").collect().map(key).toSeq
+    assert(batch.nonEmpty && batch.exists(_._5),
+      "fixture suite must contain at least one burned item")
+    assert(stream === batch, "stream burn table diverged from batch")
+  }
+
   test("streaming domain-mix monitor reproduces the batch solver row for row") {
     // the EIGHTH batch/stream parity pair (q332 vs q337): same cell
     // expression tree, same solver arithmetic over the drained census —
