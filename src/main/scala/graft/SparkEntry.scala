@@ -384,6 +384,8 @@ object SparkEntry {
     "q348_eval_saturation" -> ((s, d) => graft.ops.Curation.evalSaturation(s, d)),
     "q349_burned_items"    -> ((s, d) => graft.ops.Curation.burnedEvalItems(s, d)),
     "q350_burn_stream"     -> ((s, d) => graft.streaming.ScoreStream.burnMonitorAvailableNow(s, d)),
+    "q351_release_card"    -> ((s, d) => graft.ops.ReportCard.releaseReadiness(s, d)),
+    "q352_burn_drift"      -> ((s, d) => graft.ops.Curation.burnDrift(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -723,6 +725,80 @@ object SparkEntry {
       |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
       |      AS avail_tokens
       |  FROM documents GROUP BY 1, 2)""".stripMargin)
+
+  /** DuckDB twin of Curation.evalSaturation — q348's entry, and one arm of
+    * q351's release card.
+    */
+  private lazy val evalSaturationOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 3),
+      |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+      |    ELSE [] END) AS gram
+      |  FROM d WHERE NOT is_eval),
+      |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+      |e AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+      |      list_distinct(list_transform(range(1, len(toks) - 3),
+      |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+      |    ELSE [] END) AS gram
+      |  FROM d WHERE is_eval)
+      |SELECT CAST(count(*) AS BIGINT) AS n_eval_grams,
+      |  CAST(count(df.df) AS BIGINT) AS n_leaked_grams,
+      |  CAST(count(df.df) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS leaked_gram_share,
+      |  CAST(coalesce(sum(df.df), 0) AS BIGINT) AS leak_instances
+      |FROM e LEFT JOIN df USING (gram)""".stripMargin
+
+  /** DuckDB twin of Curation.decontamSavings — q334's entry, and one arm of
+    * q351's release card.
+    */
+  private lazy val decontamSavingsOracle: String =
+    s"""WITH $passageVerdictCtes,
+      |df AS (SELECT doc_id, bool_or(is_flagged) AS doc_flagged
+      |       FROM hits GROUP BY 1),
+      |t AS (SELECT tr.doc_id, tr.n_toks, coalesce(df.doc_flagged, false) AS doc_flagged
+      |      FROM tr LEFT JOIN df USING (doc_id)),
+      |a1 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      |    CAST(sum(CASE WHEN doc_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+      |    CAST(sum(CASE WHEN doc_flagged THEN 0 ELSE n_toks END) AS BIGINT)
+      |      AS retained_doc_grain
+      |  FROM t),
+      |a2 AS (
+      |  SELECT CAST(coalesce(sum(least(8, tr.n_toks - h.passage * 8)), 0) AS BIGINT)
+      |    AS removed_passage
+      |  FROM hits h JOIN tr USING (doc_id) WHERE h.is_flagged)
+      |SELECT n_docs, total_tokens, n_docs_flagged, retained_doc_grain,
+      |  total_tokens - removed_passage AS retained_passage_grain,
+      |  CAST(total_tokens - removed_passage - retained_doc_grain AS DOUBLE)
+      |    / CAST(total_tokens AS DOUBLE) AS tokens_rescued_share
+      |FROM a1 CROSS JOIN a2""".stripMargin
+
+  /** DuckDB twin of Curation.dedupSavings — q313's entry, and one arm of
+    * q351's release card.
+    */
+  private lazy val dedupSavingsOracle: String =
+    s"""WITH RECURSIVE $dupCcCtes,
+       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |t AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_toks,
+       |    (l.doc_id = l.cluster_id) AS is_rep
+       |  FROM documents d JOIN lab l ON d.doc_id = l.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
+       |  CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+       |  CAST(sum(CASE WHEN is_rep THEN n_toks ELSE 0 END) AS BIGINT) AS deduped_tokens,
+       |  CAST(sum(n_toks) - sum(CASE WHEN is_rep THEN n_toks ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(n_toks) AS DOUBLE) AS token_savings
+       |FROM t""".stripMargin
 
   /** DuckDB twin of Curation.burnedEvalItems — shared verbatim by q349
     * (batch) and q350 (the streaming twin), the eleventh batch/stream
@@ -4425,21 +4501,8 @@ object SparkEntry {
 
     // q313: dedup token savings — representative flags off q55's labels,
     // exact token counts, one division
-    "q313_dedup_savings" ->
-      s"""WITH RECURSIVE $dupCcCtes,
-         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
-         |t AS (
-         |  SELECT d.doc_id,
-         |    CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_toks,
-         |    (l.doc_id = l.cluster_id) AS is_rep
-         |  FROM documents d JOIN lab l ON d.doc_id = l.doc_id)
-         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
-         |  CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
-         |  CAST(sum(CASE WHEN is_rep THEN n_toks ELSE 0 END) AS BIGINT) AS deduped_tokens,
-         |  CAST(sum(n_toks) - sum(CASE WHEN is_rep THEN n_toks ELSE 0 END) AS DOUBLE)
-         |    / CAST(sum(n_toks) AS DOUBLE) AS token_savings
-         |FROM t""".stripMargin,
+    // shared with q351's release card (one arm of the composition)
+    "q313_dedup_savings" -> dedupSavingsOracle,
 
     // q315: LSH band-layout recall — exact ground truth (all qualifying
     // pairs, stratum + lang + ±20-char gates, 3-gram Jaccard ≥ 0.5), the
@@ -5613,29 +5676,9 @@ object SparkEntry {
     // into the two-policy readout (drop the doc vs excise the passage);
     // flagged-passage token spans pro-rate the tail as least(8, len − 8p);
     // exact BIGINTs until the one rescued-share division. CTE spine shared
-    // with q341 (per-source savings) and q342 (quality×contamination)
-    "q334_decontam_savings" ->
-      s"""WITH $passageVerdictCtes,
-        |df AS (SELECT doc_id, bool_or(is_flagged) AS doc_flagged
-        |       FROM hits GROUP BY 1),
-        |t AS (SELECT tr.doc_id, tr.n_toks, coalesce(df.doc_flagged, false) AS doc_flagged
-        |      FROM tr LEFT JOIN df USING (doc_id)),
-        |a1 AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
-        |    CAST(sum(CASE WHEN doc_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
-        |    CAST(sum(CASE WHEN doc_flagged THEN 0 ELSE n_toks END) AS BIGINT)
-        |      AS retained_doc_grain
-        |  FROM t),
-        |a2 AS (
-        |  SELECT CAST(coalesce(sum(least(8, tr.n_toks - h.passage * 8)), 0) AS BIGINT)
-        |    AS removed_passage
-        |  FROM hits h JOIN tr USING (doc_id) WHERE h.is_flagged)
-        |SELECT n_docs, total_tokens, n_docs_flagged, retained_doc_grain,
-        |  total_tokens - removed_passage AS retained_passage_grain,
-        |  CAST(total_tokens - removed_passage - retained_doc_grain AS DOUBLE)
-        |    / CAST(total_tokens AS DOUBLE) AS tokens_rescued_share
-        |FROM a1 CROSS JOIN a2""".stripMargin,
+    // with q341 (per-source savings) and q342 (quality×contamination);
+    // the whole oracle is one arm of q351's release card
+    "q334_decontam_savings" -> decontamSavingsOracle,
 
     // q341: per-source decontamination savings — q334's two-policy
     // arithmetic at feed grain on the SAME verdict spine; sources with no
@@ -5702,32 +5745,9 @@ object SparkEntry {
 
     // q348: eval-suite saturation — the reverse of q75: how much of the
     // BENCHMARK's distinct gram set appears in training (leaked share +
-    // total leak instances); the rotate-the-suite vs scrub-the-corpus call
-    "q348_eval_saturation" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 3),
-        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
-        |    ELSE [] END) AS gram
-        |  FROM d WHERE NOT is_eval),
-        |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
-        |e AS (
-        |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(toks) - 3),
-        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
-        |    ELSE [] END) AS gram
-        |  FROM d WHERE is_eval)
-        |SELECT CAST(count(*) AS BIGINT) AS n_eval_grams,
-        |  CAST(count(df.df) AS BIGINT) AS n_leaked_grams,
-        |  CAST(count(df.df) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |    AS leaked_gram_share,
-        |  CAST(coalesce(sum(df.df), 0) AS BIGINT) AS leak_instances
-        |FROM e LEFT JOIN df USING (gram)""".stripMargin,
+    // total leak instances); the rotate-the-suite vs scrub-the-corpus
+    // call, and one arm of q351's release card
+    "q348_eval_saturation" -> evalSaturationOracle,
 
     // q349: burned benchmark items — per EVAL document, the share of its
     // grams found anywhere in training; fully-leaked items (is_burned)
@@ -5736,6 +5756,77 @@ object SparkEntry {
     // oracle VERBATIM (11th parity pair)
     "q349_burned_items" -> burnedItemsOracle,
     "q350_burn_stream" -> burnedItemsOracle,
+
+    // q351: release-readiness card — one row composing six already-gated
+    // audits (volume, dedup savings, contamination + rescue, benchmark
+    // saturation, burned items, trainable-pool mix); each arm is the
+    // corresponding oracle val verbatim as a derived table
+    "q351_release_card" ->
+      s"""SELECT c.n_docs, c.raw_tokens, d.n_reps,
+         |  d.token_savings AS dedup_token_savings,
+         |  s.n_docs AS n_train_docs, s.n_docs_flagged,
+         |  CAST(s.n_docs_flagged AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+         |    AS contamination_rate,
+         |  s.tokens_rescued_share, g.leaked_gram_share,
+         |  b.n_burned_items, p.pool_tokens, p.mix_infeasible_cells
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+         |      AS raw_tokens
+         |  FROM documents) c
+         |CROSS JOIN (SELECT n_reps, token_savings
+         |            FROM ($dedupSavingsOracle) x) d
+         |CROSS JOIN (SELECT n_docs, n_docs_flagged, tokens_rescued_share
+         |            FROM ($decontamSavingsOracle) y) s
+         |CROSS JOIN (SELECT leaked_gram_share FROM ($evalSaturationOracle) z) g
+         |CROSS JOIN (SELECT CAST(sum(CASE WHEN is_burned THEN 1 ELSE 0 END) AS BIGINT)
+         |              AS n_burned_items
+         |            FROM ($burnedItemsOracle) w) b
+         |CROSS JOIN (SELECT CAST(sum(avail_tokens) AS BIGINT) AS pool_tokens,
+         |              CAST(sum(CASE WHEN NOT feasible THEN 1 ELSE 0 END) AS BIGINT)
+         |                AS mix_infeasible_cells
+         |            FROM ($poolMixOracle) v) p""".stripMargin,
+
+    // q352: benchmark burn drift — when each eval item died, by crawl
+    // batch: a gram arrives at its min train batch, an item burns at the
+    // max arrival over its grams (only if every gram leaks); static 0..7
+    // spine so zero-burn batches surface (q315 shape)
+    "q352_burn_drift" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+        |    CAST('0x' || substr(md5(doc_id || ':crawl_v1'), 1, 8) AS BIGINT) % 1000 % 8 AS batch,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tgr AS (
+        |  SELECT batch, unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END) AS gram
+        |  FROM d WHERE NOT is_eval),
+        |ga AS (SELECT gram, min(batch) AS arrived FROM tgr GROUP BY 1),
+        |eg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+        |    ELSE [] END) AS gram
+        |  FROM d WHERE is_eval),
+        |pi AS (
+        |  SELECT eg.doc_id, count(*) AS n_grams, count(ga.arrived) AS n_leaked,
+        |    max(ga.arrived) AS burn_batch
+        |  FROM eg LEFT JOIN ga USING (gram) GROUP BY 1),
+        |burned AS (SELECT burn_batch AS batch, CAST(count(*) AS BIGINT) AS n_burned
+        |           FROM pi WHERE n_grams = n_leaked GROUP BY 1),
+        |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM d WHERE is_eval),
+        |sp AS (SELECT unnest(range(0, 8)) AS batch)
+        |SELECT CAST(sp.batch AS BIGINT) AS batch,
+        |  CAST(coalesce(b.n_burned, 0) AS BIGINT) AS n_burned,
+        |  CAST(sum(coalesce(b.n_burned, 0)) OVER (ORDER BY sp.batch) AS BIGINT)
+        |    AS cum_burned,
+        |  ni.n_items,
+        |  CAST(sum(coalesce(b.n_burned, 0)) OVER (ORDER BY sp.batch) AS DOUBLE)
+        |    / CAST(ni.n_items AS DOUBLE) AS cum_burned_share
+        |FROM sp LEFT JOIN burned b USING (batch) CROSS JOIN ni""".stripMargin,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

@@ -481,6 +481,54 @@ object Curation {
           .as("is_burned"))
   }
 
+  /** BENCHMARK BURN DRIFT — WHEN did each eval item die, by q319's crawl
+    * batches: a training gram's ARRIVAL batch is the min crawl batch over
+    * the training documents carrying it; an eval item burns at the batch
+    * where its LAST un-leaked gram arrives (max over its grams of the
+    * arrival batch) — and only if every gram eventually leaks. Output: one
+    * row per crawl batch (0..nBatches−1, zero-burn batches included — the
+    * q315 static-spine shape): items burned IN that batch, the cumulative
+    * burn count, and the cumulative burned share of the whole suite (the
+    * repeated-total convention carries n_items on every row). Read beside
+    * q319's novelty curve: a benchmark dying in the crawl's first batches
+    * was stale before this crawl; one dying at the tail is being actively
+    * absorbed — rotate it before the next increment.
+    *
+    * Scale shape: one train-side (gram → min batch) aggregate, the eval
+    * pair set joins it on the gram hash, one per-item aggregate, then a
+    * ≤|batches|-row window. All exact integers; one share division.
+    */
+  def burnDrift(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1", nBatches: Int = 8,
+      crawlSalt: String = "crawl_v1"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val gramArrival = docs.filter(!isEval)
+      .select((Corpus.hashBucket(col("doc_id"), crawlSalt) % nBatches.toLong)
+        .as("batch"), explode(wordGrams(col("text"), n)).as("gram"))
+      .groupBy(col("gram")).agg(min(col("batch")).as("arrived"))
+    val perItem = docs.filter(isEval)
+      .select(col("doc_id"), explode(wordGrams(col("text"), n)).as("gram"))
+      .join(gramArrival, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("arrived")).as("n_leaked"),
+        max(col("arrived")).as("burn_batch"))
+      .filter(col("n_grams") === col("n_leaked")) // fully leaked = burned
+    val nItems = docs.filter(isEval).agg(count(lit(1)).as("n_items"))
+    val spine = spark.range(nBatches).select(col("id").as("batch"))
+    val perBatch = perItem.groupBy(col("burn_batch").as("batch"))
+      .agg(count(lit(1)).as("n_burned"))
+    val cum = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(perBatch, Seq("batch"), "left")
+      .withColumn("n_burned", coalesce(col("n_burned"), lit(0L)))
+      .crossJoin(broadcast(nItems))
+      .withColumn("cum_burned", sum(col("n_burned")).over(cum))
+      .select(col("batch"), col("n_burned"), col("cum_burned"), col("n_items"),
+        (col("cum_burned").cast("double") / col("n_items").cast("double"))
+          .as("cum_burned_share"))
+  }
+
   /** CONTAMINATION ESCAPE VIA NEAR-DUP FAMILIES — the audit that closes the
     * gap between [[decontaminate]]'s gram-exact verdicts and q55's near-dup
     * families: an n-gram check misses a PARAPHRASED or lightly-edited copy

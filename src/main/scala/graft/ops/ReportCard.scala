@@ -19,6 +19,46 @@ import graft.core.Tables
   */
 object ReportCard {
 
+  /** CORPUS RELEASE-READINESS CARD (r17) — the ONE ROW a release review
+    * reads before shipping a training corpus, composing the engine's
+    * already-gated audits: volume (doc/token mass), near-dup exposure and
+    * what dedup buys (q313), contamination exposure and what passage
+    * surgery rescues (q334), how much of the benchmark the corpus has
+    * absorbed (q348) and how many eval items are outright burned (q349),
+    * plus the fully-curated pool's token mass and the mix solver's
+    * infeasible-cell count (q347) — i.e. "how big, how dirty, how fixable,
+    * is the benchmark still valid, and can the target mix actually be
+    * served". Every arm is an existing oracle-gated operator, so the card
+    * can never drift from the audits it summarizes (the q100/q109
+    * composition discipline); the card itself is hash-gated end to end.
+    *
+    * Scale shape: six one-row/rollup arms, all riding session memos
+    * (doc_tokens, clusters, decontam_flags, passage_flags, domain cells) —
+    * the card costs six broadcast cross joins on top of artifacts the
+    * suite has already paid for.
+    */
+  def releaseReadiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Corpus.docTokens(spark, sfDir)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_alpha_toks")).as("raw_tokens"))
+    val ded = Curation.dedupSavings(spark, sfDir)
+      .select(col("n_reps"), col("token_savings").as("dedup_token_savings"))
+    val sav = Curation.decontamSavings(spark, sfDir)
+      .select(col("n_docs").as("n_train_docs"), col("n_docs_flagged"),
+        (col("n_docs_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("contamination_rate"),
+        col("tokens_rescued_share"))
+    val sat = Curation.evalSaturation(spark, sfDir)
+      .select(col("leaked_gram_share"))
+    val burn = Curation.burnedEvalItems(spark, sfDir)
+      .agg(sum(when(col("is_burned"), 1L).otherwise(0L)).as("n_burned_items"))
+    val pool = TrainingMix.poolMix(spark, sfDir)
+      .agg(sum(col("avail_tokens")).as("pool_tokens"),
+        sum(when(!col("feasible"), 1L).otherwise(0L)).as("mix_infeasible_cells"))
+    corpus.crossJoin(broadcast(ded)).crossJoin(broadcast(sav))
+      .crossJoin(broadcast(sat)).crossJoin(broadcast(burn))
+      .crossJoin(broadcast(pool))
+  }
+
   def sourceReportCard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
 

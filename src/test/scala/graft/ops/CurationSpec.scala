@@ -278,6 +278,69 @@ class CurationSpec extends SparkSpec {
     assert(rows.values.exists(_._4), "fixture must contain at least one burned item")
   }
 
+  test("release card: every arm equals its source audit verbatim") {
+    val sf = "/root/testdata/sf0.001"
+    val card = graft.ops.ReportCard.releaseReadiness(spark, sf).head
+    val ded = Curation.dedupSavings(spark, sf).head
+    assert(card.getLong(0) === ded.getLong(0), "n_docs = q313's census")
+    assert(card.getLong(1) === ded.getLong(2), "raw_tokens = q313's raw mass")
+    assert(card.getLong(2) === ded.getLong(1) && card.getDouble(3) === ded.getDouble(4),
+      "dedup arm = q313")
+    val sav = Curation.decontamSavings(spark, sf).head
+    assert(card.getLong(4) === sav.getLong(0) && card.getLong(5) === sav.getLong(2),
+      "contamination counts = q334")
+    assert(card.getDouble(6) === sav.getLong(2).toDouble / sav.getLong(0).toDouble)
+    assert(card.getDouble(7) === sav.getDouble(5), "rescue share = q334")
+    assert(card.getDouble(8) ===
+      Curation.evalSaturation(spark, sf).head.getDouble(2), "saturation = q348")
+    assert(card.getLong(9) ===
+      Curation.burnedEvalItems(spark, sf).collect().count(_.getBoolean(4)).toLong,
+      "burned items = q349")
+    val pool = graft.ops.TrainingMix.poolMix(spark, sf).collect()
+    assert(card.getLong(10) === pool.map(_.getLong(3)).sum, "pool tokens = q347")
+    assert(card.getLong(11) === pool.count(!_.getBoolean(8)).toLong,
+      "infeasible cells = q347")
+  }
+
+  test("burn drift: arrival batches recounted from raw grams; reconciles q349") {
+    val sf = "/root/testdata/sf0.001"
+    def grams(text: String): Set[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      if (toks.size < 5) Set.empty else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select(c("doc_id"), c("text"),
+        (Corpus.hashBucket(c("doc_id"), "eval_v1") < 200).as("ev"),
+        (Corpus.hashBucket(c("doc_id"), "crawl_v1") % 8L).as("batch"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        r.getBoolean(2), r.getLong(3)))
+    val arrival = scala.collection.mutable.Map.empty[String, Long]
+    meta.filter(!_._3).foreach { case (_, text, _, b) =>
+      grams(text).foreach(g => arrival.update(g, math.min(b, arrival.getOrElse(g, 99L))))
+    }
+    val burnOf = meta.filter(_._3).flatMap { case (id, text, _, _) =>
+      val g = grams(text)
+      if (g.nonEmpty && g.forall(arrival.contains)) Some(id -> g.map(arrival).max)
+      else None
+    }.toMap
+    val rows = graft.ops.Curation.burnDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 7L), "full static batch spine")
+    val nItems = meta.count(_._3).toLong
+    rows.foreach { case (b, n, cum, ni, share) =>
+      assert(n === burnOf.values.count(_ == b).toLong, s"batch $b burn count")
+      assert(cum === burnOf.values.count(_ <= b).toLong, s"batch $b cumulative")
+      assert(ni === nItems && share === cum.toDouble / nItems, s"batch $b share")
+    }
+    // the drift's endpoint IS q349's burned count — same definition of burn
+    assert(rows.last._3 ===
+      Curation.burnedEvalItems(spark, sf).collect().count(_.getBoolean(4)).toLong,
+      "cumulative endpoint reconciles q349")
+    assert(rows.last._3 > 0, "fixture must burn at least one item")
+  }
+
   test("doc_tokens census is paid once per session and shared across the tier") {
     // verdict item 1's attribution gate: the per-doc token projection was
     // recomputed at ~19 sites; now q313/q338 (and the whole mix tier) ride

@@ -386,7 +386,11 @@ class PlanSpec extends SparkSpec {
         TrainingMix.epochAccounting(spark, sf),
         TrainingMix.poolMix(spark, sf),
         Curation.evalSaturation(spark, sf),
-        Curation.burnedEvalItems(spark, sf))) {
+        Curation.burnedEvalItems(spark, sf),
+        // burnDrift's cumulative window runs on the 8-row batch aggregate
+        // (the familyDrift exemption); the card is six broadcast cross joins
+        Curation.burnDrift(spark, sf),
+        ReportCard.releaseReadiness(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
