@@ -386,6 +386,7 @@ object SparkEntry {
     "q350_burn_stream"     -> ((s, d) => graft.streaming.ScoreStream.burnMonitorAvailableNow(s, d)),
     "q351_release_card"    -> ((s, d) => graft.ops.ReportCard.releaseReadiness(s, d)),
     "q352_burn_drift"      -> ((s, d) => graft.ops.Curation.burnDrift(s, d)),
+    "q353_pool_ablation"   -> ((s, d) => graft.ops.TrainingMix.poolAblation(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -5827,6 +5828,53 @@ object SparkEntry {
         |  CAST(sum(coalesce(b.n_burned, 0)) OVER (ORDER BY sp.batch) AS DOUBLE)
         |    / CAST(ni.n_items AS DOUBLE) AS cum_burned_share
         |FROM sp LEFT JOIN burned b USING (batch) CROSS JOIN ni""".stripMargin,
+
+    // q353: pool-gate ablation — each curation gate's marginal token price
+    // (the pool with that one gate removed, vs the full pool); removing
+    // the decontam gate re-admits contaminated TRAINING docs, never eval;
+    // ONE flag pass + a single 8-value aggregate in both engines
+    "q353_pool_ablation" ->
+      s"""WITH RECURSIVE $dupCcCtes,
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |v AS ($decontaminateOracle),
+         |$qualityScoreCtes,
+         |f AS (
+         |  SELECT CAST(len(regexp_split_to_array(trim(doc.text), '\\s+')) AS BIGINT) AS nt,
+         |    (lab.doc_id = lab.cluster_id) AS is_rep,
+         |    coalesce(NOT v.is_contaminated, false) AS is_clean,
+         |    (q.zq >= 0) AS keep,
+         |    CAST('0x' || substr(md5(doc.doc_id || ':eval_v1'), 1, 8) AS BIGINT)
+         |      % 1000 >= 200 AS is_train
+         |  FROM documents doc
+         |  JOIN lab ON doc.doc_id = lab.doc_id
+         |  LEFT JOIN v ON doc.doc_id = v.doc_id
+         |  JOIN qscore q ON doc.doc_id = q.doc_id),
+         |m AS (SELECT
+         |  CAST(sum(CASE WHEN is_rep AND is_clean AND keep THEN 1 ELSE 0 END) AS BIGINT) AS full_docs,
+         |  CAST(sum(CASE WHEN is_rep AND is_clean AND keep THEN nt ELSE 0 END) AS BIGINT) AS full_toks,
+         |  CAST(sum(CASE WHEN is_clean AND keep THEN 1 ELSE 0 END) AS BIGINT) AS nodedup_docs,
+         |  CAST(sum(CASE WHEN is_clean AND keep THEN nt ELSE 0 END) AS BIGINT) AS nodedup_toks,
+         |  CAST(sum(CASE WHEN is_rep AND is_clean THEN 1 ELSE 0 END) AS BIGINT) AS noquality_docs,
+         |  CAST(sum(CASE WHEN is_rep AND is_clean THEN nt ELSE 0 END) AS BIGINT) AS noquality_toks,
+         |  CAST(sum(CASE WHEN is_rep AND is_train AND keep THEN 1 ELSE 0 END) AS BIGINT) AS nodecontam_docs,
+         |  CAST(sum(CASE WHEN is_rep AND is_train AND keep THEN nt ELSE 0 END) AS BIGINT) AS nodecontam_toks
+         | FROM f)
+         |SELECT 'none' AS gate_removed, full_docs AS n_docs, full_toks AS pool_tokens,
+         |  CAST(0 AS BIGINT) AS extra_tokens,
+         |  CASE WHEN full_toks > 0 THEN CAST(0 AS DOUBLE) END AS extra_share
+         |FROM m
+         |UNION ALL SELECT 'dedup', nodedup_docs, nodedup_toks,
+         |  nodedup_toks - full_toks,
+         |  CASE WHEN full_toks > 0 THEN CAST(nodedup_toks - full_toks AS DOUBLE)
+         |    / CAST(full_toks AS DOUBLE) END FROM m
+         |UNION ALL SELECT 'quality', noquality_docs, noquality_toks,
+         |  noquality_toks - full_toks,
+         |  CASE WHEN full_toks > 0 THEN CAST(noquality_toks - full_toks AS DOUBLE)
+         |    / CAST(full_toks AS DOUBLE) END FROM m
+         |UNION ALL SELECT 'decontam', nodecontam_docs, nodecontam_toks,
+         |  nodecontam_toks - full_toks,
+         |  CASE WHEN full_toks > 0 THEN CAST(nodecontam_toks - full_toks AS DOUBLE)
+         |    / CAST(full_toks AS DOUBLE) END FROM m""".stripMargin,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

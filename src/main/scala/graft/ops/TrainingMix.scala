@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -366,6 +366,64 @@ object TrainingMix {
       Corpus.docTokens(spark, sfDir)
         .join(reps, "doc_id").join(clean, "doc_id").join(keeps, "doc_id")
         .select(col("source"), col("lang"), col("n_ws_toks").as("nt"))))
+  }
+
+  /** POOL-GATE ABLATION — which curation gate COSTS the most data: for each
+    * of [[poolMix]]'s three gates (q55 dedup representatives, q195 quality
+    * keep, q75 decontamination), the trainable pool with that ONE gate
+    * removed, beside the full pool — extra_tokens is the gate's MARGINAL
+    * price (what re-admitting its rejects would buy back), the number that
+    * decides which gate to revisit when the pool comes up short of the
+    * q335 budget. Removing the decontamination gate re-admits contaminated
+    * TRAINING docs but never the eval slice itself (eval documents are not
+    * trainable under any policy — documented, spec-pinned).
+    *
+    * Exactness: all counts/masses exact longs off one flag projection; one
+    * IEEE division per ablation row. Scale shape: ONE pass — the three
+    * gate flags join as narrow memoized/scan-speed frames onto the
+    * `doc_tokens` census, a single 8-value aggregate computes all four
+    * pools, and the 4-row output is literal projections of that one row
+    * (never four corpus scans).
+    */
+  def poolAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), "eval_v1") < 200
+    val reps = graft.ops.Graph.dupClusters(spark, sfDir)
+      .filter(col("is_representative"))
+      .select(col("doc_id"), lit(true).as("r"))
+    val verd = Curation.decontaminate(spark, sfDir)
+      .select(col("doc_id"), col("is_contaminated"))
+    val keeps = Curation.qualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("keep"))
+    val flags = Corpus.docTokens(spark, sfDir)
+      .join(reps, Seq("doc_id"), "left")
+      .join(verd, Seq("doc_id"), "left")
+      .join(keeps, Seq("doc_id"))
+      .select(col("n_ws_toks").as("nt"),
+        coalesce(col("r"), lit(false)).as("is_rep"),
+        coalesce(!col("is_contaminated"), lit(false)).as("is_clean"),
+        col("keep"), (!isEval).as("is_train"))
+    def arm(cond: Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"${tag}_docs"),
+      sum(when(cond, col("nt")).otherwise(0L)).as(s"${tag}_toks"))
+    val arms =
+      arm(col("is_rep") && col("is_clean") && col("keep"), "full") ++
+        arm(col("is_clean") && col("keep"), "nodedup") ++
+        arm(col("is_rep") && col("is_clean"), "noquality") ++
+        arm(col("is_rep") && col("is_train") && col("keep"), "nodecontam")
+    // one row, four consumers below — checkpoint so the corpus pass is paid once
+    val m = flags.agg(arms.head, arms.tail: _*).localCheckpoint(true)
+    def row(tag: String, label: String) =
+      m.select(lit(label).as("gate_removed"),
+        col(s"${tag}_docs").as("n_docs"),
+        col(s"${tag}_toks").as("pool_tokens"),
+        (col(s"${tag}_toks") - col("full_toks")).as("extra_tokens"),
+        when(col("full_toks") > 0L,
+          (col(s"${tag}_toks") - col("full_toks")).cast("double") /
+            col("full_toks").cast("double")).as("extra_share"))
+    row("full", "none")
+      .unionByName(row("nodedup", "dedup"))
+      .unionByName(row("noquality", "quality"))
+      .unionByName(row("nodecontam", "decontam"))
   }
 
   /** DATA-CONSTRAINED EPOCH ACCOUNTING — the one-row fresh-vs-repeat ledger

@@ -730,6 +730,50 @@ class AnalyticsSpec extends SparkSpec {
       "fixture must show the dedup/quality gates actually biting")
   }
 
+  test("pool ablation: arms recounted from independent gate flags; nesting holds") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.TrainingMix.poolAblation(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(rows.keySet === Set("none", "dedup", "quality", "decontam"))
+    // independent recompute of all three gates + token masses
+    val reps = Graph.dupClusters(spark, sf).filter(col("is_representative"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val verd = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val keeps = Curation.qualityClassifier(spark, sf).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.ops.TextAnalysis.qualityTokens.cast("long").as("nt"),
+        (Corpus.hashBucket(col("doc_id"), "eval_v1") < 200).as("ev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    def mass(cond: ((Long, Long, Boolean)) => Boolean) = {
+      val sel = docs.filter(cond)
+      (sel.length.toLong, sel.map(_._2).sum)
+    }
+    def clean(id: Long) = verd.get(id).contains(false)
+    val full = mass(d => reps(d._1) && clean(d._1) && keeps(d._1))
+    val expect = Map(
+      "none" -> full,
+      "dedup" -> mass(d => clean(d._1) && keeps(d._1)),
+      "quality" -> mass(d => reps(d._1) && clean(d._1)),
+      "decontam" -> mass(d => reps(d._1) && !d._3 && keeps(d._1)))
+    expect.foreach { case (g, (nd, nt)) =>
+      val (rd, rt, extra, share) = rows(g)
+      assert((rd, rt) === ((nd, nt)), s"$g census")
+      assert(extra === nt - full._2 && extra >= 0L, s"$g marginal price")
+      assert(share.contains((nt - full._2).toDouble / full._2), s"$g share")
+    }
+    // 'none' row equals q347's pool, column for column
+    val pool = graft.ops.TrainingMix.poolMix(spark, sf).collect()
+    assert(rows("none")._1 === pool.map(_.getLong(2)).sum &&
+      rows("none")._2 === pool.map(_.getLong(3)).sum,
+      "full pool reconciles q347")
+    assert(expect.values.map(_._2).max > full._2,
+      "fixture must show at least one gate with a real marginal price")
+  }
+
   test("epoch accounting: ledger recounted from q339's own cells") {
     val sf = "/root/testdata/sf0.001"
     val cells = graft.ops.TrainingMix.mixSampleEpochs(spark, sf).collect()

@@ -390,7 +390,8 @@ class PlanSpec extends SparkSpec {
         // burnDrift's cumulative window runs on the 8-row batch aggregate
         // (the familyDrift exemption); the card is six broadcast cross joins
         Curation.burnDrift(spark, sf),
-        ReportCard.releaseReadiness(spark, sf))) {
+        ReportCard.releaseReadiness(spark, sf),
+        TrainingMix.poolAblation(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
