@@ -156,17 +156,27 @@ class RegistrySpec extends AnyFunSuite {
         .findFirstMatchIn(json).map(_.group(1).toDouble).getOrElse(99.0)
       val memo = """"(q[0-9]+[a-z0-9_]*):[a-z0-9_+]+"""".r
         .findAllMatchIn(json).map(_.group(1)).toSet
-      (qs, load, memo)
+      // the PAYER set specifically: a query whose paid-status flips between
+      // artifacts moved because a different query now materializes the
+      // shared artifact (r17: adding q351 made it the passage_flags payer
+      // and q342 dropped 7.2 → 1.8 s as a pure rider — paid in one
+      // artifact, hit in the other, so plain memo-membership saw no change
+      // and mislabeled the move unexplained)
+      val paid = """"cache_paid":\[([^\]]*)\]""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+      val paidSet = """"(q[0-9]+[a-z0-9_]*):[a-z0-9_+]+"""".r
+        .findAllMatchIn(paid).map(_.group(1)).toSet
+      (qs, load, memo, paidSet)
     }
-    val (newQ, newLoad, newMemo) = parse(sameOrder(0)._4)
-    val (oldQ, oldLoad, oldMemo) = parse(sameOrder(1)._4)
+    val (newQ, newLoad, newMemo, newPaid) = parse(sameOrder(0)._4)
+    val (oldQ, oldLoad, oldMemo, oldPaid) = parse(sameOrder(1)._4)
     // a loaded machine inflates arbitrary queries; attribution needs quiet runs
     assume(newLoad < 1.5 && oldLoad < 1.5,
       s"contended artifact (load_before $oldLoad -> $newLoad) — movers not attributable")
     val movers = newQ.keySet.intersect(oldQ.keySet).toSeq.sorted.flatMap { q =>
       val (a, b) = (oldQ(q), newQ(q))
       val moved = math.min(a, b) >= 1.0 && (b > 2 * a || a > 2 * b)
-      val explained = newMemo(q) != oldMemo(q)
+      val explained = newMemo(q) != oldMemo(q) || newPaid(q) != oldPaid(q)
       if (moved && !explained) Some(f"$q $a%.2f -> $b%.2f (${sameOrder(1)._3} -> ${sameOrder(0)._3})")
       else None
     }
