@@ -387,6 +387,7 @@ object SparkEntry {
     "q351_release_card"    -> ((s, d) => graft.ops.ReportCard.releaseReadiness(s, d)),
     "q352_burn_drift"      -> ((s, d) => graft.ops.Curation.burnDrift(s, d)),
     "q353_pool_ablation"   -> ((s, d) => graft.ops.TrainingMix.poolAblation(s, d)),
+    "q354_semantic_decontam" -> ((s, d) => graft.ops.Similarity.semanticDecontam(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -5875,6 +5876,34 @@ object SparkEntry {
          |  nodecontam_toks - full_toks,
          |  CASE WHEN full_toks > 0 THEN CAST(nodecontam_toks - full_toks AS DOUBLE)
          |    / CAST(full_toks AS DOUBLE) END FROM m""".stripMargin,
+
+    // q354: semantic decontamination — the third leak channel: each eval
+    // item's nearest TRAINING doc by exact cosine (q25's integer-scaled
+    // contract, ties to lowest id), the τ=0.4 semantic-match flag
+    // (calibrated to the synthetic 64-dim geometry — documented), and
+    // the paraphrase-leak verdict (match whose neighbor the gram filter
+    // cleared — what n-gram decontamination structurally cannot see)
+    "q354_semantic_decontam" ->
+      s"""WITH $scaledVecs,
+         |q AS (SELECT vec_id AS eval_id, svec AS qvec, norm2 AS qnorm2 FROM w
+         |      WHERE CAST('0x' || substr(md5(vec_id || ':eval_v1'), 1, 8) AS BIGINT)
+         |        % 1000 < 200),
+         |t AS (SELECT vec_id, svec, norm2 FROM w
+         |      WHERE CAST('0x' || substr(md5(vec_id || ':eval_v1'), 1, 8) AS BIGINT)
+         |        % 1000 >= 200),
+         |c AS (SELECT eval_id, vec_id,
+         |        ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |      FROM q, t),
+         |nn AS (SELECT eval_id, vec_id AS nn_train_id, cosine,
+         |         row_number() OVER (PARTITION BY eval_id
+         |           ORDER BY cosine DESC, vec_id ASC) AS rk
+         |       FROM c QUALIFY rk = 1),
+         |gv AS ($decontaminateOracle)
+         |SELECT nn.eval_id AS doc_id, nn.nn_train_id, nn.cosine,
+         |  nn.cosine >= 0.4 AS is_semantic_match,
+         |  gv.is_contaminated AS nn_gram_flagged,
+         |  nn.cosine >= 0.4 AND NOT gv.is_contaminated AS paraphrase_leak
+         |FROM nn JOIN gv ON nn.nn_train_id = gv.doc_id""".stripMargin,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

@@ -96,6 +96,58 @@ object Similarity {
         cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2")).as("cosine"))
   }
 
+  /** SEMANTIC DECONTAMINATION — the THIRD leak channel, after q75's exact
+    * grams and q343's near-dup families: for every EVAL item (the q75 hash
+    * slice, joined to its embedding), the nearest TRAINING document by
+    * exact cosine, a semantic-match flag (cosine ≥ τ — the default is
+    * calibrated to this corpus's synthetic embedding geometry, where
+    * 64-dim near-uniform vectors concentrate NN cosines around ~0.36 and
+    * ≥0.4 marks the planted-similarity tail; real text embedders sit far
+    * higher and deploy with τ ≈ 0.9, the knob a caller owns), whether the
+    * gram check already flags that neighbor, and the PARAPHRASE-LEAK verdict —
+    * a semantic match whose neighbor the gram filter cleared, i.e. the
+    * reworded benchmark content n-gram decontamination structurally cannot
+    * see (the SemDeDup-style argument applied to eval integrity). Read
+    * beside q348/q349: grams say how much verbatim text leaked; this says
+    * what leaked in MEANING.
+    *
+    * Exactness: the cosine is the engine's integer-scaled machinery
+    * (exact int64 dot products into one sqrt/division — bit-identical
+    * cross-engine, the q25 contract), so the τ comparison is deterministic;
+    * ties on cosine break to the lowest neighbor id. Scale shape: the eval
+    * side broadcasts over one training-side scan + a per-eval top-1 window
+    * — the gated exact arm; at corpus scale the same query rides the IVF
+    * index (q36/q296 chain) with this arm as its recall oracle, the
+    * documented ANN-tier convention.
+    */
+  def semanticDecontam(spark: SparkSession, sfDir: String,
+      evalPermille: Int = 200, salt: String = "eval_v1",
+      tau: Double = 0.4): DataFrame = {
+    val isEval = Corpus.hashBucket(col("vec_id"), salt) < evalPermille
+    val vecs = withScaled(Tables.embeddings(spark, sfDir))
+    val q = vecs.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("svec").as("qvec"),
+        col("norm2").as("qnorm2"))
+    val train = vecs.filter(!isEval)
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val nn = broadcast(q).join(train)
+      .select(col("eval_id"),	col("vec_id"),
+        cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    val verd = Curation.decontaminate(spark, sfDir)
+      .select(col("doc_id").as("nn_train_id"),
+        col("is_contaminated").as("nn_gram_flagged"))
+    nn.select(col("eval_id").as("doc_id"), col("vec_id").as("nn_train_id"),
+        col("cosine"))
+      .join(verd, "nn_train_id")
+      .select(col("doc_id"), col("nn_train_id"), col("cosine"),
+        (col("cosine") >= tau).as("is_semantic_match"),
+        col("nn_gram_flagged"),
+        (col("cosine") >= tau && !col("nn_gram_flagged")).as("paraphrase_leak"))
+  }
+
   /** Sign-LSH bucket key: bit i set iff component i+1 is non-negative. */
   private def signBucket(vec: Column, bits: Int): Column =
     (0 until bits).map { i =>

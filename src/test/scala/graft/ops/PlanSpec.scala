@@ -391,7 +391,9 @@ class PlanSpec extends SparkSpec {
         // (the familyDrift exemption); the card is six broadcast cross joins
         Curation.burnDrift(spark, sf),
         ReportCard.releaseReadiness(spark, sf),
-        TrainingMix.poolAblation(spark, sf))) {
+        TrainingMix.poolAblation(spark, sf),
+        // q354's per-eval top-1 window partitions by eval_id (never global)
+        Similarity.semanticDecontam(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }

@@ -13,6 +13,43 @@ class SimilaritySpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("semantic decontam: NN recounted from exact cosines; flags compose q75's verdicts") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val rows = Similarity.semanticDecontam(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    // exact-cosine recount on the scaled integer vectors
+    val vecs = Similarity.scaledVecs(spark, sf)
+      .select("vec_id", "svec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val isEval = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"))
+      .filter(Corpus.hashBucket(col("vec_id"), "eval_v1") < 200)
+      .collect().map(_.getLong(0)).toSet
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val (ev, tr) = vecs.partition(v => isEval(v._1))
+    assert(rows.keySet === ev.map(_._1).toSet, "one row per eval embedding")
+    val verd = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    ev.foreach { case (id, qv) =>
+      val best = tr.map { case (tid, tv) => (tid, cos(qv, tv)) }
+        .minBy { case (tid, c) => (-c, tid) }
+      val (nn, c, m, gf, pl) = rows(id)
+      assert(nn === best._1 && c === best._2, s"eval $id nearest neighbor")
+      assert(m === (c >= 0.4) && gf === verd(nn) && pl === (m && !gf), s"eval $id flags")
+    }
+    assert(rows.values.exists(_._3) && rows.values.exists(!_._3),
+      "fixture must exercise both sides of the τ cut")
+    assert(rows.values.exists(_._5), "fixture must show a paraphrase leak")
+    assert(rows.values.exists(v => v._3 && v._4),
+      "fixture must show a semantic match the gram check ALSO caught")
+  }
+
   test("kmeans stopped after one iteration reproduces kmeansStep's reassignment") {
     val step = Similarity.kmeansStep(spark, sf)
       .select(col("vec_id"), col("cell1").as("cell"))
