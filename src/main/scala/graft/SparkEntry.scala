@@ -388,6 +388,9 @@ object SparkEntry {
     "q352_burn_drift"      -> ((s, d) => graft.ops.Curation.burnDrift(s, d)),
     "q353_pool_ablation"   -> ((s, d) => graft.ops.TrainingMix.poolAblation(s, d)),
     "q354_semantic_decontam" -> ((s, d) => graft.ops.Similarity.semanticDecontam(s, d)),
+    "q355_semantic_stream" -> ((s, d) => graft.streaming.ScoreStream.semanticDecontamAvailableNow(s, d)),
+    "q356_semantic_ivf"    -> ((s, d) => graft.ops.Similarity.semanticDecontamIvf(s, d)),
+    "q357_semantic_by_source" -> ((s, d) => graft.ops.Similarity.semanticLeakBySource(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -868,6 +871,34 @@ object SparkEntry {
       |  count(e.gram) > 0 AS is_flagged
       |FROM pg LEFT JOIN e ON pg.gram = e.gram
       |GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB twin of Similarity.semanticDecontam — q354's embedding-channel
+    * leak audit, SHARED VERBATIM with the streaming monitor q355 (the 12th
+    * batch/stream parity pair): exact integer-scaled cosine NN per eval
+    * item (ties to lowest id), τ=0.4 match flag, gram-verdict join,
+    * paraphrase-leak verdict.
+    */
+  private lazy val semanticDecontamOracle: String =
+    s"""WITH $scaledVecs,
+       |q AS (SELECT vec_id AS eval_id, svec AS qvec, norm2 AS qnorm2 FROM w
+       |      WHERE CAST('0x' || substr(md5(vec_id || ':eval_v1'), 1, 8) AS BIGINT)
+       |        % 1000 < 200),
+       |t AS (SELECT vec_id, svec, norm2 FROM w
+       |      WHERE CAST('0x' || substr(md5(vec_id || ':eval_v1'), 1, 8) AS BIGINT)
+       |        % 1000 >= 200),
+       |c AS (SELECT eval_id, vec_id,
+       |        ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+       |      FROM q, t),
+       |nn AS (SELECT eval_id, vec_id AS nn_train_id, cosine,
+       |         row_number() OVER (PARTITION BY eval_id
+       |           ORDER BY cosine DESC, vec_id ASC) AS rk
+       |       FROM c QUALIFY rk = 1),
+       |gv AS ($decontaminateOracle)
+       |SELECT nn.eval_id AS doc_id, nn.nn_train_id, nn.cosine,
+       |  nn.cosine >= 0.4 AS is_semantic_match,
+       |  gv.is_contaminated AS nn_gram_flagged,
+       |  nn.cosine >= 0.4 AND NOT gv.is_contaminated AS paraphrase_leak
+       |FROM nn JOIN gv ON nn.nn_train_id = gv.doc_id""".stripMargin
 
   /** DuckDB twin of TrainingMix.mixSampleEpochs — q339's table, aggregated
     * verbatim by q345's accounting row.
@@ -5759,10 +5790,11 @@ object SparkEntry {
     "q349_burned_items" -> burnedItemsOracle,
     "q350_burn_stream" -> burnedItemsOracle,
 
-    // q351: release-readiness card — one row composing six already-gated
+    // q351: release-readiness card — one row composing seven already-gated
     // audits (volume, dedup savings, contamination + rescue, benchmark
-    // saturation, burned items, trainable-pool mix); each arm is the
-    // corresponding oracle val verbatim as a derived table
+    // saturation, burned items, trainable-pool mix, and r17's semantic
+    // channel); each arm is the corresponding oracle val verbatim as a
+    // derived table
     "q351_release_card" ->
       s"""SELECT c.n_docs, c.raw_tokens, d.n_reps,
          |  d.token_savings AS dedup_token_savings,
@@ -5770,7 +5802,8 @@ object SparkEntry {
          |  CAST(s.n_docs_flagged AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
          |    AS contamination_rate,
          |  s.tokens_rescued_share, g.leaked_gram_share,
-         |  b.n_burned_items, p.pool_tokens, p.mix_infeasible_cells
+         |  b.n_burned_items, p.pool_tokens, p.mix_infeasible_cells,
+         |  m.n_semantic_matches, m.n_paraphrase_leaks
          |FROM (
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
@@ -5787,7 +5820,13 @@ object SparkEntry {
          |CROSS JOIN (SELECT CAST(sum(avail_tokens) AS BIGINT) AS pool_tokens,
          |              CAST(sum(CASE WHEN NOT feasible THEN 1 ELSE 0 END) AS BIGINT)
          |                AS mix_infeasible_cells
-         |            FROM ($poolMixOracle) v) p""".stripMargin,
+         |            FROM ($poolMixOracle) v) p
+         |CROSS JOIN (SELECT
+         |              CAST(sum(CASE WHEN is_semantic_match THEN 1 ELSE 0 END) AS BIGINT)
+         |                AS n_semantic_matches,
+         |              CAST(sum(CASE WHEN paraphrase_leak THEN 1 ELSE 0 END) AS BIGINT)
+         |                AS n_paraphrase_leaks
+         |            FROM ($semanticDecontamOracle) u) m""".stripMargin,
 
     // q352: benchmark burn drift — when each eval item died, by crawl
     // batch: a gram arrives at its min train batch, an item burns at the
@@ -5883,27 +5922,72 @@ object SparkEntry {
     // (calibrated to the synthetic 64-dim geometry — documented), and
     // the paraphrase-leak verdict (match whose neighbor the gram filter
     // cleared — what n-gram decontamination structurally cannot see)
-    "q354_semantic_decontam" ->
+    "q354_semantic_decontam" -> semanticDecontamOracle,
+
+    // q355: streaming semantic-decontamination monitor — q354's audit live
+    // over an arriving training corpus; state = one running top-1 per eval
+    // item; oracle SHARED VERBATIM with q354 (12th batch/stream parity pair)
+    "q355_semantic_stream" -> semanticDecontamOracle,
+
+    // q356: semantic decontamination on the IVF index (nprobe=1) beside the
+    // exact arm — per eval item: both NNs, whether the index recalled the
+    // true neighbor, and whether the cheap verdict agrees; the exact arm is
+    // embedded VERBATIM so the comparison can never drift from q354
+    "q356_semantic_ivf" ->
       s"""WITH $scaledVecs,
-         |q AS (SELECT vec_id AS eval_id, svec AS qvec, norm2 AS qnorm2 FROM w
+         |c AS (SELECT vec_id AS cent_id, svec AS cvec, norm2 AS cnorm2 FROM w WHERE vec_id < 16),
+         |ac AS (SELECT w.vec_id, w.svec, w.norm2, c.cent_id,
+         |         row_number() OVER (PARTITION BY w.vec_id
+         |           ORDER BY ${cosine("w.svec", "cvec", "w.norm2", "cnorm2")} DESC, c.cent_id ASC) AS rn
+         |       FROM w CROSS JOIN c),
+         |asg AS (SELECT vec_id, svec, norm2, cent_id AS cell FROM ac WHERE rn = 1),
+         |q AS (SELECT vec_id AS eval_id, svec AS qvec, norm2 AS qnorm2, cell AS qcell
+         |      FROM asg
          |      WHERE CAST('0x' || substr(md5(vec_id || ':eval_v1'), 1, 8) AS BIGINT)
          |        % 1000 < 200),
-         |t AS (SELECT vec_id, svec, norm2 FROM w
+         |t AS (SELECT vec_id, svec, norm2, cell FROM asg
          |      WHERE CAST('0x' || substr(md5(vec_id || ':eval_v1'), 1, 8) AS BIGINT)
          |        % 1000 >= 200),
-         |c AS (SELECT eval_id, vec_id,
-         |        ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
-         |      FROM q, t),
-         |nn AS (SELECT eval_id, vec_id AS nn_train_id, cosine,
-         |         row_number() OVER (PARTITION BY eval_id
-         |           ORDER BY cosine DESC, vec_id ASC) AS rk
-         |       FROM c QUALIFY rk = 1),
-         |gv AS ($decontaminateOracle)
-         |SELECT nn.eval_id AS doc_id, nn.nn_train_id, nn.cosine,
-         |  nn.cosine >= 0.4 AS is_semantic_match,
-         |  gv.is_contaminated AS nn_gram_flagged,
-         |  nn.cosine >= 0.4 AND NOT gv.is_contaminated AS paraphrase_leak
-         |FROM nn JOIN gv ON nn.nn_train_id = gv.doc_id""".stripMargin,
+         |cand AS (SELECT eval_id, vec_id,
+         |           ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+         |         FROM q JOIN t ON qcell = cell),
+         |inn AS (SELECT eval_id, vec_id AS ivf_nn_id, cosine AS ivf_cosine,
+         |          row_number() OVER (PARTITION BY eval_id
+         |            ORDER BY cosine DESC, vec_id ASC) AS rk
+         |        FROM cand QUALIFY rk = 1),
+         |ex AS ($semanticDecontamOracle)
+         |SELECT ex.doc_id, ex.nn_train_id AS exact_nn_id,
+         |  ex.cosine AS exact_cosine, ex.is_semantic_match AS exact_match,
+         |  inn.ivf_nn_id, inn.ivf_cosine,
+         |  coalesce(inn.ivf_nn_id = ex.nn_train_id, false) AS nn_recalled,
+         |  coalesce(inn.ivf_cosine >= 0.4, false) = ex.is_semantic_match AS verdict_agrees
+         |FROM ex LEFT JOIN inn ON ex.doc_id = inn.eval_id""".stripMargin,
+
+    // q357: semantic leak by source — q354's verdicts rolled to the feed
+    // that supplied each eval item's NN (q338's drop-the-feed triage for
+    // the paraphrase channel); static source spine so zero-hit feeds
+    // surface; exact arm embedded VERBATIM
+    "q357_semantic_by_source" ->
+      s"""WITH ex AS ($semanticDecontamOracle),
+         |a AS (SELECT d.source,
+         |        CAST(count(DISTINCT ex.nn_train_id) AS BIGINT) AS n_nn_docs,
+         |        CAST(count(*) AS BIGINT) AS n_eval_hits,
+         |        CAST(sum(CASE WHEN ex.is_semantic_match THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_semantic_matches,
+         |        CAST(sum(CASE WHEN ex.paraphrase_leak THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_paraphrase_leaks
+         |      FROM ex JOIN documents d ON ex.nn_train_id = d.doc_id
+         |      GROUP BY 1)
+         |SELECT s.source,
+         |  CAST(coalesce(a.n_nn_docs, 0) AS BIGINT) AS n_nn_docs,
+         |  CAST(coalesce(a.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+         |  CAST(coalesce(a.n_semantic_matches, 0) AS BIGINT) AS n_semantic_matches,
+         |  CAST(coalesce(a.n_paraphrase_leaks, 0) AS BIGINT) AS n_paraphrase_leaks,
+         |  CASE WHEN coalesce(a.n_eval_hits, 0) > 0
+         |    THEN CAST(a.n_paraphrase_leaks AS DOUBLE) / CAST(a.n_eval_hits AS DOUBLE)
+         |  END AS paraphrase_share
+         |FROM (SELECT DISTINCT source FROM documents) s
+         |LEFT JOIN a USING (source)""".stripMargin,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

@@ -54,9 +54,17 @@ object ReportCard {
     val pool = TrainingMix.poolMix(spark, sfDir)
       .agg(sum(col("avail_tokens")).as("pool_tokens"),
         sum(when(!col("feasible"), 1L).otherwise(0L)).as("mix_infeasible_cells"))
+    // the semantic channel (q354, r17): how many eval items have a
+    // τ-matched training neighbor, and how many of those the gram filter
+    // MISSED — the leak n-gram decontamination structurally cannot see
+    val sem = Similarity.semanticDecontam(spark, sfDir)
+      .agg(sum(when(col("is_semantic_match"), 1L).otherwise(0L))
+          .as("n_semantic_matches"),
+        sum(when(col("paraphrase_leak"), 1L).otherwise(0L))
+          .as("n_paraphrase_leaks"))
     corpus.crossJoin(broadcast(ded)).crossJoin(broadcast(sav))
       .crossJoin(broadcast(sat)).crossJoin(broadcast(burn))
-      .crossJoin(broadcast(pool))
+      .crossJoin(broadcast(pool)).crossJoin(broadcast(sem))
   }
 
   def sourceReportCard(spark: SparkSession, sfDir: String): DataFrame = {

@@ -55,7 +55,7 @@ object Similarity {
   private[graft] def scaledVecs(spark: SparkSession, sfDir: String): DataFrame =
     withScaled(Tables.embeddings(spark, sfDir))
 
-  private def withScaled(df: DataFrame): DataFrame =
+  private[graft] def withScaled(df: DataFrame): DataFrame =
     df.select(
       col("vec_id"),
       scaled(col("embedding")).as("svec"))
@@ -136,16 +136,119 @@ object Similarity {
         cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
+      .select(col("eval_id").as("doc_id"), col("vec_id").as("nn_train_id"),
+        col("cosine"))
+    semanticFlagsFromNN(spark, sfDir, nn, tau)
+  }
+
+  /** The q354 FINISHER, shared verbatim with the streaming monitor
+    * ([[graft.streaming.ScoreStream.semanticDecontamAvailableNow]], q355):
+    * given the per-eval nearest-training-neighbor frame (doc_id,
+    * nn_train_id, cosine), join the gram verdicts (the memoized q75
+    * artifact) and emit the τ-match / gram-flag / paraphrase-leak columns.
+    * Living in ONE place is what makes the batch/stream hash-parity an
+    * identity rather than a coincidence.
+    */
+  private[graft] def semanticFlagsFromNN(spark: SparkSession, sfDir: String,
+      nn: DataFrame, tau: Double): DataFrame = {
     val verd = Curation.decontaminate(spark, sfDir)
       .select(col("doc_id").as("nn_train_id"),
         col("is_contaminated").as("nn_gram_flagged"))
-    nn.select(col("eval_id").as("doc_id"), col("vec_id").as("nn_train_id"),
-        col("cosine"))
-      .join(verd, "nn_train_id")
+    nn.join(verd, "nn_train_id")
       .select(col("doc_id"), col("nn_train_id"), col("cosine"),
         (col("cosine") >= tau).as("is_semantic_match"),
         col("nn_gram_flagged"),
         (col("cosine") >= tau && !col("nn_gram_flagged")).as("paraphrase_leak"))
+  }
+
+  /** SEMANTIC DECONTAMINATION, IVF ARM — q354's audit on the index a 100 TB
+    * deployment would actually run: eval items search only their own IVF
+    * cell (the q36 inverted-file shape — candidates drop from |corpus| to
+    * ~|corpus|/nCentroids per item), and every approximate verdict is laid
+    * beside the exact arm's: the per-item nearest neighbor both ways,
+    * whether the index RECALLED the true neighbor, and whether the cheap
+    * verdict AGREES with the exact one — the tuning instrument that decides
+    * if nprobe=1 is safe for release gating or the audit must pay for
+    * probes (the q296/q320 ANN-tier convention, applied to the newest
+    * channel). An eval item whose cell holds no training vector keeps its
+    * row with NULL ivf columns and nn_recalled=false (the q315
+    * empty-stratum lesson — the left join is from the exact arm's spine, so
+    * the audit can never silently drop an item).
+    *
+    * Invariant the spec pins: ivf_cosine ≤ exact_cosine always (the exact
+    * arm maximizes over a superset), so verdict disagreement is one-sided —
+    * the index can only MISS semantic matches, never invent them.
+    */
+  def semanticDecontamIvf(spark: SparkSession, sfDir: String,
+      nCentroids: Int = 16, evalPermille: Int = 200, salt: String = "eval_v1",
+      tau: Double = 0.4): DataFrame = {
+    val isEval = Corpus.hashBucket(col("vec_id"), salt) < evalPermille
+    val assigned = ivfAssigned(spark, sfDir, nCentroids)
+    val q = assigned.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("svec").as("qvec"),
+        col("norm2").as("qnorm2"), col("cell").as("qcell"))
+    val train = assigned.filter(!isEval)
+    val w = Window.partitionBy(col("eval_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val ivfNn = broadcast(q).join(train, col("qcell") === col("cell"))
+      .select(col("eval_id"), col("vec_id"),
+        cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("vec_id").as("ivf_nn_id"),
+        col("cosine").as("ivf_cosine"))
+    val exact = semanticDecontam(spark, sfDir, evalPermille, salt, tau)
+      .select(col("doc_id").as("eval_id"),
+        col("nn_train_id").as("exact_nn_id"), col("cosine").as("exact_cosine"),
+        col("is_semantic_match").as("exact_match"))
+    exact.join(ivfNn, Seq("eval_id"), "left")
+      .select(col("eval_id").as("doc_id"), col("exact_nn_id"),
+        col("exact_cosine"), col("exact_match"),
+        col("ivf_nn_id"), col("ivf_cosine"),
+        coalesce(col("ivf_nn_id") === col("exact_nn_id"), lit(false))
+          .as("nn_recalled"),
+        (coalesce(col("ivf_cosine") >= lit(tau), lit(false)) === col("exact_match"))
+          .as("verdict_agrees"))
+  }
+
+  /** SEMANTIC LEAK BY SOURCE — the drop-the-feed triage (q338's shape) for
+    * the PARAPHRASE channel: q354's per-eval verdicts rolled to the feed
+    * that supplied the nearest neighbor — per training source, how many
+    * eval items resolve their NN into it, how many of those are τ-matches,
+    * and how many are paraphrase leaks the gram filter missed. A feed with
+    * a high paraphrase share is rewording benchmark content (or the
+    * benchmark was built from it) — the crawl owner's actionable unit,
+    * exactly like q338's gram-channel rollup. Sources no eval NN lands in
+    * keep a zero row off a static source spine (the q315 shape).
+    *
+    * Scale shape: the audit rides q354 verbatim (|eval| rows), the source
+    * lookup is one narrow doc_id→source join, the rollup one |sources|-row
+    * aggregate — cost is q354's plus epsilon.
+    */
+  def semanticLeakBySource(spark: SparkSession, sfDir: String,
+      evalPermille: Int = 200, salt: String = "eval_v1",
+      tau: Double = 0.4): DataFrame = {
+    val sem = semanticDecontam(spark, sfDir, evalPermille, salt, tau)
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("nn_train_id"), col("source"))
+    val agg = sem.join(src, "nn_train_id")
+      .groupBy(col("source"))
+      .agg(count_distinct(col("nn_train_id")).as("n_nn_docs"),
+        count(lit(1)).as("n_eval_hits"),
+        sum(when(col("is_semantic_match"), 1L).otherwise(0L))
+          .as("n_semantic_matches"),
+        sum(when(col("paraphrase_leak"), 1L).otherwise(0L))
+          .as("n_paraphrase_leaks"))
+    val spine = Tables.documents(spark, sfDir).select(col("source")).distinct()
+    spine.join(agg, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_nn_docs"), lit(0L)).as("n_nn_docs"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("n_semantic_matches"), lit(0L)).as("n_semantic_matches"),
+        coalesce(col("n_paraphrase_leaks"), lit(0L)).as("n_paraphrase_leaks"),
+        when(coalesce(col("n_eval_hits"), lit(0L)) > 0L,
+          coalesce(col("n_paraphrase_leaks"), lit(0L)).cast("double") /
+            col("n_eval_hits").cast("double")).as("paraphrase_share"))
   }
 
   /** Sign-LSH bucket key: bit i set iff component i+1 is non-negative. */

@@ -309,4 +309,76 @@ object ScoreStream {
       .localCheckpoint(true)
     graft.ops.TrainingMix.domainMixFromCells(finalCells)
   }
+
+  private val embsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    StructField("label", org.apache.spark.sql.types.IntegerType)))
+
+  /** Stable per-SF directory copy of the embeddings table for the streaming
+    * file source (the [[docsDir]] pattern), timed as staging.
+    */
+  private[streaming] def embsDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val dest = s"/root/repo/target/tmp/embs/$sfName"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS"))) {
+      graft.core.StagingClock.timed {
+        graft.core.Tables.embeddings(spark, sfDir)
+          .write.mode("overwrite").parquet(dest)
+      }
+    }
+    dest
+  }
+
+  /** STREAMING SEMANTIC-DECONTAMINATION MONITOR — q354's embedding-channel
+    * leak audit live over an arriving TRAINING corpus (the TWELFTH
+    * batch/stream parity instance): the eval items' scaled vectors are a
+    * FIXED static broadcast relation (a benchmark suite changes by release,
+    * not by event — the q316 shape), each arriving training vector scores
+    * against every eval item with the SAME integer-scaled native cosine as
+    * the batch audit ([[graft.functions.CosineSimExpr]], bit-identical
+    * doubles), and the ONLY state kept is one running top-1 per eval item —
+    * |eval| rows of (best cosine, best neighbor), the tightest possible
+    * bound: a 100 TB crawl monitors against kilobytes of benchmark state.
+    *
+    * The running top-1 is `max(struct(cosine, -vec_id))` — a MONOTONE
+    * accumulator (a struct max only ever grows under update-mode
+    * re-emission, the q246 argument), whose field order encodes exactly the
+    * batch window's tie-break (`ORDER BY cosine DESC, vec_id ASC`): highest
+    * cosine first, then highest −id = lowest id. The τ-match / gram-flag /
+    * paraphrase-leak arithmetic runs batch-side on the drained winners
+    * through [[graft.ops.Similarity.semanticFlagsFromNN]] — the identical
+    * finisher — so the query is hash-gated against q354's oracle SHARED
+    * VERBATIM. This is the release-integrity tripwire: the moment a crawl
+    * absorbs a paraphrase of a benchmark item, its eval_id's row flips to
+    * paraphrase_leak=true — months before a post-hoc audit would run.
+    */
+  def semanticDecontamAvailableNow(spark: SparkSession, sfDir: String,
+      evalPermille: Int = 200, salt: String = "eval_v1",
+      tau: Double = 0.4): DataFrame = {
+    val isEval = graft.ops.Corpus.hashBucket(col("vec_id"), salt) < evalPermille
+    val evalSide = graft.ops.Similarity.scaledVecs(spark, sfDir)
+      .filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("svec").as("qvec"),
+        lit(1).as("one"))
+    val train = graft.ops.Similarity.withScaled(
+        spark.readStream.schema(embsSchema).parquet(embsDir(spark, sfDir))
+          .filter(!isEval))
+      .withColumn("one", lit(1))
+    val best = train.join(broadcast(evalSide), Seq("one"))
+      .select(col("eval_id"),
+        struct(
+          graft.functions.CosineSimExpr(col("qvec"), col("svec")).as("c"),
+          (-col("vec_id")).as("nid")).as("cand"))
+      .groupBy(col("eval_id"))
+      .agg(max(col("cand")).as("best"))
+    val drained = Drain.toMemoryTable(spark, best, "update", "graft_stream_semdecon")
+    val nn = drained.groupBy(col("eval_id"))
+      .agg(max(col("best")).as("best"))
+      .select(col("eval_id").as("doc_id"),
+        (-col("best.nid")).as("nn_train_id"),
+        col("best.c").as("cosine"))
+    graft.ops.Similarity.semanticFlagsFromNN(spark, sfDir, nn, tau)
+  }
 }

@@ -300,6 +300,12 @@ class CurationSpec extends SparkSpec {
     assert(card.getLong(10) === pool.map(_.getLong(3)).sum, "pool tokens = q347")
     assert(card.getLong(11) === pool.count(!_.getBoolean(8)).toLong,
       "infeasible cells = q347")
+    val sem = graft.ops.Similarity.semanticDecontam(spark, sf).collect()
+    assert(card.getLong(12) === sem.count(_.getBoolean(3)).toLong,
+      "semantic matches = q354")
+    assert(card.getLong(13) === sem.count(_.getBoolean(5)).toLong,
+      "paraphrase leaks = q354")
+    assert(card.getLong(13) > 0L, "fixture must surface the semantic channel")
   }
 
   test("burn drift: arrival batches recounted from raw grams; reconciles q349") {

@@ -393,7 +393,10 @@ class PlanSpec extends SparkSpec {
         ReportCard.releaseReadiness(spark, sf),
         TrainingMix.poolAblation(spark, sf),
         // q354's per-eval top-1 window partitions by eval_id (never global)
-        Similarity.semanticDecontam(spark, sf))) {
+        Similarity.semanticDecontam(spark, sf),
+        // q356's IVF arm joins on the cell key (equi-join, never cartesian)
+        Similarity.semanticDecontamIvf(spark, sf),
+        Similarity.semanticLeakBySource(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }

@@ -50,6 +50,95 @@ class SimilaritySpec extends SparkSpec {
       "fixture must show a semantic match the gram check ALSO caught")
   }
 
+  test("semantic decontam IVF arm: recounted from raw vectors; miss is one-sided") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val vecs = Similarity.scaledVecs(spark, sf)
+      .select("vec_id", "svec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val isEval = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"))
+      .filter(Corpus.hashBucket(col("vec_id"), "eval_v1") < 200)
+      .collect().map(_.getLong(0)).toSet
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    def recount(nCentroids: Int): Map[Long, Option[(Long, Double)]] = {
+      val cents = vecs.filter(_._1 < nCentroids)
+      val cell = vecs.map { case (id, v) =>
+        id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+          .minBy { case (cid, c) => (-c, cid) }._1
+      }.toMap
+      val byCell = vecs.filterNot(v => isEval(v._1)).groupBy(v => cell(v._1))
+      vecs.filter(v => isEval(v._1)).map { case (id, qv) =>
+        id -> byCell.get(cell(id)).map(_.map { case (tid, tv) => (tid, cos(qv, tv)) }
+          .minBy { case (tid, c) => (-c, tid) })
+      }.toMap
+    }
+    // default geometry (16 cells): every eval cell holds training vectors
+    val expected16 = recount(16)
+    val rows = Similarity.semanticDecontamIvf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === expected16.keySet, "exact-arm spine preserved")
+    rows.foreach { case (id, r) =>
+      val Some((nn, c)) = expected16(id)
+      assert(r.getLong(4) === nn && r.getDouble(5) === c, s"eval $id ivf NN")
+      // the one-sided invariant: the exact arm maximizes over a superset
+      assert(r.getDouble(5) <= r.getDouble(2), s"eval $id ivf_cosine > exact_cosine")
+      assert(r.getBoolean(6) === (nn == r.getLong(1)), s"eval $id nn_recalled")
+      assert(r.getBoolean(7) === ((c >= 0.4) == r.getBoolean(3)), s"eval $id verdict_agrees")
+    }
+    assert(rows.values.exists(_.getBoolean(6)) && rows.values.exists(!_.getBoolean(6)),
+      "fixture must exercise recalled and missed neighbors")
+    assert(rows.values.exists(!_.getBoolean(7)),
+      "fixture must show at least one verdict the cheap arm gets wrong")
+    // 64 cells: three eval items land in cells with NO training vector —
+    // the empty-cell shape keeps its row with NULL ivf columns (q315 lesson)
+    val expected64 = recount(64)
+    val rows64 = Similarity.semanticDecontamIvf(spark, sf, nCentroids = 64)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(expected64.values.count(_.isEmpty) === 3, "probe geometry drifted")
+    assert(rows64.keySet === expected64.keySet, "empty-cell rows must survive")
+    rows64.foreach { case (id, r) =>
+      expected64(id) match {
+        case Some((nn, c)) =>
+          assert(r.getLong(4) === nn && r.getDouble(5) === c, s"eval $id ivf NN @64")
+        case None =>
+          assert(r.isNullAt(4) && r.isNullAt(5), s"eval $id must have NULL ivf @64")
+          assert(!r.getBoolean(6), s"eval $id nn_recalled must be false @64")
+          assert(r.getBoolean(7) === !r.getBoolean(3), s"eval $id verdict @64")
+      }
+    }
+  }
+
+  test("semantic leak by source: rollup recounted from q354's own verdicts") {
+    val sf = "/root/testdata/sf0.001"
+    val sem = Similarity.semanticDecontam(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getBoolean(3), r.getBoolean(5)))
+    val srcOf = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allSources = srcOf.values.toSet
+    val rows = Similarity.semanticLeakBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === allSources, "static source spine must be complete")
+    allSources.foreach { s =>
+      val hits = sem.filter(t => srcOf(t._1) == s)
+      val r = rows(s)
+      assert(r.getLong(1) === hits.map(_._1).distinct.length.toLong, s"$s n_nn_docs")
+      assert(r.getLong(2) === hits.length.toLong, s"$s n_eval_hits")
+      assert(r.getLong(3) === hits.count(_._2).toLong, s"$s matches")
+      assert(r.getLong(4) === hits.count(_._3).toLong, s"$s leaks")
+      if (hits.nonEmpty)
+        assert(r.getDouble(5) === hits.count(_._3).toDouble / hits.length)
+      else assert(r.isNullAt(5), s"$s zero-hit share must be NULL")
+    }
+    assert(rows.values.exists(_.getLong(4) > 0L),
+      "fixture must show at least one feed carrying paraphrase leaks")
+  }
+
   test("kmeans stopped after one iteration reproduces kmeansStep's reassignment") {
     val step = Similarity.kmeansStep(spark, sf)
       .select(col("vec_id"), col("cell1").as("cell"))

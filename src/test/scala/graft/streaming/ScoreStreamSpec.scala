@@ -103,6 +103,26 @@ class ScoreStreamSpec extends SparkSpec {
     assert(stream === batch, "stream burn table diverged from batch")
   }
 
+  test("streaming semantic-decontamination monitor reproduces the batch audit row for row") {
+    // the TWELFTH batch/stream parity pair (q354 vs q355): the stream's
+    // running max(struct(cosine, -vec_id)) encodes exactly the batch
+    // window's ORDER BY cosine DESC, vec_id ASC tie-break, the cosine is
+    // the same native integer-scaled expression on both sides, and the
+    // finisher (semanticFlagsFromNN) is one shared function — so every
+    // neighbor id, cosine double and verdict bit must match.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5))
+    val batch = graft.ops.Similarity.semanticDecontam(spark, sf)
+      .orderBy("doc_id").collect().map(key).toSeq
+    val stream = ScoreStream.semanticDecontamAvailableNow(spark, sf)
+      .orderBy("doc_id").collect().map(key).toSeq
+    assert(batch.nonEmpty && batch.exists(_._6),
+      "fixture corpus must contain at least one paraphrase leak")
+    assert(stream === batch, "stream semantic audit diverged from batch")
+  }
+
   test("streaming domain-mix monitor reproduces the batch solver row for row") {
     // the EIGHTH batch/stream parity pair (q332 vs q337): same cell
     // expression tree, same solver arithmetic over the drained census —
