@@ -391,6 +391,9 @@ object SparkEntry {
     "q355_semantic_stream" -> ((s, d) => graft.streaming.ScoreStream.semanticDecontamAvailableNow(s, d)),
     "q356_semantic_ivf"    -> ((s, d) => graft.ops.Similarity.semanticDecontamIvf(s, d)),
     "q357_semantic_by_source" -> ((s, d) => graft.ops.Similarity.semanticLeakBySource(s, d)),
+    "q358_leak_spans"      -> ((s, d) => graft.ops.Curation.leakSpans(s, d)),
+    "q359_leak_severity"   -> ((s, d) => graft.ops.Curation.leakSeverityProfile(s, d)),
+    "q360_graduated_policy" -> ((s, d) => graft.ops.Curation.graduatedPolicy(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -871,6 +874,41 @@ object SparkEntry {
       |  count(e.gram) > 0 AS is_flagged
       |FROM pg LEFT JOIN e ON pg.gram = e.gram
       |GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB twin of Curation.leakSpans — q358's verdicts + longest
+    * consecutive-leak run (gaps-and-islands on positional gram hits),
+    * SHARED VERBATIM with q359's severity rollup.
+    */
+  private lazy val leakSpansOracle: String =
+    s"""WITH v AS ($decontaminateOracle),
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |e AS (
+       |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+       |      list_distinct(list_transform(range(1, len(toks) - 3),
+       |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+       |    ELSE [] END) AS gram
+       |  FROM d WHERE is_eval),
+       |s AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+       |      FROM d WHERE NOT is_eval AND len(toks) >= 5),
+       |g AS (SELECT doc_id, i,
+       |        md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS gram
+       |      FROM s),
+       |h AS (SELECT g.doc_id, g.i FROM g JOIN e USING (gram)),
+       |isl AS (SELECT doc_id,
+       |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM h),
+       |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
+       |mx AS (SELECT doc_id, max(run) AS longest FROM runs GROUP BY 1)
+       |SELECT v.doc_id, v.n_grams, v.n_hits,
+       |  CAST(coalesce(mx.longest, 0) AS BIGINT) AS longest_run_grams,
+       |  CAST(CASE WHEN coalesce(mx.longest, 0) > 0 THEN mx.longest + 4 ELSE 0 END AS BIGINT)
+       |    AS longest_span_tokens,
+       |  v.is_contaminated
+       |FROM v LEFT JOIN mx USING (doc_id)""".stripMargin
 
   /** DuckDB twin of Similarity.semanticDecontam — q354's embedding-channel
     * leak audit, SHARED VERBATIM with the streaming monitor q355 (the 12th
@@ -5988,6 +6026,83 @@ object SparkEntry {
          |  END AS paraphrase_share
          |FROM (SELECT DISTINCT source FROM documents) s
          |LEFT JOIN a USING (source)""".stripMargin,
+
+    // q358: leak-span severity — q75's verdicts plus the longest run of
+    // CONSECUTIVE leaked gram starts (gaps-and-islands on hit positions),
+    // in grams and tokens (run + n−1); totals ride the q75 oracle verbatim
+    "q358_leak_spans" -> leakSpansOracle,
+
+    // q359: leak-severity policy profile — q358 bucketed into the four
+    // policy classes (clean/quote/passage/wholesale) with exact token mass
+    // and corpus share; static 4-row spine; q358's oracle embedded VERBATIM
+    "q359_leak_severity" ->
+      s"""WITH ls AS ($leakSpansOracle),
+         |dt AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |           AS n_alpha_toks
+         |       FROM documents),
+         |j AS (SELECT ls.doc_id, ls.longest_run_grams, ls.longest_span_tokens,
+         |        dt.n_alpha_toks,
+         |        CASE WHEN ls.longest_run_grams = 0 THEN 'clean'
+         |             WHEN ls.longest_run_grams <= 8 THEN 'quote'
+         |             WHEN ls.longest_run_grams <= 32 THEN 'passage'
+         |             ELSE 'wholesale' END AS severity
+         |      FROM ls JOIN dt USING (doc_id)),
+         |a AS (SELECT severity, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_alpha_toks) AS BIGINT) AS total_tokens,
+         |        CAST(sum(longest_span_tokens) AS BIGINT) AS leaked_span_tokens
+         |      FROM j GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_alpha_toks) AS BIGINT) AS train_tokens FROM j)
+         |SELECT s.severity,
+         |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(a.total_tokens, 0) AS BIGINT) AS total_tokens,
+         |  CAST(coalesce(a.leaked_span_tokens, 0) AS BIGINT) AS leaked_span_tokens,
+         |  CASE WHEN t.train_tokens > 0
+         |    THEN CAST(coalesce(a.total_tokens, 0) AS DOUBLE) / CAST(t.train_tokens AS DOUBLE)
+         |  END AS token_share
+         |FROM (VALUES ('clean'), ('quote'), ('passage'), ('wholesale')) s(severity)
+         |LEFT JOIN a USING (severity) CROSS JOIN t""".stripMargin,
+
+    // q360: graduated decontamination policy — keep quotes, excise flagged
+    // passages of passage-class docs, drop wholesale docs; laid beside
+    // q334's two blunt arms on the same verdicts (q358 + passage oracles
+    // embedded VERBATIM, q334's min(w, len−w·p) span arithmetic)
+    "q360_graduated_policy" ->
+      s"""WITH ls AS ($leakSpansOracle),
+         |pdg AS ($passageDecontamOracle),
+         |dt AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |           AS n_toks
+         |       FROM documents),
+         |rem AS (SELECT pdg.doc_id,
+         |          CAST(sum(least(8, dt.n_toks - pdg.passage * 8)) AS BIGINT) AS removed
+         |        FROM pdg JOIN dt USING (doc_id) WHERE pdg.is_flagged GROUP BY 1),
+         |j AS (SELECT ls.doc_id, dt.n_toks, coalesce(rem.removed, 0) AS removed,
+         |        CASE WHEN ls.longest_run_grams = 0 THEN 'clean'
+         |             WHEN ls.longest_run_grams <= 8 THEN 'quote'
+         |             WHEN ls.longest_run_grams <= 32 THEN 'passage'
+         |             ELSE 'wholesale' END AS sev
+         |      FROM ls JOIN dt USING (doc_id) LEFT JOIN rem USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN sev = 'quote' THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
+         |  CAST(sum(CASE WHEN sev = 'passage' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_passage_class,
+         |  CAST(sum(CASE WHEN sev = 'wholesale' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_wholesale,
+         |  CAST(sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS BIGINT)
+         |    AS retained_doc_grain,
+         |  CAST(sum(n_toks) - sum(removed) AS BIGINT) AS retained_passage_grain,
+         |  CAST(sum(n_toks)
+         |    - sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
+         |    - sum(CASE WHEN sev = 'passage' THEN removed ELSE 0 END) AS BIGINT)
+         |    AS retained_graduated,
+         |  CAST(sum(n_toks)
+         |    - sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
+         |    - sum(CASE WHEN sev = 'passage' THEN removed ELSE 0 END)
+         |    - sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n_toks) AS DOUBLE) AS graduated_rescued_share
+         |FROM j""".stripMargin,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

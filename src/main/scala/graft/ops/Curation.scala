@@ -64,6 +64,58 @@ object Curation {
   private val decontamFlagsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** LEAK-SPAN SEVERITY — q75's verdict extended with HOW MUCH leaked
+    * verbatim: per contaminated training document, the longest run of
+    * CONSECUTIVE leaked grams, reported in grams and in tokens (a run of r
+    * consecutive n-gram starts covers r+n−1 tokens). This is the
+    * severity cut a decontamination policy acts on — a document that
+    * shares one 5-token window with the suite quotes a phrase; one
+    * sharing a 200-token span IS the benchmark item, and doc-drop vs
+    * passage-excise (q334) should treat them differently. The
+    * gaps-and-islands pass (hit position − rank = island key) runs only
+    * on LEAKED gram instances — the window's input is the leak mass,
+    * never the corpus — and the per-doc totals ride the memoized q75
+    * verdicts, so the marginal cost is one sparse window + one join.
+    *
+    * Grain note: n_grams/n_hits are q75's DISTINCT-gram counts (ridden
+    * verbatim from the memo); the run columns are POSITIONAL — a doc that
+    * repeats one leaked gram at three consecutive starts has n_hits = 1
+    * but longest_run_grams = 3, which is exactly the severity signal
+    * (verbatim repetition of leaked text). Identities the spec pins:
+    * longest_run ≥ 1 ⇔ is_contaminated (a distinct hit occupies at least
+    * one position and vice versa), longest_span_tokens = longest_run +
+    * n − 1 exactly when a leak exists (0 otherwise), and the recount of
+    * every island from raw token positions.
+    */
+  def leakSpans(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val docs = Tables.documents(spark, sfDir)
+    val evalGrams = docs.filter(isEval)
+      .select(explode(wordGrams(col("text"), n)).as("gram"))
+      .distinct()
+    val hitPos = docs.filter(!isEval)
+      .select(col("doc_id"), posexplode(posWordGrams(col("text"), n)))
+      .toDF("doc_id", "pos", "gram")
+      .join(evalGrams, Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = hitPos
+      .withColumn("grp", col("pos") - row_number().over(wRun))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("longest"))
+    decontaminate(spark, sfDir, n, evalPermille, salt)
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        coalesce(col("longest"), lit(0L)).as("longest_run_grams"),
+        when(coalesce(col("longest"), lit(0L)) > 0L,
+          col("longest") + lit((n - 1).toLong)).otherwise(lit(0L))
+          .as("longest_span_tokens"),
+        col("is_contaminated"))
+  }
+
   private def decontaminateCompute(spark: SparkSession, sfDir: String, n: Int,
       evalPermille: Int, salt: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
@@ -127,6 +179,50 @@ object Curation {
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** LEAK-SEVERITY POLICY PROFILE — [[leakSpans]] bucketed into the four
+    * classes a decontamination policy treats differently: `clean` (no leak),
+    * `quote` (longest run ≤ 8 grams — a shared phrase; keep, maybe cite),
+    * `passage` (≤ 32 grams — one leaked span; excise the passage, q334's
+    * remedy), `wholesale` (> 32 grams — the document contains the benchmark
+    * item; drop it). Per class: document count, exact training-token mass
+    * (riding the `doc_tokens` memo), the summed leaked-span tokens, and the
+    * class's share of training tokens — the one table that prices "drop vs
+    * excise vs ignore" before q334 commits to a policy corpus-wide. All
+    * four classes always surface via a static spine (the q315 shape).
+    *
+    * Scale shape: rides the memoized q75 verdicts + doc_tokens; the rollup
+    * is one 4-key hash aggregate and the share one IEEE division of exact
+    * BIGINTs against a broadcast one-row total.
+    */
+  def leakSeverityProfile(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    import spark.implicits._
+    val spans = leakSpans(spark, sfDir, n, evalPermille, salt)
+    val toks = Corpus.docTokens(spark, sfDir)
+      .select(col("doc_id"), col("n_alpha_toks"))
+    val cls = when(col("longest_run_grams") === 0L, "clean")
+      .when(col("longest_run_grams") <= 8L, "quote")
+      .when(col("longest_run_grams") <= 32L, "passage")
+      .otherwise("wholesale")
+    val joined = spans.join(toks, "doc_id")
+    val agg = joined
+      .groupBy(cls.as("severity"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_alpha_toks")).as("total_tokens"),
+        sum(col("longest_span_tokens")).as("leaked_span_tokens"))
+    val total = joined.agg(sum(col("n_alpha_toks")).as("train_tokens"))
+    val spine = Seq("clean", "quote", "passage", "wholesale").toDF("severity")
+    spine.join(agg, Seq("severity"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("severity"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(col("leaked_span_tokens"), lit(0L)).as("leaked_span_tokens"),
+        when(col("train_tokens") > 0L,
+          coalesce(col("total_tokens"), lit(0L)).cast("double") /
+            col("train_tokens").cast("double")).as("token_share"))
   }
 
   /** The DISTINCT (passage, gram) pairs of a document as ONE row-local array
@@ -301,6 +397,65 @@ object Curation {
         ((col("total_tokens") - col("removed_passage") -
           col("retained_doc_grain")).cast("double") /
           col("total_tokens").cast("double")).as("tokens_rescued_share"))
+  }
+
+  /** GRADUATED DECONTAMINATION POLICY — the severity-aware remedy q359's
+    * classes exist to price: KEEP quote-class docs whole (a shared phrase
+    * is not contamination worth surgery), EXCISE the flagged passages of
+    * passage-class docs (q334's remedy, applied only where it fits), DROP
+    * wholesale-class docs entirely (a doc that contains the benchmark item
+    * is unsalvageable). One row laying the graduated arm beside q334's two
+    * blunt policies ON THE SAME VERDICTS: class composition, tokens
+    * retained under doc-drop / passage-excise / graduated, and what
+    * graduation rescues over doc-drop. The doc-grain arm here equals
+    * q334's exactly (run = 0 ⇔ q75-clean ⇔ no flagged passage — the q331
+    * reconciliation), which the spec pins cross-query.
+    *
+    * Exactness: every arm is exact BIGINTs (flagged-passage spans pro-rated
+    * as min(w, len − w·p), q334's arithmetic verbatim) up to the one
+    * rescued-share division. Scale shape: rides the memoized q75 verdicts,
+    * `passage_flags` and `doc_tokens`; q358's sparse islands window; then
+    * one global 9-value aggregate over a narrow per-doc frame.
+    */
+  def graduatedPolicy(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val train = Corpus.docTokens(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), col("n_alpha_toks").as("n_toks"))
+    val removedPerDoc = passageDecontaminate(spark, sfDir, n, w, evalPermille, salt)
+      .filter(col("is_flagged"))
+      .join(train, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(w.toLong), col("n_toks") - col("passage") * w))
+        .as("removed"))
+    val sev = when(col("longest_run_grams") === 0L, "clean")
+      .when(col("longest_run_grams") <= 8L, "quote")
+      .when(col("longest_run_grams") <= 32L, "passage")
+      .otherwise("wholesale")
+    val t = leakSpans(spark, sfDir, n, evalPermille, salt)
+      .select(col("doc_id"), col("longest_run_grams"))
+      .join(train, "doc_id")
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("removed"), lit(0L)).as("removed"), sev.as("sev"))
+    t.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(when(col("sev") === "quote", 1L).otherwise(0L)).as("n_quote"),
+        sum(when(col("sev") === "passage", 1L).otherwise(0L)).as("n_passage_class"),
+        sum(when(col("sev") === "wholesale", 1L).otherwise(0L)).as("n_wholesale"),
+        sum(when(col("sev") === "clean", col("n_toks")).otherwise(0L))
+          .as("retained_doc_grain"),
+        (sum(col("n_toks")) - sum(col("removed"))).as("retained_passage_grain"),
+        (sum(col("n_toks"))
+          - sum(when(col("sev") === "wholesale", col("n_toks")).otherwise(0L))
+          - sum(when(col("sev") === "passage", col("removed")).otherwise(0L)))
+          .as("retained_graduated"))
+      .select(col("n_docs"), col("total_tokens"), col("n_quote"),
+        col("n_passage_class"), col("n_wholesale"),
+        col("retained_doc_grain"), col("retained_passage_grain"),
+        col("retained_graduated"),
+        ((col("retained_graduated") - col("retained_doc_grain")).cast("double") /
+          col("total_tokens").cast("double")).as("graduated_rescued_share"))
   }
 
   /** PER-SOURCE DECONTAMINATION SAVINGS — the join of [[decontamSavings]]'

@@ -308,6 +308,121 @@ class CurationSpec extends SparkSpec {
     assert(card.getLong(13) > 0L, "fixture must surface the semantic channel")
   }
 
+  test("leak spans: islands recounted from raw token positions; severity one-sided") {
+    val sf = "/root/testdata/sf0.001"
+    def toks(text: String): Vector[String] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    def posGrams(text: String): Vector[String] = {
+      val t = toks(text)
+      if (t.size < 5) Vector.empty else t.sliding(5).map(_.mkString(" ")).toVector
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select(c("doc_id"), c("text"),
+        (Corpus.hashBucket(c("doc_id"), "eval_v1") < 200).as("ev"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        r.getBoolean(2)))
+    val evalGrams = meta.filter(_._3).flatMap(m => posGrams(m._2)).toSet
+    def longestRun(text: String): Long = {
+      val hits = posGrams(text).zipWithIndex.collect {
+        case (g, i) if evalGrams(g) => i
+      }
+      if (hits.isEmpty) 0L
+      else hits.foldLeft((0L, 0L, -2)) { case ((best, cur, prev), i) =>
+        val run = if (i == prev + 1) cur + 1 else 1L
+        (math.max(best, run), run, i)
+      }._1
+    }
+    val rows = Curation.leakSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    val train = meta.filter(!_._3)
+    assert(rows.keySet === train.map(_._1).toSet, "one row per training doc")
+    train.foreach { case (id, text, _) =>
+      val run = longestRun(text)
+      val (ng, nh, lr, st, cont) = rows(id)
+      assert(lr === run, s"doc $id longest run")
+      assert(st === (if (run > 0) run + 4 else 0L), s"doc $id span tokens")
+      assert(cont === (run > 0), s"doc $id contaminated iff a hit position exists")
+      assert(ng === posGrams(text).distinct.size.toLong, s"doc $id distinct grams")
+      assert(nh === posGrams(text).distinct.count(evalGrams).toLong, s"doc $id hits")
+    }
+    val spans = rows.values.filter(_._5).map(_._3)
+    assert(spans.exists(_ == 1L) && spans.exists(_ > 1L),
+      "fixture must exercise single-gram and multi-gram leak runs")
+  }
+
+  test("leak severity profile: buckets recounted from q358's own rows") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col => c}
+    val spans = Curation.leakSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val toks = Corpus.docTokens(spark, sf)
+      .select(c("doc_id"), c("n_alpha_toks")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucket(run: Long): String =
+      if (run == 0L) "clean" else if (run <= 8L) "quote"
+      else if (run <= 32L) "passage" else "wholesale"
+    val expect = spans.toSeq.groupBy { case (_, (run, _)) => bucket(run) }
+      .map { case (sev, xs) =>
+        sev -> ((xs.size.toLong, xs.map(x => toks(x._1)).sum,
+          xs.map(_._2._2).sum))
+      }
+    val trainTotal = spans.keysIterator.map(toks).sum
+    val rows = Curation.leakSeverityProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("clean", "quote", "passage", "wholesale"),
+      "static 4-row spine")
+    rows.foreach { case (sev, r) =>
+      val (nd, tt, lst) = expect.getOrElse(sev, (0L, 0L, 0L))
+      assert(r.getLong(1) === nd, s"$sev n_docs")
+      assert(r.getLong(2) === tt, s"$sev total_tokens")
+      assert(r.getLong(3) === lst, s"$sev leaked_span_tokens")
+      assert(r.getDouble(4) === tt.toDouble / trainTotal, s"$sev token_share")
+    }
+    // the buckets partition the training set exactly
+    assert(rows.values.map(_.getLong(1)).sum === spans.size.toLong)
+    assert(rows.values.map(_.getLong(2)).sum === trainTotal)
+    assert(rows("clean").getLong(1) > 0L && expect.size >= 3,
+      "fixture must populate clean plus at least two leak classes")
+  }
+
+  test("graduated policy: arms reconcile q334; graduated recounted per doc") {
+    val sf = "/root/testdata/sf0.001"
+    val row = Curation.graduatedPolicy(spark, sf).head
+    val sav = Curation.decontamSavings(spark, sf).head
+    // the blunt arms must equal q334's exactly (same verdicts, same spans)
+    assert(row.getLong(0) === sav.getLong(0), "n_docs = q334")
+    assert(row.getLong(1) === sav.getLong(1), "total_tokens = q334")
+    assert(row.getLong(5) === sav.getLong(3), "doc-grain arm = q334")
+    assert(row.getLong(6) === sav.getLong(4), "passage-grain arm = q334")
+    // graduated recounted doc-by-doc from q358's classes + q331's passages
+    val spans = Curation.leakSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val toks = Corpus.docTokens(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_alpha_toks")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = Curation.passageDecontaminate(spark, sf).collect()
+      .filter(_.getBoolean(4))
+      .groupBy(_.getLong(0)).map { case (id, ps) =>
+        id -> ps.map(p => math.min(8L, toks(id) - p.getLong(1) * 8L)).sum
+      }
+    val graduated = spans.toSeq.map { case (id, run) =>
+      if (run > 32L) 0L
+      else if (run > 8L) toks(id) - removed.getOrElse(id, 0L)
+      else toks(id)
+    }.sum
+    assert(row.getLong(7) === graduated, "graduated arm recount")
+    assert(row.getLong(5) <= row.getLong(7),
+      "graduated can only retain more than doc-drop")
+    assert(row.getDouble(8) ===
+      (row.getLong(7) - row.getLong(5)).toDouble / row.getLong(1).toDouble)
+    // fixture must populate every class the policy distinguishes
+    assert(row.getLong(2) > 0L && row.getLong(3) > 0L && row.getLong(4) > 0L,
+      "fixture must contain quote, passage and wholesale docs")
+  }
+
   test("burn drift: arrival batches recounted from raw grams; reconciles q349") {
     val sf = "/root/testdata/sf0.001"
     def grams(text: String): Set[String] = {

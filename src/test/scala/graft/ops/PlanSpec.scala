@@ -396,7 +396,12 @@ class PlanSpec extends SparkSpec {
         Similarity.semanticDecontam(spark, sf),
         // q356's IVF arm joins on the cell key (equi-join, never cartesian)
         Similarity.semanticDecontamIvf(spark, sf),
-        Similarity.semanticLeakBySource(spark, sf))) {
+        Similarity.semanticLeakBySource(spark, sf),
+        // q358's islands window partitions by doc_id over hit positions
+        // only (the leak mass, never the corpus)
+        Curation.leakSpans(spark, sf),
+        Curation.leakSeverityProfile(spark, sf),
+        Curation.graduatedPolicy(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
