@@ -394,6 +394,7 @@ object SparkEntry {
     "q358_leak_spans"      -> ((s, d) => graft.ops.Curation.leakSpans(s, d)),
     "q359_leak_severity"   -> ((s, d) => graft.ops.Curation.leakSeverityProfile(s, d)),
     "q360_graduated_policy" -> ((s, d) => graft.ops.Curation.graduatedPolicy(s, d)),
+    "q361_severity_by_source" -> ((s, d) => graft.ops.Curation.leakSeverityBySource(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -6103,6 +6104,27 @@ object SparkEntry {
          |    - sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS DOUBLE)
          |    / CAST(sum(n_toks) AS DOUBLE) AS graduated_rescued_share
          |FROM j""".stripMargin,
+
+    // q361: leak severity by source — q359's classes at the feed grain
+    // (the q338/q357 triage pattern): which feeds quote benchmarks vs
+    // republish them; q358's oracle embedded VERBATIM
+    "q361_severity_by_source" ->
+      s"""WITH ls AS ($leakSpansOracle),
+         |d AS (SELECT doc_id, source,
+         |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |          AS n_toks
+         |      FROM documents)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ls.longest_run_grams BETWEEN 1 AND 8
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
+         |  CAST(sum(CASE WHEN ls.longest_run_grams BETWEEN 9 AND 32
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_passage_class,
+         |  CAST(sum(CASE WHEN ls.longest_run_grams > 32 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_wholesale,
+         |  CAST(sum(CASE WHEN ls.longest_run_grams > 32 THEN d.n_toks ELSE 0 END)
+         |    AS BIGINT) AS wholesale_tokens
+         |FROM ls JOIN d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

@@ -458,6 +458,37 @@ object Curation {
           col("total_tokens").cast("double")).as("graduated_rescued_share"))
   }
 
+  /** LEAK SEVERITY BY SOURCE — [[leakSeverityProfile]]'s classes at the
+    * feed grain (the q338/q357 triage pattern, third channel cut): per
+    * training source, how many documents fall in each severity class and
+    * the wholesale class's exact token mass — the number that separates a
+    * feed that quotes benchmarks (harmless, keep) from one that REPUBLISHES
+    * them (drop upstream, no surgery will save it). No spine is needed —
+    * q358 carries a row for EVERY training document (q75's explode_outer
+    * convention), so every source with a training doc appears, fully-clean
+    * feeds included (a source with zero training docs has no feed to
+    * triage).
+    *
+    * Scale shape: one doc_id→source join onto q358's per-doc classes (all
+    * memo-ridden but the sparse islands), one |sources|-row aggregate.
+    */
+  def leakSeverityBySource(spark: SparkSession, sfDir: String, n: Int = 5,
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val meta = Corpus.docTokens(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), col("source"), col("n_alpha_toks").as("n_toks"))
+    val run = col("longest_run_grams")
+    leakSpans(spark, sfDir, n, evalPermille, salt)
+      .select(col("doc_id"), col("longest_run_grams"))
+      .join(meta, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(run > 0L && run <= 8L, 1L).otherwise(0L)).as("n_quote"),
+        sum(when(run > 8L && run <= 32L, 1L).otherwise(0L)).as("n_passage_class"),
+        sum(when(run > 32L, 1L).otherwise(0L)).as("n_wholesale"),
+        sum(when(run > 32L, col("n_toks")).otherwise(0L)).as("wholesale_tokens"))
+  }
+
   /** PER-SOURCE DECONTAMINATION SAVINGS — the join of [[decontamSavings]]'
     * corpus-wide policy comparison and [[sourceContamination]]'s feed triage
     * (r16 verdict item 5): per source, the tokens retained under doc-drop vs

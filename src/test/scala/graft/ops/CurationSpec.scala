@@ -423,6 +423,34 @@ class CurationSpec extends SparkSpec {
       "fixture must contain quote, passage and wholesale docs")
   }
 
+  test("leak severity by source: feed rollup recounted from q358's own rows") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col => c}
+    val spans = Curation.leakSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val meta = Corpus.docTokens(spark, sf)
+      .filter(Corpus.hashBucket(c("doc_id"), "eval_v1") >= 200)
+      .select(c("doc_id"), c("source"), c("n_alpha_toks")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = Curation.leakSeverityBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === meta.map(_._2).toSet,
+      "every training feed appears, fully-clean included")
+    meta.groupBy(_._2).foreach { case (src, docs) =>
+      val runs = docs.map(d => (spans(d._1), d._3))
+      val r = rows(src)
+      assert(r.getLong(1) === docs.size.toLong, s"$src n_docs")
+      assert(r.getLong(2) === runs.count(x => x._1 >= 1 && x._1 <= 8).toLong, s"$src quote")
+      assert(r.getLong(3) === runs.count(x => x._1 > 8 && x._1 <= 32).toLong, s"$src passage")
+      assert(r.getLong(4) === runs.count(_._1 > 32).toLong, s"$src wholesale")
+      assert(r.getLong(5) === runs.filter(_._1 > 32).map(_._2).sum, s"$src wholesale mass")
+    }
+    assert(rows.values.exists(_.getLong(4) > 0L),
+      "fixture must show a feed republishing benchmark content")
+    assert(rows.values.exists(r => r.getLong(2) + r.getLong(3) + r.getLong(4) === 0L),
+      "fixture must show a fully-clean feed keeping its row")
+  }
+
   test("burn drift: arrival batches recounted from raw grams; reconciles q349") {
     val sf = "/root/testdata/sf0.001"
     def grams(text: String): Set[String] = {

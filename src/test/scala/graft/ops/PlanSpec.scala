@@ -401,7 +401,8 @@ class PlanSpec extends SparkSpec {
         // only (the leak mass, never the corpus)
         Curation.leakSpans(spark, sf),
         Curation.leakSeverityProfile(spark, sf),
-        Curation.graduatedPolicy(spark, sf))) {
+        Curation.graduatedPolicy(spark, sf),
+        Curation.leakSeverityBySource(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
