@@ -88,7 +88,21 @@ object Curation {
     * every island from raw token positions.
     */
   def leakSpans(spark: SparkSession, sfDir: String, n: Int = 5,
-      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+      evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame =
+    if (n == 5 && evalPermille == 200 && salt == "eval_v1")
+      // default-args frame memoized once per (session, scale): q358, q359's
+      // buckets, q360's graduated arm and q361's feed rollup all pay the
+      // positional explode + islands window otherwise (the two-consumer
+      // rule; non-default calls compute directly, the passage_flags rule)
+      Dedup.cached(leakSpansCache, "leak_spans", spark, sfDir)(
+        leakSpansCompute(spark, sfDir, 5, 200, "eval_v1"))
+    else leakSpansCompute(spark, sfDir, n, evalPermille, salt)
+
+  private val leakSpansCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[ops] def leakSpansCompute(spark: SparkSession, sfDir: String, n: Int,
+      evalPermille: Int, salt: String): DataFrame = {
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
     val docs = Tables.documents(spark, sfDir)
     val evalGrams = docs.filter(isEval)

@@ -519,6 +519,20 @@ class CurationSpec extends SparkSpec {
     assert(h1 >= 1L, "the second consumer rode the memo")
   }
 
+  test("leak spans are paid once per session and shared by the severity tier") {
+    // the two-consumer rule applied to the round's own new tier: q358's
+    // islands frame materializes once; q359/q360/q361 ride it.
+    val sf = "/root/testdata/sf0.001"
+    val m0 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("leak_spans", 0L)
+    Curation.leakSpans(spark, sf).collect()
+    Curation.leakSeverityProfile(spark, sf).collect()
+    Curation.leakSeverityBySource(spark, sf).collect()
+    val m1 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("leak_spans", 0L)
+    val h1 = Dedup.counterSnapshot(Dedup.cacheHits).getOrElse("leak_spans", 0L)
+    assert(m1 - m0 <= 1L, "islands frame materialized at most once for three consumers")
+    assert(h1 >= 1L, "later consumers rode the memo")
+  }
+
   test("family drift: per-batch census recounted from the labels and hash batches") {
     import org.apache.spark.sql.functions.{col => c}
     val sf = "/root/testdata/sf0.001"

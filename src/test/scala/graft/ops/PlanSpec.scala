@@ -398,8 +398,10 @@ class PlanSpec extends SparkSpec {
         Similarity.semanticDecontamIvf(spark, sf),
         Similarity.semanticLeakBySource(spark, sf),
         // q358's islands window partitions by doc_id over hit positions
-        // only (the leak mass, never the corpus)
-        Curation.leakSpans(spark, sf),
+        // only (the leak mass, never the corpus); the Compute form is
+        // audited because the public form is session-memoized (a bare
+        // checkpoint scan — the q17/passage caveat)
+        Curation.leakSpansCompute(spark, sf, 5, 200, "eval_v1"),
         Curation.leakSeverityProfile(spark, sf),
         Curation.graduatedPolicy(spark, sf),
         Curation.leakSeverityBySource(spark, sf))) {
