@@ -210,16 +210,23 @@ object Curation {
     * is one 4-key hash aggregate and the share one IEEE division of exact
     * BIGINTs against a broadcast one-row total.
     */
+  /** The ONE severity classifier q359/q360/q361 share: a policy-threshold
+    * edit lands in every consumer or none (the q331/q338 shared-expression
+    * discipline applied to the bucketing).
+    */
+  private[graft] def severityClass(run: Column): Column =
+    when(run === 0L, "clean")
+      .when(run <= 8L, "quote")
+      .when(run <= 32L, "passage")
+      .otherwise("wholesale")
+
   def leakSeverityProfile(spark: SparkSession, sfDir: String, n: Int = 5,
       evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
     import spark.implicits._
     val spans = leakSpans(spark, sfDir, n, evalPermille, salt)
     val toks = Corpus.docTokens(spark, sfDir)
       .select(col("doc_id"), col("n_alpha_toks"))
-    val cls = when(col("longest_run_grams") === 0L, "clean")
-      .when(col("longest_run_grams") <= 8L, "quote")
-      .when(col("longest_run_grams") <= 32L, "passage")
-      .otherwise("wholesale")
+    val cls = severityClass(col("longest_run_grams"))
     val joined = spans.join(toks, "doc_id")
     val agg = joined
       .groupBy(cls.as("severity"))
@@ -442,10 +449,7 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(least(lit(w.toLong), col("n_toks") - col("passage") * w))
         .as("removed"))
-    val sev = when(col("longest_run_grams") === 0L, "clean")
-      .when(col("longest_run_grams") <= 8L, "quote")
-      .when(col("longest_run_grams") <= 32L, "passage")
-      .otherwise("wholesale")
+    val sev = severityClass(col("longest_run_grams"))
     val t = leakSpans(spark, sfDir, n, evalPermille, salt)
       .select(col("doc_id"), col("longest_run_grams"))
       .join(train, "doc_id")
@@ -491,16 +495,18 @@ object Curation {
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
     val meta = Corpus.docTokens(spark, sfDir).filter(!isEval)
       .select(col("doc_id"), col("source"), col("n_alpha_toks").as("n_toks"))
-    val run = col("longest_run_grams")
+    val sev = severityClass(col("longest_run_grams"))
     leakSpans(spark, sfDir, n, evalPermille, salt)
       .select(col("doc_id"), col("longest_run_grams"))
       .join(meta, "doc_id")
+      .withColumn("sev", sev)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(run > 0L && run <= 8L, 1L).otherwise(0L)).as("n_quote"),
-        sum(when(run > 8L && run <= 32L, 1L).otherwise(0L)).as("n_passage_class"),
-        sum(when(run > 32L, 1L).otherwise(0L)).as("n_wholesale"),
-        sum(when(run > 32L, col("n_toks")).otherwise(0L)).as("wholesale_tokens"))
+        sum(when(col("sev") === "quote", 1L).otherwise(0L)).as("n_quote"),
+        sum(when(col("sev") === "passage", 1L).otherwise(0L)).as("n_passage_class"),
+        sum(when(col("sev") === "wholesale", 1L).otherwise(0L)).as("n_wholesale"),
+        sum(when(col("sev") === "wholesale", col("n_toks")).otherwise(0L))
+          .as("wholesale_tokens"))
   }
 
   /** PER-SOURCE DECONTAMINATION SAVINGS — the join of [[decontamSavings]]'

@@ -122,7 +122,21 @@ object Similarity {
     */
   def semanticDecontam(spark: SparkSession, sfDir: String,
       evalPermille: Int = 200, salt: String = "eval_v1",
-      tau: Double = 0.4): DataFrame = {
+      tau: Double = 0.4): DataFrame =
+    if (evalPermille == 200 && salt == "eval_v1" && tau == 0.4)
+      // default-args audit memoized once per (session, scale): q354, q356's
+      // exact arm, q357's feed rollup and q351's card arm all pay the
+      // |eval|×|train| NN scan otherwise (the two-consumer rule; non-default
+      // calls compute directly — the passage_flags aliasing rule)
+      Dedup.cached(semanticFlagsCache, "semantic_flags", spark, sfDir)(
+        semanticDecontamCompute(spark, sfDir, 200, "eval_v1", 0.4))
+    else semanticDecontamCompute(spark, sfDir, evalPermille, salt, tau)
+
+  private val semanticFlagsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[ops] def semanticDecontamCompute(spark: SparkSession, sfDir: String,
+      evalPermille: Int, salt: String, tau: Double): DataFrame = {
     val isEval = Corpus.hashBucket(col("vec_id"), salt) < evalPermille
     val vecs = withScaled(Tables.embeddings(spark, sfDir))
     val q = vecs.filter(isEval)

@@ -50,6 +50,24 @@ private[streaming] object Drain {
       }
     }
 
+  /** Stable per-SF directory copy of a single-file testdata table for the
+    * streaming file source — the ONE check-`_SUCCESS`-then-overwrite staging
+    * body behind [[ScoreStream.docsDir]]/[[ScoreStream.embsDir]]/
+    * [[EventStream.eventsDir]] (a partially-written dest or a path-root
+    * change is now fixed in exactly one place). Timed as staging via
+    * [[graft.core.StagingClock]] when `timed`.
+    */
+  def stagedTableDir(sfDir: String, subdir: String, timed: Boolean = true)(
+      frame: => org.apache.spark.sql.DataFrame): String = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dest = s"/root/repo/target/tmp/$subdir/$sfName"
+    if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {
+      def write(): Unit = frame.write.mode("overwrite").parquet(dest)
+      if (timed) graft.core.StagingClock.timed(write()) else write()
+    }
+    dest
+  }
+
   /** A unique scratch checkpoint dir on the fastest ephemeral medium. */
   private def ephemeralCheckpoint(): Path = {
     val shm = Paths.get("/dev/shm")

@@ -41,14 +41,11 @@ object EventStream {
     * events once per scale factor. Deterministic: content derives only from the
     * source parquet.
     */
-  private[streaming] def eventsDir(spark: SparkSession, sfDir: String): String = synchronized {
-    val sfName = Paths.get(sfDir).getFileName.toString
-    val dest = s"/root/repo/target/tmp/events/$sfName"
-    if (!Files.exists(Paths.get(dest, "_SUCCESS"))) {
-      Tables.events(spark, sfDir).write.mode("overwrite").parquet(dest)
-    }
-    dest
-  }
+  private[streaming] def eventsDir(spark: SparkSession, sfDir: String): String =
+    // untimed by original design: the events copy predates StagingClock and
+    // its cost is attributed to the first consumer, as every committed
+    // bench artifact has recorded it — keep the ledger stable
+    Drain.stagedTableDir(sfDir, "events", timed = false)(Tables.events(spark, sfDir))
 
   /** The PRODUCTION shape of the hourly rollup: event-time watermark + append
     * output. Only windows the watermark has passed are emitted (exactly once,

@@ -21,17 +21,8 @@ object ScoreStream {
     * single parquet file — stage a stable per-SF copy once (the
     * [[EventStream.eventsDir]] pattern), timed as staging.
     */
-  private[streaming] def docsDir(spark: SparkSession, sfDir: String): String = synchronized {
-    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val dest = s"/root/repo/target/tmp/docs/$sfName"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS"))) {
-      graft.core.StagingClock.timed {
-        graft.core.Tables.documents(spark, sfDir)
-          .write.mode("overwrite").parquet(dest)
-      }
-    }
-    dest
-  }
+  private[streaming] def docsDir(spark: SparkSession, sfDir: String): String =
+    Drain.stagedTableDir(sfDir, "docs")(graft.core.Tables.documents(spark, sfDir))
 
   /** STREAMING THRESHOLD SWEEP: documents arrive as a stream, the quality
     * score is the SAME per-row expression tree as the batch classifier
@@ -319,17 +310,8 @@ object ScoreStream {
   /** Stable per-SF directory copy of the embeddings table for the streaming
     * file source (the [[docsDir]] pattern), timed as staging.
     */
-  private[streaming] def embsDir(spark: SparkSession, sfDir: String): String = synchronized {
-    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val dest = s"/root/repo/target/tmp/embs/$sfName"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dest, "_SUCCESS"))) {
-      graft.core.StagingClock.timed {
-        graft.core.Tables.embeddings(spark, sfDir)
-          .write.mode("overwrite").parquet(dest)
-      }
-    }
-    dest
-  }
+  private[streaming] def embsDir(spark: SparkSession, sfDir: String): String =
+    Drain.stagedTableDir(sfDir, "embs")(graft.core.Tables.embeddings(spark, sfDir))
 
   /** STREAMING SEMANTIC-DECONTAMINATION MONITOR — q354's embedding-channel
     * leak audit live over an arriving TRAINING corpus (the TWELFTH

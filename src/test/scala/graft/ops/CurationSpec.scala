@@ -526,10 +526,24 @@ class CurationSpec extends SparkSpec {
     val m0 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("leak_spans", 0L)
     Curation.leakSpans(spark, sf).collect()
     Curation.leakSeverityProfile(spark, sf).collect()
+    Curation.graduatedPolicy(spark, sf).collect()
     Curation.leakSeverityBySource(spark, sf).collect()
     val m1 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("leak_spans", 0L)
     val h1 = Dedup.counterSnapshot(Dedup.cacheHits).getOrElse("leak_spans", 0L)
-    assert(m1 - m0 <= 1L, "islands frame materialized at most once for three consumers")
+    assert(m1 - m0 <= 1L, "islands frame materialized at most once for four consumers")
+    assert(h1 >= 1L, "later consumers rode the memo")
+  }
+
+  test("semantic flags are paid once per session and shared by q354/q356/q357/q351") {
+    val sf = "/root/testdata/sf0.001"
+    val m0 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("semantic_flags", 0L)
+    graft.ops.Similarity.semanticDecontam(spark, sf).collect()
+    graft.ops.Similarity.semanticDecontamIvf(spark, sf).collect()
+    graft.ops.Similarity.semanticLeakBySource(spark, sf).collect()
+    graft.ops.ReportCard.releaseReadiness(spark, sf).collect()
+    val m1 = Dedup.counterSnapshot(Dedup.cacheMisses).getOrElse("semantic_flags", 0L)
+    val h1 = Dedup.counterSnapshot(Dedup.cacheHits).getOrElse("semantic_flags", 0L)
+    assert(m1 - m0 <= 1L, "NN audit materialized at most once for four consumers")
     assert(h1 >= 1L, "later consumers rode the memo")
   }
 

@@ -392,8 +392,9 @@ class PlanSpec extends SparkSpec {
         Curation.burnDrift(spark, sf),
         ReportCard.releaseReadiness(spark, sf),
         TrainingMix.poolAblation(spark, sf),
-        // q354's per-eval top-1 window partitions by eval_id (never global)
-        Similarity.semanticDecontam(spark, sf),
+        // q354's per-eval top-1 window partitions by eval_id (never global);
+        // Compute form — the public form is session-memoized (checkpoint scan)
+        Similarity.semanticDecontamCompute(spark, sf, 200, "eval_v1", 0.4),
         // q356's IVF arm joins on the cell key (equi-join, never cartesian)
         Similarity.semanticDecontamIvf(spark, sf),
         Similarity.semanticLeakBySource(spark, sf),
