@@ -395,6 +395,7 @@ object SparkEntry {
     "q359_leak_severity"   -> ((s, d) => graft.ops.Curation.leakSeverityProfile(s, d)),
     "q360_graduated_policy" -> ((s, d) => graft.ops.Curation.graduatedPolicy(s, d)),
     "q361_severity_by_source" -> ((s, d) => graft.ops.Curation.leakSeverityBySource(s, d)),
+    "q362_severity_drift"  -> ((s, d) => graft.ops.Curation.severityDrift(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -875,6 +876,16 @@ object SparkEntry {
       |  count(e.gram) > 0 AS is_flagged
       |FROM pg LEFT JOIN e ON pg.gram = e.gram
       |GROUP BY 1, 2""".stripMargin
+
+  /** The ONE severity CASE the q359/q360/q361/q362 oracles share — the SQL
+    * twin of Curation.severityClass; a threshold edit lands in every
+    * consumer or none.
+    */
+  private def severityCase(run: String): String =
+    s"""CASE WHEN $run = 0 THEN 'clean'
+       |             WHEN $run <= 8 THEN 'quote'
+       |             WHEN $run <= 32 THEN 'passage'
+       |             ELSE 'wholesale' END""".stripMargin
 
   /** DuckDB twin of Curation.leakSpans — q358's verdicts + longest
     * consecutive-leak run (gaps-and-islands on positional gram hits),
@@ -6044,10 +6055,7 @@ object SparkEntry {
          |       FROM documents),
          |j AS (SELECT ls.doc_id, ls.longest_run_grams, ls.longest_span_tokens,
          |        dt.n_alpha_toks,
-         |        CASE WHEN ls.longest_run_grams = 0 THEN 'clean'
-         |             WHEN ls.longest_run_grams <= 8 THEN 'quote'
-         |             WHEN ls.longest_run_grams <= 32 THEN 'passage'
-         |             ELSE 'wholesale' END AS severity
+         |        ${severityCase("ls.longest_run_grams")} AS severity
          |      FROM ls JOIN dt USING (doc_id)),
          |a AS (SELECT severity, CAST(count(*) AS BIGINT) AS n_docs,
          |        CAST(sum(n_alpha_toks) AS BIGINT) AS total_tokens,
@@ -6079,10 +6087,7 @@ object SparkEntry {
          |          CAST(sum(least(8, dt.n_toks - pdg.passage * 8)) AS BIGINT) AS removed
          |        FROM pdg JOIN dt USING (doc_id) WHERE pdg.is_flagged GROUP BY 1),
          |j AS (SELECT ls.doc_id, dt.n_toks, coalesce(rem.removed, 0) AS removed,
-         |        CASE WHEN ls.longest_run_grams = 0 THEN 'clean'
-         |             WHEN ls.longest_run_grams <= 8 THEN 'quote'
-         |             WHEN ls.longest_run_grams <= 32 THEN 'passage'
-         |             ELSE 'wholesale' END AS sev
+         |        ${severityCase("ls.longest_run_grams")} AS sev
          |      FROM ls JOIN dt USING (doc_id) LEFT JOIN rem USING (doc_id))
          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
@@ -6113,18 +6118,58 @@ object SparkEntry {
          |d AS (SELECT doc_id, source,
          |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
          |          AS n_toks
-         |      FROM documents)
-         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN ls.longest_run_grams BETWEEN 1 AND 8
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
-         |  CAST(sum(CASE WHEN ls.longest_run_grams BETWEEN 9 AND 32
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_passage_class,
-         |  CAST(sum(CASE WHEN ls.longest_run_grams > 32 THEN 1 ELSE 0 END) AS BIGINT)
+         |      FROM documents),
+         |j AS (SELECT d.source, d.n_toks,
+         |        ${severityCase("ls.longest_run_grams")} AS sev
+         |      FROM ls JOIN d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN sev = 'quote' THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
+         |  CAST(sum(CASE WHEN sev = 'passage' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_passage_class,
+         |  CAST(sum(CASE WHEN sev = 'wholesale' THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_wholesale,
-         |  CAST(sum(CASE WHEN ls.longest_run_grams > 32 THEN d.n_toks ELSE 0 END)
+         |  CAST(sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
          |    AS BIGINT) AS wholesale_tokens
-         |FROM ls JOIN d USING (doc_id)
+         |FROM j
          |GROUP BY 1""".stripMargin,
+
+    // q362: severity arrival drift — q352's crawl-batch axis applied to
+    // q359's classes: which batches delivered the wholesale copies, with a
+    // cumulative count; static 0..7 spine; q358's oracle embedded VERBATIM
+    "q362_severity_drift" ->
+      s"""WITH ls AS ($leakSpansOracle),
+         |d AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5(doc_id || ':crawl_v1'), 1, 8) AS BIGINT)
+         |          % 1000 % 8 AS batch,
+         |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |          AS n_toks
+         |      FROM documents),
+         |j AS (SELECT d.batch, d.n_toks,
+         |        ${severityCase("ls.longest_run_grams")} AS sev
+         |      FROM ls JOIN d USING (doc_id)),
+         |a AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN sev = 'quote' THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
+         |        CAST(sum(CASE WHEN sev = 'passage' THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_passage_class,
+         |        CAST(sum(CASE WHEN sev = 'wholesale' THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_wholesale,
+         |        CAST(sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END) AS BIGINT)
+         |          AS wholesale_tokens
+         |      FROM j GROUP BY 1),
+         |f AS (SELECT s.batch,
+         |        CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+         |        CAST(coalesce(a.n_quote, 0) AS BIGINT) AS n_quote,
+         |        CAST(coalesce(a.n_passage_class, 0) AS BIGINT) AS n_passage_class,
+         |        CAST(coalesce(a.n_wholesale, 0) AS BIGINT) AS n_wholesale,
+         |        CAST(coalesce(a.wholesale_tokens, 0) AS BIGINT) AS wholesale_tokens
+         |      FROM (SELECT unnest(range(0, 8)) AS batch) s
+         |      LEFT JOIN a USING (batch))
+         |SELECT batch, n_docs, n_quote, n_passage_class, n_wholesale,
+         |  wholesale_tokens,
+         |  CAST(sum(n_wholesale) OVER (ORDER BY batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_wholesale
+         |FROM f""".stripMargin,
 
     // q343: contamination escape via near-dup families — unflagged training
     // docs sharing a q55 family with an eval doc (near-dup of the benchmark

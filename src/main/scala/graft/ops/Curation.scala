@@ -509,6 +509,51 @@ object Curation {
           .as("wholesale_tokens"))
   }
 
+  /** SEVERITY ARRIVAL DRIFT — the q352 axis applied to q359's classes:
+    * per crawl batch (q319's content-addressed assignment), how many
+    * arriving training docs fall in each severity class, the wholesale
+    * class's token mass, and the CUMULATIVE wholesale count — the readout
+    * that turns "the corpus contains benchmark copies" into "batch k
+    * delivered them; roll it back". Static 0..7 spine so clean batches
+    * surface (q315 shape); the cumulative window runs on the 8-row batch
+    * aggregate (the familyDrift exemption).
+    *
+    * Scale shape: rides the `leak_spans` + `doc_tokens` memos; one narrow
+    * join, one 8-key aggregate, one 8-row window.
+    */
+  def severityDrift(spark: SparkSession, sfDir: String, n: Int = 5,
+      nBatches: Int = 8, evalPermille: Int = 200,
+      salt: String = "eval_v1", crawlSalt: String = "crawl_v1"): DataFrame = {
+    import spark.implicits._
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val meta = Corpus.docTokens(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"),
+        (Corpus.hashBucket(col("doc_id"), crawlSalt) % nBatches).as("batch"),
+        col("n_alpha_toks").as("n_toks"))
+    val agg = leakSpans(spark, sfDir, n, evalPermille, salt)
+      .select(col("doc_id"), col("longest_run_grams"))
+      .join(meta, "doc_id")
+      .withColumn("sev", severityClass(col("longest_run_grams")))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sev") === "quote", 1L).otherwise(0L)).as("n_quote"),
+        sum(when(col("sev") === "passage", 1L).otherwise(0L)).as("n_passage_class"),
+        sum(when(col("sev") === "wholesale", 1L).otherwise(0L)).as("n_wholesale"),
+        sum(when(col("sev") === "wholesale", col("n_toks")).otherwise(0L))
+          .as("wholesale_tokens"))
+    val spine = (0L until nBatches.toLong).toDF("batch")
+    val filled = spine.join(agg, Seq("batch"), "left")
+      .select(col("batch"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_quote"), lit(0L)).as("n_quote"),
+        coalesce(col("n_passage_class"), lit(0L)).as("n_passage_class"),
+        coalesce(col("n_wholesale"), lit(0L)).as("n_wholesale"),
+        coalesce(col("wholesale_tokens"), lit(0L)).as("wholesale_tokens"))
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.withColumn("cum_wholesale", sum(col("n_wholesale")).over(w))
+  }
+
   /** PER-SOURCE DECONTAMINATION SAVINGS — the join of [[decontamSavings]]'
     * corpus-wide policy comparison and [[sourceContamination]]'s feed triage
     * (r16 verdict item 5): per source, the tokens retained under doc-drop vs

@@ -451,6 +451,41 @@ class CurationSpec extends SparkSpec {
       "fixture must show a fully-clean feed keeping its row")
   }
 
+  test("severity drift: batch census recounted from q358's rows; cumulative reconciles q360") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col => c}
+    val spans = Curation.leakSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val meta = Corpus.docTokens(spark, sf)
+      .filter(Corpus.hashBucket(c("doc_id"), "eval_v1") >= 200)
+      .select(c("doc_id"), (Corpus.hashBucket(c("doc_id"), "crawl_v1") % 8L).as("b"),
+        c("n_alpha_toks")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows = Curation.severityDrift(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === (0L until 8L).toSet, "static 0..7 spine")
+    var cum = 0L
+    (0L until 8L).foreach { b =>
+      val docs = meta.filter(_._2 == b)
+      val runs = docs.map(d => (spans(d._1), d._3))
+      val r = rows(b)
+      assert(r.getLong(1) === docs.size.toLong, s"batch $b n_docs")
+      assert(r.getLong(2) === runs.count(x => x._1 >= 1 && x._1 <= 8).toLong, s"batch $b quote")
+      assert(r.getLong(3) === runs.count(x => x._1 > 8 && x._1 <= 32).toLong, s"batch $b passage")
+      assert(r.getLong(4) === runs.count(_._1 > 32).toLong, s"batch $b wholesale")
+      assert(r.getLong(5) === runs.filter(_._1 > 32).map(_._2).sum, s"batch $b mass")
+      cum += runs.count(_._1 > 32)
+      assert(r.getLong(6) === cum, s"batch $b cumulative")
+    }
+    // the cumulative endpoint is q360's wholesale count — same classes,
+    // different axis
+    assert(cum === Curation.graduatedPolicy(spark, sf).head.getLong(4),
+      "cumulative endpoint reconciles q360's n_wholesale")
+    assert(rows.values.exists(_.getLong(4) > 0L) &&
+      rows.values.exists(_.getLong(4) === 0L),
+      "fixture must show delivering and clean batches")
+  }
+
   test("burn drift: arrival batches recounted from raw grams; reconciles q349") {
     val sf = "/root/testdata/sf0.001"
     def grams(text: String): Set[String] = {

@@ -405,7 +405,10 @@ class PlanSpec extends SparkSpec {
         Curation.leakSpansCompute(spark, sf, 5, 200, "eval_v1"),
         Curation.leakSeverityProfile(spark, sf),
         Curation.graduatedPolicy(spark, sf),
-        Curation.leakSeverityBySource(spark, sf))) {
+        Curation.leakSeverityBySource(spark, sf),
+        // q362's cumulative window runs on the 8-row batch aggregate (the
+        // familyDrift/burnDrift exemption)
+        Curation.severityDrift(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
