@@ -396,6 +396,7 @@ object SparkEntry {
     "q360_graduated_policy" -> ((s, d) => graft.ops.Curation.graduatedPolicy(s, d)),
     "q361_severity_by_source" -> ((s, d) => graft.ops.Curation.leakSeverityBySource(s, d)),
     "q362_severity_drift"  -> ((s, d) => graft.ops.Curation.severityDrift(s, d)),
+    "q363_rare_gram_decontam" -> ((s, d) => graft.ops.Curation.rareGramDecontaminate(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -6132,6 +6133,38 @@ object SparkEntry {
          |    AS BIGINT) AS wholesale_tokens
          |FROM j
          |GROUP BY 1""".stripMargin,
+
+    // q363: rare-gram decontamination — q75's verdict with the boilerplate
+    // exemption (strict = hits whose training df ≤ 1 only), both verdicts
+    // side by side; q75's oracle embedded VERBATIM
+    "q363_rare_gram_decontam" ->
+      s"""WITH v AS ($decontaminateOracle),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |e AS (
+         |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+         |      list_distinct(list_transform(range(1, len(toks) - 3),
+         |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+         |    ELSE [] END) AS gram
+         |  FROM d WHERE is_eval),
+         |tg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+         |      list_distinct(list_transform(range(1, len(toks) - 3),
+         |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+         |    ELSE [] END) AS gram
+         |  FROM d WHERE NOT is_eval),
+         |df AS (SELECT gram, count(*) AS df FROM tg GROUP BY 1),
+         |rare AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_rare_hits
+         |         FROM tg JOIN e USING (gram) JOIN df USING (gram)
+         |         WHERE df.df <= 1 GROUP BY 1)
+         |SELECT v.doc_id, v.n_grams, v.n_hits,
+         |  CAST(coalesce(rare.n_rare_hits, 0) AS BIGINT) AS n_rare_hits,
+         |  v.is_contaminated,
+         |  coalesce(rare.n_rare_hits, 0) > 0 AS is_contaminated_strict
+         |FROM v LEFT JOIN rare USING (doc_id)""".stripMargin,
 
     // q362: severity arrival drift — q352's crawl-batch axis applied to
     // q359's classes: which batches delivered the wholesale copies, with a

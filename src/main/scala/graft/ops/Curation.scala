@@ -64,6 +64,54 @@ object Curation {
   private val decontamFlagsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** RARE-GRAM DECONTAMINATION — q75's verdict with the boilerplate
+    * exemption real pipelines apply: a matching n-gram that appears in MANY
+    * training documents is shared template text (disclaimers, headers,
+    * licence blurbs), not benchmark leakage, so the STRICT verdict counts
+    * only hits whose training document-frequency is ≤ `maxDf`. Emits both
+    * verdicts side by side — q75's and the strict one — plus the rare-hit
+    * count, so the instrument also exposes the rule's FALSE-NEGATIVE class:
+    * at sf0.001 the three docs the default threshold rescues are dup-family
+    * members whose leaked grams recur across their near-dup twins (read
+    * beside q343's family-closure escape audit — df-exempted grams and
+    * near-dup contamination are the same phenomenon seen from two sides).
+    *
+    * The threshold is corpus-size-dependent BY CONSTRUCTION (an absolute
+    * df that exempts boilerplate at one scale exempts nothing at 100×;
+    * measured here: maxDf=1 rescues 3/8 flagged docs at sf0.001 and 0/8 at
+    * sf0.01) — a deployment sets it as a corpus share or from a measured
+    * boilerplate list; the default is the instrument's knob, not advice.
+    *
+    * Scale shape: rides the memoized q75 verdicts; the df table is one
+    * narrow (gram → count) aggregate over the same exploded stream q75
+    * already shapes, joined back on the gram hash (AQE picks broadcast vs
+    * shuffle from the measured eval-set size); one per-doc rollup.
+    */
+  def rareGramDecontaminate(spark: SparkSession, sfDir: String, n: Int = 5,
+      maxDf: Long = 1L, evalPermille: Int = 200,
+      salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val docs = Tables.documents(spark, sfDir)
+    val evalGrams = docs.filter(isEval)
+      .select(explode(wordGrams(col("text"), n)).as("gram"))
+      .distinct()
+    val tg = docs.filter(!isEval)
+      .select(col("doc_id"), explode(wordGrams(col("text"), n)).as("gram"))
+    val dfTable = tg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val rare = tg.join(evalGrams, Seq("gram"))
+      .join(dfTable, Seq("gram"))
+      .filter(col("df") <= maxDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rare_hits"))
+    decontaminate(spark, sfDir, n, evalPermille, salt)
+      .join(rare, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        coalesce(col("n_rare_hits"), lit(0L)).as("n_rare_hits"),
+        col("is_contaminated"),
+        (coalesce(col("n_rare_hits"), lit(0L)) > 0L)
+          .as("is_contaminated_strict"))
+  }
+
   /** LEAK-SPAN SEVERITY — q75's verdict extended with HOW MUCH leaked
     * verbatim: per contaminated training document, the longest run of
     * CONSECUTIVE leaked grams, reported in grams and in tokens (a run of r

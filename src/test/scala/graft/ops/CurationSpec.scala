@@ -486,6 +486,41 @@ class CurationSpec extends SparkSpec {
       "fixture must show delivering and clean batches")
   }
 
+  test("rare-gram decontamination: df recounted from raw grams; strict is one-sided") {
+    val sf = "/root/testdata/sf0.001"
+    def grams(text: String): Set[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      if (toks.size < 5) Set.empty else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select(c("doc_id"), c("text"),
+        (Corpus.hashBucket(c("doc_id"), "eval_v1") < 200).as("ev"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        r.getBoolean(2)))
+    val evalGrams = meta.filter(_._3).flatMap(m => grams(m._2)).toSet
+    val train = meta.filter(!_._3)
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    train.foreach { case (_, text, _) =>
+      grams(text).foreach(g => df.update(g, df.getOrElse(g, 0L) + 1L)) }
+    val rows = Curation.rareGramDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4),
+        r.getBoolean(5)))).toMap
+    assert(rows.keySet === train.map(_._1).toSet, "one row per training doc")
+    train.foreach { case (id, text, _) =>
+      val hits = grams(text).filter(evalGrams)
+      val rare = hits.count(df(_) <= 1L).toLong
+      val (nh, nr, cont, strict) = rows(id)
+      assert(nh === hits.size.toLong && nr === rare, s"doc $id hit/rare counts")
+      assert(cont === hits.nonEmpty && strict === (rare > 0L), s"doc $id verdicts")
+      assert(!strict || cont, s"doc $id strict implies q75-flagged")
+    }
+    val rescued = rows.values.count(v => v._3 && !v._4)
+    assert(rescued === 3,
+      "fixture geometry: exactly three docs are df-exempted at maxDf=1")
+    assert(rows.values.exists(_._4), "fixture must keep at least one strict flag")
+  }
+
   test("burn drift: arrival batches recounted from raw grams; reconciles q349") {
     val sf = "/root/testdata/sf0.001"
     def grams(text: String): Set[String] = {

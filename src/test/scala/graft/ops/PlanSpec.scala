@@ -408,7 +408,9 @@ class PlanSpec extends SparkSpec {
         Curation.leakSeverityBySource(spark, sf),
         // q362's cumulative window runs on the 8-row batch aggregate (the
         // familyDrift/burnDrift exemption)
-        Curation.severityDrift(spark, sf))) {
+        Curation.severityDrift(spark, sf),
+        // q363's df table is a narrow gram-keyed aggregate, joined un-hinted
+        Curation.rareGramDecontaminate(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
