@@ -923,6 +923,43 @@ object SparkEntry {
        |  v.is_contaminated
        |FROM v LEFT JOIN mx USING (doc_id)""".stripMargin
 
+  /** DuckDB twin of Curation.graduatedPolicy — q360's severity-aware
+    * policy row, SHARED VERBATIM with the release card's severity arm.
+    */
+  private lazy val graduatedPolicyOracle: String =
+    s"""WITH ls AS ($leakSpansOracle),
+       |pdg AS ($passageDecontamOracle),
+       |dt AS (SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |           AS n_toks
+       |       FROM documents),
+       |rem AS (SELECT pdg.doc_id,
+       |          CAST(sum(least(8, dt.n_toks - pdg.passage * 8)) AS BIGINT) AS removed
+       |        FROM pdg JOIN dt USING (doc_id) WHERE pdg.is_flagged GROUP BY 1),
+       |j AS (SELECT ls.doc_id, dt.n_toks, coalesce(rem.removed, 0) AS removed,
+       |        ${severityCase("ls.longest_run_grams")} AS sev
+       |      FROM ls JOIN dt USING (doc_id) LEFT JOIN rem USING (doc_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN sev = 'quote' THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
+       |  CAST(sum(CASE WHEN sev = 'passage' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_passage_class,
+       |  CAST(sum(CASE WHEN sev = 'wholesale' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_wholesale,
+       |  CAST(sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS retained_doc_grain,
+       |  CAST(sum(n_toks) - sum(removed) AS BIGINT) AS retained_passage_grain,
+       |  CAST(sum(n_toks)
+       |    - sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
+       |    - sum(CASE WHEN sev = 'passage' THEN removed ELSE 0 END) AS BIGINT)
+       |    AS retained_graduated,
+       |  CAST(sum(n_toks)
+       |    - sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
+       |    - sum(CASE WHEN sev = 'passage' THEN removed ELSE 0 END)
+       |    - sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(n_toks) AS DOUBLE) AS graduated_rescued_share
+       |FROM j""".stripMargin
+
   /** DuckDB twin of Similarity.semanticDecontam — q354's embedding-channel
     * leak audit, SHARED VERBATIM with the streaming monitor q355 (the 12th
     * batch/stream parity pair): exact integer-scaled cosine NN per eval
@@ -5854,7 +5891,8 @@ object SparkEntry {
          |    AS contamination_rate,
          |  s.tokens_rescued_share, g.leaked_gram_share,
          |  b.n_burned_items, p.pool_tokens, p.mix_infeasible_cells,
-         |  m.n_semantic_matches, m.n_paraphrase_leaks
+         |  m.n_semantic_matches, m.n_paraphrase_leaks,
+         |  gp.n_wholesale_docs, gp.graduated_retained_tokens
          |FROM (
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
@@ -5877,7 +5915,10 @@ object SparkEntry {
          |                AS n_semantic_matches,
          |              CAST(sum(CASE WHEN paraphrase_leak THEN 1 ELSE 0 END) AS BIGINT)
          |                AS n_paraphrase_leaks
-         |            FROM ($semanticDecontamOracle) u) m""".stripMargin,
+         |            FROM ($semanticDecontamOracle) u) m
+         |CROSS JOIN (SELECT n_wholesale AS n_wholesale_docs,
+         |              retained_graduated AS graduated_retained_tokens
+         |            FROM ($graduatedPolicyOracle) w2) gp""".stripMargin,
 
     // q352: benchmark burn drift — when each eval item died, by crawl
     // batch: a gram arrives at its min train batch, an item burns at the
@@ -6077,39 +6118,7 @@ object SparkEntry {
     // passages of passage-class docs, drop wholesale docs; laid beside
     // q334's two blunt arms on the same verdicts (q358 + passage oracles
     // embedded VERBATIM, q334's min(w, len−w·p) span arithmetic)
-    "q360_graduated_policy" ->
-      s"""WITH ls AS ($leakSpansOracle),
-         |pdg AS ($passageDecontamOracle),
-         |dt AS (SELECT doc_id,
-         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
-         |           AS n_toks
-         |       FROM documents),
-         |rem AS (SELECT pdg.doc_id,
-         |          CAST(sum(least(8, dt.n_toks - pdg.passage * 8)) AS BIGINT) AS removed
-         |        FROM pdg JOIN dt USING (doc_id) WHERE pdg.is_flagged GROUP BY 1),
-         |j AS (SELECT ls.doc_id, dt.n_toks, coalesce(rem.removed, 0) AS removed,
-         |        ${severityCase("ls.longest_run_grams")} AS sev
-         |      FROM ls JOIN dt USING (doc_id) LEFT JOIN rem USING (doc_id))
-         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
-         |  CAST(sum(CASE WHEN sev = 'quote' THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
-         |  CAST(sum(CASE WHEN sev = 'passage' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_passage_class,
-         |  CAST(sum(CASE WHEN sev = 'wholesale' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_wholesale,
-         |  CAST(sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS BIGINT)
-         |    AS retained_doc_grain,
-         |  CAST(sum(n_toks) - sum(removed) AS BIGINT) AS retained_passage_grain,
-         |  CAST(sum(n_toks)
-         |    - sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
-         |    - sum(CASE WHEN sev = 'passage' THEN removed ELSE 0 END) AS BIGINT)
-         |    AS retained_graduated,
-         |  CAST(sum(n_toks)
-         |    - sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
-         |    - sum(CASE WHEN sev = 'passage' THEN removed ELSE 0 END)
-         |    - sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS DOUBLE)
-         |    / CAST(sum(n_toks) AS DOUBLE) AS graduated_rescued_share
-         |FROM j""".stripMargin,
+    "q360_graduated_policy" -> graduatedPolicyOracle,
 
     // q361: leak severity by source — q359's classes at the feed grain
     // (the q338/q357 triage pattern): which feeds quote benchmarks vs

@@ -62,9 +62,15 @@ object ReportCard {
           .as("n_semantic_matches"),
         sum(when(col("paraphrase_leak"), 1L).otherwise(0L))
           .as("n_paraphrase_leaks"))
+    // the severity channel (q360, r17): how many training docs ARE a
+    // benchmark item (wholesale), and what the graduated remedy retains
+    val sev = Curation.graduatedPolicy(spark, sfDir)
+      .select(col("n_wholesale").as("n_wholesale_docs"),
+        col("retained_graduated").as("graduated_retained_tokens"))
     corpus.crossJoin(broadcast(ded)).crossJoin(broadcast(sav))
       .crossJoin(broadcast(sat)).crossJoin(broadcast(burn))
       .crossJoin(broadcast(pool)).crossJoin(broadcast(sem))
+      .crossJoin(broadcast(sev))
   }
 
   def sourceReportCard(spark: SparkSession, sfDir: String): DataFrame = {

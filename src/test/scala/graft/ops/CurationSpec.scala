@@ -306,6 +306,10 @@ class CurationSpec extends SparkSpec {
     assert(card.getLong(13) === sem.count(_.getBoolean(5)).toLong,
       "paraphrase leaks = q354")
     assert(card.getLong(13) > 0L, "fixture must surface the semantic channel")
+    val grad = Curation.graduatedPolicy(spark, sf).head
+    assert(card.getLong(14) === grad.getLong(4), "wholesale docs = q360")
+    assert(card.getLong(15) === grad.getLong(7), "graduated retained = q360")
+    assert(card.getLong(14) > 0L, "fixture must surface the severity channel")
   }
 
   test("leak spans: islands recounted from raw token positions; severity one-sided") {
