@@ -397,6 +397,17 @@ object SparkEntry {
     "q361_severity_by_source" -> ((s, d) => graft.ops.Curation.leakSeverityBySource(s, d)),
     "q362_severity_drift"  -> ((s, d) => graft.ops.Curation.severityDrift(s, d)),
     "q363_rare_gram_decontam" -> ((s, d) => graft.ops.Curation.rareGramDecontaminate(s, d)),
+    "q364_graduated_pool"  -> ((s, d) => graft.ops.TrainingMix.graduatedPoolMix(s, d)),
+    "q365_semantic_external" -> ((s, d) => graft.ops.Similarity.semanticDecontamExternal(s, d)),
+    "q366_widened_savings" -> ((s, d) => graft.ops.Curation.widenedSavings(s, d)),
+    "q367_severity_stream" -> ((s, d) => graft.streaming.ScoreStream.severityProfileAvailableNow(s, d)),
+    "q368_graduated_by_source" -> ((s, d) => graft.ops.Curation.graduatedSavingsBySource(s, d)),
+    "q369_release_diff"    -> ((s, d) => graft.ops.ReportCard.releaseDiff(s, d)),
+    "q370_graduated_sample" -> ((s, d) => graft.ops.TrainingMix.graduatedMixSample(s, d)),
+    "q371_widened_stream"  -> ((s, d) => graft.streaming.ScoreStream.widenedSavingsAvailableNow(s, d)),
+    "q372_graduated_epochs" -> ((s, d) => graft.ops.TrainingMix.graduatedEpochAccounting(s, d)),
+    "q373_excised_corpus"  -> ((s, d) => graft.ops.Curation.excisedCorpus(s, d)),
+    "q374_excision_audit"  -> ((s, d) => graft.ops.Curation.excisionAudit(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -923,22 +934,34 @@ object SparkEntry {
        |  v.is_contaminated
        |FROM v LEFT JOIN mx USING (doc_id)""".stripMargin
 
+  /** The per-doc graduated-verdict join CTEs (ending at
+    * `gj(doc_id, source, lang, n_toks, removed, sev)`) — q358's and q331's
+    * oracles embedded VERBATIM with the shared severity CASE and q334's
+    * min(w, len − w·p) span arithmetic — the spine shared by q360 (corpus
+    * policy row), q364 (graduated trainable pool) and q368 (per-source
+    * arms), so the three can never desynchronize.
+    */
+  private lazy val graduatedJoinCtes: String =
+    s"""ls AS ($leakSpansOracle),
+       |pdg AS ($passageDecontamOracle),
+       |gdt AS (SELECT doc_id, source, lang,
+       |          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |            AS n_toks
+       |        FROM documents),
+       |grem AS (SELECT pdg.doc_id,
+       |           CAST(sum(least(8, gdt.n_toks - pdg.passage * 8)) AS BIGINT) AS removed
+       |         FROM pdg JOIN gdt USING (doc_id) WHERE pdg.is_flagged GROUP BY 1),
+       |gj AS (SELECT ls.doc_id, gdt.source, gdt.lang, gdt.n_toks,
+       |         coalesce(grem.removed, 0) AS removed,
+       |         ${severityCase("ls.longest_run_grams")} AS sev
+       |       FROM ls JOIN gdt USING (doc_id) LEFT JOIN grem USING (doc_id))""".stripMargin
+
   /** DuckDB twin of Curation.graduatedPolicy — q360's severity-aware
     * policy row, SHARED VERBATIM with the release card's severity arm.
     */
   private lazy val graduatedPolicyOracle: String =
-    s"""WITH ls AS ($leakSpansOracle),
-       |pdg AS ($passageDecontamOracle),
-       |dt AS (SELECT doc_id,
-       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
-       |           AS n_toks
-       |       FROM documents),
-       |rem AS (SELECT pdg.doc_id,
-       |          CAST(sum(least(8, dt.n_toks - pdg.passage * 8)) AS BIGINT) AS removed
-       |        FROM pdg JOIN dt USING (doc_id) WHERE pdg.is_flagged GROUP BY 1),
-       |j AS (SELECT ls.doc_id, dt.n_toks, coalesce(rem.removed, 0) AS removed,
-       |        ${severityCase("ls.longest_run_grams")} AS sev
-       |      FROM ls JOIN dt USING (doc_id) LEFT JOIN rem USING (doc_id))
+    s"""WITH $graduatedJoinCtes,
+       |j AS (SELECT doc_id, n_toks, removed, sev FROM gj)
        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
        |  CAST(sum(CASE WHEN sev = 'quote' THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
@@ -959,6 +982,328 @@ object SparkEntry {
        |    - sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS DOUBLE)
        |    / CAST(sum(n_toks) AS DOUBLE) AS graduated_rescued_share
        |FROM j""".stripMargin
+
+  /** DuckDB twin of Curation.leakSeverityProfile — SHARED VERBATIM by q359
+    * (batch) and q367 (the streaming severity monitor), the 13th
+    * batch/stream parity pair; q358's oracle embedded VERBATIM, the
+    * severity CASE shared.
+    */
+  private lazy val leakSeverityOracle: String =
+    s"""WITH ls AS ($leakSpansOracle),
+       |dt AS (SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |           AS n_alpha_toks
+       |       FROM documents),
+       |j AS (SELECT ls.doc_id, ls.longest_run_grams, ls.longest_span_tokens,
+       |        dt.n_alpha_toks,
+       |        ${severityCase("ls.longest_run_grams")} AS severity
+       |      FROM ls JOIN dt USING (doc_id)),
+       |a AS (SELECT severity, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(n_alpha_toks) AS BIGINT) AS total_tokens,
+       |        CAST(sum(longest_span_tokens) AS BIGINT) AS leaked_span_tokens
+       |      FROM j GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_alpha_toks) AS BIGINT) AS train_tokens FROM j)
+       |SELECT s.severity,
+       |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(a.total_tokens, 0) AS BIGINT) AS total_tokens,
+       |  CAST(coalesce(a.leaked_span_tokens, 0) AS BIGINT) AS leaked_span_tokens,
+       |  CASE WHEN t.train_tokens > 0
+       |    THEN CAST(coalesce(a.total_tokens, 0) AS DOUBLE) / CAST(t.train_tokens AS DOUBLE)
+       |  END AS token_share
+       |FROM (VALUES ('clean'), ('quote'), ('passage'), ('wholesale')) s(severity)
+       |LEFT JOIN a USING (severity) CROSS JOIN t""".stripMargin
+
+  /** DuckDB twin of Curation.graduatedSavingsBySource (q368) — q360's three
+    * policy arms at the feed grain, off the SAME graduated-verdict spine.
+    */
+  private lazy val graduatedBySourceOracle: String =
+    s"""WITH $graduatedJoinCtes
+       |SELECT gj.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN sev = 'quote' THEN 1 ELSE 0 END) AS BIGINT) AS n_quote,
+       |  CAST(sum(CASE WHEN sev = 'passage' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_passage_class,
+       |  CAST(sum(CASE WHEN sev = 'wholesale' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_wholesale,
+       |  CAST(sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS retained_doc_grain,
+       |  CAST(sum(n_toks) - sum(removed) AS BIGINT) AS retained_passage_grain,
+       |  CAST(sum(n_toks)
+       |    - sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
+       |    - sum(CASE WHEN sev = 'passage' THEN removed ELSE 0 END) AS BIGINT)
+       |    AS retained_graduated,
+       |  CAST(sum(n_toks)
+       |    - sum(CASE WHEN sev = 'wholesale' THEN n_toks ELSE 0 END)
+       |    - sum(CASE WHEN sev = 'passage' THEN removed ELSE 0 END)
+       |    - sum(CASE WHEN sev = 'clean' THEN n_toks ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(n_toks) AS DOUBLE) AS graduated_rescued_share
+       |FROM gj
+       |GROUP BY 1""".stripMargin
+
+  /** DuckDB twin of TrainingMix.graduatedPoolMix (q364) — the SAME solver
+    * body over the graduated pool: q55 representatives ∩ q195 quality keeps,
+    * with the severity-graduated decontamination gate (clean/quote enter
+    * whole, passage-class at n_toks − removed, wholesale dropped);
+    * alpha-token census (the unit passage surgery is priced in).
+    */
+  private lazy val graduatedPoolMixOracle: String = domainMixOracleOver(
+    s"""RECURSIVE $dupCcCtes,
+       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |$graduatedJoinCtes,
+       |$qualityScoreCtes,
+       |gpool AS (SELECT gj.doc_id, gj.source, gj.lang,
+       |            CASE WHEN gj.sev = 'passage' THEN gj.n_toks - gj.removed
+       |                 ELSE gj.n_toks END AS nt
+       |          FROM gj
+       |          JOIN lab ON gj.doc_id = lab.doc_id AND gj.doc_id = lab.cluster_id
+       |          JOIN qscore q ON gj.doc_id = q.doc_id AND q.zq >= 0
+       |          WHERE gj.sev <> 'wholesale'),
+       |cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |            CAST(sum(nt) AS BIGINT) AS avail_tokens
+       |          FROM gpool GROUP BY 1, 2)""".stripMargin)
+
+  /** DuckDB twin of Curation.widenedSavings (q366) — q334's two arms plus
+    * the widened-cut arm: the per-doc interval union of flagged-passage
+    * spans and matching-gram spans [start, start+n−1], gaps-and-islands
+    * exact (island cost = max(end) − min(start) + 1, break where the next
+    * start exceeds running max(end) + 1).
+    */
+  /** The widened-cut interval-union CTE chain (ending at
+    * `ui(doc_id, s0, e0)` — one row per merged removal island), shared by
+    * q366/q371's accounting and q373's materialized surgery so the price
+    * and the knife can never disagree (the Scala side shares
+    * `removalIntervals`/`islandUnion` the same way).
+    */
+  private lazy val widenedIslandCtes: String =
+    s"""$passageVerdictCtes,
+       |wg AS (SELECT doc_id, i,
+       |         md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' ')) AS gram
+       |       FROM s),
+       |hp AS (SELECT wg.doc_id, wg.i FROM wg JOIN e USING (gram)),
+       |giv AS (SELECT doc_id, CAST(i AS BIGINT) AS s_pos,
+       |          CAST(i + 4 AS BIGINT) AS e_pos FROM hp),
+       |piv AS (SELECT h.doc_id, CAST(h.passage * 8 + 1 AS BIGINT) AS s_pos,
+       |          CAST(least((h.passage + 1) * 8, tr.n_toks) AS BIGINT) AS e_pos
+       |        FROM hits h JOIN tr USING (doc_id) WHERE h.is_flagged),
+       |iv AS (SELECT * FROM giv UNION ALL SELECT * FROM piv),
+       |mrk AS (SELECT doc_id, s_pos, e_pos,
+       |          max(e_pos) OVER (PARTITION BY doc_id ORDER BY s_pos, e_pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |        FROM iv),
+       |isl2 AS (SELECT doc_id, s_pos, e_pos,
+       |          sum(CASE WHEN s_pos > coalesce(pm, 0) + 1 THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY s_pos, e_pos
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |        FROM mrk),
+       |ui AS (SELECT doc_id, CAST(min(s_pos) AS BIGINT) AS s0,
+       |         CAST(max(e_pos) AS BIGINT) AS e0
+       |       FROM isl2 GROUP BY doc_id, grp)""".stripMargin
+
+  private lazy val widenedSavingsOracle: String =
+    s"""WITH $widenedIslandCtes,
+       |rw AS (SELECT CAST(coalesce(sum(e0 - s0 + 1), 0) AS BIGINT)
+       |         AS removed_widened FROM ui),
+       |df AS (SELECT doc_id, bool_or(is_flagged) AS doc_flagged
+       |       FROM hits GROUP BY 1),
+       |t AS (SELECT tr.doc_id, tr.n_toks, coalesce(df.doc_flagged, false) AS doc_flagged
+       |      FROM tr LEFT JOIN df USING (doc_id)),
+       |a1 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN doc_flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+       |    CAST(sum(CASE WHEN doc_flagged THEN 0 ELSE n_toks END) AS BIGINT)
+       |      AS retained_doc_grain
+       |  FROM t),
+       |a2 AS (
+       |  SELECT CAST(coalesce(sum(least(8, tr.n_toks - h.passage * 8)), 0) AS BIGINT)
+       |    AS removed_passage
+       |  FROM hits h JOIN tr USING (doc_id) WHERE h.is_flagged)
+       |SELECT n_docs, total_tokens, n_docs_flagged, retained_doc_grain,
+       |  total_tokens - removed_passage AS retained_passage_grain,
+       |  removed_widened,
+       |  total_tokens - removed_widened AS retained_widened_grain,
+       |  removed_widened - removed_passage AS widened_extra_tokens,
+       |  CAST(total_tokens - removed_widened - retained_doc_grain AS DOUBLE)
+       |    / CAST(total_tokens AS DOUBLE) AS widened_rescued_share
+       |FROM a1 CROSS JOIN a2 CROSS JOIN rw""".stripMargin
+
+  /** DuckDB twin of Curation.excisedCorpus (q373) — the widened-cut islands
+    * chain embedded VERBATIM, then the same row-local segment rebuild:
+    * segment i spans (prev island end, next island start) exclusive,
+    * empty gaps filtered, segments joined by the out-of-alphabet " | ".
+    */
+  private lazy val excisedCorpusOracle: String =
+    s"""WITH $widenedIslandCtes,
+       |ct AS (SELECT doc_id,
+       |         list_sort(list({'s': s0, 'e': e0})) AS cuts,
+       |         CAST(sum(e0 - s0 + 1) AS BIGINT) AS removed
+       |       FROM ui GROUP BY doc_id),
+       |j AS (SELECT tr.doc_id, tr.n_toks, d.toks,
+       |        coalesce(ct.cuts, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS ct,
+       |        CAST(coalesce(ct.removed, 0) AS BIGINT) AS removed
+       |      FROM tr JOIN d ON tr.doc_id = d.doc_id
+       |      LEFT JOIN ct ON tr.doc_id = ct.doc_id),
+       |k AS (SELECT doc_id, n_toks, removed,
+       |        list_filter(list_transform(range(0, len(ct) + 1), i ->
+       |          list_slice(toks,
+       |            CAST(CASE WHEN i = 0 THEN 1 ELSE ct[i].e + 1 END AS BIGINT),
+       |            CAST(CASE WHEN i = CAST(len(ct) AS BIGINT)
+       |                 THEN CAST(len(toks) AS BIGINT)
+       |                 ELSE ct[i + 1].s - 1 END AS BIGINT))),
+       |          seg -> len(seg) > 0) AS segs
+       |      FROM j)
+       |SELECT doc_id, n_toks, removed AS n_removed_toks,
+       |  CAST(n_toks - removed AS BIGINT) AS n_kept_toks,
+       |  CAST(len(segs) AS BIGINT) AS n_segments,
+       |  -- a fully-excised doc has zero segments: DuckDB's array_to_string
+       |  -- returns NULL on [], Spark's array_join returns '' — align on ''
+       |  coalesce(array_to_string(
+       |    list_transform(segs, seg -> array_to_string(seg, ' ')), ' | '), '')
+       |    AS excised_text
+       |FROM k""".stripMargin
+
+  /** DuckDB twin of Curation.excisionAudit (q374) — q373's oracle embedded
+    * VERBATIM, segments re-split on the literal ' | ', re-ground with q75's
+    * gram spelling and scored against the SAME eval set; the gated
+    * expectation is all-clean (n_hits_post = 0 on every row).
+    */
+  private lazy val excisionAuditOracle: String =
+    s"""WITH exc AS ($excisedCorpusOracle),
+       |dd AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |ev AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 5 THEN
+       |    list_distinct(list_transform(range(1, len(toks) - 3),
+       |      i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+       |  ELSE [] END) AS gram FROM dd WHERE is_eval),
+       |sg AS (SELECT doc_id, unnest(string_split(excised_text, ' | ')) AS seg
+       |       FROM exc),
+       |gg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+       |         list_distinct(list_transform(range(1, len(t) - 3),
+       |           i -> md5(array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+       |       ELSE [] END) AS gram
+       |       FROM (SELECT doc_id, regexp_extract_all(lower(seg), '[a-z0-9]+') AS t
+       |             FROM sg) s2),
+       |h AS (SELECT gg.doc_id, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(count(ev.gram) AS BIGINT) AS hh
+       |      FROM gg LEFT JOIN ev USING (gram) GROUP BY 1)
+       |SELECT exc.doc_id,
+       |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_grams_post,
+       |  CAST(coalesce(h.hh, 0) AS BIGINT) AS n_hits_post,
+       |  coalesce(h.hh, 0) = 0 AS is_clean
+       |FROM exc LEFT JOIN h USING (doc_id)""".stripMargin
+
+  /** DuckDB twin of Similarity.semanticDecontamExternal (q365) — q354's NN
+    * scoring through the external-relation code path, suite = the 50‰
+    * suite_v2 hash slice of the embeddings (the decontaminateExternal
+    * convention, embedding channel); no gram columns — an arbitrary suite
+    * carries no corpus gram verdicts.
+    */
+  private lazy val semanticExternalOracle: String =
+    s"""WITH $scaledVecs,
+       |q AS (SELECT vec_id AS eval_id, svec AS qvec, norm2 AS qnorm2 FROM w
+       |      WHERE CAST('0x' || substr(md5(vec_id || ':suite_v2'), 1, 8) AS BIGINT)
+       |        % 1000 < 50),
+       |t AS (SELECT vec_id, svec, norm2 FROM w
+       |      WHERE CAST('0x' || substr(md5(vec_id || ':suite_v2'), 1, 8) AS BIGINT)
+       |        % 1000 >= 50),
+       |c AS (SELECT eval_id, vec_id,
+       |        ${cosine("qvec", "svec", "qnorm2", "norm2")} AS cosine
+       |      FROM q, t),
+       |nn AS (SELECT eval_id, vec_id AS nn_train_id, cosine,
+       |         row_number() OVER (PARTITION BY eval_id
+       |           ORDER BY cosine DESC, vec_id ASC) AS rk
+       |       FROM c QUALIFY rk = 1)
+       |SELECT eval_id AS doc_id, nn_train_id, cosine,
+       |  cosine >= 0.4 AS is_semantic_match
+       |FROM nn""".stripMargin
+
+  /** The version-parameterized (source, lang) raw-census cells CTE — the
+    * mix arm of [[releaseMiniCardOracle]], q332's census over any docs
+    * relation.
+    */
+  private def versionCellsSql(docsSql: String): String =
+    s"""cells AS (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM ($docsSql) GROUP BY 1, 2)""".stripMargin
+
+  /** One release mini-card row over any (doc_id, source, lang, text)
+    * relation — DuckDB twin of ReportCard.releaseDiff's per-version arms
+    * (q75's contamination core, q349's burn core, q332's solver embedded).
+    */
+  private def releaseMiniCardOracle(docsSql: String): String =
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(doc_id || ':eval_v1'), 1, 8) AS BIGINT) % 1000 < 200 AS is_eval,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM ($docsSql)),
+       |gg AS (
+       |  SELECT doc_id, is_eval,
+       |    CASE WHEN len(toks) >= 5 THEN
+       |      list_distinct(list_transform(range(1, len(toks) - 3),
+       |        i -> md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 4 AS INT)), ' '))))
+       |    ELSE [] END AS grams
+       |  FROM dd),
+       |ee AS (SELECT DISTINCT unnest(grams) AS gram FROM gg WHERE is_eval),
+       |tt AS (SELECT doc_id, unnest(grams) AS gram FROM gg WHERE NOT is_eval),
+       |th AS (SELECT tt.doc_id, count(ee.gram) AS n_hits
+       |       FROM tt LEFT JOIN ee ON tt.gram = ee.gram GROUP BY tt.doc_id),
+       |verd AS (SELECT gg.doc_id, coalesce(th.n_hits, 0) > 0 AS is_contaminated
+       |         FROM gg LEFT JOIN th USING (doc_id) WHERE NOT gg.is_eval),
+       |vol AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(len(toks)) AS BIGINT) AS raw_tokens FROM dd),
+       |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_train_docs,
+       |         CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_docs_flagged
+       |       FROM verd),
+       |tgs AS (SELECT DISTINCT unnest(grams) AS gram FROM gg WHERE NOT is_eval),
+       |eg AS (SELECT doc_id, unnest(grams) AS gram FROM gg WHERE is_eval),
+       |bh AS (SELECT eg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(count(tgs.gram) AS BIGINT) AS n_leaked
+       |       FROM eg LEFT JOIN tgs USING (gram) GROUP BY 1),
+       |burn AS (SELECT CAST(coalesce(sum(CASE WHEN n_leaked = n_grams
+       |             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_burned_items
+       |         FROM bh),
+       |mixarm AS (SELECT CAST(sum(CASE WHEN NOT feasible THEN 1 ELSE 0 END) AS BIGINT)
+       |             AS mix_infeasible_cells
+       |           FROM (${domainMixOracleOver(versionCellsSql(docsSql))}) mx)
+       |SELECT vol.n_docs, vol.raw_tokens, ca.n_train_docs, ca.n_docs_flagged,
+       |  CAST(ca.n_docs_flagged AS DOUBLE) / CAST(ca.n_train_docs AS DOUBLE)
+       |    AS contamination_rate,
+       |  burn.n_burned_items, mixarm.mix_infeasible_cells
+       |FROM vol CROSS JOIN ca CROSS JOIN burn CROSS JOIN mixarm""".stripMargin
+
+  private val v1DocsSql: String =
+    "SELECT doc_id, source, lang, text FROM documents"
+
+  private val v2DocsSql: String =
+    """SELECT doc_id, source, lang,
+      |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      |FROM documents WHERE doc_id % 11 <> 3""".stripMargin
+
+  /** DuckDB twin of ReportCard.releaseDiff (q369) — V1/V2 mini-cards plus
+    * the exact delta row (BIGINT differences, one IEEE rate difference).
+    */
+  private lazy val releaseDiffOracle: String =
+    s"""WITH c1 AS (${releaseMiniCardOracle(v1DocsSql)}),
+       |c2 AS (${releaseMiniCardOracle(v2DocsSql)})
+       |SELECT 'v1' AS version, * FROM c1
+       |UNION ALL
+       |SELECT 'v2' AS version, * FROM c2
+       |UNION ALL
+       |SELECT 'delta' AS version,
+       |  c2.n_docs - c1.n_docs AS n_docs,
+       |  c2.raw_tokens - c1.raw_tokens AS raw_tokens,
+       |  c2.n_train_docs - c1.n_train_docs AS n_train_docs,
+       |  c2.n_docs_flagged - c1.n_docs_flagged AS n_docs_flagged,
+       |  c2.contamination_rate - c1.contamination_rate AS contamination_rate,
+       |  c2.n_burned_items - c1.n_burned_items AS n_burned_items,
+       |  c2.mix_infeasible_cells - c1.mix_infeasible_cells AS mix_infeasible_cells
+       |FROM c1 CROSS JOIN c2""".stripMargin
 
   /** DuckDB twin of Similarity.semanticDecontam — q354's embedding-channel
     * leak audit, SHARED VERBATIM with the streaming monitor q355 (the 12th
@@ -988,6 +1333,38 @@ object SparkEntry {
        |  nn.cosine >= 0.4 AND NOT gv.is_contaminated AS paraphrase_leak
        |FROM nn JOIN gv ON nn.nn_train_id = gv.doc_id""".stripMargin
 
+  /** The epoch-plan + remainder-draw + readout CTEs over any `mix` and `d`
+    * (docs with nt + mix hash) — factored out (r18) so q339's raw-census
+    * sampler oracle and q370's graduated-pool one realize their plans with
+    * ONE spelling (the Scala side shares `epochDraw` the same way).
+    */
+  private val epochSampleTail: String =
+    """r AS (
+      |  SELECT source, lang, n_docs, avail_tokens, required_tokens,
+      |    CASE WHEN avail_tokens > 0
+      |         THEN required_tokens // avail_tokens ELSE 0 END AS epochs,
+      |    CASE WHEN avail_tokens > 0
+      |         THEN ((required_tokens % avail_tokens) * 1000) // avail_tokens
+      |         ELSE 1000 END AS remainder_permille
+      |  FROM mix),
+      |sm AS (
+      |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS rd,
+      |    CAST(sum(d.nt) AS BIGINT) AS rt
+      |  FROM d JOIN r USING (source, lang)
+      |  WHERE d.h < r.remainder_permille GROUP BY 1, 2)
+      |SELECT r.source, r.lang, r.avail_tokens, r.required_tokens,
+      |  CAST(r.epochs AS BIGINT) AS epochs,
+      |  CAST(r.remainder_permille AS BIGINT) AS remainder_permille,
+      |  CAST(coalesce(sm.rd, 0) AS BIGINT) AS remainder_docs,
+      |  CAST(coalesce(sm.rt, 0) AS BIGINT) AS remainder_tokens,
+      |  CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS BIGINT)
+      |    AS drawn_tokens,
+      |  CAST(r.epochs * r.n_docs + coalesce(sm.rd, 0) AS BIGINT) AS n_draws,
+      |  CASE WHEN r.required_tokens > 0
+      |       THEN CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS DOUBLE)
+      |         / CAST(r.required_tokens AS DOUBLE) END AS achieved_ratio
+      |FROM r LEFT JOIN sm USING (source, lang)""".stripMargin
+
   /** DuckDB twin of TrainingMix.mixSampleEpochs — q339's table, aggregated
     * verbatim by q345's accounting row.
     */
@@ -999,31 +1376,34 @@ object SparkEntry {
        |    CAST('0x' || substr(md5(doc_id || ':mix_v1'), 1, 8) AS BIGINT)
        |      % 1000 AS h
        |  FROM documents),
-       |r AS (
-       |  SELECT source, lang, n_docs, avail_tokens, required_tokens,
-       |    CASE WHEN avail_tokens > 0
-       |         THEN required_tokens // avail_tokens ELSE 0 END AS epochs,
-       |    CASE WHEN avail_tokens > 0
-       |         THEN ((required_tokens % avail_tokens) * 1000) // avail_tokens
-       |         ELSE 1000 END AS remainder_permille
-       |  FROM mix),
-       |sm AS (
-       |  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS rd,
-       |    CAST(sum(d.nt) AS BIGINT) AS rt
-       |  FROM d JOIN r USING (source, lang)
-       |  WHERE d.h < r.remainder_permille GROUP BY 1, 2)
-       |SELECT r.source, r.lang, r.avail_tokens, r.required_tokens,
-       |  CAST(r.epochs AS BIGINT) AS epochs,
-       |  CAST(r.remainder_permille AS BIGINT) AS remainder_permille,
-       |  CAST(coalesce(sm.rd, 0) AS BIGINT) AS remainder_docs,
-       |  CAST(coalesce(sm.rt, 0) AS BIGINT) AS remainder_tokens,
-       |  CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS BIGINT)
-       |    AS drawn_tokens,
-       |  CAST(r.epochs * r.n_docs + coalesce(sm.rd, 0) AS BIGINT) AS n_draws,
-       |  CASE WHEN r.required_tokens > 0
-       |       THEN CAST(r.epochs * r.avail_tokens + coalesce(sm.rt, 0) AS DOUBLE)
-       |         / CAST(r.required_tokens AS DOUBLE) END AS achieved_ratio
-       |FROM r LEFT JOIN sm USING (source, lang)""".stripMargin
+       |$epochSampleTail""".stripMargin
+
+  /** DuckDB twin of TrainingMix.graduatedMixSample (q370) — the SAME epoch
+    * tail over the graduated pool: `d` is the gpool per-doc frame (q364's
+    * census grain) with the mix hash, `mix` is q364's solution embedded
+    * VERBATIM, aggregated verbatim by q372's accounting row.
+    */
+  private lazy val graduatedMixSampleOracle: String =
+    s"""WITH RECURSIVE $dupCcCtes,
+       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |$graduatedJoinCtes,
+       |$qualityScoreCtes,
+       |gpool AS (SELECT gj.doc_id, gj.source, gj.lang,
+       |            CASE WHEN gj.sev = 'passage' THEN gj.n_toks - gj.removed
+       |                 ELSE gj.n_toks END AS nt
+       |          FROM gj
+       |          JOIN lab ON gj.doc_id = lab.doc_id AND gj.doc_id = lab.cluster_id
+       |          JOIN qscore q ON gj.doc_id = q.doc_id AND q.zq >= 0
+       |          WHERE gj.sev <> 'wholesale'),
+       |d AS (SELECT source, lang, CAST(nt AS BIGINT) AS nt,
+       |        CAST('0x' || substr(md5(doc_id || ':mix_v1'), 1, 8) AS BIGINT)
+       |          % 1000 AS h
+       |      FROM gpool),
+       |cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |            CAST(sum(nt) AS BIGINT) AS avail_tokens
+       |          FROM gpool GROUP BY 1, 2),
+       |mix AS (WITH $domainMixSolverSql),
+       |$epochSampleTail""".stripMargin
 
   /** DuckDB twin of TrainingMix.poolMix (q347) — the SAME solver body over
     * the fully-curated trainable pool: q55 representatives ∩ q195 quality
@@ -1061,8 +1441,16 @@ object SparkEntry {
     * decontaminated one, so the solver arithmetic can never desynchronize.
     */
   private def domainMixOracleOver(cellsCtes: String): String =
-        s"""WITH $cellsCtes,
-          |st AS (SELECT source, CAST(sum(avail_tokens) AS BIGINT) AS tok_s
+    s"""WITH $cellsCtes,
+       |$domainMixSolverSql""".stripMargin
+
+  /** The solver CTEs + SELECT over an in-scope `cells` relation — split from
+    * [[domainMixOracleOver]] (r18) so q370 can embed the solver as a CTE
+    * referencing an OUTER `cells` (re-deriving the recursive dup-CC chain
+    * inside a nested scope trips DuckDB's duplicate-alias check).
+    */
+  private lazy val domainMixSolverSql: String =
+        s"""st AS (SELECT source, CAST(sum(avail_tokens) AS BIGINT) AS tok_s
           |       FROM cells GROUP BY 1),
           |lt AS (SELECT lang, CAST(sum(avail_tokens) AS BIGINT) AS tok_l
           |       FROM cells GROUP BY 1),
@@ -6088,31 +6476,74 @@ object SparkEntry {
 
     // q359: leak-severity policy profile — q358 bucketed into the four
     // policy classes (clean/quote/passage/wholesale) with exact token mass
-    // and corpus share; static 4-row spine; q358's oracle embedded VERBATIM
-    "q359_leak_severity" ->
-      s"""WITH ls AS ($leakSpansOracle),
-         |dt AS (SELECT doc_id,
-         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
-         |           AS n_alpha_toks
-         |       FROM documents),
-         |j AS (SELECT ls.doc_id, ls.longest_run_grams, ls.longest_span_tokens,
-         |        dt.n_alpha_toks,
-         |        ${severityCase("ls.longest_run_grams")} AS severity
-         |      FROM ls JOIN dt USING (doc_id)),
-         |a AS (SELECT severity, CAST(count(*) AS BIGINT) AS n_docs,
-         |        CAST(sum(n_alpha_toks) AS BIGINT) AS total_tokens,
-         |        CAST(sum(longest_span_tokens) AS BIGINT) AS leaked_span_tokens
-         |      FROM j GROUP BY 1),
-         |t AS (SELECT CAST(sum(n_alpha_toks) AS BIGINT) AS train_tokens FROM j)
-         |SELECT s.severity,
-         |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
-         |  CAST(coalesce(a.total_tokens, 0) AS BIGINT) AS total_tokens,
-         |  CAST(coalesce(a.leaked_span_tokens, 0) AS BIGINT) AS leaked_span_tokens,
-         |  CASE WHEN t.train_tokens > 0
-         |    THEN CAST(coalesce(a.total_tokens, 0) AS DOUBLE) / CAST(t.train_tokens AS DOUBLE)
-         |  END AS token_share
-         |FROM (VALUES ('clean'), ('quote'), ('passage'), ('wholesale')) s(severity)
-         |LEFT JOIN a USING (severity) CROSS JOIN t""".stripMargin,
+    // and corpus share; static 4-row spine; q358's oracle embedded VERBATIM;
+    // SHARED VERBATIM with q367, the streaming severity monitor (the 13th
+    // batch/stream parity pair)
+    "q359_leak_severity" -> leakSeverityOracle,
+    "q367_severity_stream" -> leakSeverityOracle,
+
+    // q364: graduated trainable pool — poolMix's gates with the severity-
+    // graduated decontamination remedy composed in (quote-class docs enter
+    // whole, passage-class enter post-excision, wholesale drops); the SAME
+    // solver body, alpha-token census
+    "q364_graduated_pool" -> graduatedPoolMixOracle,
+
+    // q365: semantic decontamination against an external eval relation —
+    // the embedding channel's decontaminateAgainst, gated through the
+    // suite_v2 hash-slice instantiation (the q83 convention)
+    "q365_semantic_external" -> semanticExternalOracle,
+
+    // q366: widened-cut excision arm — q334's residual-gram caveat turned
+    // into a checked guarantee (every matching gram's full span excised;
+    // exact interval-union arithmetic)
+    "q366_widened_savings" -> widenedSavingsOracle,
+
+    // q368: per-source graduated savings — q360's three policy arms at the
+    // feed grain, off the SAME graduated-verdict spine (rows sum to q360)
+    "q368_graduated_by_source" -> graduatedBySourceOracle,
+
+    // q369: release-card diff across corpus versions — V1 (raw) vs q101's
+    // refreshed V2 through relation-parameterized card arms, plus the
+    // exact delta row a release review reads
+    "q369_release_diff" -> releaseDiffOracle,
+
+    // q370: graduated-mix epoch sampler — q339's executor over q364's
+    // graduated pool, drawing from the SAME per-doc frame the solver
+    // priced; the epoch tail SHARED VERBATIM with q339's oracle
+    "q370_graduated_sample" -> graduatedMixSampleOracle,
+
+    // q371: streaming widened-cut savings — q366's three-policy row live
+    // (the 14th batch/stream parity pair, stateless like q367); oracle
+    // SHARED VERBATIM with q366
+    "q371_widened_stream" -> widenedSavingsOracle,
+
+    // q373: the excised corpus MATERIALIZED — per training doc, the token
+    // stream with every widened-cut span removed, as ' | '-joined segments,
+    // plus the exact kept/removed ledger; islands chain SHARED VERBATIM
+    // with q366/q371
+    "q373_excised_corpus" -> excisedCorpusOracle,
+
+    // q374: the excision audit — q75's detector re-run over q373's output;
+    // the zero-leak guarantee as an oracle-gated corpus-wide fact
+    "q374_excision_audit" -> excisionAuditOracle,
+
+    // q372: graduated epoch accounting — q345's fresh-vs-repeat ledger over
+    // q370's plan (the epoch cost of curation); q345's fold verbatim
+    "q372_graduated_epochs" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(CASE WHEN epochs >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cells_oversampled,
+         |  CAST(sum(required_tokens) AS BIGINT) AS total_required_tokens,
+         |  CAST(sum(drawn_tokens) AS BIGINT) AS total_drawn_tokens,
+         |  CAST(sum(CASE WHEN epochs >= 1 THEN avail_tokens
+         |           ELSE remainder_tokens END) AS BIGINT) AS unique_tokens,
+         |  CAST(sum(drawn_tokens) - sum(CASE WHEN epochs >= 1 THEN avail_tokens
+         |           ELSE remainder_tokens END) AS BIGINT) AS repeated_tokens,
+         |  CASE WHEN sum(drawn_tokens) > 0
+         |       THEN CAST(sum(drawn_tokens) - sum(CASE WHEN epochs >= 1
+         |             THEN avail_tokens ELSE remainder_tokens END) AS DOUBLE)
+         |         / CAST(sum(drawn_tokens) AS DOUBLE) END AS repeat_share
+         |FROM ($graduatedMixSampleOracle) e""".stripMargin,
 
     // q360: graduated decontamination policy — keep quotes, excise flagged
     // passages of passage-class docs, drop wholesale docs; laid beside

@@ -192,7 +192,7 @@ object Dedup {
     * gone with the context, and dropping the key is what lets the session be
     * collected at all.
     */
-  private[ops] def cached(
+  private[graft] def cached(
       cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
       label: String,
       spark: SparkSession, sfDir: String)(body: => DataFrame): DataFrame =

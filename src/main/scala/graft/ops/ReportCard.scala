@@ -73,6 +73,91 @@ object ReportCard {
       .crossJoin(broadcast(sev))
   }
 
+  /** RELEASE-CARD DIFF ACROSS CORPUS VERSIONS (r17 verdict item 5) — the
+    * before/after a release review actually reads: q351 cards the raw corpus
+    * (V1 here is exactly the raw `documents` table), q101's refresh pipeline
+    * already builds the edited V2 ([[Refresh.docsV2]]'s derivation — drops,
+    * edits); this query cards BOTH through the same relation-parameterized
+    * arms and emits the delta row — did the refresh reduce the contamination
+    * rate, retire burned benchmark items, unblock infeasible mix cells?
+    *
+    * Arms (each an existing relation-shared expression tree, so the card
+    * cannot drift from the audits it summarizes): volume (docs, exact
+    * alpha-token mass), gram-channel contamination via
+    * [[Curation.decontaminateAgainst]] (q75's core — each version's eval
+    * slice is the same eval_v1 hash split of ITS docs; doc ids survive the
+    * refresh so the suite stand-in is stable across versions), burned items
+    * via [[Curation.burnedItemsOver]] (q349's core), and the mix solver's
+    * infeasible-cell count via [[TrainingMix.domainCells]] →
+    * `domainMixFromCells` (q332/q337's shared tree — the RAW census per
+    * version: the diff question is answerable before curation, and the pool
+    * chain is version-specific curation out of this card's scope). The V1
+    * row's contamination/burn/volume fields equal q351's card and its mix
+    * arm equals q332's infeasible count (spec-pinned cross-query); the delta
+    * row is exact BIGINT differences plus one IEEE rate difference.
+    *
+    * Scale shape: two passes of each arm over version-sized relations (V2's
+    * text edit is a per-row projection; `source` is arrival metadata keyed
+    * by doc_id, joined back narrow); every arm is the audited plan of its
+    * parent operator.
+    */
+  def releaseDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+    val v1 = base.select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val v2 = Refresh.docsV2(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .join(base.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val c1 = miniCard(v1).localCheckpoint(true)
+    val c2 = miniCard(v2).localCheckpoint(true)
+    def tagged(c: DataFrame, v: String) = c.select(
+      lit(v).as("version"), col("n_docs"), col("raw_tokens"),
+      col("n_train_docs"), col("n_docs_flagged"), col("contamination_rate"),
+      col("n_burned_items"), col("mix_infeasible_cells"))
+    val delta = c2.crossJoin(broadcast(c1.select(
+        col("n_docs").as("b_docs"), col("raw_tokens").as("b_raw"),
+        col("n_train_docs").as("b_train"), col("n_docs_flagged").as("b_flag"),
+        col("contamination_rate").as("b_rate"),
+        col("n_burned_items").as("b_burn"),
+        col("mix_infeasible_cells").as("b_cells"))))
+      .select(lit("delta").as("version"),
+        (col("n_docs") - col("b_docs")).as("n_docs"),
+        (col("raw_tokens") - col("b_raw")).as("raw_tokens"),
+        (col("n_train_docs") - col("b_train")).as("n_train_docs"),
+        (col("n_docs_flagged") - col("b_flag")).as("n_docs_flagged"),
+        (col("contamination_rate") - col("b_rate")).as("contamination_rate"),
+        (col("n_burned_items") - col("b_burn")).as("n_burned_items"),
+        (col("mix_infeasible_cells") - col("b_cells"))
+          .as("mix_infeasible_cells"))
+    tagged(c1, "v1").unionByName(tagged(c2, "v2")).unionByName(delta)
+  }
+
+  /** The one-row mini-card over any (doc_id, source, lang, text) relation —
+    * [[releaseDiff]]'s per-version arms. Four broadcast one-row cross joins.
+    */
+  private def miniCard(docs: DataFrame): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), "eval_v1") < 200
+    val vol = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.alphaTokens(col("text"))).cast("long"))
+        .as("raw_tokens"))
+    val contam = Curation.decontaminateAgainst(
+        docs.filter(!isEval).select(col("doc_id"), col("text")),
+        docs.filter(isEval).select(col("text")))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L))
+          .as("n_docs_flagged"))
+      .select(col("n_train_docs"), col("n_docs_flagged"),
+        (col("n_docs_flagged").cast("double") /
+          col("n_train_docs").cast("double")).as("contamination_rate"))
+    val burn = Curation.burnedItemsOver(docs.filter(!isEval), docs.filter(isEval))
+      .agg(sum(when(col("is_burned"), 1L).otherwise(0L)).as("n_burned_items"))
+    val mix = TrainingMix.domainMixFromCells(TrainingMix.domainCells(docs))
+      .agg(sum(when(!col("feasible"), 1L).otherwise(0L))
+        .as("mix_infeasible_cells"))
+    vol.crossJoin(broadcast(contam)).crossJoin(broadcast(burn))
+      .crossJoin(broadcast(mix))
+  }
+
   def sourceReportCard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
 

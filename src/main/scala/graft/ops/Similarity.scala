@@ -127,7 +127,11 @@ object Similarity {
       // default-args audit memoized once per (session, scale): q354, q356's
       // exact arm, q357's feed rollup and q351's card arm all pay the
       // |eval|×|train| NN scan otherwise (the two-consumer rule; non-default
-      // calls compute directly — the passage_flags aliasing rule)
+      // calls compute directly — the passage_flags aliasing rule). Cost
+      // cliff (r17 ADVICE): a caller tuning ANY parameter — τ included, even
+      // though τ only gates a comparison on the already-scored cosines —
+      // forfeits the memo and re-pays the full NN scan per call; sweep τ
+      // over [[semanticDecontam]]'s default output instead of re-calling.
       Dedup.cached(semanticFlagsCache, "semantic_flags", spark, sfDir)(
         semanticDecontamCompute(spark, sfDir, 200, "eval_v1", 0.4))
     else semanticDecontamCompute(spark, sfDir, evalPermille, salt, tau)
@@ -138,21 +142,68 @@ object Similarity {
   private[ops] def semanticDecontamCompute(spark: SparkSession, sfDir: String,
       evalPermille: Int, salt: String, tau: Double): DataFrame = {
     val isEval = Corpus.hashBucket(col("vec_id"), salt) < evalPermille
-    val vecs = withScaled(Tables.embeddings(spark, sfDir))
-    val q = vecs.filter(isEval)
+    val vecs = Tables.embeddings(spark, sfDir)
+    semanticFlagsFromNN(spark, sfDir,
+      semanticNnAgainst(vecs.filter(!isEval), vecs.filter(isEval)), tau)
+  }
+
+  /** SEMANTIC DECONTAMINATION AGAINST AN EXTERNAL EVAL RELATION — the
+    * embedding channel's [[Curation.decontaminateAgainst]] (r17 verdict item
+    * 2): `evalVecs` is anything with (vec_id, embedding) — a REAL benchmark
+    * suite's embedded items, or [[semanticDecontam]]'s hash slice — and every
+    * eval item gets its nearest `trainVecs` neighbor by exact integer-scaled
+    * cosine plus the τ-match verdict. The operator never sees how the suite
+    * was selected (the q83 contract); the gram-flag / paraphrase-leak
+    * columns of the internal form need the CORPUS's gram verdicts and stay
+    * on [[semanticDecontam]], whose hash-slice form is re-expressed through
+    * this core (the identity the spec pins).
+    *
+    * Scale shape: the eval side broadcasts (a benchmark suite is suite-sized
+    * — kilobytes of scaled vectors against a 100 TB crawl) over ONE
+    * training-side scan + a per-item top-1 window; ties on cosine break to
+    * the lowest neighbor id. At corpus scale the IVF arm (q356) is the
+    * deployment path with this exact arm as its recall oracle.
+    */
+  def semanticDecontamAgainst(trainVecs: DataFrame, evalVecs: DataFrame,
+      tau: Double = 0.4): DataFrame =
+    semanticNnAgainst(trainVecs, evalVecs)
+      .withColumn("is_semantic_match", col("cosine") >= tau)
+
+  /** The NN-scoring core over arbitrary (vec_id, embedding) relations —
+    * scaling, broadcast, cosine and the top-1 tie-break in ONE place, shared
+    * by the internal hash-slice audit (q354) and the external-suite form
+    * (q365), so the two can never diverge.
+    */
+  private[ops] def semanticNnAgainst(trainVecs: DataFrame,
+      evalVecs: DataFrame): DataFrame = {
+    val t = withScaled(trainVecs.select(col("vec_id"), col("embedding")))
+    val q = withScaled(evalVecs.select(col("vec_id"), col("embedding")))
       .select(col("vec_id").as("eval_id"), col("svec").as("qvec"),
         col("norm2").as("qnorm2"))
-    val train = vecs.filter(!isEval)
     val w = Window.partitionBy(col("eval_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    val nn = broadcast(q).join(train)
+    broadcast(q).join(t)
       .select(col("eval_id"),	col("vec_id"),
         cosine(col("qvec"), col("svec"), col("qnorm2"), col("norm2")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("eval_id").as("doc_id"), col("vec_id").as("nn_train_id"),
         col("cosine"))
-    semanticFlagsFromNN(spark, sfDir, nn, tau)
+  }
+
+  /** The oracle-gated instantiation of [[semanticDecontamAgainst]] (the
+    * decontaminateExternal convention, embedding channel): the "external
+    * suite" is the 50‰ hash slice of the embeddings under an independent
+    * salt — small like a real benchmark, expressible in ANSI SQL for the
+    * gate — and the code path exercised is exactly the external-relation
+    * one (the operator never sees how the suite was selected).
+    */
+  def semanticDecontamExternal(spark: SparkSession, sfDir: String,
+      suitePermille: Int = 50, salt: String = "suite_v2",
+      tau: Double = 0.4): DataFrame = {
+    val inSuite = Corpus.hashBucket(col("vec_id"), salt) < suitePermille
+    val vecs = Tables.embeddings(spark, sfDir)
+    semanticDecontamAgainst(vecs.filter(!inSuite), vecs.filter(inSuite), tau)
   }
 
   /** The q354 FINISHER, shared verbatim with the streaming monitor

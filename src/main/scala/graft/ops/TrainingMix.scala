@@ -180,9 +180,18 @@ object TrainingMix {
       salt: String = "mix_v1"): DataFrame = {
     val plan = epochPlan(domainMix(spark, sfDir))
       .localCheckpoint(true) // two consumers: the draw join and the left spine
-    val docs = Corpus.docTokens(spark, sfDir)
+    epochDraw(plan, Corpus.docTokens(spark, sfDir)
       .select(col("source"), col("lang"), col("n_ws_toks").as("nt"),
-        Corpus.hashBucket(col("doc_id"), salt).as("h"))
+        Corpus.hashBucket(col("doc_id"), salt).as("h")))
+  }
+
+  /** The epoch-sampler draw + readout over any (plan, docs) pair — factored
+    * out (r18) so q339's raw-census sampler and q370's graduated-pool
+    * sampler realize their plans with the SAME arithmetic. `plan` is an
+    * [[epochPlan]]-shaped checkpointed frame; `docs` is (source, lang, nt,
+    * h) at whatever grain the plan priced.
+    */
+  private def epochDraw(plan: DataFrame, docs: DataFrame): DataFrame = {
     val drawn = docs
       .join(broadcast(plan.select(col("source"), col("lang"),
         col("remainder_permille"))), Seq("source", "lang"))
@@ -368,6 +377,117 @@ object TrainingMix {
         .select(col("source"), col("lang"), col("n_ws_toks").as("nt"))))
   }
 
+  /** GRADUATED-POLICY TRAINABLE POOL — [[poolMix]]'s solver with the
+    * severity-aware decontamination remedy composed in (r17 verdict's top
+    * item: poolMix drops every contaminated doc wholesale while q360 proves
+    * passage-class docs are salvageable after excision): the same q55
+    * dedup-representative and q195 quality gates, but the decontamination
+    * gate GRADUATES — clean and quote-class docs enter whole, passage-class
+    * docs enter at n_toks − excised_span (q334's exact min(w, len − w·p)
+    * span arithmetic), wholesale-class docs drop. This is the census a
+    * severity-aware pipeline's sampler actually sees; the q347-vs-q364 diff
+    * IS what graduation rescues, cell by cell.
+    *
+    * Unit note: the census is in ALPHA tokens — the unit passage surgery is
+    * priced in (excised spans are alpha-token intervals; q347's whitespace
+    * census cannot absorb a subtractive span without mixing units) — so the
+    * q347 comparison is policy-shaped, not unit-shaped: the spec pins
+    * graduated-pool mass ≥ the binary-gated pool recomputed in the SAME
+    * alpha unit, with the delta equal to the rescued quote + excised-passage
+    * mass over the same gated docs (run = 0 ⇔ q75-clean, the q331
+    * reconciliation, makes the binary arm exactly the sev = 'clean' slice).
+    *
+    * Scale shape: [[domainMixFromCells]] verbatim (fifth consumer) over a
+    * census riding four session memos (the q55 label table, `leak_spans`,
+    * `passage_flags`, `doc_tokens`) plus the codegen'd per-row quality
+    * keeps — doc_id equi-joins of narrow frames, one |sources|·|langs|
+    * aggregate, per-cell arithmetic.
+    */
+  def graduatedPoolMix(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame =
+    domainMixFromCells(cellsFromTokens(
+      graduatedPoolDocs(spark, sfDir, n, w, evalPermille, salt)
+        .select(col("source"), col("lang"), col("nt"))))
+
+  /** The per-doc GRADUATED-POOL frame (doc_id, source, lang, nt) — every
+    * document entering [[graduatedPoolMix]]'s census with its graduated
+    * token mass, factored out so the solver's census and the q370 sampler's
+    * draw ride the SAME expression tree (the q268 convention at doc grain —
+    * a sampler drawing from a different pool than its solver priced would
+    * silently misdeliver).
+    */
+  private[graft] def graduatedPoolDocs(spark: SparkSession, sfDir: String,
+      n: Int, w: Int, evalPermille: Int, salt: String): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val reps = graft.ops.Graph.dupClusters(spark, sfDir)
+      .filter(col("is_representative")).select(col("doc_id"))
+    val keeps = Curation.qualityClassifier(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"))
+    val train = Corpus.docTokens(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_alpha_toks").as("n_toks"))
+    val removed = Curation.passageDecontaminate(spark, sfDir, n, w, evalPermille, salt)
+      .filter(col("is_flagged"))
+      .join(train.select(col("doc_id"), col("n_toks")), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(w.toLong), col("n_toks") - col("passage") * w))
+        .as("removed"))
+    Curation.leakSpans(spark, sfDir, n, evalPermille, salt)
+      .select(col("doc_id"), col("longest_run_grams"))
+      .join(train, "doc_id")
+      .join(removed, Seq("doc_id"), "left")
+      .withColumn("sev", Curation.severityClass(col("longest_run_grams")))
+      .filter(col("sev") =!= "wholesale")
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("sev") === "passage",
+          col("n_toks") - coalesce(col("removed"), lit(0L)))
+          .otherwise(col("n_toks")).as("nt"))
+      .join(reps, "doc_id").join(keeps, "doc_id")
+  }
+
+  /** GRADUATED-MIX EPOCH SAMPLER — the severity-aware pipeline realized end
+    * to end: [[mixSampleEpochs]]' epoch-multiplicity executor over
+    * [[graduatedPoolMix]]'s solution, drawing from the SAME graduated pool
+    * the solver priced ([[graduatedPoolDocs]], one expression tree for both)
+    * — a passage-class document is drawn at its POST-EXCISION mass, a
+    * wholesale document can never be drawn, so the sampler can no longer
+    * over-promise a cell whose availability the blunt q75 gate would have
+    * dropped wholesale. Output: q339's columns per cell (epochs, remainder
+    * draw, drawn/required, achieved ratio), same hard
+    * |achieved − 1| ≤ avail/required bound.
+    *
+    * Scale shape: the pool frame is computed once (checkpointed — the cell
+    * census and the draw are its two consumers); the plan broadcasts to the
+    * draw's per-row hash compare; one aggregate back to cell grain; epochs
+    * multiply COUNTS, never rows (q339's argument verbatim).
+    */
+  def graduatedMixSample(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1",
+      mixSalt: String = "mix_v1"): DataFrame = {
+    val pool = graduatedPoolDocs(spark, sfDir, n, w, evalPermille, salt)
+      .select(col("source"), col("lang"), col("nt"),
+        Corpus.hashBucket(col("doc_id"), mixSalt).as("h"))
+      .localCheckpoint(true) // two consumers: the cell census and the draw
+    val plan = epochPlan(domainMixFromCells(cellsFromTokens(
+        pool.select(col("source"), col("lang"), col("nt")))))
+      .localCheckpoint(true) // two consumers: the draw join and the left spine
+    epochDraw(plan, pool)
+  }
+
+  /** GRADUATED EPOCH ACCOUNTING — [[epochAccounting]]'s fresh-vs-repeat
+    * ledger over the GRADUATED sampler's plan (q345's question asked of the
+    * pool a severity-aware pipeline actually serves): a curated pool is
+    * smaller than the raw crawl, so the same independence target forces
+    * more repetition — this row prices exactly how much (read beside q345:
+    * the repeat-share delta IS the epoch cost of curation). One aggregate
+    * over q370's |cells|-row frame.
+    */
+  def graduatedEpochAccounting(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1",
+      mixSalt: String = "mix_v1"): DataFrame =
+    accountingFromCells(
+      graduatedMixSample(spark, sfDir, n, w, evalPermille, salt, mixSalt))
+
   /** POOL-GATE ABLATION — which curation gate COSTS the most data: for each
     * of [[poolMix]]'s three gates (q55 dedup representatives, q195 quality
     * keep, q75 decontamination), the trainable pool with that ONE gate
@@ -442,7 +562,14 @@ object TrainingMix {
     */
   def epochAccounting(spark: SparkSession, sfDir: String,
       salt: String = "mix_v1"): DataFrame =
-    mixSampleEpochs(spark, sfDir, salt)
+    accountingFromCells(mixSampleEpochs(spark, sfDir, salt))
+
+  /** q345's one-row ledger arithmetic over any [[mixSampleEpochs]]-shaped
+    * cell frame — factored out (r18) so the raw-census ledger and q372's
+    * graduated-pool ledger fold with the SAME expressions.
+    */
+  private def accountingFromCells(cells: DataFrame): DataFrame =
+    cells
       .agg(
         count(lit(1)).as("n_cells"),
         sum(when(col("epochs") >= 1L, 1L).otherwise(0L)).as("n_cells_oversampled"),

@@ -301,6 +301,124 @@ object ScoreStream {
     graft.ops.TrainingMix.domainMixFromCells(finalCells)
   }
 
+  /** STREAMING LEAK-SEVERITY MONITOR — q359's policy-class census live over
+    * an arriving training corpus (the THIRTEENTH batch/stream parity
+    * instance, and the first STATELESS one): the eval suite's distinct gram
+    * set is FIXED at monitor start (q316's deployment shape), and the stream
+    * emits two row kinds through ONE append-mode query with NO state store
+    * at all — a per-doc spine row (doc_id, −1, n_alpha_toks) and one sparse
+    * hit row (doc_id, gram position) per leaked gram instance, both plain
+    * projections/stream-static inner joins that finalize the moment their
+    * document's input row is processed (docs arrive whole, so there is
+    * nothing to accumulate; append mode re-emits nothing). The
+    * gaps-and-islands longest-run pass, the severity CASE and the 4-class
+    * rollup then run batch-side on the drained rows through the SAME
+    * [[graft.ops.Curation.severityProfileRollup]] expression tree as q359
+    * (islands spelled exactly as q358's), so the query is hash-gated against
+    * q359's oracle SHARED VERBATIM. This is the crawl operator's live policy
+    * readout: the wholesale class's token mass climbing mid-crawl says
+    * "benchmark copies are landing NOW" — batches before the post-hoc audit.
+    *
+    * State: none (the stateless class — tighter than even q350's
+    * suite-bounded counters); the drained frame is spine + hit rows, and the
+    * hit mass is the LEAK mass, never the corpus's gram mass.
+    */
+  def severityProfileAvailableNow(spark: SparkSession, sfDir: String,
+      n: Int = 5, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val drained = spineHitsDrained(spark, sfDir, n, evalPermille, salt,
+      "graft_stream_severity")
+    val spine = drained.filter(col("pos") === -1L)
+      .select(col("doc_id"), col("n_toks"))
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = drained.filter(col("pos") >= 0L)
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wRun))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("longest"))
+    val perDoc = spine.join(runs, Seq("doc_id"), "left")
+      .select(col("n_toks"),
+        coalesce(col("longest"), lit(0L)).as("longest_run_grams"),
+        when(coalesce(col("longest"), lit(0L)) > 0L,
+          col("longest") + lit((n - 1).toLong)).otherwise(lit(0L))
+          .as("longest_span_tokens"))
+    graft.ops.Curation.severityProfileRollup(spark, perDoc)
+  }
+
+  /** The shared STATELESS spine + hit-position drain behind q367 and q371:
+    * one append-mode query (no state store) emitting a per-doc spine row
+    * (doc_id, −1, n_alpha_toks) plus one sparse row per leaked-gram
+    * position (stream-static inner join against the fixed suite gram set).
+    * Returned checkpointed — both consumers branch the frame and re-join,
+    * which a memory-sink view cannot serve (the q330 lesson).
+    *
+    * The default-args drain is MEMOIZED once per (session, scale): the
+    * DRAIN is the instrument — the stream runs once and both parity
+    * queries read its accumulated output, exactly the batch-memo
+    * convention, with cache_paid attribution naming the payer. Non-default
+    * calls (spec fixtures) run their own stream (the passage_flags rule).
+    */
+  private val severityDrainCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def spineHitsDrained(spark: SparkSession, sfDir: String, n: Int,
+      evalPermille: Int, salt: String, name: String): DataFrame =
+    if (n == 5 && evalPermille == 200 && salt == "eval_v1")
+      graft.ops.Dedup.cached(severityDrainCache, "severity_drain", spark, sfDir)(
+        spineHitsDrainCompute(spark, sfDir, 5, 200, "eval_v1", name))
+    else spineHitsDrainCompute(spark, sfDir, n, evalPermille, salt, name)
+      .localCheckpoint(true)
+
+  private def spineHitsDrainCompute(spark: SparkSession, sfDir: String, n: Int,
+      evalPermille: Int, salt: String, name: String): DataFrame = {
+    val isEval = graft.ops.Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val evalGrams = graft.core.Tables.documents(spark, sfDir)
+      .filter(isEval)
+      .select(explode(graft.ops.Curation.wordGrams(col("text"), n)).as("gram"))
+      .distinct()
+    val docs = spark.readStream.schema(docsSchema)
+      .parquet(docsDir(spark, sfDir))
+    val train = docs.filter(!isEval)
+    val spineRows = train.select(col("doc_id"), lit(-1L).as("pos"),
+      size(graft.ops.TextAnalysis.alphaTokens(col("text"))).cast("long")
+        .as("n_toks"))
+    val hitRows = train
+      .select(col("doc_id"),
+        posexplode(graft.ops.Curation.posWordGrams(col("text"), n)))
+      .toDF("doc_id", "pos", "gram")
+      .join(evalGrams, Seq("gram"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        lit(0L).as("n_toks"))
+    // checkpointing happens at the caller (Dedup.cached on the memo path,
+    // an explicit localCheckpoint on the non-default path) — exactly once
+    Drain.toMemoryTable(spark, spineRows.unionByName(hitRows), "append", name)
+  }
+
+  /** STREAMING WIDENED-CUT SAVINGS — q366's three-policy row live over an
+    * arriving training corpus (the FOURTEENTH batch/stream parity instance,
+    * stateless like q367): the drained spine + hit positions are the SAME
+    * append-mode query shape as the severity monitor, and the entire
+    * finisher — interval union, passage derivation (a passage is flagged
+    * iff a gram starts in it), all three policy arms — is
+    * [[graft.ops.Curation.widenedFromSpans]] SHARED VERBATIM with the batch
+    * operator, so the query is hash-gated against q366's oracle SHARED
+    * VERBATIM. This is the paranoid remedy's live form: the exact token
+    * spans to excise accumulate as documents land, and the running row says
+    * what the widened policy costs over the blunt ones so far.
+    */
+  def widenedSavingsAvailableNow(spark: SparkSession, sfDir: String,
+      n: Int = 5, w: Int = 8, evalPermille: Int = 200,
+      salt: String = "eval_v1"): DataFrame = {
+    val drained = spineHitsDrained(spark, sfDir, n, evalPermille, salt,
+      "graft_stream_widened")
+    graft.ops.Curation.widenedFromSpans(
+      drained.filter(col("pos") === -1L).select(col("doc_id"), col("n_toks")),
+      drained.filter(col("pos") >= 0L).select(col("doc_id"), col("pos")),
+      n, w)
+  }
+
   private val embsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding",

@@ -730,6 +730,112 @@ class AnalyticsSpec extends SparkSpec {
       "fixture must show the dedup/quality gates actually biting")
   }
 
+  test("graduated pool: census recounted per doc; delta over the binary gate is the rescued mass") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.TrainingMix.graduatedPoolMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // the gates and the graduated verdicts recomputed independently per doc
+    val reps = Graph.dupClusters(spark, sf).filter(col("is_representative"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keeps = Curation.qualityClassifier(spark, sf).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val spans = Curation.leakSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val meta = Corpus.docTokens(spark, sf)
+      .filter(Corpus.hashBucket(col("doc_id"), "eval_v1") >= 200)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_alpha_toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val toksM = meta.map(m => m._1 -> m._4).toMap
+    val removed = Curation.passageDecontaminate(spark, sf).collect()
+      .filter(_.getBoolean(4))
+      .groupBy(_.getLong(0)).map { case (id, ps) =>
+        id -> ps.map(p => math.min(8L, toksM(id) - p.getLong(1) * 8L)).sum
+      }
+    def grade(id: Long): Option[Long] = {
+      val run = spans(id)
+      if (run > 32L) None
+      else if (run > 8L) Some(toksM(id) - removed.getOrElse(id, 0L))
+      else Some(toksM(id))
+    }
+    val entering = meta.filter(m => reps(m._1) && keeps(m._1))
+      .flatMap(m => grade(m._1).map(nt => (m._2, m._3, nt)))
+    val cells = entering.groupBy(e => (e._1, e._2))
+      .map { case (k, es) => k -> ((es.size.toLong, es.map(_._3).sum)) }
+    assert(rows.keySet === cells.keySet, "one row per graduated-pool cell")
+    rows.foreach { case (k, v) => assert(v === cells(k), s"cell $k census") }
+    // the binary-gate pool in the SAME alpha unit is exactly the clean slice
+    // (run = 0 ⇔ q75-clean, the q331 reconciliation); the delta is the
+    // rescued quote mass + excised-passage mass over the same gated docs
+    val gated = meta.filter(m => reps(m._1) && keeps(m._1))
+    val binary = gated.filter(m => spans(m._1) == 0L).map(_._4).sum
+    val rescued = gated.map(_._1).collect {
+      case id if spans(id) >= 1L && spans(id) <= 8L => toksM(id)
+      case id if spans(id) > 8L && spans(id) <= 32L =>
+        toksM(id) - removed.getOrElse(id, 0L)
+    }.sum
+    val gradTotal = rows.values.map(_._2).sum
+    assert(gradTotal === binary + rescued,
+      "graduation rescues exactly the quote + excised-passage mass")
+    assert(gradTotal > binary,
+      "fixture must show graduation actually rescuing tokens")
+  }
+
+  test("graduated sampler: plan identities off q364's cells; draw recounted from the pool frame") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val cells = graft.ops.TrainingMix.graduatedPoolMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
+    val rows = graft.ops.TrainingMix.graduatedMixSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.keySet === cells.keySet, "the sampler realizes q364's cells exactly")
+    // the draw recounted from the SAME per-doc pool frame the solver priced
+    val pool = graft.ops.TrainingMix
+      .graduatedPoolDocs(spark, sf, 5, 8, 200, "eval_v1")
+      .select(col("source"), col("lang"), col("nt"),
+        Corpus.hashBucket(col("doc_id"), "mix_v1").as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (k, r) =>
+      val (nd, avail, req) = cells(k)
+      assert(r.getLong(2) === avail && r.getLong(3) === req, s"$k cell identity")
+      val epochs = if (avail > 0) req / avail else 0L
+      val remPm = if (avail > 0) ((req % avail) * 1000L) / avail else 1000L
+      assert(r.getLong(4) === epochs && r.getLong(5) === remPm, s"$k plan")
+      val drawn = pool.filter(p => (p._1, p._2) == k && p._4 < remPm)
+      assert(r.getLong(6) === drawn.length.toLong, s"$k remainder docs")
+      assert(r.getLong(7) === drawn.map(_._3).sum, s"$k remainder tokens")
+      assert(r.getLong(8) === epochs * avail + drawn.map(_._3).sum, s"$k drawn")
+      assert(r.getLong(9) === epochs * nd + drawn.length, s"$k n_draws")
+      if (req > 0L) {
+        val ratio = Option(r.get(10)).map(_.asInstanceOf[Double]).get
+        assert(math.abs(ratio - 1.0) <= avail.toDouble / req.toDouble + 1e-12,
+          s"$k hard delivery bound")
+      }
+    }
+    assert(rows.values.exists(_.getLong(4) >= 1L),
+      "fixture pool must actually oversample somewhere")
+  }
+
+  test("graduated epoch accounting: ledger recounted from q370's own cells") {
+    val sf = "/root/testdata/sf0.001"
+    val cells = graft.ops.TrainingMix.graduatedMixSample(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7), r.getLong(8)))
+    // (avail, required, epochs, remainder_tokens, drawn)
+    val r = graft.ops.TrainingMix.graduatedEpochAccounting(spark, sf).head
+    assert(r.getLong(0) === cells.length.toLong, "n_cells")
+    assert(r.getLong(1) === cells.count(_._3 >= 1).toLong, "oversampled cells")
+    assert(r.getLong(2) === cells.map(_._2).sum, "required total")
+    assert(r.getLong(3) === cells.map(_._5).sum, "drawn total")
+    val unique = cells.map(c => if (c._3 >= 1) c._1 else c._4).sum
+    assert(r.getLong(4) === unique, "unique = avail for oversampled, remainder else")
+    assert(r.getLong(5) === cells.map(_._5).sum - unique, "repeated = drawn − unique")
+    assert(r.getDouble(6) === (cells.map(_._5).sum - unique).toDouble / cells.map(_._5).sum)
+    assert(r.getLong(1) > 0 && r.getLong(5) > 0,
+      "fixture pool mix must oversample somewhere for the ledger to bite")
+  }
+
   test("pool ablation: arms recounted from independent gate flags; nesting holds") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

@@ -427,6 +427,201 @@ class CurationSpec extends SparkSpec {
       "fixture must contain quote, passage and wholesale docs")
   }
 
+  test("widened savings: interval union recounted from raw positions; no leaked gram survives") {
+    val sf = "/root/testdata/sf0.001"
+    def toks(text: String): Vector[String] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    def posGrams(text: String): Vector[String] = {
+      val t = toks(text)
+      if (t.size < 5) Vector.empty else t.sliding(5).map(_.mkString(" ")).toVector
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select(c("doc_id"), c("text"),
+        (Corpus.hashBucket(c("doc_id"), "eval_v1") < 200).as("ev"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        r.getBoolean(2)))
+    val evalGrams = meta.filter(_._3).flatMap(m => posGrams(m._2)).toSet
+    var removedW = 0L
+    var removedP = 0L
+    meta.filter(!_._3).foreach { case (_, text, _) =>
+      val n = toks(text).size
+      // 1-based hit starts; the gram at start i covers tokens [i, i+4]
+      val hits = posGrams(text).zipWithIndex.collect {
+        case (g, i) if evalGrams(g) => i + 1
+      }
+      val flagged = hits.map(i => (i - 1) / 8).distinct
+      removedP += flagged.map(p => math.min(8L, n.toLong - p * 8L)).sum
+      val covered = (hits.flatMap(i => i to (i + 4)) ++
+        flagged.flatMap(p => (p * 8 + 1) to math.min((p + 1) * 8, n))).toSet
+      removedW += covered.size
+      // the guarantee the widened arm exists for: every leaked gram instance
+      // loses ALL its tokens — zero eval grams survive the cut
+      hits.foreach(i => assert((i to i + 4).forall(covered),
+        "leaked gram fully excised"))
+    }
+    val row = Curation.widenedSavings(spark, sf).head
+    assert(row.getLong(5) === removedW, "widened removal = exact interval union")
+    // the blunt arms equal q334's exactly (same verdicts, same spans)
+    val sav = Curation.decontamSavings(spark, sf).head
+    assert(row.getLong(0) === sav.getLong(0) && row.getLong(1) === sav.getLong(1))
+    assert(row.getLong(2) === sav.getLong(2) && row.getLong(3) === sav.getLong(3))
+    assert(row.getLong(4) === sav.getLong(4), "passage arm = q334")
+    assert(row.getLong(1) - row.getLong(4) === removedP, "passage removal recount")
+    assert(row.getLong(6) === row.getLong(1) - removedW, "widened grain identity")
+    assert(row.getLong(7) === removedW - removedP && row.getLong(7) >= 0L,
+      "widened removal is a superset of the passage removal")
+    assert(row.getDouble(8) ===
+      (row.getLong(1) - removedW - row.getLong(3)).toDouble / row.getLong(1))
+    assert(row.getLong(7) > 0L,
+      "fixture must show a real boundary-gram price for the widened cut")
+  }
+
+  test("excised corpus: surgery recounted from raw text; no eval gram survives any segment") {
+    val sf = "/root/testdata/sf0.001"
+    def toks(text: String): Vector[String] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    def posGrams(text: String): Vector[String] = {
+      val t = toks(text)
+      if (t.size < 5) Vector.empty else t.sliding(5).map(_.mkString(" ")).toVector
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select(c("doc_id"), c("text"),
+        (Corpus.hashBucket(c("doc_id"), "eval_v1") < 200).as("ev"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        r.getBoolean(2)))
+    val evalGrams = meta.filter(_._3).flatMap(m => posGrams(m._2)).toSet
+    val rows = Curation.excisedCorpus(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    val train = meta.filter(!_._3)
+    assert(rows.keySet === train.map(_._1).toSet, "one row per training doc")
+    train.foreach { case (id, text, _) =>
+      val t = toks(text)
+      val hits = posGrams(text).zipWithIndex.collect {
+        case (g, i) if evalGrams(g) => i + 1 // 1-based gram start
+      }
+      val flagged = hits.map(i => (i - 1) / 8).distinct
+      val covered = (hits.flatMap(i => i to (i + 4)) ++
+        flagged.flatMap(p => (p * 8 + 1) to math.min((p + 1) * 8, t.size))).toSet
+      // independent segment rebuild: contiguous runs of kept positions
+      val segs = (1 to t.size).foldLeft(Vector.empty[Vector[String]]) { (acc, i) =>
+        if (covered(i)) acc
+        else if (acc.nonEmpty && !covered(i - 1) && i > 1)
+          acc.init :+ (acc.last :+ t(i - 1))
+        else acc :+ Vector(t(i - 1))
+      }
+      val (nt, rem, kept, nseg, txt) = rows(id)
+      assert(nt === t.size.toLong, s"doc $id n_toks")
+      assert(rem === covered.size.toLong, s"doc $id removed")
+      assert(kept === (t.size - covered.size).toLong, s"doc $id kept ledger")
+      assert(nseg === segs.size.toLong, s"doc $id segment count")
+      assert(txt === segs.map(_.mkString(" ")).mkString(" | "), s"doc $id text")
+      // THE guarantee the operator ships: no surviving segment carries any
+      // eval gram — regrind every segment and check the suite set
+      segs.foreach { seg =>
+        seg.sliding(5).filter(_.size == 5).foreach(g =>
+          assert(!evalGrams(g.mkString(" ")), s"doc $id leaked gram survived"))
+      }
+    }
+    assert(rows.values.exists(r => r._2 > 0L && r._4 > 1L),
+      "fixture must show a real multi-segment surgery")
+    assert(rows.values.exists(r => r._2 === r._1 && r._1 > 0L && r._5 == ""),
+      "fixture must show a fully-excised doc emitting the empty stream")
+  }
+
+  test("excision audit: every post-surgery doc scores clean under q75's own detector") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.excisionAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val before = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(rows.keySet === before.keySet, "audit spine = the training corpus")
+    // the closed loop: the corpus HAD leaks (the audit is not vacuous)...
+    assert(before.values.exists(_._2), "fixture must be contaminated pre-surgery")
+    // ...and after q373's cut, ZERO remain under the same detector
+    rows.foreach { case (id, (ngPost, nhPost, clean)) =>
+      assert(nhPost === 0L && clean, s"doc $id must score clean post-surgery")
+      assert(ngPost <= before(id)._1, s"doc $id cannot gain grams from surgery")
+    }
+    // surgery genuinely removed gram mass somewhere (cuts break windows)
+    assert(rows.exists { case (id, (ngPost, _, _)) => ngPost < before(id)._1 },
+      "fixture must show the cut reducing some doc's gram set")
+  }
+
+  test("per-source graduated savings: rows sum to q360; per-feed arms recounted") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col => c}
+    val rows = Curation.graduatedSavingsBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // feed rows sum exactly to q360's corpus row, column for column
+    val g = Curation.graduatedPolicy(spark, sf).head
+    def total(i: Int) = rows.values.map(_.getLong(i)).sum
+    assert(total(1) === g.getLong(0) && total(2) === g.getLong(1), "volume sums")
+    assert(total(3) === g.getLong(2) && total(4) === g.getLong(3) &&
+      total(5) === g.getLong(4), "class sums")
+    assert(total(6) === g.getLong(5) && total(7) === g.getLong(6) &&
+      total(8) === g.getLong(7), "policy-arm sums")
+    // per-feed recount off q358's runs + q331's removals
+    val spans = Curation.leakSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val meta = Corpus.docTokens(spark, sf)
+      .filter(Corpus.hashBucket(c("doc_id"), "eval_v1") >= 200)
+      .select(c("doc_id"), c("source"), c("n_alpha_toks")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val toksM = meta.map(m => m._1 -> m._3).toMap
+    val removed = Curation.passageDecontaminate(spark, sf).collect()
+      .filter(_.getBoolean(4))
+      .groupBy(_.getLong(0)).map { case (id, ps) =>
+        id -> ps.map(p => math.min(8L, toksM(id) - p.getLong(1) * 8L)).sum
+      }
+    assert(rows.keySet === meta.map(_._2).toSet, "every training feed appears")
+    meta.groupBy(_._2).foreach { case (src, docs) =>
+      val r = rows(src)
+      val runs = docs.map(d => (spans(d._1), d._3, removed.getOrElse(d._1, 0L)))
+      assert(r.getLong(1) === docs.size.toLong, s"$src n_docs")
+      assert(r.getLong(6) === runs.filter(_._1 == 0L).map(_._2).sum, s"$src doc grain")
+      assert(r.getLong(7) === runs.map(x => x._2 - x._3).sum, s"$src passage grain")
+      val grad = runs.map { case (run, nt, rem) =>
+        if (run > 32L) 0L else if (run > 8L) nt - rem else nt
+      }.sum
+      assert(r.getLong(8) === grad, s"$src graduated")
+      assert(r.getDouble(9) ===
+        (grad - r.getLong(6)).toDouble / r.getLong(2).toDouble, s"$src share")
+    }
+    assert(rows.values.exists(r => r.getLong(8) > r.getLong(6)),
+      "fixture must show a feed graduation actually rescues")
+  }
+
+  test("release diff: v1 arms equal q351/q332; delta is the exact v2 − v1 difference") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.ReportCard.releaseDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("v1", "v2", "delta"))
+    val (v1, v2, d) = (rows("v1"), rows("v2"), rows("delta"))
+    // the V1 arms equal the audits they summarize (q351's card / q332's solver)
+    val card = graft.ops.ReportCard.releaseReadiness(spark, sf).head
+    assert(v1.getLong(1) === card.getLong(0), "v1 docs = q351")
+    assert(v1.getLong(2) === card.getLong(1), "v1 raw tokens = q351")
+    assert(v1.getLong(3) === card.getLong(4), "v1 train docs = q351")
+    assert(v1.getLong(4) === card.getLong(5), "v1 flagged = q351")
+    assert(v1.getDouble(5) === card.getDouble(6), "v1 rate = q351")
+    assert(v1.getLong(6) === card.getLong(9), "v1 burned = q351")
+    val mix = graft.ops.TrainingMix.domainMix(spark, sf).collect()
+    assert(v1.getLong(7) === mix.count(!_.getBoolean(8)).toLong, "v1 mix arm = q332")
+    // the delta row is the exact difference, column for column
+    for (i <- Seq(1, 2, 3, 4, 6, 7))
+      assert(d.getLong(i) === v2.getLong(i) - v1.getLong(i), s"delta col $i")
+    assert(d.getDouble(5) === v2.getDouble(5) - v1.getDouble(5), "delta rate")
+    // v2 really is the refreshed corpus (the q101 derivation's volume)
+    import org.apache.spark.sql.functions.{col => c, pmod, lit}
+    val n2 = graft.core.Tables.documents(spark, sf)
+      .filter(pmod(c("doc_id"), lit(11)) =!= 3).count()
+    assert(v2.getLong(1) === n2, "v2 volume = the q101 derivation")
+    assert(d.getLong(1) < 0L, "the refresh drops documents on this fixture")
+  }
+
   test("leak severity by source: feed rollup recounted from q358's own rows") {
     val sf = "/root/testdata/sf0.001"
     import org.apache.spark.sql.functions.{col => c}

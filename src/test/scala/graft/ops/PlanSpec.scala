@@ -416,6 +416,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-18 tier: no raw global windows, no cartesians") {
+    for (df <- Seq(
+        // q364's census rides four memos; the solver's one-row marginal
+        // frames enter broadcast (the q332 shape, fifth consumer)
+        TrainingMix.graduatedPoolMix(spark, sf),
+        // q365's per-item top-1 window partitions by eval_id (never global);
+        // the suite side is a broadcast
+        Similarity.semanticDecontamExternal(spark, sf),
+        // q366's islands window partitions by doc_id over HIT intervals
+        // only (the leak mass, never the corpus)
+        Curation.widenedSavings(spark, sf),
+        Curation.graduatedSavingsBySource(spark, sf),
+        // q369's arms are per-version one-row frames entering broadcast
+        ReportCard.releaseDiff(spark, sf),
+        // q370's plan broadcasts to the draw (q339's shape over the pool)
+        TrainingMix.graduatedMixSample(spark, sf),
+        TrainingMix.graduatedEpochAccounting(spark, sf),
+        // q373's islands window runs over sparse hit intervals; the segment
+        // rebuild is a row-local HOF inside the scan
+        Curation.excisedCorpusCompute(spark, sf, 5, 8, 200, "eval_v1"),
+        // q374 rides the excised_corpus memo; the re-grind is the q75 join
+        Curation.excisionAudit(spark, sf))) {
+      assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
   test("quantile-boundary rank: only the whitelisted bare-value boundary pass") {
     // the boundary pass sorts ONLY the bare value column — the documented
     // exception (GK swap gated by q165); phase 2 itself must stay at zero.

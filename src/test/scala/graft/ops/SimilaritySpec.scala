@@ -113,6 +113,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic external: against-form fed the slice reproduces q354; suite path is external") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+    // the identity the refactor pins: q354's hash-slice form is the
+    // against-form fed the slice — NN id, cosine and τ-verdict all equal
+    val isEval = Corpus.hashBucket(col("vec_id"), "eval_v1") < 200
+    val viaAgainst = Similarity.semanticDecontamAgainst(
+        vecs.filter(!isEval), vecs.filter(isEval)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val internal = Similarity.semanticDecontam(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(viaAgainst === internal, "slice-call ≡ against-form fed the slice")
+    // the gated external query: suite and train sides genuinely partition
+    val ext = Similarity.semanticDecontamExternal(spark, sf).collect()
+    val buckets = vecs.select(col("vec_id"),
+        Corpus.hashBucket(col("vec_id"), "suite_v2").as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ext.nonEmpty)
+    ext.foreach { r =>
+      assert(buckets(r.getLong(0)) < 50, "eval rows come from the suite slice")
+      assert(buckets(r.getLong(1)) >= 50, "neighbors come from outside the suite")
+      assert(r.getBoolean(3) === (r.getDouble(2) >= 0.4), "τ verdict")
+    }
+    assert(ext.map(_.getLong(0)).toSet === buckets.filter(_._2 < 50).keySet,
+      "every suite item gets its NN row")
+  }
+
   test("semantic leak by source: rollup recounted from q354's own verdicts") {
     val sf = "/root/testdata/sf0.001"
     val sem = Similarity.semanticDecontam(spark, sf).collect()

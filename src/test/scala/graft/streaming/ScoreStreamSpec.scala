@@ -123,6 +123,45 @@ class ScoreStreamSpec extends SparkSpec {
     assert(stream === batch, "stream semantic audit diverged from batch")
   }
 
+  test("streaming severity monitor reproduces the batch profile row for row") {
+    // the THIRTEENTH batch/stream parity pair (q359 vs q367), and the first
+    // STATELESS one: the stream emits spine + sparse hit rows through one
+    // append-mode query (no state store), then the islands pass and the
+    // 4-class rollup run batch-side through the SAME severityProfileRollup
+    // expression tree — every class count, token mass, leaked-span total and
+    // share division must match, the static spine included.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))
+    val batch = graft.ops.Curation.leakSeverityProfile(spark, sf)
+      .orderBy("severity").collect().map(key).toSeq
+    val stream = ScoreStream.severityProfileAvailableNow(spark, sf)
+      .orderBy("severity").collect().map(key).toSeq
+    assert(batch.length === 4, "static 4-class spine")
+    assert(batch.exists(r => r._1 != "clean" && r._2 > 0),
+      "fixture corpus must put at least one doc in a non-clean class")
+    assert(stream === batch, "stream severity profile diverged from batch")
+  }
+
+  test("streaming widened savings reproduces the batch policy row") {
+    // the FOURTEENTH batch/stream parity pair (q366 vs q371), stateless like
+    // q367: the drained spine + hit positions feed the SAME widenedFromSpans
+    // finisher verbatim, so every arm — including the interval-union
+    // arithmetic and the one share division — must match exactly.
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8))
+    val batch = graft.ops.Curation.widenedSavings(spark, sf)
+      .collect().map(key).toSeq
+    val stream = ScoreStream.widenedSavingsAvailableNow(spark, sf)
+      .collect().map(key).toSeq
+    assert(batch.length === 1 && batch.head._8 > 0L,
+      "fixture must show a real widened-cut price")
+    assert(stream === batch, "stream widened row diverged from batch")
+  }
+
   test("streaming domain-mix monitor reproduces the batch solver row for row") {
     // the EIGHTH batch/stream parity pair (q332 vs q337): same cell
     // expression tree, same solver arithmetic over the drained census —
