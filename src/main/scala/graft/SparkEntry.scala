@@ -408,6 +408,7 @@ object SparkEntry {
     "q372_graduated_epochs" -> ((s, d) => graft.ops.TrainingMix.graduatedEpochAccounting(s, d)),
     "q373_excised_corpus"  -> ((s, d) => graft.ops.Curation.excisedCorpus(s, d)),
     "q374_excision_audit"  -> ((s, d) => graft.ops.Curation.excisionAudit(s, d)),
+    "q375_graduated_corpus" -> ((s, d) => graft.ops.Curation.graduatedCorpus(s, d)),
     "q118_bpe_tokens"      -> ((s, d) => graft.ops.Bpe.bpeTokenCounts(s, d)),
     "q32_sink_roundtrip"   -> ((s, d) => graft.io.IoQueries.partitionedSinkRoundtrip(s, d)),
     "q33_pipeline_e2e"     -> ((s, d) => graft.io.IoQueries.pipelineEndToEnd(s, d)))
@@ -1161,6 +1162,69 @@ object SparkEntry {
        |    list_transform(segs, seg -> array_to_string(seg, ' ')), ' | '), '')
        |    AS excised_text
        |FROM k""".stripMargin
+
+  /** DuckDB twin of Curation.graduatedCorpus (q375) — q360's keep/excise/
+    * drop policy materialized: the flagged-passage islands only (never the
+    * widened gram spans), the shared severity CASE, and the same row-local
+    * segment rebuild as q373's oracle; drop rows carry NULL streams.
+    */
+  private lazy val graduatedCorpusOracle: String =
+    s"""WITH $passageVerdictCtes,
+       |lsx AS ($leakSpansOracle),
+       |piv3 AS (SELECT h.doc_id, CAST(h.passage * 8 + 1 AS BIGINT) AS s_pos,
+       |           CAST(least((h.passage + 1) * 8, tr.n_toks) AS BIGINT) AS e_pos
+       |         FROM hits h JOIN tr USING (doc_id) WHERE h.is_flagged),
+       |mrk3 AS (SELECT doc_id, s_pos, e_pos,
+       |           max(e_pos) OVER (PARTITION BY doc_id ORDER BY s_pos, e_pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |         FROM piv3),
+       |isl3 AS (SELECT doc_id, s_pos, e_pos,
+       |           sum(CASE WHEN s_pos > coalesce(pm, 0) + 1 THEN 1 ELSE 0 END)
+       |             OVER (PARTITION BY doc_id ORDER BY s_pos, e_pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |         FROM mrk3),
+       |ui3 AS (SELECT doc_id, CAST(min(s_pos) AS BIGINT) AS s0,
+       |          CAST(max(e_pos) AS BIGINT) AS e0
+       |        FROM isl3 GROUP BY doc_id, grp),
+       |ct3 AS (SELECT doc_id, list_sort(list({'s': s0, 'e': e0})) AS cuts,
+       |          CAST(sum(e0 - s0 + 1) AS BIGINT) AS removed
+       |        FROM ui3 GROUP BY doc_id),
+       |cls AS (SELECT doc_id,
+       |          ${severityCase("longest_run_grams")} AS severity
+       |        FROM lsx),
+       |j3 AS (SELECT tr.doc_id, tr.n_toks, d.toks, cls.severity,
+       |         CASE WHEN cls.severity = 'wholesale' THEN 'drop'
+       |              WHEN cls.severity = 'passage' THEN 'excise'
+       |              ELSE 'keep' END AS action,
+       |         CASE WHEN cls.severity = 'passage'
+       |              THEN coalesce(ct3.cuts, CAST([] AS STRUCT(s BIGINT, e BIGINT)[]))
+       |              ELSE CAST([] AS STRUCT(s BIGINT, e BIGINT)[]) END AS ct,
+       |         CASE WHEN cls.severity = 'wholesale' THEN tr.n_toks
+       |              WHEN cls.severity = 'passage'
+       |              THEN CAST(coalesce(ct3.removed, 0) AS BIGINT)
+       |              ELSE CAST(0 AS BIGINT) END AS removed
+       |       FROM tr JOIN d ON tr.doc_id = d.doc_id
+       |       JOIN cls ON tr.doc_id = cls.doc_id
+       |       LEFT JOIN ct3 ON tr.doc_id = ct3.doc_id),
+       |k3 AS (SELECT doc_id, n_toks, severity, action, removed,
+       |         list_filter(list_transform(range(0, len(ct) + 1), i ->
+       |           list_slice(toks,
+       |             CAST(CASE WHEN i = 0 THEN 1 ELSE ct[i].e + 1 END AS BIGINT),
+       |             CAST(CASE WHEN i = CAST(len(ct) AS BIGINT)
+       |                  THEN CAST(len(toks) AS BIGINT)
+       |                  ELSE ct[i + 1].s - 1 END AS BIGINT))),
+       |           seg -> len(seg) > 0) AS segs
+       |       FROM j3)
+       |SELECT doc_id, severity, action, n_toks,
+       |  removed AS n_removed_toks,
+       |  CAST(n_toks - removed AS BIGINT) AS n_kept_toks,
+       |  CASE WHEN action = 'drop' THEN NULL
+       |       ELSE CAST(len(segs) AS BIGINT) END AS n_segments,
+       |  CASE WHEN action = 'drop' THEN NULL
+       |       ELSE coalesce(array_to_string(
+       |         list_transform(segs, seg -> array_to_string(seg, ' ')), ' | '), '')
+       |  END AS graduated_text
+       |FROM k3""".stripMargin
 
   /** DuckDB twin of Curation.excisionAudit (q374) — q373's oracle embedded
     * VERBATIM, segments re-split on the literal ' | ', re-ground with q75's
@@ -6280,7 +6344,8 @@ object SparkEntry {
          |  s.tokens_rescued_share, g.leaked_gram_share,
          |  b.n_burned_items, p.pool_tokens, p.mix_infeasible_cells,
          |  m.n_semantic_matches, m.n_paraphrase_leaks,
-         |  gp.n_wholesale_docs, gp.graduated_retained_tokens
+         |  gp.n_wholesale_docs, gp.graduated_retained_tokens,
+         |  g4.graduated_pool_tokens, a4.n_post_surgery_leaks
          |FROM (
          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
@@ -6306,7 +6371,13 @@ object SparkEntry {
          |            FROM ($semanticDecontamOracle) u) m
          |CROSS JOIN (SELECT n_wholesale AS n_wholesale_docs,
          |              retained_graduated AS graduated_retained_tokens
-         |            FROM ($graduatedPolicyOracle) w2) gp""".stripMargin,
+         |            FROM ($graduatedPolicyOracle) w2) gp
+         |CROSS JOIN (SELECT CAST(sum(avail_tokens) AS BIGINT)
+         |              AS graduated_pool_tokens
+         |            FROM ($graduatedPoolMixOracle) v4) g4
+         |CROSS JOIN (SELECT CAST(sum(n_hits_post) AS BIGINT)
+         |              AS n_post_surgery_leaks
+         |            FROM ($excisionAuditOracle) u4) a4""".stripMargin,
 
     // q352: benchmark burn drift — when each eval item died, by crawl
     // batch: a gram arrives at its min train batch, an item burns at the
@@ -6522,6 +6593,11 @@ object SparkEntry {
     // plus the exact kept/removed ledger; islands chain SHARED VERBATIM
     // with q366/q371
     "q373_excised_corpus" -> excisedCorpusOracle,
+
+    // q375: the graduated corpus materialized — q360's keep/excise/drop
+    // policy applied per doc; the card's ledger and the shipped corpus
+    // reconcile exactly
+    "q375_graduated_corpus" -> graduatedCorpusOracle,
 
     // q374: the excision audit — q75's detector re-run over q373's output;
     // the zero-leak guarantee as an oracle-gated corpus-wide fact

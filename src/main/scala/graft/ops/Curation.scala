@@ -779,17 +779,36 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
         sum(col("e") - col("s") + 1L).as("removed"))
-    val emptyCuts = array().cast("array<struct<s:bigint,e:bigint>>")
-    val withCuts = docs.filter(!isEval)
+    docs.filter(!isEval)
       .select(col("doc_id"), TextAnalysis.alphaTokens(col("text")).as("toks"))
       .join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("cuts"), emptyCuts).as("ct"),
         coalesce(col("removed"), lit(0L)).as("n_removed_toks"))
-    // row-local rebuild: segment i (0..|cuts|) spans (prev cut end, next cut
-    // start) exclusive; CaseWhen short-circuits, so element_at never sees an
-    // out-of-range index, and slice's length clamps at 0 for empty gaps
-    val segs = filter(
+      .withColumn("segs", rebuiltSegments)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        col("n_removed_toks"),
+        (size(col("toks")).cast("long") - col("n_removed_toks"))
+          .as("n_kept_toks"),
+        size(col("segs")).cast("long").as("n_segments"),
+        array_join(transform(col("segs"), s => array_join(s, " ")), " | ")
+          .as("excised_text"))
+  }
+
+  private val emptyCuts =
+    array().cast("array<struct<s:bigint,e:bigint>>")
+
+  /** The row-local segment rebuild over in-scope `toks` (the alpha-token
+    * array) and `ct` (the sorted, disjoint cut islands): segment i
+    * (0..|cuts|) spans (prev cut end, next cut start) exclusive; CaseWhen
+    * short-circuits, so element_at never sees an out-of-range index, and
+    * slice's length clamps at 0 for empty gaps. ONE expression shared by
+    * the widened materializer (q373) and the graduated one (q375) — the
+    * two knives differ only in which intervals they cut.
+    */
+  private def rebuiltSegments: Column =
+    filter(
       transform(sequence(lit(0), size(col("ct"))), i => {
         val start = when(i === 0, lit(1L))
           .otherwise(element_at(col("ct"), i)("e") + 1L)
@@ -799,16 +818,69 @@ object Curation {
           greatest(lit(0L), end - start + 1L).cast("int"))
       }),
       seg => size(seg) > 0)
-    withCuts
-      .withColumn("segs", segs)
-      .select(col("doc_id"),
+
+  /** THE GRADUATED CORPUS, MATERIALIZED — q360's keep/excise/drop policy
+    * applied, completing the materialization pair ([[excisedCorpus]] ships
+    * the paranoid widened knife; this ships the POLICY a severity-aware
+    * release actually serves): per training document, the severity class,
+    * the action, and the post-policy token stream — quote/clean docs keep
+    * their WHOLE stream (a shared phrase is not worth surgery — by policy
+    * the quote stays, which is exactly why this corpus does NOT promise
+    * q374's zero-leak bound), passage-class docs get their flagged-passage
+    * spans excised (q360's exact min(w, len − w·p) arithmetic — adjacent
+    * passages merged through the same [[islandUnion]]), wholesale docs drop
+    * (NULL stream, zero kept). Σ n_kept_toks over the rows equals q360's
+    * retained_graduated EXACTLY (spec-pinned cross-query) — the card's
+    * number and the shipped corpus can never disagree.
+    *
+    * Scale shape: rides the `leak_spans`, `passage_flags` and `doc_tokens`
+    * memos; the cut arrays are bounded by each doc's own flagged passages;
+    * the rebuild is the same row-local HOF as q373 (shared expression).
+    */
+  def graduatedCorpus(spark: SparkSession, sfDir: String, n: Int = 5,
+      w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
+    val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
+    val docs = Tables.documents(spark, sfDir)
+    val train = Corpus.docTokens(spark, sfDir).filter(!isEval)
+      .select(col("doc_id"), col("n_alpha_toks").as("n_toks"))
+    val pasIv = passageDecontaminate(spark, sfDir, n, w, evalPermille, salt)
+      .filter(col("is_flagged"))
+      .join(train, "doc_id")
+      .select(col("doc_id"), (col("passage") * w + 1L).as("s"),
+        least((col("passage") + 1L) * w, col("n_toks")).as("e"))
+    val cuts = islandUnion(pasIv)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
+        sum(col("e") - col("s") + 1L).as("removed"))
+    val sev = severityClass(col("longest_run_grams"))
+    val action = when(col("severity") === "wholesale", "drop")
+      .when(col("severity") === "passage", "excise")
+      .otherwise("keep")
+    docs.filter(!isEval)
+      .select(col("doc_id"), TextAnalysis.alphaTokens(col("text")).as("toks"))
+      .join(leakSpans(spark, sfDir, n, evalPermille, salt)
+        .select(col("doc_id"), col("longest_run_grams")), "doc_id")
+      .join(cuts, Seq("doc_id"), "left")
+      .withColumn("severity", sev)
+      .withColumn("action", action)
+      // the knife only cuts excise-class docs; keep-class cuts are empty
+      .withColumn("ct", when(col("action") === "excise",
+        coalesce(col("cuts"), emptyCuts)).otherwise(emptyCuts))
+      .withColumn("n_removed_toks",
+        when(col("action") === "drop", size(col("toks")).cast("long"))
+          .when(col("action") === "excise", coalesce(col("removed"), lit(0L)))
+          .otherwise(lit(0L)))
+      .withColumn("segs", rebuiltSegments)
+      .select(col("doc_id"), col("severity"), col("action"),
         size(col("toks")).cast("long").as("n_toks"),
         col("n_removed_toks"),
         (size(col("toks")).cast("long") - col("n_removed_toks"))
           .as("n_kept_toks"),
-        size(col("segs")).cast("long").as("n_segments"),
-        array_join(transform(col("segs"), s => array_join(s, " ")), " | ")
-          .as("excised_text"))
+        when(col("action") === "drop", lit(null).cast("long"))
+          .otherwise(size(col("segs")).cast("long")).as("n_segments"),
+        when(col("action") === "drop", lit(null).cast("string"))
+          .otherwise(array_join(transform(col("segs"), s => array_join(s, " ")),
+            " | ")).as("graduated_text"))
   }
 
   /** EXCISION AUDIT — the detector re-run over the knife's own output: every

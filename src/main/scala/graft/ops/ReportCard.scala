@@ -32,9 +32,10 @@ object ReportCard {
     * can never drift from the audits it summarizes (the q100/q109
     * composition discipline); the card itself is hash-gated end to end.
     *
-    * Scale shape: six one-row/rollup arms, all riding session memos
-    * (doc_tokens, clusters, decontam_flags, passage_flags, domain cells) —
-    * the card costs six broadcast cross joins on top of artifacts the
+    * Scale shape (v4, r18: ten arms): every arm rides session memos
+    * (doc_tokens, clusters, decontam_flags, passage_flags, leak_spans,
+    * semantic_flags, excised_corpus, domain cells) — the card costs a
+    * handful of broadcast one-row cross joins on top of artifacts the
     * suite has already paid for.
     */
   def releaseReadiness(spark: SparkSession, sfDir: String): DataFrame = {
@@ -67,10 +68,20 @@ object ReportCard {
     val sev = Curation.graduatedPolicy(spark, sfDir)
       .select(col("n_wholesale").as("n_wholesale_docs"),
         col("retained_graduated").as("graduated_retained_tokens"))
+    // the graduated-pool + surgery channel (r18, card v4): the token mass
+    // the severity-aware pool actually serves (q364 — poolMix's blunt gate
+    // rescued), and the post-surgery leak count under q75's own detector
+    // (q374 — zero by construction, and the card now CARRIES that zero:
+    // a release review reads "surgery verified" off the same row)
+    val gpool = TrainingMix.graduatedPoolMix(spark, sfDir)
+      .agg(sum(col("avail_tokens")).as("graduated_pool_tokens"))
+    val audit = Curation.excisionAudit(spark, sfDir)
+      .agg(sum(col("n_hits_post")).as("n_post_surgery_leaks"))
     corpus.crossJoin(broadcast(ded)).crossJoin(broadcast(sav))
       .crossJoin(broadcast(sat)).crossJoin(broadcast(burn))
       .crossJoin(broadcast(pool)).crossJoin(broadcast(sem))
-      .crossJoin(broadcast(sev))
+      .crossJoin(broadcast(sev)).crossJoin(broadcast(gpool))
+      .crossJoin(broadcast(audit))
   }
 
   /** RELEASE-CARD DIFF ACROSS CORPUS VERSIONS (r17 verdict item 5) — the

@@ -310,6 +310,14 @@ class CurationSpec extends SparkSpec {
     assert(card.getLong(14) === grad.getLong(4), "wholesale docs = q360")
     assert(card.getLong(15) === grad.getLong(7), "graduated retained = q360")
     assert(card.getLong(14) > 0L, "fixture must surface the severity channel")
+    // card v4 (r18): the graduated-pool mass and the verified-surgery zero
+    val gpool = graft.ops.TrainingMix.graduatedPoolMix(spark, sf).collect()
+    assert(card.getLong(16) === gpool.map(_.getLong(3)).sum,
+      "graduated pool tokens = q364")
+    assert(card.getLong(17) ===
+      Curation.excisionAudit(spark, sf).collect().map(_.getLong(2)).sum,
+      "post-surgery leaks = q374's sum")
+    assert(card.getLong(17) === 0L, "the card carries the verified zero")
   }
 
   test("leak spans: islands recounted from raw token positions; severity one-sided") {
@@ -529,6 +537,80 @@ class CurationSpec extends SparkSpec {
       "fixture must show a real multi-segment surgery")
     assert(rows.values.exists(r => r._2 === r._1 && r._1 > 0L && r._5 == ""),
       "fixture must show a fully-excised doc emitting the empty stream")
+  }
+
+  test("graduated corpus: actions recounted per doc; kept mass equals q360's ledger exactly") {
+    val sf = "/root/testdata/sf0.001"
+    def toks(text: String): Vector[String] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    def posGrams(text: String): Vector[String] = {
+      val t = toks(text)
+      if (t.size < 5) Vector.empty else t.sliding(5).map(_.mkString(" ")).toVector
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val meta = graft.core.Tables.documents(spark, sf)
+      .select(c("doc_id"), c("text"),
+        (Corpus.hashBucket(c("doc_id"), "eval_v1") < 200).as("ev"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""),
+        r.getBoolean(2)))
+    val evalGrams = meta.filter(_._3).flatMap(m => posGrams(m._2)).toSet
+    val rows = Curation.graduatedCorpus(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val train = meta.filter(!_._3)
+    assert(rows.keySet === train.map(_._1).toSet, "one row per training doc")
+    var keptSum = 0L
+    train.foreach { case (id, text, _) =>
+      val t = toks(text)
+      val hits = posGrams(text).zipWithIndex.collect {
+        case (g, i) if evalGrams(g) => i + 1
+      }
+      val run = { // longest consecutive-run recount (q358's spelling)
+        hits.foldLeft((0L, 0L, -2)) { case ((best, cur, prev), i) =>
+          val r2 = if (i == prev + 1) cur + 1 else 1L
+          (math.max(best, r2), r2, i)
+        }._1
+      }
+      val sev = if (run == 0) "clean" else if (run <= 8) "quote"
+        else if (run <= 32) "passage" else "wholesale"
+      val flagged = hits.map(i => (i - 1) / 8).distinct
+      val covered =
+        if (sev == "passage")
+          flagged.flatMap(p => (p * 8 + 1) to math.min((p + 1) * 8, t.size)).toSet
+        else Set.empty[Int]
+      val r = rows(id)
+      assert(r.getString(1) === sev, s"doc $id severity")
+      val expAction =
+        if (sev == "wholesale") "drop" else if (sev == "passage") "excise" else "keep"
+      assert(r.getString(2) === expAction, s"doc $id action")
+      assert(r.getLong(3) === t.size.toLong, s"doc $id n_toks")
+      val expRemoved =
+        if (sev == "wholesale") t.size.toLong
+        else if (sev == "passage") covered.size.toLong else 0L
+      assert(r.getLong(4) === expRemoved, s"doc $id removed")
+      assert(r.getLong(5) === t.size - expRemoved, s"doc $id kept")
+      keptSum += r.getLong(5)
+      if (expAction == "drop") {
+        assert(r.isNullAt(6) && r.isNullAt(7), s"doc $id drop emits NULLs")
+      } else {
+        val segs = (1 to t.size).foldLeft(Vector.empty[Vector[String]]) { (acc, i) =>
+          if (covered(i)) acc
+          else if (acc.nonEmpty && i > 1 && !covered(i - 1))
+            acc.init :+ (acc.last :+ t(i - 1))
+          else acc :+ Vector(t(i - 1))
+        }
+        assert(r.getLong(6) === segs.size.toLong, s"doc $id segments")
+        assert(r.getString(7) === segs.map(_.mkString(" ")).mkString(" | "),
+          s"doc $id stream")
+      }
+    }
+    // the card's number and the shipped corpus agree exactly
+    val g = Curation.graduatedPolicy(spark, sf).head
+    assert(keptSum === g.getLong(7), "Σ kept = q360 retained_graduated")
+    val acts = rows.values.groupBy(_.getString(2)).map { case (k, v) => k -> v.size }
+    assert(acts.getOrElse("drop", 0) === g.getLong(4).toInt, "drops = wholesale")
+    assert(acts.getOrElse("excise", 0) === g.getLong(3).toInt, "excises = passage class")
+    assert(acts.getOrElse("drop", 0) > 0 && acts.getOrElse("excise", 0) > 0,
+      "fixture must exercise all three actions")
   }
 
   test("excision audit: every post-surgery doc scores clean under q75's own detector") {

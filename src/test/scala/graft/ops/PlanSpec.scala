@@ -437,7 +437,9 @@ class PlanSpec extends SparkSpec {
         // rebuild is a row-local HOF inside the scan
         Curation.excisedCorpusCompute(spark, sf, 5, 8, 200, "eval_v1"),
         // q374 rides the excised_corpus memo; the re-grind is the q75 join
-        Curation.excisionAudit(spark, sf))) {
+        Curation.excisionAudit(spark, sf),
+        // q375's cut arrays are bounded by each doc's own flagged passages
+        Curation.graduatedCorpus(spark, sf))) {
       assert(graft.plans.PlanAudit.rawGlobalWindows(df) == 0)
       assert(!plan(df).contains("CartesianProduct"))
     }
