@@ -78,6 +78,9 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val h0 = graft.ops.Dedup.counterSnapshot(graft.ops.Dedup.cacheHits)
       val m0 = graft.ops.Dedup.counterSnapshot(graft.ops.Dedup.cacheMisses)
+      // label the query's jobs (guide §1.5) so a UI/eventlog profile of a
+      // bench run attributes stages to queries; free when the UI is off
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -1336,8 +1336,9 @@ object SparkEntry {
        |             AS mix_infeasible_cells
        |           FROM (${domainMixOracleOver(versionCellsSql(docsSql))}) mx)
        |SELECT vol.n_docs, vol.raw_tokens, ca.n_train_docs, ca.n_docs_flagged,
-       |  CAST(ca.n_docs_flagged AS DOUBLE) / CAST(ca.n_train_docs AS DOUBLE)
-       |    AS contamination_rate,
+       |  CASE WHEN ca.n_train_docs > 0 THEN
+       |    CAST(ca.n_docs_flagged AS DOUBLE) / CAST(ca.n_train_docs AS DOUBLE)
+       |  END AS contamination_rate,
        |  burn.n_burned_items, mixarm.mix_infeasible_cells
        |FROM vol CROSS JOIN ca CROSS JOIN burn CROSS JOIN mixarm""".stripMargin
 

@@ -14,10 +14,15 @@ import graft.core.{Num, Tables}
   * (J3 analogue), and the store dim is the supplier's `nation` (J2 analogue).
   *
   * Scale design: the fact side is arbitrarily large (100 TB); every dimension here
-  * is orders-of-magnitude smaller, so each dim is broadcast — the whole enrichment
-  * is then a single scan of the fact with zero shuffles. At a scale where a dim
-  * outgrows the broadcast threshold, Catalyst/AQE falls back to sort-merge
-  * automatically; nothing in this code pins a physical strategy. The reference
+  * is orders-of-magnitude smaller, so each dim join is expected to broadcast — the
+  * whole enrichment is then a single scan of the fact with zero shuffles. Only the
+  * FIXED-cardinality nation dim carries an explicit `broadcast` hint (25 rows at
+  * any SF — a hint that can never break). Customer and supplier SCALE WITH THE
+  * FACT TABLE's SF, so their joins are deliberately un-hinted (r18 verdict item 6):
+  * Catalyst/AQE broadcasts them from measured size while they fit and falls back
+  * to a shuffle join when they outgrow the threshold — a forced hint would instead
+  * OOM at the 100 TB design point. Nothing else in this code pins a physical
+  * strategy. The reference
   * leaves join selection implicit and never caches the enriched lineage (it is
   * recomputed ≥6×, `/root/reference/src/main_1.py:784-795`) — callers here reuse
   * one DataFrame and may `.cache()` it when multiple marts/metrics consume it.
@@ -39,10 +44,11 @@ object Enrich {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"), "inner")
   }
 
-  /** J1–J3: fact joined to customer, salesperson (supplier) and store (nation) dims,
-    * all broadcast. Output keeps qualified-unambiguous columns only — the reference's
-    * qualified-string `.drop` bug (SURVEY §2.3 hazard) is avoided by selecting
-    * through the dim DataFrames' own column references.
+  /** J1–J3: fact joined to customer, salesperson (supplier) and store (nation) dims
+    * (nation hinted, customer/supplier left to AQE — see the object doc). Output
+    * keeps qualified-unambiguous columns only — the reference's qualified-string
+    * `.drop` bug (SURVEY §2.3 hazard) is avoided by selecting through the dim
+    * DataFrames' own column references.
     */
   def enriched(spark: SparkSession, sfDir: String): DataFrame =
     enrichedFromFact(salesFact(spark, sfDir), spark, sfDir)
@@ -54,8 +60,8 @@ object Enrich {
     val nat  = Tables.nation(spark, sfDir)
 
     fact
-      .join(broadcast(cust), fact("o_custkey") === cust("c_custkey"), "inner")
-      .join(broadcast(supp), fact("l_suppkey") === supp("s_suppkey"), "inner")
+      .join(cust, fact("o_custkey") === cust("c_custkey"), "inner")
+      .join(supp, fact("l_suppkey") === supp("s_suppkey"), "inner")
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"), "inner")
   }
 

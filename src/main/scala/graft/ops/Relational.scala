@@ -182,12 +182,15 @@ object Relational {
 
   /** Semi join: orders placed by BUILDING-segment customers. The probe side
     * keeps its own columns only — no dim payload rides through the shuffle,
-    * and the filter side deduplicates for free.
+    * and the filter side deduplicates for free. No broadcast hint (r18
+    * verdict item 6): the filtered customer side scales with SF, so AQE
+    * promotes the semi join to broadcast from its measured size while it
+    * fits and falls back to a shuffle join when it outgrows the threshold.
     */
   def ordersFromSegment(spark: SparkSession, sfDir: String, segment: String = "BUILDING"): DataFrame = {
     val custs = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === segment)
     Tables.orders(spark, sfDir)
-      .join(broadcast(custs), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(custs, col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 

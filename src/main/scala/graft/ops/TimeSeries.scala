@@ -901,8 +901,9 @@ object TimeSeries {
     * (date, orderkey)); per-segment Σg and Σg² fold exactly (Σg² in
     * DECIMAL(38,0) — safe at any corpus size); σ, μ, CV and B are one
     * fixed correctly-rounded tree per segment off the n-scaled integer
-    * identity n·Σg² − (Σg)². One customer-shuffle, two joins to the
-    * customer dim (broadcast), one |segments|-row aggregate.
+    * identity n·Σg² − (Σg)². One customer-shuffle, one join to the
+    * customer dim (strategy left to AQE — the dim scales with SF), one
+    * |segments|-row aggregate.
     */
   def orderGapProfile(spark: SparkSession, sfDir: String, minGaps: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -914,7 +915,9 @@ object TimeSeries {
       .filter(col("gap").isNotNull)
     val seg = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("segment"))
-    val s = gaps.join(broadcast(seg), "o_custkey")
+    // customer scales with SF — no broadcast hint (r18 verdict item 6): AQE
+    // broadcasts from measured size while the dim fits, shuffle-joins beyond
+    val s = gaps.join(seg, "o_custkey")
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("gap")).as("sg"),

