@@ -57,6 +57,49 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 
+  /** Scan-parallelism floor for operators whose heavy PER-ROW work (gram
+    * posexplode, minhash/rolling-hash signatures, chunk build + md5, vector
+    * arithmetic) is attached directly to a table scan.
+    *
+    * Why it exists (r19, measured): each test table ships as ONE parquet row
+    * group (documents.parquet = 594 KB / 1 row group at sf0.1), and a row
+    * group is not splittable — `spark.sql.files.maxPartitionBytes` /
+    * `minPartitionNum` cannot raise the split count past 1 — so every
+    * expression pipelined into the scan ran in ONE task while the session's
+    * other 31 cores idled (TimeQuery task metrics: q86 solo = 7 tasks,
+    * cpu 4.5 s ≈ wall 5.8 s, i.e. sequential). The optimization guide's §2.5
+    * prescription for unsplittable inputs: repartition immediately after the
+    * read.
+    *
+    * Scale shape: the repartition fires ONLY when the frame has fewer
+    * partitions than the session's parallelism. At the 100 TB design point a
+    * corpus scan arrives as thousands of row groups and this is a NO-OP —
+    * the text payload is never re-shuffled (§8's anti-pattern); only the
+    * bench-scale single-row-group layout pays one small exchange to unlock
+    * the other cores. Hash-repartition on the caller's unique row key:
+    * deterministic under task retry (keyless round-robin pays a
+    * sort-before-repartition and the SPARK-38388 retry hazard) and skew-free
+    * for a unique id. Results are unchanged by construction — partitioning
+    * is never semantic (the oracle gate sorts rows).
+    */
+  def spreadScan(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    // streaming relations can't be probed via .rdd (and a micro-batch's
+    // partitioning is the source's business) — the shared expression trees
+    // that batch/stream parity pairs reuse pass through unchanged
+    if (df.isStreaming) return df
+    // a frame whose plan already carries a shuffle executes at
+    // shuffle-partition parallelism — and, more to the point, probing it via
+    // .rdd would EXECUTE its upstream query stages under AQE (getFinalPlan
+    // materializes stages), i.e. pay the caller's join twice. Only
+    // scan-lineage frames (no exchange: the .rdd probe is then free — AQE
+    // has no stages to run) are candidates for the floor.
+    val hasShuffle = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    if (hasShuffle) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
+
   /** Explicit lineitem schema, used by the CSV ingest path (SURVEY §2.1 S1: the
     * reference infers; we declare). Matches the driver parquet exactly.
     */

@@ -37,6 +37,10 @@ object Clustering {
       iters: Int = 2): DataFrame = {
     require(iters >= 1, s"kmeans needs at least one assignment round, got $iters")
     val emb = Tables.embeddings(spark, sfDir)
+    // deliberately NOT spreadScan'd (r19): measured 5.17 → 5.5 s solo — the
+    // per-row work here is trivial (one explode), the heavy aggregates run
+    // post-shuffle, and the extra task fan-out only adds per-iteration
+    // scheduling latency
     val e = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))

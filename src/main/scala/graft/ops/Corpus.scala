@@ -36,7 +36,9 @@ object Corpus {
     */
   def docTokens(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.cached(docTokensCache, "doc_tokens", spark, sfDir)(
-      Tables.documents(spark, sfDir).select(
+      // scan-parallelism floor (r19, Tables.spreadScan scaladoc): two regexp
+      // tokenizations per document pipelined into the 1-partition test scan
+      Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id")).select(
         col("doc_id"), col("source"), col("lang"),
         size(TextAnalysis.alphaTokens(col("text"))).cast("long").as("n_alpha_toks"),
         TextAnalysis.qualityTokens.cast("long").as("n_ws_toks")))

@@ -178,7 +178,11 @@ object Curation {
   private def leakHitPositionsCompute(spark: SparkSession, sfDir: String,
       n: Int, evalPermille: Int, salt: String): DataFrame = {
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
-    val docs = Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc): the
+    // positional gram posexplode — the severity tier's one expensive scan —
+    // pipelined into the 1-partition test scan (measured 3.4 → 1.4 s solo
+    // warm via ProbeSpread); no-op at cluster-scale layouts
+    val docs = Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
     val evalGrams = docs.filter(isEval)
       .select(explode(wordGrams(col("text"), n)).as("gram"))
       .distinct()
@@ -236,7 +240,11 @@ object Curation {
     val evalGrams = evalTexts
       .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
       .withColumn("hit", lit(1L))
-    docs
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc): the training-
+    // side gram explode + map-side partial agg pipeline into the caller's
+    // frame, which a raw test-layout scan gives one partition; no-op when the
+    // caller's relation is already at least session-parallel
+    Tables.spreadScan(docs, col("doc_id"))
       .select(col("doc_id"), explode_outer(wordGrams(col("text"), n)).as("gram"))
       .join(evalGrams, Seq("gram"), "left")
       .groupBy(col("doc_id"))
@@ -395,10 +403,12 @@ object Curation {
       n: Int, w: Int, evalPermille: Int, salt: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
-    val evalGrams = docs.filter(isEval)
+    val evalGrams = Tables.spreadScan(docs.filter(isEval), col("doc_id"))
       .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
       .withColumn("hit", lit(1L))
-    docs.filter(!isEval)
+    // scan-parallelism floor (r19): the row-local passage-gram build below is
+    // exactly the work the 1-partition test scan serialized
+    Tables.spreadScan(docs.filter(!isEval), col("doc_id"))
       // row-local (passage, gram) dedup inside the scan (r17: replaces the
       // posexplode → relation-level DISTINCT spelling — one fewer shuffle,
       // identical pairs since a doc's grams all live in its one row) and
@@ -799,7 +809,10 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
         sum(col("e") - col("s") + 1L).as("removed"))
-    docs.filter(!isEval)
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc): the tokenize
+    // + row-local segment rebuild run in this frame's partitions (the sparse
+    // cut side broadcasts), which the 1-row-group test scan made sequential
+    Tables.spreadScan(docs.filter(!isEval), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.alphaTokens(col("text")).as("toks"))
       .join(cuts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
@@ -876,7 +889,9 @@ object Curation {
     val action = when(col("severity") === "wholesale", "drop")
       .when(col("severity") === "passage", "excise")
       .otherwise("keep")
-    docs.filter(!isEval)
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc): same shape as
+    // excisedCorpusCompute — tokenize + rebuild against broadcast-small sides
+    Tables.spreadScan(docs.filter(!isEval), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.alphaTokens(col("text")).as("toks"))
       .join(leakSpans(spark, sfDir, n, evalPermille, salt)
         .select(col("doc_id"), col("longest_run_grams")), "doc_id")
@@ -924,7 +939,10 @@ object Curation {
   def excisionAudit(spark: SparkSession, sfDir: String, n: Int = 5,
       w: Int = 8, evalPermille: Int = 200, salt: String = "eval_v1"): DataFrame = {
     val isEval = Corpus.hashBucket(col("doc_id"), salt) < evalPermille
-    val evalGrams = Tables.documents(spark, sfDir).filter(isEval)
+    // scan-parallelism floor (r19): the eval-side gram grind, same as the
+    // train sides above
+    val evalGrams = Tables.spreadScan(
+        Tables.documents(spark, sfDir).filter(isEval), col("doc_id"))
       .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
       .withColumn("hit", lit(1L))
     excisedCorpus(spark, sfDir, n, w, evalPermille, salt)
@@ -1188,7 +1206,9 @@ object Curation {
     */
   private[graft] def burnedItemsOver(train: DataFrame, evalDocs: DataFrame,
       n: Int = 5): DataFrame = {
-    val trainGrams = train
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc): the train
+    // side's gram explode + distinct partial agg is the arm's expensive scan
+    val trainGrams = Tables.spreadScan(train, col("doc_id"))
       .select(explode(wordGrams(col("text"), n)).as("gram")).distinct()
       .withColumn("hit", lit(1L))
     evalDocs
@@ -1489,7 +1509,9 @@ object Curation {
         transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(toks, i * w + 1, lit(w)))))
       .otherwise(array().cast("array<string>"))
-    val withChunks = Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19): the chunk build (tokenize + w-token
+    // slices) runs in-scan and this frame is consumed twice
+    val withChunks = Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), chunks.as("chunks"))
     val segs = withChunks
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))

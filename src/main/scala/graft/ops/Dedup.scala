@@ -86,7 +86,11 @@ object Dedup {
     // NULL text must still yield 16 (null) signature rows — the expression
     // returns NULL for NULL input and posexplode would silently drop the
     // document, where the HOF spec and the oracle both keep it
-    Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc): the one-md5-
+    // per-shingle signature loop pipelines into the scan, which the test
+    // layout gives exactly one partition — the head of the whole LSH →
+    // verify → CC chain ran on one core. No-op at cluster-scale layouts.
+    Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"),
         posexplode(coalesce(
           graft.functions.MinhashSigExpr(TextAnalysis.normText(col("text"))), allNullSig))
@@ -218,7 +222,10 @@ object Dedup {
     }
 
   private[graft] def ngramJaccardCompute(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19): normText runs in-scan, and when AQE
+    // broadcasts the candidate side the per-pair native verify ALSO lands on
+    // this frame's single test-layout partition
+    val docs = Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_chars"),
         TextAnalysis.normText(col("text")).as("norm"))
     val cands = lshCandidatePairs(spark, sfDir)
@@ -480,7 +487,8 @@ object Dedup {
     * native [[graft.functions.SimhashExpr]].
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19): one 48-bit vote loop per document, in-scan
+    Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), graft.functions.SimhashExpr(col("text")).as("simhash"))
 
   /** The same fingerprint as pure built-in HOFs, kept as the executable
@@ -593,7 +601,9 @@ object Dedup {
     // size(shingles(...)): the interpreted transform+array_distinct spelling
     // measured ~250 µs/doc (ProfileQ230 — 12.4 s of q230's 14 s at sf0.1 was
     // these two projections); the native count is one codepoint scan + sort
-    val docs = Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19): the normText + native gram-count pass
+    // (measured ~250 µs/doc, ProfileQ230) pipelines into the 1-partition scan
+    val docs = Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.normText(col("text")).as("norm"))
       .withColumn("ng", graft.functions.NgramCountExpr(col("norm"), 3))
     (docs.select(col("doc_id").as("doc_a"), col("norm").as("norm_a"), col("ng").as("n_a")),
@@ -673,7 +683,10 @@ object Dedup {
     */
   def substringDedup(spark: SparkSession, sfDir: String,
       window: Int = 40, maxDf: Int = 100, minShared: Int = 1): DataFrame = {
-    val wins = Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19): the rolling-hash pass (one codepoint scan
+    // per document) pipelines into the 1-partition scan — measured 43-task
+    // query with a sequential fingerprint stage
+    val wins = Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.normText(col("text")).as("t"))
       .filter(length(col("t")) >= window)
       // ONE codepoint pass per document: the native rolling-hash expression

@@ -456,6 +456,12 @@ object Graph {
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"),
         greatest(col("du"), col("dv")).as("ddst"))
+      // NOT pre-partitioned by the wedge key (r19, measured): checkpointing
+      // behind a repartition(parallelism, src) — so the wedge self-join could
+      // reuse the stored HashPartitioning — read 10.6–11.0 s as census payer
+      // vs 9.0 s for this spelling under the same ambient load; the extra
+      // full exchange of the oriented frame costs more than the join's own
+      // AQE-sized exchange saves. Tried and reverted.
       .localCheckpoint(true)
 
   /** Candidate wedges at each pivot, ordered by the orientation's own total

@@ -98,7 +98,10 @@ object LanguageModel {
       perDocTotalsCompute(spark, sfDir))
 
   private[ops] def perDocTotalsCompute(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc): the tokenize +
+    // bigram explode + map-side partial agg pipeline into the 1-partition
+    // test scan; no-op at cluster-scale layouts
+    val docs = Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
 
     // One explode, immediately reduced: (doc_id, bigram, n) — the only

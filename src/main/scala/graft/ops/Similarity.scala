@@ -56,7 +56,14 @@ object Similarity {
     withScaled(Tables.embeddings(spark, sfDir))
 
   private[graft] def withScaled(df: DataFrame): DataFrame =
-    df.select(
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc): the whole
+    // vector tier's per-pair arithmetic (CosineSimExpr under a broadcast
+    // probe join, k-means assignment, PQ encode) pipelines into THIS frame's
+    // partitions, and the single-row-group embeddings scan gave it exactly
+    // one — every brute-force cosine pass ran sequentially. No-op whenever
+    // the source already has ≥ parallelism partitions (any cluster-scale
+    // layout).
+    Tables.spreadScan(df, col("vec_id")).select(
       col("vec_id"),
       scaled(col("embedding")).as("svec"))
       .withColumn("norm2", idot(col("svec"), col("svec")))

@@ -80,7 +80,8 @@ object TermStats {
     * driver-side collect.
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val docTerms = Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc)
+    val docTerms = Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = docTerms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = docTerms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -439,7 +440,8 @@ object TermStats {
   def termPmi(spark: SparkSession, sfDir: String, minDf: Int = 50,
       minPair: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val docTerm = Tables.documents(spark, sfDir)
+    // scan-parallelism floor (r19, Tables.spreadScan scaladoc)
+    val docTerm = Tables.spreadScan(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
       .persist()
